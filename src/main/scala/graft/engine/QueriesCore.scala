@@ -1,0 +1,280 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave-1 relational core: SURVEY.md §2.2 categories A–G.
+  *
+  * Determinism rules (SURVEY.md §2.3) applied to every query:
+  *  - terminal ORDER BY over a provably-unique key set;
+  *  - float aggregates rounded (4dp money, 6dp ratios) on BOTH sides;
+  *  - explicit NULLS FIRST/LAST wherever a sort key can be null
+  *    (Spark and DuckDB defaults differ);
+  *  - column names aliased identically to the oracle SQL.
+  *
+  * Scale notes: all plans are declarative DataFrame ops so Catalyst
+  * pushes filters/pruning into the parquet scan; dims (region, nation)
+  * are broadcast (≤10MB auto-threshold, pinned explicitly where the
+  * key demands it); fact-fact joins shuffle on their equi-keys and
+  * survive arbitrary partition counts.
+  */
+object QueriesCore {
+  import Tables._
+
+  private def ts(x: String): Column = to_timestamp(lit(x))
+
+  // ---------- A. scans / sources ----------
+
+  def scanProjectFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity") > 30)
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (up to 6 dups) — total-order by every output column.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  def scanEventsNs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  def sourceParamTable(s: SparkSession, d: String): DataFrame = {
+    val params = s.range(1).select(
+      lit(30.0).as("min_qty"), lit("BUILDING").as("seg"))
+    val li = lineitem(s, d)
+    params.crossJoin(li)
+      .filter(col("l_quantity") > col("min_qty"))
+      .groupBy("min_qty", "seg")
+      .agg(count(lit(1)).as("cnt"),
+           round(sum("l_extendedprice"), 4).as("total_price"))
+      .orderBy("seg")
+  }
+
+  // ---------- B. projections / filters ----------
+
+  def filterCompound(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate").between(ts("1997-01-01 00:00:00"),
+                                  ts("1997-12-31 23:59:59.999")) &&
+        !(col("l_discount") < 0.02 || col("l_tax") > 0.06) &&
+        nullif(col("l_linestatus"), lit("O")) <=> lit("F"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_tax")
+
+  def projectExpressions(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        round((col("o_totalprice") * 1.1 + 5.0) / 2.0, 4).as("arith"),
+        when(col("o_orderstatus") === "F", "done")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_word"),
+        coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("LOW!"))
+          .as("prio"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderkey").cast("double").as("key_dbl"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderdate").cast("date").cast("string").as("odate_str"))
+      .orderBy("o_orderkey")
+
+  // ---------- C. joins ----------
+
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-10. */
+  def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join chain through a region filter. */
+  def q5MultiwayJoin(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+      col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Outer-join matrix: left / right / full null-extension semantics,
+    * union-tagged into one deterministic result. */
+  def joinLeftRightFull(s: SparkSession, d: String): DataFrame = {
+    def slice(jt: String, tag: String): DataFrame = {
+      val c = customer(s, d).filter(col("c_custkey") < 100)
+        .select("c_custkey", "c_name")
+      val o = orders(s, d)
+        .filter(col("o_custkey").between(50, 150) && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), jt)
+        .select(lit(tag).as("jtype"), col("c_custkey"), col("o_orderkey"))
+    }
+    slice("left", "L").unionByName(slice("right", "R"))
+      .unionByName(slice("full", "F"))
+      .orderBy(col("jtype"),
+               col("c_custkey").asc_nulls_first,
+               col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Customers with >=1 order AND no 'F' order (semi + anti). */
+  def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Explicit broadcast of the nation+region dim chain. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val dims = nation(s, d).join(
+      region(s, d), col("n_regionkey") === col("r_regionkey"))
+    customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg("c_acctbal"), 6).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def joinCrossLimited(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select("n_name")
+      .crossJoin(region(s, d).select("r_name"))
+      .orderBy("n_name", "r_name")
+
+  // ---------- D. aggregations ----------
+
+  /** TPC-H Q1: filter + 8 aggregates over 2 group keys. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                    * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def aggHavingDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           round(sum_distinct(col("l_quantity")), 4).as("sumd_qty"),
+           count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 100)
+      .orderBy("l_returnflag")
+
+  def distinctExact(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(sum("o_totalprice"), 4).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  // ---------- E. windows ----------
+
+  /** row_number + moving sum over ROWS BETWEEN 2 PRECEDING AND CURRENT
+    * ROW, top-3 orders per customer. */
+  def windowRankFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mv_sum",
+        round(sum("o_totalprice").over(w.rowsBetween(-2, 0)), 4))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn", "mv_sum")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Top-2 orders per customer by price, ties broken by key. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  // ---------- F. sorts / limits ----------
+
+  def sortMultikeyNulls(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"),
+              nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+              col("c_acctbal"))
+      .orderBy(col("seg").asc_nulls_first,
+               col("c_acctbal").desc_nulls_last,
+               col("c_custkey"))
+
+  def limitOffsetTopk(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5).limit(25)
+
+  // ---------- G. set operations ----------
+
+  /** UNION ALL multiplicities of two order slices (and the distinct
+    * union is the key set itself). */
+  def setopUnion(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val b = orders(s, d).filter(col("o_totalprice") > 100000)
+      .select("o_orderkey")
+    a.unionByName(b)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("appearances"))
+      .orderBy("o_orderkey")
+  }
+
+  def setopIntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val withOrders = orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val withOrdersAll = orders(s, d).select(col("o_custkey").as("k"))
+    val highBal = customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    withOrders.intersect(highBal).select(lit("intersect").as("op"), col("k"))
+      .unionByName(
+        withOrders.except(highBal).select(lit("except").as("op"), col("k")))
+      .unionByName(
+        withOrdersAll.exceptAll(highBal)
+          .select(lit("except_all").as("op"), col("k")))
+      .orderBy("op", "k")
+  }
+}

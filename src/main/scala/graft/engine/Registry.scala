@@ -1,0 +1,45 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry wiring query keys (SURVEY.md §2.2) to their
+  * implementations and oracle SQL. ListMap keeps declaration order
+  * stable so bench JSON diffs stay clean (SURVEY.md §7.4-7).
+  */
+object Registry {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: ListMap[String, Q] = ListMap(
+    // A. scans / sources
+    "scan_project_filter" -> QueriesCore.scanProjectFilter _,
+    "scan_events_ns"      -> QueriesCore.scanEventsNs _,
+    "source_param_table"  -> QueriesCore.sourceParamTable _,
+    // B. projections / filters
+    "filter_compound"     -> QueriesCore.filterCompound _,
+    "project_expressions" -> QueriesCore.projectExpressions _,
+    // C. joins
+    "q3_top_unshipped"    -> QueriesCore.q3TopUnshipped _,
+    "q5_multiway_join"    -> QueriesCore.q5MultiwayJoin _,
+    "join_left_right_full" -> QueriesCore.joinLeftRightFull _,
+    "join_semi_anti"      -> QueriesCore.joinSemiAnti _,
+    "join_broadcast"      -> QueriesCore.joinBroadcast _,
+    "join_cross_limited"  -> QueriesCore.joinCrossLimited _,
+    // D. aggregations
+    "q1_pricing_summary"  -> QueriesCore.q1PricingSummary _,
+    "agg_having_distinct" -> QueriesCore.aggHavingDistinct _,
+    "distinct_exact"      -> QueriesCore.distinctExact _,
+    "agg_rollup"          -> QueriesCore.aggRollup _,
+    // E. windows
+    "window_rank_frame"   -> QueriesCore.windowRankFrame _,
+    "topk_per_group"      -> QueriesCore.topkPerGroup _,
+    // F. sorts / limits
+    "sort_multikey_nulls" -> QueriesCore.sortMultikeyNulls _,
+    "limit_offset_topk"   -> QueriesCore.limitOffsetTopk _,
+    // G. set operations
+    "setop_union"         -> QueriesCore.setopUnion _,
+    "setop_intersect_except" -> QueriesCore.setopIntersectExcept _,
+  )
+
+  val oracleSql: ListMap[String, String] = OracleCore.sql
+}
