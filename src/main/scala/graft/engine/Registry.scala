@@ -39,7 +39,19 @@ object Registry {
     // G. set operations
     "setop_union"         -> QueriesCore.setopUnion _,
     "setop_intersect_except" -> QueriesCore.setopIntersectExcept _,
+    // A/C/D/E wave-2 breadth
+    "scan_multiformat"    -> QueriesRel2.scanMultiformat _,
+    "join_theta_range"    -> QueriesRel2.joinThetaRange _,
+    "join_asof"           -> QueriesRel2.joinAsof _,
+    "param_grid_cross"    -> QueriesRel2.paramGridCross _,
+    "distinct_approx"     -> QueriesRel2.distinctApprox _,
+    "agg_cube_gsets"      -> QueriesRel2.aggCubeGsets _,
+    "agg_stats"           -> QueriesRel2.aggStats _,
+    "agg_collect_sorted"  -> QueriesRel2.aggCollectSorted _,
+    "window_ranking_matrix" -> QueriesRel2.windowRankingMatrix _,
+    "window_analytic"     -> QueriesRel2.windowAnalytic _,
+    "window_range_frame"  -> QueriesRel2.windowRangeFrame _,
   )
 
-  val oracleSql: ListMap[String, String] = OracleCore.sql
+  val oracleSql: ListMap[String, String] = OracleCore.sql ++ OracleRel2.sql
 }
