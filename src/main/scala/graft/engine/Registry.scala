@@ -51,7 +51,24 @@ object Registry {
     "window_ranking_matrix" -> QueriesRel2.windowRankingMatrix _,
     "window_analytic"     -> QueriesRel2.windowAnalytic _,
     "window_range_frame"  -> QueriesRel2.windowRangeFrame _,
+    // H. streaming semantics over events
+    "events_tumbling"     -> QueriesEvents.eventsTumbling _,
+    "events_sliding"      -> QueriesEvents.eventsSliding _,
+    "events_session"      -> QueriesEvents.eventsSession _,
+    "events_watermark_late" -> QueriesEvents.eventsWatermarkLate _,
+    "events_stateful_dedup" -> QueriesEvents.eventsStatefulDedup _,
+    "events_json_props"   -> QueriesEvents.eventsJsonProps _,
+    // I. scalar function matrix
+    "fn_string"           -> QueriesFn.fnString _,
+    "fn_date"             -> QueriesFn.fnDate _,
+    "fn_math"             -> QueriesFn.fnMath _,
+    "fn_array"            -> QueriesFn.fnArray _,
+    "fn_array_explode"    -> QueriesFn.fnArrayExplode _,
+    "fn_map"              -> QueriesFn.fnMap _,
+    "fn_json"             -> QueriesFn.fnJson _,
+    "fn_conditional"      -> QueriesFn.fnConditional _,
   )
 
-  val oracleSql: ListMap[String, String] = OracleCore.sql ++ OracleRel2.sql
+  val oracleSql: ListMap[String, String] =
+    OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql
 }
