@@ -67,8 +67,23 @@ object Registry {
     "fn_map"              -> QueriesFn.fnMap _,
     "fn_json"             -> QueriesFn.fnJson _,
     "fn_conditional"      -> QueriesFn.fnConditional _,
+    // J. LLM-data-pipeline operators
+    "docs_dedup_exact"    -> QueriesDocs.docsDedupExact _,
+    "docs_token_stats"    -> QueriesDocs.docsTokenStats _,
+    "docs_lang_filter_tf" -> QueriesDocs.docsLangFilterTf _,
+    "docs_tfidf_topk"     -> QueriesDocs.docsTfidfTopk _,
+    "docs_dedup_near"     -> QueriesDocs.docsDedupNear _,
+    "emb_knn_bruteforce"  -> QueriesDocs.embKnnBruteforce _,
+    "emb_centroid_per_label" -> QueriesDocs.embCentroidPerLabel _,
+    "emb_norm_filter"     -> QueriesDocs.embNormFilter _,
+    // K. UDF / UDAF / UDTF / native Expression surface
+    "udf_scalar_haversine" -> QueriesExt.udfScalarHaversine _,
+    "udaf_typed_geomean"  -> QueriesExt.udafTypedGeomean _,
+    "udtf_generator_ngrams" -> QueriesExt.udtfGeneratorNgrams _,
+    "expr_native_cosine"  -> QueriesExt.exprNativeCosine _,
   )
 
   val oracleSql: ListMap[String, String] =
-    OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql
+    OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
+      OracleDocs.sql
 }
