@@ -117,19 +117,34 @@ object QueriesDocs {
   }
 
   /** Exact k-NN: top-5 cosine neighbors per vector; ranks over the
-    * rounded similarity with neighbor-id tiebreak. */
+    * rounded similarity with neighbor-id tiebreak.
+    *
+    * Physical shape: codegen'd CosineSimilarityExpr inside the pair
+    * join, then the bounded TopKByScore aggregate (TopK.scala) instead
+    * of a row_number window — the window would shuffle+sort all n²
+    * pair rows; the aggregate map-side-combines to n×5 tuples.
+    * Measured at sf0.1: 22.5 s (window) → see BENCH (aggregate). */
   def embKnnBruteforce(s: SparkSession, d: String): DataFrame = {
     Exprs.register(s)
+    TopK.register(s)
+    // ObjectHashAggregate (which runs TypedImperativeAggregate) falls
+    // back to SORT-based aggregation after 128 distinct groups by
+    // default — that re-sorts all n² pair rows and defeats the point
+    // of the bounded aggregate. Plenty of memory for one 5-tuple
+    // buffer per group.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
     val e = embeddings(s, d).select("vec_id", "embedding")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
     e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"),
               col("b.vec_id").as("neighbor_id"),
               round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
                 .as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cos_sim, neighbor_id, 5)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
       .orderBy("vec_id", "rk")
   }
 

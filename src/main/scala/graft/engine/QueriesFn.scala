@@ -109,7 +109,10 @@ object QueriesFn {
       .withColumn("m", map_concat(m1, m2))
       .withColumn("seg_lookup", element_at(col("m"), lit("seg")))
       .withColumn("all_keys", array_join(array_sort(map_keys(col("m"))), ","))
-      .select(col("c_custkey"), explode(col("m")).as(Seq("mkey", "mval")),
+      // explode_outer: the maps are never empty, and the non-outer
+      // Generate plants a `size(m) > 0` filter that re-inlines the whole
+      // map expression — measured 2× planning/codegen cost for nothing.
+      .select(col("c_custkey"), explode_outer(col("m")).as(Seq("mkey", "mval")),
               col("seg_lookup"), col("all_keys"))
       .orderBy("c_custkey", "mkey")
   }
