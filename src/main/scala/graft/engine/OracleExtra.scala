@@ -1,0 +1,101 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the beyond-SURVEY training-data-pipeline keys. */
+object OracleExtra {
+  private val cosinePair =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+      |      / (sqrt(list_aggregate(list_transform(a.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(b.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum')))""".stripMargin
+
+  val sql: ListMap[String, String] = ListMap(
+    "docs_lang_id" ->
+      """WITH f AS (SELECT doc_id, lang, string_split(text, ' ') AS tokens
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(tokens, t -> t IN ('the','a','of'))) AS s_de,
+        |  len(list_filter(tokens, t -> t IN ('the','fast','key'))) AS s_en,
+        |  len(list_filter(tokens, t -> t IN ('query','table','row'))) AS s_es,
+        |  len(list_filter(tokens, t -> t IN ('join','merge','sort'))) AS s_fr,
+        |  len(list_filter(tokens, t -> t IN ('scan','filter','group'))) AS s_zh
+        |  FROM f)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |       WHEN s_fr >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  greatest(s_de,s_en,s_es,s_fr,s_zh) AS best_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "docs_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  round(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |      + 0.4 * (1 - CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','a','of'))) AS DOUBLE)
+        |              / len(string_split(text, ' ')))
+        |      + 0.2 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |              / length(text)), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, array_to_string(tokens[i:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens) - 2)) AS i FROM tok) t1) t2)
+        |SELECT doc_id, min(substr(md5(shingle), 1, 8)) AS fp,
+        |       count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "docs_token_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |  len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS n_uniq_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "emb_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+        |              WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, b.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round($cosinePair, 6) DESC, b.cid) AS rn
+        |  FROM embeddings a JOIN cent b ON true) t WHERE rn = 1),
+        |cells AS (SELECT e.vec_id, e.embedding, asg.cid AS cell_id
+        |          FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id),
+        |p AS (SELECT a.vec_id, a.cell_id, b.vec_id AS neighbor_id,
+        |        round($cosinePair, 6) AS cos_sim
+        |      FROM cells a JOIN cells b
+        |        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, cell_id, neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |      FROM p)
+        |SELECT vec_id, cell_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
+
+    "multimodal_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,
+        |  md5(text) AS blob_md5,
+        |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
+        |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS INT) AS n_frames,
+        |  CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
+        |  CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,160 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed output row of the multimodal decode stub (the "decoded media
+  * metadata" a real image/audio decoder would emit). */
+case class MediaMeta(doc_id: Long, blob_len: Int, blob_md5: String,
+                     head_hex: String, n_frames: Int,
+                     fake_width: Int, fake_height: Int)
+
+/** Beyond-SURVEY training-data-pipeline operators (mandated by the
+  * build brief): ANN similarity search (IVF scale path), language-ID,
+  * quality scoring, document fingerprinting, BPE-ish tokenization, and
+  * multimodal binary handling with a deterministic decode STUB.
+  *
+  * Scale notes:
+  *  - `emb_ann_ivf` is the ANN answer to brute-force knn: assign every
+  *    vector to its nearest coarse centroid (broadcast codebook — at
+  *    100 TB the codebook is k-means-trained but stays tiny), then
+  *    search only within the cell: O(n·C + n·n/C) vs O(n²).
+  *  - All text operators are one explode + hash-agg shuffle; no
+  *    driver-side loops anywhere.
+  */
+object QueriesExtra {
+  import Tables._
+
+  /** Token-signature language ID: per-language marker-token counts,
+    * argmax with alphabetical tiebreak. (The synthetic corpus shares
+    * one vocabulary across langs, so predictions exercise the operator,
+    * not linguistics.) */
+  def docsLangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      .selectExpr(
+        "doc_id", "lang",
+        "size(filter(tokens, t -> t IN ('the','a','of'))) AS s_de",
+        "size(filter(tokens, t -> t IN ('the','fast','key'))) AS s_en",
+        "size(filter(tokens, t -> t IN ('query','table','row'))) AS s_es",
+        "size(filter(tokens, t -> t IN ('join','merge','sort'))) AS s_fr",
+        "size(filter(tokens, t -> t IN ('scan','filter','group'))) AS s_zh")
+      .selectExpr(
+        "doc_id", "lang",
+        """CASE WHEN s_de >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+          |     WHEN s_en >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+          |     WHEN s_es >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+          |     WHEN s_fr >= greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+          |     ELSE 'zh' END AS pred_lang""".stripMargin,
+        "greatest(s_de,s_en,s_es,s_fr,s_zh) AS best_score")
+      .orderBy("doc_id")
+
+  /** Document quality score: length / punctuation / stopword signals
+    * combined into one bounded score. */
+  def docsQualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(text) AS n_chars_m",
+        "round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text), 6) AS punct_ratio",
+        "round(CAST(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE) / size(split(text, ' ')), 6) AS stop_ratio",
+        """round(0.4 * least(size(split(text, ' ')) / 50.0, 1.0)
+          |    + 0.4 * (1 - CAST(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE) / size(split(text, ' ')))
+          |    + 0.2 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)), 6) AS quality""".stripMargin)
+      .orderBy("doc_id")
+
+  /** Winnowing-style document fingerprint: min over 4-gram shingle
+    * hashes. md5 (not Spark's salted hash()) so the fingerprint is
+    * portable across engines — §2.3-3. */
+  def docsFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tokens) - 3), i -> array_join(slice(tokens, i, 4), ' '))"))
+        .as("shingle"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(min(substring(md5(col("shingle")), 1, 8)).as("fp"),
+           count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  /** BPE-ish regex tokenization counts (alpha runs / digit runs /
+    * single non-space symbols). */
+  def docsTokenBpe(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr(
+        "doc_id",
+        """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_pieces""",
+        "size(regexp_extract_all(text, '[0-9]+', 0)) AS n_num",
+        "size(array_distinct(regexp_extract_all(text, '[a-z]+', 0))) AS n_uniq_alpha")
+      .orderBy("doc_id")
+
+  /** IVF-style approximate nearest neighbors: nearest of 16 coarse
+    * centroids (vec_id < 16 as the fixed codebook), then exact top-3
+    * within the cell. */
+  def embAnnIvf(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s)
+    TopK.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+              col("cid"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), element_at(col("t"), 1).getField("id")
+        .as("cell_id"))
+    val cells = e.join(asg, "vec_id")
+    cells.as("a").join(cells.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell_id").as("cell_id"),
+              col("b.vec_id").as("neighbor_id"),
+              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+                .as("cos_sim"))
+      .groupBy("vec_id", "cell_id")
+      .agg(expr("topk_by_score(cos_sim, neighbor_id, 3)").as("top"))
+      .select(col("vec_id"), col("cell_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("cell_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** Multimodal binary columns: text bytes stand in for an opaque media
+    * blob; metadata extraction runs through a REAL mapPartitions batch
+    * pipeline (the shape a decoder needs: per-partition iteration, no
+    * per-row task setup) with the actual decode STUBBED
+    * deterministically (no media libs in this environment). */
+  def multimodalDecodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // One digest instance per partition — the "codec handle" a real
+        // decoder would also allocate once per batch, not per row.
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        iter.map { case (id, bytes) =>
+          digest.reset()
+          val md5Hex = digest.digest(bytes).map("%02x".format(_)).mkString
+          val headHex = bytes.take(8).map("%02X".format(_)).mkString
+          MediaMeta(
+            doc_id = id,
+            blob_len = bytes.length,
+            blob_md5 = md5Hex,
+            head_hex = headHex,
+            n_frames = math.ceil(bytes.length / 16.0).toInt,
+            fake_width = (bytes(0) & 0xff) % 64 + 1,
+            fake_height = (bytes(1) & 0xff) % 64 + 1)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

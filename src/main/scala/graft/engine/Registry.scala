@@ -81,9 +81,16 @@ object Registry {
     "udaf_typed_geomean"  -> QueriesExt.udafTypedGeomean _,
     "udtf_generator_ngrams" -> QueriesExt.udtfGeneratorNgrams _,
     "expr_native_cosine"  -> QueriesExt.exprNativeCosine _,
+    // Beyond-SURVEY training-data-pipeline operators
+    "docs_lang_id"        -> QueriesExtra.docsLangId _,
+    "docs_quality_score"  -> QueriesExtra.docsQualityScore _,
+    "docs_fingerprint"    -> QueriesExtra.docsFingerprint _,
+    "docs_token_bpe"      -> QueriesExtra.docsTokenBpe _,
+    "emb_ann_ivf"         -> QueriesExtra.embAnnIvf _,
+    "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
-      OracleDocs.sql
+      OracleDocs.sql ++ OracleExtra.sql
 }
