@@ -1,0 +1,98 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Exprs, TopK, Udfs}
+
+/** Randomized checks (SURVEY.md §5.3-3) for the custom Catalyst pieces
+  * against small Scala reference implementations. Seeded Random keeps
+  * runs reproducible (the scalatestplus-scalacheck bridge is not in the
+  * offline dependency cache, so generators are hand-rolled).
+  */
+class ExprSpec extends SparkTestBase {
+
+  private def refCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosine_sim matches reference on random vectors (eval + codegen)") {
+    Exprs.register(spark)
+    import spark.implicits._
+    val rnd = new Random(42)
+    val cases = Seq.fill(30) {
+      (Array.fill(16)(rnd.nextFloat() * 2 - 1),
+       Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val got = cases.toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val want = refCosine(a, b)
+      assert(math.abs(g - want) < 1e-12, s"got=$g want=$want")
+    }
+  }
+
+  test("topk_by_score matches sort-take reference") {
+    TopK.register(spark)
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (_ <- 1 to 10) {
+      val rows = Seq.tabulate(60) { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(20) / 10.0, i.toLong)
+      }
+      val got = rows.toDF("g", "score", "id").repartition(3)
+        .groupBy("g").agg(expr("topk_by_score(score, id, 3)").as("t"))
+        .select(col("g"), posexplode(col("t")))
+        .select(col("g"), col("col.score"), col("col.id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }
+          .take(3).map { case (s, id) => (g, s, id) }
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("haversine UDF: zero distance and known quarter-meridian") {
+    assert(Udfs.haversineKm(10.0, 20.0, 10.0, 20.0) == 0.0)
+    val quarter = Udfs.haversineKm(0.0, 0.0, 90.0, 0.0)
+    assert(math.abs(quarter - 6371.0 * math.Pi / 2) < 1e-6)
+  }
+
+  test("geomean Aggregator matches exp(avg(ln)) reference") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      val xs = Seq.fill(25)(rnd.nextDouble() * 999.9 + 0.1)
+      val got = xs.toDF("x").repartition(3).agg(Udfs.geomean(col("x")))
+        .collect()(0).getDouble(0)
+      val want = math.exp(xs.map(math.log).sum / xs.size)
+      assert(math.abs(got - want) / want < 1e-9)
+    }
+  }
+
+  test("MinHash-LSH near-dup finds exactly the high-Jaccard pairs (brute force)") {
+    val got = graft.engine.QueriesDocs.docsDedupNear(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .map { case (id, toks) =>
+        (id, toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (id1, s1) <- docs; (id2, s2) <- docs if id1 < id2
+      inter = (s1 & s2).size
+      if inter > 0 && inter.toDouble / (s1.size + s2.size - inter) >= 0.8
+    } yield (id1, id2)).toSet
+    assert(got == want)
+  }
+}

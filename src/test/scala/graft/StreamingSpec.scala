@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming t3 tests (SURVEY.md §5.3-5, §7.5): the H-keys' semantics
+  * re-executed through Structured Streaming — watermarks, stateful
+  * dedup, and native session windows — validated engine-side (these
+  * have no DuckDB oracle; batch keys carry the oracle).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed count with watermark drops too-late rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two rows around 10:xx, watermark advances to 10:50
+    in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 2: a row 2 hours late (08:30 < watermark) must be DROPPED,
+    // plus one live row that keeps the 11:00 window open
+    in.addData((3L, ts("2024-01-01 08:30:00")), (4L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so all open windows emit
+    in.addData((5L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out")
+      .select(col("window.start").cast("string"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00") == 1L)
+    assert(rows("2024-01-01 11:00:00") == 2L)       // late 08:30 row absent
+    assert(!rows.contains("2024-01-01 08:00:00"))
+  }
+
+  test("streaming dropDuplicates keeps first event per (user, type)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val dedup = in.toDF().toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type"))
+    val q = dedup.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "click", ts("2024-01-01 10:00:00")),
+               (1L, "click", ts("2024-01-01 10:05:00")),
+               (1L, "view", ts("2024-01-01 10:06:00")))
+    q.processAllAvailable()
+    in.addData((1L, "click", ts("2024-01-01 10:10:00")),
+               (2L, "click", ts("2024-01-01 10:11:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dd_out")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 3)
+    assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+
+  test("native session_window groups events by 30-min gaps") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sess = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, ts("2024-01-01 10:00:00")),
+               (1L, ts("2024-01-01 10:10:00")),   // same session
+               (1L, ts("2024-01-01 11:30:00")))   // new session
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 20:00:00")))   // close both via watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("session_window.start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L)
+    assert(rows("2024-01-01 11:30:00") == 1L)
+  }
+}
