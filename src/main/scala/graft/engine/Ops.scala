@@ -1,0 +1,185 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's public operator DSL: composable, parameterized
+  * `DataFrame => DataFrame` operators. The declared query keys
+  * (Queries*.scala) are thin instantiations of these.
+  *
+  * Design rules (SURVEY.md §7.1): plain Column expressions only (keeps
+  * Catalyst pushdown/pruning alive), no Dataset[T] in the operator
+  * layer, no driver-side loops, every operator shuffle-partition-
+  * agnostic. Each operator documents its 100 TB posture.
+  */
+object Ops {
+
+  /** Exact dedup by content hash: one shuffle on md5(payload).
+    * At 100 TB: identical shape, hash-partitioned; survivors policy =
+    * min(id) keeps it deterministic. */
+  def exactDedup(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.groupBy(md5(col(payloadCol)).as("h"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-shingle set per row: (id, shingle) pairs, deduped. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("tokens"))
+      .filter(size(col("tokens")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(tokens) - ${n - 1}), i -> array_join(slice(tokens, i, $n), ' '))"))
+        .as("shingle"))
+      .distinct()
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+    *
+    * Scale path: candidates come ONLY from LSH band buckets (never the
+    * O(n²) cross product); verification materializes shingle arrays
+    * only for candidate rows. Band parameters control recall at the
+    * threshold: P(candidate) = 1 − (1 − J^rows)^bands. Engine-salted
+    * xxhash64 stays internal (§2.3-3). At 100 TB add bucket-size caps
+    * or salting for degenerate buckets (mass-duplicated documents). */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 5, numHashes: Int = 32,
+                     rowsPerBand: Int = 2,
+                     threshold: Double = 0.8): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val numBands = numHashes / rowsPerBand
+    val sh = shingles(df, idCol, textCol, shingleSize)
+
+    val mhAggs = (0 until numHashes)
+      .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"mh$k"))
+    val mh = sh.groupBy(idCol).agg(mhAggs.head, mhAggs.tail: _*)
+
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${rowsPerBand * b + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val banded = mh
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+
+    val shArr = sh.groupBy(idCol)
+      .agg(array_sort(collect_list("shingle")).as("shs"),
+           count(lit(1)).as("sz"))
+
+    cand
+      .join(shArr.as("s1"), col("id1") === col(s"s1.$idCol"))
+      .join(shArr.as("s2"), col("id2") === col(s"s2.$idCol"))
+      .withColumn("i", size(array_intersect(col("s1.shs"), col("s2.shs")))
+        .cast("double"))
+      .withColumn("jaccard",
+        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
+      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact top-k cosine neighbors per vector over all pairs.
+    * Codegen'd CosineSimilarityExpr + bounded TopKByScore aggregate
+    * (map-side combine: n² pair rows → n×k tuples cross the shuffle).
+    * Brute force is the correctness baseline; annIvf is the scale path. */
+  def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val s = emb.sparkSession
+    Exprs.register(s); TopK.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+              col("b.vec_id").as("neighbor_id"),
+              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+                .as("cos_sim"))
+      .groupBy("vec_id")
+      .agg(expr(s"topk_by_score(cos_sim, neighbor_id, $k)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+  }
+
+  /** IVF-style ANN: assign to nearest coarse centroid (broadcast
+    * codebook), exact top-k within the cell. O(n·C + n²/C) work;
+    * the codebook stays broadcastable at any corpus size. */
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    Exprs.register(s); TopK.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cent = centroids.select(col("cid"), col("cemb"))
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"),
+              element_at(col("t"), 1).getField("id").as("cell_id"))
+    val cells = e.join(asg, "vec_id")
+    cells.as("a").join(cells.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell_id").as("cell_id"),
+              col("b.vec_id").as("neighbor_id"),
+              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+                .as("cos_sim"))
+      .groupBy("vec_id", "cell_id")
+      .agg(expr(s"topk_by_score(cos_sim, neighbor_id, $k)").as("top"))
+      .select(col("vec_id"), col("cell_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("cell_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+  }
+
+  /** Gap-based sessionization (gaps-and-islands): one shuffle on the
+    * key; windows are per-key so skew = hottest single key. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 orderTiebreak: String, gap: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(orderTiebreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             col(tsCol) > col("prev_ts") + expr(s"INTERVAL $gap"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("is_new").over(run))
+      .drop("prev_ts", "is_new")
+  }
+
+  /** As-of join (latest right row at or before each left row's time),
+    * union-tag window formulation: O(n log n) per key, no per-row
+    * probing; right side pre-deduped to one row per (key, time) with
+    * max(valueCol) so tie semantics are pinned. `leftId` must be a
+    * real column (deterministic — never monotonically_increasing_id,
+    * which is partition-layout-dependent).
+    * Output columns: (leftId, leftKey, leftTime, matchedName). */
+  def asofJoin(left: DataFrame, leftId: String, leftKey: String,
+               leftTime: String,
+               right: DataFrame, rightKey: String, rightTime: String,
+               rightVal: String, matchedName: String): DataFrame = {
+    val r = right
+      .groupBy(col(rightKey).as("_k"), col(rightTime).as("_t"))
+      .agg(max(rightVal).as("_v"))
+      .select(col("_k"), col("_t"), lit(null).cast("long").as("_lid"),
+              col("_v"), lit(0).as("_is_l"))
+    val l = left
+      .select(col(leftKey).as("_k"), col(leftTime).as("_t"),
+              col(leftId).as("_lid"),
+              lit(null).cast("long").as("_v"), lit(1).as("_is_l"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_l"), coalesce(col("_v"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_matched", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_is_l") === 1)
+      .select(col("_lid").as(leftId), col("_k").as(leftKey),
+              col("_t").as(leftTime), col("_matched").as(matchedName))
+  }
+}

@@ -23,10 +23,7 @@ object QueriesDocs {
   import Tables._
 
   def docsDedupExact(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("h")
+    Ops.exactDedup(documents(s, d), "doc_id", "text").orderBy("h")
 
   def docsTokenStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -66,55 +63,12 @@ object QueriesDocs {
       .orderBy("doc_id", "rk")
   }
 
-  /** MinHash-LSH near-duplicate detection (see object scaladoc). */
-  def docsDedupNear(s: SparkSession, d: String): DataFrame = {
-    val numHashes = 32
-    val rowsPerBand = 2
-    val numBands = numHashes / rowsPerBand
-
-    val sh = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      .filter(size(col("tokens")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tokens) - 4), i -> array_join(slice(tokens, i, 5), ' '))"))
-        .as("shingle"))
-      .distinct()
-
-    val mhAggs = (0 until numHashes)
-      .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"mh$k"))
-    val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-             xxhash64(col(s"mh${rowsPerBand * b}"),
-                      col(s"mh${rowsPerBand * b + 1}")).as("bh"))
-    }
-    val banded = mh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-
-    val shArr = sh.groupBy("doc_id")
-      .agg(array_sort(collect_list("shingle")).as("shs"),
-           count(lit(1)).as("sz"))
-
-    cand
-      .join(shArr.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(shArr.as("s2"), col("id2") === col("s2.doc_id"))
-      .withColumn("i", size(array_intersect(col("s1.shs"), col("s2.shs")))
-        .cast("double"))
-      .withColumn("jaccard",
-        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
-      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= 0.8)
-      .select("id1", "id2", "jaccard")
+  /** MinHash-LSH near-duplicate detection — Ops.minhashNearDup with the
+    * default 32-hash / 16-band configuration (see Ops scaladoc for the
+    * recall math and 100 TB posture). */
+  def docsDedupNear(s: SparkSession, d: String): DataFrame =
+    Ops.minhashNearDup(documents(s, d), "doc_id", "text")
       .orderBy("id1", "id2")
-  }
 
   /** Exact k-NN: top-5 cosine neighbors per vector; ranks over the
     * rounded similarity with neighbor-id tiebreak.
@@ -124,29 +78,9 @@ object QueriesDocs {
     * of a row_number window — the window would shuffle+sort all n²
     * pair rows; the aggregate map-side-combines to n×5 tuples.
     * Measured at sf0.1: 22.5 s (window) → see BENCH (aggregate). */
-  def embKnnBruteforce(s: SparkSession, d: String): DataFrame = {
-    Exprs.register(s)
-    TopK.register(s)
-    // ObjectHashAggregate (which runs TypedImperativeAggregate) falls
-    // back to SORT-based aggregation after 128 distinct groups by
-    // default — that re-sorts all n² pair rows and defeats the point
-    // of the bounded aggregate. Plenty of memory for one 5-tuple
-    // buffer per group.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
-    val e = embeddings(s, d).select("vec_id", "embedding")
-    e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"),
-              col("b.vec_id").as("neighbor_id"),
-              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-                .as("cos_sim"))
-      .groupBy("vec_id")
-      .agg(expr("topk_by_score(cos_sim, neighbor_id, 5)").as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), col("col.id").as("neighbor_id"),
-              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+  def embKnnBruteforce(s: SparkSession, d: String): DataFrame =
+    Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding", k = 5)
       .orderBy("vec_id", "rk")
-  }
 
   /** Per-label mean vector; each vector's L2 distance to its own
     * centroid, computed from the ROUNDED centroid so both engines feed

@@ -43,21 +43,12 @@ object QueriesEvents {
   /** 30-min-gap sessionization per user — gaps-and-islands (portable
     * SQL on both sides; engine-native session_window is kept for the
     * streaming-only test per SURVEY.md §7.4-5). */
-  def eventsSession(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull ||
-             col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
-          .otherwise(0))
-      .withColumn("session_id", sum("is_new").over(run))
+  def eventsSession(s: SparkSession, d: String): DataFrame =
+    Ops.sessionize(events(s, d), "user_id", "ts", "event_id", "30 MINUTES")
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
            min("ts").as("s_start"), max("ts").as("s_end"))
       .orderBy("user_id", "session_id")
-  }
 
   /** Watermark semantics, batch-emulated: drop events more than 10 min
     * behind the arrival-order running max timestamp. */

@@ -95,34 +95,10 @@ object QueriesExtra {
     * centroids (vec_id < 16 as the fixed codebook), then exact top-3
     * within the cell. */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
-    Exprs.register(s)
-    TopK.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
     val e = embeddings(s, d).select("vec_id", "embedding")
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val asg = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-              col("cid"),
-              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
-      .groupBy("vec_id")
-      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
-      .select(col("vec_id"), element_at(col("t"), 1).getField("id")
-        .as("cell_id"))
-    val cells = e.join(asg, "vec_id")
-    cells.as("a").join(cells.as("b"),
-        col("a.cell_id") === col("b.cell_id") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.cell_id").as("cell_id"),
-              col("b.vec_id").as("neighbor_id"),
-              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-                .as("cos_sim"))
-      .groupBy("vec_id", "cell_id")
-      .agg(expr("topk_by_score(cos_sim, neighbor_id, 3)").as("top"))
-      .select(col("vec_id"), col("cell_id"), posexplode(col("top")))
-      .select(col("vec_id"), col("cell_id"), col("col.id").as("neighbor_id"),
-              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+    Ops.annIvf(e, "vec_id", "embedding", cent, k = 3)
       .orderBy("vec_id", "rk")
   }
 

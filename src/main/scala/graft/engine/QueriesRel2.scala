@@ -61,25 +61,11 @@ object QueriesRel2 {
     * event time (inclusive). Union-tag window formulation; orders are
     * pre-deduped to one row per (user, date) keeping max(o_orderkey) so
     * tie semantics are pinned on both sides. */
-  def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
-      .groupBy(col("o_custkey").as("uid"), col("o_orderdate").as("t"))
-      .agg(max("o_orderkey").as("ok"))
-      .select(col("uid"), col("t"), lit(null).cast("long").as("event_id"),
-              col("ok"), lit(0).as("is_e"))
-    val e = events(s, d)
-      .select(col("user_id").as("uid"), col("ts").as("t"), col("event_id"),
-              lit(null).cast("long").as("ok"), lit(1).as("is_e"))
-    val w = Window.partitionBy("uid")
-      .orderBy(col("t"), col("is_e"), coalesce(col("ok"), lit(-1L)))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    o.unionByName(e)
-      .withColumn("matched_orderkey", last(col("ok"), ignoreNulls = true).over(w))
-      .filter(col("is_e") === 1)
-      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
-              col("matched_orderkey"))
+  def joinAsof(s: SparkSession, d: String): DataFrame =
+    Ops.asofJoin(events(s, d), "event_id", "user_id", "ts",
+                 orders(s, d), "o_custkey", "o_orderdate", "o_orderkey",
+                 "matched_orderkey")
       .orderBy("event_id")
-  }
 
   /** P4 grid-search: 3×4 parameter grid crossed with a parameterized
     * aggregate over lineitem. */

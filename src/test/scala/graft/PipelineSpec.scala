@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{ArtifactCache, PipelineConfig}
+
+/** P6/P10 parity tests: content-addressed caching skips recompute;
+  * JSON pipelines chain stages through temp views.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  test("artifact cache: second materialize is a hit, changed plan is a miss") {
+    val root = Files.createTempDirectory("graft_cache_test").toString
+    val df = graft.engine.QueriesCore.q1PricingSummary(spark, sfDir)
+    assert(!ArtifactCache.isCached(df, root, "q1"))
+    val out1 = ArtifactCache.materialize(df, root, "q1")
+    assert(ArtifactCache.isCached(df, root, "q1"))
+    // equivalent plan built fresh → same hash (canonicalization works)
+    val df2 = graft.engine.QueriesCore.q1PricingSummary(spark, sfDir)
+    assert(ArtifactCache.isCached(df2, root, "q1"))
+    // different computation → different hash
+    val other = graft.engine.QueriesCore.distinctExact(spark, sfDir)
+    assert(!ArtifactCache.isCached(other, root, "q1"))
+    assert(out1.count() == df.count())
+  }
+
+  test("json pipeline: query stage + sql stage over it + cached stage") {
+    val root = Files.createTempDirectory("graft_pipe_test").toString
+    val json =
+      s"""{"cacheRoot": "$root",
+         | "stages": [
+         |   {"name": "pricing", "query": "q1_pricing_summary"},
+         |   {"name": "heavy", "sql":
+         |     "SELECT l_returnflag, sum_qty FROM pricing WHERE count_order > 100",
+         |    "cache": true}
+         | ]}""".stripMargin
+    val r1 = PipelineConfig.runJson(spark, sfDir, json)
+    assert(r1("pricing").count() > 0)
+    val heavyRows = r1("heavy").count()
+    assert(heavyRows > 0)
+    // rerun: cached stage must resolve to the same artifact (hit path)
+    val r2 = PipelineConfig.runJson(spark, sfDir, json)
+    assert(r2("heavy").count() == heavyRows)
+    assert(r2("heavy").inputFiles.toSet == r1("heavy").inputFiles.toSet)
+  }
+
+  test("pipeline config validation rejects bad stages") {
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse("""{"stages": [{"name": "x"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """{"stages": [{"name": "x", "query": "a", "sql": "b"}]}""")
+    }
+  }
+
+  test("Ops.asofJoin generic operator matches expectations on a toy case") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, "2024-01-01 10:00:00"),
+                   (101L, 1L, "2024-01-01 12:00:00"),
+                   (102L, 2L, "2024-01-01 09:00:00"))
+      .toDF("id", "k", "t_s")
+      .selectExpr("id", "k", "CAST(t_s AS TIMESTAMP) AS t")
+    val right = Seq((1L, "2024-01-01 10:00:00", 7L),
+                    (1L, "2024-01-01 11:00:00", 8L),
+                    (2L, "2024-01-01 09:30:00", 9L))
+      .toDF("k", "t_s", "v")
+      .selectExpr("k", "CAST(t_s AS TIMESTAMP) AS t", "v")
+    val got = graft.engine.Ops
+      .asofJoin(left, "id", "k", "t", right, "k", "t", "v", "m")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+    // id=100 matches the equal-time order (inclusive <=); id=102 has no
+    // order at or before 09:00 → null
+    assert(got.toSeq == Seq((100L, Some("7")), (101L, Some("8")),
+                            (102L, None)))
+  }
+}
