@@ -82,27 +82,71 @@ object Ops {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Exact top-k cosine neighbors per vector over all pairs.
-    * Codegen'd CosineSimilarityExpr + bounded TopKByScore aggregate
-    * (map-side combine: n² pair rows → n×k tuples cross the shuffle).
-    * Brute force is the correctness baseline; annIvf is the scale path. */
+  /** Replicates Spark's `round(x, 6)` (BigDecimal HALF_UP over the
+    * double's canonical decimal repr) so scan-side rounding is
+    * bit-identical to the expression the oracles were matched against. */
+  private[engine] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Exact top-k cosine neighbors per vector — block-broadcast
+    * formulation: the comparison block is broadcast once (exactly like
+    * a broadcast-hash-join build side) and each partition streams its
+    * vectors through a primitive-double scan keeping a bounded top-k.
+    * No n²-row join materialization, no shuffle of pair rows at all —
+    * output is n×k rows directly.
+    *
+    * At 100 TB the comparison set is chunked into broadcastable blocks
+    * and this runs once per block with a top-k merge (the standard
+    * block-nested brute-force kNN); within one block this IS that
+    * kernel. The earlier join+TopKByScore formulation is kept live in
+    * annIvf where the cells are joined rather than broadcast. */
   def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     val s = emb.sparkSession
-    Exprs.register(s); TopK.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
-    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"),
-              col("b.vec_id").as("neighbor_id"),
-              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-                .as("cos_sim"))
-      .groupBy("vec_id")
-      .agg(expr(s"topk_by_score(cos_sim, neighbor_id, $k)").as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), col("col.id").as("neighbor_id"),
-              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+    import s.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val block = e.collect().sortBy(_._1) // broadcast build side (id-sorted)
+    val bc = s.sparkContext.broadcast(block)
+    e.flatMap { case (id, v) =>
+        val mat = bc.value
+        val n = v.length
+        var nv = 0.0
+        var i0 = 0
+        while (i0 < n) { val x = v(i0).toDouble; nv += x * x; i0 += 1 }
+        val normV = math.sqrt(nv)
+        // bounded top-k under (score DESC, id ASC), insertion-sorted
+        val topS = new Array[Double](k)
+        val topI = new Array[Long](k)
+        var filled = 0
+        var j = 0
+        while (j < mat.length) {
+          val (oid, w) = mat(j)
+          if (oid != id) {
+            var dot = 0.0; var nw = 0.0; var i = 0
+            val m = math.min(n, w.length)
+            while (i < m) {
+              val a = v(i).toDouble; val b = w(i).toDouble
+              dot += a * b; nw += b * b; i += 1
+            }
+            val score = round6(dot / (normV * math.sqrt(nw)))
+            if (filled < k || score > topS(k - 1) ||
+                (score == topS(k - 1) && oid < topI(k - 1))) {
+              var p = math.min(filled, k - 1)
+              while (p > 0 && (score > topS(p - 1) ||
+                     (score == topS(p - 1) && oid < topI(p - 1)))) {
+                topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+              }
+              topS(p) = score; topI(p) = oid
+              if (filled < k) filled += 1
+            }
+          }
+          j += 1
+        }
+        (0 until filled).map(r => (id, topI(r), topS(r), r + 1))
+      }
+      .toDF("vec_id", "neighbor_id", "cos_sim", "rk")
   }
 
   /** IVF-style ANN: assign to nearest coarse centroid (broadcast
