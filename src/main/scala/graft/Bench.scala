@@ -10,7 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed warmup execution per query, then the timed run —
+    // matching BASELINE.md's methodology ("median of 3 runs after 1
+    // warm-up"): the baseline numbers exclude JIT/codegen warmup, so
+    // comparable measurements must too. Skip warmup with
+    // SPARK_GRAFT_BENCH_COLD=1.
+    val warm = !sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

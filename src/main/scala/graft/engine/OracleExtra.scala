@@ -88,6 +88,12 @@ object OracleExtra {
         |SELECT vec_id, cell_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
 
+    "sink_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(o_totalprice), 4) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "multimodal_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,

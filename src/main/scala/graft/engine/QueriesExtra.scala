@@ -102,6 +102,25 @@ object QueriesExtra {
       .orderBy("vec_id", "rk")
   }
 
+  /** Partitioned sink + partition-pruned read-back — the 100 TB layout
+    * story (SURVEY.md §7.6) made executable: write orders partitioned
+    * by year, read back with a partition filter, aggregate. The
+    * read-back scan lists ONLY the matching partition directory
+    * (PartitionFilters in the plan), which is what keeps a year-scoped
+    * query from touching 100 TB. */
+  def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned_orders"
+    orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_year") === 1997)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Multimodal binary columns: text bytes stand in for an opaque media
     * blob; metadata extraction runs through a REAL mapPartitions batch
     * pipeline (the shape a decoder needs: per-partition iteration, no
