@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The rest of the dedup family (the build brief's full list: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — the first
+  * two live in Ops/QueriesDocs).
+  *
+  * Scale notes:
+  *  - SimHash is the constant-size-signature dedup: one 64-bit
+  *    signature per doc (4×16-bit bands here), candidates = band
+  *    equality join, verification = popcount on signatures only —
+  *    the cheapest near-dup at 100 TB (no shingle sets survive the
+  *    signature stage).
+  *  - Signatures are built from md5-derived bits (NOT Spark's salted
+  *    hash()) so they are portable and oracle-checkable (§2.3-3).
+  *  - Count-weighted: with a small vocabulary, distinct-token sets are
+  *    nearly identical across docs and unweighted SimHash stops
+  *    discriminating (measured: weighted → 12/1866 candidate pairs
+  *    pass hamming ≤ 3; unweighted → everything collides).
+  */
+object QueriesDedup {
+  import Tables._
+
+  /** SimHash near-dup: 64-bit count-weighted signature over token
+    * md5 bits, 4×16-bit LSH bands, hamming ≤ 3 verification. */
+  def docsDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val th = tok.select(col("doc_id"), col("cnt"),
+      posexplode(expr(
+        """array(
+          |  CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
+          |  CAST(conv(substring(md5(t), 5, 4), 16, 10) AS INT),
+          |  CAST(conv(substring(md5(t), 9, 4), 16, 10) AS INT),
+          |  CAST(conv(substring(md5(t), 13, 4), 16, 10) AS INT))""".stripMargin)))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "v")
+    val sums = th
+      .select(col("doc_id"), col("j"), col("cnt"), col("v"),
+              explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("s", expr(
+        "CASE WHEN (shiftright(v, i) & 1) = 1 THEN cnt ELSE -cnt END"))
+      .groupBy("doc_id", "j", "i").agg(sum("s").as("s"))
+    val bv = sums.groupBy("doc_id", "j")
+      .agg(expr(
+        "CAST(sum(CASE WHEN s > 0 THEN shiftleft(1, i) ELSE 0 END) AS BIGINT)")
+        .as("bv"))
+    val sh = bv.groupBy("doc_id").agg(
+      max(when(col("j") === 0, col("bv"))).as("v0"),
+      max(when(col("j") === 1, col("bv"))).as("v1"),
+      max(when(col("j") === 2, col("bv"))).as("v2"),
+      max(when(col("j") === 3, col("bv"))).as("v3"))
+    val cand = bv.as("a")
+      .join(bv.as("b"),
+        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
+      .withColumn("hamming", expr(
+        """bit_count(sa.v0 ^ sb.v0) + bit_count(sa.v1 ^ sb.v1) +
+          |bit_count(sa.v2 ^ sb.v2) + bit_count(sa.v3 ^ sb.v3)""".stripMargin))
+      .filter(col("hamming") <= 3)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  /** Character 12-gram Jaccard near-dup (exact, shared-gram
+    * prefiltered). The character-level twin of the word-shingle
+    * pipeline: catches edits that word shingles miss. */
+  def docsDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val n = 12
+    val g = documents(s, d)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+        .as("gram"))
+      .distinct()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = g.as("a")
+      .join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    inter
+      .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
+      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= 0.8)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Embedding-cosine near-dup: unordered pairs above a similarity
+    * threshold (the semantic-near-dup primitive; brute-force pairs
+    * here, LSH/IVF-bucketed at scale per Ops.annIvf). Threshold is
+    * applied to the ROUNDED similarity on both engines. */
+  def embDedupCosine(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s)
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+                .as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy("id1", "id2")
+  }
+}

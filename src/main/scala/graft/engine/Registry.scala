@@ -89,9 +89,13 @@ object Registry {
     "emb_ann_ivf"         -> QueriesExtra.embAnnIvf _,
     "sink_partitioned"    -> QueriesExtra.sinkPartitioned _,
     "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,
+    // Dedup family completion: SimHash, char-ngram Jaccard, cosine
+    "docs_dedup_simhash"  -> QueriesDedup.docsDedupSimhash _,
+    "docs_dedup_ngram_jaccard" -> QueriesDedup.docsDedupNgramJaccard _,
+    "emb_dedup_cosine"    -> QueriesDedup.embDedupCosine _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
-      OracleDocs.sql ++ OracleExtra.sql
+      OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql
 }
