@@ -149,36 +149,41 @@ object Ops {
       .toDF("vec_id", "neighbor_id", "cos_sim", "rk")
   }
 
-  /** IVF-style ANN: assign to nearest coarse centroid (broadcast
-    * codebook), exact top-k within the cell. O(n·C + n²/C) work;
-    * the codebook stays broadcastable at any corpus size. */
+  /** IVF-style ANN: every vector is INDEXED under its nearest coarse
+    * centroid (broadcast codebook); a query probes its `nprobe`
+    * closest cells and takes the exact top-k within them. O(n·C +
+    * nprobe·n²/C) work; nprobe is the recall/cost knob (single-probe
+    * recall collapses on unclustered data — measured 19% vs ~60% at
+    * nprobe=4 on the random test embeddings). The codebook stays
+    * broadcastable at any corpus size. */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, k: Int): DataFrame = {
+             centroids: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val s = emb.sparkSession
     Exprs.register(s); TopK.register(s)
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                "10000000")
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cent = centroids.select(col("cid"), col("cemb"))
-    val asg = e.crossJoin(broadcast(cent))
+    def assign(n: Int): DataFrame = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
               round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
       .groupBy("vec_id")
-      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
-      .select(col("vec_id"),
-              element_at(col("t"), 1).getField("id").as("cell_id"))
-    val cells = e.join(asg, "vec_id")
-    cells.as("a").join(cells.as("b"),
+      .agg(expr(s"topk_by_score(cs, cid, $n)").as("t"))
+      .select(col("vec_id"), explode(col("t")).as("tc"))
+      .select(col("vec_id"), col("tc.id").as("cell_id"))
+    val index = e.join(assign(1), "vec_id")
+    val probes = e.join(assign(nprobe), "vec_id")
+    probes.as("a").join(index.as("b"),
         col("a.cell_id") === col("b.cell_id") &&
         col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.cell_id").as("cell_id"),
+      .select(col("a.vec_id").as("vec_id"),
               col("b.vec_id").as("neighbor_id"),
               round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
                 .as("cos_sim"))
-      .groupBy("vec_id", "cell_id")
+      .groupBy("vec_id")
       .agg(expr(s"topk_by_score(cos_sim, neighbor_id, $k)").as("top"))
-      .select(col("vec_id"), col("cell_id"), posexplode(col("top")))
-      .select(col("vec_id"), col("cell_id"), col("col.id").as("neighbor_id"),
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
               col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
   }
 

@@ -70,23 +70,30 @@ object OracleExtra {
     "emb_ann_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
         |              WHERE vec_id < 16),
-        |asg AS (SELECT vec_id, cid FROM (
-        |  SELECT a.vec_id, b.cid,
+        |rnk AS (SELECT a.vec_id, b.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY round($cosinePair, 6) DESC, b.cid) AS rn
-        |  FROM embeddings a JOIN cent b ON true) t WHERE rn = 1),
-        |cells AS (SELECT e.vec_id, e.embedding, asg.cid AS cell_id
-        |          FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id),
-        |p AS (SELECT a.vec_id, a.cell_id, b.vec_id AS neighbor_id,
+        |  FROM embeddings a JOIN cent b ON true),
+        |idx AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
+        |        FROM embeddings e JOIN rnk r
+        |          ON e.vec_id = r.vec_id AND r.rn = 1),
+        |probes AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
+        |           FROM embeddings e JOIN rnk r
+        |             ON e.vec_id = r.vec_id AND r.rn <= 4),
+        |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
         |        round($cosinePair, 6) AS cos_sim
-        |      FROM cells a JOIN cells b
+        |      FROM probes a JOIN idx b
         |        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
-        |r AS (SELECT vec_id, cell_id, neighbor_id, cos_sim,
+        |r AS (SELECT vec_id, neighbor_id, cos_sim,
         |        row_number() OVER (PARTITION BY vec_id
         |                           ORDER BY cos_sim DESC, neighbor_id) AS rk
         |      FROM p)
-        |SELECT vec_id, cell_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 3
+        |SELECT vec_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
+
+    "agg_salted_skew" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -91,16 +91,31 @@ object QueriesExtra {
         "size(array_distinct(regexp_extract_all(text, '[a-z]+', 0))) AS n_uniq_alpha")
       .orderBy("doc_id")
 
-  /** IVF-style approximate nearest neighbors: nearest of 16 coarse
-    * centroids (vec_id < 16 as the fixed codebook), then exact top-3
-    * within the cell. */
+  /** IVF-style approximate nearest neighbors: 16 coarse centroids
+    * (vec_id < 16 as the fixed codebook), index under the nearest,
+    * probe the 4 closest cells, exact top-3 within them. */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    Ops.annIvf(e, "vec_id", "embedding", cent, k = 3)
+    Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
       .orderBy("vec_id", "rk")
   }
+
+  /** Two-phase salted aggregation — the skew recipe (SURVEY.md §7.6)
+    * made executable: a skewed key space (5 event types over the whole
+    * table) is first aggregated on (key, salt) so the hot keys spread
+    * over `salt` reducers, then the partials merge in a second, tiny
+    * aggregation. Salt is derived from data (event_id), never rand()
+    * — §2.3 determinism. Result ≡ plain GROUP BY (the oracle). */
+  def aggSaltedSkew(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pc"), sum("value").as("ps"))
+      .groupBy("event_type")
+      .agg(sum("pc").as("cnt"), round(sum("ps"), 4).as("sum_value"))
+      .orderBy("event_type")
 
   /** Partitioned sink + partition-pruned read-back — the 100 TB layout
     * story (SURVEY.md §7.6) made executable: write orders partitioned

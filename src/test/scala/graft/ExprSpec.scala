@@ -79,6 +79,19 @@ class ExprSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN recall vs brute-force knn is usable (>= 40% at k=3)") {
+    val brute = graft.engine.Ops
+      .knnBruteForce(graft.engine.Tables.embeddings(spark, sfDir),
+                     "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.engine.QueriesExtra.embAnnIvf(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // 16 coarse cells over 500 random vectors: a loose-but-real floor;
+    // the point is the operator contract, measured not assumed.
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
   test("MinHash-LSH near-dup finds exactly the high-Jaccard pairs (brute force)") {
     val got = graft.engine.QueriesDocs.docsDedupNear(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

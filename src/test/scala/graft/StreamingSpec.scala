@@ -68,6 +68,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("flatMapGroupsWithState: custom running-max state per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val updates = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(Double.NegativeInfinity)
+          val mx = math.max(prev, rows.map(_._2).max)
+          state.update(mx)
+          Iterator((user, mx))
+      }
+    val q = updates.toDF("user_id", "running_max")
+      .writeStream.format("memory").queryName("fmgs_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, 5.0), (1L, 3.0), (2L, 1.0))
+    q.processAllAvailable()
+    in.addData((1L, 4.0), (2L, 9.0))   // state must persist across batches
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgs_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((1L, 5.0), (2L, 1.0), (2L, 9.0)))
+  }
+
   test("native session_window groups events by 30-min gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
