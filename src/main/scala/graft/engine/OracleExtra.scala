@@ -101,6 +101,15 @@ object OracleExtra {
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+        |       length(substr(text, i * 16 + 1, 16)) AS frame_len,
+        |       md5(substr(text, i * 16 + 1, 16)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, CAST(ceil(length(text) / 16.0) AS INT))) AS i
+        |      FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "multimodal_decode_stub" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,

@@ -136,6 +136,20 @@ object QueriesExtra {
       .orderBy("o_orderstatus")
   }
 
+  /** Frame sampling over opaque blobs: each blob explodes into fixed-
+    * size frame rows (index, length, content hash) — the row-per-frame
+    * shape video/audio extraction pipelines need; at scale the explode
+    * happens after a partition-pruned scan of the blob column only. */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          "transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1), i -> substring(text, i * 16 + 1, 16))")))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+              length(col("col")).as("frame_len"),
+              md5(col("col")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Multimodal binary columns: text bytes stand in for an opaque media
     * blob; metadata extraction runs through a REAL mapPartitions batch
     * pipeline (the shape a decoder needs: per-partition iteration, no

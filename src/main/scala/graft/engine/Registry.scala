@@ -90,6 +90,7 @@ object Registry {
     "agg_salted_skew"     -> QueriesExtra.aggSaltedSkew _,
     "sink_partitioned"    -> QueriesExtra.sinkPartitioned _,
     "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,
+    "multimodal_frame_sample" -> QueriesExtra.multimodalFrameSample _,
     // Dedup family completion: SimHash, char-ngram Jaccard, cosine
     "docs_dedup_simhash"  -> QueriesDedup.docsDedupSimhash _,
     "docs_dedup_ngram_jaccard" -> QueriesDedup.docsDedupNgramJaccard _,
