@@ -43,10 +43,18 @@ object Ops {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 5, numHashes: Int = 32,
                      rowsPerBand: Int = 2,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8): DataFrame =
+    minhashNearDupFrom(shingles(df, idCol, textCol, shingleSize), idCol,
+                       numHashes, rowsPerBand, threshold)
+
+  /** MinHash-LSH near-dup over an arbitrary (id, shingle) set — the
+    * shingle source decides the granularity (word n-grams, char
+    * n-grams, …). */
+  def minhashNearDupFrom(sh: DataFrame, idCol: String,
+                         numHashes: Int = 32, rowsPerBand: Int = 2,
+                         threshold: Double = 0.8): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val numBands = numHashes / rowsPerBand
-    val sh = shingles(df, idCol, textCol, shingleSize)
 
     val mhAggs = (0 until numHashes)
       .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"mh$k"))
@@ -80,6 +88,47 @@ object Ops {
         round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
       .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** All embedding pairs at or above a cosine threshold — block-
+    * broadcast scan like knnBruteForce (a pair join would materialize
+    * n²/2 rows through a non-codegen nested-loop join; measured 13 s
+    * vs sub-second at sf0.1). Each row scans only ids greater than its
+    * own, so every unordered pair is emitted exactly once. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val block = e.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(block)
+    e.flatMap { case (id, v) =>
+        val mat = bc.value
+        val n = v.length
+        var nv = 0.0
+        var i0 = 0
+        while (i0 < n) { val x = v(i0).toDouble; nv += x * x; i0 += 1 }
+        val normV = math.sqrt(nv)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var j = 0
+        while (j < mat.length) {
+          val (oid, w) = mat(j)
+          if (oid > id) {
+            var dot = 0.0; var nw = 0.0; var i = 0
+            val m = math.min(n, w.length)
+            while (i < m) {
+              val a = v(i).toDouble; val b = w(i).toDouble
+              dot += a * b; nw += b * b; i += 1
+            }
+            val score = round6(dot / (normV * math.sqrt(nw)))
+            if (score >= threshold) out += ((id, oid, score))
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("id1", "id2", "cos_sim")
   }
 
   /** Replicates Spark's `round(x, 6)` (BigDecimal HALF_UP over the

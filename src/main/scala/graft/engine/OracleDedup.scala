@@ -52,7 +52,7 @@ object OracleDedup {
 
     "docs_dedup_ngram_jaccard" ->
       """WITH g AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS gram
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 10)) AS i
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 10, 4)) AS i
         |        FROM documents WHERE length(text) >= 12) z),
         |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,

