@@ -48,7 +48,7 @@ object OracleFn {
         |  abs(c_acctbal) AS ab,
         |  ceil(c_acctbal) AS ce,
         |  floor(c_acctbal) AS fl,
-        |  round(c_acctbal * CAST(1.337 AS DOUBLE), 2) AS rnd,
+        |  round(c_acctbal / CAST(1.337 AS DOUBLE), 2) AS rnd,
         |  round(sqrt(abs(c_acctbal) + 1), 6) AS sq,
         |  round(exp(c_acctbal / 10000), 6) AS ex,
         |  round(ln(abs(c_acctbal) + 1), 6) AS lnx,

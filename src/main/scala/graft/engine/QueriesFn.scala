@@ -58,7 +58,12 @@ object QueriesFn {
       "abs(c_acctbal) AS ab",
       "ceil(c_acctbal) AS ce",
       "floor(c_acctbal) AS fl",
-      "round(c_acctbal * CAST(1.337 AS DOUBLE), 2) AS rnd",
+      // division, not multiplication: a 2-decimal × 3-decimal product
+      // has exactly 5 decimals, so round(..., 2) can land on a true
+      // decimal midpoint where Spark (BigDecimal shortest-repr HALF_UP)
+      // and DuckDB (scaled-multiply) disagree — hit once at sf0.1.
+      // Quotients have non-terminating expansions; midpoints unreachable.
+      "round(c_acctbal / CAST(1.337 AS DOUBLE), 2) AS rnd",
       "round(sqrt(abs(c_acctbal) + 1), 6) AS sq",
       "round(exp(c_acctbal / 10000), 6) AS ex",
       "round(ln(abs(c_acctbal) + 1), 6) AS lnx",
