@@ -24,34 +24,32 @@ object QueriesDedup {
   import Tables._
 
   /** SimHash near-dup: 64-bit count-weighted signature over token
-    * md5 bits, 4×16-bit LSH bands, hamming ≤ 3 verification. */
+    * md5 bits, 4×16-bit LSH bands, hamming ≤ 3 verification. The
+    * signature is built by the one-pass SimHashAgg aggregate (see its
+    * scaladoc — the relational spelling costs ~10M intermediate rows);
+    * the DuckDB oracle keeps the relational spelling and the
+    * signatures match bit-for-bit. */
   def docsDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    SimHashAgg.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    val th = tok.select(col("doc_id"), col("cnt"),
-      posexplode(expr(
+    val sig = tok
+      .withColumn("bands", expr(
         """array(
           |  CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT),
           |  CAST(conv(substring(md5(t), 5, 4), 16, 10) AS INT),
           |  CAST(conv(substring(md5(t), 9, 4), 16, 10) AS INT),
-          |  CAST(conv(substring(md5(t), 13, 4), 16, 10) AS INT))""".stripMargin)))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "v")
-    val sums = th
-      .select(col("doc_id"), col("j"), col("cnt"), col("v"),
-              explode(sequence(lit(0), lit(15))).as("i"))
-      .withColumn("s", expr(
-        "CASE WHEN (shiftright(v, i) & 1) = 1 THEN cnt ELSE -cnt END"))
-      .groupBy("doc_id", "j", "i").agg(sum("s").as("s"))
-    val bv = sums.groupBy("doc_id", "j")
-      .agg(expr(
-        "CAST(sum(CASE WHEN s > 0 THEN shiftleft(1, i) ELSE 0 END) AS BIGINT)")
-        .as("bv"))
-    val sh = bv.groupBy("doc_id").agg(
-      max(when(col("j") === 0, col("bv"))).as("v0"),
-      max(when(col("j") === 1, col("bv"))).as("v1"),
-      max(when(col("j") === 2, col("bv"))).as("v2"),
-      max(when(col("j") === 3, col("bv"))).as("v3"))
+          |  CAST(conv(substring(md5(t), 13, 4), 16, 10) AS INT))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(expr("simhash_bands(bands, cnt)").as("sig"))
+    val sh = sig.select(col("doc_id"),
+      element_at(col("sig"), 1).as("v0"), element_at(col("sig"), 2).as("v1"),
+      element_at(col("sig"), 3).as("v2"), element_at(col("sig"), 4).as("v3"))
+    val bv = sig.select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("bv"))
     val cand = bv.as("a")
       .join(bv.as("b"),
         col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
