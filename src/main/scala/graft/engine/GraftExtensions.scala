@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** The engine's SparkSessionExtensions — the deployment-grade way to
+  * ship the custom Catalyst surface: add
+  * `spark.sql.extensions=graft.engine.GraftExtensions` to any
+  * cluster's conf and `cosine_sim` / `topk_by_score` / `simhash_bands`
+  * resolve in every session (including pure-SQL ones) with no
+  * programmatic registration. The per-query `register(...)` calls in
+  * Ops/Queries remain for sessions built without the conf (like the
+  * driver-owned Verify/Bench mains).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be an int literal, got $other")
+        }
+        TopKByScore(args(0), args(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bands"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_bands"),
+      (args: Seq[Expression]) => SimHashAgg(args(0), args(1))))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions resolves the custom functions in a session built
+  * with the extensions hook and zero programmatic registration — the
+  * cluster deployment path (spark.sql.extensions=graft.engine.
+  * GraftExtensions). The session shares the JVM's SparkContext with
+  * the other suites (one context per JVM), so it is swapped in and
+  * out rather than stopped.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  test("custom functions resolve through SparkSessionExtensions") {
+    val shared = SparkTestBase.session // force shared session first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.engine.GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s ne shared) // genuinely a fresh session state
+      val cos = s.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))"""
+          .stripMargin).collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val top = s.sql(
+        """SELECT g, topk_by_score(s, id, 2) FROM VALUES
+          |  (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.7D, 12L)
+          |  AS t(g, s, id) GROUP BY g""".stripMargin).collect()(0)
+      val pairs = top.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(pairs == Seq((0.9, 11L), (0.7, 12L)))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
