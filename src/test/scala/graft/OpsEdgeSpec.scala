@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Ops
+
+/** Edge cases for the hand-rolled kernels (the paths a DuckDB oracle
+  * over fixture data never exercises).
+  */
+class OpsEdgeSpec extends SparkTestBase {
+
+  test("knnBruteForce: k larger than candidate count, exact ties") {
+    import spark.implicits._
+    // three identical vectors → all pairwise cosines are exactly 1.0;
+    // ties must break by ascending neighbor id, k=5 > 2 candidates
+    val v = Array(1.0f, 2.0f, 3.0f)
+    val df = Seq((10L, v), (11L, v), (12L, v)).toDF("vec_id", "embedding")
+    val got = Ops.knnBruteForce(df, "vec_id", "embedding", k = 5)
+      .orderBy("vec_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (10L, 11L, 1.0, 1), (10L, 12L, 1.0, 2),
+      (11L, 10L, 1.0, 1), (11L, 12L, 1.0, 2),
+      (12L, 10L, 1.0, 1), (12L, 11L, 1.0, 2)))
+  }
+
+  test("cosinePairs: single row emits nothing; orthogonal below threshold") {
+    import spark.implicits._
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Ops.cosinePairs(one, "vec_id", "embedding", 0.0).count() == 0)
+    val ortho = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Ops.cosinePairs(ortho, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Ops.cosinePairs(ortho, "vec_id", "embedding", 0.0).count() == 1)
+  }
+
+  test("minhashNearDup: identical short docs found; sub-shingle docs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens → shingles exist
+      (2L, "a b c d e f g"),   // exact duplicate → J = 1.0
+      (3L, "x y z"),           // < 5 tokens → no shingles, never a pair
+      (4L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Ops.minhashNearDup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("sessionize: single event per key is its own session") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 10:00:00", 100L))
+      .toDF("user_id", "ts_s", "event_id")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    val got = Ops.sessionize(df, "user_id", "ts", "event_id", "30 MINUTES")
+      .select("user_id", "session_id").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L)
+  }
+
+  test("exactDedup groups by content, keeps min id") {
+    import spark.implicits._
+    val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val got = Ops.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 2L), (9L, 1L)))
+  }
+}
