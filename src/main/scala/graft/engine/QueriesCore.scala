@@ -83,13 +83,17 @@ object QueriesCore {
 
   // ---------- C. joins ----------
 
-  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-10. */
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    * Join order starts from the MOST selective side (late-shipped
+    * lineitems, ~2% of the table) so intermediates stay small — the
+    * c⋈o-first spelling carries a 30k-row intermediate through both
+    * joins; with no CBO stats Catalyst keeps the written order. */
   def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
     val l = lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
              .as("revenue"))
