@@ -29,9 +29,15 @@ object ArtifactCache {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Stable content hash of a DataFrame's computation + inputs. */
+  /** Stable content hash of a DataFrame's computation + inputs.
+    * Includes Dataset.semanticHash and the full schema alongside the
+    * canonicalized plan string: Spark TRUNCATES long plan strings
+    * (SparkStringUtils), so the string alone could collide for wide
+    * plans differing only in truncated regions. */
   def artifactHash(df: DataFrame): String = {
-    val planPart = df.queryExecution.logical.canonicalized.toString
+    val planPart = df.semanticHash().toString + "\n" +
+      df.schema.json + "\n" +
+      df.queryExecution.logical.canonicalized.toString
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val inputPart = df.inputFiles.sorted.map { f =>

@@ -174,8 +174,10 @@ object QueriesExtra {
             blob_md5 = md5Hex,
             head_hex = headHex,
             n_frames = math.ceil(bytes.length / 16.0).toInt,
-            fake_width = (bytes(0) & 0xff) % 64 + 1,
-            fake_height = (bytes(1) & 0xff) % 64 + 1)
+            fake_width =
+              (if (bytes.length > 0) bytes(0) & 0xff else 0) % 64 + 1,
+            fake_height =
+              (if (bytes.length > 1) bytes(1) & 0xff else 0) % 64 + 1)
         }
       }
       .toDF()
