@@ -68,6 +68,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("file readStream over the events fixture equals the batch result") {
+    // readStream needs a directory: stage the fixture file into one,
+    // stream it through the same tumbling-window aggregation as the
+    // batch key, and require identical results (streaming ≡ batch for
+    // a bounded input with a final watermark-free complete pass).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = streamed.writeStream.format("memory").queryName("fs_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fs_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.engine.QueriesEvents.eventsTumbling(spark, sfDir)
+      .select(col("wstart").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState: custom running-max state per user") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
