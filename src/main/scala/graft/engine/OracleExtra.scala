@@ -91,6 +91,12 @@ object OracleExtra {
         |SELECT vec_id, neighbor_id, cos_sim, rk FROM r WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
 
+    "join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(sum(l_extendedprice), 4) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "agg_salted_skew" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

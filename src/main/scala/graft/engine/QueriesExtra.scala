@@ -102,6 +102,45 @@ object QueriesExtra {
       .orderBy("vec_id", "rk")
   }
 
+  /** Bucketed co-located join — the shuffle-elimination recipe
+    * (SURVEY.md §7.6) made executable: both fact tables are written
+    * bucketed by the join key (bucketBy + saveAsTable), so the join
+    * reads co-located buckets and needs NO pre-join Exchange
+    * (PlanSpec asserts it). At 100 TB this is the difference between
+    * shuffling both fact tables on every join and shuffling never —
+    * bucketing is decided once at write time. The merge hint pins
+    * sort-merge so the bucket layout (not a broadcast) carries the
+    * join. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    // The warehouse directory outlives the in-memory catalog: a fresh
+    // session doesn't know the table, so saveAsTable refuses the
+    // stale location. Drop both the entry and the directory.
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { name =>
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    orders(s, d)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    s.table("graft_lineitem_b").hint("merge")
+      .join(s.table("graft_orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           round(sum("l_extendedprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Two-phase salted aggregation — the skew recipe (SURVEY.md §7.6)
     * made executable: a skewed key space (5 event types over the whole
     * table) is first aggregated on (key, salt) so the hot keys spread

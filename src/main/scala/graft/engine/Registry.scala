@@ -87,6 +87,7 @@ object Registry {
     "docs_fingerprint"    -> QueriesExtra.docsFingerprint _,
     "docs_token_bpe"      -> QueriesExtra.docsTokenBpe _,
     "emb_ann_ivf"         -> QueriesExtra.embAnnIvf _,
+    "join_bucketed"       -> QueriesExtra.joinBucketed _,
     "agg_salted_skew"     -> QueriesExtra.aggSaltedSkew _,
     "sink_partitioned"    -> QueriesExtra.sinkPartitioned _,
     "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,

@@ -36,6 +36,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop"), s"theta join degraded to nested loop:\n$p")
   }
 
+  test("bucketed join reads co-located buckets with no pre-join shuffle") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not sort-merge:\n$p")
+    // the only exchanges allowed are the post-join aggregation/sort
+    // ones; nothing may repartition on the join keys
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+           !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join shuffled its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+  }
+
   test("q1 aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
