@@ -24,7 +24,7 @@ object OracleDocs {
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
 
     "docs_token_stats" ->
-      """SELECT lang, sum(len(string_split(text, ' '))) AS total_tokens,
+      """SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
         |       max(n_chars) AS max_chars, count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -36,8 +36,8 @@ object OracleEvents {
         |             THEN 1 ELSE 0 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT user_id, ts,
-        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM m)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS s_start, max(ts) AS s_end

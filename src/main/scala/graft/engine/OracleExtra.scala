@@ -93,7 +93,8 @@ object OracleExtra {
 
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |       round(sum(l_extendedprice), 4) AS total
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

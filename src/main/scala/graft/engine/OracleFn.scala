@@ -46,8 +46,8 @@ object OracleFn {
     "fn_math" ->
       """SELECT c_custkey,
         |  abs(c_acctbal) AS ab,
-        |  ceil(c_acctbal) AS ce,
-        |  floor(c_acctbal) AS fl,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS fl,
         |  round(c_acctbal / CAST(1.337 AS DOUBLE), 2) AS rnd,
         |  round(sqrt(abs(c_acctbal) + 1), 6) AS sq,
         |  round(exp(c_acctbal / 10000), 6) AS ex,
@@ -63,17 +63,19 @@ object OracleFn {
     "fn_array" ->
       """SELECT vec_id,
         |  len(embedding) AS n,
-        |  embedding[1:4] AS first4,
-        |  embedding[2] AS e2,
+        |  CAST(embedding[1:4][1] AS DOUBLE) AS f1,
+        |  CAST(embedding[1:4][4] AS DOUBLE) AS f4,
+        |  CAST(embedding[2] AS DOUBLE) AS e2,
         |  list_contains([label, label + 1], 5) AS has5,
-        |  list_aggregate(embedding, 'max') AS amax,
-        |  list_aggregate(embedding, 'min') AS amin,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS amax,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS amin,
         |  round(list_aggregate(list_transform(embedding,
         |        x -> CAST(x AS DOUBLE) * x), 'sum'), 6) AS sumsq,
-        |  list_sort(embedding[1:4], 'DESC') AS sorted4,
-        |  list_sort(list_distinct([label % 3, label % 3, 1])) AS dedup,
-        |  flatten([[label, 1], [2, label]]) AS flat,
-        |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS doubled
+        |  CAST(list_sort(embedding[1:4], 'DESC')[1] AS DOUBLE) AS srt1,
+        |  CAST(list_sort(embedding[1:4], 'DESC')[4] AS DOUBLE) AS srt4,
+        |  array_to_string(list_sort(list_distinct([label % 3, label % 3, 1])), ',') AS dedup,
+        |  array_to_string(flatten([[label, 1], [2, label]]), ',') AS flat,
+        |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[3] AS dbl3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_array_explode" ->

@@ -39,7 +39,9 @@ object OracleRel2 {
 
     "param_grid_cross" ->
       """SELECT g.min_qty, g.max_disc, count(*) AS cnt,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
         |FROM (SELECT CAST(q AS DOUBLE) AS min_qty, CAST(dd AS DOUBLE) AS max_disc
         |      FROM (VALUES (10.0), (25.0), (40.0)) qs(q)
         |      CROSS JOIN (VALUES (0.02), (0.04), (0.06), (0.08)) ds(dd)) g
@@ -70,7 +72,9 @@ object OracleRel2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      """SELECT o_custkey,
+        |       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+        |         AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "window_ranking_matrix" ->

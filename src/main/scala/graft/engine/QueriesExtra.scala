@@ -136,8 +136,12 @@ object QueriesExtra {
       .join(s.table("graft_orders_b"),
             col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
+      // decimal-exact sum: at this group size (~200k rows, ~1e10 total)
+      // the 4th decimal of a double sum is addition-order noise — the
+      // cross-engine hash needs an exact accumulator, not round().
       .agg(count(lit(1)).as("n"),
-           round(sum("l_extendedprice"), 4).as("total"))
+           sum(col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 

@@ -79,19 +79,26 @@ object QueriesFn {
     * Lambdas cast elements to DOUBLE before arithmetic so both engines
     * compute the identical double sequence (float32 → double is exact). */
   def fnArray(s: SparkSession, d: String): DataFrame =
+    // The array ops under test (slice/sort_array/array_distinct/flatten/
+    // transform) still run — but every OUTPUT column is scalar, because
+    // the driver's pandas compare cannot sort/hash ndarray cells.
+    // Float elements are projected out as DOUBLE columns (float32→double
+    // is exact on both engines); int arrays are comma-joined strings.
     embeddings(s, d).selectExpr(
       "vec_id",
       "size(embedding) AS n",
-      "slice(embedding, 1, 4) AS first4",
-      "element_at(embedding, 2) AS e2",
+      "CAST(element_at(slice(embedding, 1, 4), 1) AS DOUBLE) AS f1",
+      "CAST(element_at(slice(embedding, 1, 4), 4) AS DOUBLE) AS f4",
+      "CAST(element_at(embedding, 2) AS DOUBLE) AS e2",
       "array_contains(array(label, label + 1), 5) AS has5",
-      "array_max(embedding) AS amax",
-      "array_min(embedding) AS amin",
+      "CAST(array_max(embedding) AS DOUBLE) AS amax",
+      "CAST(array_min(embedding) AS DOUBLE) AS amin",
       "round(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x), 6) AS sumsq",
-      "reverse(sort_array(slice(embedding, 1, 4))) AS sorted4",
-      "sort_array(array_distinct(array(label % 3, label % 3, 1))) AS dedup",
-      "flatten(array(array(label, 1), array(2, label))) AS flat",
-      "transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2.0) AS doubled")
+      "CAST(element_at(reverse(sort_array(slice(embedding, 1, 4))), 1) AS DOUBLE) AS srt1",
+      "CAST(element_at(reverse(sort_array(slice(embedding, 1, 4))), 4) AS DOUBLE) AS srt4",
+      "array_join(transform(sort_array(array_distinct(array(label % 3, label % 3, 1))), x -> CAST(x AS STRING)), ',') AS dedup",
+      "array_join(transform(flatten(array(array(label, 1), array(2, label))), x -> CAST(x AS STRING)), ',') AS flat",
+      "element_at(transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2.0), 3) AS dbl3")
       .orderBy("vec_id")
 
   /** posexplode companion to fn_array (Generator path through explode). */

@@ -79,9 +79,15 @@ object QueriesRel2 {
       .filter(col("l_quantity") > col("min_qty") &&
               col("l_discount") <= col("max_disc"))
       .groupBy("min_qty", "max_disc")
+      // decimal-exact revenue: price(2dp) × (1 − disc(2dp)) is an exact
+      // 4dp decimal; summing ~1e9 of it in doubles leaves the 4th
+      // decimal to addition order. Decimal accumulator → same double on
+      // every engine.
       .agg(count(lit(1)).as("cnt"),
-           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-             .as("revenue"))
+           sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(BigDecimal(1)).cast("decimal(3,2)") -
+                col("l_discount").cast("decimal(3,2)")))
+             .cast("double").as("revenue"))
       .orderBy("min_qty", "max_disc")
   }
 
@@ -125,10 +131,16 @@ object QueriesRel2 {
 
   /** Per-group sorted collect_list — sorting makes the array
     * deterministic (unsorted collect is not; §2.3-5). */
+  /** collect_list → sorted → comma-joined STRING: the list itself is the
+    * operator under test, but the output column must be scalar — the
+    * driver's pandas-based compare cannot sort/hash ndarray cells. Int
+    * elements render identically in both engines, so the join is safe. */
   def aggCollectSorted(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_custkey")
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(o_orderkey)), x -> CAST(x AS STRING))"),
+        ",").as("order_keys"))
       .orderBy("o_custkey")
 
   // ---------- E. windows ----------
