@@ -90,20 +90,79 @@ object Ops {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Hard cap on what one broadcast block of (id, vector) rows may
+    * weigh. 256 MB ≈ a comfortable broadcast at executor defaults; the
+    * driver never holds more than ONE block at a time (blocks are
+    * streamed with toLocalIterator and each partial result is
+    * materialized before the next block is fetched). */
+  private val DefaultBlockBytes: Long = 256L << 20
+
+  /** Streams the dataset through the driver one broadcastable block at
+    * a time. toLocalIterator holds at most one partition + one block in
+    * driver memory — this is the documented 100 TB degradation path:
+    * more data means MORE BLOCKS (more passes), never more driver heap. */
+  private def vecBlocks(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                        maxBlockBytes: Long): Iterator[Array[(Long, Array[Float])]] = {
+    import scala.jdk.CollectionConverters._
+    val it = e.toLocalIterator().asScala
+    new Iterator[Array[(Long, Array[Float])]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[(Long, Array[Float])] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+        var bytes = 0L
+        while (it.hasNext && bytes < maxBlockBytes) {
+          val r = it.next()
+          buf += r
+          bytes += 56L + 4L * r._2.length // tuple + header + float payload
+        }
+        buf.sortInPlace()(Ordering.by(_._1))
+        buf.toArray
+      }
+    }
+  }
+
+  /** Runs `kernel` once per broadcastable block and unions the partial
+    * results. Each partial is eagerly materialized (localCheckpoint) so
+    * the block's broadcast can be destroyed before the next block is
+    * collected — peak driver/executor memory is one block regardless of
+    * corpus size. Single-block inputs skip the checkpoint entirely and
+    * keep the one-pass plan. */
+  private def perBlock(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                       maxBlockBytes: Long)(
+      kernel: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]
+        => DataFrame): Option[DataFrame] = {
+    val sc = e.sparkSession.sparkContext
+    val blocks = vecBlocks(e, maxBlockBytes)
+    if (!blocks.hasNext) return None
+    val first = blocks.next()
+    if (!blocks.hasNext)
+      return Some(kernel(sc.broadcast(first))) // fast path: one block, lazy
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var bc = sc.broadcast(first)
+    var more = true
+    while (more) {
+      parts += kernel(bc).localCheckpoint(true)
+      bc.destroy()
+      if (blocks.hasNext) bc = sc.broadcast(blocks.next()) else more = false
+    }
+    Some(parts.reduce(_ unionByName _))
+  }
+
   /** All embedding pairs at or above a cosine threshold — block-
     * broadcast scan like knnBruteForce (a pair join would materialize
     * n²/2 rows through a non-codegen nested-loop join; measured 13 s
-    * vs sub-second at sf0.1). Each row scans only ids greater than its
-    * own, so every unordered pair is emitted exactly once. */
+    * vs sub-second at sf0.1). Each row emits only pairs with ids
+    * greater than its own, and the blocks partition the id space, so
+    * every unordered pair is emitted exactly once across all blocks. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double,
+                  maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    val block = e.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(block)
-    e.flatMap { case (id, v) =>
+    perBlock(e, maxBlockBytes) { bc =>
+      e.flatMap { case (id, v) =>
         val mat = bc.value
         val n = v.length
         var nv = 0.0
@@ -127,8 +186,16 @@ object Ops {
           j += 1
         }
         out
-      }
-      .toDF("id1", "id2", "cos_sim")
+      }.toDF("id1", "id2", "cos_sim")
+    }.getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id2",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_sim",
+            org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** Replicates Spark's `round(x, 6)` (BigDecimal HALF_UP over the
@@ -146,19 +213,25 @@ object Ops {
     * output is n×k rows directly.
     *
     * At 100 TB the comparison set is chunked into broadcastable blocks
-    * and this runs once per block with a top-k merge (the standard
-    * block-nested brute-force kNN); within one block this IS that
-    * kernel. The earlier join+TopKByScore formulation is kept live in
-    * annIvf where the cells are joined rather than broadcast. */
+    * (vecBlocks/perBlock above) and the kernel runs once per block; the
+    * per-block bounded top-k lists are then merged with one exact
+    * (score DESC, id ASC) row_number pass over n×k×blocks rows — the
+    * standard block-nested brute-force kNN. A globally-top-k neighbor
+    * is necessarily top-k within its own block, so the merge is exact.
+    * Single-block inputs skip the merge and keep the one-pass plan.
+    * The earlier join+TopKByScore formulation is kept live in annIvf
+    * where the cells are joined rather than broadcast. */
   def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int,
+                    maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    val block = e.collect().sortBy(_._1) // broadcast build side (id-sorted)
-    val bc = s.sparkContext.broadcast(block)
-    e.flatMap { case (id, v) =>
+    var nBlocks = 0
+    val scanned = perBlock(e, maxBlockBytes) { bc =>
+      nBlocks += 1
+      e.flatMap { case (id, v) =>
         val mat = bc.value
         val n = v.length
         var nv = 0.0
@@ -194,8 +267,26 @@ object Ops {
           j += 1
         }
         (0 until filled).map(r => (id, topI(r), topS(r), r + 1))
-      }
-      .toDF("vec_id", "neighbor_id", "cos_sim", "rk")
+      }.toDF("vec_id", "neighbor_id", "cos_sim", "rk")
+    }.getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType)))))
+    if (nBlocks <= 1) scanned
+    else {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scanned
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    }
   }
 
   /** IVF-style ANN: every vector is INDEXED under its nearest coarse

@@ -73,11 +73,14 @@ object QueriesDocs {
   /** Exact k-NN: top-5 cosine neighbors per vector; ranks over the
     * rounded similarity with neighbor-id tiebreak.
     *
-    * Physical shape: codegen'd CosineSimilarityExpr inside the pair
-    * join, then the bounded TopKByScore aggregate (TopK.scala) instead
-    * of a row_number window — the window would shuffle+sort all n²
-    * pair rows; the aggregate map-side-combines to n×5 tuples.
-    * Measured at sf0.1: 22.5 s (window) → see BENCH (aggregate). */
+    * Physical shape: Ops.knnBruteForce's block-broadcast kernel — the
+    * comparison set is broadcast in blocks (like a broadcast-join build
+    * side) and each partition streams its vectors through a primitive
+    * double scan with a bounded insertion top-k, emitting n×5 rows
+    * directly. No pair join, no shuffle of pair rows. The
+    * join+TopKByScore shape (codegen'd CosineSimilarityExpr feeding the
+    * bounded aggregate) lives on in Ops.annIvf, where cells are joined
+    * rather than broadcast. */
   def embKnnBruteforce(s: SparkSession, d: String): DataFrame =
     Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding", k = 5)
       .orderBy("vec_id", "rk")

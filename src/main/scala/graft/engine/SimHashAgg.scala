@@ -4,10 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** One-pass 64-bit SimHash signature aggregate.
   *
@@ -29,9 +29,14 @@ case class SimHashAgg(
     cntExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(bandsExpr, cntExpr)
+  /** update() unboxes arr.getInt / Long directly — require the exact
+    * shapes at analysis so SQL misuse casts (or fails) readably. */
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "simhash_bands"

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -27,9 +27,15 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  /** Analysis-time contract: update() blindly unboxes Double/Long, so
+    * narrower numerics (float score, int id) must be cast here — via
+    * the SQL surface `topk_by_score(float_col, int_col, 5)` would
+    * otherwise pass analysis and ClassCastException at execution. */
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))

@@ -33,6 +33,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val pairs = top.getSeq[org.apache.spark.sql.Row](1)
         .map(r => (r.getDouble(0), r.getLong(1)))
       assert(pairs == Seq((0.9, 11L), (0.7, 12L)))
+      // narrower numerics (float score, int id) must implicit-cast at
+      // analysis instead of ClassCastException-ing at execution
+      val topCast = s.sql(
+        """SELECT g, topk_by_score(s, id, 1) FROM VALUES
+          |  (1, CAST(0.5 AS FLOAT), 10), (1, CAST(0.9 AS FLOAT), 11)
+          |  AS t(g, s, id) GROUP BY g""".stripMargin).collect()(0)
+      val castPairs = topCast.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(castPairs.map(_._2) == Seq(11L))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

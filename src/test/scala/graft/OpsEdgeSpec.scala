@@ -35,6 +35,41 @@ class OpsEdgeSpec extends SparkTestBase {
     assert(Ops.cosinePairs(ortho, "vec_id", "embedding", 0.0).count() == 1)
   }
 
+  test("knnBruteForce: multi-block chunked path equals single-block result") {
+    import spark.implicits._
+    // 24 deterministic pseudo-random vectors; tiny maxBlockBytes forces
+    // the toLocalIterator block-chunked path (several broadcasts + the
+    // exact top-k merge), which must be indistinguishable from one block
+    val rows = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val single = canon(Ops.knnBruteForce(df, "vec_id", "embedding", k = 3))
+    val chunked = canon(Ops.knnBruteForce(df, "vec_id", "embedding", k = 3,
+      maxBlockBytes = 500L)) // ~6 rows per block → 4+ blocks
+    assert(chunked == single)
+  }
+
+  test("cosinePairs: multi-block chunked path emits each pair exactly once") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 5) % 11 - 5).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val single = canon(Ops.cosinePairs(df, "vec_id", "embedding", -1.0))
+    assert(single.size == 20 * 19 / 2) // threshold −1 keeps all pairs
+    val chunked = canon(Ops.cosinePairs(df, "vec_id", "embedding", -1.0,
+      maxBlockBytes = 400L))
+    assert(chunked == single)
+  }
+
   test("minhashNearDup: identical short docs found; sub-shingle docs dropped") {
     import spark.implicits._
     val df = Seq(
