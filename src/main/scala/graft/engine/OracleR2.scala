@@ -1,0 +1,109 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-2 coverage wave (QueriesR2).
+  * Dtype-kind discipline (§2.3 + round-1 postmortem): every DuckDB
+  * aggregate over integers is CAST to BIGINT (sum(int) → HUGEINT →
+  * pandas float64 otherwise), and no output column is array-typed. */
+object OracleR2 {
+
+  private val argScore =
+    "CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey"
+
+  val sql: ListMap[String, String] = ListMap(
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_argminmax" ->
+      s"""SELECT o_orderpriority,
+         |  arg_max(o_orderkey, $argScore) AS top_order,
+         |  arg_min(o_orderkey, $argScore) AS bottom_order,
+         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         |  bool_or(o_totalprice > 400000.0) AS any_big,
+         |  bool_and(o_totalprice > 1000.0) AS all_over_1k
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "pivot_status_matrix" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "unpivot_balance_metrics" ->
+      """SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, 'bal' AS metric, c_acctbal AS val FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'bal_2x', c_acctbal * 2 FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'bal_neg', -c_acctbal FROM customer) u
+        |ORDER BY c_custkey, metric""".stripMargin,
+
+    "sample_hash_deterministic" ->
+      """SELECT o_orderstatus, count(*) AS n_sampled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sampled_total
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_string_similarity" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  levenshtein(a.p_name, b.p_name) AS lev,
+        |  round(CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |        / CAST(greatest(len(a.p_name), len(b.p_name)) AS DOUBLE), 6)
+        |    AS lev_norm
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey <= 60 AND b.p_partkey <= 60
+        |ORDER BY id1, id2""".stripMargin,
+
+    "docs_pii_redact" ->
+      """WITH r AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g'),
+        |                 '\bthe\b', '<W>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substring(red, 1, 60) AS red_prefix,
+        |  len(red) AS red_len,
+        |  len(regexp_extract_all(text, '\bthe\b')) AS n_the
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('day', o_orderdate) AS day
+        |           FROM orders WHERE o_custkey < 20),
+        |s AS (SELECT o_custkey, min(day) AS d0, max(day) AS d1
+        |      FROM o GROUP BY o_custkey),
+        |d AS (SELECT o_custkey,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 day)) AS day
+        |      FROM s),
+        |c AS (SELECT o_custkey, day, count(*) AS n FROM o GROUP BY 1, 2)
+        |SELECT d.o_custkey, d.day, coalesce(c.n, 0) AS n_orders
+        |FROM d LEFT JOIN c USING (o_custkey, day)
+        |ORDER BY o_custkey, day""".stripMargin,
+
+    "emb_quantize_int8" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-9) / 127.0 AS scale
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, scale,
+        |        unnest(embedding) AS x,
+        |        unnest(range(1, len(embedding) + 1)) AS pos1
+        |      FROM b),
+        |q AS (SELECT vec_id, scale, pos1,
+        |        CAST(round(CAST(x AS DOUBLE) / scale) AS INT) AS qv
+        |      FROM p)
+        |SELECT vec_id, min(scale) AS scale,
+        |  CAST(sum(qv * pos1) AS BIGINT) AS qdot,
+        |  CAST(sum(abs(qv)) AS BIGINT) AS l1
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+  )
+}

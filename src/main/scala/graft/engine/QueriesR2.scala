@@ -1,0 +1,168 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage wave: reshaping operators (pivot/unpivot),
+  * order statistics, argmin/argmax aggregation, deterministic
+  * sampling, string similarity, PII redaction, time-series gap fill,
+  * and int8 embedding quantization.
+  *
+  * Scale notes:
+  *  - Every key is a single-pass groupBy / join shape — one shuffle on
+  *    its natural key, no driver-side loops, partition-count-agnostic.
+  *  - `sample_hash_deterministic` is the 100 TB sampling primitive:
+  *    hash-mod sampling is reproducible across runs/engines and
+  *    pushes down to a plain filter (no reservoir state, no rand()).
+  *  - `emb_quantize_int8` is the storage-side scale lever for vector
+  *    corpora: 4× smaller vectors before any index build; the
+  *    per-vector scale survives as a column so dequantization stays
+  *    exact to 1/254 of the max coordinate.
+  */
+object QueriesR2 {
+  import Tables._
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ ANSI
+    * percentile_cont ≡ DuckDB quantile_cont) per return flag. */
+  def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"))
+      .orderBy("l_returnflag")
+
+  /** argmax/argmin + filtered count + boolean aggregates. The max_by
+    * score is made UNIQUE by composing exact cents with the order key
+    * (both < 2^63), because max_by/arg_max tie-breaking is undefined on
+    * both engines (§2.3 determinism). */
+  def aggArgminmax(s: SparkSession, d: String): DataFrame = {
+    val score = "CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey"
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr(s"max_by(o_orderkey, $score)").as("top_order"),
+        expr(s"min_by(o_orderkey, $score)").as("bottom_order"),
+        expr("count_if(o_orderstatus = 'F')").as("n_f"),
+        expr("bool_or(o_totalprice > 400000.0)").as("any_big"),
+        expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Wide pivot: order counts per priority × status. Pivot values are
+    * pinned explicitly (never inferred — inference adds a scan and can
+    * reorder columns run-to-run). */
+  def pivotStatusMatrix(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Long unpivot (melt) of three derived balance metrics. The derived
+    * values use only exact double ops (×2, negate) so both engines
+    * hold bit-identical doubles. */
+  def unpivotBalanceMetrics(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"),
+        col("c_acctbal").as("bal"),
+        (col("c_acctbal") * 2).as("bal_2x"),
+        (-col("c_acctbal")).as("bal_neg"))
+      .unpivot(
+        Array(col("c_custkey")),
+        Array(col("bal"), col("bal_2x"), col("bal_neg")),
+        "metric", "val")
+      .orderBy("c_custkey", "metric")
+
+  /** Deterministic ~12.5% sample: first hex digit of md5(key) ∈ {0,1}.
+    * Hash-mod sampling (vs TABLESAMPLE/rand()) is reproducible across
+    * engines, runs, and partitionings, and is a pushable filter — the
+    * sampling primitive that still works on a 100 TB scan. Decimal
+    * accumulator for the big-group sum (addition-order noise, §2.3). */
+  def sampleHashDeterministic(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+           sum(col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").as("sampled_total"))
+      .orderBy("o_orderstatus")
+
+  /** Edit-distance string similarity over part-name pairs (the fuzzy
+    * join primitive). Normalized distance is a quotient → no round-tie
+    * risk (§2.3). At scale the cross join is bounded by a blocking key
+    * (here: the key range filter stands in for a length/prefix block). */
+  def fnStringSimilarity(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select("p_partkey", "p_name").filter(col("p_partkey") <= 60)
+    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .select(
+        col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("lev"),
+        round(levenshtein(col("a.p_name"), col("b.p_name")).cast("double") /
+          greatest(length(col("a.p_name")), length(col("b.p_name")))
+            .cast("double"), 6).as("lev_norm"))
+      .orderBy("id1", "id2")
+  }
+
+  /** PII-style redaction: digit runs → <NUM>, the stopword 'the' →
+    * <W>; emits redaction counts + a prefix proving the rewrite ran.
+    * regexp_replace is all-occurrences on both engines (DuckDB needs
+    * the 'g' flag — pinned in the oracle). */
+  def docsPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(col("text"), "[0-9]{2,}", "<NUM>"),
+      "\\bthe\\b", "<W>")
+    documents(s, d)
+      .select(col("doc_id"),
+        substring(red, 1, 60).as("red_prefix"),
+        length(red).as("red_len"),
+        size(expr("regexp_extract_all(text, '\\\\bthe\\\\b', 0)")).as("n_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Time-series gap fill: one row per customer-day across each
+    * customer's active span, zero-filled — sequence()+explode is the
+    * Spark-native densification (generates rows executor-side; never a
+    * driver loop). */
+  def tsGapFill(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), date_trunc("DAY", col("o_orderdate")).as("day"))
+    val spans = o.groupBy("o_custkey")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val days = spans.select(col("o_custkey"),
+      explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("day"))
+    val cnts = o.groupBy("o_custkey", "day").agg(count(lit(1)).as("n"))
+    days.join(cnts, Seq("o_custkey", "day"), "left")
+      .select(col("o_custkey"), col("day"),
+              coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("o_custkey", "day")
+  }
+
+  /** Symmetric int8 quantization per embedding: scale = max|x|/127,
+    * q_i = round(x_i/scale). Outputs the scale plus two exact integer
+    * digests (position-weighted dot, L1) — the checkable essence
+    * without array-typed output columns. Identical IEEE expression
+    * order on both engines → identical doubles into round(), and
+    * round-half behavior agrees on identical doubles (§2.3). */
+  def embQuantizeInt8(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (greatest(
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+          lit(1e-9)) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("scale"), (col("pos") + 1).as("pos1"),
+        expr("CAST(round(CAST(col AS DOUBLE) / scale) AS INT)").as("qv"))
+      .groupBy("vec_id")
+      .agg(min("scale").as("scale"),
+           sum(col("qv") * col("pos1")).as("qdot"),
+           sum(abs(col("qv"))).as("l1"))
+      .orderBy("vec_id")
+}

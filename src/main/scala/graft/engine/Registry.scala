@@ -96,9 +96,19 @@ object Registry {
     "docs_dedup_simhash"  -> QueriesDedup.docsDedupSimhash _,
     "docs_dedup_ngram_jaccard" -> QueriesDedup.docsDedupNgramJaccard _,
     "emb_dedup_cosine"    -> QueriesDedup.embDedupCosine _,
+    // Round-2 coverage wave: reshaping, order stats, sampling, redaction
+    "agg_percentiles"     -> QueriesR2.aggPercentiles _,
+    "agg_argminmax"       -> QueriesR2.aggArgminmax _,
+    "pivot_status_matrix" -> QueriesR2.pivotStatusMatrix _,
+    "unpivot_balance_metrics" -> QueriesR2.unpivotBalanceMetrics _,
+    "sample_hash_deterministic" -> QueriesR2.sampleHashDeterministic _,
+    "fn_string_similarity" -> QueriesR2.fnStringSimilarity _,
+    "docs_pii_redact"     -> QueriesR2.docsPiiRedact _,
+    "ts_gap_fill"         -> QueriesR2.tsGapFill _,
+    "emb_quantize_int8"   -> QueriesR2.embQuantizeInt8 _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
-      OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql
+      OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql
 }
