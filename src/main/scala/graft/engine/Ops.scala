@@ -101,19 +101,28 @@ object Ops {
     * a time. toLocalIterator holds at most one partition + one block in
     * driver memory — this is the documented 100 TB degradation path:
     * more data means MORE BLOCKS (more passes), never more driver heap. */
+  /** Block row: (id, vector, precomputed L2 norm). Precomputing the
+    * norm at block build removes a d-length loop from EVERY pair scan —
+    * half the inner-loop flops of the naive formulation. */
+  private def l2(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
   private def vecBlocks(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-                        maxBlockBytes: Long): Iterator[Array[(Long, Array[Float])]] = {
+                        maxBlockBytes: Long): Iterator[Array[(Long, Array[Float], Double)]] = {
     import scala.jdk.CollectionConverters._
     val it = e.toLocalIterator().asScala
-    new Iterator[Array[(Long, Array[Float])]] {
+    new Iterator[Array[(Long, Array[Float], Double)]] {
       def hasNext: Boolean = it.hasNext
-      def next(): Array[(Long, Array[Float])] = {
-        val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+      def next(): Array[(Long, Array[Float], Double)] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
         var bytes = 0L
         while (it.hasNext && bytes < maxBlockBytes) {
           val r = it.next()
-          buf += r
-          bytes += 56L + 4L * r._2.length // tuple + header + float payload
+          buf += ((r._1, r._2, l2(r._2)))
+          bytes += 64L + 4L * r._2.length // tuple + header + float payload
         }
         buf.sortInPlace()(Ordering.by(_._1))
         buf.toArray
@@ -129,7 +138,7 @@ object Ops {
     * keep the one-pass plan. */
   private def perBlock(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                        maxBlockBytes: Long)(
-      kernel: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]
+      kernel: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Double)]]
         => DataFrame): Option[DataFrame] = {
     val sc = e.sparkSession.sparkContext
     val blocks = vecBlocks(e, maxBlockBytes)
@@ -165,23 +174,23 @@ object Ops {
       e.flatMap { case (id, v) =>
         val mat = bc.value
         val n = v.length
-        var nv = 0.0
-        var i0 = 0
-        while (i0 < n) { val x = v(i0).toDouble; nv += x * x; i0 += 1 }
-        val normV = math.sqrt(nv)
+        val normV = l2(v)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
         var j = 0
         while (j < mat.length) {
-          val (oid, w) = mat(j)
+          val (oid, w, normW) = mat(j)
           if (oid > id) {
-            var dot = 0.0; var nw = 0.0; var i = 0
+            var dot = 0.0; var i = 0
             val m = math.min(n, w.length)
-            while (i < m) {
-              val a = v(i).toDouble; val b = w(i).toDouble
-              dot += a * b; nw += b * b; i += 1
+            while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
+            val raw = dot / (normV * normW)
+            // round6 moves a value by at most 5e-7: anything below
+            // threshold − 5e-7 can't pass after rounding, so the
+            // BigDecimal path runs only for near-threshold pairs.
+            if (raw >= threshold - 5e-7) {
+              val score = round6(raw)
+              if (score >= threshold) out += ((id, oid, score))
             }
-            val score = round6(dot / (normV * math.sqrt(nw)))
-            if (score >= threshold) out += ((id, oid, score))
           }
           j += 1
         }
@@ -234,34 +243,36 @@ object Ops {
       e.flatMap { case (id, v) =>
         val mat = bc.value
         val n = v.length
-        var nv = 0.0
-        var i0 = 0
-        while (i0 < n) { val x = v(i0).toDouble; nv += x * x; i0 += 1 }
-        val normV = math.sqrt(nv)
+        val normV = l2(v)
         // bounded top-k under (score DESC, id ASC), insertion-sorted
         val topS = new Array[Double](k)
         val topI = new Array[Long](k)
         var filled = 0
         var j = 0
         while (j < mat.length) {
-          val (oid, w) = mat(j)
+          val (oid, w, normW) = mat(j)
           if (oid != id) {
-            var dot = 0.0; var nw = 0.0; var i = 0
+            var dot = 0.0; var i = 0
             val m = math.min(n, w.length)
-            while (i < m) {
-              val a = v(i).toDouble; val b = w(i).toDouble
-              dot += a * b; nw += b * b; i += 1
-            }
-            val score = round6(dot / (normV * math.sqrt(nw)))
-            if (filled < k || score > topS(k - 1) ||
-                (score == topS(k - 1) && oid < topI(k - 1))) {
-              var p = math.min(filled, k - 1)
-              while (p > 0 && (score > topS(p - 1) ||
-                     (score == topS(p - 1) && oid < topI(p - 1)))) {
-                topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+            while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
+            val raw = dot / (normV * normW)
+            // round6 moves a value by at most 5e-7: once the top-k is
+            // full, anything below topS(k−1) − 5e-7 rounds strictly
+            // below the kth score and can't displace it (ties need
+            // equality) — so BigDecimal rounding runs only for
+            // contenders, not all n² pairs.
+            if (filled < k || raw >= topS(k - 1) - 5e-7) {
+              val score = round6(raw)
+              if (filled < k || score > topS(k - 1) ||
+                  (score == topS(k - 1) && oid < topI(k - 1))) {
+                var p = math.min(filled, k - 1)
+                while (p > 0 && (score > topS(p - 1) ||
+                       (score == topS(p - 1) && oid < topI(p - 1)))) {
+                  topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+                }
+                topS(p) = score; topI(p) = oid
+                if (filled < k) filled += 1
               }
-              topS(p) = score; topI(p) = oid
-              if (filled < k) filled += 1
             }
           }
           j += 1

@@ -86,6 +86,23 @@ object QueriesDedup {
       .orderBy("id1", "id2")
   }
 
+  /** Dedup RESOLUTION: the survivor set after greedy min-id policy —
+    * a doc is dropped iff it near-dups (MinHash-LSH verified Jaccard
+    * ≥ 0.8) some LOWER doc_id. One-hop greedy, not transitive closure
+    * (connected components needs iteration; at scale that's an
+    * iterative join loop or a graph library — the greedy policy is the
+    * single-pass, deterministic variant both engines can express).
+    * The anti-join IS the delete: survivors stream through without
+    * materializing the dropped set anywhere. */
+  def docsDedupResolve(s: SparkSession, d: String): DataFrame = {
+    val drops = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
+      .select(col("id2").as("doc_id")).distinct()
+    documents(s, d)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup: unordered pairs above a similarity
     * threshold (the semantic-near-dup primitive; brute-force pairs
     * here, LSH/IVF-bucketed at scale per Ops.annIvf). Threshold is

@@ -44,6 +44,38 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.contains("2024-01-01 08:00:00"))
   }
 
+  test("stream-stream interval join matches events to orders within the window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = MemoryStream[(Long, Long, Timestamp)] // (event_id, user, ts)
+    val or = MemoryStream[(Long, Long, Timestamp)] // (order_id, user, ts)
+    val left = ev.toDF().toDF("event_id", "user_id", "e_ts")
+      .withWatermark("e_ts", "10 minutes")
+    val right = or.toDF().toDF("order_id", "o_user", "o_ts")
+      .withWatermark("o_ts", "10 minutes")
+    // event joins orders placed in the hour BEFORE the event — both
+    // sides need watermarks + the time-bound predicate so Spark can
+    // bound the join state (the stream-stream join contract, §7.5)
+    val joined = left.join(right,
+      col("user_id") === col("o_user") &&
+      col("o_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") &&
+      col("o_ts") <= col("e_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    or.addData((100L, 1L, ts("2024-01-01 10:00:00")),
+               (101L, 1L, ts("2024-01-01 08:00:00")), // too old for 10:30
+               (102L, 2L, ts("2024-01-01 10:15:00")))
+    ev.addData((1L, 1L, ts("2024-01-01 10:30:00")),
+               (2L, 2L, ts("2024-01-01 10:20:00")),
+               (3L, 3L, ts("2024-01-01 10:00:00"))) // no order for user 3
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+      .select("event_id", "order_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 102L)))
+  }
+
   test("streaming dropDuplicates keeps first event per (user, type)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
