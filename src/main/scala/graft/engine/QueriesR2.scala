@@ -82,9 +82,10 @@ object QueriesR2 {
 
   /** Deterministic ~12.5% sample: first hex digit of md5(key) ∈ {0,1}.
     * Hash-mod sampling (vs TABLESAMPLE/rand()) is reproducible across
-    * engines, runs, and partitionings, and is a pushable filter — the
-    * sampling primitive that still works on a 100 TB scan. Decimal
-    * accumulator for the big-group sum (addition-order noise, §2.3). */
+    * engines, runs, and partitionings, and evaluates scan-side inside
+    * whole-stage codegen before any shuffle — the sampling primitive
+    * that still works on a 100 TB scan. Decimal accumulator for the
+    * big-group sum (addition-order noise, §2.3). */
   def sampleHashDeterministic(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
