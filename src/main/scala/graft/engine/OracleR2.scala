@@ -89,6 +89,43 @@ object OracleR2 {
         |FROM d LEFT JOIN c USING (o_custkey, day)
         |ORDER BY o_custkey, day""".stripMargin,
 
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS band,
+        |  event_id | user_id AS bor,
+        |  xor(event_id, user_id) AS bxor,
+        |  ~event_id AS bnot,
+        |  user_id << 3 AS shl,
+        |  event_id >> 2 AS shr,
+        |  CAST(bit_count(event_id) AS INT) AS bc,
+        |  event_id % 8 AS bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_ignore_nulls" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_last,
+        |  nth_value(v, 2 IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_nn,
+        |  lead(v IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_nn
+        |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 100
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+
     "emb_quantize_int8" ->
       """WITH b AS (SELECT vec_id, embedding,
         |    greatest(list_max(list_transform(embedding,

@@ -146,6 +146,58 @@ object QueriesR2 {
       .orderBy("o_custkey", "day")
   }
 
+  /** Bitwise function matrix over the event key space (segment masks,
+    * bloom-ish bit tricks — the ops a feature-hashing pipeline leans
+    * on). Integer-only in and out → no FP hazards at all. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    events(s, d).selectExpr(
+      "event_id",
+      "event_id & user_id AS band",
+      "event_id | user_id AS bor",
+      "event_id ^ user_id AS bxor",
+      "~event_id AS bnot",
+      "shiftleft(user_id, 3) AS shl",
+      "shiftright(event_id, 2) AS shr",
+      "bit_count(event_id) AS bc",
+      "event_id % 8 AS bucket")
+      .orderBy("event_id")
+
+  /** IGNORE NULLS window matrix: running last non-null, global 2nd
+    * non-null, next non-null — the gap-bridging primitives for sparse
+    * sensor/feature columns. Null seeding is deterministic (key mod). */
+  def windowIgnoreNulls(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v")
+      .selectExpr(
+        "o_custkey", "o_orderkey", "v",
+        """last_value(v) IGNORE NULLS OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_last""",
+        """nth_value(v, 2) IGNORE NULLS OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_nn""",
+        """lead(v) IGNORE NULLS OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_nn""")
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** Stratified deterministic sample: exactly ≤100 rows PER STRATUM,
+    * picked by md5-hash order (reproducible across engines and
+    * partitionings; no rand()). The per-group row_number is the
+    * bounded-sample primitive — at 100 TB it map-side-limits each
+    * stratum before anything wide. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "rn")
+  }
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i/scale). Outputs the scale plus two exact integer
     * digests (position-weighted dot, L1) — the checkable essence

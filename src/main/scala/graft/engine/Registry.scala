@@ -107,6 +107,9 @@ object Registry {
     "docs_pii_redact"     -> QueriesR2.docsPiiRedact _,
     "ts_gap_fill"         -> QueriesR2.tsGapFill _,
     "emb_quantize_int8"   -> QueriesR2.embQuantizeInt8 _,
+    "fn_bitwise"          -> QueriesR2.fnBitwise _,
+    "window_ignore_nulls" -> QueriesR2.windowIgnoreNulls _,
+    "sample_stratified"   -> QueriesR2.sampleStratified _,
   )
 
   val oracleSql: ListMap[String, String] =
