@@ -75,7 +75,16 @@ object Ops {
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
 
-    val shArr = sh.groupBy(idCol)
+    // Materialize shingle ARRAYS only for ids that appear in some
+    // candidate pair (the scaladoc's scale contract): at high dedup
+    // rates candidates are a sliver of the corpus, so the semi-join
+    // keeps the collect_list aggregate — the only O(doc_size) state in
+    // the pipeline — off 90%+ of documents.
+    val candIds = cand.select(col("id1").as(idCol))
+      .union(cand.select(col("id2").as(idCol)))
+      .distinct()
+    val shArr = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(idCol)
       .agg(array_sort(collect_list("shingle")).as("shs"),
            count(lit(1)).as("sz"))
 

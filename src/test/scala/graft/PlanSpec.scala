@@ -58,4 +58,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"semi join rewritten:\n$p")
     assert(p.contains("LeftAnti"), s"anti join rewritten:\n$p")
   }
+
+  test("hash sampling evaluates scan-side: filter before any exchange") {
+    val p = plan("sample_hash_deterministic")
+    // the md5 filter must sit below the first Exchange (scan stage),
+    // so at 100 TB the sample shrinks data before anything wide
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0,
+      s"expected Filter and Exchange in plan:\n$p")
+    // executedPlan prints top-down: scan-side filter appears AFTER the
+    // aggregate's exchange in the text, i.e. deeper in the tree
+    assert(filterIdx > exchangeIdx,
+      s"sampling filter is not below the shuffle (runs post-exchange):\n$p")
+  }
+
+  test("pivot keeps map-side combine at both aggregate levels, 2 hash shuffles") {
+    // Spark pivot = count per (prio,status) then pivotfirst per prio —
+    // two partial+final pairs. The contract is that BOTH stay partial
+    // (map-side combine) and nothing shuffles beyond the two group-bys
+    // + the output sort.
+    val p = plan("pivot_status_matrix")
+    assert(p.contains("partial_count"), s"inner agg lost partial:\n$p")
+    assert(p.contains("partial_pivotfirst"), s"pivot agg lost partial:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"pivot shuffles more than its two group-bys:\n$p")
+  }
+
+  test("minhash verify stage materializes arrays only for candidates (semi-join)") {
+    val p = plan("docs_dedup_near")
+    assert(p.contains("LeftSemi"),
+      s"shingle-array aggregate not candidate-filtered:\n$p")
+  }
 }
