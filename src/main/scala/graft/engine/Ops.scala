@@ -324,15 +324,19 @@ object Ops {
                "10000000")
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cent = centroids.select(col("cid"), col("cemb"))
-    def assign(n: Int): DataFrame = e.crossJoin(broadcast(cent))
+    // ONE codebook scan serves both roles: the nprobe-sized ranked cell
+    // list is the probe set, and its rank-1 element is the index cell
+    // (topk_by_score orders (score DESC, id ASC), so rank 1 ≡ the
+    // argmax assignment with the same tie rule).
+    val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
               round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
       .groupBy("vec_id")
-      .agg(expr(s"topk_by_score(cs, cid, $n)").as("t"))
-      .select(col("vec_id"), explode(col("t")).as("tc"))
-      .select(col("vec_id"), col("tc.id").as("cell_id"))
-    val index = e.join(assign(1), "vec_id")
-    val probes = e.join(assign(nprobe), "vec_id")
+      .agg(expr(s"topk_by_score(cs, cid, $nprobe)").as("t"))
+      .select(col("vec_id"), posexplode(col("t")))
+      .select(col("vec_id"), col("pos"), col("col.id").as("cell_id"))
+    val index = e.join(ranked.filter(col("pos") === 0).drop("pos"), "vec_id")
+    val probes = e.join(ranked.drop("pos"), "vec_id")
     probes.as("a").join(index.as("b"),
         col("a.cell_id") === col("b.cell_id") &&
         col("a.vec_id") =!= col("b.vec_id"))

@@ -90,4 +90,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"),
       s"shingle-array aggregate not candidate-filtered:\n$p")
   }
+
+  test("annIvf scans the codebook once (index reuses the probe ranking's shuffle)") {
+    // index cells and probe cells now come from one identical ranked
+    // subtree — after execution the adaptive plan must show the
+    // codebook cross-join's exchange reused, not recomputed
+    val df = SparkEntry.queries("emb_ann_ivf")(spark, sfDir)
+    df.collect() // execute THIS plan (count() would derive a new one)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"codebook assignment computed twice (no exchange reuse):\n$p")
+  }
 }
