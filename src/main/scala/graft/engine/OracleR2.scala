@@ -11,6 +11,14 @@ object OracleR2 {
   private val argScore =
     "CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey"
 
+  private val cosinePair =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+      |      / (sqrt(list_aggregate(list_transform(a.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(b.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum')))""".stripMargin
+
   val sql: ListMap[String, String] = ListMap(
     "agg_percentiles" ->
       """SELECT l_returnflag,
@@ -125,6 +133,51 @@ object OracleR2 {
         |  FROM orders) t
         |WHERE rn <= 100
         |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(n_chars / 100.0), 20) AS INT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "emb_ivf_recall" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+        |              WHERE vec_id < 16),
+        |rnk AS (SELECT a.vec_id, b.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round($cosinePair, 6) DESC, b.cid) AS rn
+        |  FROM embeddings a JOIN cent b ON true),
+        |idx AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
+        |        FROM embeddings e JOIN rnk r
+        |          ON e.vec_id = r.vec_id AND r.rn = 1),
+        |probes AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
+        |           FROM embeddings e JOIN rnk r
+        |             ON e.vec_id = r.vec_id AND r.rn <= 4),
+        |ap AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |        round($cosinePair, 6) AS cos_sim
+        |      FROM probes a JOIN idx b
+        |        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+        |ann AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |  FROM ap) t WHERE rk <= 3),
+        |ep AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    round($cosinePair, 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |exact AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |  FROM ep) t WHERE rk <= 3),
+        |pervec AS (SELECT e.vec_id,
+        |    CAST(count(*) FILTER (WHERE ann.vec_id IS NOT NULL) AS BIGINT)
+        |      AS matched
+        |  FROM exact e LEFT JOIN ann
+        |    ON e.vec_id = ann.vec_id AND e.neighbor_id = ann.neighbor_id
+        |  GROUP BY e.vec_id)
+        |SELECT matched, count(*) AS n_vecs
+        |FROM pervec GROUP BY matched ORDER BY matched""".stripMargin,
 
     "emb_quantize_int8" ->
       """WITH b AS (SELECT vec_id, embedding,

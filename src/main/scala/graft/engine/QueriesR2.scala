@@ -198,6 +198,41 @@ object QueriesR2 {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** Fixed-width histogram of document lengths (21 buckets, last one
+    * open-ended). Fixed bucket bounds — not data-derived min/max — so
+    * the key is one aggregation pass with no pre-scan. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(least(floor(col("n_chars") / 100.0), lit(20.0))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"))
+      .orderBy("bucket")
+
+  /** ANN quality evaluation: recall@3 of the IVF index against exact
+    * brute-force kNN, reported as the distribution of per-vector hit
+    * counts (0..3). The measurement every ANN deployment needs before
+    * trusting nprobe — and it composes two engine operators (annIvf +
+    * knnBruteForce) in one plan. */
+  def embIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val ann = Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
+      .select("vec_id", "neighbor_id")
+    val exact = Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding",
+        k = 3)
+      .select("vec_id", "neighbor_id")
+    val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("m"))
+    exact.select("vec_id").distinct()
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("m"), lit(0L)).as("matched"))
+      .groupBy("matched")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("matched")
+  }
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i/scale). Outputs the scale plus two exact integer
     * digests (position-weighted dot, L1) — the checkable essence

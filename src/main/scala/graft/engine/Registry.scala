@@ -110,6 +110,8 @@ object Registry {
     "fn_bitwise"          -> QueriesR2.fnBitwise _,
     "window_ignore_nulls" -> QueriesR2.windowIgnoreNulls _,
     "sample_stratified"   -> QueriesR2.sampleStratified _,
+    "agg_histogram"       -> QueriesR2.aggHistogram _,
+    "emb_ivf_recall"      -> QueriesR2.embIvfRecall _,
   )
 
   val oracleSql: ListMap[String, String] =
