@@ -351,6 +351,49 @@ object Ops {
               col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
   }
 
+  /** Deterministic stratified sample: at most `n` rows per stratum,
+    * picked by md5-hash order of `keyCol` (reproducible across engines,
+    * runs, and partitionings — never rand()/TABLESAMPLE). Adds an `rn`
+    * column (1..n within stratum). One shuffle on the stratum key; the
+    * per-group row_number map-side-limits each stratum before anything
+    * wide at 100 TB. */
+  def stratifiedSample(df: DataFrame, stratCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(stratCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Time-series gap fill: densifies each key's [min, max] time span to
+    * one row per `step`, zero-filling `countName` where no input rows
+    * exist. sequence()+explode generates rows executor-side (never a
+    * driver loop); spans are per-key so skew = widest single span. */
+  def gapFill(df: DataFrame, keyCol: String, timeCol: String,
+              step: String, countName: String): DataFrame = {
+    val o = df.select(col(keyCol), col(timeCol))
+    val spans = o.groupBy(keyCol)
+      .agg(min(timeCol).as("_d0"), max(timeCol).as("_d1"))
+    val slots = spans.select(col(keyCol),
+      explode(expr(s"sequence(_d0, _d1, INTERVAL $step)")).as(timeCol))
+    val cnts = o.groupBy(keyCol, timeCol).agg(count(lit(1)).as("_n"))
+    slots.join(cnts, Seq(keyCol, timeCol), "left")
+      .select(col(keyCol), col(timeCol),
+              coalesce(col("_n"), lit(0L)).as(countName))
+  }
+
+  /** Symmetric int8 quantization: per-vector scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [−127, 127]. Output (id, scale, q);
+    * dequantization error ≤ scale/2 per coordinate. The 4× storage
+    * lever before any vector index build at 100 TB. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("_v"),
+        (greatest(
+          expr("array_max(transform(_v, x -> abs(CAST(x AS DOUBLE))))"),
+          lit(1e-9)) / 127.0).as("scale"))
+      .select(col(idCol), col("scale"),
+        expr("transform(_v, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))")
+          .as("q"))
+
   /** Gap-based sessionization (gaps-and-islands): one shuffle on the
     * key; windows are per-key so skew = hottest single key. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,

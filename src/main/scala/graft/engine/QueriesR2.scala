@@ -132,19 +132,13 @@ object QueriesR2 {
     * customer's active span, zero-filled — sequence()+explode is the
     * Spark-native densification (generates rows executor-side; never a
     * driver loop). */
-  def tsGapFill(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d).filter(col("o_custkey") < 20)
-      .select(col("o_custkey"), date_trunc("DAY", col("o_orderdate")).as("day"))
-    val spans = o.groupBy("o_custkey")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-    val days = spans.select(col("o_custkey"),
-      explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("day"))
-    val cnts = o.groupBy("o_custkey", "day").agg(count(lit(1)).as("n"))
-    days.join(cnts, Seq("o_custkey", "day"), "left")
-      .select(col("o_custkey"), col("day"),
-              coalesce(col("n"), lit(0L)).as("n_orders"))
+  def tsGapFill(s: SparkSession, d: String): DataFrame =
+    Ops.gapFill(
+      orders(s, d).filter(col("o_custkey") < 20)
+        .select(col("o_custkey"),
+                date_trunc("DAY", col("o_orderdate")).as("day")),
+      "o_custkey", "day", "1 DAY", "n_orders")
       .orderBy("o_custkey", "day")
-  }
 
   /** Bitwise function matrix over the event key space (segment masks,
     * bloom-ish bit tricks — the ops a feature-hashing pipeline leans
@@ -187,16 +181,10 @@ object QueriesR2 {
     * partitionings; no rand()). The per-group row_number is the
     * bounded-sample primitive — at 100 TB it map-side-limits each
     * stratum before anything wide. */
-  def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_orderstatus")
-      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
-    orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 100)
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Ops.stratifiedSample(orders(s, d), "o_orderstatus", "o_orderkey", 100)
       .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_orderstatus", "rn")
-  }
 
   /** Fixed-width histogram of document lengths (21 buckets, last one
     * open-ended). Fixed bucket bounds — not data-derived min/max — so
@@ -240,14 +228,10 @@ object QueriesR2 {
     * order on both engines → identical doubles into round(), and
     * round-half behavior agrees on identical doubles (§2.3). */
   def embQuantizeInt8(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        (greatest(
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
-          lit(1e-9)) / 127.0).as("scale"))
-      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+    Ops.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
       .select(col("vec_id"), col("scale"), (col("pos") + 1).as("pos1"),
-        expr("CAST(round(CAST(col AS DOUBLE) / scale) AS INT)").as("qv"))
+              col("col").as("qv"))
       .groupBy("vec_id")
       .agg(min("scale").as("scale"),
            sum(col("qv") * col("pos1")).as("qdot"),

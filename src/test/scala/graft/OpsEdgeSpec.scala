@@ -93,6 +93,28 @@ class OpsEdgeSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getLong(1) == 1L)
   }
 
+  test("quantizeInt8: dequantization error bounded by scale/2 per coordinate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 0.0f)),
+      (2L, Array(100.0f, -50.0f, 25.0f, 12.5f))
+    ).toDF("vec_id", "embedding")
+    val rows = Ops.quantizeInt8(df, "vec_id", "embedding")
+      .select("vec_id", "scale", "q")
+      .collect()
+    val orig = Map(1L -> Array(0.5, -0.25, 0.125, 0.0),
+                   2L -> Array(100.0, -50.0, 25.0, 12.5))
+    rows.foreach { r =>
+      val id = r.getLong(0); val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      q.zip(orig(id)).foreach { case (qi, x) =>
+        assert(math.abs(qi) <= 127, s"clipped q $qi")
+        assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12,
+          s"vec $id: dequant error |$qi×$scale − $x| > scale/2")
+      }
+    }
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
