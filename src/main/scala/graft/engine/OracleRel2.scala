@@ -12,6 +12,10 @@ object OracleRel2 {
     "scan_multiformat" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
+    "scan_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
     "join_theta_range" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate,
         |       round(l_extendedprice / o_totalprice, 6) AS price_ratio

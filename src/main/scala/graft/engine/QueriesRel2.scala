@@ -36,6 +36,18 @@ object QueriesRel2 {
     j.unionByName(c).distinct().orderBy("r_regionkey")
   }
 
+  /** ORC sink + source round-trip (the third columnar format after
+    * parquet and csv/json): write nation as ORC, read it back, prove
+    * content identity against the original table. ORC is Spark
+    * built-in (no connector jar) and carries the same pushdown/pruning
+    * surface as parquet. */
+  def scanOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc"
+    n.write.mode("overwrite").orc(tmp)
+    s.read.schema(n.schema).orc(tmp).orderBy("n_nationkey")
+  }
+
   // ---------- C. joins ----------
 
   /** Equi-key + residual theta: lineitems shipped within ±30 days of

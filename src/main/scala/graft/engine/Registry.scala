@@ -41,6 +41,7 @@ object Registry {
     "setop_intersect_except" -> QueriesCore.setopIntersectExcept _,
     // A/C/D/E wave-2 breadth
     "scan_multiformat"    -> QueriesRel2.scanMultiformat _,
+    "scan_orc_roundtrip"  -> QueriesRel2.scanOrcRoundtrip _,
     "join_theta_range"    -> QueriesRel2.joinThetaRange _,
     "join_asof"           -> QueriesRel2.joinAsof _,
     "param_grid_cross"    -> QueriesRel2.paramGridCross _,

@@ -128,6 +128,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("AvailableNow + foreachBatch: bounded drain writes each microbatch exactly once") {
+    // Trigger.AvailableNow is the batch-backfill entry point (drain
+    // everything present, then stop on its own); foreachBatch is the
+    // arbitrary-sink escape hatch. Together: the reprocessing recipe.
+    val dir = java.nio.file.Files.createTempDirectory("graft_an_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "orders.parquet"),
+      dir.resolve("orders.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.schema(schema).parquet(dir.toString)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.put(id, batch.count()); ()
+      }
+      .start()
+    q.awaitTermination(60000) // AvailableNow self-terminates
+    assert(!q.isActive, "AvailableNow query did not self-terminate")
+    assert(seen.size() == 1, s"expected exactly one microbatch, got $seen")
+    assert(seen.values().iterator().next() == 3L) // F/O/P status rows
+  }
+
   test("flatMapGroupsWithState: custom running-max state per user") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
