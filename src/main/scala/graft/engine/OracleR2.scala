@@ -179,6 +179,38 @@ object OracleR2 {
         |SELECT matched, count(*) AS n_vecs
         |FROM pervec GROUP BY matched ORDER BY matched""".stripMargin,
 
+    "emb_ann_lsh" ->
+      s"""WITH planes AS (
+        |  SELECT a.p, b.j,
+        |    (CAST(('0x' || substr(md5(a.p || '_' || b.j), 1, 8))::BIGINT
+        |          % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS h
+        |  FROM (SELECT unnest(range(0, 8)) AS p) a,
+        |       (SELECT unnest(range(1, 65)) AS j) b),
+        |pe AS (SELECT vec_id, i AS j, CAST(embedding[i] AS DOUBLE) AS x
+        |       FROM (SELECT vec_id, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS i
+        |             FROM embeddings) t),
+        |dots AS (SELECT pe.vec_id, planes.p,
+        |           round(sum(planes.h * pe.x), 6) AS dot
+        |         FROM pe JOIN planes ON pe.j = planes.j
+        |         GROUP BY pe.vec_id, planes.p),
+        |sig AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT)
+        |                        ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM dots GROUP BY vec_id),
+        |ws AS (SELECT e.vec_id, e.embedding, s.bucket
+        |       FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id),
+        |pairs AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |            round($cosinePair, 6) AS cos_sim
+        |          FROM ws a JOIN ws b
+        |            ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, cos_sim, rk FROM (
+        |  SELECT vec_id, neighbor_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rk
+        |  FROM pairs) t
+        |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
     "emb_quantize_int8" ->
       """WITH b AS (SELECT vec_id, embedding,
         |    greatest(list_max(list_transform(embedding,

@@ -221,6 +221,51 @@ object QueriesR2 {
       .orderBy("matched")
   }
 
+  /** Random-hyperplane LSH ANN — the third similarity-search strategy
+    * after brute force (exact) and IVF (codebook cells): 8 hyperplanes
+    * whose coefficients are md5-derived (engine-portable, §2.3-3, same
+    * trick as SimHash), sign bits pack into a 256-way bucket id, and
+    * the exact top-3 is taken WITHIN each bucket. Candidate cost drops
+    * from n² to Σ n_b² ≈ n²/256; planes are constants so the signature
+    * is one narrow aggregation. Dots are rounded to 6dp before the
+    * sign test so cross-engine sum-order noise can't flip a bit. */
+  def embAnnLsh(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s); TopK.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
+    val pe = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"),
+              col("col").cast("double").as("x"))
+    val planes = s.range(0, 8).select(col("id").as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").as("j")))
+      .select(col("p"), col("j"), expr(
+        "(CAST(CAST(conv(substring(md5(concat(p, '_', j)), 1, 8), 16, 10) AS BIGINT) % 2001 AS DOUBLE) - 1000.0) / 1000.0")
+        .as("h"))
+    val dots = pe.join(broadcast(planes), Seq("j"))
+      .groupBy("vec_id", "p")
+      .agg(round(sum(col("h") * col("x")), 6).as("dot"))
+    val sig = dots.groupBy("vec_id")
+      .agg(sum(expr(
+        "CASE WHEN dot > 0 THEN CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) ELSE 0L END"))
+        .as("bucket"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withSig = e.join(sig, "vec_id")
+    withSig.as("a").join(withSig.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+              col("b.vec_id").as("neighbor_id"),
+              round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+                .as("cos_sim"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cos_sim, neighbor_id, 3)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** Symmetric int8 quantization per embedding: scale = max|x|/127,
     * q_i = round(x_i/scale). Outputs the scale plus two exact integer
     * digests (position-weighted dot, L1) — the checkable essence

@@ -113,6 +113,7 @@ object Registry {
     "sample_stratified"   -> QueriesR2.sampleStratified _,
     "agg_histogram"       -> QueriesR2.aggHistogram _,
     "emb_ivf_recall"      -> QueriesR2.embIvfRecall _,
+    "emb_ann_lsh"         -> QueriesR2.embAnnLsh _,
   )
 
   val oracleSql: ListMap[String, String] =
