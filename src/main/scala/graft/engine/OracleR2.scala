@@ -134,6 +134,42 @@ object OracleR2 {
         |WHERE rn <= 100
         |ORDER BY o_orderstatus, rn""".stripMargin,
 
+    "docs_entropy" ->
+      """WITH tc AS (SELECT doc_id, t, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |   FROM documents) z GROUP BY doc_id, t),
+        |wn AS (SELECT doc_id, c,
+        |         sum(c) OVER (PARTITION BY doc_id) AS n
+        |       FROM tc)
+        |SELECT doc_id,
+        |  count(*) AS n_unique,
+        |  CAST(min(n) AS BIGINT) AS n_tokens,
+        |  round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+        |    AS entropy
+        |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |a AS (SELECT user_id, min(ts) AS t_signup FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |b AS (SELECT c.user_id, a.t_signup, min(c.ts) AS t_click
+        |      FROM e c JOIN a ON c.user_id = a.user_id
+        |      WHERE c.event_type = 'click' AND c.ts >= a.t_signup
+        |      GROUP BY c.user_id, a.t_signup),
+        |c3 AS (SELECT p.user_id, min(p.ts) AS t_purchase
+        |       FROM e p JOIN b ON p.user_id = b.user_id
+        |       WHERE p.event_type = 'purchase' AND p.ts >= b.t_click
+        |       GROUP BY p.user_id)
+        |SELECT a.user_id, a.t_signup, b.t_click, c3.t_purchase,
+        |  CAST(CASE WHEN c3.t_purchase IS NOT NULL THEN 3
+        |            WHEN b.t_click IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS stage
+        |FROM a
+        |LEFT JOIN b ON a.user_id = b.user_id
+        |LEFT JOIN c3 ON a.user_id = c3.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(least(floor(n_chars / 100.0), 20) AS INT) AS bucket,
         |  count(*) AS n_docs,

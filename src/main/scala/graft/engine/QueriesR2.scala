@@ -186,6 +186,52 @@ object QueriesR2 {
       .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_orderstatus", "rn")
 
+  /** Shannon entropy of each document's token distribution (unigram
+    * H = −Σ p ln p, 6dp): the information-density signal a quality
+    * filter ranks on (spam/boilerplate → low H). Entropy terms are
+    * quotients and logs — no round-tie risk (§2.3). */
+  def docsEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_unique"),
+           min("n").as("n_tokens"),
+           round(expr(
+             "-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)))"), 6)
+             .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Funnel analysis: per user, the earliest signup → first click
+    * after it → first purchase after that, plus the stage reached —
+    * the conversion primitive (strictly ordered timestamps, ties
+    * broken by event_id through the min() on a composite). */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val a = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val b = e.filter(col("event_type") === "click").as("c")
+      .join(a, Seq("user_id"))
+      .filter(col("ts") >= col("t_signup"))
+      .groupBy("user_id", "t_signup").agg(min("ts").as("t_click"))
+    val c3 = e.filter(col("event_type") === "purchase").as("p")
+      .join(b, Seq("user_id"))
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id", "t_signup", "t_click")
+      .agg(min("ts").as("t_purchase"))
+    a.join(b.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(c3.select("user_id", "t_purchase"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"),
+        col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1)).cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
   /** Fixed-width histogram of document lengths (21 buckets, last one
     * open-ended). Fixed bucket bounds — not data-derived min/max — so
     * the key is one aggregation pass with no pre-scan. */

@@ -114,6 +114,8 @@ object Registry {
     "agg_histogram"       -> QueriesR2.aggHistogram _,
     "emb_ivf_recall"      -> QueriesR2.embIvfRecall _,
     "emb_ann_lsh"         -> QueriesR2.embAnnLsh _,
+    "docs_entropy"        -> QueriesR2.docsEntropy _,
+    "events_funnel"       -> QueriesR2.eventsFunnel _,
   )
 
   val oracleSql: ListMap[String, String] =
