@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Custom Catalyst surface (SURVEY.md §4.3): one performance-mandatory
   * expression. Stock higher-order-function cosine over a 64-dim float
@@ -71,13 +71,69 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hamming distance between two equal-role bit-signature arrays
+  * (array<bigint>): Σ Long.bitCount(a_i ^ b_i). The SimHash verify
+  * primitive — a primitive long loop in whole-stage codegen instead of
+  * four element_at + bit_count + xor expression nodes per pair. */
+case class HammingDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_dist expects two array<bigint> args, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var h = 0; var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $h = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+        |}
+        |${ev.value} = $h;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Exprs {
-  /** Idempotently registers `cosine_sim(arr_float, arr_float) -> double`
-    * in the session's function registry so plans can call it through
+  /** Idempotently registers the custom scalar expressions in the
+    * session's function registry so plans can call them through
     * `expr("cosine_sim(a, b)")` — the public, non-internal spelling. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1)),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist",
+      (args: Seq[Expression]) => HammingDistExpr(args(0), args(1)),
+      "built-in")
+  }
 }

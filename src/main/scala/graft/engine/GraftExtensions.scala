@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.IntegerType
   * ship the custom Catalyst surface: add
   * `spark.sql.extensions=graft.engine.GraftExtensions` to any
   * cluster's conf and `cosine_sim` / `topk_by_score` / `simhash_bands`
-  * resolve in every session (including pure-SQL ones) with no
-  * programmatic registration. The per-query `register(...)` calls in
+  * / `hamming_dist` resolve in every session (including pure-SQL ones)
+  * with no programmatic registration. The per-query `register(...)` calls in
   * Ops/Queries remain for sessions built without the conf (like the
   * driver-owned Verify/Bench mains).
   */
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bands"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_bands"),
       (args: Seq[Expression]) => SimHashAgg(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistExpr].getName, "hamming_dist"),
+      (args: Seq[Expression]) => HammingDistExpr(args(0), args(1))))
   }
 }

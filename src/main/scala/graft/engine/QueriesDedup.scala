@@ -45,9 +45,6 @@ object QueriesDedup {
           |  CAST(conv(substring(md5(t), 13, 4), 16, 10) AS INT))""".stripMargin))
       .groupBy("doc_id")
       .agg(expr("simhash_bands(bands, cnt)").as("sig"))
-    val sh = sig.select(col("doc_id"),
-      element_at(col("sig"), 1).as("v0"), element_at(col("sig"), 2).as("v1"),
-      element_at(col("sig"), 3).as("v2"), element_at(col("sig"), 4).as("v3"))
     val bv = sig.select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").as("j"), col("col").as("bv"))
     val cand = bv.as("a")
@@ -56,12 +53,14 @@ object QueriesDedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    // hamming_dist: codegen'd primitive long loop over the signature
+    // arrays (Exprs.HammingDistExpr) — one expression node per pair
+    // instead of four element_at + xor + bit_count chains.
+    Exprs.register(s)
     cand
-      .join(sh.as("sa"), col("id1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id2") === col("sb.doc_id"))
-      .withColumn("hamming", expr(
-        """bit_count(sa.v0 ^ sb.v0) + bit_count(sa.v1 ^ sb.v1) +
-          |bit_count(sa.v2 ^ sb.v2) + bit_count(sa.v3 ^ sb.v3)""".stripMargin))
+      .join(sig.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("id2") === col("sb.doc_id"))
+      .withColumn("hamming", expr("hamming_dist(sa.sig, sb.sig)"))
       .filter(col("hamming") <= 3)
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")

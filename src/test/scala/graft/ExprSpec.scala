@@ -39,6 +39,31 @@ class ExprSpec extends SparkTestBase {
     }
   }
 
+  test("hamming_dist matches the bit_count(xor) formulation on random signatures") {
+    Exprs.register(spark)
+    import spark.implicits._
+    val rnd = new Random(7)
+    val cases = Seq.fill(40)(
+      (Array.fill(4)(rnd.nextLong()), Array.fill(4)(rnd.nextLong())))
+    val got = cases.toDF("a", "b")
+      .selectExpr(
+        "hamming_dist(a, b) AS h",
+        """CAST(bit_count(a[0] ^ b[0]) + bit_count(a[1] ^ b[1]) +
+          |bit_count(a[2] ^ b[2]) + bit_count(a[3] ^ b[3]) AS INT)
+          |AS ref""".stripMargin)
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // identical signatures → distance 0
+    val z = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 4L))).toDF("a", "b")
+      .selectExpr("hamming_dist(a, b)").collect()(0).getInt(0)
+    assert(z == 0)
+    // wrong input type fails at ANALYSIS, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1.0f))).toDF("a", "b")
+        .selectExpr("hamming_dist(a, b)").collect()
+    }
+  }
+
   test("topk_by_score matches sort-take reference") {
     TopK.register(spark)
     import spark.implicits._
