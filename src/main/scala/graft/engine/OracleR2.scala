@@ -170,6 +170,29 @@ object OracleR2 {
         |LEFT JOIN c3 ON a.user_id = c3.user_id
         |ORDER BY a.user_id""".stripMargin,
 
+    "events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e
+        |      GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, e.week) // 7 AS INT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      """WITH s AS (SELECT event_id, event_type, value,
+        |    avg(value) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+        |  FROM events)
+        |SELECT event_id, event_type, value,
+        |       round((value - mu) / sd, 4) AS z
+        |FROM s WHERE abs(round((value - mu) / sd, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(least(floor(n_chars / 100.0), 20) AS INT) AS bucket,
         |  count(*) AS n_docs,

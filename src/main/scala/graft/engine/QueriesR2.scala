@@ -232,6 +232,38 @@ object QueriesR2 {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix: users grouped by signup week (their
+    * first event), activity counted per whole-week offset — the
+    * engagement table every product pipeline derives. Two aggregations
+    * and a join, all on the user key. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Z-score anomaly flags: events whose value sits more than 3
+    * standard deviations from their type's mean. Stats computed in one
+    * pass (window over type), threshold applied to the ROUNDED z so
+    * cross-engine ulp noise in avg/stddev can't flip a flag at the
+    * boundary. */
+  def eventsAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    events(s, d)
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp("value").over(w))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   /** Fixed-width histogram of document lengths (21 buckets, last one
     * open-ended). Fixed bucket bounds — not data-derived min/max — so
     * the key is one aggregation pass with no pre-scan. */

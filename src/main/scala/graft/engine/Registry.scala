@@ -116,6 +116,8 @@ object Registry {
     "emb_ann_lsh"         -> QueriesR2.embAnnLsh _,
     "docs_entropy"        -> QueriesR2.docsEntropy _,
     "events_funnel"       -> QueriesR2.eventsFunnel _,
+    "events_retention"    -> QueriesR2.eventsRetention _,
+    "events_anomaly_zscore" -> QueriesR2.eventsAnomalyZscore _,
   )
 
   val oracleSql: ListMap[String, String] =
