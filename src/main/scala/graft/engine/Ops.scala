@@ -394,6 +394,33 @@ object Ops {
         expr("transform(_v, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))")
           .as("q"))
 
+  /** Connected components by min-label propagation: every node starts
+    * as its own label; each round takes the min label over itself and
+    * its neighbors. Converges in ≤ component-diameter rounds; with
+    * `maxIter` ≥ that, the result is the exact component minimum —
+    * deterministic regardless of partitioning. Each round is one
+    * join + one aggregate; localCheckpoint truncates the lineage so
+    * plans stay constant-size across iterations (the iterative-join
+    * recipe for graph steps at 100 TB; swap in a graph library only
+    * when diameters are large). Output: (n, label). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 8): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    var labels = edges.select(col("u").as("n")).distinct()
+      .withColumn("label", col("n"))
+    var i = 0
+    while (i < maxIter) {
+      val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.n"))
+        .select(col("e.u").as("n"), col("l.label").as("label"))
+      labels = labels.unionByName(prop)
+        .groupBy("n").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
   /** Gap-based sessionization (gaps-and-islands): one shuffle on the
     * key; windows are per-key so skew = hottest single key. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,

@@ -31,6 +31,35 @@ object OracleDedup {
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
 
+    "docs_dedup_cc" ->
+      // Exact word-5-gram Jaccard pairs (as in docs_dedup_near's
+      // oracle) → transitive closure via recursive CTE → component
+      // minimum per node.
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens) - 3)) AS i FROM tok) t1) t2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sz s1 ON s1.doc_id = id1
+        |          JOIN sz s2 ON s2.doc_id = id2
+        |          WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8),
+        |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
     "docs_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, t, count(*) AS cnt FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -102,6 +102,20 @@ object QueriesDedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup CLUSTERING: exact connected components over the verified
+    * near-dup pair graph (min-label propagation, Ops.connectedComponents)
+    * — the transitive completion of docs_dedup_resolve's one-hop
+    * policy: every doc in a near-dup component maps to the component's
+    * min doc_id. The oracle computes the same thing with a recursive
+    * CTE over the exact-Jaccard pairs. */
+  def docsDedupCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
+      .select("id1", "id2")
+    Ops.connectedComponents(pairs, "id1", "id2", maxIter = 8)
+      .select(col("n").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup: unordered pairs above a similarity
     * threshold (the semantic-near-dup primitive; brute-force pairs
     * here, LSH/IVF-bucketed at scale per Ops.annIvf). Threshold is

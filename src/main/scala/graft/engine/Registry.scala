@@ -98,6 +98,7 @@ object Registry {
     "docs_dedup_ngram_jaccard" -> QueriesDedup.docsDedupNgramJaccard _,
     "emb_dedup_cosine"    -> QueriesDedup.embDedupCosine _,
     "docs_dedup_resolve"  -> QueriesDedup.docsDedupResolve _,
+    "docs_dedup_cc"       -> QueriesDedup.docsDedupCc _,
     // Round-2 coverage wave: reshaping, order stats, sampling, redaction
     "agg_percentiles"     -> QueriesR2.aggPercentiles _,
     "agg_argminmax"       -> QueriesR2.aggArgminmax _,

@@ -115,6 +115,18 @@ class OpsEdgeSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents: chain propagates to the component min across hops") {
+    import spark.implicits._
+    // path 10-11-12-13-14 (diameter 4) + separate pair (20,21) + (30,31)
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+                    (20L, 21L), (30L, 31L)).toDF("id1", "id2")
+    val got = Ops.connectedComponents(pairs, "id1", "id2", maxIter = 8)
+      .orderBy("n").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L), (31L, 30L)))
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
