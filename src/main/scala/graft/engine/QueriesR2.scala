@@ -207,8 +207,9 @@ object QueriesR2 {
 
   /** Funnel analysis: per user, the earliest signup → first click
     * after it → first purchase after that, plus the stage reached —
-    * the conversion primitive (strictly ordered timestamps, ties
-    * broken by event_id through the min() on a composite). */
+    * the conversion primitive. Every stage timestamp is a min() over a
+    * time-filtered set, so ties in ts are harmless (min of equal
+    * values) and the result is deterministic. */
   def eventsFunnel(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
     val a = e.filter(col("event_type") === "signup")

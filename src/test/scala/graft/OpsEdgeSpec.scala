@@ -127,6 +127,33 @@ class OpsEdgeSpec extends SparkTestBase {
       (20L, 20L), (21L, 20L), (30L, 30L), (31L, 30L)))
   }
 
+  test("gapFill: single-timestamp key yields one row; gaps zero-filled") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), // single day
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"),
+      (2L, "2024-01-04 00:00:00")  // 3-day gap, duplicate day
+    ).toDF("k", "ts_s").selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS day")
+    val got = Ops.gapFill(df, "k", "day", "1 DAY", "n")
+      .orderBy("k", "day")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L),
+      (2L, "2024-01-01 00:00:00.0", 2L),
+      (2L, "2024-01-02 00:00:00.0", 0L),
+      (2L, "2024-01-03 00:00:00.0", 0L),
+      (2L, "2024-01-04 00:00:00.0", 1L)))
+  }
+
+  test("stratifiedSample: stratum smaller than n keeps all rows, rn dense") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("s", "k")
+    val got = Ops.stratifiedSample(df, "s", "k", n = 5)
+      .orderBy("s", "rn").collect()
+      .map(r => (r.getString(0), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 1), ("a", 2), ("b", 1)))
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
