@@ -97,6 +97,40 @@ object OracleR2 {
         |FROM d LEFT JOIN c USING (o_custkey, day)
         |ORDER BY o_custkey, day""".stripMargin,
 
+    "fn_trig" ->
+      """SELECT c_custkey,
+        |  round(sin(c_acctbal / 1000), 6) AS sn,
+        |  round(cos(c_acctbal / 1000), 6) AS cs,
+        |  round(tan(c_custkey % 7 + 0.1), 6) AS tn,
+        |  round(asin((c_custkey % 19) / 19.0), 6) AS asn,
+        |  round(acos((c_custkey % 19) / 19.0), 6) AS acs,
+        |  round(atan(c_acctbal / 1000), 6) AS atn,
+        |  round(atan2(c_acctbal, c_custkey + 1.0), 6) AS at2,
+        |  round(degrees(c_acctbal / 1000), 6) AS dg,
+        |  round(radians(CAST(c_custkey % 360 AS DOUBLE)), 6) AS rd,
+        |  round((exp(c_acctbal / 10000) - exp(-c_acctbal / 10000)) / 2, 6) AS snh,
+        |  round((exp(c_acctbal / 10000) + exp(-c_acctbal / 10000)) / 2, 6) AS csh,
+        |  round((exp(c_acctbal / 10000) - exp(-c_acctbal / 10000))
+        |        / (exp(c_acctbal / 10000) + exp(-c_acctbal / 10000)), 6) AS tnh
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_weighted_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS w_mass,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))
+        |                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE), 6)
+        |    AS w_mean,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))
+        |                 * (CAST(l_extendedprice AS DECIMAL(12,2))
+        |                    * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE)
+        |        - pow(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))
+        |                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |              / CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE), 2),
+        |        4) AS w_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "fn_bitwise" ->
       """SELECT event_id,
         |  event_id & user_id AS band,

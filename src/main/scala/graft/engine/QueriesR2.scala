@@ -140,6 +140,52 @@ object QueriesR2 {
       "o_custkey", "day", "1 DAY", "n_orders")
       .orderBy("o_custkey", "day")
 
+  /** Trigonometric/inverse-trig matrix (completes fn_math's function
+    * families): all transcendental outputs, so cross-engine midpoint
+    * ties are unreachable (§2.3); inputs derived from keys, bounded
+    * into each function's domain. */
+  def fnTrig(s: SparkSession, d: String): DataFrame =
+    customer(s, d).selectExpr(
+      "c_custkey",
+      "round(sin(c_acctbal / 1000), 6) AS sn",
+      "round(cos(c_acctbal / 1000), 6) AS cs",
+      "round(tan(c_custkey % 7 + 0.1), 6) AS tn",
+      // CAST to DOUBLE: a bare `/ 19.0` is DECIMAL division in Spark
+      // (literal 19.0 = DECIMAL(3,1)) whose 6-digit quotient feeds
+      // asin a truncated input — DuckDB divides as doubles.
+      "round(asin(CAST(c_custkey % 19 AS DOUBLE) / CAST(19.0 AS DOUBLE)), 6) AS asn",
+      "round(acos(CAST(c_custkey % 19 AS DOUBLE) / CAST(19.0 AS DOUBLE)), 6) AS acs",
+      "round(atan(c_acctbal / 1000), 6) AS atn",
+      "round(atan2(c_acctbal, c_custkey + 1.0), 6) AS at2",
+      "round(degrees(c_acctbal / 1000), 6) AS dg",
+      "round(radians(CAST(c_custkey % 360 AS DOUBLE)), 6) AS rd",
+      "round(sinh(c_acctbal / 10000), 6) AS snh",
+      "round(cosh(c_acctbal / 10000), 6) AS csh",
+      "round(tanh(c_acctbal / 10000), 6) AS tnh")
+      .orderBy("c_custkey")
+
+  /** Weighted statistics per group: weighted mean and weighted
+    * variance, plus the weight mass — the reweighting primitive for
+    * importance-sampled corpora. Every sum runs over EXACT decimals
+    * (qty 2dp × price 2dp products), so both engines divide identical
+    * doubles and the rounding is deterministic (double sums of w·x²
+    * at ~1e17 would leave the 6th decimal to addition order). */
+  def aggWeightedStats(s: SparkSession, d: String): DataFrame = {
+    val w   = "CAST(l_quantity AS DECIMAL(6,2))"
+    val wx  = s"$w * CAST(l_extendedprice AS DECIMAL(12,2))"
+    val wxx = s"$w * (CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))"
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"CAST(sum($w) AS DOUBLE)").as("w_mass"),
+        expr(s"round(CAST(sum($wx) AS DOUBLE) / CAST(sum($w) AS DOUBLE), 6)")
+          .as("w_mean"),
+        expr(s"round(CAST(sum($wxx) AS DOUBLE) / CAST(sum($w) AS DOUBLE) - " +
+             s"pow(CAST(sum($wx) AS DOUBLE) / CAST(sum($w) AS DOUBLE), 2), 4)")
+          .as("w_var"))
+      .orderBy("l_returnflag")
+  }
+
   /** Bitwise function matrix over the event key space (segment masks,
     * bloom-ish bit tricks — the ops a feature-hashing pipeline leans
     * on). Integer-only in and out → no FP hazards at all. */

@@ -119,6 +119,8 @@ object Registry {
     "events_funnel"       -> QueriesR2.eventsFunnel _,
     "events_retention"    -> QueriesR2.eventsRetention _,
     "events_anomaly_zscore" -> QueriesR2.eventsAnomalyZscore _,
+    "fn_trig"             -> QueriesR2.fnTrig _,
+    "agg_weighted_stats"  -> QueriesR2.aggWeightedStats _,
   )
 
   val oracleSql: ListMap[String, String] =
