@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Design rules (SURVEY.md §7.1): plain Column expressions only (keeps
   * Catalyst pushdown/pruning alive), no Dataset[T] in the operator
-  * layer, no driver-side loops, every operator shuffle-partition-
-  * agnostic. Each operator documents its 100 TB posture.
+  * layer, no driver-side DATA loops (the driver never iterates rows;
+  * the two sanctioned exceptions are plan-level iteration in
+  * connectedComponents — a loop over distributed jobs, not rows — and
+  * the block-streaming in vecBlocks, which holds at most one
+  * broadcastable block), every operator shuffle-partition-agnostic.
+  * Each operator documents its 100 TB posture.
   */
 object Ops {
 

@@ -92,7 +92,9 @@ object QueriesDedup {
     * iterative join loop or a graph library — the greedy policy is the
     * single-pass, deterministic variant both engines can express).
     * The anti-join IS the delete: survivors stream through without
-    * materializing the dropped set anywhere. */
+    * materializing the dropped set anywhere. Oracle uses exact O(n²)
+    * Jaccard pairs; equality with the LSH candidate set is the same
+    * verified property as docs_dedup_near / docs_dedup_cc. */
   def docsDedupResolve(s: SparkSession, d: String): DataFrame = {
     val drops = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
       .select(col("id2").as("doc_id")).distinct()
@@ -107,7 +109,10 @@ object QueriesDedup {
     * — the transitive completion of docs_dedup_resolve's one-hop
     * policy: every doc in a near-dup component maps to the component's
     * min doc_id. The oracle computes the same thing with a recursive
-    * CTE over the exact-Jaccard pairs. */
+    * CTE over the exact-Jaccard pairs — the comparison holds because
+    * at the 16-band/2-row LSH config, candidate recall at J ≥ 0.8 is
+    * 1 − (1 − J²)^16 ≥ 0.9999, and the driver gate verifies the pair
+    * sets are in fact identical on these fixtures (docs_dedup_near). */
   def docsDedupCc(s: SparkSession, d: String): DataFrame = {
     val pairs = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
       .select("id1", "id2")
