@@ -74,7 +74,11 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 /** Hamming distance between two equal-role bit-signature arrays
   * (array<bigint>): Σ Long.bitCount(a_i ^ b_i). The SimHash verify
   * primitive — a primitive long loop in whole-stage codegen instead of
-  * four element_at + bit_count + xor expression nodes per pair. */
+  * four element_at + bit_count + xor expression nodes per pair.
+  * Unequal array lengths fail loudly: a band-count mismatch between
+  * signature producers means the signatures are incomparable, and
+  * truncating to the common prefix would underreport distance (making
+  * unrelated docs look like near-dups). */
 case class HammingDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -94,7 +98,11 @@ case class HammingDistExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"hamming_dist: signature arrays differ in length " +
+          s"(${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var h = 0; var i = 0
     while (i < n) {
       h += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
@@ -108,7 +116,12 @@ case class HammingDistExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |if ($a.numElements() != $b.numElements()) {
+        |  throw new IllegalArgumentException(
+        |    "hamming_dist: signature arrays differ in length (" +
+        |    $a.numElements() + " vs " + $b.numElements() + ")");
+        |}
+        |int $n = $a.numElements();
         |int $h = 0;
         |for (int $i = 0; $i < $n; $i++) {
         |  $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));

@@ -360,7 +360,13 @@ object Ops {
     * runs, and partitionings — never rand()/TABLESAMPLE). Adds an `rn`
     * column (1..n within stratum). One shuffle on the stratum key; the
     * per-group row_number map-side-limits each stratum before anything
-    * wide at 100 TB. */
+    * wide at 100 TB.
+    *
+    * `keyCol` must be unique within each stratum (like the lineitem
+    * total-order convention): duplicate key values tie the whole
+    * (md5(key), key) sort order, and tied rows may be picked/ranked
+    * differently across engines or partitionings. Pass a rowid-like
+    * column, or extend the orderBy with enough columns to break ties. */
   def stratifiedSample(df: DataFrame, stratCol: String, keyCol: String,
                        n: Int): DataFrame = {
     val w = Window.partitionBy(stratCol)
@@ -398,17 +404,27 @@ object Ops {
         expr("transform(_v, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))")
           .as("q"))
 
-  /** Connected components by min-label propagation: every node starts
-    * as its own label; each round takes the min label over itself and
-    * its neighbors. Converges in ≤ component-diameter rounds; with
-    * `maxIter` ≥ that, the result is the exact component minimum —
-    * deterministic regardless of partitioning. Each round is one
-    * join + one aggregate; localCheckpoint truncates the lineage so
-    * plans stay constant-size across iterations (the iterative-join
-    * recipe for graph steps at 100 TB; swap in a graph library only
-    * when diameters are large). Output: (n, label). */
+  /** Connected components by min-label propagation with pointer
+    * jumping: every node starts as its own label; each round takes the
+    * min label over itself and its neighbors, then short-circuits one
+    * pointer hop (label := label(label)) — so label information travels
+    * ~2^r hops after r rounds and the loop converges in O(log diameter)
+    * rounds instead of O(diameter). Deterministic regardless of
+    * partitioning (min is order-free).
+    *
+    * Each round is exactly ONE Spark action: the convergence measure
+    * (Σ label, strictly decreasing until the fixpoint because labels
+    * only ever shrink) rides the round's own materialization via
+    * `Dataset.observe` — no separate scalar-aggregate job per round
+    * (that second action per round was the measured docs_dedup_cc
+    * bench cost). localCheckpoint truncates lineage so plans stay
+    * constant-size across iterations — the iterative-join recipe for
+    * graph steps at 100 TB. Loops to the fixpoint; `maxIter` is a hard
+    * safety bound and hitting it without convergence fails loudly
+    * rather than returning partially-propagated labels.
+    * Output: (n, label). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 8): DataFrame = {
+                          maxIter: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: without this every iteration
     // re-evaluates the (possibly expensive) upstream pipeline that
     // produced `pairs` — measured 13 s → sub-second on the LSH pair
@@ -419,24 +435,51 @@ object Ops {
     var labels = edges.select(col("u").as("n")).distinct()
       .withColumn("label", col("n"))
       .localCheckpoint(true)
-    // Labels only ever decrease, so Σ label is a strictly decreasing
-    // convergence measure: one scalar aggregate per round (on a
-    // checkpointed frame — trivial) detects the fixpoint and stops
-    // early instead of always paying maxIter rounds.
+    // Empty graph: no rounds to run, and the Σ-label probe below would
+    // read a null sum — return the (empty) identity labeling directly.
+    if (labels.isEmpty) return labels
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val prop = edges.as("e").join(labels.as("l"), col("e.v") === col("l.n"))
         .select(col("e.u").as("n"), col("l.label").as("label"))
-      labels = labels.unionByName(prop)
+      // LAZY checkpoint before the self-join below: (a) the plan
+      // barrier (LogicalRDD) sidesteps a Catalyst constraint-rewrite
+      // crash when self-joining a Union-derived aggregate, and (b) the
+      // implied cache computes m1 once for both join sides — all still
+      // within the round's single action.
+      val m1 = labels.unionByName(prop)
         .groupBy("n").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val s = labels.agg(sum("label")).head.getLong(0)
+        .localCheckpoint(false)
+      // Pointer jump: labels are node ids, so m1 maps every label too;
+      // relabeling through m1 itself doubles the propagation distance.
+      // (Left join: the min label is always a node present in m1, but
+      // coalesce keeps the step total if that invariant ever changes.)
+      val jumped = m1.as("x")
+        .join(m1.as("y"), col("x.label") === col("y.n"), "left")
+        .select(col("x.n").as("n"),
+                coalesce(col("y.label"), col("x.label")).as("label"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
+      val cp = jumped.observe(obs, sum("label").as("s"))
+        .localCheckpoint(true) // the round's ONE action; fires the observe
+      val s = obs.get("s").asInstanceOf[Long]
+      // Rebuild from the checkpointed rows: a checkpoint's LogicalRDD
+      // keeps "origin constraints" whose attribute ids go stale once
+      // the self-join above re-aliases them (DeduplicateRelations), and
+      // next round's Union crashes rewriting those dangling constraints.
+      // createDataFrame yields a constraint-free leaf over the same
+      // materialized RDD.
+      labels = pairs.sparkSession.createDataFrame(cp.rdd, cp.schema)
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; raise maxIter (rounds needed ≈ log2 of the largest " +
+          "component diameter)")
     labels
   }
 

@@ -116,7 +116,7 @@ object QueriesDedup {
   def docsDedupCc(s: SparkSession, d: String): DataFrame = {
     val pairs = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
       .select("id1", "id2")
-    Ops.connectedComponents(pairs, "id1", "id2", maxIter = 8)
+    Ops.connectedComponents(pairs, "id1", "id2")
       .select(col("n").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -66,18 +66,26 @@ object QueriesExtra {
 
   /** Winnowing-style document fingerprint: min over 4-gram shingle
     * hashes. md5 (not Spark's salted hash()) so the fingerprint is
-    * portable across engines — §2.3-3. */
+    * portable across engines — §2.3-3.
+    *
+    * Entirely array-native (array_distinct + array_min over a
+    * transform): the shingle set never leaves its row, so the whole
+    * fingerprint is a narrow map-side projection — zero shuffles,
+    * zero exploded rows. The earlier explode→distinct→groupBy
+    * spelling shuffled every shingle string and regressed 0.57→3.3 s
+    * in the shared round-2 bench session; this form has nothing to
+    * shuffle and nothing to spill, at any corpus size. */
   def docsFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tokens) - 3), i -> array_join(slice(tokens, i, 4), ' '))"))
-        .as("shingle"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(min(substring(md5(col("shingle")), 1, 8)).as("fp"),
-           count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(tokens) - 3), i -> array_join(slice(tokens, i, 4), ' ')))")
+        .as("sh"))
+      .select(col("doc_id"),
+              expr("array_min(transform(sh, x -> substring(md5(x), 1, 8)))")
+                .as("fp"),
+              size(col("sh")).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
   /** BPE-ish regex tokenization counts (alpha runs / digit runs /
@@ -167,7 +175,10 @@ object QueriesExtra {
     * (PartitionFilters in the plan), which is what keeps a year-scoped
     * query from touching 100 TB. */
   def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned_orders"
+    // Unique per-call dir — same concurrent-runs rationale as
+    // QueriesRel2.scanMultiformat.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_partitioned_orders_").toString
     orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

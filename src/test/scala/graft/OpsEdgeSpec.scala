@@ -127,6 +127,28 @@ class OpsEdgeSpec extends SparkTestBase {
       (20L, 20L), (21L, 20L), (30L, 30L), (31L, 30L)))
   }
 
+  test("connectedComponents: empty pair graph returns empty labels, no crash") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val got = Ops.connectedComponents(pairs, "id1", "id2")
+    assert(got.columns.toSeq == Seq("n", "label"))
+    assert(got.count() == 0)
+  }
+
+  test("hamming_dist fails loudly on signature length mismatch") {
+    import spark.implicits._
+    graft.engine.Exprs.register(spark)
+    val df = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.selectExpr("hamming_dist(a, b)").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("differ in length"))))
+  }
+
   test("gapFill: single-timestamp key yields one row; gaps zero-filled") {
     import spark.implicits._
     val df = Seq(
