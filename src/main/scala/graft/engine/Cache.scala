@@ -52,7 +52,11 @@ object ArtifactCache {
   /** Returns the cached artifact if one exists for this computation's
     * hash; otherwise computes, writes, and reads back. The read-back
     * (rather than returning `df`) makes downstream consumers scan the
-    * materialized parquet — identical behavior on hit and miss. */
+    * materialized parquet — identical behavior on hit and miss.
+    * Writes land in a scratch dir and are renamed into place: a
+    * concurrent run racing on the same hash either wins the rename or
+    * discards its scratch copy — readers never see a half-written
+    * artifact directory. */
   def materialize(df: DataFrame, cacheRoot: String, name: String): DataFrame = {
     val spark = df.sparkSession
     val hash = artifactHash(df)
@@ -60,7 +64,12 @@ object ArtifactCache {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dir, "_SUCCESS")
     if (!fs.exists(success)) {
-      df.write.mode("overwrite").parquet(dir.toString)
+      val scratch = new Path(
+        s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
+      df.write.mode("overwrite").parquet(scratch.toString)
+      if (!fs.exists(success)) {
+        if (!fs.rename(scratch, dir)) fs.delete(scratch, true)
+      } else fs.delete(scratch, true)
     }
     spark.read.parquet(dir.toString)
   }
@@ -73,4 +82,31 @@ object ArtifactCache {
       df.sparkSession.sparkContext.hadoopConfiguration)
     fs.exists(dir)
   }
+}
+
+/** Engine-internal artifacts routed through [[ArtifactCache]] — P6
+  * (content-hash stale-skip) applied to the engine's own hot spots.
+  */
+object Artifacts {
+  /** Default artifact root. Per-hash subdirectories make concurrent
+    * runs collide only on identical (plan × inputs), where the atomic
+    * rename in `materialize` resolves the race. */
+  def cacheRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_artifact_cache"
+
+  /** The verified near-dup pair list (id1, id2, jaccard) for the
+    * documents table — the shared upstream of docs_dedup_near /
+    * _resolve / _cc, which would otherwise each re-run the full
+    * shingle→minhash→LSH→verify pipeline. First consumer pays the
+    * compute and writes the artifact; later consumers (same inputs,
+    * same pipeline) scan ~25 parquet rows. At 100 TB this is exactly
+    * the artifact a dedup pass would persist between pipeline stages:
+    * the pair list is tiny relative to the corpus, and the content
+    * hash re-runs the pipeline iff the corpus or the pipeline
+    * changed. */
+  def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+                   dataDir: String): DataFrame =
+    ArtifactCache.materialize(
+      Ops.minhashNearDup(Tables.documents(s, dataDir), "doc_id", "text"),
+      cacheRoot, "neardup_pairs")
 }

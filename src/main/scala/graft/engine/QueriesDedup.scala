@@ -96,7 +96,7 @@ object QueriesDedup {
     * Jaccard pairs; equality with the LSH candidate set is the same
     * verified property as docs_dedup_near / docs_dedup_cc. */
   def docsDedupResolve(s: SparkSession, d: String): DataFrame = {
-    val drops = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
+    val drops = Artifacts.nearDupPairs(s, d)
       .select(col("id2").as("doc_id")).distinct()
     documents(s, d)
       .join(drops, Seq("doc_id"), "left_anti")
@@ -114,7 +114,7 @@ object QueriesDedup {
     * 1 − (1 − J²)^16 ≥ 0.9999, and the driver gate verifies the pair
     * sets are in fact identical on these fixtures (docs_dedup_near). */
   def docsDedupCc(s: SparkSession, d: String): DataFrame = {
-    val pairs = Ops.minhashNearDup(documents(s, d), "doc_id", "text")
+    val pairs = Artifacts.nearDupPairs(s, d)
       .select("id1", "id2")
     Ops.connectedComponents(pairs, "id1", "id2")
       .select(col("n").as("doc_id"), col("label").as("cluster_id"))

@@ -65,9 +65,12 @@ object QueriesDocs {
 
   /** MinHash-LSH near-duplicate detection — Ops.minhashNearDup with the
     * default 32-hash / 16-band configuration (see Ops scaladoc for the
-    * recall math and 100 TB posture). */
+    * recall math and 100 TB posture). Served from the shared
+    * Artifacts.nearDupPairs materialization: this key, _resolve, and
+    * _cc all consume one cached pair-list artifact instead of running
+    * the LSH pipeline three times (P6 on the engine's own hot spot). */
   def docsDedupNear(s: SparkSession, d: String): DataFrame =
-    Ops.minhashNearDup(documents(s, d), "doc_id", "text")
+    Artifacts.nearDupPairs(s, d)
       .orderBy("id1", "id2")
 
   /** Exact k-NN: top-5 cosine neighbors per vector; ranks over the

@@ -86,7 +86,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("minhash verify stage materializes arrays only for candidates (semi-join)") {
-    val p = plan("docs_dedup_near")
+    // The docs_dedup_near KEY now reads the cached pair artifact
+    // (Artifacts.nearDupPairs), so the shape assertion targets the
+    // pipeline that produces the artifact.
+    val p = graft.engine.Ops
+      .minhashNearDup(graft.engine.Tables.documents(spark, sfDir),
+                      "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"),
       s"shingle-array aggregate not candidate-filtered:\n$p")
   }
