@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Deployable Structured-Streaming surface for the H-family semantics
+  * (SURVEY.md §7.5): the same event-stream operators the batch keys
+  * oracle-check, executed as REAL streaming queries — file source,
+  * watermarks, native session windows, stateful dedup — with parquet
+  * sinks and per-query checkpoints.
+  *
+  * `Trigger.AvailableNow` drains everything present and stops, which
+  * makes the same binary serve both deployments: point it at a static
+  * directory and it is a batch backfill; run it on a schedule against
+  * an append-only directory and each invocation processes exactly the
+  * new files (the checkpoint carries source offsets across runs).
+  * Swap the trigger for `ProcessingTime` and it is a resident
+  * streaming job — the plans are unchanged.
+  *
+  * Usage: runMain graft.Stream [sfDir] [outDir]
+  *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
+  *   writes <outDir>/tumbling|sessions|dedup/  + <outDir>/checkpoints/
+  *
+  * Append-mode note: windowed sinks only contain windows the FINAL
+  * watermark passed — trailing windows stay open (correct streaming
+  * semantics for a bounded drain; a later run with newer data closes
+  * them). The dedup sink has no such holdback: first-seen rows emit in
+  * the batch they arrive.
+  */
+object Stream {
+
+  /** Events source as an unbounded file stream. Schema comes from a
+    * one-off batch read (file streams require an explicit schema); the
+    * ns-timestamp repair matches Tables.events. */
+  private def eventsStream(spark: SparkSession, inDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(inDir).schema
+    spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The three deployed queries, keyed by sink name. */
+  def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
+    val ev = eventsStream(spark, inDir)
+    Map(
+      "tumbling" -> ev
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"),
+                col("cnt"), col("sum_value")),
+      "sessions" -> ev
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+                col("sw.end").as("s_end"), col("n_events")),
+      "dedup" -> ev
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(Seq("user_id", "event_type"))
+        .select("event_id", "user_id", "event_type", "ts"))
+  }
+
+  /** Runs every query as an AvailableNow drain into parquet; returns
+    * sink row counts. Callable from tests and from main. */
+  def runAll(spark: SparkSession, sfDir: String,
+             outDir: String): Map[String, Long] = {
+    val inDir = s"$outDir/input"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      java.nio.file.Paths.get(inDir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    queries(spark, inDir).map { case (name, df) =>
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", s"$outDir/$name")
+        .option("checkpointLocation", s"$outDir/checkpoints/$name")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_stream_out").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = runAll(spark, sfDir, outDir)
+    val js = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"stream_sinks":$js,"out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -53,6 +53,16 @@ object OracleEvents {
         |WHERE ts >= wm - INTERVAL '10 minutes'
         |ORDER BY event_id""".stripMargin,
 
+    "events_watermark_late_perkey" ->
+      """WITH w AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |               ORDER BY event_id
+        |               ROWS UNBOUNDED PRECEDING) AS wm
+        |           FROM events)
+        |SELECT event_id, user_id, ts, wm FROM w
+        |WHERE ts >= wm - INTERVAL '10 minutes'
+        |ORDER BY event_id""".stripMargin,
+
     "events_stateful_dedup" ->
       """SELECT event_id, user_id, event_type, ts FROM (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,

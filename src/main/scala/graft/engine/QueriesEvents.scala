@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * `events_watermark_late` uses a single global arrival-order window by
   * design (it models a monotone stream clock); at 100 TB the same
   * semantics would ride per-partition watermarks in Structured
-  * Streaming rather than a batch global window.
+  * Streaming rather than a batch global window —
+  * `events_watermark_late_perkey` is that partitioned, scale-safe form
+  * as a batch operator.
   */
 object QueriesEvents {
   import Tables._
@@ -54,6 +56,25 @@ object QueriesEvents {
     * behind the arrival-order running max timestamp. */
   def eventsWatermarkLate(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("wm", max("ts").over(w))
+      .filter(col("ts") >= col("wm") - expr("INTERVAL 10 MINUTES"))
+      .select("event_id", "user_id", "ts", "wm")
+      .orderBy("event_id")
+  }
+
+  /** Per-key watermark semantics: drop events more than 10 min behind
+    * the PER-USER arrival-order running max timestamp — the scale-safe
+    * batch form of events_watermark_late. The global variant's single
+    * total-order window is one task sorting the whole table (kept as
+    * the documented stream-clock model); this one shuffles once on
+    * user_id and sorts per key, so it parallelizes like every other
+    * keyed window at 100 TB — and it is exactly the state Structured
+    * Streaming keeps for dropDuplicates/withWatermark on a keyed
+    * stream. */
+  def eventsWatermarkLatePerkey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("wm", max("ts").over(w))

@@ -175,6 +175,25 @@ object QueriesExtra {
       .orderBy("o_orderstatus")
   }
 
+  /** Mergeable-sketch distinct count — the 100 TB distinct-count path
+    * made executable end to end: per-(event_type, shard) HLL sketches
+    * are built with `hll_sketch` (constant 4 KB state), travel through
+    * a shuffle as plain binary VALUES (the stand-in for "persisted per
+    * partition/day"), then `hll_merge` + `hll_estimate` re-aggregate
+    * them without touching the input again. The estimates are
+    * engine-internal sketch outputs — no-oracle key (like
+    * distinct_approx) with a ±5%-of-exact scalatest bound. */
+  def aggDistinctHll(s: SparkSession, d: String): DataFrame = {
+    Hll.register(s)
+    events(s, d)
+      .withColumn("shard", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "shard")
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_estimate(hll_merge(sk))").as("approx_users"))
+      .orderBy("event_type")
+  }
+
   /** Two-phase salted aggregation — the skew recipe (SURVEY.md §7.6)
     * made executable: a skewed key space (5 event types over the whole
     * table) is first aggregated on (key, salt) so the hot keys spread

@@ -57,6 +57,7 @@ object Registry {
     "events_sliding"      -> QueriesEvents.eventsSliding _,
     "events_session"      -> QueriesEvents.eventsSession _,
     "events_watermark_late" -> QueriesEvents.eventsWatermarkLate _,
+    "events_watermark_late_perkey" -> QueriesEvents.eventsWatermarkLatePerkey _,
     "events_stateful_dedup" -> QueriesEvents.eventsStatefulDedup _,
     "events_json_props"   -> QueriesEvents.eventsJsonProps _,
     // I. scalar function matrix
@@ -90,6 +91,7 @@ object Registry {
     "emb_ann_ivf"         -> QueriesExtra.embAnnIvf _,
     "join_bucketed"       -> QueriesExtra.joinBucketed _,
     "agg_salted_skew"     -> QueriesExtra.aggSaltedSkew _,
+    "agg_distinct_hll"    -> QueriesExtra.aggDistinctHll _,
     "sink_partitioned"    -> QueriesExtra.sinkPartitioned _,
     "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,
     "multimodal_frame_sample" -> QueriesExtra.multimodalFrameSample _,

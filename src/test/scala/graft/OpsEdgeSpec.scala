@@ -176,6 +176,78 @@ class OpsEdgeSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 1), ("a", 2), ("b", 1)))
   }
 
+  test("property: connectedComponents equals union-find on random graphs at 2 and 7 partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (_ <- 1 to 5) {
+        val nNodes = 2 + rnd.nextInt(30)
+        val edges = Seq.fill(rnd.nextInt(40))(
+          (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+          .filter { case (a, b) => a != b }
+        if (edges.nonEmpty) {
+          // 20-line union-find reference
+          val parent = Array.tabulate(nNodes)(identity)
+          def find(x: Int): Int = {
+            var r = x; while (parent(r) != r) r = parent(r); r
+          }
+          edges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a.toInt), find(b.toInt))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          val want = present.groupBy(n => find(n.toInt)).values
+            .flatMap { ns => val m = ns.min; ns.map(_ -> m) }.toMap
+          for (parts <- Seq("2", "7")) {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            val got = Ops.connectedComponents(
+                edges.toDF("a", "b"), "a", "b")
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(got == want,
+              s"parts=$parts edges=$edges\ngot=$got\nwant=$want")
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  test("property: asofJoin equals per-row brute-force scan at 2 and 7 partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (_ <- 1 to 5) {
+        val nKeys = 1 + rnd.nextInt(4)
+        val left = (0 until (1 + rnd.nextInt(25))).map(i =>
+          (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong))
+        // duplicate (key, time) right rows on purpose: the tie rule
+        // (max value at equal time) must hold under any partitioning
+        val right = Seq.fill(rnd.nextInt(25))(
+          (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong,
+           rnd.nextInt(100).toLong))
+        val want = left.map { case (id, k, t) =>
+          val c = right.filter(r => r._1 == k && r._2 <= t)
+          val m = if (c.isEmpty) null
+            else { val mt = c.map(_._2).max
+                   java.lang.Long.valueOf(c.filter(_._2 == mt).map(_._3).max) }
+          (id, k, t, m)
+        }.toSet
+        for (parts <- Seq("2", "7")) {
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          val got = Ops.asofJoin(
+              left.toDF("id", "k", "t"), "id", "k", "t",
+              right.toDF("k", "t", "v"), "k", "t", "v", "matched")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+            .toSet
+          assert(got == want,
+            s"parts=$parts left=$left right=$right\ngot=$got\nwant=$want")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.Row
 class QueriesSpec extends SparkTestBase {
 
   test("every declared key has oracle SQL or a documented exemption") {
-    val noOracle = Set("distinct_approx") // sketch values are engine-specific
+    // sketch values are engine-specific
+    val noOracle = Set("distinct_approx", "agg_distinct_hll")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"keys without oracle: $missing")
@@ -45,5 +46,36 @@ class QueriesSpec extends SparkTestBase {
       .collect()(0).getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("agg_distinct_hll within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.engine.QueriesExtra.aggDistinctHll(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05,
+        s"event_type=$k approx=$ap exact=$ex")
+    }
+  }
+
+  test("hll sketches merge associatively and match the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    graft.engine.Hll.register(spark)
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    // sharded sketch-then-merge must equal the unsharded sketch exactly
+    // (bytewise-max merge is order-free) — proven via identical estimates
+    val merged = ev
+      .withColumn("shard", pmod(col("event_id"), lit(7)))
+      .groupBy("shard").agg(expr("hll_sketch(user_id)").as("sk"))
+      .agg(expr("hll_estimate(hll_merge(sk))")).collect()(0).getLong(0)
+    val oneShot = ev
+      .agg(expr("hll_estimate(hll_sketch(user_id))")).collect()(0).getLong(0)
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
   }
 }

@@ -153,6 +153,21 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.values().iterator().next() == 3L) // F/O/P status rows
   }
 
+  test("graft.Stream entry point: AvailableNow drain writes all three sinks") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
+    val counts = Stream.runAll(spark, sfDir, out)
+    assert(counts.keySet == Set("tumbling", "sessions", "dedup"))
+    // dedup emits first-seen rows with no watermark holdback: the sink
+    // must equal the batch key exactly
+    val batchDedup = graft.engine.QueriesEvents
+      .eventsStatefulDedup(spark, sfDir).count()
+    assert(counts("dedup") == batchDedup,
+      s"dedup sink ${counts("dedup")} != batch $batchDedup")
+    // windowed sinks hold back trailing windows; they must still have
+    // emitted the bulk of the bounded input
+    assert(counts("tumbling") > 0 && counts("sessions") > 0, counts.toString)
+  }
+
   test("flatMapGroupsWithState: custom running-max state per user") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
