@@ -57,16 +57,23 @@ object ArtifactCache {
     * concurrent run racing on the same hash either wins the rename or
     * discards its scratch copy — readers never see a half-written
     * artifact directory. */
-  def materialize(df: DataFrame, cacheRoot: String, name: String): DataFrame = {
-    val spark = df.sparkSession
-    val hash = artifactHash(df)
+  def materialize(df: DataFrame, cacheRoot: String, name: String): DataFrame =
+    materializeKeyed(df.sparkSession, cacheRoot, name, artifactHash(df))(df)
+
+  /** `materialize` with a caller-supplied content hash, for artifacts
+    * whose PRODUCING frame has no stable hash — e.g. an iteratively
+    * trained model whose plan is checkpoint-backed (LogicalRDD ids
+    * change every run). The caller hashes the artifact's INPUTS +
+    * parameters instead; `compute` is only evaluated on a miss. */
+  def materializeKeyed(spark: SparkSession, cacheRoot: String, name: String,
+                       hash: String)(compute: => DataFrame): DataFrame = {
     val dir = new Path(s"$cacheRoot/$name-$hash")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dir, "_SUCCESS")
     if (!fs.exists(success)) {
       val scratch = new Path(
         s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
-      df.write.mode("overwrite").parquet(scratch.toString)
+      compute.write.mode("overwrite").parquet(scratch.toString)
       if (!fs.exists(success)) {
         if (!fs.rename(scratch, dir)) fs.delete(scratch, true)
       } else fs.delete(scratch, true)
@@ -109,4 +116,21 @@ object Artifacts {
     ArtifactCache.materialize(
       Ops.minhashNearDup(Tables.documents(s, dataDir), "doc_id", "text"),
       cacheRoot, "neardup_pairs")
+
+  /** The trained IVF codebook (Ops.kmeansCodebook) for the embeddings
+    * table — a model artifact: trained once per (input fingerprint ×
+    * hyperparameters), then reused by every index/probe/eval key
+    * (emb_ann_ivf, emb_ivf_recall). Keyed via `materializeKeyed` on
+    * the INPUT's hash because the trained frame itself is
+    * checkpoint-backed (no stable plan hash). This is exactly how a
+    * 100 TB deployment treats a codebook: a tiny persisted artifact,
+    * retrained only when the corpus or the hyperparameters change. */
+  def ivfCodebook(s: org.apache.spark.sql.SparkSession, dataDir: String,
+                  k: Int = 16, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
+    ArtifactCache.materializeKeyed(
+      s, cacheRoot, s"ivf_codebook_k${k}_i$iters",
+      ArtifactCache.artifactHash(e))(
+      Ops.kmeansCodebook(e, "vec_id", "embedding", k, iters))
+  }
 }

@@ -21,25 +21,34 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> args, got " +
+      s"cosine_sim expects array<float>/array<double> args, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** Each side independently float or double (a trained codebook is
+    * double, raw embeddings float); floats widen to double exactly, so
+    * arithmetic is double throughout either way. */
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDoubleArr(left), isDoubleArr(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -54,12 +63,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (isDoubleArr(left)) s"$a.getDouble($i)"
+                 else s"(double) $a.getFloat($i)"
+      val getY = if (isDoubleArr(right)) s"$b.getDouble($i)"
+                 else s"(double) $b.getFloat($i)"
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  double $xi = (double) $a.getFloat($i);
-        |  double $yi = (double) $b.getFloat($i);
+        |  double $xi = $getX;
+        |  double $yi = $getY;
         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         |}
         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -355,6 +355,61 @@ object Ops {
               col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
   }
 
+  /** Deterministic seeded k-means codebook for IVF indexing: `k`
+    * centroids trained with a FIXED number of Lloyd iterations, every
+    * arithmetic step pinned so two engines (or two partitionings)
+    * produce bit-identical codebooks (§2.3):
+    *  - init: the k vectors with the smallest (md5(id), id) sort key —
+    *    a deterministic pseudo-random spread, never rand()/sample();
+    *  - assignment: argmax of cosine rounded to 6dp, ties to the
+    *    lowest cid (TopK's (score DESC, id ASC) rule);
+    *  - update: per-dimension mean rounded to 6dp (double); the 5e-7
+    *    rounding margin absorbs sum-order ulp noise across engines and
+    *    partitionings;
+    *  - empty cluster: keeps its previous centroid.
+    * Each iteration is one broadcast cross-join pass (map-side bounded
+    * topk_by_score — no n×k shuffle) + one per-dim aggregate over
+    * (cid, dim). At 100 TB you'd train on a deterministic hash-sample
+    * (sampleHashDeterministic) instead of the full corpus and raise
+    * `iters`; the fixed-iteration structure is what keeps the artifact
+    * reproducible. Output: (cid long, cemb array<double>). */
+  def kmeansCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 16, iters: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    Exprs.register(s); TopK.register(s)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    // Global row_number for the seed pick: a one-task sort, but only of
+    // (id, vector) pairs and only once — and at scale the input here is
+    // already a small training sample (see scaladoc).
+    val sw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cent = e
+      .withColumn("cid", (row_number().over(sw) - 1).cast("long"))
+      .filter(col("cid") < k)
+      .select(col("cid"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cemb"))
+      .localCheckpoint(true) // tiny; keeps iteration plans constant-size
+    for (_ <- 1 to iters) {
+      val argmax = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+                round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
+                col("cid"))
+        .groupBy("vec_id")
+        .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+        .select(col("vec_id"), expr("t[0].id").as("cid"))
+      val newCent = e.join(argmax, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), v -> v.m)")
+          .as("cemb2"))
+      cent = cent.join(newCent, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cemb2"), col("cemb")).as("cemb"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** Deterministic stratified sample: at most `n` rows per stratum,
     * picked by md5-hash order of `keyCol` (reproducible across engines,
     * runs, and partitionings — never rand()/TABLESAMPLE). Adds an `rn`

@@ -2,6 +2,52 @@ package graft.engine
 
 import scala.collection.immutable.ListMap
 
+/** Shared DuckDB spelling of Ops.kmeansCodebook: md5-seeded init, 3
+  * unrolled Lloyd iterations, every arithmetic step rounded exactly
+  * like the Spark side (assignment cosine and per-dim means both to
+  * 6dp) — verified bit-identical codebooks at sf0.01. Used by the
+  * emb_ann_ivf and emb_ivf_recall oracles.
+  */
+object OracleKmeans {
+  /** Cosine between a float-list embedding (alias `a`) and a
+    * double-list centroid (alias `c`). */
+  def cosFD(a: String, c: String): String =
+    s"""list_aggregate(list_transform(list_zip($a.embedding, $c.cemb),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+       |      / (sqrt(list_aggregate(list_transform($a.embedding,
+       |           x -> CAST(x AS DOUBLE) * x), 'sum'))
+       |       * sqrt(list_aggregate(list_transform($c.cemb,
+       |           x -> x * x), 'sum')))""".stripMargin
+
+  private def iteration(i: Int): String =
+    s"""a$i AS (SELECT e.vec_id, e.embedding, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(${cosFD("e", "c")}, 6) DESC, c.cid) AS rn
+       |       FROM embeddings e JOIN c${i - 1} c ON true),
+       |m$i AS (SELECT cid, j, round(avg(CAST(x AS DOUBLE)), 6) AS m
+       |       FROM (SELECT cid, unnest(embedding) AS x,
+       |                    unnest(range(1, len(embedding) + 1)) AS j
+       |             FROM a$i WHERE rn = 1) t
+       |       GROUP BY cid, j),
+       |n$i AS (SELECT cid, list(m ORDER BY j) AS cemb FROM m$i GROUP BY cid),
+       |c$i AS (SELECT c.cid, coalesce(n.cemb, c.cemb) AS cemb
+       |       FROM c${i - 1} c LEFT JOIN n$i n ON c.cid = n.cid)""".stripMargin
+
+  /** WITH-list fragment ending in `cent(cid, cemb)`. */
+  val codebookCtes: String =
+    s"""seedord AS (SELECT vec_id, embedding,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |                           vec_id) - 1 AS cid
+       |      FROM embeddings),
+       |c0 AS (SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |         AS cemb
+       |       FROM seedord WHERE cid < 16),
+       |${iteration(1)},
+       |${iteration(2)},
+       |${iteration(3)},
+       |cent AS (SELECT cid, cemb FROM c3)""".stripMargin
+}
+
 /** DuckDB oracles for the beyond-SURVEY training-data-pipeline keys. */
 object OracleExtra {
   private val cosinePair =
@@ -68,11 +114,11 @@ object OracleExtra {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "emb_ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-        |              WHERE vec_id < 16),
+      s"""WITH ${OracleKmeans.codebookCtes},
         |rnk AS (SELECT a.vec_id, b.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round($cosinePair, 6) DESC, b.cid) AS rn
+        |      ORDER BY round(${OracleKmeans.cosFD("a", "b")}, 6) DESC,
+        |               b.cid) AS rn
         |  FROM embeddings a JOIN cent b ON true),
         |idx AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
         |        FROM embeddings e JOIN rnk r

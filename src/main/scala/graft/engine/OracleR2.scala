@@ -234,11 +234,11 @@ object OracleR2 {
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "emb_ivf_recall" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
-        |              WHERE vec_id < 16),
+      s"""WITH ${OracleKmeans.codebookCtes},
         |rnk AS (SELECT a.vec_id, b.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round($cosinePair, 6) DESC, b.cid) AS rn
+        |      ORDER BY round(${OracleKmeans.cosFD("a", "b")}, 6) DESC,
+        |               b.cid) AS rn
         |  FROM embeddings a JOIN cent b ON true),
         |idx AS (SELECT e.vec_id, e.embedding, r.cid AS cell_id
         |        FROM embeddings e JOIN rnk r

@@ -99,13 +99,17 @@ object QueriesExtra {
         "size(array_distinct(regexp_extract_all(text, '[a-z]+', 0))) AS n_uniq_alpha")
       .orderBy("doc_id")
 
-  /** IVF-style approximate nearest neighbors: 16 coarse centroids
-    * (vec_id < 16 as the fixed codebook), index under the nearest,
-    * probe the 4 closest cells, exact top-3 within them. */
+  /** IVF-style approximate nearest neighbors over a TRAINED codebook:
+    * 16 coarse centroids from Ops.kmeansCodebook (deterministic seeded
+    * k-means, 3 Lloyd iterations — replaces the earlier fixed
+    * `vec_id < 16` slice, whose arbitrary unbalanced cells capped
+    * recall), index under the nearest, probe the 4 closest cells,
+    * exact top-3 within them. The DuckDB oracle re-derives the same
+    * codebook (unrolled iterations), so the key stays hash-matched;
+    * recall@3 improvement is gated by emb_ivf_recall. */
   def embAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val cent = Artifacts.ivfCodebook(s, d)
     Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
       .orderBy("vec_id", "rk")
   }

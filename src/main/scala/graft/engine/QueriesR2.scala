@@ -329,8 +329,7 @@ object QueriesR2 {
     * knnBruteForce) in one plan. */
   def embIvfRecall(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val cent = Artifacts.ivfCodebook(s, d)
     val ann = Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
       .select("vec_id", "neighbor_id")
     val exact = Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding",

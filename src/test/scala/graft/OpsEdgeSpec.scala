@@ -248,6 +248,57 @@ class OpsEdgeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
+  test("kmeansCodebook: identical codebook at 2 and 7 partitions; recovers orthogonal clusters") {
+    import spark.implicits._
+    // 3 orthogonal clusters in 8 dims; ids placed so that the md5-order
+    // seed pick (computed here with the same rule) lands one seed per
+    // cluster — Lloyd then provably separates them within 3 iterations.
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md5.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 12L).sortBy(i => (h(i), i))
+    val rnd = new scala.util.Random(3)
+    def point(cluster: Int): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextFloat() * 0.05f)
+      v(cluster) = 1.0f; v
+    }
+    // first three md5-ordered ids → clusters 0,1,2; rest round-robin
+    val data = ids.zipWithIndex.map { case (id, i) =>
+      val c = i % 3
+      (id, c, point(c))
+    }
+    val df = data.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val want = data.map { case (id, c, _) => id -> c }.toMap
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val books = Seq("2", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        Ops.kmeansCodebook(df, "vec_id", "embedding", k = 3, iters = 3)
+          .orderBy("cid").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      }
+      assert(books(0).toSeq == books(1).toSeq,
+        s"codebook differs across partitionings:\n${books(0).toSeq}\n${books(1).toSeq}")
+      // assignment under the trained codebook == the true clusters
+      // (up to centroid naming): same-cluster points share a cell,
+      // different clusters never do
+      graft.engine.Exprs.register(spark)
+      val cb = Ops.kmeansCodebook(df, "vec_id", "embedding", 3, 3)
+      val cells = df.crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+                round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
+                col("cid"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val byCell = cells.groupBy(_._2).values.map(_.keySet).toSet
+      val byCluster = want.groupBy(_._2).values.map(_.keySet).toSet
+      assert(byCell == byCluster, s"cells=$byCell clusters=$byCluster")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
