@@ -355,6 +355,32 @@ object Ops {
               col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
   }
 
+  /** Pure range join (|left − right| ≤ radius with NO equi key) by
+    * bucket binning — the 100 TB recipe for range predicates that
+    * would otherwise demand a nested-loop cross product: both sides
+    * bin their value by `binWidth`; the left row is replicated into
+    * its bin and both neighbors (sufficient coverage iff binWidth ≥
+    * radius, which is required), the join becomes an ordinary
+    * shuffled/broadcast EQUI join on the bin, and the exact range
+    * predicate filters the ~3× candidate surplus. Each qualifying
+    * pair matches in exactly one bin (the right row's), so no dedup
+    * pass is needed. Skew = the hottest bin; widen binWidth or
+    * pre-aggregate per value (see join_range_binned) to bound it. */
+  def rangeJoinBinned(left: DataFrame, leftVal: String,
+                      right: DataFrame, rightVal: String,
+                      radius: Long, binWidth: Long): DataFrame = {
+    require(binWidth >= radius && radius >= 0,
+      s"need binWidth >= radius >= 0, got binWidth=$binWidth radius=$radius")
+    val lb = left.withColumn("_bin",
+      explode(array(expr(s"$leftVal div $binWidth") - 1,
+                    expr(s"$leftVal div $binWidth"),
+                    expr(s"$leftVal div $binWidth") + 1)))
+    val rb = right.withColumn("_bin", expr(s"$rightVal div $binWidth"))
+    lb.join(rb, "_bin")
+      .filter(abs(col(leftVal) - col(rightVal)) <= radius)
+      .drop("_bin")
+  }
+
   /** Deterministic seeded k-means codebook for IVF indexing: `k`
     * centroids trained with a FIXED number of Lloyd iterations, every
     * arithmetic step pinned so two engines (or two partitionings)

@@ -81,7 +81,12 @@ object QueriesDedup {
         s"transform(sequence(1, length(text) - ${n - 1}, 4), i -> substring(text, i, $n))"))
         .as("shingle"))
       .distinct()
-    Ops.minhashNearDupFrom(g, "doc_id", threshold = 0.8)
+    // Same P6 artifact treatment as the word-shingle pair list
+    // (Artifacts.nearDupPairs): the char-gram LSH pipeline materializes
+    // once per (plan × corpus fingerprint).
+    ArtifactCache.materialize(
+      Ops.minhashNearDupFrom(g, "doc_id", threshold = 0.8),
+      Artifacts.cacheRoot, "ngram_jaccard_pairs")
       .orderBy("id1", "id2")
   }
 

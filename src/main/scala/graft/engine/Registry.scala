@@ -123,9 +123,16 @@ object Registry {
     "events_anomaly_zscore" -> QueriesR2.eventsAnomalyZscore _,
     "fn_trig"             -> QueriesR2.fnTrig _,
     "agg_weighted_stats"  -> QueriesR2.aggWeightedStats _,
+    // Round-3 coverage wave: join-at-scale recipes, deep relational,
+    // random-projection dim reduction
+    "join_range_binned"   -> QueriesR3.joinRangeBinned _,
+    "join_skew_salted"    -> QueriesR3.joinSkewSalted _,
+    "q18_large_orders"    -> QueriesR3.q18LargeOrders _,
+    "emb_random_projection" -> QueriesR3.embRandomProjection _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
-      OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql
+      OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
+      OracleR3.sql
 }

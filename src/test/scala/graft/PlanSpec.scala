@@ -97,6 +97,21 @@ class PlanSpec extends SparkTestBase {
       s"shingle-array aggregate not candidate-filtered:\n$p")
   }
 
+  test("binned range join stays an equi join (no nested loop, no cartesian)") {
+    val p = plan("join_range_binned")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"range join lost its bin equi key:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degraded to a cross product:\n$p")
+  }
+
+  test("salted skew join shuffles on (key, salt), not a broadcast") {
+    // the salt only spreads hot keys if the join is actually shuffled
+    val p = plan("join_skew_salted")
+    assert(p.contains("SortMergeJoin"), s"salted join lost its merge hint:\n$p")
+  }
+
   test("annIvf scans the codebook once (index reuses the probe ranking's shuffle)") {
     // index cells and probe cells now come from one identical ranked
     // subtree — after execution the adaptive plan must show the
