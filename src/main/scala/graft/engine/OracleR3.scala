@@ -37,6 +37,70 @@ object OracleR3 {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
+    "docs_chunk_windows" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |ch AS (SELECT doc_id, i,
+        |         CAST((i - 1) // 24 AS INT) AS chunk_idx,
+        |         tokens[i : i + 31] AS ctoks
+        |       FROM (SELECT doc_id, tokens,
+        |               unnest(range(1, greatest(len(tokens) - 31, 1) + 1, 24))
+        |                 AS i
+        |             FROM tok) t)
+        |SELECT doc_id, chunk_idx, i AS start_tok,
+        |       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+        |       substr(md5(array_to_string(ctoks, ' ')), 1, 16) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "docs_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(tokens[i : i + 7], ' ') AS shingle
+        |       FROM (SELECT doc_id, tokens,
+        |               unnest(range(1, len(tokens) - 6)) AS i
+        |             FROM tok WHERE len(tokens) >= 8) t),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       count(b.shingle) AS n_hit,
+        |       round(CAST(count(b.shingle) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS contamination
+        |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) s
+        |LEFT JOIN bench b ON s.shingle = b.shingle
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "docs_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(tokens) - 1),
+        |          i -> array_to_string(tokens[i : i + 2], ' ')) AS grams
+        |      FROM tok WHERE len(tokens) >= 3)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |             / CAST(len(grams) AS DOUBLE), 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "docs_source_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     "emb_random_projection" ->
       """WITH planes AS (
         |  SELECT a.p, b.j,

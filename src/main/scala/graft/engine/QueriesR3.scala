@@ -78,6 +78,93 @@ object QueriesR3 {
       .limit(20)
   }
 
+  /** Overlapping token-window chunking (size 32, stride 24) — the
+    * document→training-sample splitter every LLM data pipeline runs
+    * before tokenization. Entirely array-native per row (sequence of
+    * starts → slice): a narrow map-side explode with no shuffle, so it
+    * streams at scan speed over 100 TB. Short docs yield one chunk
+    * with all their tokens. */
+  def docsChunkWindows(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(size(tokens) - 31, 1), 24), i -> struct(i AS start_tok, slice(tokens, i, 32) AS ctoks))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+              col("col.start_tok").as("start_tok"),
+              size(col("col.ctoks")).cast("long").as("n_tokens"),
+              substring(md5(array_join(col("col.ctoks"), " ")), 1, 16)
+                .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Benchmark decontamination: per candidate document, the fraction
+    * of its 8-gram shingles that appear in ANY "benchmark" document
+    * (here: doc_id % 50 == 0 stands in for the eval set). The scale
+    * shape every decontamination pass uses: the benchmark shingle set
+    * is tiny relative to the corpus → broadcast it; candidate shingles
+    * probe it map-side and aggregate per doc — the corpus is scanned
+    * once and never shuffled on the shingle. */
+  def docsContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Ops.shingles(documents(s, d), "doc_id", "text", 8)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select("shingle").distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signal: duplicate 3-gram ratio per doc
+    * (1 − distinct/total). Array-native — the gram set never leaves
+    * its row. */
+  def docsRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(tokens) - 2), i -> array_join(slice(tokens, i, 3), ' '))")
+        .as("g"))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+              size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+
+  /** Data-mixture report: per-source doc counts, mean length, distinct
+    * languages — the first dashboard any corpus build looks at. Integer
+    * sums stay exact in doubles (< 2^53), so the rounded avg is
+    * order-free. */
+  def docsSourceMix(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+           countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+
+  /** TPC-H Q10 shape (returned-item revenue per customer): returned
+    * lineitems only, revenue = Σ price×(1−discount) in a DECIMAL
+    * accumulator (addition-order-proof at any scale), joined through
+    * orders to customer and nation, top 20. Same reduce-before-join
+    * posture as q18. */
+  def q10ReturnedRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .cast("decimal(18,2)")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Random-projection dimensionality reduction (64 → 8 dims): the
     * same md5-derived deterministic hyperplanes as emb_ann_lsh, but
     * emitting the CONTINUOUS projections — the cheap JL-style

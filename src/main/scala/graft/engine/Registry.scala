@@ -128,7 +128,12 @@ object Registry {
     "join_range_binned"   -> QueriesR3.joinRangeBinned _,
     "join_skew_salted"    -> QueriesR3.joinSkewSalted _,
     "q18_large_orders"    -> QueriesR3.q18LargeOrders _,
+    "q10_returned_revenue" -> QueriesR3.q10ReturnedRevenue _,
     "emb_random_projection" -> QueriesR3.embRandomProjection _,
+    "docs_chunk_windows"  -> QueriesR3.docsChunkWindows _,
+    "docs_contamination"  -> QueriesR3.docsContamination _,
+    "docs_repetition"     -> QueriesR3.docsRepetition _,
+    "docs_source_mix"     -> QueriesR3.docsSourceMix _,
   )
 
   val oracleSql: ListMap[String, String] =
