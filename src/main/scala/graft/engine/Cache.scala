@@ -133,4 +133,30 @@ object Artifacts {
       ArtifactCache.artifactHash(e))(
       Ops.kmeansCodebook(e, "vec_id", "embedding", k, iters))
   }
+
+  /** Exact top-5 cosine neighbors for the embeddings table — the
+    * ground-truth artifact: `emb_knn_bruteforce` serves it directly and
+    * `emb_ivf_recall` reads its top-3 prefix (a bounded top-k under a
+    * fixed order rule is prefix-closed, so the k=5 list's first 3 rows
+    * ARE the k=3 result). Keyed on the input: the kernel streams
+    * driver-broadcast blocks, so its own plan has no stable hash. */
+  def knnTop5(s: org.apache.spark.sql.SparkSession,
+              dataDir: String): DataFrame = {
+    val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
+    ArtifactCache.materializeKeyed(s, cacheRoot, "knn_top5",
+      ArtifactCache.artifactHash(e))(
+      Ops.knnBruteForce(e, "vec_id", "embedding", k = 5))
+  }
+
+  /** The IVF ANN result (k=3, nprobe=4, trained 16×3 codebook) —
+    * shared by `emb_ann_ivf` and `emb_ivf_recall`. Name carries the
+    * hyperparameters; hash carries the corpus fingerprint. */
+  def annIvfTop3(s: org.apache.spark.sql.SparkSession,
+                 dataDir: String): DataFrame = {
+    val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
+    ArtifactCache.materializeKeyed(s, cacheRoot, "ann_ivf_k3_np4_c16i3",
+      ArtifactCache.artifactHash(e))(
+      Ops.annIvf(e, "vec_id", "embedding", ivfCodebook(s, dataDir),
+                 k = 3, nprobe = 4))
+  }
 }

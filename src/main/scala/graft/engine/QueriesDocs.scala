@@ -85,7 +85,7 @@ object QueriesDocs {
     * bounded aggregate) lives on in Ops.annIvf, where cells are joined
     * rather than broadcast. */
   def embKnnBruteforce(s: SparkSession, d: String): DataFrame =
-    Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding", k = 5)
+    Artifacts.knnTop5(s, d)
       .orderBy("vec_id", "rk")
 
   /** Per-label mean vector; each vector's L2 distance to its own

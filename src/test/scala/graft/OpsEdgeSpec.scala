@@ -248,6 +248,33 @@ class OpsEdgeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
+  test("property: rangeJoinBinned equals the filtered cross product on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 5) {
+      val left = (0 until (1 + rnd.nextInt(20))).map(i =>
+        (i.toLong, rnd.nextInt(200).toLong))
+      val right = (0 until (1 + rnd.nextInt(20))).map(i =>
+        (i.toLong + 1000, rnd.nextInt(200).toLong))
+      val radius = rnd.nextInt(10).toLong
+      val binWidth = radius + 1 + rnd.nextInt(10)
+      val want = (for {
+        (lid, lv) <- left
+        (rid, rv) <- right
+        if math.abs(lv - rv) <= radius
+      } yield (lid, rid)).toSet
+      val got = Ops.rangeJoinBinned(
+          left.toDF("lid", "lv"), "lv",
+          right.toDF("rid", "rv"), "rv", radius, binWidth)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // each qualifying pair exactly once (no dup from neighbor bins)
+      assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toSeq}")
+      assert(got.toSet == want,
+        s"radius=$radius bin=$binWidth\ngot=${got.toSet}\nwant=$want")
+    }
+  }
+
   test("kmeansCodebook: identical codebook at 2 and 7 partitions; recovers orthogonal clusters") {
     import spark.implicits._
     // 3 orthogonal clusters in 8 dims; ids placed so that the md5-order

@@ -115,8 +115,15 @@ class PlanSpec extends SparkTestBase {
   test("annIvf scans the codebook once (index reuses the probe ranking's shuffle)") {
     // index cells and probe cells now come from one identical ranked
     // subtree — after execution the adaptive plan must show the
-    // codebook cross-join's exchange reused, not recomputed
-    val df = SparkEntry.queries("emb_ann_ivf")(spark, sfDir)
+    // codebook cross-join's exchange reused, not recomputed. (The
+    // emb_ann_ivf KEY serves the cached artifact, so the shape
+    // assertion targets the operator that produces it.)
+    import graft.engine.{Ops, Tables}
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cent = e.filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cid"),
+              org.apache.spark.sql.functions.col("embedding").as("cemb"))
+    val df = Ops.annIvf(e, "vec_id", "embedding", cent, k = 3, nprobe = 4)
     df.collect() // execute THIS plan (count() would derive a new one)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
