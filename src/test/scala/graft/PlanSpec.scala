@@ -112,6 +112,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin"), s"salted join lost its merge hint:\n$p")
   }
 
+  test("contamination probe broadcasts the benchmark shingle set") {
+    val p = plan("docs_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set not broadcast (corpus would shuffle on shingle):\n$p")
+  }
+
+  test("chunking is map-side only: no exchange before the explode") {
+    val p = plan("docs_chunk_windows")
+    // exactly one exchange: the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "ReusedExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunking shuffles before the sort:\n$p")
+  }
+
   test("annIvf scans the codebook once (index reuses the probe ranking's shuffle)") {
     // index cells and probe cells now come from one identical ranked
     // subtree — after execution the adaptive plan must show the
