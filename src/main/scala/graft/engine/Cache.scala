@@ -64,7 +64,10 @@ object ArtifactCache {
     * whose PRODUCING frame has no stable hash — e.g. an iteratively
     * trained model whose plan is checkpoint-backed (LogicalRDD ids
     * change every run). The caller hashes the artifact's INPUTS +
-    * parameters instead; `compute` is only evaluated on a miss. */
+    * parameters instead; `compute` is only evaluated on a miss.
+    * IMPORTANT: the input hash cannot see the producing CODE — callers
+    * version the artifact name (…_v1) and bump it whenever the
+    * producing algorithm changes, or stale results survive. */
   def materializeKeyed(spark: SparkSession, cacheRoot: String, name: String,
                        hash: String)(compute: => DataFrame): DataFrame = {
     val dir = new Path(s"$cacheRoot/$name-$hash")
@@ -129,7 +132,7 @@ object Artifacts {
                   k: Int = 16, iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
     ArtifactCache.materializeKeyed(
-      s, cacheRoot, s"ivf_codebook_k${k}_i$iters",
+      s, cacheRoot, s"ivf_codebook_v1_k${k}_i$iters",
       ArtifactCache.artifactHash(e))(
       Ops.kmeansCodebook(e, "vec_id", "embedding", k, iters))
   }
@@ -143,7 +146,7 @@ object Artifacts {
   def knnTop5(s: org.apache.spark.sql.SparkSession,
               dataDir: String): DataFrame = {
     val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
-    ArtifactCache.materializeKeyed(s, cacheRoot, "knn_top5",
+    ArtifactCache.materializeKeyed(s, cacheRoot, "knn_top5_v1",
       ArtifactCache.artifactHash(e))(
       Ops.knnBruteForce(e, "vec_id", "embedding", k = 5))
   }
@@ -154,7 +157,7 @@ object Artifacts {
   def annIvfTop3(s: org.apache.spark.sql.SparkSession,
                  dataDir: String): DataFrame = {
     val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
-    ArtifactCache.materializeKeyed(s, cacheRoot, "ann_ivf_k3_np4_c16i3",
+    ArtifactCache.materializeKeyed(s, cacheRoot, "ann_ivf_v1_k3_np4_c16i3",
       ArtifactCache.artifactHash(e))(
       Ops.annIvf(e, "vec_id", "embedding", ivfCodebook(s, dataDir),
                  k = 3, nprobe = 4))

@@ -101,6 +101,34 @@ object OracleR3 {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "scan_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |       count(o_totalprice) AS n_with_price,
+        |       round(sum(o_totalprice), 4) AS total
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "events_session_native" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM m)
+        |SELECT user_id, min(ts) AS s_start,
+        |       max(ts) + INTERVAL '30 minutes' AS s_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, s_start""".stripMargin,
+
     "emb_random_projection" ->
       """WITH planes AS (
         |  SELECT a.p, b.j,

@@ -165,6 +165,42 @@ object QueriesR3 {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Parquet schema evolution: two file batches with different column
+    * sets (the second adds o_totalprice) read back through one
+    * mergeSchema scan — the data-lake scenario where a table's schema
+    * widened mid-history. Missing columns surface as nulls; the
+    * aggregate counts them. At 100 TB mergeSchema's footer-merge cost
+    * is why production tables pin schemas in a catalog — the scaladoc
+    * trade-off the operator demonstrates. */
+  def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo_").toString
+    val o = orders(s, d)
+    o.select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_totalprice")).as("n_with_price"),
+           round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** NATIVE session_window in batch — the same Spark operator the
+    * streaming surface uses (StreamingSpec), now oracle-checked: the
+    * engine-native gap-merge must equal the portable gaps-and-islands
+    * spelling (events_session) on start/count, with end = last event
+    * + gap by definition. One shuffle on user_id. */
+  def eventsSessionNative(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+              col("sw.end").as("s_end"), col("n_events"))
+      .orderBy("user_id", "s_start")
+
   /** Random-projection dimensionality reduction (64 → 8 dims): the
     * same md5-derived deterministic hyperplanes as emb_ann_lsh, but
     * emitting the CONTINUOUS projections — the cheap JL-style

@@ -134,6 +134,8 @@ object Registry {
     "docs_contamination"  -> QueriesR3.docsContamination _,
     "docs_repetition"     -> QueriesR3.docsRepetition _,
     "docs_source_mix"     -> QueriesR3.docsSourceMix _,
+    "scan_schema_evolution" -> QueriesR3.scanSchemaEvolution _,
+    "events_session_native" -> QueriesR3.eventsSessionNative _,
   )
 
   val oracleSql: ListMap[String, String] =
