@@ -90,8 +90,8 @@ object OracleR3 {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |                     AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

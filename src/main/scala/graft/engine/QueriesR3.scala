@@ -151,7 +151,15 @@ object QueriesR3 {
     * lineitems only, revenue = Σ price×(1−discount) in a DECIMAL
     * accumulator (addition-order-proof at any scale), joined through
     * orders to customer and nation, top 20. Same reduce-before-join
-    * posture as q18. */
+    * posture as q18.
+    *
+    * The per-row product has EXACTLY 4 decimal digits (2-digit price ×
+    * 2-digit discount), so it is rounded to that grid BEFORE the
+    * decimal cast: casting the raw double to DECIMAL(18,2) lands
+    * half-cent products (x.xx5) on a rounding boundary where Spark
+    * (HALF_UP on the decimal repr) and DuckDB (binary rounding)
+    * disagree by one cent — measured at sf0.001. On the 4-decimal
+    * grid the value is never mid-boundary, so the cast is exact. */
   def q10ReturnedRevenue(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_returnflag") === "R")
@@ -159,8 +167,8 @@ object QueriesR3 {
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-             .cast("decimal(18,2)")).cast("double").as("revenue"),
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+             .cast("decimal(18,4)")).cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
