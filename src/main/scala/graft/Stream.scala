@@ -68,9 +68,16 @@ object Stream {
              outDir: String): Map[String, Long] = {
     val inDir = s"$outDir/input"
     new java.io.File(inDir).mkdirs()
+    // Stage under a FINGERPRINTED name: FileStreamSource dedups files
+    // by path in its checkpoint, so re-staging changed data at a
+    // constant name would be silently ignored on a rerun with the same
+    // outDir. A (length, mtime)-derived name makes new data a new
+    // file — exactly the append-only contract the source expects.
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}-" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(sfDir, "events.parquet"),
-      java.nio.file.Paths.get(inDir, "events.parquet"),
+      src, java.nio.file.Paths.get(inDir, s"events-$fp.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     queries(spark, inDir).map { case (name, df) =>
       val q = df.writeStream

@@ -74,15 +74,39 @@ object ArtifactCache {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dir, "_SUCCESS")
     if (!fs.exists(success)) {
+      sweepStaleInflight(fs, new Path(cacheRoot))
       val scratch = new Path(
         s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
       compute.write.mode("overwrite").parquet(scratch.toString)
-      if (!fs.exists(success)) {
-        if (!fs.rename(scratch, dir)) fs.delete(scratch, true)
-      } else fs.delete(scratch, true)
+      // Self-heal: an artifact dir WITHOUT _SUCCESS is a corpse from a
+      // killed run — serving its partial part-files would be silently
+      // wrong forever. Remove it before installing the fresh copy.
+      if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
+      // Install unless a concurrent winner appeared. Checking exists(dir)
+      // (not just _SUCCESS) also avoids the local-FS rename fallback that
+      // would "succeed" by nesting scratch INSIDE an existing dir. The
+      // remaining TOCTOU window can only nest a dot-prefixed dir that
+      // parquet readers ignore and the next call's heal branch removes.
+      if (fs.exists(dir) || !fs.rename(scratch, dir))
+        fs.delete(scratch, true)
     }
     spark.read.parquet(dir.toString)
   }
+
+  /** Best-effort GC of `.inflight-*` scratch dirs older than 6 h —
+    * leftovers from crashed computes or lost rename races. */
+  private def sweepStaleInflight(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: Path): Unit =
+    try {
+      if (fs.exists(root)) {
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        fs.listStatus(root).foreach { st =>
+          if (st.getPath.getName.startsWith(".inflight-") &&
+              st.getModificationTime < cutoff)
+            try fs.delete(st.getPath, true) catch { case _: Exception => }
+        }
+      }
+    } catch { case _: Exception => () }
 
   /** True iff `materialize` would skip recomputation. */
   def isCached(df: DataFrame, cacheRoot: String, name: String): Boolean = {

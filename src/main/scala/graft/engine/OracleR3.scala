@@ -108,7 +108,8 @@ object OracleR3 {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
         |SELECT o_orderstatus, count(*) AS n_rows,
         |       count(o_totalprice) AS n_with_price,
-        |       round(sum(o_totalprice), 4) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "events_session_native" ->

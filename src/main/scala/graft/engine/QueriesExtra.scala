@@ -217,10 +217,7 @@ object QueriesExtra {
     * (PartitionFilters in the plan), which is what keeps a year-scoped
     * query from touching 100 TB. */
   def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
-    // Unique per-call dir — same concurrent-runs rationale as
-    // QueriesRel2.scanMultiformat.
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_partitioned_orders_").toString
+    val tmp = RunScratch.dir("partitioned_orders")
     orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -181,18 +181,21 @@ object QueriesR3 {
     * is why production tables pin schemas in a catalog — the scaladoc
     * trade-off the operator demonstrates. */
   def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_schema_evo_").toString
+    val tmp = RunScratch.dir("schema_evo")
     val o = orders(s, d)
     o.select("o_orderkey", "o_orderstatus")
       .write.mode("overwrite").parquet(s"$tmp/batch=1")
     o.select("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    // DECIMAL accumulator: this sum is ~2.5e10 over 30k doubles, where
+    // round(sum_double, 4) sits in addition-order ulp noise (the
+    // repo's decimal-sum rule; measured unstable across orders).
     s.read.option("mergeSchema", "true").parquet(tmp)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
            count(col("o_totalprice")).as("n_with_price"),
-           round(sum("o_totalprice"), 4).as("total"))
+           sum(col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").as("total"))
       .orderBy("o_orderstatus")
   }
 

@@ -28,13 +28,9 @@ object QueriesRel2 {
     * original table (oracle = plain scan of region). */
   def scanMultiformat(s: SparkSession, d: String): DataFrame = {
     val r = region(s, d)
-    // Unique per-call directory: a fixed shared path under tmp races
-    // with concurrent driver/bench/test runs on the same host (one
-    // process could read another's half-written output). The dir must
-    // outlive this call — the returned frame reads it lazily — so it
-    // is left for tmp reaping rather than deleted here.
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_multiformat_").toString
+    // Per-JVM scratch dir (RunScratch): isolated from concurrent
+    // processes, reused (overwritten) across calls within this JVM.
+    val tmp = RunScratch.dir("multiformat")
     r.write.mode("overwrite").json(s"$tmp/json")
     r.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     val j = s.read.schema(r.schema).json(s"$tmp/json")
@@ -49,9 +45,7 @@ object QueriesRel2 {
     * surface as parquet. */
   def scanOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val n = nation(s, d)
-    // Unique per-call dir — same concurrent-runs rationale as
-    // scanMultiformat above.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val tmp = RunScratch.dir("orc")
     n.write.mode("overwrite").orc(tmp)
     s.read.schema(n.schema).orc(tmp).orderBy("n_nationkey")
   }

@@ -24,6 +24,25 @@ class PipelineSpec extends SparkTestBase {
     assert(out1.count() == df.count())
   }
 
+  test("materializeKeyed heals an artifact dir left without _SUCCESS") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cache_heal").toString
+    val hash = "deadbeef"
+    // corpse from a killed run: dir with a junk file, no _SUCCESS
+    val corpse = new java.io.File(s"$root/thing-$hash")
+    corpse.mkdirs()
+    Files.writeString(corpse.toPath.resolve("part-junk.parquet"), "junk")
+    val got = ArtifactCache.materializeKeyed(spark, root, "thing", hash)(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(got.count() == 2) // fresh data, not the corpse
+    assert(new java.io.File(corpse, "_SUCCESS").exists())
+    assert(!corpse.toPath.resolve("part-junk.parquet").toFile.exists())
+    // and the cached read-back path serves the healed artifact
+    val again = ArtifactCache.materializeKeyed(spark, root, "thing", hash)(
+      sys.error("must not recompute on hit"))
+    assert(again.count() == 2)
+  }
+
   test("json pipeline: query stage + sql stage over it + cached stage") {
     val root = Files.createTempDirectory("graft_pipe_test").toString
     val json =
