@@ -130,6 +130,19 @@ object OracleR3 {
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, s_start""".stripMargin,
 
+    "events_topk_per_window" ->
+      """WITH per AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+        |           AS wstart,
+        |         user_id, round(sum(value), 4) AS sv
+        |  FROM events GROUP BY wstart, user_id),
+        |r AS (SELECT wstart, user_id, sv,
+        |        row_number() OVER (PARTITION BY wstart
+        |                           ORDER BY sv DESC, user_id) AS rk
+        |      FROM per)
+        |SELECT wstart, rk, user_id, sv AS total_value
+        |FROM r WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin,
+
     "emb_random_projection" ->
       """WITH planes AS (
         |  SELECT a.p, b.j,

@@ -212,6 +212,28 @@ object QueriesR3 {
               col("sw.end").as("s_end"), col("n_events"))
       .orderBy("user_id", "s_start")
 
+  /** Top-3 users by summed value per 6-hour tumbling window — the
+    * bounded TopKByScore aggregate composed with event-time windowing
+    * (its second context after annIvf): per (window, user) partials
+    * map-side-combine, then only k rows per window cross the wire —
+    * never a rank-filter window over the full (window, user) space.
+    * Per-user sums rounded to 4dp so the (score DESC, id ASC) tie rule
+    * is engine-identical. */
+  def eventsTopkPerWindow(s: SparkSession, d: String): DataFrame = {
+    TopK.register(s)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "10000000")
+    events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(round(sum("value"), 4).as("sv"))
+      .groupBy(col("w"))
+      .agg(expr("topk_by_score(sv, user_id, 3)").as("t"))
+      .select(col("w.start").as("wstart"), posexplode(col("t")))
+      .select(col("wstart"), (col("pos") + 1).as("rk"),
+              col("col.id").as("user_id"), col("col.score").as("total_value"))
+      .orderBy("wstart", "rk")
+  }
+
   /** Random-projection dimensionality reduction (64 → 8 dims): the
     * same md5-derived deterministic hyperplanes as emb_ann_lsh, but
     * emitting the CONTINUOUS projections — the cheap JL-style

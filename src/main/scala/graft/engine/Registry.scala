@@ -136,6 +136,7 @@ object Registry {
     "docs_source_mix"     -> QueriesR3.docsSourceMix _,
     "scan_schema_evolution" -> QueriesR3.scanSchemaEvolution _,
     "events_session_native" -> QueriesR3.eventsSessionNative _,
+    "events_topk_per_window" -> QueriesR3.eventsTopkPerWindow _,
   )
 
   val oracleSql: ListMap[String, String] =
