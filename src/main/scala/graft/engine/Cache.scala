@@ -30,15 +30,33 @@ object ArtifactCache {
       .map("%02x".format(_)).mkString
 
   /** Stable content hash of a DataFrame's computation + inputs.
-    * Includes Dataset.semanticHash and the full schema alongside the
-    * canonicalized plan string: Spark TRUNCATES long plan strings
-    * (SparkStringUtils), so the string alone could collide for wide
-    * plans differing only in truncated regions. */
+    *
+    * DELIBERATELY NOT `Dataset.semanticHash`: that hashes the
+    * canonicalized tree's `hashCode`, which folds in
+    * `Class.hashCode()` of non-case-class nodes (e.g.
+    * `ParquetFileFormat` inside `HadoopFsRelation`) — a value that
+    * changes every JVM launch. Measured in round 3: one unchanged
+    * embeddings input produced SEVEN distinct artifact hashes across
+    * one driver session's JVMs, so artifacts were recomputed by every
+    * phase instead of reused. The canonicalized plan STRING is
+    * JVM-stable (verified: identical across processes while
+    * semanticHash differed), so the hash is built from it plus the
+    * full schema JSON. Spark truncates long field lists in plan
+    * strings (`spark.sql.debug.maxToStringFields`, default 25), which
+    * could collide wide plans differing only in truncated regions —
+    * the conf is raised around the render so nothing truncates. */
   def artifactHash(df: DataFrame): String = {
-    val planPart = df.semanticHash().toString + "\n" +
-      df.schema.json + "\n" +
-      df.queryExecution.logical.canonicalized.toString
     val spark = df.sparkSession
+    val key = "spark.sql.debug.maxToStringFields"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "100000")
+    val planPart =
+      try df.schema.json + "\n" +
+        df.queryExecution.logical.canonicalized.toString
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     val conf = spark.sparkContext.hadoopConfiguration
     val inputPart = df.inputFiles.sorted.map { f =>
       val p = new Path(f)
