@@ -137,10 +137,13 @@ object Registry {
     "scan_schema_evolution" -> QueriesR3.scanSchemaEvolution _,
     "events_session_native" -> QueriesR3.eventsSessionNative _,
     "events_topk_per_window" -> QueriesR3.eventsTopkPerWindow _,
+    // Round-4 coverage wave: correlated-subquery planning surface
+    "q17_small_qty_revenue" -> QueriesR4.q17SmallQtyRevenue _,
+    "q21_last_shipper"    -> QueriesR4.q21LastShipper _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
-      OracleR3.sql
+      OracleR3.sql ++ OracleR4.sql
 }

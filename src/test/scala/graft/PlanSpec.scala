@@ -143,4 +143,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
       s"codebook assignment computed twice (no exchange reuse):\n$p")
   }
+
+  test("q17 correlated scalar subqueries decorrelate to joins (no per-row subplan)") {
+    val p = plan("q17_small_qty_revenue")
+    // RewriteCorrelatedScalarSubquery must leave NO subquery node in
+    // the physical plan — a surviving Subquery/InSubquery would mean a
+    // per-outer-row rescan of lineitem at 100 TB.
+    assert(!p.contains("Subquery"), s"correlated subquery not decorrelated:\n$p")
+    // the decorrelated per-part aggregate joins back via an equi join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"no equi join carrying the decorrelated aggregate:\n$p")
+    assert(!p.contains("NestedLoop"), s"q17 degraded to nested loop:\n$p")
+  }
+
+  test("q21 EXISTS/NOT EXISTS rewrite to semi/anti joins on the order key") {
+    val p = plan("q21_last_shipper")
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$p")
+    assert(!p.contains("Subquery"), s"correlated exists not decorrelated:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"q21 anti join lost its equi key (nested loop):\n$p")
+  }
 }
