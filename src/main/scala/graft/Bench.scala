@@ -13,10 +13,28 @@ object Bench {
     // One untimed warmup execution per query, then the timed run —
     // matching BASELINE.md's methodology ("median of 3 runs after 1
     // warm-up"): the baseline numbers exclude JIT/codegen warmup, so
-    // comparable measurements must too. Skip warmup with
-    // SPARK_GRAFT_BENCH_COLD=1.
+    // comparable measurements must too.
+    //
+    // SPARK_GRAFT_BENCH_COLD=1 is the mechanical cold-kernel probe:
+    // it skips warmup AND wipes the artifact cache first, so
+    // artifact-backed keys (knn / ann_ivf / ivf_recall / dedup
+    // family) time their full compute — a kernel regression cannot
+    // hide behind P6 reuse. SPARK_GRAFT_BENCH_KEYS=k1,k2 restricts
+    // the run (cold runs target the artifact-backed subset).
     val warm = !sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    if (!warm) {
+      val root = new org.apache.hadoop.fs.Path(
+        graft.engine.Artifacts.cacheRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+    }
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None     => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
