@@ -47,18 +47,21 @@ object Ops {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 5, numHashes: Int = 32,
                      rowsPerBand: Int = 2,
-                     threshold: Double = 0.8): DataFrame =
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 256): DataFrame =
     minhashNearDupFrom(shingles(df, idCol, textCol, shingleSize), idCol,
-                       numHashes, rowsPerBand, threshold)
+                       numHashes, rowsPerBand, threshold, maxBucket)
 
   /** MinHash-LSH near-dup over an arbitrary (id, shingle) set — the
     * shingle source decides the granularity (word n-grams, char
     * n-grams, …). */
   def minhashNearDupFrom(sh: DataFrame, idCol: String,
                          numHashes: Int = 32, rowsPerBand: Int = 2,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 256): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val numBands = numHashes / rowsPerBand
+    TopK.register(sh.sparkSession)
 
     val mhAggs = (0 until numHashes)
       .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"mh$k"))
@@ -72,8 +75,27 @@ object Ops {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // Hot-bucket cap (the 100 TB degenerate case): one band bucket
+    // holding n_b members — mass-duplicated boilerplate — would emit
+    // n_b² candidate pairs. Membership per (band, bh) is capped at
+    // `maxBucket`, keeping a deterministic hash-order sample (score =
+    // salted xxhash64 of the id, ties by id — engine-stable, no RNG).
+    // The bounded TopKByScore aggregate enforces the cap with
+    // ≤ maxBucket×16 B of state per bucket and map-side partials —
+    // never a full per-bucket sort or an unbounded collect_list.
+    // Members dropped from one band's bucket still pair through their
+    // other bands; only pathological buckets lose candidates, which is
+    // the standard LSH trade (cap² pairs still link the duplicates
+    // transitively for the CC/resolve stages).
+    val capped =
+      if (maxBucket <= 0) banded
+      else banded
+        .groupBy("band", "bh")
+        .agg(expr(s"topk_by_score(cast(xxhash64('bcap', $idCol) as double)," +
+          s" cast($idCol as bigint), $maxBucket)").as("keep"))
+        .select(col("band"), col("bh"), explode(col("keep.id")).as(idCol))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
@@ -324,8 +346,6 @@ object Ops {
              centroids: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val s = emb.sparkSession
     Exprs.register(s); TopK.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val cent = centroids.select(col("cid"), col("cemb"))
     // ONE codebook scan serves both roles: the nprobe-sized ranked cell

@@ -30,9 +30,7 @@ object QueriesDedup {
     * the DuckDB oracle keeps the relational spelling and the
     * signatures match bit-for-bit. */
   def docsDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    SimHashAgg.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
+    SimHashAgg.register(s) // also tunes the ObjectHashAggregate fallback (bounded)
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))

@@ -365,8 +365,6 @@ object QueriesR2 {
     * sign test so cross-engine sum-order noise can't flip a bit. */
   def embAnnLsh(s: SparkSession, d: String): DataFrame = {
     Exprs.register(s); TopK.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
     val pe = embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("j"),
@@ -383,8 +381,18 @@ object QueriesR2 {
       .agg(sum(expr(
         "CASE WHEN dot > 0 THEN CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT) ELSE 0L END"))
         .as("bucket"))
+    // Hot-bucket cap, same posture as Ops.minhashNearDupFrom: a
+    // degenerate sign-bucket (near-identical embeddings) would make
+    // the in-bucket verification O(n_b²). Membership per bucket is
+    // capped at 4096 by deterministic hash order via the bounded
+    // TopKByScore aggregate — far above any healthy bucket (n/256
+    // expected), so recall is untouched until a bucket is pathological.
+    val cappedSig = sig.groupBy("bucket")
+      .agg(expr("topk_by_score(cast(xxhash64('bcap', vec_id) as double)," +
+        " vec_id, 4096)").as("keep"))
+      .select(col("bucket"), explode(col("keep.id")).as("vec_id"))
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val withSig = e.join(sig, "vec_id")
+    val withSig = e.join(cappedSig, "vec_id")
     withSig.as("a").join(withSig.as("b"),
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))

@@ -220,9 +220,7 @@ object QueriesR3 {
     * Per-user sums rounded to 4dp so the (score DESC, id ASC) tie rule
     * is engine-identical. */
   def eventsTopkPerWindow(s: SparkSession, d: String): DataFrame = {
-    TopK.register(s)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "10000000")
+    TopK.register(s) // also tunes the ObjectHashAggregate fallback (bounded; see TopK)
     events(s, d)
       .groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
       .agg(round(sum("value"), 4).as("sv"))

@@ -107,9 +107,15 @@ case class SimHashAgg(
 }
 
 object SimHashAgg {
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bands",
       (args: Seq[Expression]) => SimHashAgg(args(0), args(1)),
       "built-in")
+    // Same bounded ObjectHashAggregate tuning as TopK.register (the
+    // 128-group sort fallback is a measured cliff; 2M groups × 256 B
+    // SimHash state ≈ 512 MB worst case per task).
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "2000000")
+  }
 }

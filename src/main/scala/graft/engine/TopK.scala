@@ -107,7 +107,7 @@ case class TopKByScore(
 object TopK {
   /** Registers `topk_by_score(score double, id bigint, k int const)`.
     * Use as an aggregate: `expr("topk_by_score(cos_sim, neighbor_id, 5)")`. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_score",
       (args: Seq[Expression]) => {
@@ -119,4 +119,17 @@ object TopK {
         TopKByScore(args(0), args(1), k)
       },
       "built-in")
+    // ObjectHashAggregate's default sort-fallback (128 distinct groups)
+    // is a measured perf cliff for this aggregate: every topk grouping
+    // here has >>128 groups, and the sort-based path re-sorts the full
+    // input per partition. 2M hash-map entries bounds the operator's
+    // memory at ~k·16 B per group (k ≤ 64 everywhere in the engine →
+    // ≤ ~2 GB worst case per task at the largest k, ~160 MB at the
+    // common k=5) while keeping the hash path for every realistic
+    // group count. Centralized HERE (the only TopKByScore entry point)
+    // so call sites stop mutating the session conf ad hoc with
+    // unbounded values.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+               "2000000")
+  }
 }

@@ -326,6 +326,41 @@ class OpsEdgeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
+  test("minhash hot-bucket cap bounds a degenerate bucket's pair count") {
+    import spark.implicits._
+    // 400 IDENTICAL documents: every band bucket holds all 400 ids, so
+    // an uncapped LSH would verify C(400,2) = 79,800 pairs. With
+    // maxBucket = 8 every bucket keeps the same deterministic 8-member
+    // hash-order sample (the score ignores the band), so the verified
+    // output is exactly C(8,2) = 28 pairs — bounded, not linear in the
+    // bucket's true size.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 400L).map(i => (i, text)).toDF("doc_id", "text")
+    val capped = Ops.minhashNearDup(docs, "doc_id", "text", maxBucket = 8)
+      .collect()
+    assert(capped.length == 28, s"expected C(8,2)=28 pairs, got ${capped.length}")
+    assert(capped.forall(_.getDouble(2) == 1.0))
+    // the kept ids are one consistent 8-element sample
+    val ids = capped.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.size == 8, s"kept-member set not bucket-consistent: $ids")
+    // determinism: a second run keeps the identical sample
+    val again = Ops.minhashNearDup(docs, "doc_id", "text", maxBucket = 8)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(again == ids)
+    // healthy buckets are untouched: near-dup pairs on distinct docs
+    // are identical with and without the cap
+    val mixed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely different words forming an unrelated document text here now")
+    ).toDF("doc_id", "text")
+    val withCap = Ops.minhashNearDup(mixed, "doc_id", "text", maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Ops.minhashNearDup(mixed, "doc_id", "text", maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap == noCap)
+  }
+
   test("exactDedup groups by content, keeps min id") {
     import spark.implicits._
     val df = Seq((5L, "same"), (3L, "same"), (9L, "other"))
