@@ -163,14 +163,24 @@ object OracleExtra {
         |      FROM documents) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    "multimodal_decode_stub" ->
+    // The oracle re-derives every decoded field from first principles:
+    // dimensions from the doc fields the encoder used, structural
+    // constants from the PNG layout the decoder must recover (3 chunks,
+    // gray8, all CRCs valid, rawLen = (w+1)*h with filter bytes), and
+    // the pixel sum as the modular series the encoder painted — so a
+    // one-bit error anywhere in the codec round-trip breaks the hash.
+    "multimodal_decode_png" ->
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS blob_len,
-        |  md5(text) AS blob_md5,
-        |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
-        |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 16.0) AS INT) AS n_frames,
-        |  CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS fake_width,
-        |  CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS fake_height
+        |  CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(0 AS BIGINT) AS color_type,
+        |  CAST(3 AS BIGINT) AS n_chunks,
+        |  CAST((n_chars % 64 + 2) * (doc_id % 48 + 1) AS BIGINT) AS raw_len,
+        |  CAST(1 AS BIGINT) AS crc_ok,
+        |  CAST(list_sum(list_transform(
+        |         range(0, CAST((n_chars % 64 + 1) * (doc_id % 48 + 1) AS INT)),
+        |         i -> (doc_id + i) % 251)) AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

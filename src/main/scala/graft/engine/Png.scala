@@ -1,0 +1,143 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM PNG container codec for the multimodal pipeline — a REAL
+  * decode (signature check, chunk walk with CRC32 verification,
+  * zlib-inflate of IDAT, per-scanline filter strip, pixel readback)
+  * with zero external libraries, replacing round-3's declared stub.
+  * Scope is the engine's own encoder output: 8-bit grayscale,
+  * filter 0, non-interlaced — the decoder validates every structural
+  * invariant it relies on and fails loudly otherwise, which is the
+  * contract a corpus-scale media pass needs (corrupt blobs must
+  * surface, not silently produce garbage metadata).
+  */
+object Png {
+
+  private val Signature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    val out = new ByteArrayOutputStream(data.length + 12)
+    out.write(be32(data.length)); out.write(tb); out.write(data)
+    out.write(be32(crc.getValue.toInt))
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit grayscale image; `pixel(i)` supplies the i-th
+    * pixel in row-major order (low 8 bits used). Filter type 0 on
+    * every scanline, one IDAT chunk, fixed deflate level 6 so the
+    * byte stream is deterministic across runs and JVMs. */
+  def encodeGray8(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val raw = new Array[Byte]((width + 1) * height)
+    var idx = 0; var i = 0
+    var y = 0
+    while (y < height) {
+      raw(idx) = 0; idx += 1 // filter type 0
+      var x = 0
+      while (x < width) {
+        raw(idx) = (pixel(i) & 0xff).toByte; idx += 1; i += 1; x += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8 /*bit depth*/, 0 /*grayscale*/, 0, 0, 0)
+    val res = new ByteArrayOutputStream()
+    res.write(Signature)
+    res.write(chunk("IHDR", ihdr))
+    res.write(chunk("IDAT", idat))
+    res.write(chunk("IEND", Array.emptyByteArray))
+    res.toByteArray
+  }
+
+  /** Decoded container metadata + pixel digest. All Long so the
+    * DataFrame schema is BIGINT end-to-end (driver-compare kinds). */
+  final case class Meta(width: Long, height: Long, bitDepth: Long,
+                        colorType: Long, nChunks: Long, rawLen: Long,
+                        crcOk: Long, pixelSum: Long)
+
+  /** Full decode: signature, chunk walk (every CRC32 recomputed and
+    * checked — `crcOk` is 1 only if ALL match), IHDR field extraction,
+    * IDAT concatenation across chunks, zlib inflate, filter-byte
+    * verification, pixel sum. Throws on structural corruption
+    * (truncation, bad signature, wrong inflated length, non-zero
+    * filter) — a media pass must fail loudly per blob. */
+  def decodeGray8(bytes: Array[Byte]): Meta = {
+    require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+      "not a PNG: bad signature")
+    var off = 8
+    var nChunks = 0L
+    var crcOk = true
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    val idat = new ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 8 <= bytes.length, "truncated chunk header")
+      val len = readBe32(bytes, off)
+      require(len >= 0 && off + 12 + len <= bytes.length, "truncated chunk")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != readBe32(bytes, off + 8 + len)) crcOk = false
+      typ match {
+        case "IHDR" =>
+          width = readBe32(bytes, off + 8)
+          height = readBe32(bytes, off + 12)
+          bitDepth = bytes(off + 16) & 0xff
+          colorType = bytes(off + 17) & 0xff
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _      => () // ancillary chunks: counted, CRC-checked
+      }
+      nChunks += 1
+      off += 12 + len
+    }
+    require(bitDepth == 8 && colorType == 0,
+      s"decoder scope is gray8 (got depth=$bitDepth color=$colorType)")
+    val inflater = new Inflater()
+    val compressed = idat.toByteArray
+    inflater.setInput(compressed)
+    val raw = new Array[Byte]((width + 1) * height)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "inflate stalled")
+      got += n
+    }
+    require(got == raw.length && inflater.finished(),
+      s"inflated length $got != expected ${raw.length}")
+    inflater.end()
+    var pixelSum = 0L
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      require(raw(idx) == 0, s"unsupported filter ${raw(idx)} at row $y")
+      idx += 1
+      var x = 0
+      while (x < width) { pixelSum += raw(idx) & 0xff; idx += 1; x += 1 }
+      y += 1
+    }
+    Meta(width, height, bitDepth, colorType, nChunks,
+         rawLen = (width + 1).toLong * height, crcOk = if (crcOk) 1L else 0L,
+         pixelSum = pixelSum)
+  }
+}

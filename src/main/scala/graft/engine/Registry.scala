@@ -93,7 +93,7 @@ object Registry {
     "agg_salted_skew"     -> QueriesExtra.aggSaltedSkew _,
     "agg_distinct_hll"    -> QueriesExtra.aggDistinctHll _,
     "sink_partitioned"    -> QueriesExtra.sinkPartitioned _,
-    "multimodal_decode_stub" -> QueriesExtra.multimodalDecodeStub _,
+    "multimodal_decode_png" -> QueriesExtra.multimodalDecodePng _,
     "multimodal_frame_sample" -> QueriesExtra.multimodalFrameSample _,
     // Dedup family completion: SimHash, char-ngram Jaccard, cosine
     "docs_dedup_simhash"  -> QueriesDedup.docsDedupSimhash _,

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Png
+
+/** The PNG codec is plain JVM code — no Spark session needed. */
+class PngSpec extends AnyFunSuite {
+
+  test("encode/decode round-trip recovers dimensions, structure, pixel sum") {
+    val bytes = Png.encodeGray8(13, 7, i => (i * 31 + 5) % 251)
+    val m = Png.decodeGray8(bytes)
+    assert(m.width == 13 && m.height == 7)
+    assert(m.bitDepth == 8 && m.colorType == 0)
+    assert(m.nChunks == 3 && m.crcOk == 1L)
+    assert(m.rawLen == 14L * 7)
+    assert(m.pixelSum == (0 until 13 * 7).map(i => (i * 31 + 5) % 251).sum)
+  }
+
+  test("1x1 and wide-row edge shapes") {
+    assert(Png.decodeGray8(Png.encodeGray8(1, 1, _ => 200)).pixelSum == 200)
+    val wide = Png.decodeGray8(Png.encodeGray8(4096, 1, i => i % 256))
+    assert(wide.width == 4096 && wide.pixelSum ==
+      (0 until 4096).map(_ % 256).sum)
+  }
+
+  test("a flipped pixel byte inside IDAT surfaces as a CRC failure") {
+    val bytes = Png.encodeGray8(8, 8, _ => 42)
+    // flip one byte in the middle of the IDAT payload (after the
+    // 8-byte signature + 25-byte IHDR chunk + 8-byte IDAT header)
+    val corrupt = bytes.clone()
+    corrupt(8 + 25 + 8 + 4) = (corrupt(8 + 25 + 8 + 4) ^ 0x40).toByte
+    // either the zlib stream breaks (loud failure) or the decode
+    // completes with crcOk = 0 — silence is the only wrong answer
+    val ok = try Png.decodeGray8(corrupt).crcOk == 0L
+             catch { case _: Exception => true }
+    assert(ok, "corrupted blob decoded silently with valid CRCs")
+  }
+
+  test("truncation and a bad signature fail loudly") {
+    val bytes = Png.encodeGray8(8, 8, _ => 7)
+    intercept[IllegalArgumentException] {
+      Png.decodeGray8(bytes.take(bytes.length - 6))
+    }
+    val bad = bytes.clone(); bad(0) = 0
+    intercept[IllegalArgumentException] { Png.decodeGray8(bad) }
+  }
+}
