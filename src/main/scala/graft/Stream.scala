@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
-  *   writes <outDir>/tumbling|sessions|dedup/  + <outDir>/checkpoints/
+  *   writes <outDir>/tumbling|sessions|dedup|attribution/ + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
   * watermark passed — trailing windows stay open (correct streaming
@@ -40,7 +40,7 @@ object Stream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** The three deployed queries, keyed by sink name. */
+  /** The four deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
     Map(
@@ -59,7 +59,31 @@ object Stream {
       "dedup" -> ev
         .withWatermark("ts", "1 hour")
         .dropDuplicates(Seq("user_id", "event_type"))
-        .select("event_id", "user_id", "event_type", "ts"))
+        .select("event_id", "user_id", "event_type", "ts"),
+      // Stream-stream interval join (the bounded-state join contract,
+      // §7.5): each purchase attributes to the same user's clicks in
+      // the preceding hour. Both sides carry watermarks and the join
+      // predicate is time-bounded, so Spark can expire state — the
+      // only shape a stream-stream join may take in production. Inner
+      // join rows emit as soon as both sides match (no watermark
+      // holdback), so a bounded drain equals the batch join exactly
+      // (StreamingSpec asserts).
+      "attribution" -> {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+                  col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "1 hour")
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+                  col("p_ts"), col("c_ts"), col("value"))
+      })
   }
 
   /** Runs every query as an AvailableNow drain into parquet; returns
@@ -88,7 +112,11 @@ object Stream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      name -> spark.read.parquet(s"$outDir/$name").count()
+      // Read back with the sink's own schema: a windowed sink whose
+      // every window was held back by the final watermark (tiny or
+      // single-timestamp input) has a directory with no data files,
+      // where schema inference throws instead of reporting 0.
+      name -> spark.read.schema(df.schema).parquet(s"$outDir/$name").count()
     }
   }
 

@@ -391,6 +391,11 @@ object Ops {
                       radius: Long, binWidth: Long): DataFrame = {
     require(binWidth >= radius && radius >= 0,
       s"need binWidth >= radius >= 0, got binWidth=$binWidth radius=$radius")
+    // "_bin" is this operator's working column: a caller frame already
+    // carrying one would silently collide (withColumn REPLACES it and
+    // the using-column join would key on the wrong thing).
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "rangeJoinBinned reserves the column name \"_bin\"; rename it on the input")
     val lb = left.withColumn("_bin",
       explode(array(expr(s"$leftVal div $binWidth") - 1,
                     expr(s"$leftVal div $binWidth"),

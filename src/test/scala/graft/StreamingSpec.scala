@@ -153,16 +153,48 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.values().iterator().next() == 3L) // F/O/P status rows
   }
 
-  test("graft.Stream entry point: AvailableNow drain writes all three sinks") {
+  test("graft.Stream entry point: AvailableNow drain writes all four sinks") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
-    assert(counts.keySet == Set("tumbling", "sessions", "dedup"))
-    // dedup emits first-seen rows with no watermark holdback: the sink
-    // must equal the batch key exactly
-    val batchDedup = graft.engine.QueriesEvents
-      .eventsStatefulDedup(spark, sfDir).count()
-    assert(counts("dedup") == batchDedup,
-      s"dedup sink ${counts("dedup")} != batch $batchDedup")
+    assert(counts.keySet == Set("tumbling", "sessions", "dedup", "attribution"))
+    // the stream-stream interval join is an INNER join: matched rows
+    // emit when both sides are seen, so a bounded drain must equal the
+    // batch spelling of the same join pair-for-pair
+    val evB = graft.engine.Tables.events(spark, sfDir)
+    val cB = evB.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+    val pB = evB.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("p_ts"))
+    val batchPairs = pB.join(cB,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sinkPairs = spark.read.parquet(s"$out/attribution")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sinkPairs == batchPairs,
+      s"interval-join sink diverged from batch: sink=${sinkPairs.size} batch=${batchPairs.size}")
+    // dedup emits one row per (user_id, event_type) with no watermark
+    // holdback. Streaming dropDuplicates keeps the first-ARRIVED row
+    // (microbatch/partition-order dependent) while the batch key keeps
+    // the first by (ts, event_id) — so row CONTENTS may legitimately
+    // differ; the guaranteed equivalence is the KEY SET, which is what
+    // is asserted here (and the count follows from it).
+    val sinkKeys = spark.read.parquet(s"$out/dedup")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = graft.engine.QueriesEvents
+      .eventsStatefulDedup(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sinkKeys == batchKeys,
+      s"dedup key set diverged: sink-only=${sinkKeys -- batchKeys}, " +
+        s"batch-only=${batchKeys -- sinkKeys}")
+    assert(counts("dedup") == batchKeys.size)
     // windowed sinks hold back trailing windows; they must still have
     // emitted the bulk of the bounded input
     assert(counts("tumbling") > 0 && counts("sessions") > 0, counts.toString)
