@@ -40,5 +40,64 @@ object OracleR4 {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 25""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_custkey % 10 AS cc,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > 0.0
+        |  AND CAST(c_acctbal AS DECIMAL(12,2)) *
+        |        (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+        |         FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_custkey % 10
+        |ORDER BY cc""".stripMargin,
+
+    "docs_pack_sequences" ->
+      """SELECT doc_id, source, n_tokens,
+        |       running - n_tokens AS start_pos,
+        |       CAST(floor((running - n_tokens) / 512) AS BIGINT) AS seq_first,
+        |       CAST(floor((running - 1) / 512) AS BIGINT) AS seq_last
+        |FROM (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(sum(len(string_split(text, ' ')))
+        |          OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    // The oracle unrolls the same three damped power iterations with
+    // the same 6-dp rounding per iteration (the kmeans-oracle
+    // precedent: identical rounded inputs each round keep both
+    // engines on the same value grid).
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sup, o_custkey + 1000000 AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT sup AS src, cust AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT cust AS src, sup AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node_id, 1.0 AS rank FROM deg),
+        |r1 AS (SELECT e.dst AS node_id,
+        |              round(0.15 + 0.85 * sum(r.rank / d.outdeg), 6) AS rank
+        |       FROM edges e JOIN r0 r ON e.src = r.node_id
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node_id,
+        |              round(0.15 + 0.85 * sum(r.rank / d.outdeg), 6) AS rank
+        |       FROM edges e JOIN r1 r ON e.src = r.node_id
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node_id,
+        |              round(0.15 + 0.85 * sum(r.rank / d.outdeg), 6) AS rank
+        |       FROM edges e JOIN r2 r ON e.src = r.node_id
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        |SELECT d.src AS node_id, CAST(d.outdeg AS BIGINT) AS degree, r3.rank
+        |FROM deg d JOIN r3 ON d.src = r3.node_id
+        |ORDER BY node_id""".stripMargin,
   )
 }

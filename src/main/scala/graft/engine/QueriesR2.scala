@@ -416,12 +416,15 @@ object QueriesR2 {
     * round-half behavior agrees on identical doubles (§2.3). */
   def embQuantizeInt8(s: SparkSession, d: String): DataFrame =
     Ops.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
-      .select(col("vec_id"), col("scale"), posexplode(col("q")))
-      .select(col("vec_id"), col("scale"), (col("pos") + 1).as("pos1"),
-              col("col").as("qv"))
-      .groupBy("vec_id")
-      .agg(min("scale").as("scale"),
-           sum(col("qv") * col("pos1")).as("qdot"),
-           sum(abs(col("qv"))).as("l1"))
+      .select(col("vec_id"), col("scale"),
+        // Array-native digests: the earlier posexplode spelling blew
+        // each vector into 64 rows and shuffled them back into a
+        // hash aggregate — 64× the rows over the wire for two sums the
+        // row already holds. transform's (element, index) lambda +
+        // aggregate keep both digests in-row: zero shuffles, the whole
+        // key is a narrow projection + the final sort.
+        expr("aggregate(transform(q, (x, i) -> CAST(x AS BIGINT) * (i + 1))," +
+          " 0L, (a, x) -> a + x)").as("qdot"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(CAST(x AS BIGINT)))").as("l1"))
       .orderBy("vec_id")
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Round-4 coverage wave: correlated subqueries — the one SQL planning
   * surface (scalar-subquery decorrelation, EXISTS/NOT EXISTS
@@ -79,5 +80,98 @@ object QueriesR4 {
       GROUP BY s.s_name
       ORDER BY numwait DESC, s.s_name
       LIMIT 25""")
+  }
+
+  /** TPC-H Q22 shape — "idle rich customers": positive-balance
+    * customers above the average positive balance with no urgent order,
+    * grouped by a derived country code. Exercises the UNCORRELATED
+    * scalar subquery — the complement of q17's correlated form: the
+    * threshold aggregate runs ONCE (plan shows a reused one-row
+    * subquery, never a per-row rescan) and the NOT EXISTS is an anti
+    * join. `bal > avg(bal)` is restated as `bal * cnt > sum` on exact
+    * DECIMAL(12,2) cents (§2.3: avg is a rounded division whose engine
+    * disagreement could flip the strict comparison; products and sums
+    * of exact decimals cannot). */
+  def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("q22_customer")
+    orders(s, d).createOrReplaceTempView("q22_orders")
+    s.sql("""
+      SELECT c_custkey % 10 AS cc,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      FROM q22_customer c
+      WHERE c_acctbal > 0.0
+        AND CAST(c_acctbal AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM q22_customer WHERE c_acctbal > 0.0)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+               FROM q22_customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_custkey % 10
+      ORDER BY cc""")
+  }
+
+  /** Training-sequence packing (GPT-style): per source stream, the
+    * token streams of consecutive documents are concatenated and cut
+    * into fixed 512-token context windows; each document reports its
+    * absolute token offset and the first/last sequence it lands in
+    * (documents span window boundaries — the standard packing that
+    * wastes zero tokens). The running offset is a windowed cumulative
+    * sum PARTITIONED BY source: each shard packs independently and in
+    * parallel, which is how a sharded corpus packs at 100 TB — a
+    * single global order would serialize the scan (the repo's
+    * events_watermark_late lesson). Integer arithmetic end-to-end. */
+  def docsPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("running", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+              (col("running") - col("n_tokens")).as("start_pos"),
+              ((col("running") - col("n_tokens")) / 512).cast("long")
+                .as("seq_first"),
+              ((col("running") - 1) / 512).cast("long").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  /** PageRank over the supplier↔customer transaction graph (edges =
+    * distinct trading pairs from lineitem⋈orders, both directions so
+    * the bipartite graph is walkable): 3 unrolled power iterations,
+    * damping 0.85, each iteration's rank rounded to 6 dp — the same
+    * cross-engine determinism contract as Ops.kmeansCodebook (the
+    * 5e-7 rounding margin absorbs sum-order ulp noise). Spark-first
+    * shape: the iteration is a join + aggregate pair, unrolled — no
+    * driver loop, no collect; at 100 TB each iteration is one shuffle
+    * on the node id, and the edge list would be pre-partitioned by
+    * src so the join reuses one exchange. Customer nodes are offset by
+    * 1_000_000 to share one id space with suppliers. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sup"),
+              (col("o_custkey") + 1000000L).as("cust"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("cust").as("dst"))
+      .union(pairs.select(col("cust").as("src"), col("sup").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = deg.select(col("src").as("node_id"), col("outdeg"))
+    // r0 = 1.0 for every node; one iteration = scatter r/outdeg along
+    // edges, gather by target, damp, round.
+    def step(r: DataFrame): DataFrame =
+      edges
+        .join(r.withColumnRenamed("node_id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node_id"))
+        .agg(round(lit(0.15) + lit(0.85) * sum(col("rank") / col("outdeg")), 6)
+          .as("rank"))
+    val r0 = nodes.select(col("node_id"), lit(1.0).as("rank"))
+    val r3 = step(step(step(r0)))
+    nodes.join(r3, "node_id")
+      .select(col("node_id"), col("outdeg").as("degree"), col("rank"))
+      .orderBy("node_id")
   }
 }

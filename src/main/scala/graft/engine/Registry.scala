@@ -140,6 +140,9 @@ object Registry {
     // Round-4 coverage wave: correlated-subquery planning surface
     "q17_small_qty_revenue" -> QueriesR4.q17SmallQtyRevenue _,
     "q21_last_shipper"    -> QueriesR4.q21LastShipper _,
+    "q22_idle_balance"    -> QueriesR4.q22IdleBalance _,
+    "docs_pack_sequences" -> QueriesR4.docsPackSequences _,
+    "graph_pagerank"      -> QueriesR4.graphPagerank _,
   )
 
   val oracleSql: ListMap[String, String] =

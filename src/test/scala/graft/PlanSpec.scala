@@ -157,6 +157,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop"), s"q17 degraded to nested loop:\n$p")
   }
 
+  test("q22 uncorrelated scalar subqueries run once; NOT EXISTS is an anti join") {
+    val p = plan("q22_idle_balance")
+    // the threshold aggregates must appear as one-shot subqueries
+    // (Subquery/ReusedSubquery), NOT be decorrelated into per-row
+    // joins — and the second occurrence should reuse the first's
+    // result rather than rescan customer
+    assert(p.contains("Subquery"), s"uncorrelated scalar lost its subquery plan:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("NestedLoop"), s"q22 degraded to nested loop:\n$p")
+  }
+
   test("q21 EXISTS/NOT EXISTS rewrite to semi/anti joins on the order key") {
     val p = plan("q21_last_shipper")
     assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
