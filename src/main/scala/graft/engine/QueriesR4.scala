@@ -158,13 +158,29 @@ object QueriesR4 {
     val edges = pairs.select(col("sup").as("src"), col("cust").as("dst"))
       .union(pairs.select(col("cust").as("src"), col("sup").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = deg.select(col("src").as("node_id"), col("outdeg"))
+    // The (edge × source-degree) list feeds every unrolled iteration;
+    // without pinning, Catalyst re-derives the lineitem⋈orders +
+    // distinct + degree subtree per reference (measured 2.7 s vs ~1 s
+    // at sf0.1). The graph IS a derived table a deployment persists —
+    // so it goes through the content-hash artifact cache (P6): first
+    // caller pays the derivation, everyone after scans parquet; the
+    // artifact invalidates iff lineitem/orders or this plan change.
+    // Pre-joining outdeg also removes a per-iteration join — each
+    // iteration is then ONE join with the tiny rank frame (AQE
+    // broadcasts it) + one map-side-combined aggregate. At 100 TB the
+    // artifact becomes an edge table bucketed by src and the
+    // per-iteration shuffle reuses its layout.
+    val edgesW = ArtifactCache.materialize(
+      edges.join(deg, "src"), Artifacts.cacheRoot, "pagerank_edges_v1")
+    // node list re-derived from the ARTIFACT (outdeg is constant per
+    // src), so the expensive base subtree is never referenced again
+    val nodes = edgesW.groupBy(col("src").as("node_id"))
+      .agg(min("outdeg").as("outdeg"))
     // r0 = 1.0 for every node; one iteration = scatter r/outdeg along
     // edges, gather by target, damp, round.
     def step(r: DataFrame): DataFrame =
-      edges
+      edgesW
         .join(r.withColumnRenamed("node_id", "src"), "src")
-        .join(deg, "src")
         .groupBy(col("dst").as("node_id"))
         .agg(round(lit(0.15) + lit(0.85) * sum(col("rank") / col("outdeg")), 6)
           .as("rank"))
