@@ -91,8 +91,15 @@ object ArtifactCache {
     val dir = new Path(s"$cacheRoot/$name-$hash")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dir, "_SUCCESS")
-    if (!fs.exists(success)) {
-      sweepStaleInflight(fs, new Path(cacheRoot))
+    if (fs.exists(success)) {
+      // LRU touch: _SUCCESS's mtime records last USE, so the age sweep
+      // below only collects artifacts nothing has read in 7 days.
+      // Hashes changed by new inputs/code orphan the old dirs forever —
+      // without this, the cache root grows monotonically across rounds.
+      try fs.setTimes(success, System.currentTimeMillis(), -1)
+      catch { case _: Exception => () }
+    } else {
+      sweepStale(fs, new Path(cacheRoot))
       val scratch = new Path(
         s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
       compute.write.mode("overwrite").parquet(scratch.toString)
@@ -111,17 +118,32 @@ object ArtifactCache {
     spark.read.parquet(dir.toString)
   }
 
-  /** Best-effort GC of `.inflight-*` scratch dirs older than 6 h —
-    * leftovers from crashed computes or lost rename races. */
-  private def sweepStaleInflight(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: Path): Unit =
+  /** Best-effort GC, run only on the (already expensive) miss path:
+    * `.inflight-*` scratch dirs older than 6 h (crashed computes, lost
+    * rename races) and completed artifacts whose _SUCCESS hasn't been
+    * touched in 7 days (orphans from superseded input/code hashes —
+    * hits refresh the mtime, so anything this old is unreachable by
+    * any live hash or genuinely unused). */
+  private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
+                         root: Path): Unit =
     try {
       if (fs.exists(root)) {
-        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val now = System.currentTimeMillis()
+        val inflightCutoff = now - 6L * 3600 * 1000
+        val artifactCutoff = now - 7L * 24 * 3600 * 1000
         fs.listStatus(root).foreach { st =>
-          if (st.getPath.getName.startsWith(".inflight-") &&
-              st.getModificationTime < cutoff)
-            try fs.delete(st.getPath, true) catch { case _: Exception => }
+          val name = st.getPath.getName
+          try {
+            if (name.startsWith(".inflight-")) {
+              if (st.getModificationTime < inflightCutoff)
+                fs.delete(st.getPath, true)
+            } else if (st.isDirectory) {
+              val succ = new Path(st.getPath, "_SUCCESS")
+              if (fs.exists(succ) &&
+                  fs.getFileStatus(succ).getModificationTime < artifactCutoff)
+                fs.delete(st.getPath, true)
+            }
+          } catch { case _: Exception => () }
         }
       }
     } catch { case _: Exception => () }

@@ -99,5 +99,39 @@ object OracleR4 {
         |SELECT d.src AS node_id, CAST(d.outdeg AS BIGINT) AS degree, r3.rank
         |FROM deg d JOIN r3 ON d.src = r3.node_id
         |ORDER BY node_id""".stripMargin,
+
+    "merge_upsert_scd1" ->
+      """WITH returned AS (
+        |  SELECT l_orderkey, count(*) AS n_returned
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+        |upd AS (
+        |  SELECT l_orderkey AS key, 'R' AS new_status, n_returned
+        |  FROM returned
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000 AS key, 'N' AS new_status, n_returned
+        |  FROM returned WHERE l_orderkey % 50 = 0),
+        |tgt AS (SELECT o_orderkey AS key, o_orderstatus FROM orders)
+        |SELECT COALESCE(t.key, u.key) AS key,
+        |       COALESCE(u.new_status, t.o_orderstatus) AS status,
+        |       CAST(COALESCE(u.n_returned, 0) AS BIGINT) AS n_returned,
+        |       CASE WHEN u.new_status IS NULL THEN 'keep'
+        |            WHEN t.o_orderstatus IS NULL THEN 'insert'
+        |            ELSE 'update' END AS action
+        |FROM tgt t FULL OUTER JOIN upd u ON t.key = u.key
+        |ORDER BY key""".stripMargin,
+
+    "multimodal_decode_wav" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS audio_format,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(2 AS BIGINT) AS n_chunks,
+        |  CAST(n_chars % 200 + 50 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |         range(0, CAST(n_chars % 200 + 50 AS INT)),
+        |         i -> abs((doc_id * 31 + i * 7) % 65536 - 32768)))
+        |       AS BIGINT) AS sum_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

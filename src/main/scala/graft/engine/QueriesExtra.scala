@@ -9,6 +9,11 @@ case class DecodedPng(doc_id: Long, width: Long, height: Long,
                       bit_depth: Long, color_type: Long, n_chunks: Long,
                       raw_len: Long, crc_ok: Long, pixel_sum: Long)
 
+/** Typed output row of the RIFF/WAV container decode (all BIGINT). */
+case class DecodedWav(doc_id: Long, audio_format: Long, channels: Long,
+                      sample_rate: Long, bits_per_sample: Long,
+                      n_chunks: Long, n_samples: Long, sum_abs: Long)
+
 /** Beyond-SURVEY training-data-pipeline operators (mandated by the
   * build brief): ANN similarity search (IVF scale path), language-ID,
   * quality scoring, document fingerprinting, BPE-ish tokenization, and
@@ -272,6 +277,33 @@ object QueriesExtra {
         val m = Png.decodeGray8(blob)
         DecodedPng(id, m.width, m.height, m.bitDepth, m.colorType,
                    m.nChunks, m.rawLen, m.crcOk, m.pixelSum)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Audio sibling of `multimodal_decode_png`: a PCM16 mono WAV per
+    * document (sample count from n_chars, samples from a doc_id-seeded
+    * int16 pattern), decoded back through the real RIFF walk —
+    * word-aligned chunk framing, fmt parse, sample readback with an
+    * exact Σ|sample| digest. Same oracle posture: every decoded field
+    * re-derived from first principles in SQL. */
+  def multimodalDecodeWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val n = (nChars % 200 + 50).toInt
+        (id, Wav.encodePcm16(n,
+          i => (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt))
+      })
+      .toDF("doc_id", "blob")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = Wav.decodePcm16(blob)
+        DecodedWav(id, m.audioFormat, m.channels, m.sampleRate,
+                   m.bitsPerSample, m.nChunks, m.nSamples, m.sumAbs)
       })
       .toDF()
       .orderBy("doc_id")

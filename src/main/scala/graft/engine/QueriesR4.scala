@@ -190,4 +190,43 @@ object QueriesR4 {
       .select(col("node_id"), col("outdeg").as("degree"), col("rank"))
       .orderBy("node_id")
   }
+
+  /** MERGE INTO / upsert semantics (SCD-1), Spark-first: without a
+    * table format carrying MERGE, the operation IS a full-outer join
+    * on the key with per-column coalesce — matched rows take the
+    * update's values, unmatched-source rows insert, unmatched-target
+    * rows carry over, and an `action` column records which branch
+    * fired (the audit column a CDC pipeline emits). Updates here are
+    * derived from the data (orders with returned lineitems flip to
+    * status 'R'; synthetic new orders arrive under offset keys), so
+    * the key is fully deterministic with integer/string columns only.
+    * At 100 TB both sides shuffle once on the merge key — identical to
+    * what Delta/Iceberg do under MERGE minus the transaction log. */
+  def mergeUpsertScd1(s: SparkSession, d: String): DataFrame = {
+    val target = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+    val returned = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_returned"))
+    val inserts = returned
+      .filter(col("l_orderkey") % 50 === 0)
+      .select((col("l_orderkey") + 100000000L).as("key"),
+              lit("N").as("new_status"), col("n_returned"))
+    val updates = returned
+      .select(col("l_orderkey").as("key"), lit("R").as("new_status"),
+              col("n_returned"))
+      .union(inserts)
+    target.select(col("o_orderkey").as("key"), col("o_orderstatus"),
+                  col("o_custkey"))
+      .join(updates, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        when(col("new_status").isNull, "keep")
+          .when(col("o_orderstatus").isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy("key")
+  }
 }

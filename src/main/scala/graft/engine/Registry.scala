@@ -143,6 +143,8 @@ object Registry {
     "q22_idle_balance"    -> QueriesR4.q22IdleBalance _,
     "docs_pack_sequences" -> QueriesR4.docsPackSequences _,
     "graph_pagerank"      -> QueriesR4.graphPagerank _,
+    "merge_upsert_scd1"   -> QueriesR4.mergeUpsertScd1 _,
+    "multimodal_decode_wav" -> QueriesExtra.multimodalDecodeWav _,
   )
 
   val oracleSql: ListMap[String, String] =

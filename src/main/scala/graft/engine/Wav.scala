@@ -1,0 +1,92 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM RIFF/WAV codec — the audio sibling of [[Png]]: a real
+  * container walk (RIFF framing, word alignment, fmt field parse, PCM
+  * sample readback) with zero external libraries. Scope is canonical
+  * PCM16 mono; the decoder validates the framing it relies on and
+  * fails loudly on corruption.
+  */
+object Wav {
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Encode PCM16 mono at 8 kHz; `sample(i)` supplies the i-th sample
+    * (clamped int16 range expected). */
+  def encodePcm16(n: Int, sample: Int => Int): Array[Byte] = {
+    require(n > 0, "need at least one sample")
+    val out = new ByteArrayOutputStream(44 + 2 * n)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + 2 * n))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1))            // PCM
+    out.write(le16(1))            // mono
+    out.write(le32(8000))         // sample rate
+    out.write(le32(8000 * 2))     // byte rate
+    out.write(le16(2))            // block align
+    out.write(le16(16))           // bits per sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32(2 * n))
+    var i = 0
+    while (i < n) { out.write(le16(sample(i) & 0xffff)); i += 1 }
+    out.toByteArray
+  }
+
+  final case class Meta(audioFormat: Long, channels: Long, sampleRate: Long,
+                        bitsPerSample: Long, nChunks: Long, nSamples: Long,
+                        sumAbs: Long)
+
+  /** Full decode: RIFF/WAVE framing, sub-chunk walk with word
+    * alignment, fmt field extraction, PCM16 sample readback with an
+    * exact integer digest (Σ|sample|). Throws on truncation or
+    * non-PCM16-mono content. */
+  def decodePcm16(bytes: Array[Byte]): Meta = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    require(readLe32(bytes, 4) == bytes.length - 8,
+      s"RIFF size ${readLe32(bytes, 4)} != ${bytes.length - 8}")
+    var off = 12
+    var nChunks = 0L
+    var fmt = -1; var channels = -1; var rate = -1; var bits = -1
+    var nSamples = 0L; var sumAbs = 0L
+    while (off < bytes.length) {
+      require(off + 8 <= bytes.length, "truncated chunk header")
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = readLe32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated $id chunk")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          fmt = readLe16(bytes, off + 8)
+          channels = readLe16(bytes, off + 10)
+          rate = readLe32(bytes, off + 12)
+          bits = readLe16(bytes, off + 22)
+        case "data" =>
+          require(fmt == 1 && channels == 1 && bits == 16,
+            s"decoder scope is PCM16 mono (fmt=$fmt ch=$channels bits=$bits)")
+          require(len % 2 == 0, "odd PCM16 data length")
+          nSamples = len / 2
+          var i = off + 8
+          val end = off + 8 + len
+          while (i < end) {
+            sumAbs += math.abs(readLe16(bytes, i).toShort.toLong)
+            i += 2
+          }
+        case _ => () // ancillary chunks: counted, skipped
+      }
+      nChunks += 1
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(nSamples > 0, "no data chunk")
+    Meta(fmt, channels, rate, bits, nChunks, nSamples, sumAbs)
+  }
+}
