@@ -23,16 +23,24 @@ object Bench {
     // the run (cold runs target the artifact-backed subset).
     val warm = !sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     if (!warm) {
-      val root = new org.apache.hadoop.fs.Path(
-        graft.engine.Artifacts.cacheRoot)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) fs.delete(root, true)
+      // Isolate rather than destroy: pointing the cache at a fresh
+      // temp root makes every artifact cold for THIS JVM without
+      // deleting the shared root under a concurrent session's reads.
+      System.setProperty("graft.cache.root",
+        java.nio.file.Files.createTempDirectory("graft_cold_cache_")
+          .toString)
     }
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = keyFilter match {
-      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
-      case None     => SparkEntry.queries
+      case Some(ks) =>
+        val unknown = ks -- SparkEntry.queries.keySet
+        // A typo'd key would otherwise vanish silently and the "cold
+        // regression probe" would pass without measuring anything.
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_KEYS names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
       if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }

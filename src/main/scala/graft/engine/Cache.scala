@@ -58,6 +58,16 @@ object ArtifactCache {
         case None    => spark.conf.unset(key)
       }
     val conf = spark.sparkContext.hadoopConfiguration
+    // A plan with NO file inputs (LocalRelation, range, memory stream)
+    // prints only its schema in the canonicalized string — two
+    // different in-memory datasets would collide on one hash and the
+    // second caller would silently read the first's artifact. Refuse
+    // rather than be subtly wrong; such frames have nothing worth
+    // caching anyway.
+    require(df.inputFiles.nonEmpty,
+      "artifactHash requires file-backed inputs (the plan string does " +
+        "not capture in-memory data); use materializeKeyed with an " +
+        "explicit content hash instead")
     val inputPart = df.inputFiles.sorted.map { f =>
       val p = new Path(f)
       val fs = p.getFileSystem(conf)
@@ -96,8 +106,10 @@ object ArtifactCache {
       // below only collects artifacts nothing has read in 7 days.
       // Hashes changed by new inputs/code orphan the old dirs forever —
       // without this, the cache root grows monotonically across rounds.
-      try fs.setTimes(success, System.currentTimeMillis(), -1)
-      catch { case _: Exception => () }
+      // Local-FS only, matching the sweep's own guard (see sweepStale).
+      if (isLocalFs(dir))
+        try fs.setTimes(success, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () }
     } else {
       sweepStale(fs, new Path(cacheRoot))
       val scratch = new Path(
@@ -118,12 +130,25 @@ object ArtifactCache {
     spark.read.parquet(dir.toString)
   }
 
+  private def isLocalFs(p: Path): Boolean = {
+    val scheme = p.toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
   /** Best-effort GC, run only on the (already expensive) miss path:
     * `.inflight-*` scratch dirs older than 6 h (crashed computes, lost
     * rename races) and completed artifacts whose _SUCCESS hasn't been
     * touched in 7 days (orphans from superseded input/code hashes —
     * hits refresh the mtime, so anything this old is unreachable by
-    * any live hash or genuinely unused). */
+    * any live hash or genuinely unused).
+    *
+    * The age sweep is LOCAL-FS ONLY: object stores (s3a) treat
+    * `setTimes` as a no-op, so the LRU touch never lands there and the
+    * sweep would collect artifacts that are read hourly. Shared-store
+    * deployments expire the cache with storage lifecycle rules
+    * instead. (A 7-days-unused artifact being lazily scanned by a
+    * concurrent local JVM at the moment of deletion is the accepted
+    * residual race — the reader retries from a cache miss.) */
   private def sweepStale(fs: org.apache.hadoop.fs.FileSystem,
                          root: Path): Unit =
     try {
@@ -131,13 +156,14 @@ object ArtifactCache {
         val now = System.currentTimeMillis()
         val inflightCutoff = now - 6L * 3600 * 1000
         val artifactCutoff = now - 7L * 24 * 3600 * 1000
+        val local = isLocalFs(root)
         fs.listStatus(root).foreach { st =>
           val name = st.getPath.getName
           try {
             if (name.startsWith(".inflight-")) {
               if (st.getModificationTime < inflightCutoff)
                 fs.delete(st.getPath, true)
-            } else if (st.isDirectory) {
+            } else if (local && st.isDirectory) {
               val succ = new Path(st.getPath, "_SUCCESS")
               if (fs.exists(succ) &&
                   fs.getFileStatus(succ).getModificationTime < artifactCutoff)
@@ -164,9 +190,15 @@ object ArtifactCache {
 object Artifacts {
   /** Default artifact root. Per-hash subdirectories make concurrent
     * runs collide only on identical (plan × inputs), where the atomic
-    * rename in `materialize` resolves the race. */
+    * rename in `materialize` resolves the race. Overridable via the
+    * `graft.cache.root` system property or `GRAFT_CACHE_ROOT` env var
+    * (cold benchmarking isolates itself with a fresh root instead of
+    * wiping the shared one; a deployment points it at its artifact
+    * store). */
   def cacheRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_artifact_cache"
+    sys.props.get("graft.cache.root")
+      .orElse(sys.env.get("GRAFT_CACHE_ROOT"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_artifact_cache")
 
   /** The verified near-dup pair list (id1, id2, jaccard) for the
     * documents table — the shared upstream of docs_dedup_near /

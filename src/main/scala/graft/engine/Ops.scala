@@ -80,20 +80,44 @@ object Ops {
     // n_b² candidate pairs. Membership per (band, bh) is capped at
     // `maxBucket`, keeping a deterministic hash-order sample (score =
     // salted xxhash64 of the id, ties by id — engine-stable, no RNG).
-    // The bounded TopKByScore aggregate enforces the cap with
-    // ≤ maxBucket×16 B of state per bucket and map-side partials —
-    // never a full per-bucket sort or an unbounded collect_list.
     // Members dropped from one band's bucket still pair through their
     // other bands; only pathological buckets lose candidates, which is
     // the standard LSH trade (cap² pairs still link the duplicates
     // transitively for the CC/resolve stages).
+    //
+    // Two enforcement paths by id type: integral ids ride the bounded
+    // TopKByScore aggregate (≤ maxBucket×16 B state per bucket,
+    // map-side partials — never a per-bucket sort); TopKByScore
+    // carries (double, long), so any other id type (string URLs, …)
+    // falls back to a row_number window — its own deterministic
+    // hash-order sample, costlier on a degenerate bucket (one task
+    // sorts it) but correct for arbitrary ids instead of silently
+    // null-casting them away.
+    val integralId = sh.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val capped =
       if (maxBucket <= 0) banded
-      else banded
-        .groupBy("band", "bh")
-        .agg(expr(s"topk_by_score(cast(xxhash64('bcap', $idCol) as double)," +
-          s" cast($idCol as bigint), $maxBucket)").as("keep"))
-        .select(col("band"), col("bh"), explode(col("keep.id")).as(idCol))
+      else if (integralId)
+        banded
+          .groupBy("band", "bh")
+          .agg(expr(s"topk_by_score(cast(xxhash64('bcap', `$idCol`) as double)," +
+            s" cast(`$idCol` as bigint), $maxBucket)").as("keep"))
+          .select(col("band"), col("bh"), explode(col("keep.id")).as(idCol))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")
+          // same order rule as the TopK path: hash DESC, id ASC
+          .orderBy(xxhash64(lit("bcap"), col(idCol)).desc, col(idCol).asc)
+        banded
+          .withColumn("_bcap_rn", row_number().over(w))
+          .filter(col("_bcap_rn") <= maxBucket)
+          .select(col("band"), col("bh"), col(idCol))
+      }
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

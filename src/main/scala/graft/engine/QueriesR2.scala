@@ -385,8 +385,14 @@ object QueriesR2 {
     // degenerate sign-bucket (near-identical embeddings) would make
     // the in-bucket verification O(n_b²). Membership per bucket is
     // capped at 4096 by deterministic hash order via the bounded
-    // TopKByScore aggregate — far above any healthy bucket (n/256
-    // expected), so recall is untouched until a bucket is pathological.
+    // TopKByScore aggregate. The cap guards SKEW at the current
+    // geometry (8 planes → 256 buckets, healthy bucket ≈ n/256): it is
+    // 100× the expected bucket at this corpus size, so recall is
+    // untouched unless a bucket is pathological. The geometry itself
+    // is the scale knob — unlike minhash (16 bands per doc), each
+    // vector lives in exactly ONE bucket, so at larger n the plane
+    // count must grow ~log2(n/target_bucket) to keep healthy buckets
+    // under the cap; capping is not a substitute for re-sizing nbits.
     val cappedSig = sig.groupBy("bucket")
       .agg(expr("topk_by_score(cast(xxhash64('bcap', vec_id) as double)," +
         " vec_id, 4096)").as("keep"))

@@ -113,9 +113,9 @@ object SimHashAgg {
       (args: Seq[Expression]) => SimHashAgg(args(0), args(1)),
       "built-in")
     // Same bounded ObjectHashAggregate tuning as TopK.register (the
-    // 128-group sort fallback is a measured cliff; 2M groups × 256 B
-    // SimHash state ≈ 512 MB worst case per task).
+    // 128-group sort fallback is a measured cliff; 128k groups × 256 B
+    // SimHash state ≈ 32 MB worst case per task).
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "2000000")
+               "131072")
   }
 }

@@ -122,14 +122,17 @@ object TopK {
     // ObjectHashAggregate's default sort-fallback (128 distinct groups)
     // is a measured perf cliff for this aggregate: every topk grouping
     // here has >>128 groups, and the sort-based path re-sorts the full
-    // input per partition. 2M hash-map entries bounds the operator's
-    // memory at ~k·16 B per group (k ≤ 64 everywhere in the engine →
-    // ≤ ~2 GB worst case per task at the largest k, ~160 MB at the
-    // common k=5) while keeping the hash path for every realistic
-    // group count. Centralized HERE (the only TopKByScore entry point)
-    // so call sites stop mutating the session conf ad hoc with
-    // unbounded values.
+    // input per partition. 128k hash-map entries keeps the hash path
+    // for every realistic group count while bounding worst-case typed
+    // aggregate state: the engine's largest many-group k is the
+    // hot-bucket cap (k=256, ~4 KB/group → ≤ ~512 MB per task before
+    // fallback); the k=4096 LSH site has ≤ 256 groups total and never
+    // nears the threshold. NOTE the conf is session-wide, so it also
+    // governs other object-hash aggregates (collect_list) that run
+    // after any TopK/SimHash key — the bound is chosen to stay safe
+    // for those too. Centralized HERE so call sites stop mutating the
+    // session conf ad hoc with unbounded values.
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-               "2000000")
+               "131072")
   }
 }
