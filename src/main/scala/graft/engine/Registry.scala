@@ -145,10 +145,19 @@ object Registry {
     "graph_pagerank"      -> QueriesR4.graphPagerank _,
     "merge_upsert_scd1"   -> QueriesR4.mergeUpsertScd1 _,
     "multimodal_decode_wav" -> QueriesExtra.multimodalDecodeWav _,
+    // Round-4 wave 2: remaining SQL planning surfaces + corpus-mix ops
+    "q14_promo_ratio"     -> QueriesR5.q14PromoRatio _,
+    "q19_disjunctive_pred" -> QueriesR5.q19DisjunctivePred _,
+    "join_notin_nullaware" -> QueriesR5.joinNotinNullaware _,
+    "join_lateral_topk"   -> QueriesR5.joinLateralTopk _,
+    "subquery_select_scalar" -> QueriesR5.subquerySelectScalar _,
+    "cte_recursive_months" -> QueriesR5.cteRecursiveMonths _,
+    "docs_span_dedup"     -> QueriesR5.docsSpanDedup _,
+    "docs_token_budget_mix" -> QueriesR5.docsTokenBudgetMix _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
-      OracleR3.sql ++ OracleR4.sql
+      OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql
 }

@@ -176,4 +176,52 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("NestedLoop"),
       s"q21 anti join lost its equi key (nested loop):\n$p")
   }
+
+  test("NOT IN plans the null-aware anti join (broadcast, single key)") {
+    val p = plan("join_notin_nullaware")
+    // BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true —
+    // the trailing `true` is isNullAwareAntiJoin: the build side
+    // carries the null-probe so three-valued NOT IN semantics hold
+    // without a per-row rescan.
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan a null-aware anti join:\n$p")
+    assert(!p.contains("NestedLoop"), s"NOT IN degraded to nested loop:\n$p")
+  }
+
+  test("lateral LIMIT decorrelates to a ranked window, not a per-row rescan") {
+    val p = plan("join_lateral_topk")
+    assert(!p.contains("Subquery"), s"lateral not decorrelated:\n$p")
+    assert(p.contains("Window"),
+      s"lateral LIMIT did not become a ranked window:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"lateral degraded to nested loop:\n$p")
+  }
+
+  test("SELECT-list scalar subqueries decorrelate to one outer-joined aggregate") {
+    val p = plan("subquery_select_scalar")
+    assert(!p.contains("Subquery"),
+      s"SELECT-list scalar subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"decorrelated aggregate missing:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"scalar subquery degraded to nested loop:\n$p")
+  }
+
+  test("recursive CTE plans the UnionLoop operator") {
+    val p = plan("cte_recursive_months")
+    assert(p.contains("UnionLoop"), s"recursive CTE not a UnionLoop:\n$p")
+  }
+
+  test("q19 disjunction pushes per-side implications to both scans") {
+    val p = plan("q19_disjunctive_pred")
+    assert(p.contains("BroadcastHashJoin"), s"q19 lost broadcast join:\n$p")
+    // each side's OR-of-conjunctions must reach its parquet scan: the
+    // part scan sees the brand/size disjunction, the lineitem scan the
+    // quantity disjunction — neither side full-scans before the join.
+    val pushedOnPart = "PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p)
+    val pushedOnLineitem = "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p)
+    assert(pushedOnPart.isDefined, s"brand/size OR not pushed to part scan:\n$p")
+    assert(pushedOnLineitem.isDefined,
+      s"quantity OR not pushed to lineitem scan:\n$p")
+  }
 }
