@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Deployable Structured-Streaming surface for the H-family semantics
   * (SURVEY.md §7.5): the same event-stream operators the batch keys
@@ -29,6 +29,47 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * the batch they arrive.
   */
 object Stream {
+
+  /** Per-user funnel progress carried across microbatches by
+    * flatMapGroupsWithState (micros since epoch; None = stage not
+    * reached). */
+  case class FunnelState(tSignup: Option[Long], tClick: Option[Long],
+                         tPurchase: Option[Long])
+
+  /** Emitted once per user, in the microbatch their purchase completes
+    * the signup→click→purchase funnel. */
+  case class FunnelHit(user_id: Long, t_signup: Long, t_click: Long,
+                       t_purchase: Long)
+
+  /** The funnel transition function: events are replayed in (ts,
+    * event_id) order within each invocation — GroupState makes the
+    * machine exactly-once across batches, the in-batch sort makes it
+    * arrival-order-independent within one (so a bounded AvailableNow
+    * drain reproduces the batch events_funnel key row-for-row on
+    * completed funnels; incremental runs approximate it in the
+    * standard streaming way: stages already passed are never
+    * revised by late earlier events). */
+  private[graft] def funnelStep(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    var s = state.getOption.getOrElse(FunnelState(None, None, None))
+    val done = s.tPurchase.isDefined
+    rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ts, _) =>
+      typ match {
+        case "signup" if s.tSignup.isEmpty =>
+          s = s.copy(tSignup = Some(ts))
+        case "click" if s.tSignup.exists(ts >= _) && s.tClick.isEmpty =>
+          s = s.copy(tClick = Some(ts))
+        case "purchase" if s.tClick.exists(ts >= _) && s.tPurchase.isEmpty =>
+          s = s.copy(tPurchase = Some(ts))
+        case _ => ()
+      }
+    }
+    state.update(s)
+    if (!done && s.tPurchase.isDefined)
+      Iterator(FunnelHit(uid, s.tSignup.get, s.tClick.get, s.tPurchase.get))
+    else Iterator.empty
+  }
 
   /** Events source as an unbounded file stream. Schema comes from a
     * one-off batch read (file streams require an explicit schema); the
@@ -83,6 +124,27 @@ object Stream {
             col("c_ts") <= col("p_ts"))
           .select(col("purchase_id"), col("click_id"), col("user_id"),
                   col("p_ts"), col("c_ts"), col("value"))
+      },
+      // Arbitrary stateful processing (§7.5): the per-user conversion
+      // funnel as a flatMapGroupsWithState machine — the API for
+      // semantics no built-in windowing expresses. State is three
+      // Option[Long] stamps per live user; a completion row emits in
+      // the batch the purchase lands. At 100 TB state is partitioned
+      // by user across the cluster and each microbatch touches only
+      // the users that produced events.
+      "funnel" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"), col("event_id"))
+          .as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(funnelStep)
+          .select(col("user_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_click")).as("t_click"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"))
       })
   }
 

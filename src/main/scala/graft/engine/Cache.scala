@@ -247,6 +247,19 @@ object Artifacts {
       Ops.knnBruteForce(e, "vec_id", "embedding", k = 5))
   }
 
+  /** The PQ index (Ops.pqEncode: 8 subspaces × 16 centroids → 8
+    * four-bit codes per vector) for the embeddings table — the
+    * compressed-store artifact an ADC search scans instead of the
+    * floats. Keyed on the input fingerprint like the codebook: encode
+    * once per corpus, reuse across every query. */
+  def pqCodes(s: org.apache.spark.sql.SparkSession,
+              dataDir: String): DataFrame = {
+    val e = Tables.embeddings(s, dataDir).select("vec_id", "embedding")
+    ArtifactCache.materializeKeyed(s, cacheRoot, "pq_codes_v1_m8_k16",
+      ArtifactCache.artifactHash(e))(
+      Ops.pqEncode(e, "vec_id", "embedding"))
+  }
+
   /** The IVF ANN result (k=3, nprobe=4, trained 16×3 codebook) —
     * shared by `emb_ann_ivf` and `emb_ivf_recall`. Name carries the
     * hyperparameters; hash carries the corpus fingerprint. */

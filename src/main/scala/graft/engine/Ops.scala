@@ -657,4 +657,54 @@ object Ops {
       .select(col("_lid").as(leftId), col("_k").as(leftKey),
               col("_t").as(leftTime), col("_matched").as(matchedName))
   }
+
+  // ---- Product quantization (m 8-dim subspaces × 16 centroids) ----
+
+  /** Unrolled per-subspace squared L2 between two 64-float array
+    * columns at subspace `m` (a column named "m" must be in scope):
+    * eight codegen'd multiply-adds, left-associated so the fold order
+    * is pinned (matches DuckDB's sequential list_sum — §2.3). An
+    * interpreted `aggregate(zip_with(...))` HOF here cost ~4 s over a
+    * 50k-vector store; this form runs inside WholeStageCodegen. */
+  private def pqSubDist(a: String, b: String, dims: Int = 8): String =
+    (1 to dims).map { i =>
+      val t = s"(CAST(element_at($a, m*$dims + $i) AS DOUBLE) - " +
+              s"CAST(element_at($b, m*$dims + $i) AS DOUBLE))"
+      s"$t * $t"
+    }.mkString(" + ")
+
+  /** The deterministic 16-entry codebook sample × 8 subspaces: the 16
+    * md5-least vectors (seeded-sample initialization; kmeansCodebook
+    * is the trained upgrade), kept as whole 64-float rows — the
+    * unrolled distance indexes into the right subspace window. 128
+    * rows; always broadcast by callers. */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 8, k: Int = 16): DataFrame = {
+    val s = emb.sparkSession
+    val sub = s.range(0, m).select(col("id").cast("int").as("m"))
+    emb
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .orderBy("_h", idCol).limit(k)
+      .select(col(vecCol).as("cemb"),
+        (row_number().over(Window.orderBy("_h", idCol)) - 1).as("cid"))
+      .crossJoin(sub)
+  }
+
+  /** PQ-encode the store: per (vector, subspace), the id of the
+    * nearest codebook centroid (tie → lowest cid, via min(struct)).
+    * One broadcast-join pass over the store — at 100 TB the store
+    * streams through once and the output (the PQ INDEX: 8 codes =
+    * 4 bytes/vector) is the artifact a deployment persists
+    * (Artifacts.pqCodes). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, k: Int = 16): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vecCol, m, k)
+    val s = emb.sparkSession
+    val sub = s.range(0, m).select(col("id").cast("int").as("m"))
+    emb.select(col(idCol), col(vecCol).as("vemb")).crossJoin(sub)
+      .join(broadcast(cb), "m")
+      .withColumn("dist", expr(pqSubDist("vemb", "cemb")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
+  }
 }

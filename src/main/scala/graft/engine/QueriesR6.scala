@@ -1,0 +1,230 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 3: the remaining classic analytic join/agg shapes the
+  * registry had not pinned — dual-role dimension joins (one dimension
+  * table playing two semantic roles in one query, TPC-H Q7/Q8),
+  * outer-join-with-ON-residual + aggregate-of-aggregate histograms
+  * (Q13), and max-of-aggregate selection via a scalar subquery over a
+  * shared CTE (Q15) — plus two LLM-corpus operators: unigram
+  * language-model scoring (the CCNet/Gopher quality signal) and
+  * product quantization with asymmetric-distance search (the
+  * memory-bounded ANN path for 100 TB embedding stores).
+  *
+  * Determinism: SURVEY.md §2.3 throughout — decimal accumulators on
+  * exact grids for money, quotient-then-round for ratios, per-term
+  * rounding to a fixed grid before decimal summation where libm
+  * functions (ln) enter an accumulator, md5 for portable sampling,
+  * total output orders.
+  */
+object QueriesR6 {
+  import Tables._
+
+  private def ts(x: String): Column = to_timestamp(lit(x))
+
+  /** The repo's §2.3 money idiom (see QueriesR5.revDec). */
+  private val revDec =
+    expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))")
+
+  /** TPC-H Q7 shape — bilateral shipping volume between two nations,
+    * by supplier nation × customer nation × ship year. The nation
+    * dimension plays TWO roles (supplier's and customer's); the
+    * disjunctive pair predicate ((A,B) ∨ (B,A)) spans both roles.
+    * Scale shape: both role filters are applied to the DIMENSION side
+    * before the facts join — supplier and customer shrink to 2/25 of
+    * their nations first, the pruned supplier side broadcasts into
+    * lineitem, and the only big shuffles left are lineitem⋈orders and
+    * ⋈(pruned customer) on their natural keys. Revenue is the exact
+    * decimal accumulator. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val supN = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = customer(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+              (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(revDec).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — national market share: of all ECONOMY-part
+    * revenue delivered to ASIA customers, the share supplied by
+    * NATION_3, per order year. Seven relations, nation again in two
+    * roles (supplier's nation for the share numerator, customer's
+    * nation→region for the market filter). All dimensions (part
+    * filtered to one type, supplier+nation, nation⋈region) broadcast;
+    * lineitem⋈orders is the one fact-fact shuffle, then orders⋈customer.
+    * Share is a conditional decimal sum over total decimal sum, divided
+    * as doubles then rounded (quotient-then-round — §2.3). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"))
+    val custAsia = customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
+      .select(col("c_custkey"))
+    val supNat = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_3", revDec)),
+                 expr("CAST(0 AS DECIMAL(18,4))"))
+          .cast("double").as("nation_revenue"),
+        sum(revDec).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    * join with a residual predicate INSIDE the ON clause (orders that
+    * are not urgent — putting it in WHERE would silently turn the join
+    * inner, the classic outer-join bug this key pins), COUNT(col) over
+    * the null-extended side, then a second aggregate over the first's
+    * result (the histogram). Scale shape: one shuffle per aggregate,
+    * both map-side combined; the outer join shuffles on the natural
+    * customer key. */
+  def q13OrderCountDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H Q15 shape — the top supplier(s) by quarterly revenue: an
+    * aggregate CTE referenced twice, once as the join input and once
+    * under a MAX scalar subquery selecting the winner. The equality
+    * compares exact DECIMAL(18,4) accumulators, so "ties all qualify"
+    * is engine-independent (§2.3 — a double max could disagree at the
+    * last ulp). Scale shape: the revenue agg is one map-side-combined
+    * shuffle over the date-pruned sliver of lineitem; the MAX is a
+    * one-row broadcast back onto it; supplier is a broadcast dim. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("q15_lineitem")
+    supplier(s, d).createOrReplaceTempView("q15_supplier")
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                        AS DECIMAL(18,4))) AS total_rev
+        FROM q15_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name,
+             CAST(r.total_rev AS DOUBLE) AS total_revenue
+      FROM q15_supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s.s_suppkey""")
+  }
+
+  /** Unigram language-model scoring — the CCNet-style corpus quality
+    * signal: train token frequencies over the whole corpus (one agg),
+    * then score every document's cross-entropy under the add-one-
+    * smoothed model, H(doc) = -Σ c_doc(t)·ln((c(t)+1)/(N+V)) / n_tokens.
+    * Scale shape: the model IS a table (token → count) joined back on
+    * the token — broadcast when the vocab fits (it's zipf-bounded),
+    * shuffle-join with the existing salted-agg recipe when it doesn't;
+    * the corpus is scanned twice and shuffled on the token once each
+    * pass, never collected.
+    *
+    * Exactness (§2.3): each doc×token term is rounded to the fixed
+    * 1e-9 grid and summed as DECIMAL(28,9) — the ln() calls land on
+    * identical doubles in both engines (the docs_entropy precedent),
+    * per-term rounding of identical doubles is deterministic, and the
+    * decimal sum is order-proof, so the accumulator never depends on
+    * Spark's reduce order. The final per-token normalization is a
+    * quotient-then-round. */
+  def docsLmScore(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val model = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nv = model.agg(sum("c").cast("double").as("n_total"),
+                       count(lit(1)).cast("double").as("v_vocab"))
+    val docTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c_doc"))
+    docTok
+      .join(model, "t")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        expr("CAST(round(-c_doc * ln((c + 1) / (n_total + v_vocab)), 9) " +
+             "AS DECIMAL(28,9))"))
+      .groupBy("doc_id")
+      .agg(sum("c_doc").as("n_tokens"),
+           sum("term").as("h_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("h_sum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Product quantization + asymmetric-distance (ADC) search — the
+    * memory-bounded ANN that actually deploys at 100 TB: every 64-dim
+    * vector compresses to 8 four-bit codes (one per 8-dim subspace,
+    * nearest of 16 codebook centroids, tie → lowest centroid id), and
+    * a query scans CODES — the distance is Σ_m ‖q_m − c_{code_m}‖²,
+    * looked up from a 128-entry table, so the full store never loads
+    * floats again. Codebook here = the 16 md5-least vectors (the
+    * deterministic seeded-sample initialization; Ops.kmeansCodebook is
+    * the trained upgrade), sliced per subspace. Scale shape: the
+    * codebook (128 rows) and the query's distance table broadcast;
+    * encoding is one broadcast-join pass over the store; search is a
+    * scan of the 4-byte codes + an 8-term lookup sum. The 8-term
+    * per-vector sums are O(1)-magnitude doubles whose reduce-order
+    * jitter (~1e-15) cannot reach the 5e-7 rounding midpoint; argmin
+    * uses exact distances where gaps are O(0.1) (§2.3 note in
+    * BASELINE.md round-3). Output: top-10 nearest by rounded ADC
+    * distance with the packed code string. */
+  def embPqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // The PQ index (vec_id, m, code) is the persisted artifact —
+    // encode runs once per corpus fingerprint (Ops.pqEncode: unrolled
+    // codegen'd subspace distances, broadcast codebook).
+    val codes = Artifacts.pqCodes(s, d)
+    // The query's 128-entry ADC lookup table: ‖q_m − c_{m,j}‖² per
+    // (subspace, centroid), from the same deterministic codebook.
+    val q = "(CAST(element_at(qemb, m*8 + %d) AS DOUBLE) - " +
+            "CAST(element_at(cemb, m*8 + %d) AS DOUBLE))"
+    val qdist = (1 to 8).map { i =>
+      val t = q.format(i, i); s"$t * $t"
+    }.mkString(" + ")
+    val qtab = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qemb"))
+      .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
+      .select(col("m"), col("cid").as("code"), expr(qdist).as("qdist"))
+    codes.join(broadcast(qtab), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum("qdist"), 6).as("adc_dist"),
+           array_join(expr(
+             "transform(array_sort(collect_list(struct(m, code))), x -> CAST(x.code AS STRING))"),
+             "-").as("code_str"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+  }
+}

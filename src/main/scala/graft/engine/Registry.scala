@@ -154,10 +154,18 @@ object Registry {
     "cte_recursive_months" -> QueriesR5.cteRecursiveMonths _,
     "docs_span_dedup"     -> QueriesR5.docsSpanDedup _,
     "docs_token_budget_mix" -> QueriesR5.docsTokenBudgetMix _,
+    // Round-4 wave 3: dual-role dimensions, outer-join histogram,
+    // max-of-aggregate selection, LM quality scoring, PQ/ADC search
+    "q7_volume_shipping"  -> QueriesR6.q7VolumeShipping _,
+    "q8_market_share"     -> QueriesR6.q8MarketShare _,
+    "q13_order_count_dist" -> QueriesR6.q13OrderCountDist _,
+    "q15_top_supplier"    -> QueriesR6.q15TopSupplier _,
+    "docs_lm_score"       -> QueriesR6.docsLmScore _,
+    "emb_pq_adc"          -> QueriesR6.embPqAdc _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
-      OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql
+      OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql
 }

@@ -224,4 +224,41 @@ class PlanSpec extends SparkTestBase {
     assert(pushedOnLineitem.isDefined,
       s"quantity OR not pushed to lineitem scan:\n$p")
   }
+
+  test("q7 dual-role nation dims broadcast; pair filter prunes both scans") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), s"q7 lost its dim broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q7 degraded:\n$p")
+    // the nation-pair IN filter must reach the nation scans (it is what
+    // shrinks supplier/customer before the fact joins)
+    assert("PushedFilters: \\[[^\\]]*In\\(n_name".r.findFirstIn(p).isDefined,
+      s"nation pair filter not pushed to the nation scan:\n$p")
+  }
+
+  test("q13 keeps the outer join (ON-residual must not turn it inner)") {
+    val p = plan("q13_order_count_dist")
+    assert(p.contains("LeftOuter"), s"q13 outer join lost:\n$p")
+    // the priority residual belongs on the orders side scan, not WHERE
+    assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
+      s"priority residual not pushed to the orders scan:\n$p")
+  }
+
+  test("q15 max-of-aggregate runs as a one-shot subquery") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("Subquery"),
+      s"q15 threshold did not stay an uncorrelated one-shot subquery:\n$p")
+    assert(!p.contains("NestedLoop"), s"q15 degraded to nested loop:\n$p")
+    // the quarter window must prune the lineitem scan
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"ship-date window not pushed to the lineitem scan:\n$p")
+  }
+
+  test("PQ encode joins broadcast the 128-row codebook") {
+    val p = plan("emb_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"PQ codebook/distance-table joins lost their broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ encode shuffles the store against a 128-row codebook:\n$p")
+  }
 }

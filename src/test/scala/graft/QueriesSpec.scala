@@ -78,4 +78,26 @@ class QueriesSpec extends SparkTestBase {
       .agg(expr("hll_estimate(hll_sketch(user_id))")).collect()(0).getLong(0)
     assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
   }
+
+  test("PQ codes are 8 per vector, each in 0..15; self-query ranks first") {
+    val rows = SparkEntry.queries("emb_pq_adc")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val codes = r.getAs[String]("code_str").split("-")
+      assert(codes.length == 8, s"expected 8 subspace codes: $r")
+      codes.foreach(c => assert(c.toInt >= 0 && c.toInt <= 15, s"code out of range: $r"))
+    }
+    // the query vector's own ADC distance is pure quantization error —
+    // it must be the global minimum (rank 1 of the top-10)
+    assert(rows.head.getAs[Long]("vec_id") == 0L,
+      s"query vector not nearest to itself: ${rows.head}")
+  }
+
+  test("LM cross-entropy is positive and bounded by ln(N+V)") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("docs_lm_score")(spark, sfDir)
+    val bad = df.filter(col("cross_entropy") <= 0.0 ||
+                        col("cross_entropy") > 20.0).count()
+    assert(bad == 0, s"$bad docs with out-of-range cross-entropy")
+  }
 }

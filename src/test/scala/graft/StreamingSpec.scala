@@ -156,7 +156,8 @@ class StreamingSpec extends SparkTestBase {
   test("graft.Stream entry point: AvailableNow drain writes all four sinks") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
-    assert(counts.keySet == Set("tumbling", "sessions", "dedup", "attribution"))
+    assert(counts.keySet ==
+      Set("tumbling", "sessions", "dedup", "attribution", "funnel"))
     // the stream-stream interval join is an INNER join: matched rows
     // emit when both sides are seen, so a bounded drain must equal the
     // batch spelling of the same join pair-for-pair
@@ -195,6 +196,22 @@ class StreamingSpec extends SparkTestBase {
       s"dedup key set diverged: sink-only=${sinkKeys -- batchKeys}, " +
         s"batch-only=${batchKeys -- sinkKeys}")
     assert(counts("dedup") == batchKeys.size)
+    // the funnel state machine replays each user's events in (ts,
+    // event_id) order, so a single bounded drain must reproduce the
+    // batch events_funnel key row-for-row on COMPLETED funnels
+    // (stage 3); incomplete funnels stay in state and emit nothing
+    val batchFunnel = graft.engine.QueriesR2.eventsFunnel(spark, sfDir)
+      .filter(col("stage") === 3)
+      .select("user_id", "t_signup", "t_click", "t_purchase").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getTimestamp(3))).toSet
+    val sinkFunnel = spark.read.parquet(s"$out/funnel")
+      .select("user_id", "t_signup", "t_click", "t_purchase").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getTimestamp(3))).toSet
+    assert(sinkFunnel == batchFunnel,
+      s"funnel sink diverged from batch: sink=${sinkFunnel.size} " +
+        s"batch=${batchFunnel.size}")
     // windowed sinks hold back trailing windows; they must still have
     // emitted the bulk of the bounded input
     assert(counts("tumbling") > 0 && counts("sessions") > 0, counts.toString)
