@@ -135,5 +135,67 @@ object OracleR6 {
         |GROUP BY c.vec_id
         |ORDER BY adc_dist, c.vec_id
         |LIMIT 10""".stripMargin,
+
+    // IVF-PQ: the k-means CTE chain (cell assignment, verified
+    // bit-identical for emb_ann_ivf) composed with the PQ chain. The
+    // PQ sample codebook IS seedord's first 16 rows — the same
+    // deterministic md5-least sample seeds both quantizers.
+    "emb_ivf_pq" ->
+      s"""WITH ${OracleKmeans.codebookCtes},
+        |asg AS (SELECT a.vec_id, b.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(${OracleKmeans.cosFD("a", "b")}, 6) DESC,
+        |               b.cid) AS rn
+        |  FROM embeddings a JOIN cent b ON true),
+        |assign AS (SELECT vec_id, cid AS cell_id FROM asg WHERE rn = 1),
+        |qcells AS (SELECT cid FROM asg WHERE vec_id = 0 AND rn <= 4),
+        |pms AS (SELECT unnest(range(8)) AS m),
+        |psamp AS (SELECT embedding AS pemb, cid AS pcid
+        |          FROM seedord WHERE cid < 16),
+        |pdists AS (
+        |  SELECT e.vec_id, s.m, p.pcid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[s.m*8 + i] AS DOUBLE)
+        |            - CAST(p.pemb[s.m*8 + i] AS DOUBLE))
+        |         * (CAST(e.embedding[s.m*8 + i] AS DOUBLE)
+        |            - CAST(p.pemb[s.m*8 + i] AS DOUBLE)))) AS dist
+        |  FROM embeddings e, pms s, psamp p),
+        |pcodes AS (SELECT vec_id, m, pcid AS code FROM (
+        |    SELECT vec_id, m, pcid,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY dist, pcid) AS rn
+        |    FROM pdists) t WHERE rn = 1),
+        |pqtab AS (SELECT m, pcid AS code, dist AS qdist
+        |          FROM pdists WHERE vec_id = 0)
+        |SELECT c.vec_id, a.cell_id, round(SUM(q.qdist), 6) AS adc_dist
+        |FROM pcodes c JOIN assign a ON c.vec_id = a.vec_id
+        |JOIN qcells qc ON a.cell_id = qc.cid
+        |JOIN pqtab q ON c.m = q.m AND c.code = q.code
+        |GROUP BY c.vec_id, a.cell_id
+        |ORDER BY adc_dist, c.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "merge_upsert_scd2" ->
+      """WITH target AS (SELECT o_orderkey AS key, o_orderstatus FROM orders),
+        |ret AS (SELECT l_orderkey, COUNT(*) AS n_returned
+        |        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS new_status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0),
+        |j AS (SELECT COALESCE(t.key, u.key) AS key, t.o_orderstatus,
+        |             u.new_status
+        |      FROM target t FULL OUTER JOIN upd u ON t.key = u.key)
+        |SELECT key, status, version, is_current FROM (
+        |  SELECT key, o_orderstatus AS status, 1 AS version,
+        |         (new_status IS NULL OR new_status = o_orderstatus)
+        |           AS is_current
+        |  FROM j WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL
+        |  SELECT key, new_status,
+        |         CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 2 END, true
+        |  FROM j WHERE new_status IS NOT NULL
+        |    AND (o_orderstatus IS NULL OR new_status <> o_orderstatus)) v
+        |ORDER BY key, version""".stripMargin,
   )
 }

@@ -227,4 +227,94 @@ object QueriesR6 {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(10)
   }
+
+  /** IVF-PQ — the two ANN artifacts composed the way a production
+    * index deploys them (the FAISS IVFPQ layout): the TRAINED k-means
+    * codebook (Artifacts.ivfCodebook) prunes the search to the
+    * query's nprobe=4 nearest cells, and only those cells' PQ codes
+    * (Artifacts.pqCodes, 4 bytes/vector) are ADC-scored — the floats
+    * are never touched at query time. Cell assignment reuses
+    * emb_ann_ivf's exact rule (cosine rounded 6, topk_by_score tie =
+    * lowest cid), so the oracle re-derives it from the same unrolled
+    * k-means CTE chain. The PQ sample codebook and the k-means seeds
+    * are THE SAME 16 md5-least vectors by construction — one
+    * deterministic sampling rule feeds both quantizers. At 100 TB:
+    * assignment is one broadcast pass (and would itself persist next
+    * to the codes); a query touches nprobe/C of the code store. */
+  def embIvfPq(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s); TopK.register(s)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cent = Artifacts.ivfCodebook(s, d).select(col("cid"), col("cemb"))
+    val codes = Artifacts.pqCodes(s, d)
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
+    val assign = scored
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), expr("t[0].id").as("cell_id"))
+    val qcells = scored.filter(col("vec_id") === 0L)
+      .orderBy(col("cs").desc, col("cid")).limit(4)
+      .select(col("cid").as("qcell"))
+    val cand = assign
+      .join(broadcast(qcells), col("cell_id") === col("qcell"), "left_semi")
+    val q = "(CAST(element_at(qemb, m*8 + %d) AS DOUBLE) - " +
+            "CAST(element_at(cemb, m*8 + %d) AS DOUBLE))"
+    val qdist = (1 to 8).map { i =>
+      val t = q.format(i, i); s"$t * $t"
+    }.mkString(" + ")
+    val qtab = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qemb"))
+      .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
+      .select(col("m"), col("cid").as("code"), expr(qdist).as("qdist"))
+    codes.join(cand, "vec_id")
+      .join(broadcast(qtab), Seq("m", "code"))
+      .groupBy("vec_id", "cell_id")
+      .agg(round(sum("qdist"), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** SCD-2 history maintenance — the versioned complement of
+    * merge_upsert_scd1: a change closes the old row (is_current =
+    * false) and appends a version-2 row; inserts open at version 1;
+    * untouched keys carry over. Spark-first: ONE full-outer join on
+    * the key fans out into the three branches with an array+explode
+    * (no second pass over either side); at 100 TB both sides shuffle
+    * once on the merge key, exactly like SCD-1. Change detection is
+    * value-based (update's status ≠ current status), so a no-op
+    * update does NOT spawn a version — the idempotence a CDC replay
+    * needs. Updates/inserts derive deterministically from returned
+    * lineitems (the scd1 derivation). */
+  def mergeUpsertScd2(s: SparkSession, d: String): DataFrame = {
+    val target = orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus"))
+    val returned = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_returned"))
+    val updates = returned
+      .select(col("l_orderkey").as("key"), lit("R").as("new_status"))
+      .union(returned.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("N").as("new_status")))
+    target.join(updates, Seq("key"), "full_outer")
+      .select(col("key"), explode(expr(
+        """CASE
+          |  WHEN new_status IS NULL OR new_status = o_orderstatus THEN
+          |    array(struct(o_orderstatus AS status, 1 AS version,
+          |                 true AS is_current))
+          |  WHEN o_orderstatus IS NULL THEN
+          |    array(struct(new_status AS status, 1 AS version,
+          |                 true AS is_current))
+          |  ELSE array(
+          |    struct(o_orderstatus AS status, 1 AS version,
+          |           false AS is_current),
+          |    struct(new_status AS status, 2 AS version,
+          |           true AS is_current))
+          |END""".stripMargin)).as("r"))
+      .select(col("key"), col("r.status"), col("r.version"),
+              col("r.is_current"))
+      .orderBy("key", "version")
+  }
 }

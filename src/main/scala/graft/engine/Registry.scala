@@ -162,6 +162,8 @@ object Registry {
     "q15_top_supplier"    -> QueriesR6.q15TopSupplier _,
     "docs_lm_score"       -> QueriesR6.docsLmScore _,
     "emb_pq_adc"          -> QueriesR6.embPqAdc _,
+    "emb_ivf_pq"          -> QueriesR6.embIvfPq _,
+    "merge_upsert_scd2"   -> QueriesR6.mergeUpsertScd2 _,
   )
 
   val oracleSql: ListMap[String, String] =

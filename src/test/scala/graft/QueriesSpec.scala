@@ -93,6 +93,29 @@ class QueriesSpec extends SparkTestBase {
       s"query vector not nearest to itself: ${rows.head}")
   }
 
+  test("SCD-2 invariants: exactly one current row per key, versions dense") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("merge_upsert_scd2")(spark, sfDir)
+    val perKey = df.groupBy("key").agg(
+      sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"),
+      max("version").as("vmax"), count(lit(1)).as("n"))
+    assert(perKey.filter(col("n_cur") =!= 1).count() == 0,
+      "a key without exactly one current row")
+    // versions are dense 1..n: max(version) == row count per key
+    assert(perKey.filter(col("vmax") =!= col("n")).count() == 0,
+      "version gap detected")
+  }
+
+  test("IVF-PQ results come only from the query's probed cells") {
+    val rows = SparkEntry.queries("emb_ivf_pq")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val cells = rows.map(_.getAs[Long]("cell_id")).toSet
+    assert(cells.size <= 4, s"results from more than nprobe=4 cells: $cells")
+    // self-query: vector 0 is its own nearest code under ADC
+    assert(rows.head.getAs[Long]("vec_id") == 0L,
+      s"query vector not ranked first: ${rows.head}")
+  }
+
   test("LM cross-entropy is positive and bounded by ln(N+V)") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("docs_lm_score")(spark, sfDir)
