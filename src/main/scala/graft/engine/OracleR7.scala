@@ -1,0 +1,52 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-4 wave-4 keys. try_* maps to the
+  * portable spellings (CASE-guarded division, TRY_CAST, literal NULL
+  * for the overflow case DuckDB would raise on); null-safe equality
+  * is IS NOT DISTINCT FROM. */
+object OracleR7 {
+  val sql: ListMap[String, String] = ListMap(
+    "join_nullsafe_eq" ->
+      """SELECT nullif(c.c_nationkey, 3) AS nkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS bal_sum
+        |FROM customer c JOIN supplier s
+        |  ON nullif(c.c_nationkey, 3) IS NOT DISTINCT FROM
+        |     nullif(s.s_nationkey, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_try_arith" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN year(o_orderdate) = 1997 THEN NULL
+        |             ELSE o_totalprice / (year(o_orderdate) - 1997) END, 6)
+        |    AS td,
+        |  TRY_CAST(o_orderpriority AS INT) AS tc,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+        |       ELSE CAST(NULL AS BIGINT) END AS ta,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS tp
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "docs_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, COUNT(*) AS c,
+        |           row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+        |    FROM tok GROUP BY t) v
+        |  WHERE rn <= 64)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN vocab v USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 4: the last unexercised equi-join variant (null-safe
+  * equality — `<=>` IS a hash-join key, unlike a general null
+  * predicate), the ANSI error-safe arithmetic surface (try_*), and a
+  * vocabulary-coverage corpus operator (OOV rate against a trained
+  * top-K vocab — the tokenizer-fit signal next to docs_lm_score's LM
+  * perplexity). §2.3 determinism rules throughout. */
+object QueriesR7 {
+  import Tables._
+
+  /** Null-safe equality join: keys are made nullable with nullif
+    * (nation 3 → NULL on BOTH sides), then joined with `<=>` so the
+    * NULL group matches itself — three-valued `=` would drop it.
+    * EqualNullSafe is a genuine equi key (hash-joinable — PlanSpec
+    * asserts no nested loop), which is exactly why the variant
+    * deserves its own key: the naive `(a = b) OR (a IS NULL AND b IS
+    * NULL)` spelling degrades to a nested loop at 100 TB; `<=>`
+    * stays one shuffle (or a broadcast, as here — supplier is the
+    * dim). */
+  def joinNullsafeEq(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(expr("nullif(c_nationkey, 3)").as("c_nk"), col("c_acctbal"))
+    val sup = supplier(s, d)
+      .select(expr("nullif(s_nationkey, 3)").as("s_nk"), col("s_suppkey"))
+    c.join(broadcast(sup), col("c_nk") <=> col("s_nk"))
+      .groupBy(col("c_nk").as("nkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("s_suppkey")).as("n_supp"),
+           sum(expr("CAST(c_acctbal AS DECIMAL(12,2))"))
+             .cast("double").as("bal_sum"))
+      .orderBy("nkey")
+  }
+
+  /** ANSI error-safe arithmetic: try_divide yields NULL on /0 instead
+    * of an error or ±Inf (mixed null/value across rows — year 1997
+    * divides by zero), try_cast NULL on an unparseable string,
+    * try_add NULL on bigint overflow. The oracle restates each as its
+    * portable CASE/TRY_CAST spelling — the key pins that this engine's
+    * failure mode for bad arithmetic is NULL, not a job abort (what
+    * a 100 TB pipeline needs: one poison row must not kill the
+    * stage). */
+  def fnTryArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        round(expr("try_divide(o_totalprice, year(o_orderdate) - 1997)"), 6)
+          .as("td"),
+        expr("try_cast(o_orderpriority AS INT)").as("tc"),
+        // overflows (→ NULL) for every key except 0 — a mixed column,
+        // not a constant: the oracle mirrors the boundary explicitly
+        expr("try_add(o_orderkey, 9223372036854775807)").as("ta"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("tp"))
+      .orderBy("o_orderkey")
+
+  /** Out-of-vocabulary rate against a corpus-trained top-64 vocab
+    * (ties at the cut broken by token text — a total order, so the
+    * vocab set is engine-independent). The vocab is the broadcast
+    * side; the corpus is scanned once — the standard tokenizer-
+    * coverage report before committing to a vocab size. */
+  def docsOovRate(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(64)
+      .select(col("t"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+}

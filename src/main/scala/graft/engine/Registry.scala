@@ -164,10 +164,16 @@ object Registry {
     "emb_pq_adc"          -> QueriesR6.embPqAdc _,
     "emb_ivf_pq"          -> QueriesR6.embIvfPq _,
     "merge_upsert_scd2"   -> QueriesR6.mergeUpsertScd2 _,
+    // Round-4 wave 4: null-safe equi join, ANSI try_* arithmetic,
+    // vocabulary coverage
+    "join_nullsafe_eq"    -> QueriesR7.joinNullsafeEq _,
+    "fn_try_arith"        -> QueriesR7.fnTryArith _,
+    "docs_oov_rate"       -> QueriesR7.docsOovRate _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
-      OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql
+      OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
+      OracleR7.sql
 }

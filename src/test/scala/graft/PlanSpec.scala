@@ -254,6 +254,14 @@ class PlanSpec extends SparkTestBase {
       s"ship-date window not pushed to the lineitem scan:\n$p")
   }
 
+  test("null-safe equality is a hash-join key (no nested loop)") {
+    val p = plan("join_nullsafe_eq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"<=> join lost its hash strategy:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"null-safe join degraded:\n$p")
+  }
+
   test("PQ encode joins broadcast the 128-row codebook") {
     val p = plan("emb_pq_adc")
     assert(p.contains("BroadcastHashJoin"),
