@@ -16,20 +16,14 @@ object Bench {
     // comparable measurements must too.
     //
     // SPARK_GRAFT_BENCH_COLD=1 is the mechanical cold-kernel probe:
-    // it skips warmup AND wipes the artifact cache first, so
-    // artifact-backed keys (knn / ann_ivf / ivf_recall / dedup
-    // family) time their full compute — a kernel regression cannot
-    // hide behind P6 reuse. SPARK_GRAFT_BENCH_KEYS=k1,k2 restricts
-    // the run (cold runs target the artifact-backed subset).
+    // it skips warmup AND gives every key a fresh artifact-cache
+    // root, so artifact-backed keys (knn / ann_ivf / ivf_recall /
+    // dedup family) time their full compute — a kernel regression
+    // cannot hide behind P6 reuse, including reuse of an artifact a
+    // PRIOR listed key just built. SPARK_GRAFT_BENCH_KEYS=k1,k2
+    // restricts the run (cold runs target the artifact-backed
+    // subset).
     val warm = !sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
-    if (!warm) {
-      // Isolate rather than destroy: pointing the cache at a fresh
-      // temp root makes every artifact cold for THIS JVM without
-      // deleting the shared root under a concurrent session's reads.
-      System.setProperty("graft.cache.root",
-        java.nio.file.Files.createTempDirectory("graft_cold_cache_")
-          .toString)
-    }
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = keyFilter match {
@@ -44,6 +38,16 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
+      else {
+        // Isolate rather than destroy — and PER KEY, not per JVM:
+        // pointing the cache at a fresh temp root before every timed
+        // key makes each key's full kernel run cold even when several
+        // listed keys share an artifact (knn → ivf → recall), without
+        // deleting the shared root under a concurrent session's reads.
+        System.setProperty("graft.cache.root",
+          java.nio.file.Files.createTempDirectory("graft_cold_cache_")
+            .toString)
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
-  *   writes <outDir>/tumbling|sessions|dedup|attribution/ + <outDir>/checkpoints/
+  *   writes <outDir>/tumbling|sessions|dedup|attribution|funnel/
+  *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
   * watermark passed — trailing windows stay open (correct streaming
@@ -42,19 +43,28 @@ object Stream {
                        t_purchase: Long)
 
   /** The funnel transition function: events are replayed in (ts,
-    * event_id) order within each invocation — GroupState makes the
-    * machine exactly-once across batches, the in-batch sort makes it
-    * arrival-order-independent within one (so a bounded AvailableNow
-    * drain reproduces the batch events_funnel key row-for-row on
-    * completed funnels; incremental runs approximate it in the
-    * standard streaming way: stages already passed are never
-    * revised by late earlier events). */
+    * stage, event_id) order within each invocation — GroupState makes
+    * the machine exactly-once across batches, the in-batch sort makes
+    * it arrival-order-independent within one (so a bounded
+    * AvailableNow drain reproduces the batch events_funnel key
+    * row-for-row on completed funnels; incremental runs approximate it
+    * in the standard streaming way: stages already passed are never
+    * revised by late earlier events). Stage rank sits BETWEEN ts and
+    * event_id in the sort: the batch key's `>=` lets a click share its
+    * qualifying signup's timestamp (and a purchase its click's), so at
+    * equal ts the earlier stage must transition first — ordering by
+    * event_id alone would drop a same-timestamp click whose id sorts
+    * before the signup. */
+  private val stageRank = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+
   private[graft] def funnelStep(
       uid: Long, rows: Iterator[(Long, String, Long, Long)],
       state: GroupState[FunnelState]): Iterator[FunnelHit] = {
     var s = state.getOption.getOrElse(FunnelState(None, None, None))
     val done = s.tPurchase.isDefined
-    rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ts, _) =>
+    rows.toSeq
+      .sortBy(r => (r._3, stageRank.getOrElse(r._2, 3), r._4))
+      .foreach { case (_, typ, ts, _) =>
       typ match {
         case "signup" if s.tSignup.isEmpty =>
           s = s.copy(tSignup = Some(ts))
@@ -81,7 +91,7 @@ object Stream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** The four deployed queries, keyed by sink name. */
+  /** The five deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
     Map(

@@ -666,7 +666,7 @@ object Ops {
     * is pinned (matches DuckDB's sequential list_sum — §2.3). An
     * interpreted `aggregate(zip_with(...))` HOF here cost ~4 s over a
     * 50k-vector store; this form runs inside WholeStageCodegen. */
-  private def pqSubDist(a: String, b: String, dims: Int = 8): String =
+  def pqSubDist(a: String, b: String, dims: Int = 8): String =
     (1 to dims).map { i =>
       val t = s"(CAST(element_at($a, m*$dims + $i) AS DOUBLE) - " +
               s"CAST(element_at($b, m*$dims + $i) AS DOUBLE))"

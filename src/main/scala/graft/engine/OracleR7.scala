@@ -17,7 +17,7 @@ object OracleR7 {
         |FROM customer c JOIN supplier s
         |  ON nullif(c.c_nationkey, 3) IS NOT DISTINCT FROM
         |     nullif(s.s_nationkey, 3)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "fn_try_arith" ->
       """SELECT o_orderkey,

@@ -201,23 +201,25 @@ object QueriesR6 {
     * uses exact distances where gaps are O(0.1) (§2.3 note in
     * BASELINE.md round-3). Output: top-10 nearest by rounded ADC
     * distance with the packed code string. */
+  /** The query's 128-entry ADC lookup table — ‖q_m − c_{m,j}‖² per
+    * (subspace, centroid) for query vector 0, from the same
+    * deterministic codebook (Ops.pqCodebook) and the same unrolled
+    * distance (Ops.pqSubDist) the encoder uses. Shared by emb_pq_adc
+    * and emb_ivf_pq so encode and search can never desynchronize. */
+  private def pqQueryTable(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qemb"))
+      .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
+      .select(col("m"), col("cid").as("code"),
+              expr(Ops.pqSubDist("qemb", "cemb")).as("qdist"))
+
   def embPqAdc(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     // The PQ index (vec_id, m, code) is the persisted artifact —
     // encode runs once per corpus fingerprint (Ops.pqEncode: unrolled
     // codegen'd subspace distances, broadcast codebook).
     val codes = Artifacts.pqCodes(s, d)
-    // The query's 128-entry ADC lookup table: ‖q_m − c_{m,j}‖² per
-    // (subspace, centroid), from the same deterministic codebook.
-    val q = "(CAST(element_at(qemb, m*8 + %d) AS DOUBLE) - " +
-            "CAST(element_at(cemb, m*8 + %d) AS DOUBLE))"
-    val qdist = (1 to 8).map { i =>
-      val t = q.format(i, i); s"$t * $t"
-    }.mkString(" + ")
-    val qtab = emb.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qemb"))
-      .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
-      .select(col("m"), col("cid").as("code"), expr(qdist).as("qdist"))
+    val qtab = pqQueryTable(emb)
     codes.join(broadcast(qtab), Seq("m", "code"))
       .groupBy("vec_id")
       .agg(round(sum("qdist"), 6).as("adc_dist"),
@@ -258,15 +260,7 @@ object QueriesR6 {
       .select(col("cid").as("qcell"))
     val cand = assign
       .join(broadcast(qcells), col("cell_id") === col("qcell"), "left_semi")
-    val q = "(CAST(element_at(qemb, m*8 + %d) AS DOUBLE) - " +
-            "CAST(element_at(cemb, m*8 + %d) AS DOUBLE))"
-    val qdist = (1 to 8).map { i =>
-      val t = q.format(i, i); s"$t * $t"
-    }.mkString(" + ")
-    val qtab = emb.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qemb"))
-      .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
-      .select(col("m"), col("cid").as("code"), expr(qdist).as("qdist"))
+    val qtab = pqQueryTable(emb)
     codes.join(cand, "vec_id")
       .join(broadcast(qtab), Seq("m", "code"))
       .groupBy("vec_id", "cell_id")

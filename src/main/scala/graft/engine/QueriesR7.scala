@@ -32,7 +32,7 @@ object QueriesR7 {
            countDistinct(col("s_suppkey")).as("n_supp"),
            sum(expr("CAST(c_acctbal AS DECIMAL(12,2))"))
              .cast("double").as("bal_sum"))
-      .orderBy("nkey")
+      .orderBy(col("nkey").asc_nulls_first)
   }
 
   /** ANSI error-safe arithmetic: try_divide yields NULL on /0 instead
