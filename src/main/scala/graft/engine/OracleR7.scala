@@ -30,6 +30,44 @@ object OracleR7 {
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS tp
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "dq_constraints" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |           AS pk_dup,
+        |         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |           AS null_ship,
+        |         SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+        |                  THEN 1 ELSE 0 END) AS bad_disc
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+        |         SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+        |           AS bad_price
+        |  FROM orders),
+        |fko AS (SELECT COUNT(*) AS v FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey)),
+        |fkl AS (SELECT COUNT(*) AS v FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)),
+        |rows_ AS (
+        |  SELECT 'lineitem.pk_unique' AS check_name,
+        |         CAST(pk_dup AS BIGINT) AS violations FROM li
+        |  UNION ALL SELECT 'lineitem.shipdate_not_null',
+        |         CAST(null_ship AS BIGINT) FROM li
+        |  UNION ALL SELECT 'lineitem.discount_in_0_1',
+        |         CAST(bad_disc AS BIGINT) FROM li
+        |  UNION ALL SELECT 'orders.pk_unique',
+        |         CAST(pk_dup AS BIGINT) FROM ord
+        |  UNION ALL SELECT 'orders.totalprice_positive',
+        |         CAST(bad_price AS BIGINT) FROM ord
+        |  UNION ALL SELECT 'orders.custkey_fk_customer',
+        |         CAST(v AS BIGINT) FROM fko
+        |  UNION ALL SELECT 'lineitem.orderkey_fk_orders',
+        |         CAST(v AS BIGINT) FROM fkl)
+        |SELECT check_name, violations, violations = 0 AS pass
+        |FROM rows_ ORDER BY check_name""".stripMargin,
+
     "docs_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t

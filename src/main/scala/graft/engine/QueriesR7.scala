@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-4 wave 4: the last unexercised equi-join variant (null-safe
@@ -54,6 +54,54 @@ object QueriesR7 {
         expr("try_add(o_orderkey, 9223372036854775807)").as("ta"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("tp"))
       .orderBy("o_orderkey")
+
+  /** Declarative data-quality constraint report — the deequ/dbt-test
+    * surface: uniqueness, completeness, value-range, and referential
+    * integrity checks, each reported as (constraint, violations,
+    * pass). Scale shape: all of a table's row-local constraints FUSE
+    * into one aggregate pass (one scan of lineitem covers uniqueness
+    * + null-rate + range); referential integrity is an anti-join
+    * count on the natural key. The lineitem PK check is a genuine
+    * FAILURE on this corpus — (l_orderkey, l_linenumber) is NOT
+    * unique in the synthetic data (FIXTURES.md) — so the report
+    * proves it reports violations honestly instead of rubber-
+    * stamping. */
+  def dqConstraints(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).agg(
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("pk_dup"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_ship"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)).as("bad_disc"))
+    val ord = orders(s, d).agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"))
+    val fkOrd = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"),
+            "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val fkLi = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"),
+            "left_anti")
+      .agg(count(lit(1)).as("v"))
+    def row(name: String, viol: Column): Column =
+      struct(lit(name).as("check_name"), viol.cast("long").as("violations"))
+    li.select(explode(array(
+        row("lineitem.pk_unique", col("pk_dup")),
+        row("lineitem.shipdate_not_null", col("null_ship")),
+        row("lineitem.discount_in_0_1", col("bad_disc")))).as("r"))
+      .unionByName(ord.select(explode(array(
+        row("orders.pk_unique", col("pk_dup")),
+        row("orders.totalprice_positive", col("bad_price")))).as("r")))
+      .unionByName(fkOrd.select(
+        row("orders.custkey_fk_customer", col("v")).as("r")))
+      .unionByName(fkLi.select(
+        row("lineitem.orderkey_fk_orders", col("v")).as("r")))
+      .select(col("r.check_name"), col("r.violations"),
+              (col("r.violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
 
   /** Out-of-vocabulary rate against a corpus-trained top-64 vocab
     * (ties at the cut broken by token text — a total order, so the

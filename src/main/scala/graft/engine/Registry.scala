@@ -169,6 +169,7 @@ object Registry {
     "join_nullsafe_eq"    -> QueriesR7.joinNullsafeEq _,
     "fn_try_arith"        -> QueriesR7.fnTryArith _,
     "docs_oov_rate"       -> QueriesR7.docsOovRate _,
+    "dq_constraints"      -> QueriesR7.dqConstraints _,
   )
 
   val oracleSql: ListMap[String, String] =
