@@ -30,6 +30,22 @@ object OracleR7 {
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS tp
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q9_product_profit" ->
+      """SELECT n.n_name AS supp_nation,
+        |       year(o.o_orderdate) AS o_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |                     AS DECIMAL(18,4))
+        |              - CAST(round(p.p_retailprice * l.l_quantity, 2)
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p     ON l.l_partkey = p.p_partkey
+        |               AND p.p_name LIKE '%rod%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "dq_constraints" ->
       """WITH li AS (
         |  SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))

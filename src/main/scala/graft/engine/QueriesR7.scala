@@ -55,6 +55,35 @@ object QueriesR7 {
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("tp"))
       .orderBy("o_orderkey")
 
+  /** TPC-H Q9 shape — product-line profit per supplier nation per
+    * order year, for parts whose name contains 'rod'. The LIKE
+    * '%rod%' contains-filter is the point: it pushes to the part scan
+    * as StringContains (PlanSpec pins it — the one pushed-filter
+    * class no other key exercises), so the 100 TB part table prunes
+    * BEFORE its broadcast. Profit = revenue − cost on exact decimal
+    * grids: both products are rounded onto their grid (4dp / 2dp)
+    * before the decimal cast, and the subtraction is exact decimal
+    * arithmetic (§2.3 — the round-3 q10 one-cent lesson). */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val amount =
+      expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))") -
+      expr("CAST(round(p_retailprice * l_quantity, 2) AS DECIMAL(18,2))")
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_name").contains("rod"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)
+              .join(broadcast(nation(s, d)),
+                    col("s_nationkey") === col("n_nationkey"))
+              .select(col("s_suppkey"), col("n_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("supp_nation"),
+               year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(amount).cast("double").as("profit"))
+      .orderBy("supp_nation", "o_year")
+  }
+
   /** Declarative data-quality constraint report — the deequ/dbt-test
     * surface: uniqueness, completeness, value-range, and referential
     * integrity checks, each reported as (constraint, violations,

@@ -170,6 +170,7 @@ object Registry {
     "fn_try_arith"        -> QueriesR7.fnTryArith _,
     "docs_oov_rate"       -> QueriesR7.docsOovRate _,
     "dq_constraints"      -> QueriesR7.dqConstraints _,
+    "q9_product_profit"   -> QueriesR7.q9ProductProfit _,
   )
 
   val oracleSql: ListMap[String, String] =

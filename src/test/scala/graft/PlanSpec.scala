@@ -254,6 +254,14 @@ class PlanSpec extends SparkTestBase {
       s"ship-date window not pushed to the lineitem scan:\n$p")
   }
 
+  test("q9 LIKE contains-filter pushes to the part scan") {
+    val p = plan("q9_product_profit")
+    assert("PushedFilters: \\[[^\\]]*StringContains\\(p_name,rod\\)".r
+             .findFirstIn(p).isDefined,
+      s"LIKE '%rod%' not pushed as StringContains:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q9 lost dim broadcasts:\n$p")
+  }
+
   test("null-safe equality is a hash-join key (no nested loop)") {
     val p = plan("join_nullsafe_eq")
     assert(p.contains("BroadcastHashJoin"),
