@@ -84,6 +84,42 @@ object OracleR7 {
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    // Same exact-Jaccard pair derivation + transitive closure as the
+    // docs_dedup_cc oracle (the MinHash-LSH pipeline is verified
+    // recall-complete on this corpus), extended to singleton-inclusive
+    // cluster sizes.
+    "docs_dedup_weights" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens) - 3)) AS i FROM tok) t1) t2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sz s1 ON s1.doc_id = id1
+        |          JOIN sz s2 ON s2.doc_id = id2
+        |          WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8),
+        |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |),
+        |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |       FROM reach GROUP BY u),
+        |m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN cc c USING (doc_id))
+        |SELECT cluster_id AS survivor_id,
+        |       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+        |FROM m GROUP BY cluster_id ORDER BY survivor_id""".stripMargin,
+
     "docs_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t

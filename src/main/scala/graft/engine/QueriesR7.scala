@@ -132,6 +132,29 @@ object QueriesR7 {
       .orderBy("check_name")
   }
 
+  /** Dedup survivor re-weighting — the step after clustering that a
+    * counted-dedup pretraining recipe needs: each near-dup cluster
+    * collapses to its survivor (the component minimum, the
+    * docs_dedup_resolve rule) carrying the cluster size as its
+    * repeat weight; docs in no cluster are singletons of weight 1.
+    * Composes the SAME pair-list artifact + pointer-jump CC as
+    * docs_dedup_cc, then one left join + one aggregate over the
+    * corpus — at 100 TB the cluster map is tiny next to the corpus
+    * and broadcasts. */
+  def docsDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val cc = Ops.connectedComponents(
+      Artifacts.nearDupPairs(s, d).select("id1", "id2"), "id1", "id2")
+      .select(col("n").as("doc_id"), col("label").as("cluster_id"))
+    documents(s, d).select(col("doc_id"))
+      .join(broadcast(cc), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id").as("survivor_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+           (count(lit(1)) - 1).as("n_removed"))
+      .orderBy("survivor_id")
+  }
+
   /** Out-of-vocabulary rate against a corpus-trained top-64 vocab
     * (ties at the cut broken by token text — a total order, so the
     * vocab set is engine-independent). The vocab is the broadcast

@@ -171,6 +171,7 @@ object Registry {
     "docs_oov_rate"       -> QueriesR7.docsOovRate _,
     "dq_constraints"      -> QueriesR7.dqConstraints _,
     "q9_product_profit"   -> QueriesR7.q9ProductProfit _,
+    "docs_dedup_weights"  -> QueriesR7.docsDedupWeights _,
   )
 
   val oracleSql: ListMap[String, String] =

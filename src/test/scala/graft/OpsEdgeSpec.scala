@@ -370,4 +370,30 @@ class OpsEdgeSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((3L, 2L), (9L, 1L)))
   }
+
+  test("pqEncode: codes identical at 2 and 7 partitions, in range, codebook-exact for codebook members") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    def codesAt(parts: Int): Map[(Long, Int), Int] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      Ops.pqEncode(emb.repartition(parts), "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    }
+    val c2 = codesAt(2)
+    val c7 = codesAt(7)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    assert(c2 == c7, "PQ codes differ across partitionings")
+    assert(c2.values.forall(c => c >= 0 && c < 16), "code out of range")
+    val nVec = emb.count()
+    assert(c2.size == nVec * 8, s"expected ${nVec * 8} codes, got ${c2.size}")
+    // every codebook member must encode to ITSELF in every subspace
+    // (its subvector distance to its own centroid is exactly 0, and
+    // ties break toward the lowest cid — which is its own unless an
+    // identical subvector appears earlier in the sample)
+    val cb = Ops.pqCodebook(emb, "vec_id", "embedding")
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    assert(cb == (0 until 16).toSet, s"codebook ids not dense: $cb")
+  }
 }
