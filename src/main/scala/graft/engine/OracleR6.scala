@@ -94,6 +94,28 @@ object OracleR6 {
         |    AS cross_entropy
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "docs_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |             FROM tok) t),
+        |bim AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        |unim AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v_vocab FROM bi),
+        |dt AS (SELECT doc_id, w1, w2, COUNT(*) AS c_doc
+        |       FROM bi GROUP BY doc_id, w1, w2),
+        |terms AS (
+        |  SELECT d.doc_id, d.c_doc,
+        |    CAST(round(-d.c_doc * ln((m.c12 + 1) / (u.c1 + v.v_vocab)), 9)
+        |         AS DECIMAL(28,9)) AS term
+        |  FROM dt d JOIN bim m USING (w1, w2) JOIN unim u USING (w1), v)
+        |SELECT doc_id,
+        |  CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_doc) AS DOUBLE), 6)
+        |    AS cross_entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "emb_pq_adc" ->
       """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
         |samp AS (

@@ -184,6 +184,42 @@ object QueriesR6 {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring — docs_lm_score's conditional
+    * upgrade: P(w_i | w_{i-1}) with add-one smoothing over the corpus
+    * bigram table, per-document cross-entropy over transitions.
+    * Bigrams are cut array-natively in-row (no window, no second
+    * shuffle for adjacency); the model is two tables — bigram counts
+    * joined on (w1, w2) and unigram counts on w1 for the conditional
+    * denominator. Same order-proof accumulator contract as the
+    * unigram key: ln() terms rounded to the 1e-9 grid, summed as
+    * DECIMAL(28,9), normalized as a final quotient. Single-token
+    * documents have no transitions and drop out (both engines
+    * agree — no bigram rows exist for them). */
+  def docsLmBigram(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val biModel = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uniModel = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uniModel.agg(countDistinct(col("w1")).cast("double").as("v_vocab"))
+    bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_doc"))
+      .join(biModel, Seq("w1", "w2"))
+      .join(uniModel, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("term",
+        expr("CAST(round(-c_doc * ln((c12 + 1) / (c1 + v_vocab)), 9) " +
+             "AS DECIMAL(28,9))"))
+      .groupBy("doc_id")
+      .agg(sum("c_doc").as("n_bigrams"), sum("term").as("h_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("h_sum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Product quantization + asymmetric-distance (ADC) search — the
     * memory-bounded ANN that actually deploys at 100 TB: every 64-dim
     * vector compresses to 8 four-bit codes (one per 8-dim subspace,

@@ -161,6 +161,7 @@ object Registry {
     "q13_order_count_dist" -> QueriesR6.q13OrderCountDist _,
     "q15_top_supplier"    -> QueriesR6.q15TopSupplier _,
     "docs_lm_score"       -> QueriesR6.docsLmScore _,
+    "docs_lm_bigram"      -> QueriesR6.docsLmBigram _,
     "emb_pq_adc"          -> QueriesR6.embPqAdc _,
     "emb_ivf_pq"          -> QueriesR6.embIvfPq _,
     "merge_upsert_scd2"   -> QueriesR6.mergeUpsertScd2 _,
