@@ -198,13 +198,19 @@ object QueriesR6 {
   def docsLmBigram(s: SparkSession, d: String): DataFrame = {
     val bi = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], so a single-token doc would emit two
+      // null-bearing bogus bigrams (and corrupt every c1 denominator
+      // its token touches) instead of dropping out like the oracle's
+      // empty range(1, 1)
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val biModel = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uniModel = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = uniModel.agg(countDistinct(col("w1")).cast("double").as("v_vocab"))
+    val v = uniModel.agg(count(lit(1)).cast("double").as("v_vocab"))
     bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_doc"))
       .join(biModel, Seq("w1", "w2"))
       .join(uniModel, Seq("w1"))

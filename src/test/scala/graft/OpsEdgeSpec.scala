@@ -375,25 +375,41 @@ class OpsEdgeSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    def codesAt(parts: Int): Map[(Long, Int), Int] = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      Ops.pqEncode(emb.repartition(parts), "vec_id", "embedding")
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    }
-    val c2 = codesAt(2)
-    val c7 = codesAt(7)
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    assert(c2 == c7, "PQ codes differ across partitionings")
-    assert(c2.values.forall(c => c >= 0 && c < 16), "code out of range")
-    val nVec = emb.count()
-    assert(c2.size == nVec * 8, s"expected ${nVec * 8} codes, got ${c2.size}")
-    // every codebook member must encode to ITSELF in every subspace
-    // (its subvector distance to its own centroid is exactly 0, and
-    // ties break toward the lowest cid — which is its own unless an
-    // identical subvector appears earlier in the sample)
-    val cb = Ops.pqCodebook(emb, "vec_id", "embedding")
-      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
-    assert(cb == (0 until 16).toSet, s"codebook ids not dense: $cb")
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      def codesAt(parts: Int): Map[(Long, Int), Int] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        Ops.pqEncode(emb.repartition(parts), "vec_id", "embedding")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      }
+      val c2 = codesAt(2)
+      val c7 = codesAt(7)
+      assert(c2 == c7, "PQ codes differ across partitionings")
+      assert(c2.values.forall(c => c >= 0 && c < 16), "code out of range")
+      val nVec = emb.count()
+      assert(c2.size == nVec * 8, s"expected ${nVec * 8} codes, got ${c2.size}")
+      val cb = Ops.pqCodebook(emb, "vec_id", "embedding")
+        .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+      assert(cb == (0 until 16).toSet, s"codebook ids not dense: $cb")
+      // every codebook member must encode to ITSELF in every subspace:
+      // its subvector distance to its own centroid is exactly 0, ties
+      // break toward the lowest cid, and the random-float fixture has
+      // no duplicate subvectors. Re-derive the member→cid map by the
+      // same rule (md5-least 16, rank order) and check the codes.
+      val members = emb
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(16)
+        .select(col("vec_id"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("h", "vec_id")) - 1).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      members.foreach { case (vid, cid) =>
+        (0 until 8).foreach { m =>
+          assert(c2((vid, m)) == cid,
+            s"codebook member $vid (cid $cid) encoded to ${c2((vid, m))} in subspace $m")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 }
