@@ -84,6 +84,17 @@ object OracleR7 {
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    "window_interval_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  round(SUM(value) OVER w, 4) AS v_1h
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                   AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // Same exact-Jaccard pair derivation + transitive closure as the
     // docs_dedup_cc oracle (the MinHash-LSH pipeline is verified
     // recall-complete on this corpus), extended to singleton-inclusive

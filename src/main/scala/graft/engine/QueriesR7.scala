@@ -132,6 +132,28 @@ object QueriesR7 {
       .orderBy("check_name")
   }
 
+  /** Time-interval RANGE window frame — `RANGE BETWEEN INTERVAL '1'
+    * HOUR PRECEDING AND CURRENT ROW` over an event-time ORDER BY: the
+    * trailing-window-per-row shape (rolling rate counters, freshness
+    * checks) that the numeric window_range_frame key cannot express.
+    * Only the SQL surface plans calendar-interval range frames (the
+    * DSL's rangeBetween takes longs), so the key goes through
+    * spark.sql. RANGE frames include ALL ts-peers of the current row,
+    * so tie order cannot change the frame set — deterministic on both
+    * engines. */
+  def windowIntervalRange(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("wir_events")
+    s.sql("""
+      SELECT event_id, user_id,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        round(SUM(value) OVER w, 4) AS v_1h
+      FROM wir_events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                         AND CURRENT ROW)
+      ORDER BY event_id""")
+  }
+
   /** Dedup survivor re-weighting — the step after clustering that a
     * counted-dedup pretraining recipe needs: each near-dup cluster
     * collapses to its survivor (the component minimum, the

@@ -173,6 +173,7 @@ object Registry {
     "dq_constraints"      -> QueriesR7.dqConstraints _,
     "q9_product_profit"   -> QueriesR7.q9ProductProfit _,
     "docs_dedup_weights"  -> QueriesR7.docsDedupWeights _,
+    "window_interval_range" -> QueriesR7.windowIntervalRange _,
   )
 
   val oracleSql: ListMap[String, String] =
