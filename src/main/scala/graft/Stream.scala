@@ -141,7 +141,12 @@ object Stream {
       // Option[Long] stamps per live user; a completion row emits in
       // the batch the purchase lands. At 100 TB state is partitioned
       // by user across the cluster and each microbatch touches only
-      // the users that produced events.
+      // the users that produced events. NoTimeout is correct for the
+      // bounded AvailableNow drain (state dies with the run); a
+      // RESIDENT deployment must bound state: switch to
+      // EventTimeTimeout + state.setTimeoutTimestamp(watermark + TTL)
+      // and drop users whose funnel idles past the TTL — otherwise
+      // never-converting users accumulate state forever.
       "funnel" -> {
         val spark2 = ev.sparkSession
         import spark2.implicits._
