@@ -84,6 +84,27 @@ object OracleR7 {
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= TIMESTAMP '1997-02-01 00:00:00')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(round(l_extendedprice * l_discount, 4)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+
     "window_interval_range" ->
       """SELECT event_id, user_id,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,

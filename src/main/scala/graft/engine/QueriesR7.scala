@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
 object QueriesR7 {
   import Tables._
 
+  private def ts(x: String): Column = to_timestamp(lit(x))
+
   /** Null-safe equality join: keys are made nullable with nullif
     * (nation 3 → NULL on BOTH sides), then joined with `<=>` so the
     * NULL group matches itself — three-valued `=` would drop it.
@@ -131,6 +133,42 @@ object QueriesR7 {
               (col("r.violations") === 0L).as("pass"))
       .orderBy("check_name")
   }
+
+  /** TPC-H Q4 shape — order-priority distribution of orders with at
+    * least one late lineitem (shipped after a cutoff) in a quarter:
+    * EXISTS → left-semi join on the order key (the Q21 rewrite,
+    * here in its simplest aggregate-after-semi form), date windows
+    * pushed to both scans. Completes the expressible TPC-H set with
+    * q6: every query not requiring partsupp (Q2/11/16/20) or
+    * l_shipmode/commitdate (Q12) now has a registry key. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1997-04-01 00:00:00"))
+    val late = lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-02-01 00:00:00"))
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape — the forecasting-revenue scan: one fact table,
+    * three pushed range predicates, one exact-decimal sum, no join.
+    * Trivial by design: it pins that a pure filter-aggregate stays a
+    * single whole-stage-codegen scan with every predicate in
+    * PushedFilters (the shape most 100 TB queries degrade FROM when
+    * pushdown breaks). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("n_items"),
+           sum(expr("CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))"))
+             .cast("double").as("revenue"))
 
   /** Time-interval RANGE window frame — `RANGE BETWEEN INTERVAL '1'
     * HOUR PRECEDING AND CURRENT ROW` over an event-time ORDER BY: the

@@ -174,6 +174,8 @@ object Registry {
     "q9_product_profit"   -> QueriesR7.q9ProductProfit _,
     "docs_dedup_weights"  -> QueriesR7.docsDedupWeights _,
     "window_interval_range" -> QueriesR7.windowIntervalRange _,
+    "q4_order_priority"   -> QueriesR7.q4OrderPriority _,
+    "q6_forecast_revenue" -> QueriesR7.q6ForecastRevenue _,
   )
 
   val oracleSql: ListMap[String, String] =
