@@ -84,6 +84,13 @@ object OracleR7 {
         |SELECT check_name, violations, violations = 0 AS pass
         |FROM rows_ ORDER BY check_name""".stripMargin,
 
+    "events_distinct_users" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS wstart,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY wstart ORDER BY wstart""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders o

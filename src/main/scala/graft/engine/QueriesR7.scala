@@ -134,6 +134,20 @@ object QueriesR7 {
       .orderBy("check_name")
   }
 
+  /** Exact distinct users per tumbling day — the DAU report:
+    * events_tumbling counts ROWS per window; this key counts DISTINCT
+    * keys, the expensive variant (a two-level shuffle: dedup on
+    * (window, user), then count). At 100 TB this exact form is what
+    * the mergeable-HLL key (`agg_distinct_hll`) replaces when ±2% is
+    * acceptable — the pair documents the trade explicitly. */
+  def eventsDistinctUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("w.start").as("wstart"), col("n_users"), col("n_events"))
+      .orderBy("wstart")
+
   /** TPC-H Q4 shape — order-priority distribution of orders with at
     * least one late lineitem (shipped after a cutoff) in a quarter:
     * EXISTS → left-semi join on the order key (the Q21 rewrite,

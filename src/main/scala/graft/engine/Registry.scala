@@ -176,6 +176,7 @@ object Registry {
     "window_interval_range" -> QueriesR7.windowIntervalRange _,
     "q4_order_priority"   -> QueriesR7.q4OrderPriority _,
     "q6_forecast_revenue" -> QueriesR7.q6ForecastRevenue _,
+    "events_distinct_users" -> QueriesR7.eventsDistinctUsers _,
   )
 
   val oracleSql: ListMap[String, String] =
