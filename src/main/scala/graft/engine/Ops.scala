@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * layer, no driver-side DATA loops (the driver never iterates rows;
   * the two sanctioned exceptions are plan-level iteration in
   * connectedComponents — a loop over distributed jobs, not rows — and
-  * the block-streaming in vecBlocks, which holds at most one
-  * broadcastable block), every operator shuffle-partition-agnostic.
+  * the one-block collect in `oneBlock`, the small-corpus fast path of
+  * the exact vector kernels; multi-block corpora stay entirely
+  * executor-side), every operator shuffle-partition-agnostic.
   * Each operator documents its 100 TB posture.
   */
 object Ops {
@@ -149,121 +150,33 @@ object Ops {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Hard cap on what one broadcast block of (id, vector) rows may
-    * weigh. 256 MB ≈ a comfortable broadcast at executor defaults; the
-    * driver never holds more than ONE block at a time (blocks are
-    * streamed with toLocalIterator and each partial result is
-    * materialized before the next block is fetched). */
+  /** Hard cap on what one comparison block of (id, vector, norm) rows
+    * may weigh. 256 MB ≈ a comfortable broadcast / per-task array at
+    * executor defaults. Corpora at or under one block take the
+    * broadcast fast path; anything larger is handled entirely
+    * executor-side (blocked cogroup below) — vectors never cross the
+    * driver on the multi-block path. */
   private val DefaultBlockBytes: Long = 256L << 20
 
-  /** Streams the dataset through the driver one broadcastable block at
-    * a time. toLocalIterator holds at most one partition + one block in
-    * driver memory — this is the documented 100 TB degradation path:
-    * more data means MORE BLOCKS (more passes), never more driver heap. */
-  /** Block row: (id, vector, precomputed L2 norm). Precomputing the
-    * norm at block build removes a d-length loop from EVERY pair scan —
-    * half the inner-loop flops of the naive formulation. */
+  /** Precomputing the L2 norm at block build removes a d-length loop
+    * from EVERY pair scan — half the inner-loop flops of the naive
+    * formulation. */
   private def l2(v: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
 
-  private def vecBlocks(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-                        maxBlockBytes: Long): Iterator[Array[(Long, Array[Float], Double)]] = {
-    import scala.jdk.CollectionConverters._
-    val it = e.toLocalIterator().asScala
-    new Iterator[Array[(Long, Array[Float], Double)]] {
-      def hasNext: Boolean = it.hasNext
-      def next(): Array[(Long, Array[Float], Double)] = {
-        val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
-        var bytes = 0L
-        while (it.hasNext && bytes < maxBlockBytes) {
-          val r = it.next()
-          buf += ((r._1, r._2, l2(r._2)))
-          bytes += 64L + 4L * r._2.length // tuple + header + float payload
-        }
-        buf.sortInPlace()(Ordering.by(_._1))
-        buf.toArray
-      }
-    }
-  }
-
-  /** Runs `kernel` once per broadcastable block and unions the partial
-    * results. Each partial is eagerly materialized (localCheckpoint) so
-    * the block's broadcast can be destroyed before the next block is
-    * collected — peak driver/executor memory is one block regardless of
-    * corpus size. Single-block inputs skip the checkpoint entirely and
-    * keep the one-pass plan. */
-  private def perBlock(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-                       maxBlockBytes: Long)(
-      kernel: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Double)]]
-        => DataFrame): Option[DataFrame] = {
-    val sc = e.sparkSession.sparkContext
-    val blocks = vecBlocks(e, maxBlockBytes)
-    if (!blocks.hasNext) return None
-    val first = blocks.next()
-    if (!blocks.hasNext)
-      return Some(kernel(sc.broadcast(first))) // fast path: one block, lazy
-    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var bc = sc.broadcast(first)
-    var more = true
-    while (more) {
-      parts += kernel(bc).localCheckpoint(true)
-      bc.destroy()
-      if (blocks.hasNext) bc = sc.broadcast(blocks.next()) else more = false
-    }
-    Some(parts.reduce(_ unionByName _))
-  }
-
-  /** All embedding pairs at or above a cosine threshold — block-
-    * broadcast scan like knnBruteForce (a pair join would materialize
-    * n²/2 rows through a non-codegen nested-loop join; measured 13 s
-    * vs sub-second at sf0.1). Each row emits only pairs with ids
-    * greater than its own, and the blocks partition the id space, so
-    * every unordered pair is emitted exactly once across all blocks. */
-  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double,
-                  maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
-    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Array[Float])]
-    perBlock(e, maxBlockBytes) { bc =>
-      e.flatMap { case (id, v) =>
-        val mat = bc.value
-        val n = v.length
-        val normV = l2(v)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var j = 0
-        while (j < mat.length) {
-          val (oid, w, normW) = mat(j)
-          if (oid > id) {
-            var dot = 0.0; var i = 0
-            val m = math.min(n, w.length)
-            while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
-            val raw = dot / (normV * normW)
-            // round6 moves a value by at most 5e-7: anything below
-            // threshold − 5e-7 can't pass after rounding, so the
-            // BigDecimal path runs only for near-threshold pairs.
-            if (raw >= threshold - 5e-7) {
-              val score = round6(raw)
-              if (score >= threshold) out += ((id, oid, score))
-            }
-          }
-          j += 1
-        }
-        out
-      }.toDF("id1", "id2", "cos_sim")
-    }.getOrElse(
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id1",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id2",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cos_sim",
-            org.apache.spark.sql.types.DoubleType)))))
+  /** Sizes the corpus with one tiny agg job (count + max dim) and
+    * returns the block count at `maxBlockBytes` per block. The scalar
+    * that reaches the driver is two numbers, never vector data. */
+  private def numVecBlocks(e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                           maxBlockBytes: Long): Int = {
+    val row = e.toDF("id", "v")
+      .agg(count(lit(1)), coalesce(max(size(col("v"))), lit(0)))
+      .head()
+    val bytes = row.getLong(0) * (64L + 4L * row.getInt(1))
+    math.max(1L, (bytes + maxBlockBytes - 1) / maxBlockBytes).toInt
   }
 
   /** Replicates Spark's `round(x, 6)` (BigDecimal HALF_UP over the
@@ -273,22 +186,161 @@ object Ops {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Exact top-k cosine neighbors per vector — block-broadcast
-    * formulation: the comparison block is broadcast once (exactly like
-    * a broadcast-hash-join build side) and each partition streams its
-    * vectors through a primitive-double scan keeping a bounded top-k.
-    * No n²-row join materialization, no shuffle of pair rows at all —
-    * output is n×k rows directly.
+  /** Small-corpus fast path ONLY: collects the (sub-256 MB) corpus as
+    * one broadcastable block. This is the single sanctioned
+    * driver-side data hop in the vector kernels; multi-block corpora
+    * go through the executor-side blocked cogroup instead. Sorted by
+    * id for deterministic scan order. */
+  private def oneBlock(e: org.apache.spark.sql.Dataset[(Long, Array[Float])])
+      : Array[(Long, Array[Float], Double)] =
+    e.collect().map { case (id, v) => (id, v, l2(v)) }.sortBy(_._1)
+
+  /** Primitive-loop scan of one vector against a comparison block,
+    * emitting pairs at/above the cosine threshold. `diag` = both roles
+    * are the SAME block: emit only oid > id so each unordered pair
+    * appears once; off-diagonal blocks are disjoint, so every cross
+    * pair is emitted, id-ordered. round6 moves a value by at most
+    * 5e-7: anything below threshold − 5e-7 can't pass after rounding,
+    * so the BigDecimal path runs only for near-threshold pairs. */
+  private def cosScan(id: Long, v: Array[Float],
+                      mat: Array[(Long, Array[Float], Double)],
+                      threshold: Double, diag: Boolean)
+      : Iterator[(Long, Long, Double)] = {
+    val n = v.length
+    val normV = l2(v)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var j = 0
+    while (j < mat.length) {
+      val (oid, w, normW) = mat(j)
+      if (!diag || oid > id) {
+        var dot = 0.0; var i = 0
+        val m = math.min(n, w.length)
+        while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
+        val raw = dot / (normV * normW)
+        if (raw >= threshold - 5e-7) {
+          val score = round6(raw)
+          if (score >= threshold)
+            out += (if (oid > id) (id, oid, score) else (oid, id, score))
+        }
+      }
+      j += 1
+    }
+    out.iterator
+  }
+
+  /** Bounded top-k scan of one vector against a comparison block under
+    * (score DESC, id ASC) — insertion-sorted, order-independent (the
+    * top-k under a strict total order is unique whatever the scan
+    * order). Once the list is full, round6's ±5e-7 bound means
+    * anything below topS(k−1) − 5e-7 can't displace the kth entry, so
+    * BigDecimal rounding runs only for contenders. */
+  private def knnScan(id: Long, v: Array[Float],
+                      mat: Array[(Long, Array[Float], Double)], k: Int)
+      : Iterator[(Long, Long, Double, Int)] = {
+    val n = v.length
+    val normV = l2(v)
+    val topS = new Array[Double](k)
+    val topI = new Array[Long](k)
+    var filled = 0
+    var j = 0
+    while (j < mat.length) {
+      val (oid, w, normW) = mat(j)
+      if (oid != id) {
+        var dot = 0.0; var i = 0
+        val m = math.min(n, w.length)
+        while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
+        val raw = dot / (normV * normW)
+        if (filled < k || raw >= topS(k - 1) - 5e-7) {
+          val score = round6(raw)
+          if (filled < k || score > topS(k - 1) ||
+              (score == topS(k - 1) && oid < topI(k - 1))) {
+            var p = math.min(filled, k - 1)
+            while (p > 0 && (score > topS(p - 1) ||
+                   (score == topS(p - 1) && oid < topI(p - 1)))) {
+              topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+            }
+            topS(p) = score; topI(p) = oid
+            if (filled < k) filled += 1
+          }
+        }
+      }
+      j += 1
+    }
+    Iterator.range(0, filled).map(r => (id, topI(r), topS(r), r + 1))
+  }
+
+  /** All embedding pairs at or above a cosine threshold — exact, no
+    * n²-row join materialization ever (a pair join through a
+    * non-codegen nested loop measured 13 s vs sub-second at sf0.1).
     *
-    * At 100 TB the comparison set is chunked into broadcastable blocks
-    * (vecBlocks/perBlock above) and the kernel runs once per block; the
-    * per-block bounded top-k lists are then merged with one exact
-    * (score DESC, id ASC) row_number pass over n×k×blocks rows — the
-    * standard block-nested brute-force kNN. A globally-top-k neighbor
-    * is necessarily top-k within its own block, so the merge is exact.
-    * Single-block inputs skip the merge and keep the one-pass plan.
-    * The earlier join+TopKByScore formulation is kept live in annIvf
-    * where the cells are joined rather than broadcast. */
+    * ≤ 1 block: the corpus is broadcast once and each partition
+    * streams through the primitive scan — one pass, fully lazy.
+    *
+    * Multi-block (the 100 TB shape): a bucketed block×block self-join
+    * that never routes vector data through the driver. Each vector is
+    * assigned a block id executor-side (id mod nB); block b ships to
+    * the unordered block-pair keys (b, j≥b) as the streamed side and
+    * (i≤b, b) as the materialized side; a cogroup per block pair runs
+    * the same primitive kernel with ONE block held in memory per task.
+    * Every unordered vector pair lands in exactly one block-pair key
+    * (the diagonal dedups with oid > id), so each pair is emitted
+    * once. Shuffle volume is corpus × (nB+1) — inherent to exact
+    * all-pairs; the production paths at scale are the IVF/LSH/PQ keys,
+    * with this kernel as their exact ground truth. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double,
+                  maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val nB = numVecBlocks(e, maxBlockBytes)
+    if (nB <= 1) {
+      val bc = s.sparkContext.broadcast(oneBlock(e))
+      e.flatMap { case (id, v) =>
+        cosScan(id, v, bc.value, threshold, diag = true)
+      }.toDF("id1", "id2", "cos_sim")
+    } else {
+      val nBL = nB.toLong // Long keys: nB² overflows Int past ~46k blocks
+      val left = e.flatMap { case (id, v) =>
+        val b = Math.floorMod(id, nBL)
+        Iterator.range(b.toInt, nB).map(j => (b * nBL + j, id, v))
+      }
+      val right = e.flatMap { case (id, v) =>
+        val b = Math.floorMod(id, nBL)
+        Iterator.range(0, b.toInt + 1).map(i => (i * nBL + b, id, v))
+      }
+      left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+        case (key, ls, rs) =>
+          val diag = (key / nBL) == (key % nBL)
+          val mat = rs.map { case (_, oid, w) => (oid, w, l2(w)) }.toArray
+          ls.flatMap { case (_, id, v) =>
+            cosScan(id, v, mat, threshold, diag)
+          }
+      }.toDF("id1", "id2", "cos_sim")
+    }
+  }
+
+  /** Exact top-k cosine neighbors per vector — block formulation: the
+    * comparison set is scanned one block at a time with a bounded
+    * per-vector top-k (no n²-row join materialization, no pair-row
+    * shuffle; output is n×k rows directly).
+    *
+    * ≤ 1 block: broadcast the corpus once (exactly a broadcast-hash-
+    * join build side) and stream each partition through the kernel —
+    * one lazy pass, final ranks straight from the scan.
+    *
+    * Multi-block (the 100 TB shape): executor-side block×block
+    * cogroup. Vectors get a block id (id mod nB) executor-side; every
+    * (scanning block i, scanned block j) ordered pair is a cogroup key
+    * — block i streams while block j is the one in-memory array per
+    * task — so each vector scans every block exactly once and no
+    * vector data crosses the driver. The per-block bounded top-k
+    * partials (n×k×nB rows) are merged with one exact (score DESC, id
+    * ASC) row_number pass: a globally-top-k neighbor is necessarily
+    * top-k within its own block, so the merge is exact. The
+    * join+TopKByScore formulation is kept live in annIvf where cells
+    * are joined rather than scanned. */
   def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int,
                     maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
@@ -296,64 +348,29 @@ object Ops {
     import s.implicits._
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
-    var nBlocks = 0
-    val scanned = perBlock(e, maxBlockBytes) { bc =>
-      nBlocks += 1
-      e.flatMap { case (id, v) =>
-        val mat = bc.value
-        val n = v.length
-        val normV = l2(v)
-        // bounded top-k under (score DESC, id ASC), insertion-sorted
-        val topS = new Array[Double](k)
-        val topI = new Array[Long](k)
-        var filled = 0
-        var j = 0
-        while (j < mat.length) {
-          val (oid, w, normW) = mat(j)
-          if (oid != id) {
-            var dot = 0.0; var i = 0
-            val m = math.min(n, w.length)
-            while (i < m) { dot += v(i).toDouble * w(i).toDouble; i += 1 }
-            val raw = dot / (normV * normW)
-            // round6 moves a value by at most 5e-7: once the top-k is
-            // full, anything below topS(k−1) − 5e-7 rounds strictly
-            // below the kth score and can't displace it (ties need
-            // equality) — so BigDecimal rounding runs only for
-            // contenders, not all n² pairs.
-            if (filled < k || raw >= topS(k - 1) - 5e-7) {
-              val score = round6(raw)
-              if (filled < k || score > topS(k - 1) ||
-                  (score == topS(k - 1) && oid < topI(k - 1))) {
-                var p = math.min(filled, k - 1)
-                while (p > 0 && (score > topS(p - 1) ||
-                       (score == topS(p - 1) && oid < topI(p - 1)))) {
-                  topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
-                }
-                topS(p) = score; topI(p) = oid
-                if (filled < k) filled += 1
-              }
-            }
-          }
-          j += 1
-        }
-        (0 until filled).map(r => (id, topI(r), topS(r), r + 1))
+    val nB = numVecBlocks(e, maxBlockBytes)
+    if (nB <= 1) {
+      val bc = s.sparkContext.broadcast(oneBlock(e))
+      e.flatMap { case (id, v) => knnScan(id, v, bc.value, k) }
+        .toDF("vec_id", "neighbor_id", "cos_sim", "rk")
+    } else {
+      val nBL = nB.toLong
+      val left = e.flatMap { case (id, v) =>
+        val b = Math.floorMod(id, nBL)
+        Iterator.range(0, nB).map(j => (b * nBL + j, id, v))
+      }
+      val right = e.flatMap { case (id, v) =>
+        val b = Math.floorMod(id, nBL)
+        Iterator.range(0, nB).map(i => (i * nBL + b, id, v))
+      }
+      val partials = left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+        case (_, ls, rs) =>
+          val mat = rs.map { case (_, oid, w) => (oid, w, l2(w)) }.toArray
+          ls.flatMap { case (_, id, v) => knnScan(id, v, mat, k) }
       }.toDF("vec_id", "neighbor_id", "cos_sim", "rk")
-    }.getOrElse(
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cos_sim",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rk",
-            org.apache.spark.sql.types.IntegerType)))))
-    if (nBlocks <= 1) scanned
-    else {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scanned
+      partials
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
     }
