@@ -148,6 +148,48 @@ case class HammingDistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** NFC Unicode normalization as a codegen'd scalar — the standard
+  * C4/CCNet text-cleaning first stage (compose e + U+0301 into é, so
+  * visually identical strings hash/dedup identically). Spark has no
+  * built-in normalizer; a Scala UDF would fall out of whole-stage
+  * codegen on the hottest corpus column, so this is a native
+  * UnaryExpression whose generated code is one static JVM call. The
+  * isNormalized fast path skips allocation for the (dominant) already-
+  * NFC case. */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects a string column, got $t")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalizeExpr.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.engine.NfcNormalizeExpr$$.MODULE$$.nfc($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NfcNormalizeExpr {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object Exprs {
   /** Idempotently registers the custom scalar expressions in the
     * session's function registry so plans can call them through
@@ -160,6 +202,10 @@ object Exprs {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming_dist",
       (args: Seq[Expression]) => HammingDistExpr(args(0), args(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head),
       "built-in")
   }
 }

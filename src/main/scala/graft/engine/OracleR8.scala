@@ -1,0 +1,92 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-5 wave-1 keys. The DPP key's oracle is
+  * the plain join semantics (pruning is a plan property, asserted in
+  * PlanSpec — the oracle pins that pruning never changes results); the
+  * normalize oracle rebuilds the deterministic augmentation with chr()
+  * codepoints and RE2 \x{...} classes (DuckDB regex is RE2, Spark's is
+  * Java — the classes are spelled per-dialect, same semantics); the
+  * patchify oracle recomputes every patch digest from the pixel
+  * generator arithmetic.
+  */
+object OracleR8 {
+  val sql: ListMap[String, String] = ListMap(
+    "scan_dpp_partitioned" ->
+      """SELECT year(l_shipdate) AS l_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       MAX(d.n_orders) AS n_orders
+        |FROM lineitem
+        |JOIN (SELECT year(o_orderdate) AS y,
+        |             CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+        |      GROUP BY 1) d
+        |  ON year(l_shipdate) = d.y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_text_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'Cafe' || chr(769) || chr(8203) || chr(9) || text
+        |         ELSE text END AS aug
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, text, aug,
+        |    trim(regexp_replace(regexp_replace(
+        |      nfc_normalize(aug),
+        |      '[\x00-\x1f\x7f\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |      ' {2,}', ' ', 'g')) AS norm
+        |  FROM aug
+        |)
+        |SELECT doc_id,
+        |       CAST(length(aug) AS INT) AS len_before,
+        |       CAST(length(norm) AS INT) AS len_after,
+        |       norm <> text AS changed,
+        |       substr(norm, 1, 24) AS prefix
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "events_interval_join" ->
+      """SELECT c.user_id,
+        |       c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000
+        |          - epoch_us(CAST(c.ts AS TIMESTAMP)) // 1000000
+        |         AS BIGINT) AS gap_sec
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts
+        | AND p.ts <= c.ts + INTERVAL '10 minutes'
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "multimodal_patchify" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT doc_id, w, unnest(range(0, h // 8)) AS py FROM dims
+        |), grid AS (
+        |  SELECT doc_id, w, py, unnest(range(0, w // 8)) AS px FROM g1
+        |), vals AS (
+        |  SELECT doc_id, py, px,
+        |    list_transform(range(0, 64),
+        |      k -> (doc_id + (py * 8 + (k // 8)) * w
+        |            + px * 8 + (k % 8)) % 251) AS vs
+        |  FROM grid
+        |)
+        |SELECT doc_id,
+        |       CAST(py AS INT) AS patch_row,
+        |       CAST(px AS INT) AS patch_col,
+        |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
+        |       CAST(list_min(vs) AS INT) AS px_min,
+        |       CAST(list_max(vs) AS INT) AS px_max
+        |FROM vals
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+  )
+}

@@ -75,6 +75,13 @@ object Png {
                         colorType: Long, nChunks: Long, rawLen: Long,
                         crcOk: Long, pixelSum: Long)
 
+  /** Pixel-level decode result: the filter-stripped row-major pixel
+    * bytes plus the structural fields. The patchify stage consumes
+    * `pixels`; the metadata key consumes the digest view (Meta). */
+  final case class Decoded(width: Int, height: Int, bitDepth: Int,
+                           colorType: Int, nChunks: Long, crcOk: Boolean,
+                           pixels: Array[Byte])
+
   /** Full decode: signature, chunk walk (every CRC32 recomputed and
     * checked — `crcOk` is 1 only if ALL match), IHDR field extraction,
     * IDAT concatenation across chunks, zlib inflate, filter-byte
@@ -82,6 +89,19 @@ object Png {
     * (truncation, bad signature, wrong inflated length, non-zero
     * filter) — a media pass must fail loudly per blob. */
   def decodeGray8(bytes: Array[Byte]): Meta = {
+    val d = decodeGray8Pixels(bytes)
+    var pixelSum = 0L
+    var i = 0
+    while (i < d.pixels.length) { pixelSum += d.pixels(i) & 0xff; i += 1 }
+    Meta(d.width, d.height, d.bitDepth, d.colorType, d.nChunks,
+         rawLen = (d.width + 1).toLong * d.height,
+         crcOk = if (d.crcOk) 1L else 0L, pixelSum = pixelSum)
+  }
+
+  /** Same walk as decodeGray8 but keeps the filter-stripped pixels
+    * (row-major, width×height bytes) for downstream consumers —
+    * patch extraction, feature hashing. */
+  def decodeGray8Pixels(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not a PNG: bad signature")
     var off = 8
@@ -126,18 +146,16 @@ object Png {
     require(got == raw.length && inflater.finished(),
       s"inflated length $got != expected ${raw.length}")
     inflater.end()
-    var pixelSum = 0L
+    val pixels = new Array[Byte](width * height)
     var idx = 0
     var y = 0
     while (y < height) {
       require(raw(idx) == 0, s"unsupported filter ${raw(idx)} at row $y")
       idx += 1
-      var x = 0
-      while (x < width) { pixelSum += raw(idx) & 0xff; idx += 1; x += 1 }
+      System.arraycopy(raw, idx, pixels, y * width, width)
+      idx += width
       y += 1
     }
-    Meta(width, height, bitDepth, colorType, nChunks,
-         rawLen = (width + 1).toLong * height, crcOk = if (crcOk) 1L else 0L,
-         pixelSum = pixelSum)
+    Decoded(width, height, bitDepth, colorType, nChunks, crcOk, pixels)
   }
 }

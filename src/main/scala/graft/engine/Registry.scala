@@ -177,11 +177,17 @@ object Registry {
     "q4_order_priority"   -> QueriesR7.q4OrderPriority _,
     "q6_forecast_revenue" -> QueriesR7.q6ForecastRevenue _,
     "events_distinct_users" -> QueriesR7.eventsDistinctUsers _,
+    // Round-5 wave 1: dynamic partition pruning proven, unicode text
+    // normalization, interval join as declared key, image patchify
+    "scan_dpp_partitioned" -> QueriesR8.scanDppPartitioned _,
+    "docs_text_normalize"  -> QueriesR8.docsTextNormalize _,
+    "events_interval_join" -> QueriesR8.eventsIntervalJoin _,
+    "multimodal_patchify"  -> QueriesR8.multimodalPatchify _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
-      OracleR7.sql
+      OracleR7.sql ++ OracleR8.sql
 }

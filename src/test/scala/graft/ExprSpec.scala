@@ -39,6 +39,21 @@ class ExprSpec extends SparkTestBase {
     }
   }
 
+  test("nfc_normalize composes, passes through NFC text, and keeps nulls") {
+    Exprs.register(spark)
+    import spark.implicits._
+    // decomposed e + combining acute (2 codepoints) -> composed \u00e9 (1)
+    val rows = Seq(Some("Cafe\u0301"), Some("plain ascii"), None, Some(""))
+    val got = rows.toDF("t")
+      .select(expr("nfc_normalize(t)").as("n"),
+              length(expr("nfc_normalize(t)")).as("l"))
+      .collect()
+    assert(got(0).getString(0) == "Caf\u00e9" && got(0).getInt(1) == 4)
+    assert(got(1).getString(0) == "plain ascii")
+    assert(got(2).isNullAt(0))
+    assert(got(3).getString(0) == "")
+  }
+
   test("hamming_dist matches the bit_count(xor) formulation on random signatures") {
     Exprs.register(spark)
     import spark.implicits._

@@ -287,4 +287,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"PQ encode shuffles the store against a 128-row codebook:\n$p")
   }
+
+  test("scan_dpp_partitioned: DPP subquery reaches the scan and skips files") {
+    // AQE off for this probe so the physical tree (and its metrics) is
+    // directly traversable; DPP itself is an optimizer-rule property
+    // and fires identically with AQE on.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("scan_dpp_partitioned")(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamicpruning expression reached a scan:\n$p")
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val dpp = scans.find(_.partitionFilters.mkString.contains("dynamicpruning"))
+      assert(dpp.nonEmpty, s"no scan carries a dynamicpruning partition filter:\n$p")
+      val read = dpp.get.metrics("numFiles").value
+      val static = dpp.get.metrics("staticFilesNum").value
+      assert(read < static,
+        s"DPP did not skip any files: read=$read of static=$static")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

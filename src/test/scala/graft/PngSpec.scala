@@ -17,6 +17,14 @@ class PngSpec extends AnyFunSuite {
     assert(m.pixelSum == (0 until 13 * 7).map(i => (i * 31 + 5) % 251).sum)
   }
 
+  test("decodeGray8Pixels returns the exact row-major pixel matrix") {
+    val (w, h) = (13, 5)
+    val d = Png.decodeGray8Pixels(Png.encodeGray8(w, h, i => (i * 7 + 3) % 251))
+    assert(d.width == w && d.height == h && d.pixels.length == w * h)
+    for (i <- 0 until w * h)
+      assert((d.pixels(i) & 0xff) == (i * 7 + 3) % 251, s"pixel $i")
+  }
+
   test("1x1 and wide-row edge shapes") {
     assert(Png.decodeGray8(Png.encodeGray8(1, 1, _ => 200)).pixelSum == 200)
     val wide = Png.decodeGray8(Png.encodeGray8(4096, 1, i => i % 256))
