@@ -1,0 +1,282 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** Mergeable quantile sketches as first-class VALUES — the approximate
+  * companion to `agg_percentiles` (SURVEY.md §4.3-3 posture, same as
+  * `Hll`): per-partition/day sketches are persisted as binary columns,
+  * then re-merged with `qsk_merge` + probed with `qsk_quantile`
+  * without rescanning the data. That persist-then-merge path is what a
+  * 100 TB telemetry rollup needs and what `percentile_approx` cannot
+  * do (its summary never leaves the aggregate).
+  *
+  * Design note — why hash-threshold sampling, not KLL/GK: both KLL and
+  * Greenwald-Khanna are ARRIVAL-ORDER-dependent (their compactions
+  * depend on which items are resident when a buffer fills), so two
+  * runs over different partitionings give different sketch bytes and
+  * different estimates — a direct §2.3 violation (this engine
+  * guarantees byte-identical results across partition counts, and
+  * QueriesSpec enforces it on every key). This sketch instead keeps
+  * the rows whose row-hash has ≥ L trailing zero bits, raising L until
+  * at most K rows survive: the retained set is a pure function of the
+  * row MULTISET (membership is row-intrinsic; raising L only filters),
+  * so one-shot build, any merge tree, and any partitioning produce the
+  * SAME canonical sketch — proven byte-identical in QskSpec. The cost
+  * is sample-quantile error O(1/√K) (~1% at K=4096) instead of KLL's
+  * O(1/K) per byte — the right trade under a determinism contract.
+  * Estimates are engine-internal sketch outputs: no-oracle key (like
+  * `agg_distinct_hll`) with an in-repo rank-error bound test.
+  *
+  * Layout: level L (int), exact n (long), m (int), then m sorted
+  * (rowHash: long, value: double) pairs; K = 4096 → ≤ 64 KB a sketch.
+  * Every retained row has the same inclusion probability 2^-L, so the
+  * weighted quantile degenerates to the plain sample order statistic.
+  */
+object Qsk {
+  val K: Int = 4096
+  private val Seed: Long = 77L
+
+  /** Row hash: mixes the caller's row key with the value bits so
+    * non-unique keys still separate distinct rows; duplicates of a
+    * full (key, value) pair stay correlated (kept or dropped
+    * together), which leaves the estimator unbiased — each row is
+    * retained with probability exactly 2^-L. */
+  def rowHash(key: Long, value: Double): Long =
+    XXH64.hashLong(key ^ java.lang.Double.doubleToLongBits(value), Seed)
+
+  private def keepAt(h: Long, level: Int): Boolean =
+    level == 0 || java.lang.Long.numberOfTrailingZeros(h) >= level
+
+  /** Mutable accumulation state. Invariant: pairs.size <= K and every
+    * pair's hash has >= level trailing zeros. */
+  final class State(var level: Int, var n: Long,
+                    val hs: scala.collection.mutable.ArrayBuffer[Long],
+                    val vs: scala.collection.mutable.ArrayBuffer[Double]) {
+
+    def add(h: Long, v: Double): Unit = {
+      n += 1
+      if (keepAt(h, level)) {
+        hs += h; vs += v
+        shrink()
+      }
+    }
+
+    def mergeFrom(oLevel: Int, oN: Long, oHs: Array[Long],
+                  oVs: Array[Double]): Unit = {
+      n += oN
+      if (oLevel > level) { level = oLevel; refilter() }
+      var i = 0
+      while (i < oHs.length) {
+        if (keepAt(oHs(i), level)) { hs += oHs(i); vs += oVs(i) }
+        i += 1
+      }
+      shrink()
+    }
+
+    private def refilter(): Unit = {
+      var w = 0
+      var i = 0
+      while (i < hs.length) {
+        if (keepAt(hs(i), level)) { hs(w) = hs(i); vs(w) = vs(i); w += 1 }
+        i += 1
+      }
+      hs.remove(w, hs.length - w)
+      vs.remove(w, vs.length - w)
+    }
+
+    private def shrink(): Unit =
+      while (hs.length > K) { level += 1; refilter() }
+  }
+
+  def emptyState(): State =
+    new State(0, 0L,
+      new scala.collection.mutable.ArrayBuffer[Long](64),
+      new scala.collection.mutable.ArrayBuffer[Double](64))
+
+  /** Canonical bytes: pairs sorted by (hash, value) so equal multisets
+    * serialize identically whatever the accumulation order. */
+  def serialize(st: State): Array[Byte] = {
+    val m = st.hs.length
+    val idx = Array.range(0, m).sortBy(i => (st.hs(i), st.vs(i)))
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 16 * m)
+    bb.putInt(st.level); bb.putLong(st.n); bb.putInt(m)
+    idx.foreach { i => bb.putLong(st.hs(i)); bb.putDouble(st.vs(i)) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val level = bb.getInt; val n = bb.getLong; val m = bb.getInt
+    val st = new State(level, n,
+      new scala.collection.mutable.ArrayBuffer[Long](m),
+      new scala.collection.mutable.ArrayBuffer[Double](m))
+    var i = 0
+    while (i < m) { st.hs += bb.getLong; st.vs += bb.getDouble; i += 1 }
+    st
+  }
+
+  /** Lower sample quantile over the retained values; null on empty. */
+  def quantile(bytes: Array[Byte], q: Double): Any = {
+    val st = deserialize(bytes)
+    val m = st.vs.length
+    if (m == 0) null
+    else {
+      val sorted = st.vs.toArray
+      java.util.Arrays.sort(sorted)
+      val idx = math.min(m - 1, math.max(0, math.ceil(q * m).toInt - 1))
+      sorted(idx)
+    }
+  }
+
+  def count(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt
+    bb.getLong
+  }
+
+  def register(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsk_sketch", (args: Seq[Expression]) => QskSketchAgg(args(0), args(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsk_merge", (args: Seq[Expression]) => QskMergeAgg(args.head),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsk_quantile", (args: Seq[Expression]) => QskQuantileExpr(args(0), args(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsk_count", (args: Seq[Expression]) => QskCountExpr(args.head),
+      "built-in")
+  }
+}
+
+/** `qsk_sketch(valueCol, rowKeyCol)` → binary: bounded (≤64 KB)
+  * deterministic quantile sketch per group. */
+case class QskSketchAgg(
+    value: Expression,
+    rowKey: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Qsk.State]
+    with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(value, rowKey)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "qsk_sketch"
+
+  override def createAggregationBuffer(): Qsk.State = Qsk.emptyState()
+
+  override def update(buf: Qsk.State, input: InternalRow): Qsk.State = {
+    val v = value.eval(input)
+    val k = rowKey.eval(input)
+    if (v != null && k != null)
+      buf.add(Qsk.rowHash(k.asInstanceOf[Long], v.asInstanceOf[Double]),
+              v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: Qsk.State, other: Qsk.State): Qsk.State = {
+    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray)
+    buf
+  }
+
+  override def eval(buf: Qsk.State): Any = Qsk.serialize(buf)
+
+  override def serialize(buf: Qsk.State): Array[Byte] = Qsk.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Qsk.State =
+    Qsk.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QskSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QskSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(value = newChildren(0), rowKey = newChildren(1))
+}
+
+/** `qsk_merge(sketchCol)` → binary: union + re-threshold of stored
+  * sketches — the re-aggregation half of the persist-then-merge path.
+  * Same canonical result for any merge tree shape. */
+case class QskMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Qsk.State]
+    with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "qsk_merge"
+
+  override def createAggregationBuffer(): Qsk.State = Qsk.emptyState()
+
+  override def update(buf: Qsk.State, input: InternalRow): Qsk.State = {
+    val v = child.eval(input)
+    if (v != null) {
+      val o = Qsk.deserialize(v.asInstanceOf[Array[Byte]])
+      buf.mergeFrom(o.level, o.n, o.hs.toArray, o.vs.toArray)
+    }
+    buf
+  }
+
+  override def merge(buf: Qsk.State, other: Qsk.State): Qsk.State = {
+    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray)
+    buf
+  }
+
+  override def eval(buf: Qsk.State): Any = Qsk.serialize(buf)
+
+  override def serialize(buf: Qsk.State): Array[Byte] = Qsk.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Qsk.State =
+    Qsk.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QskMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QskMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `qsk_quantile(sketch, q)` → double (null on an empty sketch). Runs
+  * once per GROUP — interpreted eval is fine, CodegenFallback keeps
+  * the surrounding stage codegen'd. */
+case class QskQuantileExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "qsk_quantile"
+  // an empty sketch yields null even when both children are non-null
+  override def nullable: Boolean = true
+  override def nullSafeEval(sk: Any, q: Any): Any =
+    Qsk.quantile(sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `qsk_count(sketch)` → bigint: the EXACT row count carried through
+  * builds and merges (sums are order-free), so the sketch doubles as a
+  * count accumulator. */
+case class QskCountExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "qsk_count"
+  override def nullSafeEval(input: Any): Any =
+    Qsk.count(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}

@@ -108,6 +108,36 @@ object QueriesR8 {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Mergeable quantile sketch — the approximate companion to
+    * `agg_percentiles`, shaped exactly like `agg_distinct_hll`:
+    * per-(group, shard) sketches are built with `qsk_sketch` (bounded
+    * ≤64 KB state), travel through a shuffle as plain binary VALUES
+    * (the stand-in for "persisted per partition/day"), then
+    * `qsk_merge` + `qsk_quantile` re-aggregate them without touching
+    * the input again. Unlike KLL/GK the sketch is arrival-order-free
+    * (see Qsk's design note), so this key passes the §2.3 byte-
+    * determinism gate like every other key. No-oracle (sketch
+    * estimates are engine-internal); QskSpec pins a ±3% rank-error
+    * bound at 2 and 7 partitions, byte-identical merge trees, and the
+    * exact carried count. */
+  def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    Qsk.register(s)
+    lineitem(s, d)
+      .withColumn("shard", pmod(col("l_partkey"), lit(16)))
+      .groupBy("l_returnflag", "shard")
+      .agg(expr(
+        "qsk_sketch(l_extendedprice, xxhash64(l_orderkey, l_linenumber, l_quantity))")
+        .as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("qsk_merge(sk)").as("msk"))
+      .select(col("l_returnflag"),
+              expr("qsk_count(msk)").as("n"),
+              expr("round(qsk_quantile(msk, 0.5), 2)").as("p50"),
+              expr("round(qsk_quantile(msk, 0.9), 2)").as("p90"),
+              expr("round(qsk_quantile(msk, 0.99), 2)").as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   /** ViT-style patch extraction over the REAL decoded pixels (round-4
     * verdict Missing #5 — "nothing consumes the decode further"): each
     * document's PNG (same deterministic encode as

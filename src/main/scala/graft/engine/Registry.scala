@@ -183,6 +183,7 @@ object Registry {
     "docs_text_normalize"  -> QueriesR8.docsTextNormalize _,
     "events_interval_join" -> QueriesR8.eventsIntervalJoin _,
     "multimodal_patchify"  -> QueriesR8.multimodalPatchify _,
+    "agg_quantile_sketch"  -> QueriesR8.aggQuantileSketch _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Qsk, Tables}
+
+/** The quantile sketch's three contracts: (1) canonical bytes — any
+  * merge tree and any partitioning produce the identical sketch;
+  * (2) rank-error bound vs exact percentiles on real data large enough
+  * to force sampling (sf0.01, level > 0); (3) the carried count is
+  * exact. */
+class QskSpec extends SparkTestBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("merge of sharded sketches is byte-identical to the one-shot sketch") {
+    Qsk.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("v"),
+              expr("xxhash64(l_orderkey, l_linenumber, l_quantity)").as("k"))
+    val oneShot = li.agg(expr("qsk_sketch(v, k)")).collect()(0)
+      .getAs[Array[Byte]](0)
+    for (shards <- Seq(2, 5, 16)) {
+      val merged = li.withColumn("shard", pmod(col("k"), lit(shards)))
+        .groupBy("shard").agg(expr("qsk_sketch(v, k)").as("sk"))
+        .agg(expr("qsk_merge(sk)")).collect()(0).getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(oneShot, merged),
+        s"sketch bytes diverge at $shards shards")
+    }
+  }
+
+  test("rank error within 3% of exact at 2 and 7 shuffle partitions (sampling active)") {
+    Qsk.register(spark)
+    for (parts <- Seq(2, 7)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val est = graft.engine.QueriesR8.aggQuantileSketch(spark, sf01)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val rows = Tables.lineitem(spark, sf01)
+        .select("l_returnflag", "l_extendedprice").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      // groups are ~20k rows: K=4096 forces level >= 3 (real sampling)
+      assert(rows.values.exists(_.length > Qsk.K), "no group exceeds K")
+      for ((g, (p50, p90, p99)) <- est) {
+        val vs = rows(g)
+        def rankOf(x: Double): Double =
+          vs.count(_ <= x).toDouble / vs.length
+        for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99))
+          assert(math.abs(rankOf(e) - q) <= 0.03,
+            s"group $g q=$q est=$e rank=${rankOf(e)} parts=$parts")
+      }
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+  }
+
+  test("carried count is exact and empty sketches yield null quantiles") {
+    Qsk.register(spark)
+    import spark.implicits._
+    val got = graft.engine.QueriesR8.aggQuantileSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"carried counts diverge: $got vs $want")
+    val empty = Seq.empty[(Double, Long)].toDF("v", "k")
+      .agg(expr("qsk_quantile(qsk_sketch(v, k), 0.5)")).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+}
