@@ -97,7 +97,8 @@ object ArtifactCache {
     * version the artifact name (…_v1) and bump it whenever the
     * producing algorithm changes, or stale results survive. */
   def materializeKeyed(spark: SparkSession, cacheRoot: String, name: String,
-                       hash: String)(compute: => DataFrame): DataFrame = {
+                       hash: String, partitionBy: Seq[String] = Nil)(
+                       compute: => DataFrame): DataFrame = {
     val dir = new Path(s"$cacheRoot/$name-$hash")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(dir, "_SUCCESS")
@@ -114,7 +115,9 @@ object ArtifactCache {
       sweepStale(fs, new Path(cacheRoot))
       val scratch = new Path(
         s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
-      compute.write.mode("overwrite").parquet(scratch.toString)
+      val w = compute.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(scratch.toString)
       // Self-heal: an artifact dir WITHOUT _SUCCESS is a corpse from a
       // killed run — serving its partial part-files would be silently
       // wrong forever. Remove it before installing the fresh copy.

@@ -28,11 +28,14 @@ object QueriesR8 {
     * corpus. (sink_partitioned proves STATIC pruning; this key proves
     * the runtime, join-driven form.) */
   def scanDppPartitioned(s: SparkSession, d: String): DataFrame = {
-    val tmp = RunScratch.dir("dpp_lineitem")
-    lineitem(s, d)
-      .withColumn("l_year", year(col("l_shipdate")))
-      .write.mode("overwrite").partitionBy("l_year").parquet(tmp)
-    val fact = s.read.parquet(tmp)
+    // The partitioned layout is a content-hash artifact (P6): written
+    // once per input fingerprint, reused by every later invocation —
+    // a 100 TB deployment lays the fact table out ONCE, then every
+    // year-scoped query prunes against it.
+    val laid = lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
+    val fact = ArtifactCache.materializeKeyed(
+      s, Artifacts.cacheRoot, "dpp_lineitem_v1",
+      ArtifactCache.artifactHash(laid), partitionBy = Seq("l_year"))(laid)
     val dim = orders(s, d)
       .filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
       .groupBy(year(col("o_orderdate")).as("y"))
