@@ -63,6 +63,38 @@ object OracleR8 {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    "docs_train_split" ->
+      """SELECT CASE WHEN ('0x' || substr(md5(text), 1, 6))::BIGINT % 10 < 8
+        |            THEN 'train'
+        |            WHEN ('0x' || substr(md5(text), 1, 6))::BIGINT % 10 = 8
+        |            THEN 'val' ELSE 'test' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_corpus_pipeline" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), kept AS (
+        |  SELECT d.lang,
+        |         len(string_split(d.text, ' ')) AS n_tokens,
+        |         round(0.4 * least(len(string_split(d.text, ' ')) / 50.0, 1.0)
+        |             + 0.4 * (1 - CAST(len(list_filter(string_split(d.text, ' '),
+        |                     t -> t IN ('the','a','of'))) AS DOUBLE)
+        |                     / len(string_split(d.text, ' ')))
+        |             + 0.2 * (1 - CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |                     / length(d.text)), 6) AS quality
+        |  FROM documents d JOIN surv USING (doc_id)
+        |)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       round(AVG(quality), 6) AS avg_quality
+        |FROM kept WHERE quality >= 0.75
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "multimodal_patchify" ->
       """WITH dims AS (
         |  SELECT doc_id,

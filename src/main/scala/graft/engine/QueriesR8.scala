@@ -111,6 +111,58 @@ object QueriesR8 {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Deterministic train/val/test split — the assignment step every
+    * training-data pipeline ends with. Buckets come from md5 of the
+    * CONTENT (not doc_id), so the split is stable under re-ingestion,
+    * re-partitioning, and id reassignment, and exact duplicates land
+    * in the SAME split (no train/test leakage through copies; pair
+    * with near-dedup upstream for fuzzy leakage). 80/10/10 via hex
+    * bucket mod 10. At 100 TB: one codegen'd projection + a 3-group
+    * aggregate — no shuffle wider than the final stats. */
+  def docsTrainSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(text), 1, 6), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("size(split(text, ' '))")).as("n_tokens"),
+           countDistinct("lang").as("n_langs"),
+           min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+
+  /** End-to-end corpus cleaning pipeline as ONE declarative plan —
+    * the C4/CCNet composition the individual docs keys exercise in
+    * isolation: exact dedup (min-id survivor per content hash) →
+    * quality filter (docs_quality_score's exact formula, rounded
+    * before the threshold so both engines gate identically) →
+    * per-language yield report. Composing as one plan (not three
+    * materialized stages) lets Catalyst share the corpus scan and
+    * keeps total shuffles at two (dedup hash + final agg) — the shape
+    * that matters at 100 TB, where each materialization is a full
+    * corpus write. */
+  def docsCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val survivors = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .withColumn("quality",
+        expr("""round(0.4 * least(size(split(text, ' ')) / 50.0, 1.0)
+               |    + 0.4 * (1 - CAST(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE) / size(split(text, ' ')))
+               |    + 0.2 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)), 6)""".stripMargin))
+      .filter(col("quality") >= 0.75)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(expr("size(split(text, ' '))")).as("n_tokens"),
+           round(avg("quality"), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   /** Mergeable quantile sketch — the approximate companion to
     * `agg_percentiles`, shaped exactly like `agg_distinct_hll`:
     * per-(group, shard) sketches are built with `qsk_sketch` (bounded

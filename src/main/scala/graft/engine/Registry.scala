@@ -184,6 +184,8 @@ object Registry {
     "events_interval_join" -> QueriesR8.eventsIntervalJoin _,
     "multimodal_patchify"  -> QueriesR8.multimodalPatchify _,
     "agg_quantile_sketch"  -> QueriesR8.aggQuantileSketch _,
+    "docs_train_split"     -> QueriesR8.docsTrainSplit _,
+    "docs_corpus_pipeline" -> QueriesR8.docsCorpusPipeline _,
   )
 
   val oracleSql: ListMap[String, String] =

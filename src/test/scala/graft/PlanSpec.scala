@@ -288,6 +288,24 @@ class PlanSpec extends SparkTestBase {
       s"PQ encode shuffles the store against a 128-row codebook:\n$p")
   }
 
+  test("interval join keeps its equi key (no nested loop on the time bound)") {
+    val p = plan("events_interval_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"interval join lost its user_id equi strategy:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join degraded on the time-bound residual:\n$p")
+  }
+
+  test("corpus pipeline keeps the semi join and prunes the doc scan") {
+    val p = plan("docs_corpus_pipeline")
+    assert(p.contains("LeftSemi"), s"dedup survivor join not semi:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pipeline degraded:\n$p")
+    // only the three consumed columns may reach the documents scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"documents scan not pruned to (doc_id, text, lang):\n$p")
+  }
+
   test("scan_dpp_partitioned: DPP subquery reaches the scan and skips files") {
     // AQE off for this probe so the physical tree (and its metrics) is
     // directly traversable; DPP itself is an optimizer-rule property
