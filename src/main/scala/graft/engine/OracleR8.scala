@@ -95,6 +95,45 @@ object OracleR8 {
         |FROM kept WHERE quality >= 0.75
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "docs_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), idx AS (
+        |  SELECT word, unnest(range(1, length(word))) AS i
+        |  FROM words WHERE length(word) >= 2
+        |)
+        |SELECT substr(word, CAST(i AS INT), 2) AS pair,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM idx
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |), g1 AS (
+        |  SELECT doc_id, w, unnest(range(0, h // 2)) AS py FROM dims
+        |), grid AS (
+        |  SELECT doc_id, w, py, unnest(range(0, w // 2)) AS px FROM g1
+        |), vals AS (
+        |  SELECT doc_id,
+        |    ((doc_id + (py * 2) * w + px * 2) % 251
+        |     + (doc_id + (py * 2) * w + px * 2 + 1) % 251
+        |     + (doc_id + (py * 2 + 1) * w + px * 2) % 251
+        |     + (doc_id + (py * 2 + 1) * w + px * 2 + 1) % 251) // 4 AS v
+        |  FROM grid
+        |)
+        |SELECT d.doc_id,
+        |       CAST(d.w // 2 AS INT) AS out_w,
+        |       CAST(d.h // 2 AS INT) AS out_h,
+        |       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS px_sum,
+        |       CAST(COALESCE(MIN(v), -1) AS INT) AS px_min,
+        |       CAST(COALESCE(MAX(v), -1) AS INT) AS px_max
+        |FROM dims d LEFT JOIN vals USING (doc_id)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     "multimodal_patchify" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -186,6 +186,8 @@ object Registry {
     "agg_quantile_sketch"  -> QueriesR8.aggQuantileSketch _,
     "docs_train_split"     -> QueriesR8.docsTrainSplit _,
     "docs_corpus_pipeline" -> QueriesR8.docsCorpusPipeline _,
+    "multimodal_resize"    -> QueriesR8.multimodalResize _,
+    "docs_bpe_pairs"       -> QueriesR8.docsBpePairs _,
   )
 
   val oracleSql: ListMap[String, String] =
