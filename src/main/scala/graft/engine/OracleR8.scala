@@ -95,6 +95,34 @@ object OracleR8 {
         |FROM kept WHERE quality >= 0.75
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "docs_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang, text,
+        |         ('0x' || substr(md5(text), 7, 6))::BIGINT % 100 AS bucket,
+        |         CASE WHEN lang = 'en' THEN 100
+        |              WHEN lang = 'de' THEN 50 ELSE 25 END AS rate
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       MAX(bucket) AS max_bucket
+        |FROM b WHERE bucket < rate
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_fuzzy_blocked" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+        |         string_split(p_name, ' ')[1] AS block
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT a.name AS name1, b.name AS name2,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |       a.n * b.n AS pair_weight
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
     "docs_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -163,6 +163,54 @@ object QueriesR8 {
       .orderBy("lang")
   }
 
+  /** Per-stratum deterministic Bernoulli sampling — the data-mixing
+    * primitive between docs_train_split (disjoint assignment) and
+    * docs_token_budget_mix (budget-capped top-k): each language keeps
+    * a configured FRACTION of its documents, decided by a content
+    * hash, never rand() (§2.3 — resampling the same corpus always
+    * keeps the same documents, so downstream caches and dedup
+    * artifacts stay valid). One codegen'd projection + filter + one
+    * small agg; no shuffle grows with the corpus. */
+  def docsStratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(text), 7, 6), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate",
+        when(col("lang") === "en", 100)
+          .when(col("lang") === "de", 50)
+          .otherwise(25))
+      .filter(col("bucket") < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(expr("size(split(text, ' '))")).as("n_tokens"),
+           max("bucket").as("max_bucket"))
+      .orderBy("lang")
+
+  /** Blocked fuzzy-match join — the entity-resolution shape (match
+    * near-identical names across catalogs) every metadata-cleaning
+    * pipeline needs: candidate pairs come ONLY from a blocking key
+    * (first name token — the minhash-LSH banding idea applied to
+    * string matching, never the O(n²) cross product), then the
+    * survivors are verified with exact edit distance. Names are
+    * deduplicated to (name, multiplicity) BEFORE pairing, so the
+    * quadratic step runs on distinct names and `pair_weight` carries
+    * the row-level match count. At 100 TB: block sizes are bounded by
+    * the key's selectivity (salt or secondary blocking for degenerate
+    * blocks, same playbook as minhashNearDup's bucket cap). */
+  def joinFuzzyBlocked(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("block", split(col("name"), " ").getItem(0))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 3)
+      .select(col("a.name").as("name1"), col("b.name").as("name2"),
+              col("dist"), (col("a.n") * col("b.n")).as("pair_weight"))
+      .orderBy("name1", "name2")
+  }
+
   /** One BPE training step: the frequency table of adjacent character
     * pairs WITHIN words — what a byte-pair-encoding tokenizer trainer
     * computes to pick its next merge (the vocabulary-construction

@@ -188,6 +188,8 @@ object Registry {
     "docs_corpus_pipeline" -> QueriesR8.docsCorpusPipeline _,
     "multimodal_resize"    -> QueriesR8.multimodalResize _,
     "docs_bpe_pairs"       -> QueriesR8.docsBpePairs _,
+    "join_fuzzy_blocked"   -> QueriesR8.joinFuzzyBlocked _,
+    "docs_stratified_sample" -> QueriesR8.docsStratifiedSample _,
   )
 
   val oracleSql: ListMap[String, String] =
