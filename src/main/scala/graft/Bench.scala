@@ -4,18 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionHygiene.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Verify/tests: keys evaluate date functions (and
+      // scan_dpp_partitioned PERSISTS year(l_shipdate) into a shared
+      // artifact whose hash doesn't see the timezone) — an unpinned
+      // local zone would poison that artifact for the UTC sessions
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Long single-JVM sessions (the driver benches the full registry
-      // in one process) accumulate per-execution status data even with
-      // the UI off; capping the stores keeps late-session keys from
-      // paying bookkeeping rent (BASELINE.md round-4 variance note).
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One untimed warmup execution per query, then the timed run —
@@ -44,19 +41,10 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None => SparkEntry.queries
     }
-    // Session hygiene between keys (A/B-able: SPARK_GRAFT_BENCH_HYGIENE=0
-    // disables): drop cached relations a key left behind and every 20
-    // keys nudge a full GC so the ContextCleaner reclaims
-    // localCheckpoint blocks / destroyed broadcasts before they pile
-    // into old-gen (the round-4 late-session-inflation hypothesis).
-    val hygiene = !sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("0")
     var keyIdx = 0
     val results = selected.map { case (name, fn) =>
       keyIdx += 1
-      if (hygiene) {
-        spark.catalog.clearCache()
-        if (keyIdx % 20 == 0) System.gc()
-      }
+      SessionHygiene.step(spark, keyIdx)
       if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
       else {
         // Isolate rather than destroy — and PER KEY, not per JVM:

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Long-single-JVM session hygiene, single-sourced for the harness
+  * mains (Bench and Verify both run the full 150+-key registry in one
+  * process). Measured in the round-5 2×2 A/B at sf0.1: ON tames the
+  * late-session artifact-key outliers (graph_pagerank 5.6→1.3 s) and
+  * lowers full-session totals ~14%, at ≤0.2 s cost on a handful of
+  * small keys right after a GC tick (BASELINE.md round-5 section). */
+object SessionHygiene {
+
+  /** Status-store caps, applied at session build: even with the UI
+    * off, per-execution status data accumulates across a 150-key
+    * session — bookkeeping rent the late keys otherwise pay. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ui.retainedExecutions", "20")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "100")
+    .config("spark.ui.retainedTasks", "1000")
+
+  /** A/B gate: SPARK_GRAFT_BENCH_HYGIENE=0 disables the inter-key
+    * step (reproduces the round-5 measurement). */
+  private val enabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("0")
+
+  /** Inter-key step: drop cached relations a key left behind, and
+    * every 20 keys nudge a full GC so the ContextCleaner reclaims
+    * localCheckpoint blocks / destroyed broadcasts before they pile
+    * into old-gen. */
+  def step(spark: SparkSession, keyIdx: Int): Unit = if (enabled) {
+    spark.catalog.clearCache()
+    if (keyIdx % 20 == 0) System.gc()
+  }
+}

@@ -122,14 +122,22 @@ object Qsk {
 
   /** Lower sample quantile over the retained values; null on empty. */
   def quantile(bytes: Array[Byte], q: Double): Any = {
+    val qs = quantiles(bytes, Array(q))
+    if (qs == null) null else qs(0)
+  }
+
+  /** All requested quantiles in ONE deserialize + sort pass — a probe
+    * of several percentiles per group pays the 64 KB decode once, not
+    * once per percentile. Null on an empty sketch. */
+  def quantiles(bytes: Array[Byte], qs: Array[Double]): Array[Double] = {
     val st = deserialize(bytes)
     val m = st.vs.length
     if (m == 0) null
     else {
       val sorted = st.vs.toArray
       java.util.Arrays.sort(sorted)
-      val idx = math.min(m - 1, math.max(0, math.ceil(q * m).toInt - 1))
-      sorted(idx)
+      qs.map(q =>
+        sorted(math.min(m - 1, math.max(0, math.ceil(q * m).toInt - 1))))
     }
   }
 
@@ -148,6 +156,9 @@ object Qsk {
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qsk_quantile", (args: Seq[Expression]) => QskQuantileExpr(args(0), args(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qsk_quantiles", (args: Seq[Expression]) => QskQuantilesExpr(args(0), args(1)),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qsk_count", (args: Seq[Expression]) => QskCountExpr(args.head),
@@ -261,6 +272,30 @@ case class QskQuantileExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def nullSafeEval(sk: Any, q: Any): Any =
     Qsk.quantile(sk.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `qsk_quantiles(sketch, array(q1, q2, …))` → array<double>: every
+  * probe shares one deserialize + sort (the multi-percentile form a
+  * reporting query wants). Null on an empty sketch. */
+case class QskQuantilesExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, org.apache.spark.sql.types.ArrayType(DoubleType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "qsk_quantiles"
+  // an empty sketch yields null even when both children are non-null
+  override def nullable: Boolean = true
+  override def nullSafeEval(sk: Any, qs: Any): Any = {
+    val probes = qs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val out = Qsk.quantiles(sk.asInstanceOf[Array[Byte]], probes)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -261,7 +261,13 @@ object QueriesExtra {
     * oracle recomputes every decoded value from first principles
     * (width/height arithmetic, modular pixel-sum), so a one-bit codec
     * error breaks the hash match. */
-  def multimodalDecodePng(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic per-document PNG encode shared by every
+    * multimodal image key (decode / patchify / resize): dimensions
+    * from doc fields, pixels from a doc_id-seeded pattern — the
+    * in-sandbox stand-in for blobs arriving from storage. All three
+    * keys' oracles restate THIS generator's arithmetic; change it
+    * only in lockstep with them. */
+  private[engine] def docPngBlobs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"), col("n_chars"))
@@ -272,6 +278,11 @@ object QueriesExtra {
         (id, Png.encodeGray8(w, h, i => ((id + i) % 251).toInt))
       })
       .toDF("doc_id", "blob")
+  }
+
+  def multimodalDecodePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docPngBlobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
         val m = Png.decodeGray8(blob)

@@ -242,15 +242,7 @@ object QueriesR8 {
     * mapPartitions stage in-process, never a shuffle. */
   def multimodalResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, nChars) =>
-        val w = (nChars % 64 + 1).toInt
-        val h = (id % 48 + 1).toInt
-        (id, Png.encodeGray8(w, h, i => ((id + i) % 251).toInt))
-      })
-      .toDF("doc_id", "blob")
+    QueriesExtra.docPngBlobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
         val dec = Png.decodeGray8Pixels(blob)
@@ -300,11 +292,13 @@ object QueriesR8 {
         .as("sk"))
       .groupBy("l_returnflag")
       .agg(expr("qsk_merge(sk)").as("msk"))
+      // one decode+sort per group serves all three probes
+      .withColumn("qs", expr("qsk_quantiles(msk, array(0.5D, 0.9D, 0.99D))"))
       .select(col("l_returnflag"),
               expr("qsk_count(msk)").as("n"),
-              expr("round(qsk_quantile(msk, 0.5), 2)").as("p50"),
-              expr("round(qsk_quantile(msk, 0.9), 2)").as("p90"),
-              expr("round(qsk_quantile(msk, 0.99), 2)").as("p99"))
+              round(element_at(col("qs"), 1), 2).as("p50"),
+              round(element_at(col("qs"), 2), 2).as("p90"),
+              round(element_at(col("qs"), 3), 2).as("p99"))
       .orderBy("l_returnflag")
   }
 
@@ -324,15 +318,7 @@ object QueriesR8 {
   def multimodalPatchify(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val P = 8
-    documents(s, d)
-      .select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, nChars) =>
-        val w = (nChars % 64 + 1).toInt
-        val h = (id % 48 + 1).toInt
-        (id, Png.encodeGray8(w, h, i => ((id + i) % 251).toInt))
-      })
-      .toDF("doc_id", "blob")
+    QueriesExtra.docPngBlobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
         val dec = Png.decodeGray8Pixels(blob)

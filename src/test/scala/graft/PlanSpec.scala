@@ -306,6 +306,14 @@ class PlanSpec extends SparkTestBase {
       s"documents scan not pruned to (doc_id, text, lang):\n$p")
   }
 
+  test("fuzzy join pairs only within blocks (equi key, no cross product)") {
+    val p = plan("join_fuzzy_blocked")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"fuzzy join lost its blocking equi key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"fuzzy join degraded to all-pairs:\n$p")
+  }
+
   test("scan_dpp_partitioned: DPP subquery reaches the scan and skips files") {
     // AQE off for this probe so the physical tree (and its metrics) is
     // directly traversable; DPP itself is an optimizer-rule property

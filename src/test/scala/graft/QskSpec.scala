@@ -31,27 +31,29 @@ class QskSpec extends SparkTestBase {
 
   test("rank error within 3% of exact at 2 and 7 shuffle partitions (sampling active)") {
     Qsk.register(spark)
-    for (parts <- Seq(2, 7)) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      val est = graft.engine.QueriesR8.aggQuantileSketch(spark, sf01)
-        .collect().map(r => r.getString(0) ->
-          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-      val rows = Tables.lineitem(spark, sf01)
-        .select("l_returnflag", "l_extendedprice").collect()
-        .map(r => (r.getString(0), r.getDouble(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-      // groups are ~20k rows: K=4096 forces level >= 3 (real sampling)
-      assert(rows.values.exists(_.length > Qsk.K), "no group exceeds K")
-      for ((g, (p50, p90, p99)) <- est) {
-        val vs = rows(g)
-        def rankOf(x: Double): Double =
-          vs.count(_ <= x).toDouble / vs.length
-        for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99))
-          assert(math.abs(rankOf(e) - q) <= 0.03,
-            s"group $g q=$q est=$e rank=${rankOf(e)} parts=$parts")
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq(2, 7)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val est = graft.engine.QueriesR8.aggQuantileSketch(spark, sf01)
+          .collect().map(r => r.getString(0) ->
+            (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        val rows = Tables.lineitem(spark, sf01)
+          .select("l_returnflag", "l_extendedprice").collect()
+          .map(r => (r.getString(0), r.getDouble(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        // groups are ~20k rows: K=4096 forces level >= 3 (real sampling)
+        assert(rows.values.exists(_.length > Qsk.K), "no group exceeds K")
+        for ((g, (p50, p90, p99)) <- est) {
+          val vs = rows(g)
+          def rankOf(x: Double): Double =
+            vs.count(_ <= x).toDouble / vs.length
+          for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99))
+            assert(math.abs(rankOf(e) - q) <= 0.03,
+              s"group $g q=$q est=$e rank=${rankOf(e)} parts=$parts")
+        }
       }
-    }
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 
   test("carried count is exact and empty sketches yield null quantiles") {
