@@ -95,6 +95,32 @@ object OracleR8 {
         |FROM kept WHERE quality >= 0.75
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "events_resample_gapfill" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |         value
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         round(SUM(value), 4) AS sum_value
+        |  FROM ev GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev
+        |), hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds
+        |), grid AS (
+        |  SELECT e.event_type, h.bucket
+        |  FROM hours h, (SELECT DISTINCT event_type FROM ev) e
+        |)
+        |SELECT g.event_type, g.bucket,
+        |       COALESCE(a.cnt, 0) AS cnt,
+        |       COALESCE(a.sum_value, 0) AS sum_value
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.event_type = a.event_type AND g.bucket = a.bucket
+        |ORDER BY 1, 2""".stripMargin,
+
     "docs_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang, text,

@@ -163,6 +163,30 @@ object QueriesR8 {
       .orderBy("lang")
   }
 
+  /** Time-series resample with gap filling — the telemetry-rollup
+    * primitive the windowed keys assume away: an hourly grid per
+    * event_type spanning the observed range, with empty buckets
+    * zero-filled (without it, moving averages and rate-of-change
+    * windows silently skip missing hours instead of seeing zeros).
+    * Grid = sequence(min, max, 1 hour) × distinct types — both sides
+    * tiny (bounds are one row; the explode never touches event rows),
+    * then one left join against the aggregated series. At 100 TB the
+    * grid is still bounded by (hours × types), not by events. */
+  def eventsResampleGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+              col("value"))
+    val agg = ev.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+    val grid = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      .crossJoin(ev.select("event_type").distinct())
+    grid.join(agg, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .na.fill(0.0, Seq("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Per-stratum deterministic Bernoulli sampling — the data-mixing
     * primitive between docs_train_split (disjoint assignment) and
     * docs_token_budget_mix (budget-capped top-k): each language keeps

@@ -190,6 +190,7 @@ object Registry {
     "docs_bpe_pairs"       -> QueriesR8.docsBpePairs _,
     "join_fuzzy_blocked"   -> QueriesR8.joinFuzzyBlocked _,
     "docs_stratified_sample" -> QueriesR8.docsStratifiedSample _,
+    "events_resample_gapfill" -> QueriesR8.eventsResampleGapfill _,
   )
 
   val oracleSql: ListMap[String, String] =
