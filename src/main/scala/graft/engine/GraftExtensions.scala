@@ -39,5 +39,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistExpr].getName, "hamming_dist"),
       (args: Seq[Expression]) => HammingDistExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head)))
+    // the quantile-sketch family (build / re-merge / probe / count)
+    ext.injectFunction((
+      FunctionIdentifier("qsk_sketch"),
+      new ExpressionInfo(classOf[QskSketchAgg].getName, "qsk_sketch"),
+      (args: Seq[Expression]) => QskSketchAgg(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("qsk_merge"),
+      new ExpressionInfo(classOf[QskMergeAgg].getName, "qsk_merge"),
+      (args: Seq[Expression]) => QskMergeAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("qsk_quantile"),
+      new ExpressionInfo(classOf[QskQuantileExpr].getName, "qsk_quantile"),
+      (args: Seq[Expression]) => QskQuantileExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("qsk_quantiles"),
+      new ExpressionInfo(classOf[QskQuantilesExpr].getName, "qsk_quantiles"),
+      (args: Seq[Expression]) => QskQuantilesExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("qsk_count"),
+      new ExpressionInfo(classOf[QskCountExpr].getName, "qsk_count"),
+      (args: Seq[Expression]) => QskCountExpr(args.head)))
   }
 }

@@ -42,6 +42,18 @@ class ExtensionsSpec extends AnyFunSuite {
       val castPairs = topCast.getSeq[org.apache.spark.sql.Row](1)
         .map(r => (r.getDouble(0), r.getLong(1)))
       assert(castPairs.map(_._2) == Seq(11L))
+      // round-5 surface: NFC normalization + the quantile-sketch family
+      val nfc = s.sql("SELECT nfc_normalize('Cafe\u0301')")
+        .collect()(0).getString(0)
+      assert(nfc == "Caf\u00e9" && nfc.length == 4)
+      val med = s.sql(
+        """SELECT qsk_quantiles(qsk_merge(sk), array(0.5D))[0] AS p50,
+          |       qsk_count(qsk_merge(sk)) AS n
+          |FROM (SELECT g % 2 AS shard, qsk_sketch(v, k) AS sk FROM VALUES
+          |        (0, 1.0D, 1L), (1, 2.0D, 2L), (2, 3.0D, 3L),
+          |        (3, 4.0D, 4L), (4, 5.0D, 5L)
+          |        AS t(g, v, k) GROUP BY g % 2)""".stripMargin).collect()(0)
+      assert(med.getDouble(0) == 3.0 && med.getLong(1) == 5L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
