@@ -314,6 +314,41 @@ class PlanSpec extends SparkTestBase {
       s"fuzzy join degraded to all-pairs:\n$p")
   }
 
+  test("AQE splits a skewed join partition (the runtime skew remedy)") {
+    // Mechanism probe for the 100 TB skew story SURVEY §7.6 describes:
+    // salting (agg_salted_skew) is the manual remedy, AQE's
+    // OptimizeSkewedJoin is the runtime one. Thresholds are lowered so
+    // the local fixture's hot key (90% of rows) crosses them; assert
+    // the final adaptive plan marks the join skew=true (split reads).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "4", // 2 parts → median IS the hot one
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = spark.range(0, 50000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+                col("id").as("payload"))
+      val right = spark.range(0, 64).select(col("id").as("k"),
+                                            lit("dim").as("tag"))
+      val j = left.join(right, "k").groupBy("tag").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("scan_dpp_partitioned: DPP subquery reaches the scan and skips files") {
     // AQE off for this probe so the physical tree (and its metrics) is
     // directly traversable; DPP itself is an optimizer-rule property
