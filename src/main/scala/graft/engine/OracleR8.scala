@@ -121,6 +121,50 @@ object OracleR8 {
         |  ON g.event_type = a.event_type AND g.bucket = a.bucket
         |ORDER BY 1, 2""".stripMargin,
 
+    "events_gapfill_interp" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev
+        |), hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds
+        |), grid AS (
+        |  SELECT e.event_type, h.bucket
+        |  FROM hours h, (SELECT DISTINCT event_type FROM ev) e
+        |), series AS (
+        |  SELECT g.event_type, g.bucket,
+        |         epoch_us(g.bucket) // 1000000 AS t,
+        |         CAST(a.cnt AS DOUBLE) AS v, a.cnt
+        |  FROM grid g LEFT JOIN agg a
+        |    ON g.event_type = a.event_type AND g.bucket = a.bucket
+        |), w AS (
+        |  SELECT *,
+        |    LAST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY t
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY t
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM series
+        |)
+        |SELECT event_type, bucket, COALESCE(cnt, 0) AS cnt,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6)
+        |         AS cnt_interp
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
     "docs_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang, text,

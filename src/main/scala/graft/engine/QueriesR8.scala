@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 keys. Wave 1 closed the round-4 verdict's absent surfaces:
@@ -188,6 +189,45 @@ object QueriesR8 {
     grid.join(agg, Seq("event_type", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .na.fill(0.0, Seq("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Linear interpolation over the gapfilled hourly series — the
+    * second half of the resample story (events_resample_gapfill
+    * zero-fills; this key estimates): missing buckets get the linear
+    * blend of the nearest observed neighbors via IGNORE-NULLS window
+    * frames (strictly-before last + strictly-after first), edges stay
+    * null. The interpolated quantity is the integer bucket count, so
+    * both engines compute the identical double expression tree over
+    * exact operands (§2.3 — no accumulated-sum FP noise). Two window
+    * passes over the bounded grid, nothing scales with event volume. */
+  def eventsGapfillInterp(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+    val agg = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      .crossJoin(ev.select("event_type").distinct())
+    val series = grid.join(agg, Seq("event_type", "bucket"), "left")
+      .withColumn("t", col("bucket").cast("long"))
+      .withColumn("v", col("cnt").cast("double"))
+    val wPrev = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(1, Window.unboundedFollowing)
+    series
+      .withColumn("pv", last("v", ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+                             ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+                              ignoreNulls = true).over(wNext))
+      .withColumn("cnt_interp",
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+                     (col("t") - col("pt")) / (col("nt") - col("pt"))), 6))
+      .select(col("event_type"), col("bucket"),
+              coalesce(col("cnt"), lit(0L)).as("cnt"), col("cnt_interp"))
       .orderBy("event_type", "bucket")
   }
 

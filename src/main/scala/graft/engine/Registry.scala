@@ -191,6 +191,7 @@ object Registry {
     "join_fuzzy_blocked"   -> QueriesR8.joinFuzzyBlocked _,
     "docs_stratified_sample" -> QueriesR8.docsStratifiedSample _,
     "events_resample_gapfill" -> QueriesR8.eventsResampleGapfill _,
+    "events_gapfill_interp" -> QueriesR8.eventsGapfillInterp _,
   )
 
   val oracleSql: ListMap[String, String] =
