@@ -74,7 +74,18 @@ object ArtifactCache {
       val st = fs.getFileStatus(p)
       s"$f:${st.getLen}:${st.getModificationTime}"
     }.mkString("\n")
-    md5hex(planPart + "\n--inputs--\n" + inputPart)
+    // Semantics-bearing session confs the plan string does NOT capture:
+    // year()/date_trunc()/to_timestamp() results depend on the session
+    // time zone, and ANSI mode changes cast/overflow behavior. Without
+    // these, one run from a non-UTC session would poison a shared
+    // artifact (e.g. the year(l_shipdate)-partitioned DPP layout) for
+    // every UTC consumer. Folding them in makes a differently-configured
+    // session create a DIFFERENT artifact instead of corrupting this one.
+    val confPart = Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+      .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
+      .mkString("\n")
+    md5hex(planPart + "\n--confs--\n" + confPart +
+      "\n--inputs--\n" + inputPart)
   }
 
   /** Returns the cached artifact if one exists for this computation's

@@ -33,9 +33,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
   * `agg_distinct_hll`) with an in-repo rank-error bound test.
   *
   * Layout: level L (int), exact n (long), m (int), then m sorted
-  * (rowHash: long, value: double) pairs; K = 4096 → ≤ 64 KB a sketch.
-  * Every retained row has the same inclusion probability 2^-L, so the
-  * weighted quantile degenerates to the plain sample order statistic.
+  * (rowHash: long, value: double, weight: long) triples; K = 4096 →
+  * ≤ 96 KB a sketch. Every retained ROW has the same inclusion
+  * probability 2^-L; exact duplicates of one (rowKey, value) pair
+  * share a hash (kept or dropped together), and are COLLAPSED into one
+  * weighted entry, so K bounds DISTINCT pairs — a degenerate input of
+  * millions of copies of one value keeps level 0 and yields that value
+  * as every quantile, instead of sampling itself to an empty sketch.
+  * The weighted sample quantile equals the plain order statistic over
+  * the expansion, so near-unique row keys (the common case — pass a
+  * primary key or `xxhash64(cols…)`) behave exactly as unweighted.
   */
 object Qsk {
   val K: Int = 4096
@@ -52,60 +59,106 @@ object Qsk {
   private def keepAt(h: Long, level: Int): Boolean =
     level == 0 || java.lang.Long.numberOfTrailingZeros(h) >= level
 
-  /** Mutable accumulation state. Invariant: pairs.size <= K and every
-    * pair's hash has >= level trailing zeros. */
+  /** Mutable accumulation state. Invariants: every entry's hash has
+    * >= level trailing zeros; entries.size <= 2K between adds (the
+    * hysteresis bound — collapse runs at 2K so an adversarial stream
+    * of exactly-K distinct duplicated pairs costs amortized O(1) per
+    * row, not O(K)); serialize() canonicalizes to <= K DISTINCT
+    * (hash, value) entries. */
   final class State(var level: Int, var n: Long,
                     val hs: scala.collection.mutable.ArrayBuffer[Long],
-                    val vs: scala.collection.mutable.ArrayBuffer[Double]) {
+                    val vs: scala.collection.mutable.ArrayBuffer[Double],
+                    val ws: scala.collection.mutable.ArrayBuffer[Long]) {
 
     def add(h: Long, v: Double): Unit = {
       n += 1
       if (keepAt(h, level)) {
-        hs += h; vs += v
-        shrink()
+        hs += h; vs += v; ws += 1L
+        if (hs.length > 2 * K) shrinkTo(K)
       }
     }
 
     def mergeFrom(oLevel: Int, oN: Long, oHs: Array[Long],
-                  oVs: Array[Double]): Unit = {
+                  oVs: Array[Double], oWs: Array[Long]): Unit = {
       n += oN
       if (oLevel > level) { level = oLevel; refilter() }
       var i = 0
       while (i < oHs.length) {
-        if (keepAt(oHs(i), level)) { hs += oHs(i); vs += oVs(i) }
+        if (keepAt(oHs(i), level)) { hs += oHs(i); vs += oVs(i); ws += oWs(i) }
         i += 1
       }
-      shrink()
+      if (hs.length > 2 * K) shrinkTo(K)
     }
 
     private def refilter(): Unit = {
       var w = 0
       var i = 0
       while (i < hs.length) {
-        if (keepAt(hs(i), level)) { hs(w) = hs(i); vs(w) = vs(i); w += 1 }
+        if (keepAt(hs(i), level)) {
+          hs(w) = hs(i); vs(w) = vs(i); ws(w) = ws(i); w += 1
+        }
         i += 1
       }
       hs.remove(w, hs.length - w)
       vs.remove(w, vs.length - w)
+      ws.remove(w, ws.length - w)
     }
 
-    private def shrink(): Unit =
-      while (hs.length > K) { level += 1; refilter() }
+    /** Merge exact-duplicate (hash, value) entries by summing weights.
+      * The collapsed multiset is a pure function of the uncollapsed
+      * one, so canonical bytes are unaffected by WHEN this runs. */
+    private def collapse(): Unit = {
+      if (hs.length <= 1) return
+      val seen = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+      var w = 0
+      var i = 0
+      while (i < hs.length) {
+        val key = (hs(i), java.lang.Double.doubleToLongBits(vs(i)))
+        seen.get(key) match {
+          case Some(j) => ws(j) += ws(i)
+          case None =>
+            if (w != i) { hs(w) = hs(i); vs(w) = vs(i); ws(w) = ws(i) }
+            seen(key) = w
+            w += 1
+        }
+        i += 1
+      }
+      hs.remove(w, hs.length - w)
+      vs.remove(w, vs.length - w)
+      ws.remove(w, ws.length - w)
+    }
+
+    /** Collapse duplicates, then raise the level until at most
+      * `target` DISTINCT pairs survive. Because duplicates collapse
+      * FIRST, a heavily duplicated input can never force the level
+      * past its pairs' trailing-zero count (the pre-weights failure
+      * mode: > K copies of one value raised the level until the whole
+      * retained set vanished). */
+    private[Qsk] def shrinkTo(target: Int): Unit = {
+      collapse()
+      while (hs.length > target) { level += 1; refilter() }
+    }
   }
 
   def emptyState(): State =
     new State(0, 0L,
       new scala.collection.mutable.ArrayBuffer[Long](64),
-      new scala.collection.mutable.ArrayBuffer[Double](64))
+      new scala.collection.mutable.ArrayBuffer[Double](64),
+      new scala.collection.mutable.ArrayBuffer[Long](64))
 
-  /** Canonical bytes: pairs sorted by (hash, value) so equal multisets
-    * serialize identically whatever the accumulation order. */
+  /** Canonical bytes: duplicates collapsed, level settled to the
+    * minimal L with <= K distinct survivors, entries sorted by
+    * (hash, value) — equal row multisets serialize identically
+    * whatever the accumulation or merge order. */
   def serialize(st: State): Array[Byte] = {
+    st.shrinkTo(K)
     val m = st.hs.length
     val idx = Array.range(0, m).sortBy(i => (st.hs(i), st.vs(i)))
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 16 * m)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 24 * m)
     bb.putInt(st.level); bb.putLong(st.n); bb.putInt(m)
-    idx.foreach { i => bb.putLong(st.hs(i)); bb.putDouble(st.vs(i)) }
+    idx.foreach { i =>
+      bb.putLong(st.hs(i)); bb.putDouble(st.vs(i)); bb.putLong(st.ws(i))
+    }
     bb.array()
   }
 
@@ -114,9 +167,13 @@ object Qsk {
     val level = bb.getInt; val n = bb.getLong; val m = bb.getInt
     val st = new State(level, n,
       new scala.collection.mutable.ArrayBuffer[Long](m),
-      new scala.collection.mutable.ArrayBuffer[Double](m))
+      new scala.collection.mutable.ArrayBuffer[Double](m),
+      new scala.collection.mutable.ArrayBuffer[Long](m))
     var i = 0
-    while (i < m) { st.hs += bb.getLong; st.vs += bb.getDouble; i += 1 }
+    while (i < m) {
+      st.hs += bb.getLong; st.vs += bb.getDouble; st.ws += bb.getLong
+      i += 1
+    }
     st
   }
 
@@ -134,10 +191,26 @@ object Qsk {
     val m = st.vs.length
     if (m == 0) null
     else {
-      val sorted = st.vs.toArray
-      java.util.Arrays.sort(sorted)
-      qs.map(q =>
-        sorted(math.min(m - 1, math.max(0, math.ceil(q * m).toInt - 1))))
+      // Weighted lower quantile: with all weights 1 this is exactly the
+      // plain order statistic at index ceil(q*m)-1; with collapsed
+      // duplicates it is the same statistic over the expanded multiset.
+      val idx = Array.range(0, m).sortBy(st.vs(_))
+      var total = 0L
+      st.ws.foreach(total += _)
+      qs.map { q =>
+        val target = math.min(total,
+          math.max(1L, math.ceil(q * total).toLong))
+        var cum = 0L
+        var i = 0
+        var out = st.vs(idx(m - 1))
+        var found = false
+        while (i < m && !found) {
+          cum += st.ws(idx(i))
+          if (cum >= target) { out = st.vs(idx(i)); found = true }
+          i += 1
+        }
+        out
+      }
     }
   }
 
@@ -194,7 +267,8 @@ case class QskSketchAgg(
   }
 
   override def merge(buf: Qsk.State, other: Qsk.State): Qsk.State = {
-    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray)
+    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray,
+                  other.ws.toArray)
     buf
   }
 
@@ -235,13 +309,14 @@ case class QskMergeAgg(
     val v = child.eval(input)
     if (v != null) {
       val o = Qsk.deserialize(v.asInstanceOf[Array[Byte]])
-      buf.mergeFrom(o.level, o.n, o.hs.toArray, o.vs.toArray)
+      buf.mergeFrom(o.level, o.n, o.hs.toArray, o.vs.toArray, o.ws.toArray)
     }
     buf
   }
 
   override def merge(buf: Qsk.State, other: Qsk.State): Qsk.State = {
-    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray)
+    buf.mergeFrom(other.level, other.n, other.hs.toArray, other.vs.toArray,
+                  other.ws.toArray)
     buf
   }
 

@@ -322,7 +322,9 @@ class PlanSpec extends SparkTestBase {
     // the final adaptive plan marks the join skew=true (split reads).
     import org.apache.spark.sql.functions._
     val confs = Seq(
-      "spark.sql.shuffle.partitions" -> "4", // 2 parts → median IS the hot one
+      // 4 parts: with only 2, the hot partition IS the median, so the
+      // skewedPartitionFactor test (size > factor × median) never fires
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
@@ -353,6 +355,7 @@ class PlanSpec extends SparkTestBase {
     // AQE off for this probe so the physical tree (and its metrics) is
     // directly traversable; DPP itself is an optimizer-rule property
     // and fires identically with AQE on.
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = SparkEntry.queries("scan_dpp_partitioned")(spark, sfDir)
@@ -369,6 +372,9 @@ class PlanSpec extends SparkTestBase {
       val static = dpp.get.metrics("staticFilesNum").value
       assert(read < static,
         s"DPP did not skip any files: read=$read of static=$static")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally aqePrior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 }

@@ -68,4 +68,32 @@ class QskSpec extends SparkTestBase {
       .agg(expr("qsk_quantile(qsk_sketch(v, k), 0.5)")).collect()(0)
     assert(empty.isNullAt(0))
   }
+
+  test("heavy exact duplication keeps the sketch sane (weighted collapse)") {
+    // The pre-weights failure mode: > K copies of one (rowKey, value)
+    // pair share one row hash, so shrinking raised the level past the
+    // pair's trailing-zero count and dropped the ENTIRE retained set —
+    // qsk_quantile returned null while qsk_count reported every row.
+    // With weighted collapse, K bounds DISTINCT pairs: the degenerate
+    // input keeps level 0 and every quantile is exact.
+    Qsk.register(spark)
+    // 100k copies of value 7 under ONE key, plus 300k copies of value
+    // 11 — a two-value weighted median probe (25% / 75% mass).
+    val df = spark.range(0, 400000).selectExpr(
+      "CASE WHEN id % 4 = 0 THEN 7.0D ELSE 11.0D END AS v",
+      "CASE WHEN id % 4 = 0 THEN 1L ELSE 2L END AS k")
+    val r = df.agg(
+      expr("qsk_quantile(qsk_sketch(v, k), 0.10D)").as("p10"),
+      expr("qsk_quantile(qsk_sketch(v, k), 0.25D)").as("p25"),
+      expr("qsk_quantile(qsk_sketch(v, k), 0.90D)").as("p90"),
+      expr("qsk_count(qsk_sketch(v, k))").as("n")).collect()(0)
+    assert(r.getDouble(0) == 7.0, s"p10 should be the light value: $r")
+    assert(r.getDouble(1) == 7.0, s"p25 is the boundary order stat: $r")
+    assert(r.getDouble(2) == 11.0, s"p90 should be the heavy value: $r")
+    assert(r.getLong(3) == 400000L, s"carried count wrong: $r")
+    // single repeated pair: quantile is that value, never null
+    val one = spark.range(0, 50000).selectExpr("42.5D AS v", "9L AS k")
+      .agg(expr("qsk_quantile(qsk_sketch(v, k), 0.5D)")).collect()(0)
+    assert(one.getDouble(0) == 42.5, s"degenerate input lost its value: $one")
+  }
 }
