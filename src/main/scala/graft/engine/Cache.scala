@@ -108,7 +108,8 @@ object ArtifactCache {
     * version the artifact name (…_v1) and bump it whenever the
     * producing algorithm changes, or stale results survive. */
   def materializeKeyed(spark: SparkSession, cacheRoot: String, name: String,
-                       hash: String, partitionBy: Seq[String] = Nil)(
+                       hash: String, partitionBy: Seq[String] = Nil,
+                       writerOptions: Map[String, String] = Map.empty)(
                        compute: => DataFrame): DataFrame = {
     val dir = new Path(s"$cacheRoot/$name-$hash")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,7 +127,10 @@ object ArtifactCache {
       sweepStale(fs, new Path(cacheRoot))
       val scratch = new Path(
         s"$cacheRoot/.inflight-$name-$hash-${System.nanoTime()}")
-      val w = compute.write.mode("overwrite")
+      // writerOptions reach the parquet writer (e.g. parquet.block.size
+      // for a row-group-sized layout artifact). They are NOT part of
+      // the hash: callers that vary options must version the name.
+      val w = compute.write.mode("overwrite").options(writerOptions)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(scratch.toString)
       // Self-heal: an artifact dir WITHOUT _SUCCESS is a corpse from a

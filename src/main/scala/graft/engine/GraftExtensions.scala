@@ -64,5 +64,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("qsk_count"),
       new ExpressionInfo(classOf[QskCountExpr].getName, "qsk_count"),
       (args: Seq[Expression]) => QskCountExpr(args.head)))
+    // the count-min family (build / re-merge / point estimate / count)
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (args: Seq[Expression]) => CmsSketchAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      (args: Seq[Expression]) => CmsMergeAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, "cms_estimate"),
+      (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cms_count"),
+      new ExpressionInfo(classOf[CmsCountExpr].getName, "cms_count"),
+      (args: Seq[Expression]) => CmsCountExpr(args.head)))
   }
 }

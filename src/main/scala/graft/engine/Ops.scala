@@ -675,6 +675,85 @@ object Ops {
               col("_t").as(leftTime), col("_matched").as(matchedName))
   }
 
+  /** As-of join, directional variants with a tolerance — the rest of
+    * the time-series join surface next to [[asofJoin]] (backward),
+    * interval join, and resample/interp. Same union-tag window
+    * formulation (one shuffle on the key, O(n log n) per key, never a
+    * per-row probe):
+    *  - backward candidate = latest right row with rt <= lt (ties at
+    *    equal time match, gap 0);
+    *  - forward candidate  = earliest right row with rt > lt
+    *    (STRICTLY after, so an equal-time row is never counted twice);
+    *  - `direction` picks one, or "nearest" takes the smaller gap with
+    *    ties to backward (the pandas merge_asof convention);
+    *  - a candidate with gap > `toleranceSec` is discarded (null
+    *    match), pandas' `tolerance=`.
+    * Both candidates ride ONE window partitioning: the preceding and
+    * following frames share the (_t, _is_l) sort, so the plan is one
+    * exchange + one sort + two window passes. Right side pre-deduped
+    * to one row per (key, time) with max(valueCol) — tie semantics
+    * pinned (§2.3). Output: (leftId, leftKey, leftTime, matchedName,
+    * gapSecName) where gap is signed (negative = matched forward). */
+  def asofJoinDirectional(left: DataFrame, leftId: String, leftKey: String,
+                          leftTime: String,
+                          right: DataFrame, rightKey: String,
+                          rightTime: String, rightVal: String,
+                          matchedName: String, gapSecName: String,
+                          direction: String,
+                          toleranceSec: Long = Long.MaxValue): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown asof direction: $direction")
+    val r = right
+      .groupBy(col(rightKey).as("_k"), col(rightTime).as("_t"))
+      .agg(max(rightVal).as("_v"))
+      .select(col("_k"), col("_t"), lit(null).cast("long").as("_lid"),
+              col("_v"), lit(0).as("_is_l"))
+    val l = left
+      .select(col(leftKey).as("_k"), col(leftTime).as("_t"),
+              col(leftId).as("_lid"),
+              lit(null).cast("long").as("_v"), lit(1).as("_is_l"))
+    // At equal _t right rows (_is_l=0) sort BEFORE left rows, so the
+    // preceding frame (…, currentRow) includes them (gap-0 backward
+    // match) and the following frame (1, …) excludes them (forward is
+    // strictly-after). One sort serves both frames.
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_is_l"), coalesce(col("_v"), lit(-1L)))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val tagged = r.unionByName(l)
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pt", last(when(col("_v").isNotNull, col("_t")),
+                              ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+      .withColumn("_nt", first(when(col("_v").isNotNull, col("_t")),
+                               ignoreNulls = true).over(wNext))
+      .filter(col("_is_l") === 1)
+      .withColumn("_gb", col("_t").cast("long") - col("_pt").cast("long"))
+      .withColumn("_gf", col("_nt").cast("long") - col("_t").cast("long"))
+      // tolerance gate, then direction pick over the surviving gaps
+      .withColumn("_okb", col("_pv").isNotNull && col("_gb") <= toleranceSec)
+      .withColumn("_okf", col("_nv").isNotNull && col("_gf") <= toleranceSec)
+    val useBack = direction match {
+      case "backward" => col("_okb")
+      case "forward"  => lit(false)
+      case "nearest"  =>
+        col("_okb") && (!col("_okf") || col("_gb") <= col("_gf"))
+    }
+    val useFwd = direction match {
+      case "backward" => lit(false)
+      case "forward"  => col("_okf")
+      case "nearest"  => col("_okf") && !useBack
+    }
+    tagged
+      .withColumn("_m", when(useBack, col("_pv"))
+        .when(useFwd, col("_nv")))
+      .withColumn("_g", when(useBack, col("_gb"))
+        .when(useFwd, -col("_gf")).cast("long"))
+      .select(col("_lid").as(leftId), col("_k").as(leftKey),
+              col("_t").as(leftTime), col("_m").as(matchedName),
+              col("_g").as(gapSecName))
+  }
+
   // ---- Product quantization (m 8-dim subspaces × 16 centroids) ----
 
   /** Unrolled per-subspace squared L2 between two 64-float array

@@ -1,0 +1,74 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-6 keys. The bloom-join and sorted-skip
+  * oracles are the PLAIN join/filter semantics — runtime filtering and
+  * row-group skipping are plan/IO properties, asserted in PlanSpec;
+  * the oracles pin that neither ever changes results. The nearest-asof
+  * oracle restates the direction/tolerance pick with correlated
+  * min/max subqueries (DuckDB's native ASOF JOIN is backward-only).
+  */
+object OracleR9 {
+  val sql: ListMap[String, String] = ListMap(
+    "join_runtime_bloom" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO' AND p_size <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan_sorted_skip" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-03-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nearest-with-tolerance: backward candidate = latest order at or
+    // before the event, forward = earliest strictly after; a candidate
+    // with gap > 30 days is out; nearer wins, ties to backward; signed
+    // gap records the side. Gaps are floor-second diffs, matching
+    // Spark's timestamp→long cast.
+    "join_asof_nearest" ->
+      """WITH o AS (SELECT o_custkey AS uid,
+        |                  CAST(o_orderdate AS TIMESTAMP) AS t,
+        |                  max(o_orderkey) AS ok
+        |           FROM orders GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |     c AS (SELECT e.event_id, e.user_id, e.ts,
+        |                  (SELECT max(o.t) FROM o
+        |                   WHERE o.uid = e.user_id AND o.t <= e.ts) AS bt,
+        |                  (SELECT min(o.t) FROM o
+        |                   WHERE o.uid = e.user_id AND o.t > e.ts) AS ft
+        |           FROM e),
+        |     g AS (SELECT *,
+        |                  epoch_us(ts) // 1000000
+        |                    - epoch_us(bt) // 1000000 AS gb,
+        |                  epoch_us(ft) // 1000000
+        |                    - epoch_us(ts) // 1000000 AS gf
+        |           FROM c),
+        |     p AS (SELECT event_id, user_id, ts, bt, ft, gb, gf,
+        |                  CASE WHEN bt IS NOT NULL AND gb <= 2592000
+        |                            AND (ft IS NULL OR gf > 2592000
+        |                                 OR gb <= gf) THEN 'b'
+        |                       WHEN ft IS NOT NULL AND gf <= 2592000
+        |                         THEN 'f' END AS side
+        |           FROM g)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       o.ok AS matched_orderkey,
+        |       CASE WHEN p.side = 'b' THEN p.gb
+        |            WHEN p.side = 'f' THEN -p.gf END AS gap_sec
+        |FROM p LEFT JOIN o ON o.uid = p.user_id
+        |   AND o.t = CASE WHEN p.side = 'b' THEN p.bt
+        |                  WHEN p.side = 'f' THEN p.ft END
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -192,11 +192,17 @@ object Registry {
     "docs_stratified_sample" -> QueriesR8.docsStratifiedSample _,
     "events_resample_gapfill" -> QueriesR8.eventsResampleGapfill _,
     "events_gapfill_interp" -> QueriesR8.eventsGapfillInterp _,
+    // Round-6: runtime row-grain scan pruning (bloom join + sorted
+    // row-group skip), directional asof, heavy-hitters sketch, BPE
+    "join_runtime_bloom"   -> QueriesR9.joinRuntimeBloom _,
+    "scan_sorted_skip"     -> QueriesR9.scanSortedSkip _,
+    "join_asof_nearest"    -> QueriesR9.joinAsofNearest _,
+    "agg_heavy_hitters"    -> QueriesR9.aggHeavyHitters _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
-      OracleR7.sql ++ OracleR8.sql
+      OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql
 }

@@ -377,4 +377,85 @@ class PlanSpec extends SparkTestBase {
       case None    => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("join_runtime_bloom: runtime bloom filter reaches the fact side") {
+    // The row-grain companion to the DPP probe above: Spark's
+    // InjectRuntimeFilter gates on the application side scanning
+    // >= 10 GB (exactly right at 100 TB, never true at test SF), so
+    // the thresholds are lowered here to prove the mechanism, and the
+    // result is pinned byte-identical to the default-conf plan.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force a shuffle join: the rule only injects where the filter
+      // can intercept rows BEFORE an exchange
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val base = SparkEntry.queries("join_runtime_bloom")(spark, sfDir).collect()
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("join_runtime_bloom")(spark, sfDir)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      // the filter must land on the FACT table's key, inside its scan
+      // subtree (pushed below the join), not as a post-join residual
+      assert(p.contains("l_partkey"), s"bloom filter not on the join key:\n$p")
+      val filtered = df.collect()
+      assert(filtered.sameElements(base),
+        "runtime bloom filtering changed query results")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("scan_sorted_skip: sorted layout skips row groups; unsorted twin cannot") {
+    import org.apache.spark.sql.functions._
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("scan_sorted_skip")(spark, sfDir)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val sortedRead = scan.metrics("numOutputRows").value
+      val total = graft.engine.Tables.lineitem(spark, sfDir).count()
+      // the unsorted twin: same narrow projection, same 64 KB row
+      // groups, natural (shipdate-scattered) order — every row group's
+      // min/max spans the band, so nothing can be skipped
+      // same DATE-typed key as the artifact so the comparison isolates
+      // ORDER (sorted vs natural), not column type
+      val src = graft.engine.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"),
+                col("l_shipdate").cast("date").as("l_shipdate"),
+                col("l_extendedprice"), col("l_discount"))
+      val twinDir = s"${System.getProperty("java.io.tmpdir")}/graft_unsorted_twin"
+      src.write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .option("parquet.page.size", "4096")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(twinDir)
+      val twin = spark.read.parquet(twinDir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate") <= lit("1996-03-31").cast("date"))
+        .groupBy(lit(1)).count()
+      twin.collect()
+      val twinRead = twin.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numOutputRows").value
+      // sorted layout: only the row groups overlapping one quarter of
+      // ~7 years of dates survive the min/max check
+      assert(sortedRead < total / 2,
+        s"sorted scan read $sortedRead of $total rows — no row-group skipping")
+      assert(sortedRead < twinRead,
+        s"sorted scan ($sortedRead) read no fewer rows than the " +
+          s"unsorted twin ($twinRead)")
+    } finally aqePrior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
