@@ -470,13 +470,26 @@ object Ops {
     val s = emb.sparkSession
     Exprs.register(s); TopK.register(s)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    // Global row_number for the seed pick: a one-task sort, but only of
-    // (id, vector) pairs and only once — and at scale the input here is
-    // already a small training sample (see scaladoc).
+    // Seed pick WITHOUT a global sort: the k ids with the smallest
+    // (md5-prefix, id) are selected by a bounded TopK aggregate
+    // (map-side partial, O(k) state per partition — safe even if a
+    // caller hands the full 100 TB corpus instead of a training
+    // sample), then only those k rows are ranked by the full
+    // (md5, id) order for cid assignment — a k-row window, not a
+    // corpus-wide one. The 13-hex (52-bit, double-exact) score prefix
+    // selects the same set as the full digest unless two candidates
+    // collide in 52 bits AND straddle the k boundary (~1e-7 at 50k
+    // rows); ranking always uses the full digest.
+    val seedIds = e
+      .select(col("vec_id"), expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 13), 16, 10) " +
+          "AS DOUBLE)").as("h"))
+      .agg(expr(s"topk_by_score(-h, vec_id, $k)").as("t"))
+      .select(explode(col("t")).as("sd"))
+      .select(col("sd.id").as("vec_id"))
     val sw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    var cent = e
+    var cent = e.join(broadcast(seedIds), "vec_id")
       .withColumn("cid", (row_number().over(sw) - 1).cast("long"))
-      .filter(col("cid") < k)
       .select(col("cid"),
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cemb"))
       .localCheckpoint(true) // tiny; keeps iteration plans constant-size

@@ -69,6 +69,51 @@ object OracleR9 {
         |FROM p LEFT JOIN o ON o.uid = p.user_id
         |   AND o.t = CASE WHEN p.side = 'b' THEN p.bt
         |                  WHEN p.side = 'f' THEN p.ft END
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "docs_bpe_train" -> bpeTrainSql(8)
   )
+
+  /** The BPE trainer's oracle, generated: N greedy merge rounds
+    * unrolled as chained CTEs. Round r counts adjacent pairs over
+    * round r-1's symbol sequences (pair lists via range/list_transform
+    * — range() must stay a list expression, not a table function, for
+    * lateral column args), picks the (cnt DESC, a, b) argmax, and
+    * applies it with a list_reduce fold identical to the engine's
+    * aggregate() fold (init = first singleton, so both folds see the
+    * same left-to-right non-overlapping walk). */
+  private def bpeTrainSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH vocab AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w ~ '^[a-z]{2,}$' GROUP BY 1),
+        |s0 AS (SELECT word, freq,
+        |       list_transform(range(1, length(word) + 1),
+        |                      i -> word[i:i]) AS syms
+        |       FROM vocab)""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(s""",
+        |p$r AS (SELECT pr[1] AS a, pr[2] AS b,
+        |        CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq,
+        |        unnest(CASE WHEN len(syms) < 2 THEN []
+        |          ELSE list_transform(range(1, len(syms)),
+        |                 i -> [syms[i], syms[i+1]]) END) AS pr
+        |        FROM s${r - 1})
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT $r AS step, a, b, a || b AS m, cnt FROM p$r
+        |        ORDER BY cnt DESC, a, b LIMIT 1),
+        |s$r AS (SELECT word, freq,
+        |  list_reduce(list_transform(s.syms, x -> [x]),
+        |    (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
+        |                THEN acc[:-2] || [b.m] ELSE acc || x END) AS syms
+        |  FROM s${r - 1} s, b$r b)""".stripMargin)
+    }
+    sb.append("\nSELECT step, a AS lhs, b AS rhs, m AS merged, cnt FROM (")
+    sb.append((1 to n).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL "))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
 }

@@ -146,6 +146,63 @@ object QueriesR9 {
       .orderBy(col("exact_cnt").desc, col("l_partkey"))
   }
 
+  /** Iterative BPE tokenizer training — N greedy merge rounds, not
+    * just the one-step pair table (`docs_bpe_pairs`): round r counts
+    * adjacent symbol pairs over the vocabulary (weighted by corpus
+    * word frequency), picks the argmax (ties by pair text, §2.3),
+    * splices it into every word's symbol sequence left-to-right
+    * non-overlapping (the classic BPE apply), and repeats. The output
+    * is the learned merge table — the tokenizer artifact.
+    *
+    * Scale shape (the `connectedComponents` iterative recipe): the
+    * corpus is touched ONCE (word-frequency aggregate — the only
+    * data-sized shuffle); every round then runs on the VOCABULARY
+    * (bounded by distinct words, ~30 here, ~10⁷ at web scale), one
+    * bounded action per round to fetch the argmax scalar, with
+    * `localCheckpoint` keeping iteration plans constant-size. The
+    * per-word merge apply is a codegen'd `aggregate` fold — symbol
+    * equality on the running last element reproduces non-overlapping
+    * left-to-right exactly ("aaa" + (a,a) → [aa, a]). Oracle: the
+    * same N rounds unrolled as chained DuckDB CTEs (list_reduce). */
+  def docsBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val N = 8
+    val vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,}$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = vocab.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true) // corpus-sized work ends here; rounds are vocab-sized
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to N) {
+      // slice-zip pair extraction: size-1 sequences yield empty arrays
+      // (sequence(1, 0) would count DOWN — gotcha; slice cannot)
+      val best = seqs
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+          "slice(syms, 2, size(syms) - 1), " +
+          "(x, y) -> named_struct('a', x, 'b', y))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      // symbols descend from the [a-z]+ vocab filter; guard the SQL splice
+      require((a + b).matches("[a-z]+"), s"non-alpha symbol: '$a'+'$b'")
+      val m = a + b
+      merges += ((step, a, b, m, cnt))
+      seqs = seqs.withColumn("syms", expr(
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' " +
+        s"AND x = '$b' THEN concat(slice(acc, 1, size(acc) - 1), " +
+        s"array('$m')) ELSE concat(acc, array(x)) END)"))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy("step")
+  }
+
   def joinAsofNearest(s: SparkSession, d: String): DataFrame =
     Ops.asofJoinDirectional(
       events(s, d), "event_id", "user_id", "ts",

@@ -198,6 +198,7 @@ object Registry {
     "scan_sorted_skip"     -> QueriesR9.scanSortedSkip _,
     "join_asof_nearest"    -> QueriesR9.joinAsofNearest _,
     "agg_heavy_hitters"    -> QueriesR9.aggHeavyHitters _,
+    "docs_bpe_train"       -> QueriesR9.docsBpeTrain _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -245,6 +245,61 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 5.0), (2L, 1.0), (2L, 9.0)))
   }
 
+  test("flatMapGroupsWithState: event-time TTL evicts idle users' state") {
+    // The resident-deployment upgrade path the round-4 addendum
+    // documents: per-user funnel state must not grow with the user
+    // population — idle users are EVICTED when the event-time
+    // watermark passes their last activity + TTL. The timeout branch
+    // (hasTimedOut) emits a final record and removes the state, so
+    // resident state is bounded by ACTIVE users only.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val ttlMs = 30 * 60 * 1000L
+    val updates = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator((user, n, true)) // the eviction record
+          } else {
+            val evs = rows.toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            val last = math.max(last0, evs.map(_._2.getTime).max)
+            state.update((n0 + evs.size, last))
+            state.setTimeoutTimestamp(last + ttlMs)
+            Iterator.empty
+          }
+      }
+    val q = updates.toDF("user_id", "n_events", "evicted")
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: users 1 and 2 active around 10:00; TTLs land ~10:35
+    in.addData((1L, ts("2024-01-01 10:00:00")),
+               (1L, ts("2024-01-01 10:05:00")),
+               (2L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // batch 2: user 2 stays active at 11:30 (resets their TTL to
+    // 12:00); watermark advances to 11:20 — past user 1's 10:35
+    in.addData((2L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    // batch 3: unrelated user 3 triggers the batch in which the 11:20
+    // watermark is live — user 1 must time out; user 2 must not
+    in.addData((3L, ts("2024-01-01 11:40:00")))
+    q.processAllAvailable()
+    q.stop()
+    val evicted = spark.table("ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(evicted == Set((1L, 2L, true)),
+      s"expected exactly user 1 evicted with 2 counted events: $evicted")
+  }
+
   test("native session_window groups events by 30-min gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
