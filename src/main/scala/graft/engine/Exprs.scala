@@ -190,6 +190,57 @@ object NfcNormalizeExpr {
   }
 }
 
+/** Bit-interleave (Morton / Z-order) helpers, shared by the
+  * interpreted eval and the generated code. */
+object ZOrder {
+  /** Spreads the low 16 bits of `v` to the even bit positions 0..30. */
+  def spread16(v: Long): Long = {
+    var x = v & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+  /** 32-bit Morton code: x's bits at even positions, y's at odd. */
+  def interleave(x: Long, y: Long): Long =
+    spread16(x) | (spread16(y) << 1)
+}
+
+/** `zorder2(x, y)` → bigint Morton code of the two keys' low 16 bits —
+  * the multi-dimensional clustering key behind `scan_zorder_skip`:
+  * sorting by the interleaved code gives row groups that are tight in
+  * BOTH dimensions at once, so min/max stats skip data for a band
+  * predicate on EITHER column (a single-column sort only serves its
+  * own column). A layout job computes this once per row — the codegen
+  * body is five shift-mask lines per key, fully inside whole-stage
+  * codegen. Callers mask/shift their values into 16 bits (e.g. day
+  * offsets, bucketed ids); bits above 15 are ignored by design. */
+case class ZOrderExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder2 expects two bigint args, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.engine.ZOrder.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Exprs {
   /** Idempotently registers the custom scalar expressions in the
     * session's function registry so plans can call them through
@@ -206,6 +257,10 @@ object Exprs {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       (args: Seq[Expression]) => NfcNormalizeExpr(args.head),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2",
+      (args: Seq[Expression]) => ZOrderExpr(args(0), args(1)),
       "built-in")
   }
 }

@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("qsk_count"),
       new ExpressionInfo(classOf[QskCountExpr].getName, "qsk_count"),
       (args: Seq[Expression]) => QskCountExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
+      (args: Seq[Expression]) => ZOrderExpr(args(0), args(1))))
     // the count-min family (build / re-merge / point estimate / count)
     ext.injectFunction((
       FunctionIdentifier("cms_sketch"),

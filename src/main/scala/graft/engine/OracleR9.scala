@@ -71,7 +71,17 @@ object OracleR9 {
         |                  WHEN p.side = 'f' THEN p.ft END
         |ORDER BY event_id""".stripMargin,
 
-    "docs_bpe_train" -> bpeTrainSql(8)
+    "docs_bpe_train" -> bpeTrainSql(8),
+
+    "scan_zorder_skip" ->
+      """SELECT CAST(l_partkey % 100 AS BIGINT) AS part_bucket,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_partkey >= 100 AND l_partkey <= 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** The BPE trainer's oracle, generated: N greedy merge rounds

@@ -104,6 +104,53 @@ object QueriesR9 {
              .cast("double").as("revenue"))
       .orderBy("month")
 
+  /** The Z-ordered lineitem artifact — the SECOND half of the
+    * clustering story (`sortedLineitem` is the single-key first half):
+    * rows are laid out by the Morton interleave of (ship-day offset,
+    * part key), each masked to 16 bits by the codegen'd `zorder2`,
+    * then range-partitioned and sorted by that code with small row
+    * groups. Every row group is now a tight hyper-rectangle in BOTH
+    * dimensions, so min/max stats skip data for a band on EITHER
+    * column — where the date-sorted layout serves only date bands. */
+  private[graft] def zorderLineitem(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s)
+    val src = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
+              col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("z", expr(
+        "zorder2(CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT) & 4095, " +
+          "l_partkey & 4095)"))
+    ArtifactCache.materializeKeyed(
+      s, Artifacts.cacheRoot, "zorder_lineitem_v1",
+      ArtifactCache.artifactHash(src),
+      writerOptions = Map(
+        "parquet.block.size" -> "65536",
+        "parquet.page.size" -> "4096",
+        "parquet.enable.dictionary" -> "false"))(
+      src.repartitionByRange(8, col("z")).sortWithinPartitions("z"))
+  }
+
+  /** Multi-dimensional data skipping from the Z-ordered layout: a band
+    * predicate on l_partkey — the dimension the date-sorted layout
+    * CANNOT skip on — reads a fraction of the row groups because the
+    * Morton code keeps part-key-close rows together at every scale.
+    * PlanSpec asserts scan `numOutputRows` stays under half the table
+    * for BOTH a part band and a date band on this one layout (the
+    * defining Z-order property), and the oracle pins that clustering
+    * never changes results. At 100 TB this is the lakehouse
+    * OPTIMIZE/ZORDER maintenance job, expressed as one deterministic
+    * layout artifact + a 10-line codegen expression. */
+  def scanZorderSkip(s: SparkSession, d: String): DataFrame =
+    zorderLineitem(s, d)
+      .filter(col("l_partkey") >= 100 && col("l_partkey") <= 299)
+      .groupBy((col("l_partkey") % 100).as("part_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(BigDecimal(1)).cast("decimal(3,2)") -
+                col("l_discount").cast("decimal(3,2)")))
+             .cast("double").as("revenue"))
+      .orderBy("part_bucket")
+
   /** Directional as-of join with a tolerance — pandas `merge_asof`
     * semantics (`direction="nearest"`, `tolerance=`) as one
     * window-formulated plan (Ops.asofJoinDirectional): each event
@@ -174,6 +221,10 @@ object QueriesR9 {
     var seqs = vocab.withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint(true) // corpus-sized work ends here; rounds are vocab-sized
+    // (measured: coalescing the tiny vocab to 1 partition SLOWS the
+    // loop — the rounds' argmax shuffles still fan to the session's 32
+    // partitions while the fold serializes; ~1.5 s for 8 rounds is
+    // scheduling floor, not data)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to N) {
       // slice-zip pair extraction: size-1 sequences yield empty arrays

@@ -199,6 +199,7 @@ object Registry {
     "join_asof_nearest"    -> QueriesR9.joinAsofNearest _,
     "agg_heavy_hitters"    -> QueriesR9.aggHeavyHitters _,
     "docs_bpe_train"       -> QueriesR9.docsBpeTrain _,
+    "scan_zorder_skip"     -> QueriesR9.scanZorderSkip _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -79,6 +79,38 @@ class ExprSpec extends SparkTestBase {
     }
   }
 
+  test("zorder2 matches a bit-by-bit reference (eval + codegen) and nests quadrants") {
+    Exprs.register(spark)
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new Random(7)
+    val cases = Seq.fill(50)((rnd.nextLong() & 0xFFFFL,
+                              rnd.nextLong() & 0xFFFFL)) ++
+      Seq((0L, 0L), (0xFFFFL, 0xFFFFL), (1L, 0L), (0L, 1L),
+          // bits above 15 must be ignored
+          (0x1FFFFL, 0L), (0L, 0x7FFF0000L))
+    val got = cases.toDF("x", "y")
+      .select(expr("zorder2(x, y)")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x & 0xFFFFL, y & 0xFFFFL),
+        s"zorder2($x, $y) = $z != ${ref(x & 0xFFFFL, y & 0xFFFFL)}")
+    }
+    // the clustering property the layout relies on: points sharing
+    // their high bits in BOTH dims share the code's high bits (same
+    // quadrant => contiguous code range)
+    val inQuad = for (x <- 256L to 259L; y <- 512L to 515L) yield ref(x, y)
+    val outQuad = ref(1024L, 512L)
+    assert(inQuad.max - inQuad.min < 64, "quadrant not contiguous")
+    assert(math.abs(outQuad - inQuad.min) > 1000, "distinct quadrant too close")
+  }
+
   test("topk_by_score matches sort-take reference") {
     TopK.register(spark)
     import spark.implicits._

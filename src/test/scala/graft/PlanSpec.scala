@@ -411,6 +411,41 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scan_zorder_skip: Z-ordered layout skips row groups on BOTH dimensions") {
+    // The defining Z-order property — one layout serves band
+    // predicates on EITHER clustered column. Runs at sf0.01: the
+    // layout there spans ~30 row groups, enough granularity for
+    // min/max skipping to show (sf0.001 fits in ~8 groups whose
+    // boundaries are dominated by one dimension's high bits).
+    import org.apache.spark.sql.functions._
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sf01 = "/root/testdata/sf0.01"
+      def readRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head.metrics("numOutputRows").value
+      }
+      val total = graft.engine.Tables.lineitem(spark, sf01).count()
+      val partRead = readRows(
+        SparkEntry.queries("scan_zorder_skip")(spark, sf01))
+      val zli = graft.engine.QueriesR9.zorderLineitem(spark, sf01)
+      val dateRead = readRows(
+        zli.filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+                   col("l_shipdate") <= lit("1996-03-31").cast("date"))
+          .groupBy(lit(1)).count())
+      assert(partRead < total / 2,
+        s"part-key band read $partRead of $total — no skipping on dim 2")
+      assert(dateRead < total / 2,
+        s"date band read $dateRead of $total — no skipping on dim 1")
+    } finally aqePrior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("scan_sorted_skip: sorted layout skips row groups; unsorted twin cannot") {
     import org.apache.spark.sql.functions._
     val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
