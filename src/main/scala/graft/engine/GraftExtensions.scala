@@ -68,6 +68,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
       (args: Seq[Expression]) => ZOrderExpr(args(0), args(1))))
+    // the bloom family (build / re-merge / membership / count)
+    ext.injectFunction((
+      FunctionIdentifier("bf_sketch"),
+      new ExpressionInfo(classOf[BfSketchAgg].getName, "bf_sketch"),
+      (args: Seq[Expression]) => BfSketchAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bf_merge"),
+      new ExpressionInfo(classOf[BfMergeAgg].getName, "bf_merge"),
+      (args: Seq[Expression]) => BfMergeAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bf_contains"),
+      new ExpressionInfo(classOf[BfContainsExpr].getName, "bf_contains"),
+      (args: Seq[Expression]) => BfContainsExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bf_count"),
+      new ExpressionInfo(classOf[BfCountExpr].getName, "bf_count"),
+      (args: Seq[Expression]) => BfCountExpr(args.head)))
     // the count-min family (build / re-merge / point estimate / count)
     ext.injectFunction((
       FunctionIdentifier("cms_sketch"),

@@ -73,6 +73,57 @@ object OracleR9 {
 
     "docs_bpe_train" -> bpeTrainSql(8),
 
+    // bloom prefiltering is exact-verified inside the key, so the
+    // oracle is the PLAIN semi join — the sketch never changes results
+    "join_bloom_prefilter" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderdate >= DATE '2001-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "docs_bpe_tokenize" -> (bpeChain(8) +
+      """
+        |, corners AS (
+        |  SELECT unnest(syms) AS sym, freq, word, syms FROM s8)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s8) AS n_words,
+        |       (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM corners)
+        |         AS n_symbols,
+        |       (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s8)
+        |         AS n_tokens,
+        |       (SELECT CAST(sum(freq * length(word)) AS BIGINT) FROM s8)
+        |         AS n_chars,
+        |       (SELECT round(CAST(sum(freq * length(word)) AS DOUBLE)
+        |                     / sum(freq * len(syms)), 6) FROM s8)
+        |         AS chars_per_token""".stripMargin),
+
+    "graph_triangles" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens) - 3)) AS i FROM tok) t1) t2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT id1 AS a, id2 AS b FROM inter
+        |       JOIN sz s1 ON s1.doc_id = id1
+        |       JOIN sz s2 ON s2.doc_id = id2
+        |       WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8),
+        |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        |        FROM pr p1 JOIN pr p2 ON p1.b = p2.a
+        |        JOIN pr p3 ON p3.a = p1.a AND p3.b = p2.b),
+        |c AS (SELECT unnest([x, y, z]) AS v FROM tri)
+        |SELECT CAST(count(*) // 3 AS BIGINT) AS n_triangles,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+        |FROM c""".stripMargin,
+
     "scan_zorder_skip" ->
       """SELECT CAST(l_partkey % 100 AS BIGINT) AS part_bucket,
         |       count(*) AS n_items,
@@ -93,6 +144,16 @@ object OracleR9 {
     * aggregate() fold (init = first singleton, so both folds see the
     * same left-to-right non-overlapping walk). */
   private def bpeTrainSql(n: Int): String = {
+    val sb = new StringBuilder(bpeChain(n))
+    sb.append("\nSELECT step, a AS lhs, b AS rhs, m AS merged, cnt FROM (")
+    sb.append((1 to n).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL "))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
+
+  /** Just the CTE chain (vocab → s0 → … → s_n with b_r merge picks),
+    * shared by the trainer oracle and the tokenize oracle. */
+  private def bpeChain(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH vocab AS (
@@ -121,9 +182,6 @@ object OracleR9 {
         |                THEN acc[:-2] || [b.m] ELSE acc || x END) AS syms
         |  FROM s${r - 1} s, b$r b)""".stripMargin)
     }
-    sb.append("\nSELECT step, a AS lhs, b AS rhs, m AS merged, cnt FROM (")
-    sb.append((1 to n).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL "))
-    sb.append(") ORDER BY step")
     sb.toString
   }
 }

@@ -211,9 +211,11 @@ object QueriesR9 {
     * equality on the running last element reproduces non-overlapping
     * left-to-right exactly ("aaa" + (a,a) → [aa, a]). Oracle: the
     * same N rounds unrolled as chained DuckDB CTEs (list_reduce). */
-  def docsBpeTrain(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val N = 8
+  /** The shared BPE training loop: returns the merge table AND the
+    * final per-word symbol sequences (the trained tokenization of the
+    * vocabulary). See [[docsBpeTrain]] for the design discussion. */
+  private def bpeTrainLoop(s: SparkSession, d: String, n: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val vocab = documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]{2,}$"))
@@ -226,7 +228,7 @@ object QueriesR9 {
     // partitions while the fold serializes; ~1.5 s for 8 rounds is
     // scheduling floor, not data)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to N) {
+    for (step <- 1 to n) {
       // slice-zip pair extraction: size-1 sequences yield empty arrays
       // (sequence(1, 0) would count DOWN — gotcha; slice cannot)
       val best = seqs
@@ -250,8 +252,98 @@ object QueriesR9 {
         s"array('$m')) ELSE concat(acc, array(x)) END)"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("step", "lhs", "rhs", "merged", "cnt")
+    (merges.result(), seqs)
+  }
+
+  def docsBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainLoop(s, d, 8)._1
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
       .orderBy("step")
+  }
+
+  /** Tokenizer APPLY — the consumption half of `docs_bpe_train`: the
+    * trained vocabulary tokenization is rolled up into the corpus
+    * statistics a tokenizer report publishes — vocabulary size, token
+    * inventory (distinct symbols after the merges), corpus tokens
+    * under the learned vocab (Σ freq × |syms|), corpus characters,
+    * and the resulting chars-per-token compression ratio. Everything
+    * derives from the bounded (word, freq, syms) table, so the apply
+    * costs one vocab-sized aggregate on top of training; at 100 TB
+    * the same join of (word → syms) against the corpus streams
+    * token ids out per document. */
+  def docsBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val (_, seqs) = bpeTrainLoop(s, d, 8)
+    val stats = seqs.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("freq") * size(col("syms"))).as("n_tokens"),
+      sum(col("freq") * length(col("word"))).as("n_chars"))
+    val inv = seqs.select(explode(col("syms")).as("sym"))
+      .agg(countDistinct("sym").as("n_symbols"))
+    stats.crossJoin(inv) // two 1-row aggregates
+      .select(col("n_words"), col("n_symbols"), col("n_tokens"),
+              col("n_chars"),
+              round(col("n_chars").cast("double") / col("n_tokens"), 6)
+                .as("chars_per_token"))
+  }
+
+  /** Semi join through a PERSISTABLE Bloom prefilter — the user-level
+    * twin of `join_runtime_bloom`: there Spark's optimizer builds a
+    * transient per-query filter; here the filter is a first-class
+    * 32 KB VALUE (`bf_sketch`/`bf_merge`, the fourth mergeable
+    * sketch) that a deployment builds ONCE over a dim's keys and
+    * reuses across queries and days without re-reading the dim. The
+    * probe side drops non-members at a codegen'd `bf_contains`
+    * before the shuffle; a final exact semi-join removes the (rare,
+    * deterministic — fixed seeds) false positives, so the key's
+    * result is EXACTLY the plain semi join and the oracle needs no
+    * sketch knowledge. BfSpec pins byte-identical merge trees, zero
+    * false negatives, and that the prefilter actually prunes. */
+  def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    Bf.register(s)
+    val dim = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-06-01").cast("date"))
+      .select(col("o_custkey"))
+    val bloom = dim
+      .withColumn("shard", pmod(col("o_custkey"), lit(8)))
+      .groupBy("shard")
+      .agg(expr("bf_sketch(xxhash64(o_custkey))").as("sk"))
+      .agg(expr("bf_merge(sk)").as("bf"))
+    customer(s, d)
+      .crossJoin(broadcast(bloom)) // one-row filter frame
+      .filter(expr("bf_contains(bf, xxhash64(c_custkey))"))
+      .join(dim, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      // decimal accumulator: double sums are addition-order-dependent
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Triangle counting on the near-dup pair graph — the third graph
+    * kernel next to connected components and PageRank: triangles
+    * measure clustering (a dedup pair list whose components are
+    * cliques behaves differently downstream than chains). Edges come
+    * from the SHARED pair-list artifact (`Artifacts.nearDupPairs` —
+    * id1 < id2 canonical), so the quadratic work was already paid;
+    * the count is two self-joins on the tiny pair list with the
+    * (x < y < z) orientation making each triangle count exactly once.
+    * At 100 TB: the pair list is bounded by the dedup rate, and the
+    * self-joins shuffle on vertex ids — never corpus-sized. Oracle:
+    * the brute-force exact-Jaccard pair list (already proven equal to
+    * the engine's LSH list by `docs_dedup_near`) triangled the same
+    * way. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val p = Artifacts.nearDupPairs(s, d)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val tri = p.as("p1").join(p.as("p2"), col("p1.b") === col("p2.a"))
+      .join(p.as("p3"),
+            col("p3.a") === col("p1.a") && col("p3.b") === col("p2.b"))
+      .select(col("p1.a").as("x"), col("p1.b").as("y"), col("p2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .agg(count(lit(1)).as("n_corners"), countDistinct("v").as("n_nodes"))
+      .select(expr("n_corners DIV 3").as("n_triangles"), col("n_nodes"))
   }
 
   def joinAsofNearest(s: SparkSession, d: String): DataFrame =

@@ -200,6 +200,9 @@ object Registry {
     "agg_heavy_hitters"    -> QueriesR9.aggHeavyHitters _,
     "docs_bpe_train"       -> QueriesR9.docsBpeTrain _,
     "scan_zorder_skip"     -> QueriesR9.scanZorderSkip _,
+    "join_bloom_prefilter" -> QueriesR9.joinBloomPrefilter _,
+    "docs_bpe_tokenize"    -> QueriesR9.docsBpeTokenize _,
+    "graph_triangles"      -> QueriesR9.graphTriangles _,
   )
 
   val oracleSql: ListMap[String, String] =
