@@ -73,6 +73,27 @@ object OracleR9 {
 
     "docs_bpe_train" -> bpeTrainSql(8),
 
+    // frames recomputed from the PCM generator arithmetic (same
+    // formula the engine ENCODES with; the engine additionally
+    // round-trips through the real RIFF container)
+    "multimodal_audio_energy" ->
+      """WITH docs AS (SELECT doc_id, n_chars % 200 + 50 AS n
+        |              FROM documents),
+        |idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM docs),
+        |smp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |        (doc_id * 31 + i * 7) % 65536 - 32768 AS s FROM idx),
+        |fr AS (SELECT doc_id, i, s,
+        |       CAST(i // 64 AS INT) AS frame,
+        |       lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |       FROM smp)
+        |SELECT doc_id, frame,
+        |       CAST(count(*) AS INT) AS n_samp,
+        |       CAST(sum(s * s) AS BIGINT) AS energy,
+        |       CAST(count(*) FILTER (i % 64 > 0 AND prev * s < 0) AS INT)
+        |         AS zc
+        |FROM fr GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame""".stripMargin,
+
     // bloom prefiltering is exact-verified inside the key, so the
     // oracle is the PLAIN semi join — the sketch never changes results
     "join_bloom_prefilter" ->

@@ -346,6 +346,44 @@ object QueriesR9 {
       .select(expr("n_corners DIV 3").as("n_triangles"), col("n_nodes"))
   }
 
+  /** Audio feature extraction over REAL decoded PCM — the step after
+    * `multimodal_decode_wav` (which stops at container metadata): each
+    * document's deterministic WAV blob is decoded back to its samples
+    * through the RIFF walk, then framed at 64 samples with per-frame
+    * energy (Σ s², exact integer) and zero-crossing counts (adjacent
+    * sign flips within the frame) — the two classic features a speech
+    * pipeline computes before any model. The oracle recomputes every
+    * frame from the PCM generator arithmetic, so a one-sample offset
+    * in the frame walk breaks the hash. Scale shape: mapPartitions
+    * batch decode (no expression walks a container format), one emit
+    * per frame, no shuffle until the presentation sort. */
+  def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val F = 64
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val n = (nChars % 200 + 50).toInt
+        val blob = Wav.encodePcm16(n,
+          i => (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt)
+        val smp = Wav.decodePcm16Samples(blob)
+        Iterator.range(0, (smp.length + F - 1) / F).map { f =>
+          val lo = f * F
+          val hi = math.min(lo + F, smp.length)
+          var energy = 0L; var zc = 0; var i = lo
+          while (i < hi) {
+            energy += smp(i).toLong * smp(i)
+            if (i > lo && smp(i).toLong * smp(i - 1) < 0) zc += 1
+            i += 1
+          }
+          (id, f, hi - lo, energy, zc)
+        }
+      })
+      .toDF("doc_id", "frame", "n_samp", "energy", "zc")
+      .orderBy("doc_id", "frame")
+  }
+
   def joinAsofNearest(s: SparkSession, d: String): DataFrame =
     Ops.asofJoinDirectional(
       events(s, d), "event_id", "user_id", "ts",

@@ -203,6 +203,7 @@ object Registry {
     "join_bloom_prefilter" -> QueriesR9.joinBloomPrefilter _,
     "docs_bpe_tokenize"    -> QueriesR9.docsBpeTokenize _,
     "graph_triangles"      -> QueriesR9.graphTriangles _,
+    "multimodal_audio_energy" -> QueriesR9.multimodalAudioEnergy _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -89,4 +89,32 @@ object Wav {
     require(nSamples > 0, "no data chunk")
     Meta(fmt, channels, rate, bits, nChunks, nSamples, sumAbs)
   }
+
+  /** Sample readback for feature extraction: the same RIFF walk as
+    * [[decodePcm16]], returning the PCM16 samples themselves. */
+  def decodePcm16Samples(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    var off = 12
+    var out: Array[Int] = null
+    while (off < bytes.length && out == null) {
+      require(off + 8 <= bytes.length, "truncated chunk header")
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = readLe32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated $id chunk")
+      if (id == "data") {
+        require(len % 2 == 0, "odd PCM16 data length")
+        out = new Array[Int](len / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = readLe16(bytes, off + 8 + 2 * i).toShort.toInt
+          i += 1
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(out != null, "no data chunk")
+    out
+  }
 }

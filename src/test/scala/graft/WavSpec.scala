@@ -20,6 +20,19 @@ class WavSpec extends AnyFunSuite {
     assert(m.sumAbs == 32768L + 32767 + 1)
   }
 
+  test("sample readback matches the encoder input exactly") {
+    val gen = (i: Int) => i * 13 - 600
+    val smp = Wav.decodePcm16Samples(Wav.encodePcm16(100, gen))
+    assert(smp.length == 100)
+    assert(smp.toSeq == (0 until 100).map(gen))
+    // consistency with the digest decoder
+    val m = Wav.decodePcm16(Wav.encodePcm16(100, gen))
+    assert(smp.map(s => math.abs(s.toLong)).sum == m.sumAbs)
+    intercept[IllegalArgumentException] {
+      Wav.decodePcm16Samples("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+  }
+
   test("truncation and a bad magic fail loudly") {
     val bytes = Wav.encodePcm16(10, _ => 5)
     intercept[IllegalArgumentException] {
