@@ -479,7 +479,14 @@ object Ops {
     // corpus-wide one. The 13-hex (52-bit, double-exact) score prefix
     // selects the same set as the full digest unless two candidates
     // collide in 52 bits AND straddle the k boundary (~1e-7 at 50k
-    // rows); ranking always uses the full digest.
+    // rows); ranking always uses the full digest. CONTRACT: idCol
+    // must be bigint-valued (topk_by_score carries long ids — a
+    // non-numeric id would null out under the implicit cast); the
+    // cid < k cap below keeps the codebook at k rows even if a
+    // caller passes duplicate ids.
+    require(e.schema("vec_id").dataType == org.apache.spark.sql.types.LongType,
+      s"kmeansCodebook requires a bigint id column, got " +
+        e.schema("vec_id").dataType.simpleString)
     val seedIds = e
       .select(col("vec_id"), expr(
         "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 13), 16, 10) " +
@@ -490,6 +497,7 @@ object Ops {
     val sw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     var cent = e.join(broadcast(seedIds), "vec_id")
       .withColumn("cid", (row_number().over(sw) - 1).cast("long"))
+      .filter(col("cid") < k)
       .select(col("cid"),
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cemb"))
       .localCheckpoint(true) // tiny; keeps iteration plans constant-size

@@ -198,10 +198,12 @@ object OracleR9 {
         |b$r AS (SELECT $r AS step, a, b, a || b AS m, cnt FROM p$r
         |        ORDER BY cnt DESC, a, b LIMIT 1),
         |s$r AS (SELECT word, freq,
-        |  list_reduce(list_transform(s.syms, x -> [x]),
-        |    (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
-        |                THEN acc[:-2] || [b.m] ELSE acc || x END) AS syms
-        |  FROM s${r - 1} s, b$r b)""".stripMargin)
+        |  CASE WHEN b.a IS NULL THEN s.syms ELSE
+        |    list_reduce(list_transform(s.syms, x -> [x]),
+        |      (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
+        |                  THEN acc[:-2] || [b.m] ELSE acc || x END)
+        |  END AS syms
+        |  FROM s${r - 1} s LEFT JOIN b$r b ON TRUE)""".stripMargin)
     }
     sb.toString
   }

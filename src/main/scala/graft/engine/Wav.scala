@@ -90,12 +90,13 @@ object Wav {
     Meta(fmt, channels, rate, bits, nChunks, nSamples, sumAbs)
   }
 
-  /** Sample readback for feature extraction: the same RIFF walk as
-    * [[decodePcm16]], returning the PCM16 samples themselves. */
+  /** Sample readback for feature extraction: validates through the
+    * full [[decodePcm16]] walk FIRST (RIFF size, chunk bounds, PCM16
+    * mono scope — a stereo/8-bit/float file must fail loudly, never
+    * be silently misread as mono int16), then re-walks for the
+    * samples themselves. */
   def decodePcm16Samples(bytes: Array[Byte]): Array[Int] = {
-    require(bytes.length >= 12 &&
-      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    decodePcm16(bytes) // full validation; throws on anything off-scope
     var off = 12
     var out: Array[Int] = null
     while (off < bytes.length && out == null) {

@@ -399,9 +399,12 @@ class PlanSpec extends SparkTestBase {
       val p = df.queryExecution.optimizedPlan.toString
       assert(p.contains("might_contain"),
         s"no runtime bloom filter injected on the fact side:\n$p")
-      // the filter must land on the FACT table's key, inside its scan
-      // subtree (pushed below the join), not as a post-join residual
-      assert(p.contains("l_partkey"), s"bloom filter not on the join key:\n$p")
+      // the filter must probe the FACT table's key: assert l_partkey
+      // appears inside the might_contain call's own argument list
+      // (a bare p.contains("l_partkey") would match the join
+      // condition and prove nothing)
+      assert("""might_contain\([^\n]*l_partkey""".r.findFirstIn(p).nonEmpty,
+        s"bloom filter does not probe the fact join key:\n$p")
       val filtered = df.collect()
       assert(filtered.sameElements(base),
         "runtime bloom filtering changed query results")
@@ -467,7 +470,10 @@ class PlanSpec extends SparkTestBase {
         .select(col("l_orderkey"),
                 col("l_shipdate").cast("date").as("l_shipdate"),
                 col("l_extendedprice"), col("l_discount"))
-      val twinDir = s"${System.getProperty("java.io.tmpdir")}/graft_unsorted_twin"
+      // per-run temp dir: a fixed shared path would race a concurrent
+      // test JVM mid-scan and leak the directory
+      val twinDir = java.nio.file.Files
+        .createTempDirectory("graft_unsorted_twin_").toString
       src.write.mode("overwrite")
         .option("parquet.block.size", "65536")
         .option("parquet.page.size", "4096")
@@ -488,6 +494,10 @@ class PlanSpec extends SparkTestBase {
       assert(sortedRead < twinRead,
         s"sorted scan ($sortedRead) read no fewer rows than the " +
           s"unsorted twin ($twinRead)")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(twinDir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
     } finally aqePrior match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None    => spark.conf.unset("spark.sql.adaptive.enabled")
