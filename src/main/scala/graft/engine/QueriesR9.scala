@@ -285,23 +285,32 @@ object QueriesR9 {
     (merges.result(), seqs)
   }
 
-  /** The trained merge table as a content-hash artifact (P6): the
-    * 8-round loop runs ONCE per corpus fingerprint; both BPE keys —
-    * and any later consumer — read the tiny table back. This is
-    * exactly how a production tokenizer treats its merges: a model
-    * artifact, retrained only when the corpus changes. */
-  private def bpeMerges(s: SparkSession, d: String, n: Int): DataFrame = {
+  /** The trained BPE model as TWO content-hash artifacts (P6) from
+    * ONE training pass: the merge table and the final per-word symbol
+    * sequences. The lazy val makes the 8-round loop run at most once
+    * per corpus fingerprint — if both artifacts exist nothing runs at
+    * all; if either misses, one loop feeds both writes. This is
+    * exactly how a production tokenizer treats its model: tiny
+    * persisted artifacts, retrained only when the corpus changes.
+    * (The sequences artifact is not derivable cheaply at read time:
+    * re-applying the 8 merges as one un-checkpointed plan nests 8
+    * lambda folds and was measured at 11 s of analyzer/codegen time —
+    * persisting beats replaying.) */
+  private def bpeModel(s: SparkSession, d: String, n: Int)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
-    val src = documents(s, d).select("text")
-    ArtifactCache.materializeKeyed(
-      s, Artifacts.cacheRoot, s"bpe_merges_v1_n$n",
-      ArtifactCache.artifactHash(src))(
-      bpeTrainLoop(s, d, n)._1
-        .toDF("step", "lhs", "rhs", "merged", "cnt"))
+    val h = ArtifactCache.artifactHash(documents(s, d).select("text"))
+    lazy val trained = bpeTrainLoop(s, d, n)
+    val mergesDf = ArtifactCache.materializeKeyed(
+      s, Artifacts.cacheRoot, s"bpe_merges_v1_n$n", h)(
+      trained._1.toDF("step", "lhs", "rhs", "merged", "cnt"))
+    val seqsDf = ArtifactCache.materializeKeyed(
+      s, Artifacts.cacheRoot, s"bpe_seqs_v1_n$n", h)(trained._2)
+    (mergesDf, seqsDf)
   }
 
   def docsBpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeMerges(s, d, 8).orderBy("step")
+    bpeModel(s, d, 8)._1.orderBy("step")
 
   /** Tokenizer APPLY — the consumption half of `docs_bpe_train`: the
     * trained vocabulary tokenization is rolled up into the corpus
@@ -314,15 +323,10 @@ object QueriesR9 {
     * the same join of (word → syms) against the corpus streams
     * token ids out per document. */
   def docsBpeTokenize(s: SparkSession, d: String): DataFrame = {
-    // APPLY the trained merges (from the shared artifact — training
-    // ran once per corpus fingerprint), in order, as one chained
-    // plan: no per-round argmax actions here, just n folds over the
-    // bounded vocabulary. Applying known merges in training order
-    // reproduces the trainer's final sequences exactly.
-    val merges = bpeMerges(s, d, 8).orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    var seqs = bpeVocabChars(s, d)
-    for ((a, b) <- merges) seqs = applyMerge(seqs, a, b)
+    // the trained sequences come from the shared model artifact —
+    // training ran once per corpus fingerprint; this key is one
+    // vocab-sized aggregate over the readback
+    val seqs = bpeModel(s, d, 8)._2
     val stats = seqs.agg(
       count(lit(1)).as("n_words"),
       sum(col("freq") * size(col("syms"))).as("n_tokens"),
