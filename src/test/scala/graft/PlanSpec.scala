@@ -414,6 +414,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("join_bloom_prefilter: probe and exact verify both survive optimization") {
+    val p = plan("join_bloom_prefilter")
+    // the bf_contains predicate must survive optimization on the probe
+    // side — Catalyst fuses the 1-row broadcast + filter into a
+    // BroadcastNestedLoopJoin whose CONDITION is bf_contains (the
+    // scalar-broadcast shape) — and the exactness pass must stay a
+    // semi join. The RELATIVE order of the two is the optimizer's
+    // cost call (at this SF it runs the broadcast semi join first;
+    // results are order-independent) — the prefilter's actual pruning
+    // is pinned by BfSpec's passed < total counts, not by plan order.
+    assert(p.contains("bf_contains"),
+      s"bloom prefilter optimized away:\n$p")
+    assert(p.contains("LeftSemi"), s"exact verify lost its semi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"prefilter degraded to a real cartesian:\n$p")
+  }
+
   test("scan_zorder_skip: Z-ordered layout skips row groups on BOTH dimensions") {
     // The defining Z-order property — one layout serves band
     // predicates on EITHER clustered column. Runs at sf0.01: the
