@@ -30,6 +30,11 @@ object Bf {
   val MBits: Int = 1 << 18
   val K: Int = 5
   private val Words: Int = MBits / 64
+  /** Format marker ("BFS1") — same persistable-blob convention as
+    * [[Qsk.Magic]]: a stored blob from a different layout fails with a
+    * clear message instead of silently misparsing. */
+  val Magic: Int = 0x42465331
+  private val Header: Int = 4 + 8 // magic + n
 
   private val Seeds: Array[Long] =
     Array(0xA076_1D64_78BD_642FL, 0xE703_7ED1_A0B4_28DBL,
@@ -56,29 +61,50 @@ object Bf {
   def emptyState(): State = new State(0L, new Array[Long](Words))
 
   def serialize(st: State): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * st.words.length)
+    val bb = java.nio.ByteBuffer.allocate(Header + 8 * st.words.length)
+    bb.putInt(Magic)
     bb.putLong(st.n)
     st.words.foreach(bb.putLong)
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): State = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bb = wrapChecked(bytes)
     val n = bb.getLong
-    val words = new Array[Long]((bytes.length - 8) / 8)
+    val words = new Array[Long]((bytes.length - Header) / 8)
     var i = 0
     while (i < words.length) { words(i) = bb.getLong; i += 1 }
     new State(n, words)
   }
 
+  /** Merge a serialized filter straight into `st` without
+    * materializing an intermediate State — the re-merge path
+    * (`bf_merge` over stored blobs) runs once per input ROW, so a
+    * 32 KB copy per row would double its allocation for nothing. */
+  def mergeBytesInto(st: State, bytes: Array[Byte]): Unit = {
+    val bb = wrapChecked(bytes)
+    st.n += bb.getLong
+    var i = 0
+    while (i < st.words.length) { st.words(i) |= bb.getLong; i += 1 }
+  }
+
+  private def wrapChecked(bytes: Array[Byte]): java.nio.ByteBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length == Header + 8 * Words &&
+        bb.getInt == Magic,
+      s"not a bf v1 sketch (${bytes.length} bytes) — rebuild the filter " +
+        "with this engine version")
+    bb
+  }
+
   /** Membership probe: true iff all K bits are set (never a false
     * negative; false positives at the documented rate). */
   def contains(bytes: Array[Byte], item: Long): Boolean = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bb = wrapChecked(bytes)
     var i = 0
     while (i < K) {
       val bit = ((XXH64.hashLong(item, Seeds(i)) % MBits + MBits) % MBits).toInt
-      if ((bb.getLong(8 + 8 * (bit >> 6)) & (1L << (bit & 63))) == 0L)
+      if ((bb.getLong(Header + 8 * (bit >> 6)) & (1L << (bit & 63))) == 0L)
         return false
       i += 1
     }
@@ -86,7 +112,7 @@ object Bf {
   }
 
   def count(bytes: Array[Byte]): Long =
-    java.nio.ByteBuffer.wrap(bytes).getLong
+    wrapChecked(bytes).getLong
 
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -165,10 +191,7 @@ case class BfMergeAgg(
 
   override def update(buf: Bf.State, input: InternalRow): Bf.State = {
     val v = child.eval(input)
-    if (v != null) {
-      val o = Bf.deserialize(v.asInstanceOf[Array[Byte]])
-      buf.mergeFrom(o.n, o.words)
-    }
+    if (v != null) Bf.mergeBytesInto(buf, v.asInstanceOf[Array[Byte]])
     buf
   }
 

@@ -43,6 +43,12 @@ object Cms {
     Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL,
           0x165667B19E3779F9L, 0x27D4EB2F165667C5L)
 
+  /** Format marker ("CMS1") — same persistable-blob convention as
+    * [[Qsk.Magic]]: a foreign or stale blob fails loudly instead of
+    * misparsing. */
+  val Magic: Int = 0x434D5331
+  private val Header: Int = 4 + 8 // magic + n
+
   final class State(var n: Long, val grid: Array[Long]) {
     def add(item: Long): Unit = {
       n += 1
@@ -63,30 +69,49 @@ object Cms {
   def emptyState(): State = new State(0L, new Array[Long](D * W))
 
   def serialize(st: State): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * st.grid.length)
+    val bb = java.nio.ByteBuffer.allocate(Header + 8 * st.grid.length)
+    bb.putInt(Magic)
     bb.putLong(st.n)
     st.grid.foreach(bb.putLong)
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): State = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bb = wrapChecked(bytes)
     val n = bb.getLong
-    val grid = new Array[Long]((bytes.length - 8) / 8)
+    val grid = new Array[Long]((bytes.length - Header) / 8)
     var i = 0
     while (i < grid.length) { grid(i) = bb.getLong; i += 1 }
     new State(n, grid)
   }
 
+  /** Merge a serialized sketch straight into `st` — the re-merge path
+    * runs per input row, so skipping the intermediate 64 KB State
+    * halves its allocation (same posture as [[Bf.mergeBytesInto]]). */
+  def mergeBytesInto(st: State, bytes: Array[Byte]): Unit = {
+    val bb = wrapChecked(bytes)
+    st.n += bb.getLong
+    var i = 0
+    while (i < st.grid.length) { st.grid(i) += bb.getLong; i += 1 }
+  }
+
+  private def wrapChecked(bytes: Array[Byte]): java.nio.ByteBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length == Header + 8 * D * W && bb.getInt == Magic,
+      s"not a cms v1 sketch (${bytes.length} bytes) — rebuild the sketch " +
+        "with this engine version")
+    bb
+  }
+
   /** Point frequency estimate: min over the D row counters. */
   def estimate(bytes: Array[Byte], item: Long): Long = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bb = wrapChecked(bytes)
     bb.getLong // n
     var best = Long.MaxValue
     var i = 0
     while (i < D) {
       val h = XXH64.hashLong(item, Seeds(i))
-      val c = bb.getLong(8 + 8 * (i * W + ((h % W + W) % W).toInt))
+      val c = bb.getLong(Header + 8 * (i * W + ((h % W + W) % W).toInt))
       if (c < best) best = c
       i += 1
     }
@@ -94,7 +119,7 @@ object Cms {
   }
 
   def count(bytes: Array[Byte]): Long =
-    java.nio.ByteBuffer.wrap(bytes).getLong
+    wrapChecked(bytes).getLong
 
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -173,10 +198,7 @@ case class CmsMergeAgg(
 
   override def update(buf: Cms.State, input: InternalRow): Cms.State = {
     val v = child.eval(input)
-    if (v != null) {
-      val o = Cms.deserialize(v.asInstanceOf[Array[Byte]])
-      buf.mergeFrom(o.n, o.grid)
-    }
+    if (v != null) Cms.mergeBytesInto(buf, v.asInstanceOf[Array[Byte]])
     buf
   }
 

@@ -47,6 +47,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 object Qsk {
   val K: Int = 4096
   private val Seed: Long = 77L
+  /** Format marker ("QSK2" — v2 = weighted 24-byte triples). Sketches
+    * are advertised as persistable binary values, so a stored v1 blob
+    * (16-byte pairs, no marker) must fail loudly in deserialize, not
+    * misparse or throw a raw BufferUnderflowException. */
+  val Magic: Int = 0x51534B32
 
   /** Row hash: mixes the caller's row key with the value bits so
     * non-unique keys still separate distinct rows; duplicates of a
@@ -154,7 +159,8 @@ object Qsk {
     st.shrinkTo(K)
     val m = st.hs.length
     val idx = Array.range(0, m).sortBy(i => (st.hs(i), st.vs(i)))
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 24 * m)
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 4 + 24 * m)
+    bb.putInt(Magic)
     bb.putInt(st.level); bb.putLong(st.n); bb.putInt(m)
     idx.foreach { i =>
       bb.putLong(st.hs(i)); bb.putDouble(st.vs(i)); bb.putLong(st.ws(i))
@@ -164,7 +170,10 @@ object Qsk {
 
   def deserialize(bytes: Array[Byte]): State = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    checkMagic(bb)
     val level = bb.getInt; val n = bb.getLong; val m = bb.getInt
+    require(bytes.length == 4 + 4 + 8 + 4 + 24 * m,
+      s"qsk blob truncated: ${bytes.length} bytes for m=$m entries")
     val st = new State(level, n,
       new scala.collection.mutable.ArrayBuffer[Long](m),
       new scala.collection.mutable.ArrayBuffer[Double](m),
@@ -216,8 +225,17 @@ object Qsk {
 
   def count(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    checkMagic(bb)
     bb.getInt
     bb.getLong
+  }
+
+  private def checkMagic(bb: java.nio.ByteBuffer): Unit = {
+    require(bb.remaining >= 4, "qsk blob too short to hold a format marker")
+    val m = bb.getInt
+    require(m == Magic,
+      f"not a qsk v2 sketch: format marker 0x$m%08X (expected 0x$Magic%08X)" +
+        " — rebuild the sketch with this engine version")
   }
 
   def register(s: SparkSession): Unit = {

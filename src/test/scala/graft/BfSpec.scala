@@ -64,4 +64,12 @@ class BfSpec extends SparkTestBase {
       .select(expr("bf_contains(bf, 42L)")).collect()(0)
     assert(!empty.getBoolean(0), "empty filter claimed membership")
   }
+
+  test("foreign blobs are rejected with a format error, not a misparse") {
+    // wrong length AND wrong marker (an unmarked v0-era blob)
+    val stale = Array.fill[Byte](8 + graft.engine.Bf.MBits / 8)(0)
+    val e = intercept[IllegalArgumentException](
+      graft.engine.Bf.contains(stale, 1L))
+    assert(e.getMessage.contains("not a bf v1 sketch"), e.getMessage)
+  }
 }

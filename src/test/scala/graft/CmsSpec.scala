@@ -75,4 +75,11 @@ class CmsSpec extends SparkTestBase {
       .agg(expr("cms_estimate(cms_sketch(k), 42L)")).collect()(0)
     assert(empty.getLong(0) == 0L)
   }
+
+  test("foreign blobs are rejected with a format error, not a misparse") {
+    val stale = Array.fill[Byte](8 + 8 * graft.engine.Cms.D * graft.engine.Cms.W)(0)
+    val e = intercept[IllegalArgumentException](
+      graft.engine.Cms.estimate(stale, 1L))
+    assert(e.getMessage.contains("not a cms v1 sketch"), e.getMessage)
+  }
 }

@@ -470,6 +470,10 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // created ahead of the try so an assertion failure still reaches
+    // the finally-block cleanup instead of leaking the directory
+    val twinDir = java.nio.file.Files
+      .createTempDirectory("graft_unsorted_twin_").toString
     try {
       val df = SparkEntry.queries("scan_sorted_skip")(spark, sfDir)
       df.collect()
@@ -487,10 +491,8 @@ class PlanSpec extends SparkTestBase {
         .select(col("l_orderkey"),
                 col("l_shipdate").cast("date").as("l_shipdate"),
                 col("l_extendedprice"), col("l_discount"))
-      // per-run temp dir: a fixed shared path would race a concurrent
-      // test JVM mid-scan and leak the directory
-      val twinDir = java.nio.file.Files
-        .createTempDirectory("graft_unsorted_twin_").toString
+      // per-run temp dir (created above): a fixed shared path would
+      // race a concurrent test JVM mid-scan
       src.write.mode("overwrite")
         .option("parquet.block.size", "65536")
         .option("parquet.page.size", "4096")
@@ -511,13 +513,15 @@ class PlanSpec extends SparkTestBase {
       assert(sortedRead < twinRead,
         s"sorted scan ($sortedRead) read no fewer rows than the " +
           s"unsorted twin ($twinRead)")
+    } finally {
+      aqePrior match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(twinDir))
         .sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
-    } finally aqePrior match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
 }

@@ -96,4 +96,15 @@ class QskSpec extends SparkTestBase {
       .agg(expr("qsk_quantile(qsk_sketch(v, k), 0.5D)")).collect()(0)
     assert(one.getDouble(0) == 42.5, s"degenerate input lost its value: $one")
   }
+
+  test("foreign blobs are rejected with a format error, not a misparse") {
+    // a v1-era layout had no marker: its first int was the level —
+    // loading any such blob (or random bytes) must fail loudly
+    val stale = Array.fill[Byte](40)(0)
+    val e = intercept[IllegalArgumentException](graft.engine.Qsk.deserialize(stale))
+    assert(e.getMessage.contains("format marker"), e.getMessage)
+    val short = Array[Byte](1, 2)
+    val e2 = intercept[IllegalArgumentException](graft.engine.Qsk.count(short))
+    assert(e2.getMessage.contains("too short"), e2.getMessage)
+  }
 }
