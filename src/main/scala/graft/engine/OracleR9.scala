@@ -173,8 +173,8 @@ object OracleR9 {
   }
 
   /** Just the CTE chain (vocab → s0 → … → s_n with b_r merge picks),
-    * shared by the trainer oracle and the tokenize oracle. */
-  private def bpeChain(n: Int): String = {
+    * shared by the trainer, tokenize, and encode (OracleR10) oracles. */
+  private[engine] def bpeChain(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH vocab AS (

@@ -296,7 +296,7 @@ object QueriesR9 {
     * re-applying the 8 merges as one un-checkpointed plan nests 8
     * lambda folds and was measured at 11 s of analyzer/codegen time —
     * persisting beats replaying.) */
-  private def bpeModel(s: SparkSession, d: String, n: Int)
+  private[engine] def bpeModel(s: SparkSession, d: String, n: Int)
       : (DataFrame, DataFrame) = {
     import s.implicits._
     val h = ArtifactCache.artifactHash(documents(s, d).select("text"))

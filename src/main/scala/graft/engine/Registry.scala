@@ -204,11 +204,14 @@ object Registry {
     "docs_bpe_tokenize"    -> QueriesR9.docsBpeTokenize _,
     "graph_triangles"      -> QueriesR9.graphTriangles _,
     "multimodal_audio_energy" -> QueriesR9.multimodalAudioEnergy _,
+    // Round-7: tokenizer output surface, ANN recall matrix, lineage
+    // scans, native Generator UDTF, set-overlap sketch
+    "docs_bpe_encode"      -> QueriesR10.docsBpeEncode _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
-      OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql
+      OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql
 }
