@@ -42,5 +42,17 @@ object OracleR10 {
         |SELECT t.doc_id, t.pos, t.token, i.token_id
         |FROM tok t JOIN ids i USING (token)
         |ORDER BY doc_id, pos""".stripMargin),
+
+    // lineage is pinned by CONTENT: shard i holds exactly the
+    // c_custkey % 3 = i slice, so the per-file audit is re-derivable
+    // without knowing the engine's file paths
+    "scan_glob_lineage" ->
+      """SELECT 'shard' || CAST(c_custkey % 3 AS VARCHAR) || '.parquet'
+        |         AS src_file,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_acctbal
+        |FROM customer
+        |GROUP BY 1 ORDER BY src_file""".stripMargin,
   )
 }

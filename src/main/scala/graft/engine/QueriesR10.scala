@@ -63,4 +63,69 @@ object QueriesR10 {
       .select(col("doc_id"), col("pos"), col("token"), col("token_id"))
       .orderBy("doc_id", "pos")
   }
+
+  /** The multi-file shard directory behind `scan_glob_lineage`:
+    * customer split into three parquet FILES with stable names
+    * (`shard0.parquet`…`shard2.parquet`, distinct content via
+    * `c_custkey % 3`) — the layout an ingest drop-folder actually has,
+    * where per-file provenance matters. Spark's writer names parts
+    * non-deterministically, so the builder writes each shard alone and
+    * renames its part-file to the stable name inside a scratch dir,
+    * then installs the whole directory atomically (same race posture
+    * as ArtifactCache.materializeKeyed: winners rename, losers
+    * discard; `_SUCCESS` marks completeness). */
+  private def lineageShards(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val src = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val hash = ArtifactCache.artifactHash(src)
+    val dir = new Path(s"${Artifacts.cacheRoot}/glob_shards_v1-$hash")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val success = new Path(dir, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val scratch = new Path(
+        s"${Artifacts.cacheRoot}/.inflight-glob_shards_v1-$hash-${System.nanoTime()}")
+      (0 until 3).foreach { i =>
+        val tmp = new Path(scratch, s"tmp$i")
+        src.filter(col("c_custkey") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $tmp"))
+        fs.rename(part, new Path(scratch, s"shard$i.parquet"))
+        fs.delete(tmp, true)
+      }
+      fs.create(new Path(scratch, "_SUCCESS")).close()
+      if (fs.exists(dir) && !fs.exists(success)) fs.delete(dir, true)
+      if (fs.exists(dir) || !fs.rename(scratch, dir))
+        fs.delete(scratch, true)
+    }
+    dir.toString
+  }
+
+  /** SURVEY §2.1-P2: glob/multi-file scan with FILE LINEAGE — the
+    * directory-stage mapping's last open row. A drop-folder of shard
+    * files is glob-scanned in one pass and every row keeps its source
+    * file via `input_file_name()`, projected to the basename (absolute
+    * paths are machine-local; the basename is the oracle-portable
+    * provenance unit), then audited per file. At 100 TB this is the
+    * per-file ingest audit every lakehouse runs on arrival — row
+    * counts and checksums per source file from ONE scan, no per-file
+    * loop; lineage is a scan-local column, so no shuffle is added
+    * beyond the audit's own aggregation. */
+  def scanGlobLineage(s: SparkSession, d: String): DataFrame = {
+    val dir = lineageShards(s, d)
+    // pathGlobFilter, not a wildcard basename: a raw `dir/shard*` path
+    // makes resolveRelation's streaming-metadata probe stat the literal
+    // glob string and log a spurious FileNotFoundException stack trace
+    // on every warm read
+    s.read.option("pathGlobFilter", "shard*.parquet").parquet(dir)
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy("src_file")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").as("sum_acctbal"))
+      .orderBy("src_file")
+  }
 }

@@ -207,6 +207,7 @@ object Registry {
     // Round-7: tokenizer output surface, ANN recall matrix, lineage
     // scans, native Generator UDTF, set-overlap sketch
     "docs_bpe_encode"      -> QueriesR10.docsBpeEncode _,
+    "scan_glob_lineage"    -> QueriesR10.scanGlobLineage _,
   )
 
   val oracleSql: ListMap[String, String] =
