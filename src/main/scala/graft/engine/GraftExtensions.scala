@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QskCountExpr].getName, "qsk_count"),
       (args: Seq[Expression]) => QskCountExpr(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("ngrams_gen"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams_gen"),
+      (args: Seq[Expression]) => NGramsGenerator(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
       (args: Seq[Expression]) => ZOrderExpr(args(0), args(1))))

@@ -43,6 +43,15 @@ object OracleR10 {
         |FROM tok t JOIN ids i USING (token)
         |ORDER BY doc_id, pos""".stripMargin),
 
+    // the custom Generator must be indistinguishable from the explode
+    // spelling — same oracle as udtf_generator_ngrams verbatim
+    "udtf_ngrams_native" ->
+      """SELECT doc_id, i AS pos, array_to_string(tokens[i:i+1], ' ') AS ngram
+        |FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+        |            FROM documents WHERE doc_id < 200) t1) t2
+        |ORDER BY doc_id, pos""".stripMargin,
+
     // lineage is pinned by CONTENT: shard i holds exactly the
     // c_custkey % 3 = i slice, so the per-file audit is re-derivable
     // without knowing the engine's file paths

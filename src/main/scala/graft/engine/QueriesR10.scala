@@ -64,6 +64,21 @@ object QueriesR10 {
       .orderBy("doc_id", "pos")
   }
 
+  /** The custom-Generator twin of `udtf_generator_ngrams`: the same
+    * bigram fanout spelled as a TRUE lateral table function —
+    * [[NGramsGenerator]] plans as a `Generate` node (PlanSpec asserts
+    * the physical `GenerateExec` carries the custom class), streaming
+    * n-grams from an iterator instead of materializing each document's
+    * full n-gram array before exploding. Shares the explode spelling's
+    * oracle verbatim: the two keys must stay hash-identical. */
+  def udtfNgramsNative(s: SparkSession, d: String): DataFrame = {
+    NGrams.register(s)
+    documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), expr("ngrams_gen(text, 2)"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** The multi-file shard directory behind `scan_glob_lineage`:
     * customer split into three parquet FILES with stable names
     * (`shard0.parquet`…`shard2.parquet`, distinct content via

@@ -208,6 +208,7 @@ object Registry {
     // scans, native Generator UDTF, set-overlap sketch
     "docs_bpe_encode"      -> QueriesR10.docsBpeEncode _,
     "scan_glob_lineage"    -> QueriesR10.scanGlobLineage _,
+    "udtf_ngrams_native"   -> QueriesR10.udtfNgramsNative _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -466,6 +466,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("udtf_ngrams_native: the custom Generator reaches the physical plan") {
+    val df = SparkEntry.queries("udtf_ngrams_native")(spark, sfDir)
+    // executedPlan is an AdaptiveSparkPlanExec LEAF (collect cannot
+    // descend into it), so assert on the printed tree: the physical
+    // Generate node must carry the custom generator by name
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate ngrams_gen("),
+      s"no physical Generate carries ngrams_gen:\n$p")
+    // and the lateral spelling is indistinguishable from the explode one
+    val native = df.collect().map(_.toSeq)
+    val explode = SparkEntry.queries("udtf_generator_ngrams")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(native.sameElements(explode),
+      "generator and explode spellings diverged")
+  }
+
   test("scan_sorted_skip: sorted layout skips row groups; unsorted twin cannot") {
     import org.apache.spark.sql.functions._
     val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
