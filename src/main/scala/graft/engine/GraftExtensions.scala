@@ -89,6 +89,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bf_count"),
       new ExpressionInfo(classOf[BfCountExpr].getName, "bf_count"),
       (args: Seq[Expression]) => BfCountExpr(args.head)))
+    // the theta family (build / re-merge / distinct / union /
+    // intersect / count)
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => ThetaSketchAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_merge"),
+      new ExpressionInfo(classOf[ThetaMergeAgg].getName, "theta_merge"),
+      (args: Seq[Expression]) => ThetaMergeAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_distinct"),
+      new ExpressionInfo(classOf[ThetaDistinctExpr].getName, "theta_distinct"),
+      (args: Seq[Expression]) => ThetaDistinctExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_est"),
+      new ExpressionInfo(classOf[ThetaUnionExpr].getName, "theta_union_est"),
+      (args: Seq[Expression]) => ThetaUnionExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect_est"),
+      new ExpressionInfo(classOf[ThetaIntersectExpr].getName, "theta_intersect_est"),
+      (args: Seq[Expression]) => ThetaIntersectExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_count"),
+      new ExpressionInfo(classOf[ThetaCountExpr].getName, "theta_count"),
+      (args: Seq[Expression]) => ThetaCountExpr(args.head)))
     // the count-min family (build / re-merge / point estimate / count)
     ext.injectFunction((
       FunctionIdentifier("cms_sketch"),

@@ -169,6 +169,39 @@ object QueriesR10 {
     }.orderBy("method", "matched")
   }
 
+  /** Set-overlap triage via the theta sketch — "how many customers
+    * were active in BOTH years" answered from two 32 KB signatures
+    * instead of an exact join: the fifth sketch completes the family
+    * (distincts / quantiles / frequencies / membership / OVERLAP).
+    * Built the deployment way: per-shard sketches (the per-day
+    * partials a 100 TB pipeline persists) re-merged with
+    * `theta_merge`, then per-set cardinalities, union, and
+    * intersection estimated from the two blobs. Below K=4096 distinct
+    * keys the signature holds the whole set and the numbers are
+    * EXACT (the sf0.01 regime); past K the KMV estimators take over
+    * (~1.6% on the union — the sf0.1+ regime). Declared no-oracle
+    * like the other sketch keys: ThetaSpec pins byte-identical merge
+    * trees at 2/7 partitions, the error bound vs the exact intersect,
+    * and the exact small-set mode. */
+  def aggSetOverlap(s: SparkSession, d: String): DataFrame = {
+    Theta.register(s)
+    val o = orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1999, 2000))
+    val merged = o
+      .withColumn("shard", pmod(col("o_custkey"), lit(8)))
+      .groupBy("yr", "shard")
+      .agg(expr("theta_sketch(xxhash64(o_custkey))").as("sk"))
+      .groupBy("yr").agg(expr("theta_merge(sk)").as("sk"))
+    merged.filter(col("yr") === 1999).select(col("sk").as("sk_a"))
+      .crossJoin(merged.filter(col("yr") === 2000).select(col("sk").as("sk_b")))
+      .select(
+        round(expr("theta_distinct(sk_a)"), 1).as("n_1999_est"),
+        round(expr("theta_distinct(sk_b)"), 1).as("n_2000_est"),
+        round(expr("theta_union_est(sk_a, sk_b)"), 1).as("n_union_est"),
+        round(expr("theta_intersect_est(sk_a, sk_b)"), 1).as("n_overlap_est"))
+  }
+
   /** The multi-file shard directory behind `scan_glob_lineage`:
     * customer split into three parquet FILES with stable names
     * (`shard0.parquet`…`shard2.parquet`, distinct content via

@@ -210,6 +210,7 @@ object Registry {
     "scan_glob_lineage"    -> QueriesR10.scanGlobLineage _,
     "udtf_ngrams_native"   -> QueriesR10.udtfNgramsNative _,
     "emb_recall_matrix"    -> QueriesR10.embRecallMatrix _,
+    "agg_set_overlap"      -> QueriesR10.aggSetOverlap _,
   )
 
   val oracleSql: ListMap[String, String] =
