@@ -153,6 +153,54 @@ class StreamingSpec extends SparkTestBase {
     assert(seen.values().iterator().next() == 3L) // F/O/P status rows
   }
 
+  test("resident ProcessingTime trigger: micro-batches advance the checkpoint as files arrive") {
+    // the documented §7.5 upgrade path — "swap the trigger and it is a
+    // resident streaming job" — executed: the dedup query runs under
+    // Trigger.ProcessingTime against a GROWING input directory; a
+    // second file arriving mid-run must be picked up by a LATER
+    // micro-batch (checkpoint commit id advances, sink grows) with the
+    // query still resident afterward.
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_pt").toString
+    val inDir = s"$out/input"
+    new java.io.File(inDir).mkdirs()
+    // split the fixture by user parity so the second file is
+    // guaranteed to contain first-seen (user, type) pairs for dedup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def stage(parity: Int, name: String): Unit = {
+      val tmp = s"$out/half$parity"
+      raw.filter(col("user_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(inDir, name))
+    }
+    stage(0, "batch0.parquet")
+    val q = Stream.queries(spark, inDir)("dedup").writeStream
+      .format("parquet")
+      .option("path", s"$out/dedup")
+      .option("checkpointLocation", s"$out/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      def committedBatch: Int = new java.io.File(s"$out/cp/commits")
+        .list().filterNot(_.startsWith(".")).map(_.toInt).max
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$out/dedup").count()
+      val b1 = committedBatch
+      assert(c1 > 0, "first micro-batch wrote no rows")
+      stage(1, "batch1.parquet")
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$out/dedup").count()
+      val b2 = committedBatch
+      assert(b2 > b1, s"checkpoint did not advance: batch $b1 -> $b2")
+      assert(c2 > c1, s"late-arriving file not processed: $c1 -> $c2 rows")
+      assert(q.isActive, "resident query terminated on its own")
+    } finally q.stop()
+  }
+
   test("graft.Stream entry point: AvailableNow drain writes all four sinks") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
