@@ -83,17 +83,23 @@ object QueriesCore {
 
   // ---------- C. joins ----------
 
-  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
-    * Join order starts from the MOST selective side (late-shipped
-    * lineitems, ~2% of the table) so intermediates stay small — the
-    * c⋈o-first spelling carries a 30k-row intermediate through both
-    * joins; with no CBO stats Catalyst keeps the written order. */
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-10. The
+    * customer dim contributes no output columns — only membership — so
+    * it folds into orders as a LEFT SEMI before the fact join: the
+    * (o ⋉ c) dim is ~1/5 the filtered orders (one broadcast build of
+    * 13k rows instead of 68k at sf0.1, measured −8% on the key; round-7
+    * BASELINE.md) and the fact side crosses ONE join instead of two.
+    * No broadcast hints: at test SF AQE broadcasts the dim from its
+    * runtime size; at 100 TB the same plan degrades gracefully to
+    * shuffle joins instead of forcing an OOM-sized broadcast. */
   def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
     val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-    l.join(o, col("o_orderkey") === col("l_orderkey"))
-      .join(c, col("c_custkey") === col("o_custkey"))
+    val dim = o.join(c, col("c_custkey") === col("o_custkey"), "left_semi")
+    l.join(dim, col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
              .as("revenue"))
