@@ -155,6 +155,23 @@ object OracleR10 {
         |            FROM documents WHERE doc_id < 200) t1) t2
         |ORDER BY doc_id, pos""".stripMargin,
 
+    // layout (partitioning + Z-order) never changes results — the
+    // oracle is the plain join+filter semantics over the raw table
+    "scan_zorder_dpp" ->
+      """SELECT year(l_shipdate) AS l_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       MAX(d.n_orders) AS n_orders
+        |FROM lineitem
+        |JOIN (SELECT year(o_orderdate) AS y,
+        |             CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+        |      GROUP BY 1) d
+        |  ON year(l_shipdate) = d.y
+        |WHERE l_partkey >= 100 AND l_partkey <= 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // lineage is pinned by CONTENT: shard i holds exactly the
     // c_custkey % 3 = i slice, so the per-file audit is re-derivable
     // without knowing the engine's file paths

@@ -211,6 +211,7 @@ object Registry {
     "udtf_ngrams_native"   -> QueriesR10.udtfNgramsNative _,
     "emb_recall_matrix"    -> QueriesR10.embRecallMatrix _,
     "agg_set_overlap"      -> QueriesR10.aggSetOverlap _,
+    "scan_zorder_dpp"      -> QueriesR10.scanZorderDpp _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -466,6 +466,41 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scan_zorder_dpp: directory pruning AND row-group skipping fire on one scan") {
+    import org.apache.spark.sql.functions._
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sf01 = "/root/testdata/sf0.01"
+      val df = SparkEntry.queries("scan_zorder_dpp")(spark, sf01)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val fact = scans.find(_.partitionFilters.mkString.contains("dynamicpruning"))
+      assert(fact.nonEmpty,
+        s"no scan carries a dynamicpruning partition filter:\n" +
+          df.queryExecution.executedPlan)
+      // grain 1: DPP pruned year DIRECTORIES (files read < static count)
+      val read = fact.get.metrics("numFiles").value
+      val static = fact.get.metrics("staticFilesNum").value
+      assert(read < static,
+        s"DPP did not skip any files: read=$read of static=$static")
+      // grain 2: the part-key band skipped ROW GROUPS inside the
+      // surviving directory — rows read must be well under that
+      // year's row count (dir pruning alone would read all of them)
+      val rowsRead = fact.get.metrics("numOutputRows").value
+      val dirRows = graft.engine.Tables.lineitem(spark, sf01)
+        .filter(year(col("l_shipdate").cast("date")) === 2001).count()
+      assert(rowsRead < dirRows / 2,
+        s"no row-group skipping inside the pruned partition: " +
+          s"read $rowsRead of $dirRows 2001 rows")
+    } finally aqePrior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("udtf_ngrams_native: the custom Generator reaches the physical plan") {
     val df = SparkEntry.queries("udtf_ngrams_native")(spark, sfDir)
     // executedPlan is an AdaptiveSparkPlanExec LEAF (collect cannot
