@@ -12,7 +12,8 @@ class QueriesSpec extends SparkTestBase {
   test("every declared key has oracle SQL or a documented exemption") {
     // sketch values are engine-specific
     val noOracle = Set("distinct_approx", "agg_distinct_hll",
-                       "agg_quantile_sketch", "agg_heavy_hitters")
+                       "agg_quantile_sketch", "agg_heavy_hitters",
+                       "agg_set_overlap")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"keys without oracle: $missing")
