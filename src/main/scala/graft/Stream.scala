@@ -83,12 +83,13 @@ object Stream {
 
   /** Events source as an unbounded file stream. Schema comes from a
     * one-off batch read (file streams require an explicit schema); the
-    * ns-timestamp repair matches Tables.events. */
+    * `ts` normalization is the SAME schema-adaptive branch as
+    * Tables.events (ns-long and µs/NTZ generations both read), and a
+    * watermark-able TimestampType comes out either way. */
   private def eventsStream(spark: SparkSession, inDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(inDir).schema
-    spark.readStream.schema(schema).parquet(inDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    engine.Tables.repairTs(spark.readStream.schema(schema).parquet(inDir))
   }
 
   /** The five deployed queries, keyed by sink name. */

@@ -2,17 +2,19 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema catalog + readers for the testdata tables.
   *
   * Design notes (SURVEY.md §1.2, §7.4):
   *  - All readers are plain parquet scans so Catalyst predicate pushdown
   *    and column pruning reach the source (`PushedFilters`/`ReadSchema`).
-  *  - `events.ts` is parquet timestamp[ns], which Spark 4 refuses by
-  *    default. We set `spark.sql.legacy.parquet.nanosAsLong=true` (a
-  *    runtime SQLConf) before the scan and convert raw nanos with
-  *    `timestamp_micros(ts div 1000)` — verified to match DuckDB's
-  *    native ns→µs truncation exactly.
+  *  - `events.ts` has shipped in TWO encodings across testdata
+  *    generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses by
+  *    default — the `nanosAsLong` legacy flag surfaces it as raw longs)
+  *    and TIMESTAMP(MICROS, NTZ). `repairTs` branches on the type the
+  *    scan actually produced, so either encoding — or a mixed lake of
+  *    both — normalizes to the same TimestampType(µs)/UTC column.
   *  - At 100 TB these readers would point at partitioned layouts
   *    (date/lang partition dirs); nothing else changes because every
   *    operator downstream is partition-count-agnostic.
@@ -31,12 +33,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Normalize an events frame's `ts` to TimestampType (µs, UTC) and
+    * expose epoch nanos as `ts_ns`, whatever the writer's encoding:
+    *  - `LongType` — a TIMESTAMP(NANOS) file read under the
+    *    `nanosAsLong` flag: truncate ns→µs (matches DuckDB's native
+    *    ns→µs cast exactly);
+    *  - `TimestampNTZType` / `TimestampType` — a TIMESTAMP(MICROS)
+    *    file: cast (wall-clock-identity under the pinned UTC session),
+    *    `ts_ns` derived as µs×1000.
+    * Pure projection — works on batch and streaming frames alike, so
+    * `graft.Stream`'s readStream path shares it. */
+  private[graft] def repairTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected " +
+          "long (ns), timestamp_ntz, or timestamp")
+    }
+
   /** events with `ts` repaired to TimestampType (µs), UTC.
-    * Raw nanos column preserved as `ts_ns` for callers that need it. */
+    * Epoch-nanos column preserved as `ts_ns` for callers that need it. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Keep the legacy flag on so a ns-encoded generation still reads
+    // (as raw longs) instead of failing analysis; µs files ignore it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    repairTs(t(s, d, "events"))
   }
 }

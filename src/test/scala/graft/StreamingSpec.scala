@@ -111,8 +111,8 @@ class StreamingSpec extends SparkTestBase {
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = graft.engine.Tables.repairTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
     val q = streamed.writeStream.format("memory").queryName("fs_out")
