@@ -42,6 +42,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     var keyIdx = 0
+    var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       keyIdx += 1
       SessionHygiene.step(spark, keyIdx)
@@ -56,14 +57,34 @@ object Bench {
           java.nio.file.Files.createTempDirectory("graft_cold_cache_")
             .toString)
       }
+      // A key that throws records -1 (an impossible duration) AND its
+      // error — round 7 proved that timing the failure instead turns an
+      // instant AnalysisException into a fake 4.5x "speedup".
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors ::= name ->
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          -1.0
+        }
+      name -> sec
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse
+      .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+    // total sums SUCCESSFUL keys only; n_errors > 0 is the red flag
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_keys":${results.size},"n_errors":${errors.size},"errors":$errJson}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size}/${results.size} keys FAILED: " +
+        errors.reverse.map(_._1).mkString(", "))
     spark.stop()
   }
 }
