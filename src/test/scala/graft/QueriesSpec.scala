@@ -81,6 +81,35 @@ class QueriesSpec extends SparkTestBase {
     assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
   }
 
+  test("hll bound and merge hold on lineitem too (non-events fixture)") {
+    // Twin of the two events-based HLL proofs over a table the driver
+    // has never regenerated incompatibly — the sketch family's
+    // evidence must not single-point on the most environment-sensitive
+    // fixture (round-7 postmortem: the events ts flip took the HLL
+    // tests dark along with the data).
+    import org.apache.spark.sql.functions._
+    graft.engine.Hll.register(spark)
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("hll_estimate(hll_sketch(l_partkey))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k).toDouble - ex) / ex < 0.05,
+        s"l_returnflag=$k approx=${approx(k)} exact=$ex")
+    }
+    val merged = li
+      .withColumn("shard", pmod(col("l_orderkey"), lit(7)))
+      .groupBy("shard").agg(expr("hll_sketch(l_partkey)").as("sk"))
+      .agg(expr("hll_estimate(hll_merge(sk))")).collect()(0).getLong(0)
+    val oneShot = li
+      .agg(expr("hll_estimate(hll_sketch(l_partkey))")).collect()(0).getLong(0)
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+  }
+
   test("PQ codes are 8 per vector, each in 0..15; self-query ranks first") {
     val rows = SparkEntry.queries("emb_pq_adc")(spark, sfDir).collect()
     assert(rows.length == 10)
