@@ -1,0 +1,105 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-8 keys. `emb_semdedup` re-derives the
+  * shared k-means codebook through `OracleKmeans.codebookCtes` (the
+  * emb_ann_ivf precedent — bit-identical centroids), so assignment and
+  * the within-cell kill rule are pinned by the same SQL chain the IVF
+  * family already hash-matches. The sparse-similarity and perplexity
+  * oracles reuse the DECIMAL(28,9) order-proof accumulator spelling
+  * from docs_lm_score.
+  */
+object OracleR11 {
+  private val cosinePair =
+    """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
+      |      / (sqrt(list_aggregate(list_transform(a.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum'))
+      |       * sqrt(list_aggregate(list_transform(b.embedding,
+      |           x -> CAST(x AS DOUBLE) * x), 'sum')))""".stripMargin
+
+  val sql: ListMap[String, String] = ListMap(
+    "emb_semdedup" ->
+      s"""WITH ${OracleKmeans.codebookCtes},
+        |rnk AS (SELECT a.vec_id, b.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(${OracleKmeans.cosFD("a", "b")}, 6) DESC,
+        |               b.cid) AS rn
+        |  FROM embeddings a JOIN cent b ON true),
+        |asg AS (SELECT e.vec_id, e.embedding, r.cid
+        |        FROM embeddings e JOIN rnk r
+        |          ON e.vec_id = r.vec_id AND r.rn = 1),
+        |dup AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |        FROM asg a JOIN asg b
+        |          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        |        WHERE round($cosinePair, 6) > 0.45
+        |        GROUP BY a.vec_id)
+        |SELECT a.vec_id, a.cid, d.dup_of, d.dup_of IS NULL AS kept
+        |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "docs_sparse_sim_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |        GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT t.doc_id, t.term,
+        |        round(t.tf * ln(CAST(n.n AS DOUBLE) / f.df), 6) AS wt
+        |      FROM tf t JOIN dfq f USING (term), n
+        |      WHERE f.df * 10 <= n.n),
+        |nrm AS (SELECT doc_id,
+        |          sqrt(CAST(sum(CAST(round(wt * wt, 9) AS DECIMAL(28,9)))
+        |               AS DOUBLE)) AS nrm
+        |        FROM w GROUP BY doc_id),
+        |dot AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |          CAST(sum(CAST(round(a.wt * b.wt, 9) AS DECIMAL(28,9)))
+        |               AS DOUBLE) AS dt
+        |        FROM w a JOIN w b
+        |          ON a.term = b.term AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id),
+        |sim AS (SELECT d.id1, d.id2,
+        |          round(d.dt / (n1.nrm * n2.nrm), 6) AS cos
+        |        FROM dot d JOIN nrm n1 ON d.id1 = n1.doc_id
+        |                   JOIN nrm n2 ON d.id2 = n2.doc_id),
+        |sym AS (SELECT id1 AS doc_id, id2 AS sim_doc, cos FROM sim
+        |        UNION ALL
+        |        SELECT id2 AS doc_id, id1 AS sim_doc, cos FROM sim),
+        |r AS (SELECT doc_id, sim_doc, cos,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY cos DESC, sim_doc) AS rk
+        |      FROM sym)
+        |SELECT doc_id, sim_doc, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "docs_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |model AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |nv AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+        |              CAST(COUNT(*) AS DOUBLE) AS v_vocab FROM model),
+        |dt AS (SELECT doc_id, t, COUNT(*) AS c_doc FROM tok GROUP BY doc_id, t),
+        |terms AS (
+        |  SELECT d.doc_id, d.c_doc,
+        |    CAST(round(-d.c_doc * ln((m.c + 1) / (nv.n_total + nv.v_vocab)), 9)
+        |         AS DECIMAL(28,9)) AS term
+        |  FROM dt d JOIN model m USING (t), nv),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c_doc) AS DOUBLE), 6)
+        |      AS cross_entropy
+        |  FROM terms GROUP BY doc_id),
+        |tiled AS (
+        |  SELECT doc.doc_id, doc.lang, s.cross_entropy,
+        |    ntile(3) OVER (PARTITION BY doc.lang
+        |                   ORDER BY s.cross_entropy, doc.doc_id) AS tile
+        |  FROM documents doc JOIN scored s ON doc.doc_id = s.doc_id)
+        |SELECT doc_id, lang, cross_entropy,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM tiled ORDER BY doc_id""".stripMargin
+  )
+}

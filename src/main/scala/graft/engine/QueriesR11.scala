@@ -1,0 +1,157 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 keys: three training-data-pipeline operators that each add
+  * a scale recipe the registry did not yet demonstrate —
+  * cluster-scoped semantic dedup (SemDeDup), inverted-index sparse
+  * similarity (doc-doc top-k without a dense n² pass), and CCNet-style
+  * perplexity bucketing. §2.3 determinism rules throughout.
+  */
+object QueriesR11 {
+  import Tables._
+
+  /** SemDeDup-style cluster-scoped embedding dedup: assign every
+    * vector to its nearest trained coarse centroid (the SAME
+    * 16×3-iteration k-means artifact the IVF keys share —
+    * `Cache.ivfCodebook`), then kill within each cell only: a vector
+    * is a duplicate iff an EARLIER-id vector in its cell has rounded
+    * cosine > 0.45 (`dup_of` = the smallest such id; kept otherwise).
+    *
+    * Scale shape (the reason this exists next to `emb_dedup_cosine`):
+    * the candidate surface is Σ|cell|², not n² — cell count grows
+    * with the corpus (train k ∝ n/target_cell on a deterministic
+    * hash-sample) so cell size stays bounded, and the per-cell
+    * self-join shuffles each vector ONCE on its cell id. The codebook
+    * is a broadcast-sized artifact; assignment is one map-side
+    * cross-join pass with a bounded top-1 aggregate (no n×k shuffle).
+    * The earlier-id kill rule needs no iterative closure, so the
+    * whole pass is two shuffles end-to-end regardless of corpus
+    * size. */
+  def embSemdedup(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s); TopK.register(s)
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val cent = Artifacts.ivfCodebook(s, d)
+    // argmax assignment, same tie rule as annIvf: (score DESC, cid ASC)
+    val asg = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
+              col("cid"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), expr("t[0].id").as("cid"))
+    val cells = e.join(asg, "vec_id")
+    val dup = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") &&
+        col("b.vec_id") < col("a.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
+        > lit(0.45))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    cells.select("vec_id", "cid")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+              col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Doc-doc cosine top-3 over tf-idf vectors via an INVERTED-INDEX
+    * join — the sparse-similarity recipe: pairs meet only through
+    * terms they share, so the candidate surface is Σ df(term)², never
+    * the dense n². Ubiquitous terms (df·10 > n, the stopword mass
+    * that would dominate fan-out while carrying near-zero idf) are
+    * pruned from the index — that cap is the scale lever: posting
+    * lists are bounded, the term-join's per-key fan-out is bounded,
+    * and skew = the hottest surviving term.
+    *
+    * Exactness (§2.3): weights are rounded to 6dp; every pairwise
+    * product (dot terms, norm terms) is rounded to the 1e-9 grid and
+    * summed as DECIMAL(28,9) — order-proof accumulators, the
+    * docs_lm_score precedent — so no sum depends on shuffle order.
+    * Ranks are computed over the ROUNDED similarity with doc-id
+    * tie-breaks. */
+  def docsSparseSimTopk(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n"))
+    val w = tf.join(dfq, "term").crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("wt"))
+    val norms = w
+      .withColumn("t2",
+        expr("CAST(round(wt * wt, 9) AS DECIMAL(28,9))"))
+      .groupBy("doc_id")
+      .agg(sqrt(sum("t2").cast("double")).as("nrm"))
+    val dot = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("CAST(round(a.wt * b.wt, 9) AS DECIMAL(28,9))").as("p"))
+      .groupBy("id1", "id2")
+      .agg(sum("p").cast("double").as("dt"))
+    val sim = dot
+      .join(norms.select(col("doc_id").as("id1"), col("nrm").as("n1")), "id1")
+      .join(norms.select(col("doc_id").as("id2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+              round(col("dt") / (col("n1") * col("n2")), 6).as("cos"))
+    val sym = sim.select(col("id1").as("doc_id"), col("id2").as("sim_doc"),
+                         col("cos"))
+      .unionAll(sim.select(col("id2").as("doc_id"), col("id1").as("sim_doc"),
+                           col("cos")))
+    val rw = Window.partitionBy("doc_id")
+      .orderBy(col("cos").desc, col("sim_doc"))
+    sym.withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
+    * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split
+    * each language into head/middle/tail thirds by ascending
+    * cross-entropy (head = closest to the corpus distribution — the
+    * slice CCNet keeps for training; tail = the noise candidate).
+    * ntile runs per-language over the ROUNDED score with doc-id
+    * tie-break, so bucket edges are engine-stable.
+    *
+    * Scale shape: the model is the token vocabulary (bounded,
+    * broadcast); scoring is one shuffle on the token and one on
+    * doc_id; the ntile window partitions by language — at 100 TB the
+    * per-language sort is the cost, which is exactly how CCNet runs
+    * it (per-language shards, sorted once by perplexity). */
+  def docsPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val model = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nv = model.agg(sum("c").cast("double").as("n_total"),
+                       count(lit(1)).cast("double").as("v_vocab"))
+    val docTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c_doc"))
+    val scored = docTok
+      .join(model, "t")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        expr("CAST(round(-c_doc * ln((c + 1) / (n_total + v_vocab)), 9) " +
+             "AS DECIMAL(28,9))"))
+      .groupBy("doc_id")
+      .agg(sum("c_doc").as("n_tokens"), sum("term").as("h_sum"))
+      .select(col("doc_id"),
+        round(col("h_sum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("cross_entropy"))
+    val bw = Window.partitionBy("lang")
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    documents(s, d).select("doc_id", "lang")
+      .join(scored, "doc_id")
+      .withColumn("tile", ntile(3).over(bw))
+      .select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+}

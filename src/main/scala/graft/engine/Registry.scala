@@ -212,11 +212,17 @@ object Registry {
     "emb_recall_matrix"    -> QueriesR10.embRecallMatrix _,
     "agg_set_overlap"      -> QueriesR10.aggSetOverlap _,
     "scan_zorder_dpp"      -> QueriesR10.scanZorderDpp _,
+    // Round-8: cluster-scoped semantic dedup, inverted-index sparse
+    // similarity, perplexity bucketing
+    "emb_semdedup"         -> QueriesR11.embSemdedup _,
+    "docs_sparse_sim_topk" -> QueriesR11.docsSparseSimTopk _,
+    "docs_perplexity_buckets" -> QueriesR11.docsPerplexityBuckets _,
   )
 
   val oracleSql: ListMap[String, String] =
     OracleCore.sql ++ OracleRel2.sql ++ OracleEvents.sql ++ OracleFn.sql ++
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
-      OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql
+      OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
+      OracleR11.sql
 }
