@@ -351,6 +351,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sparse sim joins only through the term index (equi join, no cross product)") {
+    // the inverted-index recipe only scales if the pair surface stays
+    // an equi join on the term — a cartesian respelling would be n²
+    val p = plan("docs_sparse_sim_topk")
+    // the only nested-loop allowed is the broadcast of the 1-row corpus
+    // count; a shuffled cartesian would mean the pair surface went n²
+    assert(!p.contains("CartesianProduct"),
+      s"sparse similarity degraded to a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"term index join missing:\n$p")
+  }
+
+  test("semdedup broadcasts the codebook and equi-joins within cells") {
+    val p = plan("emb_semdedup")
+    // assignment: the 16-row codebook must arrive as a broadcast, and
+    // the within-cell pair join must key on cid — not cross the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"codebook not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"within-cell join lost its cid equi key:\n$p")
+  }
+
   test("scan_dpp_partitioned: DPP subquery reaches the scan and skips files") {
     // AQE off for this probe so the physical tree (and its metrics) is
     // directly traversable; DPP itself is an optimizer-rule property
