@@ -75,6 +75,24 @@ object OracleR11 {
         |SELECT doc_id, sim_doc, cos, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
+    "events_ewma" ->
+      """WITH o AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |contrib AS (SELECT user_id, i + k AS ti,
+        |    CAST(round(value * power(2.0, -k), 9) AS DECIMAL(28,9)) AS term
+        |  FROM (SELECT user_id, i, value, unnest(range(0, 32)) AS k
+        |        FROM o) t),
+        |agg AS (SELECT user_id, ti, sum(term) AS num, count(*) AS m
+        |        FROM contrib GROUP BY user_id, ti)
+        |SELECT o.event_id, o.user_id, o.ts, o.value, a.m,
+        |  round(CAST(a.num AS DOUBLE) / (2 - power(2.0, 1.0 - a.m)), 6)
+        |    AS ewma
+        |FROM o JOIN agg a ON o.user_id = a.user_id AND o.i = a.ti
+        |ORDER BY o.event_id""".stripMargin,
+
     "docs_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

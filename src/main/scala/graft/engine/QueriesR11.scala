@@ -111,6 +111,48 @@ object QueriesR11 {
       .orderBy("doc_id", "rk")
   }
 
+  /** Per-user exponential smoothing of the event value stream — the
+    * time-series feature every metrics/telemetry pipeline derives.
+    * Semantics: a TRUNCATED exponentially-weighted mean with α = 0.5
+    * over the 32 most recent events (per user, ordered by (ts,
+    * event_id)): y_i = Σ_k 2⁻ᵏ·x_{i−k} / (2 − 2^(1−m)) over the m =
+    * min(i, 32) available lags. Contributions beyond lag 32 are below
+    * 2⁻³² ≈ 2e-10 — noise under the 6dp output grid — so truncation
+    * is the DEFINITION here, not an approximation shortcut.
+    *
+    * Determinism (§2.3): weights are exact powers of two (α = 0.5 is
+    * chosen so no libm pow parity is ever in play), every term is
+    * rounded to the 1e-9 grid and summed as DECIMAL(28,9) — the
+    * order-proof accumulator — and the denominator is the closed form
+    * 2 − 2^(1−m), again exact. A window-function spelling would hang
+    * the result on each engine's frame-accumulation FP order; this
+    * one cannot differ.
+    *
+    * Scale shape: one map-side explode (bounded ×32 amplification —
+    * a constant, not a function of history length), one shuffle on
+    * (user, target index), one join back. State per key is zero;
+    * skew = hottest user × 32. */
+  def eventsEwma(s: SparkSession, d: String): DataFrame = {
+    val o = events(s, d).select("event_id", "user_id", "ts", "value")
+      .withColumn("i", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+    val contrib = o
+      .select(col("user_id"), col("i"), col("value"),
+              explode(expr("sequence(0, 31)")).as("k"))
+      .select(col("user_id"), (col("i") + col("k")).as("ti"),
+        expr("CAST(round(value * pow(2.0, -k), 9) AS DECIMAL(28,9))")
+          .as("term"))
+    val agg = contrib.groupBy("user_id", "ti")
+      .agg(sum("term").as("num"), count(lit(1)).as("m"))
+    o.as("o").join(agg.as("g"),
+        col("o.user_id") === col("g.user_id") && col("o.i") === col("g.ti"))
+      .select(col("o.event_id"), col("o.user_id"), col("o.ts"),
+        col("o.value"), col("g.m"),
+        round(col("g.num").cast("double") /
+          (lit(2.0) - pow(lit(2.0), lit(1.0) - col("g.m"))), 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

@@ -217,6 +217,7 @@ object Registry {
     "emb_semdedup"         -> QueriesR11.embSemdedup _,
     "docs_sparse_sim_topk" -> QueriesR11.docsSparseSimTopk _,
     "docs_perplexity_buckets" -> QueriesR11.docsPerplexityBuckets _,
+    "events_ewma"          -> QueriesR11.eventsEwma _,
   )
 
   val oracleSql: ListMap[String, String] =
