@@ -76,6 +76,56 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 100L), (2L, 102L)))
   }
 
+  test("stream-stream LEFT OUTER join releases null-extended rows on watermark") {
+    // The outer-join streaming contract: an unmatched left row may
+    // only emit (null-extended) once the watermark proves no future
+    // right row can still match it — emitting earlier would be wrong
+    // (a match could arrive), never emitting would drop it. Spark
+    // gates the release on BOTH watermarks passing the join window.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pu = MemoryStream[(Long, Long, Timestamp)] // (purchase_id, user, ts)
+    val cl = MemoryStream[(Long, Long, Timestamp)] // (click_id, user, ts)
+    val left = pu.toDF().toDF("purchase_id", "user_id", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val right = cl.toDF().toDF("click_id", "c_user", "c_ts")
+      .withWatermark("c_ts", "10 minutes")
+    val joined = left.join(right,
+      col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 purchase has a qualifying click; user 2 has none
+    cl.addData((500L, 1L, ts("2024-01-01 09:30:00")))
+    pu.addData((10L, 1L, ts("2024-01-01 10:00:00")),
+               (11L, 2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("ssoj_out")
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    // the matched row emits promptly; the unmatched one must be HELD
+    // (its match window is still open)
+    assert(afterB1 == Set(10L),
+      s"unmatched row released before the watermark closed it: $afterB1")
+    // batch 2: advance BOTH watermarks far past 10:05 + 1h
+    cl.addData((501L, 9L, ts("2024-01-01 14:00:00")))
+    pu.addData((12L, 9L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    // outer releases ride the NEXT state-eviction pass; nudge once
+    cl.addData((502L, 9L, ts("2024-01-01 14:30:00")))
+    pu.addData((13L, 9L, ts("2024-01-01 14:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssoj_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(rows(10L) == 500L)
+    assert(rows.contains(11L) && rows(11L) == -1L,
+      s"unmatched purchase never released as a null-extended row: $rows")
+  }
+
   test("streaming dropDuplicates keeps first event per (user, type)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
