@@ -66,10 +66,15 @@ object QueriesR6 {
     * NATION_3, per order year. Seven relations, nation again in two
     * roles (supplier's nation for the share numerator, customer's
     * nation→region for the market filter). All dimensions (part
-    * filtered to one type, supplier+nation, nation⋈region) broadcast;
-    * lineitem⋈orders is the one fact-fact shuffle, then orders⋈customer.
-    * Share is a conditional decimal sum over total decimal sum, divided
-    * as doubles then rounded (quotient-then-round — §2.3). */
+    * filtered to one type, supplier+nation, nation⋈region) broadcast.
+    * The customer side contributes MEMBERSHIP only (no output
+    * columns), so it folds into orders as a LEFT SEMI — the q3
+    * respelling: one fact-side join instead of two, no broadcast
+    * hints on the fact path, and at 100 TB the same plan degrades to
+    * shuffle joins instead of OOMing a forced broadcast.
+    * lineitem⋈orders stays the one fact-fact shuffle. Share is a
+    * conditional decimal sum over total decimal sum, divided as
+    * doubles then rounded (quotient-then-round — §2.3). */
   def q8MarketShare(s: SparkSession, d: String): DataFrame = {
     val asiaNations = nation(s, d)
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
@@ -81,12 +86,14 @@ object QueriesR6 {
     val supNat = supplier(s, d)
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ordersAsia = orders(s, d)
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate")
     lineitem(s, d)
       .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")),
             col("l_partkey") === col("p_partkey"))
       .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         coalesce(sum(when(col("supp_nation") === "NATION_3", revDec)),
