@@ -93,6 +93,54 @@ object OracleR11 {
         |FROM o JOIN agg a ON o.user_id = a.user_id AND o.i = a.ti
         |ORDER BY o.event_id""".stripMargin,
 
+    // one-shot direct aggregate on purpose: the Spark side merges two
+    // slice partials, so the hash match PROVES merge ≡ one-shot
+    "agg_incremental_refresh" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*), 6) AS avg_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY year(o_orderdate), o_orderstatus
+        |ORDER BY o_year, o_orderstatus""".stripMargin,
+
+    "dq_profile_drift" ->
+      """WITH prof AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-07-01'
+        |              THEN 'a' ELSE 'b' END AS slice,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS n_null,
+        |    CAST(count(DISTINCT o_totalprice) AS DOUBLE) AS nd,
+        |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT * FROM prof WHERE slice = 'a'),
+        |b AS (SELECT * FROM prof WHERE slice = 'b'),
+        |m AS (
+        |  SELECT 'mean' AS metric, round(a.sm / a.n, 6) AS val_a,
+        |         round(b.sm / b.n, 6) AS val_b FROM a, b
+        |  UNION ALL
+        |  SELECT 'stddev',
+        |         round(sqrt((a.ss - (a.sm / a.n) * a.sm) / a.n), 6),
+        |         round(sqrt((b.ss - (b.sm / b.n) * b.sm) / b.n), 6)
+        |  FROM a, b
+        |  UNION ALL
+        |  SELECT 'null_rate', round(a.n_null / a.n, 6),
+        |         round(b.n_null / b.n, 6) FROM a, b
+        |  UNION ALL SELECT 'n_distinct', a.nd, b.nd FROM a, b
+        |  UNION ALL SELECT 'min', a.mn, b.mn FROM a, b
+        |  UNION ALL SELECT 'max', a.mx, b.mx FROM a, b)
+        |SELECT metric, val_a, val_b,
+        |  round(abs(val_b - val_a) / nullif(abs(val_a), 0.0), 6) AS drift
+        |FROM m ORDER BY metric""".stripMargin,
+
     "docs_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -153,6 +153,99 @@ object QueriesR11 {
       .orderBy("event_id")
   }
 
+  /** Incremental aggregate refresh — the materialized-rollup
+    * maintenance contract: the historical slice and the delta slice
+    * aggregate INDEPENDENTLY to partial states (count / decimal sum /
+    * min / max — all mergeable), and the refresh is a group-merge of
+    * the two partial tables; derived metrics (avg) come off the merged
+    * state as a final quotient. The key pins the merge algebra: the
+    * merged result must hash-equal the oracle's one-shot aggregate
+    * over the whole table.
+    *
+    * Scale shape: at 100 TB the base partial is a persisted artifact
+    * keyed on its slice fingerprint; each refresh scans ONLY the delta
+    * and merges two rollup-sized tables — never re-reads history.
+    * DECIMAL accumulators make the merge order-proof (§2.3). */
+  def aggIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val split = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+               col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"),
+           min("o_totalprice").as("mn"),
+           max("o_totalprice").as("mx"))
+    val o = orders(s, d)
+    val base  = partial(o.filter(col("o_orderdate") < split))
+    val delta = partial(o.filter(col("o_orderdate") >= split))
+    base.unionByName(delta)
+      .groupBy("o_year", "o_orderstatus")
+      .agg(sum("cnt").as("n_orders"),
+           sum("tot").as("tot2"),
+           min("mn").as("min_price"),
+           max("mx").as("max_price"))
+      .select(col("o_year"), col("o_orderstatus"), col("n_orders"),
+        col("tot2").cast("double").as("total_price"),
+        round(col("tot2").cast("double") / col("n_orders"), 6)
+          .as("avg_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
+  /** Column-profile drift between two table slices — the train/serve
+    * skew detector every feature pipeline runs: mean, stddev, null
+    * rate, distinct count, min, max of o_totalprice profiled on the
+    * pre-/post-split slices, emitted as tidy (metric, val_a, val_b,
+    * drift) rows. Moments come from EXACT decimal sums (2dp values →
+    * 4dp squares, both exact), so both engines derive stddev from
+    * bit-identical doubles with the same IEEE op sequence — no
+    * accumulator-order dependence anywhere (§2.3).
+    *
+    * Scale shape: one pass per slice (a single groupBy on the slice
+    * tag), constant-size output; at 100 TB the slices are partitions
+    * and the profile is a map-side-combined aggregate. */
+  def dqProfileDrift(s: SparkSession, d: String): DataFrame = {
+    val split = lit("1997-07-01").cast("timestamp")
+    val prof = orders(s, d)
+      .withColumn("slice",
+        when(col("o_orderdate") < split, "a").otherwise("b"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).as("sm"),
+           sum((col("o_totalprice").cast("decimal(18,2)") *
+                col("o_totalprice").cast("decimal(18,2)"))).as("ss"),
+           sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+             .as("n_null"),
+           countDistinct("o_totalprice").as("nd"),
+           min("o_totalprice").as("mn"),
+           max("o_totalprice").as("mx"))
+      .select(col("slice"),
+        col("n").cast("double").as("n"),
+        col("sm").cast("double").as("sm"),
+        col("ss").cast("double").as("ss"),
+        col("n_null").cast("double").as("n_null"),
+        col("nd").cast("double").as("nd"),
+        col("mn"), col("mx"))
+    val a = prof.filter(col("slice") === "a").drop("slice")
+    val b = prof.filter(col("slice") === "b").drop("slice")
+      .toDF(prof.columns.filter(_ != "slice").map(_ + "_b").toIndexedSeq: _*)
+    a.crossJoin(b)
+      .selectExpr(
+        """stack(6,
+          |'mean',   round(sm / n, 6),  round(sm_b / n_b, 6),
+          |'stddev', round(sqrt((ss - (sm / n) * sm) / n), 6),
+          |          round(sqrt((ss_b - (sm_b / n_b) * sm_b) / n_b), 6),
+          |'null_rate', round(n_null / n, 6), round(n_null_b / n_b, 6),
+          |'n_distinct', nd, nd_b,
+          |'min', mn, mn_b,
+          |'max', mx, mx_b) AS (metric, val_a, val_b)""".stripMargin)
+      .selectExpr("metric", "val_a", "val_b",
+        // nullif: a zero baseline (e.g. null_rate on a null-free
+        // column) yields NULL drift, not a division error
+        "round(abs(val_b - val_a) / nullif(abs(val_a), 0.0), 6) AS drift")
+      .orderBy("metric")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

@@ -218,6 +218,8 @@ object Registry {
     "docs_sparse_sim_topk" -> QueriesR11.docsSparseSimTopk _,
     "docs_perplexity_buckets" -> QueriesR11.docsPerplexityBuckets _,
     "events_ewma"          -> QueriesR11.eventsEwma _,
+    "agg_incremental_refresh" -> QueriesR11.aggIncrementalRefresh _,
+    "dq_profile_drift"     -> QueriesR11.dqProfileDrift _,
   )
 
   val oracleSql: ListMap[String, String] =
