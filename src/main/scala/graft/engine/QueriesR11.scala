@@ -246,6 +246,42 @@ object QueriesR11 {
       .orderBy("metric")
   }
 
+  /** Small-files compaction — the table-maintenance op every lakehouse
+    * schedules: a fragmented layout (64 shard files here; in
+    * production, the residue of streaming micro-batch commits) is
+    * rewritten into target-sized files, and the key RETURNS a content
+    * checksum frame (row count, key sum, decimal value sum, min/max
+    * md5) computed from the COMPACTED layout — hash-matched against
+    * the oracle's direct scan of the source table, so the rewrite is
+    * proven lossless, not assumed. File counts are asserted in
+    * PipelineSpec (an engine fact no SQL oracle can see).
+    *
+    * Scale shape: compaction is a read + write with NO shuffle —
+    * `coalesce` only merges split assignments — so the cost is one
+    * pass over the fragment bytes; at 100 TB it runs per-partition
+    * (compact yesterday's directory, not the table) and commits via
+    * atomic directory swap exactly like the zorder layout artifacts.
+    * The fragmented input is staged once per run (scratch-dir
+    * existence probe), so repeated calls measure compaction, not
+    * staging. */
+  def maintenanceCompact(s: SparkSession, d: String): DataFrame = {
+    val tmp = RunScratch.dir("compact")
+    val small = s"$tmp/small"
+    val compacted = s"$tmp/compacted"
+    val done = new java.io.File(s"$small/_SUCCESS")
+    if (!done.exists())
+      orders(s, d).repartition(64).write.mode("overwrite").parquet(small)
+    s.read.parquet(small).coalesce(2)
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"),
+           sum("o_orderkey").as("key_sum"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+             .as("total_price"),
+           min(md5(col("o_orderkey").cast("string"))).as("md5_min"),
+           max(md5(col("o_orderkey").cast("string"))).as("md5_max"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

@@ -220,6 +220,7 @@ object Registry {
     "events_ewma"          -> QueriesR11.eventsEwma _,
     "agg_incremental_refresh" -> QueriesR11.aggIncrementalRefresh _,
     "dq_profile_drift"     -> QueriesR11.dqProfileDrift _,
+    "maintenance_compact"  -> QueriesR11.maintenanceCompact _,
   )
 
   val oracleSql: ListMap[String, String] =

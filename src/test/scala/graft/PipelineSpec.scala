@@ -94,4 +94,19 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq((100L, Some("7")), (101L, Some("8")),
                             (102L, None)))
   }
+
+  test("maintenance_compact shrinks the file count and preserves content") {
+    // the oracle hash-match pins content; the FILE facts — the whole
+    // point of compaction — are engine-side and asserted here
+    val out = graft.engine.QueriesR11.maintenanceCompact(spark, sfDir)
+      .collect()(0)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val root = graft.engine.RunScratch.dir("compact")
+    val nSmall = parquetFiles(s"$root/small")
+    val nCompact = parquetFiles(s"$root/compacted")
+    assert(nSmall == 64, s"staged fragment layout has $nSmall files")
+    assert(nCompact <= 2, s"compaction left $nCompact files")
+    assert(out.getAs[Long]("n_rows") == 1500L) // sf0.001 orders
+  }
 }
