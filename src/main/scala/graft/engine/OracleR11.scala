@@ -152,6 +152,30 @@ object OracleR11 {
         |  max(md5(CAST(o_orderkey AS VARCHAR))) AS md5_max
         |FROM orders""".stripMargin,
 
+    // brute-force cross filter on purpose: the hash match proves the
+    // grid-binned equi join finds EXACTLY the radius pairs
+    "join_spatial_grid" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.5 AS c_lat,
+        |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180 + 0.5 AS c_lon
+        |  FROM customer
+        |  WHERE abs(CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.5) <= 45),
+        |s AS (SELECT s_suppkey,
+        |    CAST((s_suppkey * 13) % 180 AS DOUBLE) - 90 + 0.5 AS s_lat,
+        |    CAST((s_suppkey * 29) % 360 AS DOUBLE) - 180 + 0.5 AS s_lon
+        |  FROM supplier
+        |  WHERE abs(CAST((s_suppkey * 13) % 180 AS DOUBLE) - 90 + 0.5) <= 45),
+        |p AS (SELECT s.s_suppkey, c.c_custkey,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin((c.c_lat - s.s_lat) * pi() / 180 / 2), 2) +
+        |      cos(s.s_lat * pi() / 180) * cos(c.c_lat * pi() / 180) *
+        |      pow(sin((c.c_lon - s.s_lon) * pi() / 180 / 2), 2))), 4)
+        |      AS dist_km
+        |  FROM s, c)
+        |SELECT s_suppkey, c_custkey, dist_km FROM p
+        |WHERE dist_km <= 1000.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
     "docs_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -282,6 +282,64 @@ object QueriesR11 {
            max(md5(col("o_orderkey").cast("string"))).as("md5_max"))
   }
 
+  /** Spatial radius join by 2-D grid binning — the geo generalization
+    * of `Ops.rangeJoinBinned`: suppliers and customers carry synthetic
+    * deterministic lat/lon (the udf_scalar_haversine convention), and
+    * "within 1000 km" pairs meet through an EQUI join on a (lat-cell,
+    * lon-cell) grid — the smaller side replicated into its 3×3
+    * neighborhood, the bigger side mapped once, exact haversine as the
+    * residual filter. Coverage proof: within the |lat| ≤ 45 band a
+    * 1000 km pair spans ≤ 9.0° of latitude (cell 10°) and ≤ 12.8° of
+    * longitude (cell 15°, at the cos 45° worst case), so ±1 cells
+    * suffice. Longitude WRAPS: cells live on the shifted [0°, 360°)
+    * circle with 360/15 = 24 cells and replicas take pmod 24, so an
+    * antimeridian-crossing pair (lon −179 vs +179 — 2° apart
+    * physically, 358° apart numerically) still meets; 24 > 3 keeps
+    * the three replicas distinct, so each qualifying pair meets in
+    * exactly ONE cell (the customer's own) and no dedup pass is
+    * needed. The band restriction is the
+    * documented production boundary — poleward of it lon-degrees
+    * compress past any fixed grid and the recipe switches to a
+    * coarser polar scheme.
+    *
+    * Scale shape: the cross product never exists — candidates are
+    * 9×|smaller side| replicas equi-joined and hash-partitioned by
+    * cell; skew = the densest cell. Haversine runs as codegen'd SQL
+    * trig (same spelling as the oracle — parity proven by
+    * udf_scalar_haversine), rounded before the radius comparison so
+    * the join membership itself is grid-stable (§2.3). */
+  def joinSpatialGrid(s: SparkSession, d: String): DataFrame = {
+    val dist =
+      "round(2 * 6371.0 * asin(sqrt(" +
+        "pow(sin((c_lat - s_lat) * pi() / 180 / 2), 2) + " +
+        "cos(s_lat * pi() / 180) * cos(c_lat * pi() / 180) * " +
+        "pow(sin((c_lon - s_lon) * pi() / 180 / 2), 2))), 4)"
+    val cust = customer(s, d)
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 180).cast("double") - 90 + 0.5).as("c_lat"),
+        (((col("c_custkey") * 7) % 360).cast("double") - 180 + 0.5).as("c_lon"))
+      .filter(abs(col("c_lat")) <= 45)
+      .withColumn("glat", expr("CAST(floor(c_lat / 10.0) AS BIGINT)"))
+      .withColumn("glon", expr("CAST(floor((c_lon + 180.0) / 15.0) AS BIGINT)"))
+    val supp = supplier(s, d)
+      .select(col("s_suppkey"),
+        (((col("s_suppkey") * 13) % 180).cast("double") - 90 + 0.5).as("s_lat"),
+        (((col("s_suppkey") * 29) % 360).cast("double") - 180 + 0.5).as("s_lon"))
+      .filter(abs(col("s_lat")) <= 45)
+      .withColumn("di", explode(expr("sequence(-1, 1)")))
+      .withColumn("dj", explode(expr("sequence(-1, 1)")))
+      .withColumn("glat", expr("CAST(floor(s_lat / 10.0) AS BIGINT)") + col("di"))
+      .withColumn("glon",
+        pmod(expr("CAST(floor((s_lon + 180.0) / 15.0) AS BIGINT)") + col("dj"),
+             lit(24L)))
+      .drop("di", "dj")
+    supp.join(cust, Seq("glat", "glon"))
+      .withColumn("dist_km", expr(dist))
+      .filter(col("dist_km") <= 1000.0)
+      .select("s_suppkey", "c_custkey", "dist_km")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

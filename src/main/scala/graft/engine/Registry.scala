@@ -221,6 +221,7 @@ object Registry {
     "agg_incremental_refresh" -> QueriesR11.aggIncrementalRefresh _,
     "dq_profile_drift"     -> QueriesR11.dqProfileDrift _,
     "maintenance_compact"  -> QueriesR11.maintenanceCompact _,
+    "join_spatial_grid"    -> QueriesR11.joinSpatialGrid _,
   )
 
   val oracleSql: ListMap[String, String] =

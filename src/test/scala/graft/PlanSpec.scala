@@ -364,6 +364,15 @@ class PlanSpec extends SparkTestBase {
       s"term index join missing:\n$p")
   }
 
+  test("spatial radius join stays an equi join on the grid cell") {
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"spatial join degraded to a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"grid equi join missing:\n$p")
+  }
+
   test("semdedup broadcasts the codebook and equi-joins within cells") {
     val p = plan("emb_semdedup")
     // assignment: the 16-row codebook must arrive as a broadcast, and
