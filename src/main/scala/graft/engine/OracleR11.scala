@@ -176,6 +176,29 @@ object OracleR11 {
         |WHERE dist_km <= 1000.0
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
+    "docs_pmi_cooccur" ->
+      """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+        |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |        FROM documents) t),
+        |pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id
+        |   AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        |cxy AS (SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2),
+        |cx AS (SELECT w, count(*) AS c_x FROM tok GROUP BY w),
+        |tot AS (SELECT (SELECT count(*) FROM tok) AS n_tok,
+        |               (SELECT count(*) FROM pairs) AS n_pair)
+        |SELECT p.w1, p.w2, p.c_xy,
+        |  round(ln((CAST(p.c_xy AS DOUBLE) * t.n_tok * t.n_tok) /
+        |           (CAST(t.n_pair AS DOUBLE) * x1.c_x * x2.c_x)), 6) AS pmi
+        |FROM cxy p
+        |JOIN cx x1 ON p.w1 = x1.w
+        |JOIN cx x2 ON p.w2 = x2.w, tot t
+        |WHERE p.c_xy >= 5
+        |ORDER BY pmi DESC, p.w1, p.w2
+        |LIMIT 50""".stripMargin,
+
     "docs_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

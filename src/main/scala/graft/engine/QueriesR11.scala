@@ -340,6 +340,48 @@ object QueriesR11 {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** Skip-gram co-occurrence with PMI — the statistic embedding
+    * pipelines precompute (word2vec negative-sampling tables, PMI
+    * matrices for SVD embeddings): token pairs within a ±2 window
+    * counted per unordered pair, PMI = ln(c_xy·N² / (P·c_x·c_y)),
+    * noise-floored at c_xy ≥ 5, global top-50 by (rounded PMI, pair).
+    *
+    * Scale shape: the pair join keys on doc_id, so its fan-out is
+    * bounded by document length (window × tokens per doc), never the
+    * corpus; the count tables are one map-side-combined shuffle each;
+    * the two scalar totals broadcast. At 100 TB the position join
+    * becomes the banded (doc, pos div B) equi join — same recipe as
+    * rangeJoinBinned — and the top-50 is a bounded TopK. Determinism
+    * (§2.3): counts are exact integers, the PMI expression is ONE
+    * identical double op-sequence on both engines, ranking is over
+    * the ROUNDED value with full pair tie-break. */
+  def docsPmiCooccur(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + 2)
+      .select(least(col("a.w"), col("b.w")).as("w1"),
+              greatest(col("a.w"), col("b.w")).as("w2"))
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = tok.groupBy("w").agg(count(lit(1)).as("c_x"))
+    val totals = tok.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pair")))
+    cxy
+      .join(cx.select(col("w").as("w1"), col("c_x").as("c1")), "w1")
+      .join(cx.select(col("w").as("w2"), col("c_x").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .filter(col("c_xy") >= 5)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(expr(
+          "ln((CAST(c_xy AS DOUBLE) * n_tok * n_tok) / " +
+            "(CAST(n_pair AS DOUBLE) * c1 * c2))"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

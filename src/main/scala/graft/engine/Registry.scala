@@ -222,6 +222,7 @@ object Registry {
     "dq_profile_drift"     -> QueriesR11.dqProfileDrift _,
     "maintenance_compact"  -> QueriesR11.maintenanceCompact _,
     "join_spatial_grid"    -> QueriesR11.joinSpatialGrid _,
+    "docs_pmi_cooccur"     -> QueriesR11.docsPmiCooccur _,
   )
 
   val oracleSql: ListMap[String, String] =
