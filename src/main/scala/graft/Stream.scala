@@ -136,6 +136,30 @@ object Stream {
           .select(col("purchase_id"), col("click_id"), col("user_id"),
                   col("p_ts"), col("c_ts"), col("value"))
       },
+      // Outer attribution — the same bounded-state join, LEFT OUTER:
+      // purchases with no qualifying click must still reach the sink
+      // (null click columns), released only once BOTH watermarks prove
+      // no future click can match (StreamingSpec pins the gating).
+      // For a bounded AvailableNow drain that means trailing unmatched
+      // purchases stay in state — correct holdback, same as the
+      // windowed sinks; a later run with newer data releases them.
+      "attribution_outer" -> {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+                  col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts").as("p_ts"), col("value"))
+          .withWatermark("p_ts", "1 hour")
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+            "leftOuter")
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+                  col("p_ts"), col("c_ts"), col("value"))
+      },
       // Arbitrary stateful processing (§7.5): the per-user conversion
       // funnel as a flatMapGroupsWithState machine — the API for
       // semantics no built-in windowing expresses. State is three

@@ -255,7 +255,12 @@ class StreamingSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
-      Set("tumbling", "sessions", "dedup", "attribution", "funnel"))
+      Set("tumbling", "sessions", "dedup", "attribution",
+          "attribution_outer", "funnel"))
+    // outer ⊇ inner: every matched pair must also reach the outer sink
+    // (its null-extension rows are EXTRA, gated by the watermark)
+    assert(counts("attribution_outer") >= counts("attribution"),
+      s"outer sink smaller than inner: $counts")
     // the stream-stream interval join is an INNER join: matched rows
     // emit when both sides are seen, so a bounded drain must equal the
     // batch spelling of the same join pair-for-pair
