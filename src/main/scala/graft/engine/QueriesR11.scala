@@ -76,7 +76,10 @@ object QueriesR11 {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df falls out of tf for free: tf has exactly one row per distinct
+    // (doc, term), so rows-per-term IS the document frequency — no
+    // second tokenization pass over the corpus
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n"))
     val w = tf.join(dfq, "term").crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n"))
