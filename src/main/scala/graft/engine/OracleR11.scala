@@ -176,6 +176,16 @@ object OracleR11 {
         |WHERE dist_km <= 1000.0
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
+    // restates F from the source: only a write that replaced EXACTLY
+    // the F partition (kept O/P, didn't append) can match this
+    "sink_partition_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |           CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)
+        |       AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "docs_pmi_cooccur" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w,

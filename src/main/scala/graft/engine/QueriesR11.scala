@@ -385,6 +385,45 @@ object QueriesR11 {
       .limit(50)
   }
 
+  /** Dynamic partition overwrite — the lakehouse write-path contract
+    * `sink_partitioned` doesn't cover: a corrected batch for ONE
+    * partition (status F, prices restated ×2) is written with
+    * `partitionOverwriteMode=dynamic`, which must replace exactly the
+    * partitions present in the batch and leave every other partition's
+    * files untouched. The read-back aggregate hash-matches an oracle
+    * that restates F from the source table — so wiping the untouched
+    * partitions (static-overwrite semantics) or appending instead of
+    * replacing both break the hash.
+    *
+    * Scale shape: this is THE idiom for backfilling one day out of a
+    * 100 TB date-partitioned table — the job writes the corrected
+    * day and the commit touches one directory; everything else is
+    * never read or rewritten. Restatement ×2 is exact on the 2dp
+    * DECIMAL grid (§2.3). */
+  def sinkPartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = RunScratch.dir("dpo_orders")
+    val o = orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+             .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

@@ -223,6 +223,7 @@ object Registry {
     "maintenance_compact"  -> QueriesR11.maintenanceCompact _,
     "join_spatial_grid"    -> QueriesR11.joinSpatialGrid _,
     "docs_pmi_cooccur"     -> QueriesR11.docsPmiCooccur _,
+    "sink_partition_overwrite" -> QueriesR11.sinkPartitionOverwrite _,
   )
 
   val oracleSql: ListMap[String, String] =
