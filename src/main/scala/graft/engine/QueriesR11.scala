@@ -179,8 +179,13 @@ object QueriesR11 {
            min("o_totalprice").as("mn"),
            max("o_totalprice").as("mx"))
     val o = orders(s, d)
+    // the two slices must PARTITION the table: a bare </>= pair drops
+    // NULL-dated rows from both sides while the one-shot oracle keeps
+    // them, silently breaking the merge ≡ one-shot proof — nulls ride
+    // with the delta
     val base  = partial(o.filter(col("o_orderdate") < split))
-    val delta = partial(o.filter(col("o_orderdate") >= split))
+    val delta = partial(o.filter(
+      col("o_orderdate").isNull || col("o_orderdate") >= split))
     base.unionByName(delta)
       .groupBy("o_year", "o_orderstatus")
       .agg(sum("cnt").as("n_orders"),
@@ -209,30 +214,30 @@ object QueriesR11 {
     * and the profile is a map-side-combined aggregate. */
   def dqProfileDrift(s: SparkSession, d: String): DataFrame = {
     val split = lit("1997-07-01").cast("timestamp")
-    val prof = orders(s, d)
-      .withColumn("slice",
-        when(col("o_orderdate") < split, "a").otherwise("b"))
-      .groupBy("slice")
-      .agg(count(lit(1)).as("n"),
-           sum(col("o_totalprice").cast("decimal(18,2)")).as("sm"),
-           sum((col("o_totalprice").cast("decimal(18,2)") *
-                col("o_totalprice").cast("decimal(18,2)"))).as("ss"),
-           sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
-             .as("n_null"),
-           countDistinct("o_totalprice").as("nd"),
-           min("o_totalprice").as("mn"),
-           max("o_totalprice").as("mx"))
-      .select(col("slice"),
-        col("n").cast("double").as("n"),
-        col("sm").cast("double").as("sm"),
-        col("ss").cast("double").as("ss"),
-        col("n_null").cast("double").as("n_null"),
-        col("nd").cast("double").as("nd"),
-        col("mn"), col("mx"))
-    val a = prof.filter(col("slice") === "a").drop("slice")
-    val b = prof.filter(col("slice") === "b").drop("slice")
-      .toDF(prof.columns.filter(_ != "slice").map(_ + "_b").toIndexedSeq: _*)
-    a.crossJoin(b)
+    // ONE pass over the table: conditional aggregates compute both
+    // slices' profiles side by side — filtering a per-slice groupBy
+    // into two branches would re-run the whole scan+aggregate per
+    // branch, doubling the dominant cost at the documented scale
+    val inA = col("o_orderdate") < split
+    // null-safe complement: a NULL date lands in slice b (the old
+    // otherwise("b") semantics), not in neither slice
+    val inB = !coalesce(inA, lit(false))
+    def sliced(cond: org.apache.spark.sql.Column, suffix: String) = Seq(
+      count(when(cond, lit(1))).cast("double").as("n" + suffix),
+      sum(when(cond, col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double").as("sm" + suffix),
+      sum(when(cond, col("o_totalprice").cast("decimal(18,2)") *
+                     col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double").as("ss" + suffix),
+      sum(when(cond && col("o_totalprice").isNull, 1L).otherwise(0L))
+        .cast("double").as("n_null" + suffix),
+      countDistinct(when(cond, col("o_totalprice"))).cast("double")
+        .as("nd" + suffix),
+      min(when(cond, col("o_totalprice"))).as("mn" + suffix),
+      max(when(cond, col("o_totalprice"))).as("mx" + suffix))
+    val cols = sliced(inA, "") ++ sliced(inB, "_b")
+    orders(s, d)
+      .agg(cols.head, cols.tail: _*)
       .selectExpr(
         """stack(6,
           |'mean',   round(sm / n, 6),  round(sm_b / n_b, 6),
@@ -268,7 +273,10 @@ object QueriesR11 {
     * existence probe), so repeated calls measure compaction, not
     * staging. */
   def maintenanceCompact(s: SparkSession, d: String): DataFrame = {
-    val tmp = RunScratch.dir("compact")
+    // scratch keyed on the DATASET too: a per-JVM "compact" dir would
+    // hand a second scale factor the first one's staged fragments
+    val tmp = RunScratch.dir(
+      "compact_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     val small = s"$tmp/small"
     val compacted = s"$tmp/compacted"
     val done = new java.io.File(s"$small/_SUCCESS")

@@ -102,7 +102,8 @@ class PipelineSpec extends SparkTestBase {
       .collect()(0)
     def parquetFiles(p: String): Int =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
-    val root = graft.engine.RunScratch.dir("compact")
+    val root = graft.engine.RunScratch.dir(
+      "compact_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
     val nSmall = parquetFiles(s"$root/small")
     val nCompact = parquetFiles(s"$root/compacted")
     assert(nSmall == 64, s"staged fragment layout has $nSmall files")
