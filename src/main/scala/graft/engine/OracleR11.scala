@@ -186,6 +186,21 @@ object OracleR11 {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    "emb_matryoshka_eval" ->
+      """WITH pv AS (
+        |  SELECT k.k AS dims,
+        |    round(sqrt(list_aggregate(list_transform(
+        |            list_slice(embedding, 1, k.k),
+        |            x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |        / sqrt(list_aggregate(list_transform(embedding,
+        |            x -> CAST(x AS DOUBLE) * x), 'sum')), 6) AS ret
+        |  FROM embeddings, (VALUES (8), (16), (32), (64)) k(k))
+        |SELECT dims,
+        |  round(CAST(sum(CAST(round(ret, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |        / count(*), 6) AS avg_retention,
+        |  min(ret) AS min_retention
+        |FROM pv GROUP BY dims ORDER BY dims""".stripMargin,
+
     "docs_pmi_cooccur" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w,

@@ -432,6 +432,40 @@ object QueriesR11 {
       .orderBy("o_orderstatus")
   }
 
+  /** Matryoshka truncation audit — the dimension-budget table a
+    * deployment reads before serving truncated embeddings (the MRL
+    * recipe: store 64 dims, serve a prefix): for each prefix budget
+    * k ∈ {8,16,32,64}, per-vector energy retention ‖x[:k]‖/‖x‖ —
+    * which IS cos(x, zero-padded x[:k]) — aggregated to mean and
+    * worst-case per k.
+    *
+    * Determinism (§2.3): the per-vector norms fold the array in index
+    * order on both engines (the cosinePair precedent), the per-vector
+    * retention is rounded to 6dp, and the corpus mean accumulates the
+    * 1e-9-grid DECIMAL of those rounded values — order-proof. Scale
+    * shape: one narrow scan of the vector column, map-side everything,
+    * a 4-row output; at 100 TB this is a single pass with a constant
+    * aggregate state. */
+  def embMatryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val perVec = e.select(
+      explode(expr(
+        "transform(array(8, 16, 32, 64), k -> struct(k AS dims, " +
+          "round(sqrt(aggregate(slice(embedding, 1, k), 0D, " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * x)) / " +
+          "sqrt(aggregate(embedding, 0D, " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * x)), 6) AS ret))"))
+        .as("r"))
+      .select(col("r.dims").as("dims"), col("r.ret").as("ret"))
+    perVec
+      .groupBy("dims")
+      .agg(
+        round(sum(expr("CAST(round(ret, 9) AS DECIMAL(28,9))"))
+          .cast("double") / count(lit(1)), 6).as("avg_retention"),
+        min("ret").as("min_retention"))
+      .orderBy("dims")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

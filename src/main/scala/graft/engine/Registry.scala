@@ -224,6 +224,7 @@ object Registry {
     "join_spatial_grid"    -> QueriesR11.joinSpatialGrid _,
     "docs_pmi_cooccur"     -> QueriesR11.docsPmiCooccur _,
     "sink_partition_overwrite" -> QueriesR11.sinkPartitionOverwrite _,
+    "emb_matryoshka_eval"  -> QueriesR11.embMatryoshkaEval _,
   )
 
   val oracleSql: ListMap[String, String] =
