@@ -92,7 +92,48 @@ object Stream {
     engine.Tables.repairTs(spark.readStream.schema(schema).parquet(inDir))
   }
 
-  /** The five deployed queries, keyed by sink name. */
+  /** Per-user trailing window for the streaming EWMA: the 31 previous
+    * values, most recent first — BOUNDED state (≤32 doubles per user),
+    * which is what makes the truncated-EWMA definition deployable as a
+    * resident job where the exact recursive form would still be O(1)
+    * but the batch key's 32-lag spelling maps 1:1 onto this buffer. */
+  case class EwmaState(prev: List[Double])
+
+  case class EwmaPoint(event_id: Long, user_id: Long, us: Long,
+                       value: Double, m: Long, ewma: Double)
+
+  /** One user's EWMA step: replay this batch's events in (ts,
+    * event_id) order (the batch key's row_number order), compute each
+    * point's truncated exponentially-weighted mean with EXACTLY the
+    * batch arithmetic — per-term round to the 1e-9 grid, exact
+    * BigDecimal accumulation, closed-form denominator, final 6dp
+    * HALF_UP round (Spark's round() semantics) — so a bounded
+    * AvailableNow drain reproduces graft.engine.QueriesR11.eventsEwma
+    * row-for-row. */
+  private[graft] def ewmaStep(
+      uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+      state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    def r9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var buf = state.getOption.map(_.prev).getOrElse(Nil)
+    val out = rows.toSeq
+      .sortBy(r => (r._3, r._1))               // (ts micros, event_id)
+      .map { case (eid, user, us, x) =>
+        val window = x :: buf                   // lag 0 = current
+        val m = window.size                     // ≤ 32 by construction
+        val num = window.zipWithIndex
+          .map { case (v, k) => r9(v * math.pow(2.0, -k)) }.sum
+        val denom = 2.0 - math.pow(2.0, 1.0 - m)
+        buf = window.take(31)
+        EwmaPoint(eid, user, us, x, m.toLong, r6(num.toDouble / denom))
+      }
+    state.update(EwmaState(buf))
+    out.iterator
+  }
+
+  /** The deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
     Map(
@@ -159,6 +200,24 @@ object Stream {
             "leftOuter")
           .select(col("purchase_id"), col("click_id"), col("user_id"),
                   col("p_ts"), col("c_ts"), col("value"))
+      },
+      // Numeric bounded state: the streaming twin of the batch
+      // events_ewma key — per-user 32-value trailing buffer, identical
+      // arithmetic, so the drain test asserts sink ≡ batch
+      // row-for-row. At 100 TB state is 32 doubles per ACTIVE user,
+      // partitioned across the cluster.
+      "ewma" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("us"), col("value"))
+          .as[(Long, Long, Long, Double)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(ewmaStep)
+          .select(col("event_id"), col("user_id"),
+                  timestamp_micros(col("us")).as("ts"),
+                  col("value"), col("m"), col("ewma"))
       },
       // Arbitrary stateful processing (§7.5): the per-user conversion
       // funnel as a flatMapGroupsWithState machine — the API for

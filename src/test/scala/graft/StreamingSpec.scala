@@ -256,7 +256,19 @@ class StreamingSpec extends SparkTestBase {
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel"))
+          "attribution_outer", "funnel", "ewma"))
+    // the EWMA state machine replays per-user events in (ts, event_id)
+    // order with the batch key's exact arithmetic — a bounded drain
+    // must equal the batch result row-for-row
+    val batchEwma = graft.engine.QueriesR11.eventsEwma(spark, sfDir)
+      .select("event_id", "m", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sinkEwma = spark.read.parquet(s"$out/ewma")
+      .select("event_id", "m", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sinkEwma == batchEwma,
+      s"ewma sink diverged from batch: sink-only=${(sinkEwma -- batchEwma).take(3)}, " +
+        s"batch-only=${(batchEwma -- sinkEwma).take(3)}")
     // outer ⊇ inner: every matched pair must also reach the outer sink
     // (its null-extension rows are EXTRA, gated by the watermark)
     assert(counts("attribution_outer") >= counts("attribution"),
