@@ -28,6 +28,20 @@ class FixtureShapeSpec extends SparkTestBase {
     }
   }
 
+  test("dimension tables hold their fixed shapes at every SF") {
+    // orders/lineitem scale; these five must NOT (a regeneration that
+    // resizes a dimension breaks FK profiles silently otherwise)
+    for ((d, _, _, _, ord, _) <- shapes) {
+      assert(engine.Tables.region(spark, d).count() == 5L, s"$d region")
+      assert(engine.Tables.nation(spark, d).count() == 25L, s"$d nation")
+      assert(engine.Tables.customer(spark, d).count() == ord / 10,
+        s"$d customer (≈ orders/10)")
+      assert(engine.Tables.supplier(spark, d).count() == ord / 150,
+        s"$d supplier")
+      assert(engine.Tables.part(spark, d).count() == ord * 2 / 15, s"$d part")
+    }
+  }
+
   test("events.ts scanned type is a repairTs-supported encoding at every SF") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for ((d, _, _, _, _, _) <- shapes) {
