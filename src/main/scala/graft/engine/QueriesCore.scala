@@ -109,18 +109,34 @@ object QueriesCore {
 
   /** TPC-H Q5 shape: 6-way join chain through a region filter. */
   def q5MultiwayJoin(s: SparkSession, d: String): DataFrame = {
-    val r = region(s, d).filter(col("r_name") === "ASIA")
     val o = orders(s, d).filter(
       col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
       col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    // The ASIA restriction is transitive: c_nationkey = s_nationkey =
+    // n_nationkey and nation⋈region(ASIA) force BOTH the customer and
+    // the supplier into ASIA nations — but Catalyst cannot derive
+    // that from a filter sitting above the final join, so push it by
+    // hand: dims shrink 5× BEFORE the fact joins, which prunes the
+    // c⋈o build and the lineitem probe by the same factor. Identical
+    // result set (rows outside ASIA never survived the region join).
+    val asiaN = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = supplier(s, d)
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
     customer(s, d)
+      .join(broadcast(asiaN.select(col("n_nationkey").as("c_nk"))),
+            col("c_nationkey") === col("c_nk"), "left_semi")
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(supplier(s, d),
+      // sup is supplier-sized (a dim), but its post-join stats are
+      // opaque to the static planner — hint the broadcast it would
+      // have picked from the raw table's size
+      .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
-      .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
              .as("revenue"))
