@@ -201,6 +201,16 @@ object OracleR11 {
         |  min(ret) AS min_retention
         |FROM pv GROUP BY dims ORDER BY dims""".stripMargin,
 
+    // checksums the SOURCE texts (same newline flattening): a match
+    // proves the gzip text round-trip preserved every line
+    "scan_text_gzip" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(regexp_replace(text, '[\r\n]', ' ', 'g')))
+        |       AS BIGINT) AS total_chars,
+        |  min(md5(regexp_replace(text, '[\r\n]', ' ', 'g'))) AS md5_min,
+        |  max(md5(regexp_replace(text, '[\r\n]', ' ', 'g'))) AS md5_max
+        |FROM documents""".stripMargin,
+
     "docs_pmi_cooccur" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w,

@@ -466,6 +466,34 @@ object QueriesR11 {
       .orderBy("dims")
   }
 
+  /** Gzipped raw-text ingestion — the missing source format after
+    * parquet/json/csv/orc, and the one LLM corpora actually arrive
+    * on (CommonCrawl WET shards are exactly this: one gzip stream of
+    * newline-delimited text per shard). The corpus round-trips
+    * through a one-file gzip .txt (newlines flattened so the
+    * line↔document mapping is exact) and the read-back is checksummed
+    * against the source table through the oracle.
+    *
+    * Scale note the operator models honestly: gzip is NOT splittable
+    * — one stream = one task — so at 100 TB parallelism comes from
+    * shard COUNT (thousands of WET files), not intra-file splits;
+    * re-compress to zstd/bgzip or explode the shard count before
+    * expecting intra-file parallelism. */
+  def scanTextGzip(s: SparkSession, d: String): DataFrame = {
+    val tmp = RunScratch.dir(
+      "textgz_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val flat = regexp_replace(col("text"), "[\\r\\n]", " ")
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      documents(s, d).select(flat.as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+           sum(length(col("value"))).as("total_chars"),
+           min(md5(col("value"))).as("md5_min"),
+           max(md5(col("value"))).as("md5_max"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

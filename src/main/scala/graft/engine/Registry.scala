@@ -225,6 +225,7 @@ object Registry {
     "docs_pmi_cooccur"     -> QueriesR11.docsPmiCooccur _,
     "sink_partition_overwrite" -> QueriesR11.sinkPartitionOverwrite _,
     "emb_matryoshka_eval"  -> QueriesR11.embMatryoshkaEval _,
+    "scan_text_gzip"       -> QueriesR11.scanTextGzip _,
   )
 
   val oracleSql: ListMap[String, String] =
