@@ -211,6 +211,14 @@ object OracleR11 {
         |  max(md5(regexp_replace(text, '[\r\n]', ' ', 'g'))) AS md5_max
         |FROM documents""".stripMargin,
 
+    // the construction plants exactly 7 malformed lines among the
+    // documents rows; parsing must recover every good row's n_chars
+    "scan_json_corrupt" ->
+      """SELECT count(*) AS n_good,
+        |  CAST(7 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_good
+        |FROM documents""".stripMargin,
+
     "docs_pmi_cooccur" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w,

@@ -494,6 +494,42 @@ object QueriesR11 {
            max(md5(col("value"))).as("md5_max"))
   }
 
+  /** Corrupt-tolerant JSON ingestion — the PERMISSIVE-mode contract a
+    * web-scale crawl feed needs: a JSONL shard with seven planted
+    * malformed lines reads under
+    * `columnNameOfCorruptRecord=_corrupt_record`, good rows parse,
+    * bad rows land whole in the corrupt column, and the key returns
+    * (n_good, n_corrupt, chars_good) — hash-matched against an oracle
+    * that knows the construction, so silently DROPPING bad rows
+    * (FAILFAST would throw; DROPMALFORMED would under-count) or
+    * mis-parsing good ones both break the match.
+    *
+    * Scale note: PERMISSIVE is the only mode that lets a 100 TB
+    * ingest quarantine garbage rows for audit instead of either
+    * crashing the job or silently shrinking the corpus. */
+  def scanJsonCorrupt(s: SparkSession, d: String): DataFrame = {
+    val tmp = RunScratch.dir(
+      "jsoncorrupt_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+      val good = documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+          .as("value"))
+      val bad = s.range(7)
+        .select(concat(lit("{\"doc_id\": #broken"), col("id")).as("value"))
+      good.unionAll(bad).coalesce(1).write.mode("overwrite").text(tmp)
+    }
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .agg(
+        count(when(col("_corrupt_record").isNull, lit(1))).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars")))
+          .as("chars_good"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

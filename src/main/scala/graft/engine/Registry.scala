@@ -226,6 +226,7 @@ object Registry {
     "sink_partition_overwrite" -> QueriesR11.sinkPartitionOverwrite _,
     "emb_matryoshka_eval"  -> QueriesR11.embMatryoshkaEval _,
     "scan_text_gzip"       -> QueriesR11.scanTextGzip _,
+    "scan_json_corrupt"    -> QueriesR11.scanJsonCorrupt _,
   )
 
   val oracleSql: ListMap[String, String] =
