@@ -219,6 +219,28 @@ object OracleR11 {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_good
         |FROM documents""".stripMargin,
 
+    "agg_mode_exact" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "docs_sentence_split" ->
+      """WITH sents AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+\s*'), t -> trim(t)),
+        |      t -> t != '') AS l
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+        |  CAST(len(string_split(l[i], ' ')) AS INTEGER) AS n_tokens,
+        |  md5(l[i]) AS sent_md5
+        |FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |      FROM sents) t
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+
     "docs_pmi_cooccur" ->
       """WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w,

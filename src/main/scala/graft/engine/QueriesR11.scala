@@ -530,6 +530,43 @@ object QueriesR11 {
           .as("chars_good"))
   }
 
+  /** Exact per-group mode with a PINNED tie rule (highest count,
+    * then smallest value) — engines' built-in mode()/any-mode
+    * functions tie-break arbitrarily, so the portable spelling is
+    * count → rank → rn=1. Two map-side-combined shuffles; the rank
+    * window partitions by group, so at 100 TB the cost is the
+    * (group, value) aggregate, never a global sort. */
+  def aggModeExact(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+              col("cnt").as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sentence segmentation — the text-pipeline precursor to chunking
+    * (`docs_chunk_windows` slices token windows; this slices MEANING
+    * units): split on sentence-final punctuation runs, drop empty
+    * fragments, emit (doc_id, sent_idx, n_tokens, sentence md5) rows
+    * plus keep the doc-level sentence count derivable by the
+    * consumer. Pure map-side explode — zero shuffles before the
+    * output sort. */
+  def docsSentenceSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "filter(transform(split(text, '[.!?]+\\\\s*'), t -> trim(t)), " +
+            "t -> t != '')")))
+      .select(col("doc_id"), col("pos").as("sent_idx"),
+        size(split(col("col"), " ")).as("n_tokens"),
+        md5(col("col")).as("sent_md5"))
+      .orderBy("doc_id", "sent_idx")
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

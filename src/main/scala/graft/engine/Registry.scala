@@ -227,6 +227,8 @@ object Registry {
     "emb_matryoshka_eval"  -> QueriesR11.embMatryoshkaEval _,
     "scan_text_gzip"       -> QueriesR11.scanTextGzip _,
     "scan_json_corrupt"    -> QueriesR11.scanJsonCorrupt _,
+    "agg_mode_exact"       -> QueriesR11.aggModeExact _,
+    "docs_sentence_split"  -> QueriesR11.docsSentenceSplit _,
   )
 
   val oracleSql: ListMap[String, String] =
