@@ -19,7 +19,36 @@ object OracleR11 {
       |       * sqrt(list_aggregate(list_transform(b.embedding,
       |           x -> CAST(x AS DOUBLE) * x), 'sum')))""".stripMargin
 
+  /** One power iteration over `e(vec_id, x)` given `v$p(v)` →
+    * `v$i(v)`; same rounding ladder as the Spark kernel. */
+  private def pcaIter(i: Int, p: String): String =
+    s"""s$i AS (SELECT e.vec_id, e.x,
+       |    round(list_aggregate(list_transform(list_zip(e.x, vv.v),
+       |      q -> q[1] * q[2]), 'sum'), 6) AS sc
+       |  FROM e, v$p vv),
+       |t$i AS (SELECT j, CAST(round(xj * sc, 9) AS DECIMAL(28,9)) AS t
+       |  FROM (SELECT sc, unnest(x) AS xj,
+       |          unnest(range(1, len(x) + 1)) AS j FROM s$i) q),
+       |w$i AS (SELECT j, CAST(sum(t) AS DOUBLE) AS wj FROM t$i GROUP BY j),
+       |a$i AS (SELECT list(wj ORDER BY j) AS w FROM w$i),
+       |v$i AS (SELECT list_transform(w, y -> round(y /
+       |    sqrt(list_aggregate(list_transform(w, z -> z * z), 'sum')), 6))
+       |    AS v FROM a$i)""".stripMargin
+
   val sql: ListMap[String, String] = ListMap(
+    "emb_pca_power" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |v0 AS (SELECT list_transform(x, y -> round(y /
+        |    sqrt(list_aggregate(list_transform(x, z -> z * z), 'sum')), 6))
+        |    AS v FROM e WHERE vec_id = 0),
+        |${pcaIter(1, "0")},
+        |${pcaIter(2, "1")},
+        |${pcaIter(3, "2")}
+        |SELECT CAST(j - 1 AS INTEGER) AS dim, v[j] AS loading
+        |FROM (SELECT v, unnest(range(1, len(v) + 1)) AS j FROM v3) t
+        |ORDER BY dim""".stripMargin,
     "emb_semdedup" ->
       s"""WITH ${OracleKmeans.codebookCtes},
         |rnk AS (SELECT a.vec_id, b.cid,

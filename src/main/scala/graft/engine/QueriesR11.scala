@@ -567,6 +567,46 @@ object QueriesR11 {
         md5(col("col")).as("sent_md5"))
       .orderBy("doc_id", "sent_idx")
 
+  /** Top principal component by THREE unrolled power iterations — the
+    * PCA-whitening precursor an embedding pipeline runs before
+    * quantization: v ← normalize(Σᵢ xᵢ(xᵢ·v)), seeded from vector 0
+    * normalized (deterministic sign and start). Every step is pinned
+    * by the kmeans-oracle discipline: per-vector scores rounded to
+    * 6dp, per-dim accumulation on the 1e-9 DECIMAL grid (order-proof
+    * across partitions), the 64-dim reduce collected in dim order and
+    * folded index-wise for the norm, components rounded to 6dp.
+    *
+    * Scale shape: each iteration is ONE corpus pass — broadcast the
+    * 64-double vector, map-side score + explode, one shuffle on the
+    * 64 dims — so cost is 3 scans regardless of corpus size; the
+    * driver only ever holds 64 doubles. */
+  def embPcaPower(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+    def normalize(wf: DataFrame): DataFrame = wf.select(expr(
+      "transform(w, y -> round(y / sqrt(aggregate(w, 0D, " +
+        "(acc, z) -> acc + z * z)), 6)) AS v"))
+    var v = normalize(e.filter(col("vec_id") === 0).select(col("x").as("w")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val w = e.crossJoin(broadcast(v))
+        .withColumn("sc", round(expr(
+          "aggregate(zip_with(x, v, (a, b) -> a * b), 0D, " +
+            "(acc, y) -> acc + y)"), 6))
+        .select(col("sc"), posexplode(col("x")))
+        .select(col("pos").as("j"),
+          expr("CAST(round(col * sc, 9) AS DECIMAL(28,9))").as("t"))
+        .groupBy("j").agg(sum("t").cast("double").as("wj"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(j, wj))), p -> p.wj)")
+          .as("w"))
+      v = normalize(w).localCheckpoint(true)
+    }
+    v.select(posexplode(col("v")))
+      .select(col("pos").as("dim"), col("col").as("loading"))
+      .orderBy("dim")
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained unigram LM (EXACTLY the docs_lm_score derivation —
     * add-one smoothing, 1e-9-grid DECIMAL accumulator), then split

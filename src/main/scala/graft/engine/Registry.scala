@@ -229,6 +229,7 @@ object Registry {
     "scan_json_corrupt"    -> QueriesR11.scanJsonCorrupt _,
     "agg_mode_exact"       -> QueriesR11.aggModeExact _,
     "docs_sentence_split"  -> QueriesR11.docsSentenceSplit _,
+    "emb_pca_power"        -> QueriesR11.embPcaPower _,
   )
 
   val oracleSql: ListMap[String, String] =
