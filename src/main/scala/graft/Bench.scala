@@ -70,7 +70,7 @@ object Bench {
       name -> sec
     }
     def jstr(s: String): String = JsonOut.str(s)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")

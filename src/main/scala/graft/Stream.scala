@@ -206,6 +206,15 @@ object Stream {
       // arithmetic, so the drain test asserts sink ≡ batch
       // row-for-row. At 100 TB state is 32 doubles per ACTIVE user,
       // partitioned across the cluster.
+      // ORDERING INVARIANT: ewmaStep sorts by (ts, event_id) WITHIN a
+      // microbatch only — batch-equivalence therefore requires each
+      // user's events to arrive in (ts, event_id) order ACROSS
+      // microbatches. runAll guarantees this by staging ONE input
+      // file with no maxFilesPerTrigger (single microbatch, asserted
+      // there); a resident deployment feeding multiple out-of-order
+      // files per user would diverge from the batch key and must
+      // instead buffer on event-time watermark before applying the
+      // recurrence.
       "ewma" -> {
         val spark2 = ev.sparkSession
         import spark2.implicits._
@@ -273,6 +282,18 @@ object Stream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // The ewma sink's batch-equivalence contract assumes a SINGLE
+      // data-bearing microbatch (see the sink's ordering invariant):
+      // the one staged file with no maxFilesPerTrigger yields exactly
+      // that. Assert it so a future multi-file staging or trigger
+      // option can't silently void the sink ≡ batch guarantee.
+      if (name == "ewma") {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"ewma drained $dataBatches data microbatches; its batch-" +
+            "equivalence contract requires per-user cross-batch " +
+            "ordering, guaranteed here only by a single-batch drain")
+      }
       // Read back with the sink's own schema: a windowed sink whose
       // every window was held back by the final watermark (tiny or
       // single-timestamp input) has a directory with no data files,

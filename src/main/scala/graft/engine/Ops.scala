@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Size-gated broadcast hint: applies `broadcast(df)` only when the
+    * OPTIMIZER'S size estimate for `sizeOf` (typically the raw scan
+    * feeding df, whose stats come from file sizes — not a join's
+    * conservative product estimate) is under `maxBytes`. This is the
+    * scale-safe spelling of a broadcast hint on a side that GROWS
+    * with the dataset: at test SF the hint fires (and fixes AQE's
+    * small-data demotion, which declines SMJ→BHJ conversion when the
+    * build side's shuffle partitions are mostly empty); at 100 TB the
+    * estimate exceeds the gate, no hint is emitted, and the join
+    * degrades to a shuffle join instead of a forced driver OOM.
+    * Bounded dims (nation/region) don't need this — hint those
+    * directly. */
+  def broadcastIfSmall(df: DataFrame, sizeOf: DataFrame,
+                       maxBytes: Long = 64L << 20): DataFrame =
+    if (sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(df)
+    else df
+
   /** Exact dedup by content hash: one shuffle on md5(payload).
     * At 100 TB: identical shape, hash-partitioned; survivors policy =
     * min(id) keeps it deterministic. */

@@ -131,10 +131,18 @@ object QueriesCore {
             col("c_nationkey") === col("c_nk"), "left_semi")
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      // sup is supplier-sized (a dim), but its post-join stats are
-      // opaque to the static planner — hint the broadcast it would
-      // have picked from the raw table's size
-      .join(broadcast(sup),
+      // SIZE-GATED broadcast on sup: supplier scales with SF (~10M
+      // rows at a 100 TB-equivalent), so an unconditional hint would
+      // force a driver-side build that OOMs at 100×. The gate reads
+      // the optimizer's file-size estimate of the RAW supplier scan:
+      // under 64 MB (any test SF) the hint fires — needed because
+      // AQE's DynamicJoinSelection demotes SMJ→BHJ conversion when
+      // the build side's shuffle partitions are mostly empty, exactly
+      // the tiny-SF case — and above it no hint is emitted, leaving
+      // AQE free to pick from runtime sizes or degrade to a shuffle
+      // join. (asiaN stays unconditionally hinted: nation is bounded
+      // at 25 rows by schema, not SF.)
+      .join(Ops.broadcastIfSmall(sup, supplier(s, d)),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")

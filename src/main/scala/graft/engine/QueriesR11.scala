@@ -197,7 +197,12 @@ object QueriesR11 {
         round(col("tot2").cast("double") / col("n_orders"), 6)
           .as("avg_price"),
         col("min_price"), col("max_price"))
-      .orderBy("o_year", "o_orderstatus")
+      // nulls-last pins row order to DuckDB's ASC default: a null
+      // o_orderdate (the case the merge algebra handles) yields a
+      // null o_year group, which Spark would otherwise sort FIRST and
+      // the oracle LAST — a hash mismatch on row order alone
+      .orderBy(col("o_year").asc_nulls_last,
+               col("o_orderstatus").asc_nulls_last)
   }
 
   /** Column-profile drift between two table slices — the train/serve
