@@ -670,14 +670,26 @@ object QueriesR11 {
     * each language into head/middle/tail thirds by ascending
     * cross-entropy (head = closest to the corpus distribution — the
     * slice CCNet keeps for training; tail = the noise candidate).
-    * ntile runs per-language over the ROUNDED score with doc-id
-    * tie-break, so bucket edges are engine-stable.
+    * Buckets are EXACT ntile(3) semantics per language over the
+    * ROUNDED score with doc-id tie-break (engine-stable edges), but
+    * computed DISTRIBUTED (r8 verdict #3): a per-language ntile
+    * window would sort each language's entire corpus in ONE task —
+    * at 100 TB "en" is a single-executor sort. Instead the rank is
+    * derived scale-safely: range-repartition on the full sort key
+    * (lang, score, doc_id) so every task sorts only its slice, take
+    * local row numbers within each (lang, slice) group, then add
+    * per-slice offsets computed from the slice COUNT table — a
+    * #langs × #partitions METADATA-sized frame whose own windows are
+    * bounded by cluster width, never by corpus size — broadcast-joined
+    * back. Exact order statistics at every tie and remainder boundary
+    * (a quantile-sketch threshold would misbucket ties straddling a
+    * tercile edge), so the spelling is bit-identical to the oracle's
+    * ntile at any SF, not just where a sketch happens to be exact.
     *
     * Scale shape: the model is the token vocabulary (bounded,
     * broadcast); scoring is one shuffle on the token and one on
-    * doc_id; the ntile window partitions by language — at 100 TB the
-    * per-language sort is the cost, which is exactly how CCNet runs
-    * it (per-language shards, sorted once by perplexity). */
+    * doc_id; ranking is one range exchange + one bounded-group local
+    * sort; no single task ever holds a whole language. */
   def docsPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -696,14 +708,39 @@ object QueriesR11 {
       .select(col("doc_id"),
         round(col("h_sum").cast("double") / col("n_tokens").cast("double"), 6)
           .as("cross_entropy"))
-    val bw = Window.partitionBy("lang")
-      .orderBy(col("cross_entropy"), col("doc_id"))
-    documents(s, d).select("doc_id", "lang")
+    val langed = documents(s, d).select("doc_id", "lang")
       .join(scored, "doc_id")
-      .withColumn("tile", ntile(3).over(bw))
-      .select(col("doc_id"), col("lang"), col("cross_entropy"),
-        when(col("tile") === 1, "head")
-          .when(col("tile") === 2, "middle")
+    // distributed exact rank: slices are range partitions of the full
+    // sort key, so same-lang rows across slices are already ordered
+    // and (lang, slice)-local row numbers + slice offsets reconstruct
+    // the per-lang global rank without any per-lang global sort
+    val sliced = langed
+      .repartitionByRange(col("lang"), col("cross_entropy"), col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val lw = Window.partitionBy("lang", "slice")
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    val local = sliced.withColumn("lrk", row_number().over(lw))
+    // slice-count frame: #langs × #slices rows — metadata, not data.
+    // Its windows partition by lang over ≤ #slices rows (cluster
+    // width), which is why they are exempt from the "no per-lang
+    // window" rule the data path obeys.
+    val cw = Window.partitionBy("lang").orderBy("slice")
+    val offs = local.groupBy("lang", "slice").agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("slice"),
+        (sum("c").over(cw) - col("c")).as("off"),
+        sum("c").over(Window.partitionBy("lang")).as("n_l"))
+    // exact ntile(3) arithmetic: n = 3q + r gives the first r tiles
+    // q+1 rows — boundaries b1/b2 below, tile = first boundary >= rank
+    val ranked = local.join(broadcast(offs), Seq("lang", "slice"))
+      .withColumn("rnk", col("lrk") + col("off"))
+      .withColumn("q", (col("n_l") / 3).cast("long"))
+      .withColumn("r", col("n_l") % 3)
+      .withColumn("b1", col("q") + when(col("r") >= 1, 1L).otherwise(0L))
+      .withColumn("b2", col("b1") + col("q") +
+        when(col("r") >= 2, 1L).otherwise(0L))
+    ranked.select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("rnk") <= col("b1"), "head")
+          .when(col("rnk") <= col("b2"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }

@@ -372,6 +372,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("perplexity buckets: no data window partitioned by lang alone") {
+    // r8 verdict #3: ntile over Window.partitionBy(lang) put each
+    // language's whole corpus in one task. The respelling may window
+    // (a) the DATA by (lang, slice) — bounded by a range partition —
+    // and (b) the metadata-sized slice-count frame by lang, which sits
+    // directly on an Aggregate. Assert every lang-only window is the
+    // metadata kind: its subtree contains an aggregate over
+    // (lang, slice), never a raw corpus scan.
+    val aqePrior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("docs_perplexity_buckets")(spark, sfDir)
+      val wins = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected window operators in the plan")
+      val langOnly = wins.filter(w => w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.toString.contains("lang"))
+      langOnly.foreach { w =>
+        val aggBelow = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"lang-only window runs over raw data (one task per language):\n$w")
+      }
+      // the data-path window must key on MORE than lang
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        "no bounded (lang, slice) data window found")
+    } finally aqePrior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("sparse sim joins only through the term index (equi join, no cross product)") {
     // the inverted-index recipe only scales if the pair surface stays
     // an equi join on the term — a cartesian respelling would be n²
