@@ -28,12 +28,16 @@ object QueriesR5 {
     * conditional-ratio aggregate: one pass, two CASE-routed decimal
     * accumulators, ratio taken as a double quotient then rounded
     * (quotients don't sit on round midpoints; products do). Part is
-    * broadcast — at 100 TB the fact table streams through one
-    * map-side-combined aggregate and never shuffles before the
-    * 80-group reduce. */
+    * broadcast under a size gate — when it fits, the fact table
+    * streams through one map-side-combined aggregate and never
+    * shuffles before the 80-group reduce; past the gate the join
+    * degrades to a shuffle join (part scales with SF). */
   def q14PromoRatio(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      // size-gated: part scales with SF — hint only while the scan
+      // estimate fits; at 100 TB AQE decides from runtime sizes
+      .join(Ops.broadcastIfSmall(part(s, d), part(s, d)),
+            col("l_partkey") === col("p_partkey"))
       .groupBy(expr("CAST(date_trunc('month', l_shipdate) AS DATE)").as("month"))
       .agg(
         coalesce(sum(when(col("p_type") === "PROMO", revDec)), expr("CAST(0 AS DECIMAL(18,4))"))
@@ -48,7 +52,8 @@ object QueriesR5 {
     * handling: Catalyst extracts the per-side implications (the
     * brand/size OR reaches the part scan as a pushed filter, the
     * quantity OR reaches lineitem) so neither side scans full before
-    * the join — PlanSpec pins this. Part stays broadcast. */
+    * the join — PlanSpec pins this. Part broadcasts under the same
+    * size gate as q14. */
   def q19DisjunctivePred(s: SparkSession, d: String): DataFrame = {
     val disj =
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
@@ -58,7 +63,9 @@ object QueriesR5 {
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
         col("l_quantity").between(10, 30))
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      // size-gated like q14: part grows with SF
+      .join(Ops.broadcastIfSmall(part(s, d), part(s, d)),
+            col("l_partkey") === col("p_partkey"))
       .filter(disj)
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),

@@ -49,7 +49,9 @@ object QueriesR6 {
             col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     lineitem(s, d)
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      // size-gated: supN is supplier-derived (scales with SF)
+      .join(Ops.broadcastIfSmall(supN, supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(custN, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
@@ -90,9 +92,12 @@ object QueriesR6 {
       .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_orderkey", "o_orderdate")
     lineitem(s, d)
-      .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")),
+      // size-gated: part and supplier both scale with SF
+      .join(Ops.broadcastIfSmall(
+              part(s, d).filter(col("p_type") === "ECONOMY"), part(s, d)),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(Ops.broadcastIfSmall(supNat, supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
       .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(

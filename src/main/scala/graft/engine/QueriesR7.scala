@@ -28,7 +28,9 @@ object QueriesR7 {
       .select(expr("nullif(c_nationkey, 3)").as("c_nk"), col("c_acctbal"))
     val sup = supplier(s, d)
       .select(expr("nullif(s_nationkey, 3)").as("s_nk"), col("s_suppkey"))
-    c.join(broadcast(sup), col("c_nk") <=> col("s_nk"))
+    // size-gated: supplier scales with SF
+    c.join(Ops.broadcastIfSmall(sup, supplier(s, d)),
+           col("c_nk") <=> col("s_nk"))
       .groupBy(col("c_nk").as("nkey"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("s_suppkey")).as("n_supp"),
@@ -71,12 +73,17 @@ object QueriesR7 {
       expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))") -
       expr("CAST(round(p_retailprice * l_quantity, 2) AS DECIMAL(18,2))")
     lineitem(s, d)
-      .join(broadcast(part(s, d).filter(col("p_name").contains("rod"))),
+      // size-gated: part and supplier both scale with SF (nation's
+      // own broadcast stays unconditional — bounded by schema)
+      .join(Ops.broadcastIfSmall(
+              part(s, d).filter(col("p_name").contains("rod")), part(s, d)),
             col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier(s, d)
-              .join(broadcast(nation(s, d)),
-                    col("s_nationkey") === col("n_nationkey"))
-              .select(col("s_suppkey"), col("n_name"))),
+      .join(Ops.broadcastIfSmall(
+              supplier(s, d)
+                .join(broadcast(nation(s, d)),
+                      col("s_nationkey") === col("n_nationkey"))
+                .select(col("s_suppkey"), col("n_name")),
+              supplier(s, d)),
             col("l_suppkey") === col("s_suppkey"))
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("supp_nation"),
@@ -220,7 +227,11 @@ object QueriesR7 {
       Artifacts.nearDupPairs(s, d).select("id1", "id2"), "id1", "id2")
       .select(col("n").as("doc_id"), col("label").as("cluster_id"))
     documents(s, d).select(col("doc_id"))
-      .join(broadcast(cc), Seq("doc_id"), "left")
+      // size-gated: the cluster map grows with the corpus's dup mass —
+      // at 100 TB it must NOT be forced onto the driver; the gate
+      // (keyed to the corpus scan estimate) leaves the join to AQE
+      // there, while small fixtures keep the broadcast
+      .join(Ops.broadcastIfSmall(cc, documents(s, d)), Seq("doc_id"), "left")
       .select(col("doc_id"),
               coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .groupBy(col("cluster_id").as("survivor_id"))
