@@ -110,4 +110,23 @@ class PipelineSpec extends SparkTestBase {
     assert(nCompact <= 2, s"compaction left $nCompact files")
     assert(out.getAs[Long]("n_rows") == 1500L) // sf0.001 orders
   }
+
+  test("graft.Pipeline CLI surface runs the example config end-to-end") {
+    // the shell-driveable P10 entry: the SAME example config the repo
+    // documents, through Pipeline.runFile (what main wraps), writing
+    // every stage to parquet and counting the read-back
+    val outDir = Files.createTempDirectory("graft_pipeline_spec").toString
+    val counts = Pipeline.runFile(
+      spark, "tools/example_pipeline.json", sfDir, outDir)
+    assert(counts.keySet ==
+      Set("pricing", "dedup", "big_groups", "summary"))
+    assert(counts("pricing") > 0 && counts("dedup") > 0)
+    // the SQL stages really consumed the earlier stages' temp views
+    val summary = spark.read.parquet(s"$outDir/summary").collect()(0)
+    assert(summary.getAs[Long]("n_unique_docs") == counts("dedup"))
+    assert(summary.getAs[Long]("n_big_groups") == counts("big_groups"))
+    // and each stage landed as a readable parquet directory
+    for (st <- counts.keys)
+      assert(new java.io.File(s"$outDir/$st").isDirectory, s"$st not written")
+  }
 }
