@@ -230,6 +230,10 @@ object Registry {
     "agg_mode_exact"       -> QueriesR11.aggModeExact _,
     "docs_sentence_split"  -> QueriesR11.docsSentenceSplit _,
     "emb_pca_power"        -> QueriesR11.embPcaPower _,
+    // Round-9: ordered-aggregation primitives — OHLC boundary bars
+    // and the first-order Markov transition matrix
+    "events_ohlc"          -> QueriesR12.eventsOhlc _,
+    "events_markov_transitions" -> QueriesR12.eventsMarkovTransitions _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -237,5 +241,5 @@ object Registry {
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
-      OracleR11.sql
+      OracleR11.sql ++ OracleR12.sql
 }
