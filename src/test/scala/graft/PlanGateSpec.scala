@@ -108,7 +108,12 @@ class PlanGateSpec extends SparkTestBase {
 
   private def pathClass(path: String): String =
     if (path.contains("graft_artifact_cache") ||
-        path.contains("graft_cold_cache")) "bounded"
+        path.contains("graft_cold_cache")) {
+      // artifacts are NOT uniformly bounded: codebooks are O(model),
+      // but pair lists / per-vector codes / posting indexes scale
+      // with the corpus — only the model-shaped ones may auto-pass
+      if (path.contains("codebook")) "bounded" else "fact"
+    }
     else if (boundedTables.exists(path.contains)) "bounded"
     else if (factTables.exists(path.contains)) "fact"
     else "unknown"
