@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
-  *   writes <outDir>/tumbling|sessions|dedup|attribution|funnel/
+  *   writes <outDir>/tumbling|sessions|dedup|attribution|
+  *          attribution_outer|funnel|ewma|ohlc/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -228,6 +229,30 @@ object Stream {
                   timestamp_micros(col("us")).as("ts"),
                   col("value"), col("m"), col("ewma"))
       },
+      // The streaming twin of the batch events_ohlc key: per
+      // (event_type, day) OHLC bars from the SAME struct-min/max
+      // aggregation — associative partials merge across microbatches,
+      // so a window emits the identical boundary rows the batch key
+      // picks regardless of arrival order (no cross-batch ordering
+      // invariant needed, unlike ewma). Windows release when the
+      // watermark passes their end; a bounded drain therefore equals
+      // the batch key on every CLOSED day (StreamingSpec pins it).
+      "ohlc" -> ev
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value, 9) AS DECIMAL(28,9))"))
+            .cast("double").as("sum_value"))
+        .select(col("event_type"), col("w.start").cast("date").as("day"),
+                col("open"), col("high"), col("low"), col("close"),
+                col("n_events"), col("sum_value")),
       // Arbitrary stateful processing (§7.5): the per-user conversion
       // funnel as a flatMapGroupsWithState machine — the API for
       // semantics no built-in windowing expresses. State is three

@@ -256,7 +256,38 @@ class StreamingSpec extends SparkTestBase {
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel", "ewma"))
+          "attribution_outer", "funnel", "ewma", "ohlc"))
+    // OHLC sink ≡ batch events_ohlc on every CLOSED day: the struct
+    // min/max partials are associative, so arrival order cannot change
+    // a bar; the only legitimate difference is watermark holdback of
+    // the trailing window(s). Derive the expected closed set from the
+    // batch key + the final watermark (max ts − 1 h).
+    val evAll = graft.engine.Tables.events(spark, sfDir)
+    val wmRow = evAll.agg(max(col("ts")).as("mx")).collect()(0)
+    val wm = wmRow.getAs[java.sql.Timestamp]("mx")
+      .toLocalDateTime.minusHours(1)
+    def keyOf(r: org.apache.spark.sql.Row): (String, java.sql.Date) =
+      (r.getString(0), r.getAs[java.sql.Date]("day"))
+    val batchBars = graft.engine.QueriesR12.eventsOhlc(spark, sfDir)
+      .collect()
+    val closed = batchBars.filter { r =>
+      val dayEnd = r.getAs[java.sql.Date]("day").toLocalDate
+        .plusDays(1).atStartOfDay()
+      !dayEnd.isAfter(wm)
+    }.map(r => keyOf(r) -> r.toSeq).toMap
+    val sinkBars = spark.read.parquet(s"$out/ohlc").collect()
+      .map(r => keyOf(r) -> r.toSeq).toMap
+    assert(closed.keySet.subsetOf(sinkBars.keySet),
+      s"watermark-closed bars missing from the sink: " +
+        s"${(closed.keySet -- sinkBars.keySet).take(3)}")
+    for ((k, row) <- sinkBars) {
+      assert(closed.contains(k) ||
+             batchBars.exists(b => keyOf(b) == k),
+        s"sink emitted a bar the batch key does not have: $k")
+      val expected = batchBars.find(b => keyOf(b) == k).get.toSeq
+      assert(row == expected,
+        s"OHLC bar $k diverged: sink=$row batch=$expected")
+    }
     // the EWMA state machine replays per-user events in (ts, event_id)
     // order with the batch key's exact arithmetic — a bounded drain
     // must equal the batch result row-for-row
