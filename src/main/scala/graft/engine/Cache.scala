@@ -234,6 +234,25 @@ object Artifacts {
       Ops.minhashNearDup(Tables.documents(s, dataDir), "doc_id", "text"),
       cacheRoot, "neardup_pairs")
 
+  /** The LSH band index (band, bh, doc_id) of the BASE corpus slice
+    * (doc_id ≢ 0 mod 3) — the persisted half of incremental dedup:
+    * built once per corpus fingerprint, then every delta batch probes
+    * it without re-hashing the base (docs_dedup_incremental). At
+    * 100 TB this is the index a daily-ingest dedup keeps warm;
+    * O(corpus) rows but 24 bytes each, hash-partitioned on the
+    * (band, bh) probe key. */
+  def baseBandIndex(s: org.apache.spark.sql.SparkSession,
+                    dataDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ArtifactCache.materialize(
+      Ops.lshBandIndex(
+        Ops.shingles(
+          Tables.documents(s, dataDir).filter(!(col("doc_id") % 3 === 0)),
+          "doc_id", "text", 5),
+        "doc_id"),
+      cacheRoot, "neardup_base_bands_v1")
+  }
+
   /** The pruned tf-idf posting index (doc_id, term, wt) for the
     * documents table — the materialized INVERTED INDEX. The
     * sparse-similarity key consumes it four ways (norms, capped

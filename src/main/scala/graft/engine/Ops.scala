@@ -71,13 +71,14 @@ object Ops {
     minhashNearDupFrom(shingles(df, idCol, textCol, shingleSize), idCol,
                        numHashes, rowsPerBand, threshold, maxBucket)
 
-  /** MinHash-LSH near-dup over an arbitrary (id, shingle) set — the
-    * shingle source decides the granularity (word n-grams, char
-    * n-grams, …). */
-  def minhashNearDupFrom(sh: DataFrame, idCol: String,
-                         numHashes: Int = 32, rowsPerBand: Int = 2,
-                         threshold: Double = 0.8,
-                         maxBucket: Int = 256): DataFrame = {
+  /** The LSH band index (band, bh, id) for an (id, shingle) set —
+    * the PERSISTABLE half of MinHash dedup: a deployment materializes
+    * this for its existing corpus and incremental batches probe it
+    * (see minhashNearDupIncremental) without re-hashing the corpus.
+    * Includes the hot-bucket cap (documented below). */
+  def lshBandIndex(sh: DataFrame, idCol: String,
+                   numHashes: Int = 32, rowsPerBand: Int = 2,
+                   maxBucket: Int = 256): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val numBands = numHashes / rowsPerBand
     TopK.register(sh.sparkSession)
@@ -137,35 +138,118 @@ object Ops {
           .filter(col("_bcap_rn") <= maxBucket)
           .select(col("band"), col("bh"), col(idCol))
       }
+    capped
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: shingle ARRAYS
+    * materialize only for ids appearing in some candidate (the scale
+    * contract — at high dedup rates candidates are a sliver of the
+    * corpus, so the semi-join keeps the collect_list aggregate — the
+    * only O(doc_size) state in the pipeline — off 90%+ of documents).
+    * `cand` must expose `leftId`/`rightId`; extra columns pass
+    * through. */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame, idCol: String,
+                            leftId: String, rightId: String,
+                            threshold: Double): DataFrame = {
+    val candIds = cand.select(col(leftId).as(idCol))
+      .union(cand.select(col(rightId).as(idCol)))
+      .distinct()
+    val shArr = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list("shingle")).as("shs"),
+           count(lit(1)).as("sz"))
+    cand.as("c")
+      .join(shArr.as("s1"), col(s"c.$leftId") === col(s"s1.$idCol"))
+      .join(shArr.as("s2"), col(s"c.$rightId") === col(s"s2.$idCol"))
+      .withColumn("i", size(array_intersect(col("s1.shs"), col("s2.shs")))
+        .cast("double"))
+      .withColumn("jaccard",
+        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
+      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= threshold)
+      // drop the index-side id copies so callers whose pair columns
+      // REUSE idCol's name (doc_id) stay unambiguous
+      .drop(col(s"s1.$idCol")).drop(col(s"s2.$idCol"))
+  }
+
+  /** MinHash-LSH near-dup over an arbitrary (id, shingle) set — the
+    * shingle source decides the granularity (word n-grams, char
+    * n-grams, …). */
+  def minhashNearDupFrom(sh: DataFrame, idCol: String,
+                         numHashes: Int = 32, rowsPerBand: Int = 2,
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 256): DataFrame = {
+    val capped = lshBandIndex(sh, idCol, numHashes, rowsPerBand, maxBucket)
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-
-    // Materialize shingle ARRAYS only for ids that appear in some
-    // candidate pair (the scaladoc's scale contract): at high dedup
-    // rates candidates are a sliver of the corpus, so the semi-join
-    // keeps the collect_list aggregate — the only O(doc_size) state in
-    // the pipeline — off 90%+ of documents.
-    val candIds = cand.select(col("id1").as(idCol))
-      .union(cand.select(col("id2").as(idCol)))
-      .distinct()
-    val shArr = sh.join(candIds, Seq(idCol), "left_semi")
-      .groupBy(idCol)
-      .agg(array_sort(collect_list("shingle")).as("shs"),
-           count(lit(1)).as("sz"))
-
-    cand
-      .join(shArr.as("s1"), col("id1") === col(s"s1.$idCol"))
-      .join(shArr.as("s2"), col("id2") === col(s"s2.$idCol"))
-      .withColumn("i", size(array_intersect(col("s1.shs"), col("s2.shs")))
-        .cast("double"))
-      .withColumn("jaccard",
-        round(col("i") / (col("s1.sz") + col("s2.sz") - col("i")), 6))
-      .filter(col("i") / (col("s1.sz") + col("s2.sz") - col("i")) >= threshold)
+    jaccardVerify(cand, sh, idCol, "id1", "id2", threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** INCREMENTAL near-dup — the production ingestion shape: a new
+    * DELTA batch dedups against (a) the persisted band index of the
+    * EXISTING corpus and (b) itself, without ever re-hashing the
+    * base. Emits one row per (delta doc, matched doc) pair at or
+    * above the threshold: `match_src` = "base" for a base partner,
+    * "delta" for an EARLIER-id partner within the batch (the same
+    * earlier-wins survivor rule as docs_dedup_resolve).
+    *
+    * At 100 TB: `baseBands` is the artifact (O(corpus) rows but tiny
+    * per row, hash-partitioned on (band, bh)); the delta hashes only
+    * its own shingles (cost ∝ batch, not corpus); candidate
+    * verification touches base shingles only for matched candidates
+    * (the semi-join contract of jaccardVerify — re-shingling a
+    * handful of base docs, never the corpus). */
+  def minhashNearDupIncremental(baseBands: DataFrame, baseDocs: DataFrame,
+                                deltaDocs: DataFrame, idCol: String,
+                                textCol: String, shingleSize: Int = 5,
+                                numHashes: Int = 32, rowsPerBand: Int = 2,
+                                threshold: Double = 0.8,
+                                maxBucket: Int = 256): DataFrame = {
+    val deltaSh = shingles(deltaDocs, idCol, textCol, shingleSize)
+    val db = lshBandIndex(deltaSh, idCol, numHashes, rowsPerBand, maxBucket)
+    val candBase = db.as("a").join(baseBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col(s"a.$idCol").as("doc_id"), col(s"b.$idCol").as("match_id"),
+              lit("base").as("match_src"))
+    val candDelta = db.as("a").join(db.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") > col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_id"), col(s"b.$idCol").as("match_id"),
+              lit("delta").as("match_src"))
+    // Materialize the candidate list ONCE through a scratch parquet:
+    // it feeds five consumers (pair output, two candIds unions, both
+    // verify joins), each of which would otherwise re-run the
+    // delta-hash + index-probe subtree. A parquet round trip (the
+    // RunScratch pattern) gives the consumers a clean scan with no
+    // stale partitioning claims — localCheckpoint under AQE reports
+    // the pre-coalesce partitioning and dies downstream with "Can't
+    // zip RDDs with unequal numbers of partitions". Candidates are
+    // the sliver the LSH exists to produce, so the write is small; at
+    // 100 TB this is the candidate list a dedup pass persists between
+    // its generate and verify stages anyway.
+    val spark = deltaDocs.sparkSession
+    val candDir = RunScratch.dir("incr_cand") + "/" +
+      java.lang.Long.toHexString(System.nanoTime())
+    candBase.unionByName(candDelta).distinct()
+      .write.mode("overwrite").parquet(candDir)
+    val cand = spark.read.parquet(candDir)
+    // Verification shingles come from DOCS pruned to candidate ids
+    // BEFORE the explode — the semi join sits on the raw (id, text)
+    // rows, so the base corpus is never re-shingled wholesale; only
+    // matched candidates pay the O(doc_size) pass. (jaccardVerify's
+    // internal semi-join is then a no-op, kept for its other caller.)
+    val candIds = cand.select(col("doc_id").as(idCol))
+      .union(cand.select(col("match_id").as(idCol)))
+      .distinct()
+    val verifySh = shingles(
+      baseDocs.unionByName(deltaDocs).join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleSize)
+    jaccardVerify(cand, verifySh, idCol, "doc_id", "match_id", threshold)
+      .select("doc_id", "match_id", "match_src", "jaccard")
   }
 
   /** Hard cap on what one comparison block of (id, vector, norm) rows

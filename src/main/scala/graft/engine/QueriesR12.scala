@@ -46,6 +46,33 @@ object QueriesR12 {
           .cast("double").as("sum_value"))
       .orderBy("event_type", "day")
 
+  /** Incremental near-duplicate detection — the production INGESTION
+    * shape none of the full-corpus dedup keys exercise: a new DELTA
+    * batch (doc_id ≡ 0 mod 3 stands in for "today's crawl") dedups
+    * against (a) the persisted LSH band index of the EXISTING corpus
+    * (`Artifacts.baseBandIndex` — the base is never re-hashed) and
+    * (b) itself, with the earlier-id survivor rule within the batch.
+    * Emits (doc_id, match_id, match_src ∈ base|delta, jaccard) for
+    * every pair at or above 0.8 exact Jaccard.
+    *
+    * Oracle: exact shingle-Jaccard over the split — the LSH bands are
+    * the candidate path only (the docs_dedup_near recall contract),
+    * so the hash match proves the incremental path finds exactly the
+    * pairs the batch recompute would.
+    *
+    * Scale shape: delta hashing costs O(batch); the base index probe
+    * is one equi join on (band, bh); exact verification re-shingles
+    * only matched candidates (semi-join). This is the shape that
+    * makes daily dedup O(delta · corpus-overlap), not O(corpus²). */
+  def docsDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isDelta = col("doc_id") % 3 === 0
+    Ops.minhashNearDupIncremental(
+        Artifacts.baseBandIndex(s, d),
+        docs.filter(!isDelta), docs.filter(isDelta), "doc_id", "text")
+      .orderBy("doc_id", "match_src", "match_id")
+  }
+
   /** Per-user event-type transition matrix with conditional
     * probabilities — the first-order Markov model of the event
     * stream (session modeling, anomaly priors, next-action

@@ -234,6 +234,7 @@ object Registry {
     // and the first-order Markov transition matrix
     "events_ohlc"          -> QueriesR12.eventsOhlc _,
     "events_markov_transitions" -> QueriesR12.eventsMarkovTransitions _,
+    "docs_dedup_incremental" -> QueriesR12.docsDedupIncremental _,
   )
 
   val oracleSql: ListMap[String, String] =
