@@ -412,4 +412,39 @@ class OpsEdgeSpec extends SparkTestBase {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
+
+  test("incremental near-dup ≡ full-batch pairs restricted to the split") {
+    // The consistency invariant behind docs_dedup_incremental's design:
+    // probing a persisted base index with only the delta hashed must
+    // find EXACTLY the pairs the full-corpus recompute finds, minus
+    // base-base pairs. Derive the expected set from minhashNearDup on
+    // the whole corpus and compare classified rows.
+    import org.apache.spark.sql.functions._
+    val d = sfDir
+    val docs = graft.engine.Tables.documents(spark, d)
+    val isDelta = col("doc_id") % 3 === 0
+    val baseBands = graft.engine.Ops.lshBandIndex(
+      graft.engine.Ops.shingles(docs.filter(!isDelta), "doc_id", "text", 5),
+      "doc_id")
+    val incr = graft.engine.Ops.minhashNearDupIncremental(
+        baseBands, docs.filter(!isDelta), docs.filter(isDelta),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val full = graft.engine.Ops.minhashNearDup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.flatMap { case (id1, id2) =>
+      val (d1, d2) = (id1 % 3 == 0, id2 % 3 == 0)
+      if (d1 && d2) Some((id2, id1, "delta")) // id1 < id2: newer matches older
+      else if (d1) Some((id1, id2, "base"))
+      else if (d2) Some((id2, id1, "base"))
+      else None // base-base: invisible to an incremental pass
+    }
+    assert(incr == expected,
+      s"incremental diverged from restricted batch: " +
+        s"incr-only=${(incr -- expected).take(3)} " +
+        s"batch-only=${(expected -- incr).take(3)}")
+    assert(incr.exists(_._3 == "base") && incr.exists(_._3 == "delta"),
+      "fixture must exercise BOTH match sources for this test to mean anything")
+  }
 }

@@ -421,6 +421,22 @@ class PlanSpec extends SparkTestBase {
       s"term index join missing:\n$p")
   }
 
+  test("incremental dedup probes the base index through a (band, bh) equi join") {
+    // the scale contract: delta candidates meet the persisted base
+    // index ONLY through the band-bucket equi key — a nested loop or
+    // cartesian here would re-pair the delta against the whole corpus
+    val p = plan("docs_dedup_incremental")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"band-index probe lost its equi strategy:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"incremental dedup degraded to all-pairs:\n$p")
+    // verification must stay candidate-pruned: the raw docs reach the
+    // shingle explode only through the candidate semi join
+    assert(p.contains("LeftSemi"),
+      s"verification shingles not candidate-pruned:\n$p")
+  }
+
   test("spatial radius join stays an equi join on the grid cell") {
     val p = plan("join_spatial_grid")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
