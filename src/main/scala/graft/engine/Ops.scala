@@ -232,6 +232,10 @@ object Ops {
     // 100 TB this is the candidate list a dedup pass persists between
     // its generate and verify stages anyway.
     val spark = deltaDocs.sparkSession
+    // per-CALL subdir (not RunScratch's usual overwrite-in-place): the
+    // read-back below is lazy, so a second build in this JVM would
+    // otherwise overwrite the directory an earlier DataFrame is still
+    // wired to scan
     val candDir = RunScratch.dir("incr_cand") + "/" +
       java.lang.Long.toHexString(System.nanoTime())
     candBase.unionByName(candDelta).distinct()
