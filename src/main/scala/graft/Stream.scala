@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
   *   writes <outDir>/tumbling|sessions|dedup|attribution|
-  *          attribution_outer|funnel|ewma|ohlc/
+  *          attribution_outer|funnel|ewma|ohlc|transitions/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -134,6 +134,37 @@ object Stream {
     out.iterator
   }
 
+  /** Per-user last-seen event for the streaming transition log:
+    * ONE (ts, event_id, type) triple per live user — the minimal
+    * stateful-streaming footprint (smaller than ewma's 32-double
+    * buffer). */
+  case class TransState(us: Long, eid: Long, typ: String)
+
+  case class TransRow(user_id: Long, cur: String, nxt: String,
+                      us: Long, event_id: Long)
+
+  /** One user's transition step: replay this batch's events in (ts,
+    * event_id) order and emit one (cur → nxt) row per consecutive
+    * pair, stamped with the LATER event (the moment the transition is
+    * observed). The same cross-batch ordering invariant as ewmaStep
+    * applies (in-batch sort only; runAll's single-batch drain
+    * guarantees it), and aggregating the sink reproduces the batch
+    * events_markov_transitions counts exactly (StreamingSpec). */
+  private[graft] def transStep(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[TransState]): Iterator[TransRow] = {
+    var prev = state.getOption
+    val out = rows.toSeq
+      .sortBy(r => (r._3, r._4))               // (ts micros, event_id)
+      .flatMap { case (_, typ, us, eid) =>
+        val row = prev.map(p => TransRow(uid, p.typ, typ, us, eid))
+        prev = Some(TransState(us, eid, typ))
+        row
+      }
+    prev.foreach(state.update)
+    out.iterator
+  }
+
   /** The deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
@@ -229,6 +260,27 @@ object Stream {
                   timestamp_micros(col("us")).as("ts"),
                   col("value"), col("m"), col("ewma"))
       },
+      // The streaming transition log — the stateful half of the batch
+      // events_markov_transitions key: per-user last-event state (ONE
+      // triple per live user, the smallest state of any sink here)
+      // emits each (cur → nxt) pair the moment the later event lands;
+      // the probability matrix is a batch rollup over this sink
+      // (StreamingSpec asserts sink counts ≡ batch key counts). Same
+      // single-batch ordering invariant as ewma, asserted in runAll.
+      // A resident deployment bounds state with EventTimeTimeout +
+      // TTL exactly as described on the funnel sink.
+      "transitions" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"), col("event_id"))
+          .as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(transStep)
+          .select(col("user_id"), col("cur"), col("nxt"),
+                  timestamp_micros(col("us")).as("ts"), col("event_id"))
+      },
       // The streaming twin of the batch events_ohlc key: per
       // (event_type, day) OHLC bars from the SAME struct-min/max
       // aggregation — associative partials merge across microbatches,
@@ -312,10 +364,10 @@ object Stream {
       // the one staged file with no maxFilesPerTrigger yields exactly
       // that. Assert it so a future multi-file staging or trigger
       // option can't silently void the sink ≡ batch guarantee.
-      if (name == "ewma") {
+      if (name == "ewma" || name == "transitions") {
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
-          s"ewma drained $dataBatches data microbatches; its batch-" +
+          s"$name drained $dataBatches data microbatches; its batch-" +
             "equivalence contract requires per-user cross-batch " +
             "ordering, guaranteed here only by a single-batch drain")
       }

@@ -482,6 +482,58 @@ object Ops {
     }
   }
 
+  /** Query-set top-k against a SEPARATE corpus — the cross-set twin
+    * of knnBruteForce (retrieval, label propagation, hold-out
+    * evaluation: neighbors come only from `corpus`, never from the
+    * query set itself). Same kernel, same (cos DESC, id ASC) total
+    * order, same block discipline:
+    *
+    * ≤ 1 corpus block: the corpus broadcasts once and queries stream
+    * through the primitive scan — no shuffle at all.
+    *
+    * Multi-block (the 100 TB corpus shape): queries replicate to each
+    * corpus block (shuffle volume = queries × nB — queries are the
+    * small side in retrieval, so this is the cheap replication), each
+    * cogroup task holds ONE corpus block, partial top-k per block,
+    * and a per-query window merges nB·k partial rows to the global
+    * top-k. Vector data never touches the driver on this path.
+    *
+    * A corpus row sharing the query's id is skipped (knnScan's
+    * oid ≠ id self-guard) — the hold-out contract: a query never
+    * retrieves itself even if it also appears in the corpus. */
+  def knnCross(query: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int,
+               maxBlockBytes: Long = DefaultBlockBytes): DataFrame = {
+    val s = query.sparkSession
+    import s.implicits._
+    val q = query.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+    val nB = numVecBlocks(c, maxBlockBytes)
+    if (nB <= 1) {
+      val bc = s.sparkContext.broadcast(oneBlock(c))
+      q.flatMap { case (id, v) => knnScan(id, v, bc.value, k) }
+        .toDF("vec_id", "neighbor_id", "cos_sim", "rk")
+    } else {
+      val nBL = nB.toLong
+      val left = q.flatMap { case (id, v) =>
+        Iterator.range(0, nB).map(j => (j.toLong, id, v))
+      }
+      val right = c.map { case (id, v) => (Math.floorMod(id, nBL), id, v) }
+      val partials = left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) {
+        case (_, ls, rs) =>
+          val mat = rs.map { case (_, oid, w) => (oid, w, l2(w)) }.toArray
+          ls.flatMap { case (_, id, v) => knnScan(id, v, mat, k) }
+      }.toDF("vec_id", "neighbor_id", "cos_sim", "rk")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      partials
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    }
+  }
+
   /** IVF-style ANN: every vector is INDEXED under its nearest coarse
     * centroid (broadcast codebook); a query probes its `nprobe`
     * closest cells and takes the exact top-k within them. O(n·C +
@@ -770,6 +822,57 @@ object Ops {
           .otherwise(0))
       .withColumn("session_id", sum("is_new").over(run))
       .drop("prev_ts", "is_new")
+  }
+
+  /** Complex-event pattern match with negation —
+    * `PATTERN (start (^neg)* end)` per key, "most recent start"
+    * semantics: every `endType` row matches the key's latest
+    * `startType` row strictly before it in (time, id) sequence order,
+    * provided no `negType` row sits between them and the time span is
+    * within `maxSpanMicros`. The MATCH_RECOGNIZE / Flink-CEP shape,
+    * respelled relationally: sequence-number the stream per key, carry
+    * two RUNNING maxima over the strictly-preceding frame (last start
+    * position, last neg position) — the negation is a comparison of
+    * two monotone counters, not a backtracking scan — then one
+    * equi-join on (key, rn) fetches the matched start's identity.
+    *
+    * Determinism: integers and timestamps only; the sequence order
+    * carries the unique `idCol` tiebreak.
+    *
+    * Scale: the three windows share one per-key sort (identical
+    * partitioning + ordering → a single window stage, bounded by the
+    * hottest key); the fetch join shuffles on (key, rn). No per-key
+    * arrays, no driver hops.
+    * Output: (keyCol, start_id, end_id, t_start, t_end, n_between). */
+  def cepMatch(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+               typeCol: String, startType: String, endType: String,
+               negType: String, maxSpanMicros: Long): DataFrame = {
+    val seq = df
+      .select(col(keyCol), col(idCol), col(tsCol), col(typeCol))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keyCol).orderBy(tsCol, idCol)))
+    val wPrev = Window.partitionBy(keyCol).orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = seq
+      .withColumn("ls",
+        max(when(col(typeCol) === startType, col("rn"))).over(wPrev))
+      .withColumn("le",
+        max(when(col(typeCol) === negType, col("rn"))).over(wPrev))
+    marked.as("p")
+      .filter(col(s"p.$typeCol") === endType &&
+        col("p.ls").isNotNull &&
+        (col("p.le").isNull || col("p.le") < col("p.ls")))
+      .join(seq.as("s"),
+        col(s"p.$keyCol") === col(s"s.$keyCol") &&
+          col("p.ls") === col("s.rn"))
+      .filter(unix_micros(col(s"p.$tsCol")) - unix_micros(col(s"s.$tsCol"))
+        <= maxSpanMicros)
+      .select(col(s"p.$keyCol"),
+              col(s"s.$idCol").as("start_id"),
+              col(s"p.$idCol").as("end_id"),
+              col(s"s.$tsCol").as("t_start"),
+              col(s"p.$tsCol").as("t_end"),
+              (col("p.rn") - col("s.rn") - 1).cast("long").as("n_between"))
   }
 
   /** As-of join (latest right row at or before each left row's time),

@@ -10,7 +10,7 @@ import scala.collection.immutable.ListMap
   * summation sequence matches the engine's loop bit-for-bit.
   */
 object OracleDocs {
-  private val cosinePair =
+  private[engine] val cosinePair =
     """list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
       |        x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')
       |      / (sqrt(list_aggregate(list_transform(a.embedding,

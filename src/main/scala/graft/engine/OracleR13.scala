@@ -1,0 +1,134 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-9 wave-3 keys. The logreg oracle
+  * unrolls the 4 gradient steps as CTE pairs (g_i → w_i), the
+  * docs_bpe_train precedent: train and apply both pinned in SQL.
+  * Everything rides IEEE-exact ops (+,·,/,abs) — no exp/ln —
+  * so the weight trajectory is bit-identical by construction, not by
+  * libm luck.
+  */
+object OracleR13 {
+
+  /** σ(z)·f gradient-term builder: the algebraic logistic surrogate
+    * 0.5 + 0.5·z/(1+|z|) with z spelled in the same left-associated
+    * order as the Spark Column expression. */
+  private def zExpr = "(w0 + w1*f1 + w2*f2 + w3*f3)"
+  private def pExpr = s"(0.5 + 0.5*($zExpr / (1 + abs($zExpr))))"
+  private def gradCte(g: String, prevW: String): String = {
+    def term(mul: String) =
+      s"sum(CAST(round(($pExpr - y)$mul, 9) AS DECIMAL(28,9)))"
+    s"""$g AS (SELECT ${term("")} AS g0, ${term(" * f1")} AS g1,
+       |  ${term(" * f2")} AS g2, ${term(" * f3")} AS g3, count(*) AS n
+       |  FROM feat CROSS JOIN $prevW)""".stripMargin
+  }
+  private def stepCte(w: String, g: String, prevW: String): String = {
+    def upd(j: Int) =
+      s"round(w$j - 1.0*(CAST(g$j AS DOUBLE)/n), 9) AS w$j"
+    s"""$w AS (SELECT ${upd(0)}, ${upd(1)}, ${upd(2)}, ${upd(3)}
+       |  FROM $g CROSS JOIN $prevW)""".stripMargin
+  }
+  private val steps = (1 to 6).map { i =>
+    gradCte(s"g$i", if (i == 1) "w0_init" else s"w${i - 1}") + ",\n" +
+      stepCte(s"w$i", s"g$i", if (i == 1) "w0_init" else s"w${i - 1}")
+  }.mkString(",\n")
+
+  val sql: ListMap[String, String] = ListMap(
+    "events_cep_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'signup' THEN rn END) OVER w AS ls,
+        |    max(CASE WHEN event_type = 'error'  THEN rn END) OVER w AS le
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT p.user_id, s.event_id AS signup_id,
+        |       p.event_id AS purchase_id,
+        |       s.ts AS t_signup, p.ts AS t_purchase,
+        |       CAST(p.rn - s.rn - 1 AS BIGINT) AS n_between
+        |FROM m p JOIN seq s ON p.user_id = s.user_id AND p.ls = s.rn
+        |WHERE p.event_type = 'purchase' AND p.ls IS NOT NULL
+        |  AND (p.le IS NULL OR p.le < p.ls)
+        |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    "multimodal_phash_dedup" ->
+      // Every dHash bit re-derived from the closed-form pixel model
+      // pixel(x, y) = (doc_id + y·w + x) mod 251 with the same integer
+      // 9×8 grid (x = cx·w//9, y = cy·h//8) — the oracle never decodes
+      // a PNG; agreement proves the engine's decode→fingerprint path.
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |grid AS (SELECT cy.cy AS cy, cx.cx AS cx
+        |         FROM (SELECT unnest(range(0, 8)) AS cy) cy
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) cx),
+        |bits AS (
+        |  SELECT d.doc_id, g.cy, g.cx,
+        |    CASE WHEN (d.doc_id + ((g.cy*d.h)//8)*d.w + ((g.cx+1)*d.w)//9)
+        |               % 251 >
+        |              (d.doc_id + ((g.cy*d.h)//8)*d.w + (g.cx*d.w)//9)
+        |               % 251
+        |         THEN '1' ELSE '0' END AS b
+        |  FROM dims d CROSS JOIN grid g),
+        |ph AS (SELECT doc_id, string_agg(b, '' ORDER BY cy, cx) AS phash
+        |       FROM bits GROUP BY doc_id),
+        |cl AS (SELECT phash, min(doc_id) AS keep_id,
+        |              count(*) AS cluster_size
+        |       FROM ph GROUP BY phash)
+        |SELECT p.doc_id, p.phash,
+        |       CAST(length(replace(p.phash, '0', '')) AS BIGINT) AS n_set,
+        |       c.keep_id, c.cluster_size
+        |FROM ph p JOIN cl c USING (phash) ORDER BY p.doc_id""".stripMargin,
+
+    "emb_knn_classify" ->
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+        |c AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid, b.label AS label,
+        |        round(${OracleDocs.cosinePair}, 6) AS cs
+        |      FROM q a JOIN c b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nid, label, cs,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cs DESC, nid) AS rk
+        |      FROM p),
+        |v AS (SELECT vec_id, label,
+        |        sum(CAST(cs AS DECIMAL(18,6))) AS w
+        |      FROM r WHERE rk <= 10 GROUP BY vec_id, label),
+        |best AS (SELECT vec_id, label, w,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY w DESC, label) AS brk
+        |         FROM v)
+        |SELECT b.vec_id, e.label AS label_true, b.label AS label_pred,
+        |       CAST(b.w AS DOUBLE) AS vote_weight,
+        |       CASE WHEN e.label = b.label THEN 1 ELSE 0 END AS correct
+        |FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+        |WHERE b.brk = 1 ORDER BY b.vec_id""".stripMargin,
+
+    "docs_quality_logreg" ->
+      s"""WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','of','and','to','in','a','is','for')))
+        |            AS DOUBLE) / len(string_split(text, ' ')), 9) AS f1,
+        |    round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |            AS DOUBLE) / len(string_split(text, ' ')) / 10, 9)
+        |      AS f2,
+        |    round(CAST(len(list_distinct(string_split(text, ' ')))
+        |            AS DOUBLE) / len(string_split(text, ' ')), 9) AS f3
+        |  FROM documents),
+        |w0_init AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        |$steps
+        |SELECT doc_id, CAST(y AS INT) AS label_en,
+        |       round($pExpr, 6) AS p_quality,
+        |       CASE WHEN round($pExpr, 6) >= 0.5 THEN 1 ELSE 0 END AS keep
+        |FROM feat CROSS JOIN w6 ORDER BY doc_id""".stripMargin
+  )
+}

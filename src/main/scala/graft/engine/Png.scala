@@ -158,4 +158,31 @@ object Png {
     }
     Decoded(width, height, bitDepth, colorType, nChunks, crcOk, pixels)
   }
+
+  /** 64-bit difference hash (dHash) of a gray8 image as a 64-char bit
+    * string: nearest-neighbor sample a 9×8 grid (x = cx·w/9,
+    * y = cy·h/8 — integer floors, valid for ANY w,h ≥ 1, no
+    * interpolation arithmetic to diverge on), one bit per horizontally
+    * adjacent sample pair, '1' iff the right sample is strictly
+    * brighter. Bit order is row-major (cy, cx) so the string is a
+    * stable cross-engine fingerprint — pure integer compares, no
+    * floats. A constant image hashes to all '0'. */
+  def dhash64(pixels: Array[Byte], w: Int, h: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var cy = 0
+    while (cy < 8) {
+      val y = cy * h / 8
+      var cx = 0
+      while (cx < 8) {
+        val x1 = cx * w / 9
+        val x2 = (cx + 1) * w / 9
+        val p1 = pixels(y * w + x1) & 0xff
+        val p2 = pixels(y * w + x2) & 0xff
+        sb.append(if (p2 > p1) '1' else '0')
+        cx += 1
+      }
+      cy += 1
+    }
+    sb.toString
+  }
 }

@@ -1,0 +1,216 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 wave-3 keys: the two model-in-the-loop primitives a
+  * training-data pipeline runs between dedup and packing —
+  * kNN label propagation over embeddings (auto-labeling) and a
+  * corpus-trained logistic-regression quality filter (the
+  * fastText/CCNet-style keep/drop classifier), both under the §2.3
+  * determinism discipline.
+  */
+object QueriesR13 {
+  import Tables._
+
+  /** kNN label propagation — auto-labeling the unlabeled slice of a
+    * corpus from its labeled neighbors (semi-supervised labeling,
+    * hold-out evaluation of an embedding space): vec_id ≡ 0 mod 5
+    * plays the unlabeled batch; each such vector takes the
+    * cosine-weighted majority label of its k=10 nearest LABELED
+    * vectors (Ops.knnCross — neighbors never come from the unlabeled
+    * set).
+    *
+    * Determinism (§2.3): neighbor sets are exact top-k under the
+    * (cos DESC, id ASC) total order; vote weights sum ROUNDED
+    * similarities as DECIMAL(18,6) (order-proof); the winning label
+    * is the (weight DESC, label ASC) struct-max — no RNG, no
+    * engine-dependent tie.
+    *
+    * Scale shape: the labeled corpus blocks through the executor-side
+    * cogroup kernel (queries replicate to corpus blocks — the small
+    * side moves); voting is one map-side-combined aggregate on
+    * (vec_id, label) plus a k-bounded struct-max per query. At 100 TB
+    * the production candidate generator is the IVF/LSH index family;
+    * this exact kernel is their ground truth, same as emb_knn_*. */
+  def embKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val unlabeled = col("vec_id") % 5 === 0
+    val labeled = e.filter(!unlabeled)
+    val nn = Ops.knnCross(e.filter(unlabeled), labeled,
+                          "vec_id", "embedding", k = 10)
+    val votes = nn
+      .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
+            "neighbor_id")
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_votes"),
+           sum(col("cos_sim").cast(DecimalType(18, 6))).as("w"))
+    val pred = votes.groupBy("vec_id")
+      .agg(max(struct(col("w"), (lit(0) - col("label")).as("nl"))).as("m"))
+      .select(col("vec_id"), (lit(0) - col("m.nl")).as("label_pred"),
+              col("m.w").cast("double").as("vote_weight"))
+    pred
+      .join(e.select(col("vec_id"), col("label").as("label_true")), "vec_id")
+      .withColumn("correct",
+        when(col("label_true") === col("label_pred"), 1).otherwise(0))
+      .select("vec_id", "label_true", "label_pred", "vote_weight", "correct")
+      .orderBy("vec_id")
+  }
+
+  /** Complex-event pattern matching with NEGATION — the
+    * MATCH_RECOGNIZE / Flink-CEP shape no single built-in operator
+    * expresses: `PATTERN (signup (^error)* purchase)` per user —
+    * every purchase attributes to the user's MOST RECENT signup
+    * within 24 h, provided no `error` event sits between them in the
+    * per-user (ts, event_id) sequence. Emits (user, signup, purchase,
+    * both stamps, events-between count).
+    *
+    * The respelling: sequence-number the stream per user, carry two
+    * RUNNING maxima over the strictly-preceding frame — the last
+    * signup position and the last error position — and a purchase
+    * matches iff last_signup exists, last_error (if any) is OLDER
+    * than it, and the time bound holds. One join back on (user, rn)
+    * fetches the matched signup's identity. No per-user arrays, no
+    * regex backtracking — the negation is two monotone counters.
+    *
+    * Determinism (§2.3): integers and timestamps only — no doubles
+    * anywhere; the sequence order carries the unique event_id
+    * tiebreak.
+    *
+    * Scale shape: the three windows share ONE per-user sort (same
+    * partitioning + ordering → a single window stage, bounded by the
+    * hottest user like every H-family key); the signup fetch is an
+    * equi-join on (user_id, rn). At 100 TB this is the streaming
+    * state machine's batch twin — same per-key contract as
+    * events_funnel. */
+  def eventsCepPattern(s: SparkSession, d: String): DataFrame =
+    Ops.cepMatch(events(s, d), "user_id", "event_id", "ts", "event_type",
+                 startType = "signup", endType = "purchase",
+                 negType = "error", maxSpanMicros = 86400000000L)
+      .select(col("user_id"), col("start_id").as("signup_id"),
+              col("end_id").as("purchase_id"),
+              col("t_start").as("t_signup"), col("t_end").as("t_purchase"),
+              col("n_between"))
+      .orderBy("user_id", "purchase_id")
+
+  /** Perceptual-hash image dedup — the multimodal cousin of
+    * docs_dedup_exact: every document's synthetic PNG (the
+    * multimodal_decode_png fixture) decodes through the REAL chunk
+    * walk (CRC + inflate + filter strip), fingerprints with a 64-bit
+    * difference hash (Png.dhash64 — 9×8 nearest-neighbor grid, one
+    * bit per adjacent-sample compare, dimension-invariant by
+    * construction), and images sharing a phash cluster under the
+    * min-id survivor rule. The production image-dedup shape: decode →
+    * cheap perceptual fingerprint → hash-equality grouping; a
+    * hamming-banded near-dup pass (the simhash recipe) extends it
+    * when exact phash equality is too strict.
+    *
+    * Determinism (§2.3): pure integer compares end-to-end — no
+    * resize interpolation, no floats. The oracle re-derives every bit
+    * from the closed-form pixel model ((doc_id + i) mod 251), so the
+    * hash match proves the full decode→fingerprint path.
+    *
+    * Scale shape: decode + hash ride one mapPartitions (binary
+    * codecs — the sanctioned use); clustering is one shuffle on the
+    * 64-bit fingerprint. */
+  def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = QueriesExtra.docPngBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val dec = Png.decodeGray8Pixels(blob)
+        (id, Png.dhash64(dec.pixels, dec.width, dec.height))
+      })
+      .toDF("doc_id", "phash")
+    val clusters = hashed.groupBy("phash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cluster_size"))
+    hashed.join(clusters, "phash")
+      .select(col("doc_id"), col("phash"),
+              expr("CAST(length(replace(phash, '0', '')) AS BIGINT)")
+                .as("n_set"),
+              col("keep_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Spark round(x, 9) on the driver: BigDecimal HALF_UP over the
+    * double's canonical decimal repr — the weight-update twin of
+    * Ops.round6, so driver-held weights land on the same doubles the
+    * oracle's round(..., 9) produces. */
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Corpus-trained logistic-regression quality filter — the
+    * model-in-the-loop keep/drop classifier (the role fastText plays
+    * in CCNet-style pipelines): 3 cheap O(1)-scaled text features
+    * (English-stopword ratio, mean token length / 10, type-token
+    * ratio) fit against the deterministic lang='en' pseudo-label by
+    * 6 full-batch gradient steps, then every document scored and
+    * thresholded. On the synthetic fixtures lang is INDEPENDENT of
+    * the text, so the honest optimum is the base rate — the model
+    * demonstrably converges there (mean p → P(en), per-doc scores
+    * varying with the features; QueriesR13Spec pins this), while on
+    * a real corpus the same features separate.
+    *
+    * Determinism (§2.3): the model is libm-FREE — the logistic link
+    * is the algebraic surrogate σ(z) = 0.5 + 0.5·z/(1+|z|) (every op
+    * IEEE-exact: +,·,/,abs — no exp(), so no cross-engine libm ulp
+    * risk anywhere in the loop) and the features are exact integer
+    * quotients. Per-doc gradient terms round to the 1e-9 grid and
+    * sum as DECIMAL(28,9) (order-proof); the weight update is a
+    * fixed-order double expression rounded back to the grid, so both
+    * engines walk the identical weight trajectory.
+    *
+    * Scale shape: each of the 6 steps is ONE map-side-combined
+    * aggregate over the feature table (4 decimal sums + a count);
+    * the driver holds 4 doubles — the emb_pca_power trained-artifact
+    * discipline. The feature frame is localCheckpointed so training
+    * and scoring share one tokenization pass; at 100 TB it's the
+    * persisted feature artifact a pipeline materializes anyway, and
+    * the model broadcast is 4 numbers. */
+  def docsQualityLogreg(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is", "for")
+      .map("'" + _ + "'").mkString(",")
+    val nTok = size(col("toks"))
+    val feat = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        round(expr(s"size(filter(toks, t -> t IN ($stop)))").cast("double")
+          / nTok, 9).as("f1"),
+        round((length(col("text")) - (nTok - 1)).cast("double") / nTok / 10,
+          9).as("f2"),
+        round(size(array_distinct(col("toks"))).cast("double") / nTok, 9)
+          .as("f3"))
+      .localCheckpoint(true)
+
+    def z(w: Array[Double]): Column =
+      lit(w(0)) + lit(w(1)) * col("f1") +
+        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+    def sigma(zc: Column): Column =
+      lit(0.5) + lit(0.5) * (zc / (lit(1.0) + abs(zc)))
+    def gradSum(c: Column): Column =
+      sum(round(c, 9).cast(DecimalType(28, 9)))
+
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    val lr = 1.0
+    for (_ <- 1 to 6) {
+      val r = sigma(z(w)) - col("y")
+      val row = feat.agg(
+        gradSum(r).as("g0"), gradSum(r * col("f1")).as("g1"),
+        gradSum(r * col("f2")).as("g2"), gradSum(r * col("f3")).as("g3"),
+        count(lit(1)).as("n")).head()
+      val n = row.getLong(4).toDouble
+      for (j <- 0 to 3)
+        w(j) = round9(w(j) - lr * (row.getDecimal(j).doubleValue / n))
+    }
+    feat
+      .withColumn("p_quality", round(sigma(z(w)), 6))
+      .select(col("doc_id"), col("y").cast("int").as("label_en"),
+              col("p_quality"),
+              when(col("p_quality") >= 0.5, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+}

@@ -235,6 +235,12 @@ object Registry {
     "events_ohlc"          -> QueriesR12.eventsOhlc _,
     "events_markov_transitions" -> QueriesR12.eventsMarkovTransitions _,
     "docs_dedup_incremental" -> QueriesR12.docsDedupIncremental _,
+    // Round-9 wave 3: model-in-the-loop corpus ops — kNN label
+    // propagation and the trained logistic-regression quality filter
+    "emb_knn_classify"     -> QueriesR13.embKnnClassify _,
+    "docs_quality_logreg"  -> QueriesR13.docsQualityLogreg _,
+    "events_cep_pattern"   -> QueriesR13.eventsCepPattern _,
+    "multimodal_phash_dedup" -> QueriesR13.multimodalPhashDedup _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -242,5 +248,5 @@ object Registry {
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
-      OracleR11.sql ++ OracleR12.sql
+      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql
 }

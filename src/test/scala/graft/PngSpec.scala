@@ -32,6 +32,24 @@ class PngSpec extends AnyFunSuite {
       (0 until 4096).map(_ % 256).sum)
   }
 
+  test("dhash64: constant image all-zeros, x-gradient all-ones, " +
+       "dimension-invariant sampling") {
+    def px(w: Int, h: Int, f: Int => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i).toByte)
+    assert(Png.dhash64(px(16, 16, _ => 7), 16, 16) == "0" * 64)
+    // pixel = x: every right sample strictly brighter at w = 9
+    assert(Png.dhash64(px(9, 8, i => i % 9), 9, 8) == "1" * 64)
+    // nearest-neighbor sampling: scaling a non-monotone x-pattern 4x
+    // in both dims hits the same relative positions → identical hash,
+    // and the pattern yields a MIXED bit string (not all 0s/1s)
+    val mixed = Png.dhash64(px(9, 8, i => (i % 9) * 37 % 11), 9, 8)
+    assert(Png.dhash64(px(36, 32, i => (i % 36) / 4 * 37 % 11), 36, 32) ==
+           mixed)
+    assert(mixed.contains('0') && mixed.contains('1'))
+    // 1x1 degenerate image: one sample everywhere → all zeros
+    assert(Png.dhash64(px(1, 1, _ => 99), 1, 1) == "0" * 64)
+  }
+
   test("a flipped pixel byte inside IDAT surfaces as a CRC failure") {
     val bytes = Png.encodeGray8(8, 8, _ => 42)
     // flip one byte in the middle of the IDAT payload (after the

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Ops, QueriesR13, Tables}
+
+/** Behavior pins for the round-9 wave-3 model-in-the-loop keys —
+  * the properties the DuckDB hash match can't express (convergence,
+  * kernel equivalence, structural invariants).
+  */
+class QueriesR13Spec extends SparkTestBase {
+
+  test("knnCross: neighbors come only from the corpus, exact ties by id") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f)
+    val q = Seq((100L, v)).toDF("vec_id", "embedding")
+    val c = Seq((1L, v), (2L, v), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ops.knnCross(q, c, "vec_id", "embedding", k = 2)
+      .orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getInt(3)))
+    // identical vectors tie at cos 1.0 → ascending id; the orthogonal
+    // corpus row never makes top-2; the query itself is not a result
+    assert(got.toSeq == Seq((100L, 1L, 1.0, 1), (100L, 2L, 1.0, 2)))
+  }
+
+  test("knnCross matches knnBruteForce restricted to cross pairs") {
+    // on the real fixture: self-kNN over the full set, keeping only
+    // (holdout → labeled) edges re-ranked, must equal knnCross —
+    // the two kernels share one total order
+    val e = Tables.embeddings(spark, sfDir)
+    val unl = col("vec_id") % 5 === 0
+    val cross = Ops.knnCross(e.filter(unl), e.filter(!unl),
+                             "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaSelf = Ops.knnBruteForce(e, "vec_id", "embedding", k = 50)
+      .filter(col("vec_id") % 5 === 0 && col("neighbor_id") % 5 =!= 0)
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk2") <= 3)
+      .select("vec_id", "neighbor_id", "rk2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cross == viaSelf)
+  }
+
+  test("emb_knn_classify: one prediction per held-out id, bounded votes") {
+    val out = QueriesR13.embKnnClassify(spark, sfDir).collect()
+    val e = Tables.embeddings(spark, sfDir)
+    val nHold = e.filter(col("vec_id") % 5 === 0).count()
+    assert(out.length == nHold)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val labels = e.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    out.foreach { r =>
+      assert(labels.contains(r.getInt(2)), "pred label outside domain")
+      val w = r.getDouble(3)
+      assert(w > -10.0 && w <= 10.0, s"vote weight $w outside k-bound")
+    }
+  }
+
+  test("cepMatch: negation blocks, most-recent start wins, span bounds") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: error blocks the first purchase; second matches
+      (1L, 1L, t(0), "signup"), (1L, 2L, t(1), "error"),
+      (1L, 3L, t(2), "purchase"),
+      (1L, 4L, t(3), "signup"), (1L, 5L, t(4), "click"),
+      (1L, 6L, t(5), "purchase"),
+      // user 2: purchase beyond the 24 h span — no match
+      (2L, 7L, t(0), "signup"), (2L, 8L, t(25 * 60), "purchase"),
+      // user 3: purchase before any signup; later purchase takes the
+      // MOST RECENT of two signups
+      (3L, 9L, t(0), "purchase"), (3L, 10L, t(1), "signup"),
+      (3L, 11L, t(2), "signup"), (3L, 12L, t(3), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Ops.cepMatch(ev, "user_id", "event_id", "ts", "event_type",
+                           "signup", "purchase", "error", 86400000000L)
+      .orderBy("user_id", "end_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 4L, 6L, 1L), (3L, 11L, 12L, 0L)))
+  }
+
+  test("docs_quality_logreg: GD converges to the base rate on " +
+       "label-independent fixtures") {
+    val out = QueriesR13.docsQualityLogreg(spark, sfDir)
+    val agg = out.agg(avg("p_quality"), avg("label_en"),
+                      min("p_quality"), max("p_quality")).head()
+    val (meanP, baseRate) = (agg.getDouble(0), agg.getDouble(1))
+    // lang ⊥ text in the synthetic corpus, so the trained model's mean
+    // score must sit at the pseudo-label base rate (the honest optimum),
+    // not at the σ(0) = 0.5 start — i.e. training actually moved
+    assert(math.abs(meanP - baseRate) < 0.02,
+      s"mean p $meanP vs base rate $baseRate: not converged")
+    assert(math.abs(meanP - 0.5) > 0.01, "weights never left the origin")
+    // scores vary with the features (the model is not intercept-only)
+    assert(agg.getDouble(3) - agg.getDouble(2) > 1e-4)
+    out.collect().foreach { r =>
+      val p = r.getDouble(2)
+      assert(p > 0.0 && p < 1.0)
+      assert(r.getInt(3) == (if (p >= 0.5) 1 else 0))
+    }
+  }
+}

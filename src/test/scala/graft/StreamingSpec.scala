@@ -251,12 +251,12 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("graft.Stream entry point: AvailableNow drain writes all four sinks") {
+  test("graft.Stream entry point: AvailableNow drain writes every sink") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel", "ewma", "ohlc"))
+          "attribution_outer", "funnel", "ewma", "ohlc", "transitions"))
     // OHLC sink ≡ batch events_ohlc on every CLOSED day: the struct
     // min/max partials are associative, so arrival order cannot change
     // a bar; the only legitimate difference is watermark holdback of
@@ -300,6 +300,20 @@ class StreamingSpec extends SparkTestBase {
     assert(sinkEwma == batchEwma,
       s"ewma sink diverged from batch: sink-only=${(sinkEwma -- batchEwma).take(3)}, " +
         s"batch-only=${(batchEwma -- sinkEwma).take(3)}")
+    // the transition log replays per-user events in (ts, event_id)
+    // order with one-triple state — aggregating the sink's pairs must
+    // reproduce the batch Markov key's counts (and thus its matrix)
+    val batchTrans = graft.engine.QueriesR12
+      .eventsMarkovTransitions(spark, sfDir)
+      .select("cur", "nxt", "n").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val sinkTrans = spark.read.parquet(s"$out/transitions")
+      .groupBy("cur", "nxt").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(sinkTrans == batchTrans,
+      s"transition sink counts diverged from batch: " +
+        s"sink-only=${(sinkTrans.toSet -- batchTrans.toSet).take(3)}, " +
+        s"batch-only=${(batchTrans.toSet -- sinkTrans.toSet).take(3)}")
     // outer ⊇ inner: every matched pair must also reach the outer sink
     // (its null-extension rows are EXTRA, gated by the watermark)
     assert(counts("attribution_outer") >= counts("attribution"),
