@@ -46,6 +46,28 @@ class QueriesR13Spec extends SparkTestBase {
     assert(cross == viaSelf)
   }
 
+  test("knnCross: multi-block cogroup path equals single-block result") {
+    import spark.implicits._
+    // disjoint query/corpus ids; tiny maxBlockBytes forces the
+    // corpus-blocked cogroup + per-query window merge, which must be
+    // indistinguishable from the broadcast fast path
+    val corpus = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = (100 until 110).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 5) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val single = canon(Ops.knnCross(query, corpus, "vec_id", "embedding", 3))
+    val chunked = canon(Ops.knnCross(query, corpus, "vec_id", "embedding", 3,
+      maxBlockBytes = 500L)) // ~6 corpus rows per block → 4+ blocks
+    assert(single.size == 10 * 3)
+    assert(chunked == single)
+  }
+
   test("emb_knn_classify: one prediction per held-out id, bounded votes") {
     val out = QueriesR13.embKnnClassify(spark, sfDir).collect()
     val e = Tables.embeddings(spark, sfDir)
@@ -83,6 +105,45 @@ class QueriesR13Spec extends SparkTestBase {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
     assert(got.toSeq == Seq((1L, 4L, 6L, 1L), (3L, 11L, 12L, 0L)))
+  }
+
+  test("cepMatch: seeded random streams match a brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val types = Vector("signup", "error", "purchase", "click", "view")
+    val span = 5L * 60000000L // 5 min in micros
+    val ev = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong,
+       new java.sql.Timestamp(rnd.nextInt(900) * 1000L),
+       types(rnd.nextInt(types.size)))
+    }
+    // brute force: per user, (ts, id)-sorted replay tracking last
+    // signup / last error positions
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val seq = rows.sortBy(r => (r._3.getTime, r._2))
+      var lastS = -1; var lastE = -1
+      seq.zipWithIndex.flatMap { case ((_, eid, ts, typ), pos) =>
+        val hit =
+          if (typ == "purchase" && lastS >= 0 && lastE < lastS &&
+              (ts.getTime - seq(lastS)._3.getTime) * 1000L <= span)
+            Some((uid, seq(lastS)._2, eid, (pos - lastS - 1).toLong))
+          else None
+        if (typ == "signup") lastS = pos
+        if (typ == "error") lastE = pos
+        hit
+      }
+    }.toSet
+    val got = Ops.cepMatch(
+        ev.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_id", "ts", "event_type",
+        "signup", "purchase", "error", span)
+      .select("user_id", "start_id", "end_id", "n_between").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "degenerate seed: no matches to compare")
+    assert(got == expected,
+      s"diverged: spark-only=${(got -- expected).take(3)}, " +
+        s"ref-only=${(expected -- got).take(3)}")
   }
 
   test("docs_quality_logreg: GD converges to the base rate on " +
