@@ -119,12 +119,17 @@ class PipelineSpec extends SparkTestBase {
     val counts = Pipeline.runFile(
       spark, "tools/example_pipeline.json", sfDir, outDir)
     assert(counts.keySet ==
-      Set("pricing", "dedup", "big_groups", "summary"))
+      Set("pricing", "dedup", "quality", "survivors", "curated",
+          "big_groups", "summary"))
     assert(counts("pricing") > 0 && counts("dedup") > 0)
+    // the curation arm: trained quality scores joined onto dedup
+    // survivors with a threshold — a real subset of the survivors
+    assert(counts("curated") > 0 && counts("curated") <= counts("survivors"))
     // the SQL stages really consumed the earlier stages' temp views
     val summary = spark.read.parquet(s"$outDir/summary").collect()(0)
     assert(summary.getAs[Long]("n_unique_docs") == counts("dedup"))
     assert(summary.getAs[Long]("n_big_groups") == counts("big_groups"))
+    assert(summary.getAs[Long]("n_curated") == counts("curated"))
     // and each stage landed as a readable parquet directory
     for (st <- counts.keys)
       assert(new java.io.File(s"$outDir/$st").isDirectory, s"$st not written")
