@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
   *   writes <outDir>/tumbling|sessions|dedup|attribution|
-  *          attribution_outer|funnel|ewma|ohlc|transitions/
+  *          attribution_outer|funnel|funnel_ttl|ewma|ohlc|transitions/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -81,6 +81,59 @@ object Stream {
       Iterator(FunnelHit(uid, s.tSignup.get, s.tClick.get, s.tPurchase.get))
     else Iterator.empty
   }
+
+  /** TTL-bounded funnel step for RESIDENT deployments — the
+    * state-eviction recipe the NoTimeout funnel sink documents, made
+    * executable: same transition machine (funnelStep), but a
+    * completed funnel's state is removed the moment it emits, and an
+    * INCOMPLETE funnel's state arms an event-time timeout at
+    * (user's latest event + ttl); when the watermark passes it, the
+    * state evicts — a user idle past the TTL costs nothing forever,
+    * which is what bounds state at 100 TB (never-converting users are
+    * the unbounded population; converting ones self-clean).
+    *
+    * Consequence (pinned by StreamingSpec): a funnel whose later
+    * stages arrive only after the TTL gap does NOT complete — the
+    * signup was evicted — while the same stages within the TTL do.
+    * The timeout timestamp is clamped above the current watermark
+    * (Spark rejects arming a timeout the watermark already passed —
+    * possible when one user's newest event is older than
+    * watermark − ttl). */
+  private[graft] def funnelStepTtl(ttlMillis: Long)(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val buf = rows.toSeq
+      val hits = funnelStep(uid, buf.iterator, state).toSeq
+      if (hits.nonEmpty) state.remove()
+      else {
+        val maxEventMs =
+          if (buf.isEmpty) Long.MinValue else buf.map(_._3).max / 1000L
+        state.setTimeoutTimestamp(
+          math.max(maxEventMs + ttlMillis, state.getCurrentWatermarkMs + 1))
+      }
+      hits.iterator
+    }
+  }
+
+  /** Exact micros of a Timestamp (getTime millis would truncate the
+    * sub-millisecond digits the fixture carries). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** funnelStepTtl over rows that still CARRY the watermarked
+    * Timestamp column — EventTimeTimeout requires the watermark
+    * attribute to survive into the stateful operator's input, so the
+    * micros conversion happens here, inside the step, not in a
+    * projection that would strip the watermark. */
+  private[graft] def funnelStepTtlTs(ttlMillis: Long)(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] =
+    funnelStepTtl(ttlMillis)(
+      uid, rows.map(r => (r._1, r._2, tsMicros(r._3), r._4)), state)
 
   /** Events source as an unbounded file stream. Schema comes from a
     * one-off batch read (file streams require an explicit schema); the
@@ -259,6 +312,32 @@ object Stream {
           .select(col("event_id"), col("user_id"),
                   timestamp_micros(col("us")).as("ts"),
                   col("value"), col("m"), col("ewma"))
+      },
+      // The RESIDENT-mode funnel: the same state machine under
+      // EventTimeTimeout with a 24 h TTL — completed funnels drop
+      // their state on emission, idle ones evict when the watermark
+      // passes (latest event + TTL). On a bounded single-batch drain
+      // no timeout ever fires, so this sink's output is IDENTICAL to
+      // the NoTimeout funnel sink (StreamingSpec asserts both that
+      // equality and, via MemoryStream, the eviction behavior the
+      // TTL exists for). This is the deployable resident spelling;
+      // the plain funnel sink stays as the bounded-drain reference.
+      "funnel_ttl" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            funnelStepTtlTs(24L * 3600 * 1000))
+          .select(col("user_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_click")).as("t_click"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"))
       },
       // The streaming transition log — the stateful half of the batch
       // events_markov_transitions key: per-user last-event state (ONE

@@ -58,6 +58,50 @@ object OracleR13 {
         |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "docs_gopher_rules" ->
+      // Integer cross-multiplied thresholds — no floats, no rounding
+      // rule to disagree at a boundary.
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |         AS BIGINT) AS sym,
+        |    CAST(length(text) AS BIGINT) AS chars_all,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_w,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |           ['the','of','and','to','in','a','is','for']))
+        |         AS BIGINT) AS stop_d,
+        |    CAST(greatest(len(string_split(text, ' ')) - 2, 0)
+        |         AS BIGINT) AS grams,
+        |    CAST(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      greatest(len(string_split(text, ' ')) - 2, 0) -
+        |      len(list_distinct(list_transform(
+        |        range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+        |      ELSE 0 END AS BIGINT) AS dups
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 1 ELSE 0 END
+        |      AS r_len,
+        |    CASE WHEN chars_ns >= 3*n_tok AND chars_ns <= 10*n_tok
+        |         THEN 1 ELSE 0 END AS r_word_len,
+        |    CASE WHEN 10*sym <= chars_all THEN 1 ELSE 0 END AS r_symbols,
+        |    CASE WHEN 5*alpha_w >= 4*n_tok THEN 1 ELSE 0 END AS r_alpha,
+        |    CASE WHEN stop_d >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+        |    CASE WHEN 5*dups <= grams THEN 1 ELSE 0 END AS r_repeat
+        |  FROM f)
+        |SELECT doc_id, r_len, r_word_len, r_symbols, r_alpha,
+        |       r_stopwords, r_repeat,
+        |       CAST(r_len + r_word_len + r_symbols + r_alpha +
+        |            r_stopwords + r_repeat AS BIGINT) AS n_passed,
+        |       CASE WHEN r_len + r_word_len + r_symbols + r_alpha +
+        |                 r_stopwords + r_repeat = 6
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "multimodal_phash_dedup" ->
       // Every dHash bit re-derived from the closed-form pixel model
       // pixel(x, y) = (doc_id + y·w + x) mod 251 with the same integer
@@ -87,6 +131,54 @@ object OracleR13 {
         |       CAST(length(replace(p.phash, '0', '')) AS BIGINT) AS n_set,
         |       c.keep_id, c.cluster_size
         |FROM ph p JOIN cl c USING (phash) ORDER BY p.doc_id""".stripMargin,
+
+    "multimodal_phash_near" ->
+      // Brute-force all-pairs hamming over the closed-form phash +
+      // recursive-CTE transitive closure — the engine's pigeonhole
+      // banding (4×16-bit bands, threshold 3) has exact recall, so
+      // its pair set equals this one.
+      """WITH RECURSIVE dims AS (
+        |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |grid AS (SELECT cy.cy AS cy, cx.cx AS cx
+        |         FROM (SELECT unnest(range(0, 8)) AS cy) cy
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS cx) cx),
+        |bits AS (
+        |  SELECT d.doc_id, g.cy, g.cx,
+        |    CASE WHEN (d.doc_id + ((g.cy*d.h)//8)*d.w + ((g.cx+1)*d.w)//9)
+        |               % 251 >
+        |              (d.doc_id + ((g.cy*d.h)//8)*d.w + (g.cx*d.w)//9)
+        |               % 251
+        |         THEN '1' ELSE '0' END AS b
+        |  FROM dims d CROSS JOIN grid g),
+        |ph AS (SELECT doc_id, string_agg(b, '' ORDER BY cy, cx) AS phash
+        |       FROM bits GROUP BY doc_id),
+        |reps AS (SELECT phash, min(doc_id) AS rep FROM ph GROUP BY phash),
+        |pairs AS (
+        |  SELECT a.rep AS r1, b.rep AS r2
+        |  FROM reps a JOIN reps b ON a.rep < b.rep
+        |  WHERE len(list_filter(range(1, 65),
+        |          i -> substr(a.phash, CAST(i AS INT), 1) <>
+        |               substr(b.phash, CAST(i AS INT), 1))) <= 3),
+        |edges AS (SELECT r1 AS u, r2 AS v FROM pairs
+        |          UNION ALL SELECT r2, r1 FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS rep, least(u, min(v)) AS cluster_id
+        |         FROM reach GROUP BY u),
+        |repc AS (SELECT r.phash,
+        |                coalesce(c.cluster_id, r.rep) AS cluster_id
+        |         FROM reps r LEFT JOIN comp c ON c.rep = r.rep),
+        |docs2 AS (SELECT p.doc_id, rc.cluster_id
+        |          FROM ph p JOIN repc rc USING (phash)),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |          FROM docs2 GROUP BY cluster_id)
+        |SELECT d.doc_id, d.cluster_id, s.cluster_size
+        |FROM docs2 d JOIN sizes s USING (cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "emb_knn_classify" ->
       s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),

@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Round-9 wave-3 keys: the two model-in-the-loop primitives a
-  * training-data pipeline runs between dedup and packing —
-  * kNN label propagation over embeddings (auto-labeling) and a
-  * corpus-trained logistic-regression quality filter (the
-  * fastText/CCNet-style keep/drop classifier), both under the §2.3
+/** Round-9 wave-3/4 keys: the model-in-the-loop and pattern
+  * primitives a training-data pipeline runs between dedup and
+  * packing — kNN label propagation (auto-labeling), the trained
+  * logistic-regression quality filter, the Gopher rule ledger,
+  * CEP pattern matching over events, and the perceptual-hash image
+  * dedup pair (exact + hamming-banded near) — all under the §2.3
   * determinism discipline.
   */
 object QueriesR13 {
@@ -44,8 +45,7 @@ object QueriesR13 {
       .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
             "neighbor_id")
       .groupBy("vec_id", "label")
-      .agg(count(lit(1)).as("n_votes"),
-           sum(col("cos_sim").cast(DecimalType(18, 6))).as("w"))
+      .agg(sum(col("cos_sim").cast(DecimalType(18, 6))).as("w"))
     val pred = votes.groupBy("vec_id")
       .agg(max(struct(col("w"), (lit(0) - col("label")).as("nl"))).as("m"))
       .select(col("vec_id"), (lit(0) - col("m.nl")).as("label_pred"),
@@ -94,6 +94,79 @@ object QueriesR13 {
               col("n_between"))
       .orderBy("user_id", "purchase_id")
 
+  /** Gopher-style rule-ledger quality filter — the AUDITABLE
+    * counterpart of docs_quality_score's blended scalar: six published
+    * heuristic rules (token-count bounds, mean-word-length bounds,
+    * symbol ratio, alpha-word fraction, distinct-stopword presence,
+    * duplicate-3-gram ratio), each emitted as its own pass/fail
+    * column plus the combined keep — the per-rule ledger a corpus
+    * curation pipeline logs so every dropped document carries its
+    * reason.
+    *
+    * Determinism (§2.3): NO floating point anywhere — every ratio
+    * threshold is restated as an exact integer cross-multiplication
+    * (mean word length ∈ [3,10] ⇔ 3n ≤ chars ≤ 10n; symbol ratio
+    * ≤ 0.1 ⇔ 10·sym ≤ chars; alpha fraction ≥ 0.8 ⇔ 5·alpha ≥ 4n;
+    * dup-3-gram ratio ≤ 0.2 ⇔ 5·dups ≤ grams), so no rounding rule
+    * can disagree at a boundary.
+    *
+    * Scale shape: one narrow projection per document — array ops stay
+    * in-row, zero shuffles before the output sort. */
+  def docsGopherRules(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is", "for")
+      .map("'" + _ + "'").mkString(",")
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("chars_ns",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("sym",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("alpha_w",
+        expr("size(filter(toks, t -> t RLIKE '[a-z]'))").cast("long"))
+      .withColumn("stop_d",
+        expr(s"size(array_intersect(array_distinct(toks), array($stop)))")
+          .cast("long"))
+      .withColumn("grams", greatest(col("n_tok") - 2, lit(0L)))
+      .withColumn("dups", when(col("n_tok") >= 3,
+        col("grams") - expr(
+          "size(array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> array_join(slice(toks, i, 3), ' '))))").cast("long"))
+        .otherwise(lit(0L)))
+      .select(
+        col("doc_id"),
+        (col("n_tok") >= 50 && col("n_tok") <= 100000)
+          .cast("int").as("r_len"),
+        (col("chars_ns") >= lit(3L) * col("n_tok") &&
+         col("chars_ns") <= lit(10L) * col("n_tok"))
+          .cast("int").as("r_word_len"),
+        (lit(10L) * col("sym") <= length(col("text")).cast("long"))
+          .cast("int").as("r_symbols"),
+        (lit(5L) * col("alpha_w") >= lit(4L) * col("n_tok"))
+          .cast("int").as("r_alpha"),
+        (col("stop_d") >= 2).cast("int").as("r_stopwords"),
+        (lit(5L) * col("dups") <= col("grams")).cast("int").as("r_repeat"))
+      .withColumn("n_passed",
+        (col("r_len") + col("r_word_len") + col("r_symbols") +
+         col("r_alpha") + col("r_stopwords") + col("r_repeat"))
+          .cast("long"))
+      .withColumn("keep", (col("n_passed") === 6).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, phash) via the REAL decode path — shared by the exact
+    * and near-dup image keys. */
+  private def docPhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    QueriesExtra.docPngBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val dec = Png.decodeGray8Pixels(blob)
+        (id, Png.dhash64(dec.pixels, dec.width, dec.height))
+      })
+      .toDF("doc_id", "phash")
+  }
+
   /** Perceptual-hash image dedup — the multimodal cousin of
     * docs_dedup_exact: every document's synthetic PNG (the
     * multimodal_decode_png fixture) decodes through the REAL chunk
@@ -102,9 +175,9 @@ object QueriesR13 {
     * bit per adjacent-sample compare, dimension-invariant by
     * construction), and images sharing a phash cluster under the
     * min-id survivor rule. The production image-dedup shape: decode →
-    * cheap perceptual fingerprint → hash-equality grouping; a
-    * hamming-banded near-dup pass (the simhash recipe) extends it
-    * when exact phash equality is too strict.
+    * cheap perceptual fingerprint → hash-equality grouping;
+    * multimodal_phash_near is the hamming-banded extension when exact
+    * equality is too strict.
     *
     * Determinism (§2.3): pure integer compares end-to-end — no
     * resize interpolation, no floats. The oracle re-derives every bit
@@ -115,14 +188,7 @@ object QueriesR13 {
     * codecs — the sanctioned use); clustering is one shuffle on the
     * 64-bit fingerprint. */
   def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hashed = QueriesExtra.docPngBlobs(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, blob) =>
-        val dec = Png.decodeGray8Pixels(blob)
-        (id, Png.dhash64(dec.pixels, dec.width, dec.height))
-      })
-      .toDF("doc_id", "phash")
+    val hashed = docPhashes(s, d)
     val clusters = hashed.groupBy("phash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cluster_size"))
     hashed.join(clusters, "phash")
@@ -130,6 +196,80 @@ object QueriesR13 {
               expr("CAST(length(replace(phash, '0', '')) AS BIGINT)")
                 .as("n_set"),
               col("keep_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Hamming-banded image NEAR-dup clustering — the extension
+    * multimodal_phash_dedup declares: clusters of images whose
+    * 64-bit dHashes sit within hamming distance 3, connected
+    * transitively. The scale design is the two-level collapse:
+    * (1) exact-equal fingerprints group WITHOUT pairs (the
+    * mass-duplicate megacluster costs one groupBy, never n² — the
+    * degenerate case that breaks naive banding); (2) only the
+    * DISTINCT fingerprints' representatives enter the band join
+    * (4 bands × 16 bits — pigeonhole: hamming ≤ 3 over 4 bands
+    * forces ≥ 1 identical band, so candidate recall is EXACT, not
+    * probabilistic), verified by an in-row positional compare, then
+    * pointer-jump CC links representatives and the cluster id maps
+    * back to every document through its fingerprint.
+    *
+    * Determinism: integer compares and min-ids only. The oracle runs
+    * brute-force all-pairs hamming over the closed-form fingerprints
+    * plus a recursive-CTE closure — equality holds because the
+    * pigeonhole candidate set IS the full ≤3 pair set.
+    *
+    * At 100 TB: distinct-fingerprint count ≪ corpus (images repeat);
+    * the band join shuffles 4 rows per DISTINCT hash; the doc-level
+    * map-back is one broadcastable join on the fingerprint. Residual
+    * hot-band risk: a band value shared by k distinct fingerprints
+    * still emits k² candidates (the synthetic gradient images are
+    * exactly this adversarial case — ~475k candidates from 1062
+    * fingerprints at sf0.1); integer XOR verification makes that
+    * affordable here, and past it the lshBandIndex maxBucket
+    * discipline applies (cap + transitive linking), trading the
+    * exact-recall guarantee for boundedness. */
+  def multimodalPhashNear(s: SparkSession, d: String): DataFrame = {
+    // tiny frame (one 72-char row per doc) reused by reps + map-back:
+    // checkpoint so the PNG decode pass runs once
+    val hashed = docPhashes(s, d).localCheckpoint(true)
+    // band values as 16-bit INTEGERS: verification is then XOR +
+    // popcount over codegen'd int columns — a string-positional
+    // hamming (filter over sequence(1,64)) is a CodegenFallback
+    // higher-order function and measured 31 s on the ~475k-candidate
+    // graph at sf0.1; the integer spelling is ~10× cheaper per pair
+    val bandCols = (0 to 3).map(b =>
+      expr(s"cast(conv(substring(phash, ${b * 16 + 1}, 16), 2, 10) as int)")
+        .as(s"b$b"))
+    val reps = hashed.groupBy("phash").agg(min("doc_id").as("rep"))
+      .select(Seq(col("phash"), col("rep")) ++ bandCols: _*)
+    val bands = reps.select(
+      Seq(col("rep")) ++ (0 to 3).map(b => col(s"b$b")) :+
+        posexplode(array((0 to 3).map(b => col(s"b$b")): _*))
+          .as(Seq("band", "bh")): _*)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.rep") < col("b.rep"))
+      .select(
+        Seq(col("a.rep").as("rep1"), col("b.rep").as("rep2")) ++
+          (0 to 3).flatMap(b => Seq(col(s"a.b$b").as(s"ab$b"),
+                                    col(s"b.b$b").as(s"bb$b"))): _*)
+      .distinct()
+    val pairs = cand
+      .filter(expr((0 to 3).map(b => s"bit_count(ab$b ^ bb$b)")
+        .mkString(" + ")) <= 3)
+      .select("rep1", "rep2")
+    val cc = Ops.connectedComponents(pairs, "rep1", "rep2")
+      .select(col("n").as("rep"), col("label"))
+    val repCluster = reps.join(cc, Seq("rep"), "left")
+      .select(col("phash"),
+              coalesce(col("label"), col("rep")).as("cluster_id"))
+    val docs2 = hashed.join(repCluster, "phash")
+      .select("doc_id", "cluster_id")
+    val sizes = docs2.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs2.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
 

@@ -241,6 +241,8 @@ object Registry {
     "docs_quality_logreg"  -> QueriesR13.docsQualityLogreg _,
     "events_cep_pattern"   -> QueriesR13.eventsCepPattern _,
     "multimodal_phash_dedup" -> QueriesR13.multimodalPhashDedup _,
+    "docs_gopher_rules"    -> QueriesR13.docsGopherRules _,
+    "multimodal_phash_near" -> QueriesR13.multimodalPhashNear _,
   )
 
   val oracleSql: ListMap[String, String] =

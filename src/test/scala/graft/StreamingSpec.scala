@@ -44,6 +44,53 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.contains("2024-01-01 08:00:00"))
   }
 
+  test("funnel TTL evicts idle state on watermark; within-TTL completes") {
+    // The resident-mode bounded-state contract: a signup whose later
+    // stages arrive only after the TTL gap must NOT complete (the
+    // state was evicted when the watermark passed signup + TTL); the
+    // same stages within the TTL must. TTL = 30 min, watermark
+    // delay = 10 min.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.funnelStepTtlTs(30L * 60000))
+    val q = out.writeStream.format("memory").queryName("fttl_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: both users sign up at 10:00
+    in.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+               (2L, "signup", ts("2024-01-01 10:00:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: user 2 completes WITHIN the TTL; a bystander event
+    // pushes the watermark to 11:50 — far past user 1's 10:30 timeout
+    in.addData((2L, "click", ts("2024-01-01 10:10:00"), 3L),
+               (2L, "purchase", ts("2024-01-01 10:20:00"), 4L),
+               (9L, "view", ts("2024-01-01 12:00:00"), 5L))
+    q.processAllAvailable()
+    // batch 3: a dataless batch FOR USER 1 — expired timeouts fire
+    // only for groups with no incoming data, so this is where the
+    // idle signup state evicts (hasTimedOut branch)
+    in.addData((9L, "view", ts("2024-01-01 12:05:00"), 6L))
+    q.processAllAvailable()
+    // batch 4: user 1's click + purchase arrive AFTER the TTL gap —
+    // with the signup evicted, the funnel must NOT complete
+    in.addData((1L, "click", ts("2024-01-01 11:56:00"), 7L),
+               (1L, "purchase", ts("2024-01-01 11:58:00"), 8L))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("fttl_out").select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(hits == Set(2L),
+      s"TTL eviction broken: completed users = $hits (want {2})")
+  }
+
   test("stream-stream interval join matches events to orders within the window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -256,7 +303,18 @@ class StreamingSpec extends SparkTestBase {
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel", "ewma", "ohlc", "transitions"))
+          "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
+          "transitions"))
+    // on a bounded single-batch drain no event-time timeout fires, so
+    // the TTL funnel must equal the NoTimeout funnel row-for-row
+    val plainFunnel = spark.read.parquet(s"$out/funnel").collect()
+      .map(_.toSeq).toSet
+    val ttlFunnel = spark.read.parquet(s"$out/funnel_ttl").collect()
+      .map(_.toSeq).toSet
+    assert(ttlFunnel == plainFunnel,
+      s"funnel_ttl diverged from funnel on a bounded drain: " +
+        s"ttl-only=${(ttlFunnel -- plainFunnel).take(3)}, " +
+        s"plain-only=${(plainFunnel -- ttlFunnel).take(3)}")
     // OHLC sink ≡ batch events_ohlc on every CLOSED day: the struct
     // min/max partials are associative, so arrival order cannot change
     // a bar; the only legitimate difference is watermark holdback of
