@@ -228,10 +228,12 @@ object QueriesR13 {
     * affordable here, and past it the lshBandIndex maxBucket
     * discipline applies (cap + transitive linking), trading the
     * exact-recall guarantee for boundedness. */
-  def multimodalPhashNear(s: SparkSession, d: String): DataFrame = {
-    // tiny frame (one 72-char row per doc) reused by reps + map-back:
-    // checkpoint so the PNG decode pass runs once
-    val hashed = docPhashes(s, d).localCheckpoint(true)
+  /** Verified ≤3-hamming pairs among distinct-fingerprint
+    * representatives — the band join + integer verification stage of
+    * multimodal_phash_near, factored so PlanSpec can assert its shape
+    * (the CC checkpoint hides it from the final key's plan).
+    * `reps` = (phash, rep). */
+  private[graft] def phashNearPairs(reps0: DataFrame): DataFrame = {
     // band values as 16-bit INTEGERS: verification is then XOR +
     // popcount over codegen'd int columns — a string-positional
     // hamming (filter over sequence(1,64)) is a CodegenFallback
@@ -240,8 +242,7 @@ object QueriesR13 {
     val bandCols = (0 to 3).map(b =>
       expr(s"cast(conv(substring(phash, ${b * 16 + 1}, 16), 2, 10) as int)")
         .as(s"b$b"))
-    val reps = hashed.groupBy("phash").agg(min("doc_id").as("rep"))
-      .select(Seq(col("phash"), col("rep")) ++ bandCols: _*)
+    val reps = reps0.select(Seq(col("phash"), col("rep")) ++ bandCols: _*)
     val bands = reps.select(
       Seq(col("rep")) ++ (0 to 3).map(b => col(s"b$b")) :+
         posexplode(array((0 to 3).map(b => col(s"b$b")): _*))
@@ -255,10 +256,18 @@ object QueriesR13 {
           (0 to 3).flatMap(b => Seq(col(s"a.b$b").as(s"ab$b"),
                                     col(s"b.b$b").as(s"bb$b"))): _*)
       .distinct()
-    val pairs = cand
+    cand
       .filter(expr((0 to 3).map(b => s"bit_count(ab$b ^ bb$b)")
         .mkString(" + ")) <= 3)
       .select("rep1", "rep2")
+  }
+
+  def multimodalPhashNear(s: SparkSession, d: String): DataFrame = {
+    // tiny frame (one 72-char row per doc) reused by reps + map-back:
+    // checkpoint so the PNG decode pass runs once
+    val hashed = docPhashes(s, d).localCheckpoint(true)
+    val reps = hashed.groupBy("phash").agg(min("doc_id").as("rep"))
+    val pairs = phashNearPairs(reps)
     val cc = Ops.connectedComponents(pairs, "rep1", "rep2")
       .select(col("n").as("rep"), col("label"))
     val repCluster = reps.join(cc, Seq("rep"), "left")

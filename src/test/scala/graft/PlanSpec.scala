@@ -681,4 +681,73 @@ class PlanSpec extends SparkTestBase {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
   }
+
+  /** Runs `body` with AQE off so executedPlan is the concrete tree
+    * (AdaptiveSparkPlanExec hides subtrees from collect/toString). */
+  private def withoutAqe[T](body: => T): T = {
+    val prior = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("cep pattern: every window keys on user_id, signup fetch is an equi join") {
+    withoutAqe {
+      val df = SparkEntry.queries("events_cep_pattern")(spark, sfDir)
+      val exec = df.queryExecution.executedPlan
+      val wins = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected window operators")
+      // the sequence-number and running-maxima windows must all be
+      // per-user (a global window would sort the whole stream in one
+      // task) and share the user_id partitioning
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty &&
+               w.partitionSpec.exists(_.toString.contains("user_id")),
+          s"window not partitioned by user_id:\n$w")
+      }
+      val p = exec.toString
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"signup fetch degraded to a non-equi join:\n$p")
+    }
+  }
+
+  test("gopher rules: in-row projection — no hash shuffle before the sort") {
+    // every rule is computed per row from the text; the only exchange
+    // the plan may contain is the final ORDER BY's range partitioning
+    val p = plan("docs_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rule ledger introduced a data shuffle:\n$p")
+    assert(p.contains("rangepartitioning"), s"missing output sort:\n$p")
+  }
+
+  test("phash near-dup verifies candidates with integer popcount, equi band join") {
+    withoutAqe {
+      // the pair stage is what the CC checkpoint hides from the final
+      // key's plan — assert it directly on a representative frame
+      import spark.implicits._
+      val reps = Seq(("0" * 64, 1L), ("0" * 63 + "1", 2L))
+        .toDF("phash", "rep")
+      val df = graft.engine.QueriesR13.phashNearPairs(reps)
+      val p = df.queryExecution.executedPlan.toString
+      // the band self-join must stay an equi join on (band, bh) — never
+      // a cross product over representatives
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"band join degraded:\n$p")
+      // verification is the codegen-friendly XOR+popcount, not the
+      // CodegenFallback string-positional higher-order filter
+      assert(p.contains("bit_count"), s"integer hamming missing:\n$p")
+      assert(!p.contains("ArrayFilter"),
+        s"string-positional hamming crept back (CodegenFallback):\n$p")
+      // and the stage is semantically right on the toy pair
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 2L)))
+    }
+  }
 }
