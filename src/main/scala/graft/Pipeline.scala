@@ -10,38 +10,74 @@ import graft.engine.PipelineConfig
   * re-expressed over the registry + ArtifactCache). `graft.Stream` is
   * the streaming twin; this is the batch-DAG one.
   *
-  * Usage: runMain graft.Pipeline <config.json> [sfDir] [outDir]
+  * Usage: runMain graft.Pipeline [--plan] [--parallel]
+  *        <config.json> [sfDir] [outDir]
   *   reads  the JSON stage DAG from <config.json>
   *   runs   each stage in declaration order (query keys against
   *          <sfDir>; SQL stages over earlier stages' temp views;
   *          "cache": true stages through ArtifactCache)
-  *   writes <outDir>/<stage>.parquet per stage
+  *   writes <outDir>/<stage>.parquet per stage + <outDir>/_run.json
+  *          (per-stage kind / wave / cache-hit / rows / ms)
   *   prints ONE JSON line {"pipeline_stages":{name:rows,…},"out":dir}
+  *   --plan: DRY RUN — prints the stage DAG (wave levels) with
+  *          cache-hit status (content-hash probe, no data read) and
+  *          writes nothing
+  *   --parallel: executes the DAG wave by wave, each wave's stages
+  *          concurrently (identical results, lower wall time)
   *
   * An example config lives at tools/example_pipeline.json.
   */
 object Pipeline {
 
-  /** Runs a config file's pipeline and writes every stage to parquet;
+  private def readConfig(configPath: String): String = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(configPath)),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Runs a config file's pipeline and writes every stage to parquet
+    * plus a per-stage run manifest (`<outDir>/_run.json`: kind,
+    * cache-hit status, rows, wall ms — the pipetree run report);
     * returns stage row counts. Callable from tests and from main. */
   def runFile(spark: SparkSession, configPath: String, sfDir: String,
-              outDir: String): Map[String, Long] = {
-    val json = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(configPath)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val results = PipelineConfig.runJson(spark, sfDir, json)
-    results.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> spark.read.parquet(s"$outDir/$name").count()
+              outDir: String, parallel: Boolean = false): Map[String, Long] = {
+    val pipeline = PipelineConfig.parse(readConfig(configPath))
+    val report =
+      if (parallel) PipelineConfig.runReportParallel(spark, sfDir, pipeline)
+      else PipelineConfig.runReport(spark, sfDir, pipeline)
+    val entries = report.map { r =>
+      val t0 = System.nanoTime()
+      r.df.write.mode("overwrite").parquet(s"$outDir/${r.name}")
+      val rows = spark.read.parquet(s"$outDir/${r.name}").count()
+      val ms = r.ms + (System.nanoTime() - t0) / 1000000L
+      val hit = r.cacheHit.map(h => s""""cache_hit":$h,""").getOrElse("")
+      (r.name, rows,
+       s"""{"name":${JsonOut.str(r.name)},"kind":"${r.kind}",""" +
+         s""""wave":${r.wave},"cache":${r.cache},$hit""" +
+         s""""rows":$rows,"ms":$ms}""")
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_run.json"),
+      entries.map(_._3).mkString("[", ",", "]"))
+    entries.map(e => e._1 -> e._2).toMap
   }
 
+  /** Dry run: prints the stage plan (kind, cache status) without
+    * materializing anything — the `--plan` surface. */
+  def planFile(spark: SparkSession, configPath: String,
+               sfDir: String): Seq[PipelineConfig.StageRun] =
+    PipelineConfig.plan(spark, sfDir,
+      PipelineConfig.parse(readConfig(configPath)))
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: runMain graft.Pipeline <config.json> [sfDir] [outDir]")
-    val configPath = args(0)
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(2).getOrElse(
+    val flags = args.takeWhile(_.startsWith("--")).toSet
+    val dryRun = flags("--plan")
+    val parallel = flags("--parallel")
+    val rest = args.dropWhile(_.startsWith("--"))
+    require(rest.nonEmpty,
+      "usage: runMain graft.Pipeline [--plan] [--parallel] " +
+        "<config.json> [sfDir] [outDir]")
+    val configPath = rest(0)
+    val sfDir = rest.lift(1).getOrElse("/root/testdata/sf0.001")
+    val outDir = rest.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_pipeline_out").toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -51,10 +87,19 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = runFile(spark, configPath, sfDir, outDir)
-    val js = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${JsonOut.str(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"pipeline_stages":$js,"out":${JsonOut.str(outDir)}}""")
+    if (dryRun) {
+      val js = planFile(spark, configPath, sfDir).map { r =>
+        val hit = r.cacheHit.map(h => s""","cache_hit":$h""").getOrElse("")
+        s"""{"name":${JsonOut.str(r.name)},"kind":"${r.kind}",""" +
+          s""""wave":${r.wave},"cache":${r.cache}$hit}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"pipeline_plan":$js}""")
+    } else {
+      val counts = runFile(spark, configPath, sfDir, outDir, parallel)
+      val js = counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${JsonOut.str(k)}:$v" }.mkString("{", ",", "}")
+      println(s"""{"pipeline_stages":$js,"out":${JsonOut.str(outDir)}}""")
+    }
     spark.stop()
   }
 }
