@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
   *   writes <outDir>/tumbling|sessions|dedup|attribution|
-  *          attribution_outer|funnel|funnel_ttl|ewma|ohlc|transitions/
+  *          attribution_outer|funnel|funnel_ttl|ewma|ohlc|
+  *          transitions|cep/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -80,6 +81,55 @@ object Stream {
     if (!done && s.tPurchase.isDefined)
       Iterator(FunnelHit(uid, s.tSignup.get, s.tClick.get, s.tPurchase.get))
     else Iterator.empty
+  }
+
+  /** Per-user CEP state: the most recent signup (stamp + id), whether
+    * an error has been seen since it, and how many events of any type
+    * have followed it — everything the batch events_cep_pattern's
+    * running-maxima respelling derives from the full sequence,
+    * carried as ONE small tuple per live user. */
+  case class CepState(sigUs: Long, sigEid: Long, errSince: Boolean,
+                      evSince: Long)
+
+  case class CepHit(user_id: Long, signup_id: Long, purchase_id: Long,
+                    t_signup: Long, t_purchase: Long, n_between: Long)
+
+  /** One user's CEP step — the streaming twin of the batch
+    * events_cep_pattern key (`PATTERN (signup (^error)* purchase)`
+    * within 24 h, most-recent-signup semantics): a signup replaces
+    * the state (resetting the error flag and the between-counter); a
+    * purchase emits iff a signup is live, no error has intervened,
+    * and the span holds; every non-signup event after the signup
+    * bumps the counter (the batch key's rn difference) and an error
+    * poisons the match until the next signup. Same cross-batch
+    * ordering invariant as ewma/transitions, asserted in runAll; on
+    * a bounded drain the sink equals the batch key row-for-row
+    * (StreamingSpec). */
+  private[graft] def cepStep(spanMicros: Long)(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[CepState]): Iterator[CepHit] = {
+    var cur = state.getOption
+    val out = rows.toSeq
+      .sortBy(r => (r._3, r._4))               // (ts micros, event_id)
+      .flatMap { case (_, typ, us, eid) =>
+        if (typ == "signup") {
+          cur = Some(CepState(us, eid, errSince = false, evSince = 0))
+          None
+        } else cur match {
+          case Some(st) =>
+            val hit =
+              if (typ == "purchase" && !st.errSince &&
+                  us - st.sigUs <= spanMicros)
+                Some(CepHit(uid, st.sigEid, eid, st.sigUs, us, st.evSince))
+              else None
+            cur = Some(st.copy(errSince = st.errSince || typ == "error",
+                               evSince = st.evSince + 1))
+            hit
+          case None => None
+        }
+      }
+    cur.foreach(state.update)
+    out.iterator
   }
 
   /** TTL-bounded funnel step for RESIDENT deployments — the
@@ -313,6 +363,28 @@ object Stream {
                   timestamp_micros(col("us")).as("ts"),
                   col("value"), col("m"), col("ewma"))
       },
+      // The streaming CEP matcher — the batch events_cep_pattern
+      // key's stateful twin: one small tuple per live user (last
+      // signup + error flag + between-counter), each match emitted
+      // the moment its purchase lands. Same single-batch ordering
+      // invariant as ewma/transitions (asserted in runAll); a
+      // resident deployment bounds state with EventTimeTimeout + TTL
+      // per the funnel_ttl recipe.
+      "cep" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"), col("event_id"))
+          .as[(Long, String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            cepStep(86400000000L))
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"),
+                  col("n_between"))
+      },
       // The RESIDENT-mode funnel: the same state machine under
       // EventTimeTimeout with a 24 h TTL — completed funnels drop
       // their state on emission, idle ones evict when the watermark
@@ -443,7 +515,7 @@ object Stream {
       // the one staged file with no maxFilesPerTrigger yields exactly
       // that. Assert it so a future multi-file staging or trigger
       // option can't silently void the sink ≡ batch guarantee.
-      if (name == "ewma" || name == "transitions") {
+      if (name == "ewma" || name == "transitions" || name == "cep") {
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name drained $dataBatches data microbatches; its batch-" +

@@ -304,7 +304,18 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions"))
+          "transitions", "cep"))
+    // the CEP sink replays per-user events in (ts, event_id) order
+    // with one-tuple state — a bounded drain must equal the batch
+    // pattern key row-for-row
+    val batchCep = graft.engine.QueriesR13.eventsCepPattern(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val sinkCep = spark.read.parquet(s"$out/cep").collect()
+      .map(_.toSeq).toSet
+    assert(sinkCep == batchCep,
+      s"cep sink diverged from batch: " +
+        s"sink-only=${(sinkCep -- batchCep).take(3)}, " +
+        s"batch-only=${(batchCep -- sinkCep).take(3)}")
     // on a bounded single-batch drain no event-time timeout fires, so
     // the TTL funnel must equal the NoTimeout funnel row-for-row
     val plainFunnel = spark.read.parquet(s"$out/funnel").collect()
