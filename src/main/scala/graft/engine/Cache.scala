@@ -50,9 +50,15 @@ object ArtifactCache {
     val key = "spark.sql.debug.maxToStringFields"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "100000")
+    // ANALYZED, not `.logical`: for a spark.sql frame the logical plan
+    // is the raw parsed tree, and canonicalizing it crashes on any
+    // qualified column reference (UnresolvedAttribute.qualifier) — a
+    // cached SQL pipeline stage like `SELECT a.x FROM (...) a` hit
+    // this. The analyzed plan is fully resolved and its canonicalized
+    // string is JVM-stable the same way (exprIds normalized).
     val planPart =
       try df.schema.json + "\n" +
-        df.queryExecution.logical.canonicalized.toString
+        df.queryExecution.analyzed.canonicalized.toString
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)

@@ -58,6 +58,20 @@ object OracleR13 {
         |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "fn_regexp" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)
+        |    AS brand_num,
+        |  regexp_extract(p_name, '^[a-z]+') AS first_word,
+        |  CAST(length(regexp_replace(p_name, '[^aeiou]', '', 'g'))
+        |    AS BIGINT) AS n_vowels,
+        |  array_to_string(regexp_extract_all(
+        |    p_name || ' ' || p_brand || ' ' || CAST(p_size AS VARCHAR),
+        |    '[0-9]+'), ',') AS all_nums,
+        |  CASE WHEN regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+        |       THEN 1 ELSE 0 END AS is_econ_std
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "docs_gopher_rules" ->
       // Integer cross-multiplied thresholds — no floats, no rounding
       // rule to disagree at a boundary.

@@ -282,6 +282,31 @@ object QueriesR13 {
       .orderBy("doc_id")
   }
 
+  /** Regexp function matrix — the I-family completion for the regex
+    * surface: capture-group extraction (regexp_extract with and
+    * without a group), global extraction joined to a scalar
+    * (regexp_extract_all → array_join, so no array cells reach the
+    * compare), global replacement, and a match flag. Patterns stay in
+    * the dialect-portable subset (char classes, anchors, groups —
+    * identical semantics in Java regex and RE2, §2.3-3's portability
+    * rule for engine-crossing primitives). Pure row-level string ops,
+    * no shuffle before the sort. */
+  def fnRegexp(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        expr("CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)")
+          .as("brand_num"),
+        expr("regexp_extract(p_name, '^[a-z]+', 0)").as("first_word"),
+        expr("CAST(length(regexp_replace(p_name, '[^aeiou]', '')) " +
+          "AS BIGINT)").as("n_vowels"),
+        expr("array_join(regexp_extract_all(" +
+          "concat(p_name, ' ', p_brand, ' ', CAST(p_size AS STRING)), " +
+          "'[0-9]+', 0), ',')").as("all_nums"),
+        when(expr("p_type RLIKE '^(ECONOMY|STANDARD)'"), 1).otherwise(0)
+          .as("is_econ_std"))
+      .orderBy("p_partkey")
+
   /** Spark round(x, 9) on the driver: BigDecimal HALF_UP over the
     * double's canonical decimal repr — the weight-update twin of
     * Ops.round6, so driver-held weights land on the same doubles the

@@ -243,6 +243,7 @@ object Registry {
     "multimodal_phash_dedup" -> QueriesR13.multimodalPhashDedup _,
     "docs_gopher_rules"    -> QueriesR13.docsGopherRules _,
     "multimodal_phash_near" -> QueriesR13.multimodalPhashNear _,
+    "fn_regexp"            -> QueriesR13.fnRegexp _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -178,6 +178,55 @@ class PipelineSpec extends SparkTestBase {
     assert(manifest.contains(""""wave":2"""))
   }
 
+  test("parallel runner: cached SQL stage in a later wave materializes once") {
+    // two independent wave-0 query stages; a wave-1 CACHED SQL stage
+    // joining them — the parallel path must register wave-0 views
+    // before wave 1 parses, and the artifact must land exactly once
+    val root = Files.createTempDirectory("graft_pipe_cache_par").toString
+    val json =
+      s"""{"cacheRoot": ${'"'}$root${'"'}, "stages": [
+         |  {"name": "a_regions", "query": "scan_project_filter"},
+         |  {"name": "b_docs", "query": "docs_token_stats"},
+         |  {"name": "joined",
+         |   "sql": "SELECT count(*) AS n_pairs FROM a_regions CROSS JOIN b_docs",
+         |   "cache": true}
+         |]}""".stripMargin
+    val p = PipelineConfig.parse(json)
+    assert(PipelineConfig.waves(p) ==
+      Map("a_regions" -> 0, "b_docs" -> 0, "joined" -> 1))
+    val report = PipelineConfig.runReportParallel(spark, sfDir, p)
+    assert(report.map(_.name) == Seq("a_regions", "b_docs", "joined"))
+    assert(report.last.cacheHit.contains(false), "fresh root reported a hit")
+    val row = report.last.df.collect()(0)
+    assert(row.getLong(0) > 0)
+    // a second parallel run over the same root is a pure cache hit
+    val again = PipelineConfig.runReportParallel(spark, sfDir, p)
+    assert(again.last.cacheHit.contains(true), "artifact not reused")
+  }
+
+  test("cached SQL stage with qualified refs hashes via the analyzed plan") {
+    // regression: artifactHash canonicalized queryExecution.logical,
+    // which for a spark.sql frame is the raw PARSED tree — any
+    // qualified column reference crashed canonicalization
+    // (UnresolvedAttribute.qualifier). The analyzed plan resolves
+    // first; this pipeline failed before the fix.
+    val root = Files.createTempDirectory("graft_pipe_qualref").toString
+    val json =
+      s"""{"cacheRoot": ${'"'}$root${'"'}, "stages": [
+         |  {"name": "a_regions", "query": "scan_project_filter"},
+         |  {"name": "joined",
+         |   "sql": "SELECT a.n_a FROM (SELECT count(*) AS n_a FROM a_regions) a",
+         |   "cache": true}
+         |]}""".stripMargin
+    val report = PipelineConfig.runReport(spark, sfDir,
+      PipelineConfig.parse(json))
+    assert(report.last.cacheHit.contains(false))
+    assert(report.last.df.collect()(0).getLong(0) > 0)
+    val again = PipelineConfig.runReport(spark, sfDir,
+      PipelineConfig.parse(json))
+    assert(again.last.cacheHit.contains(true), "SQL-stage artifact not reused")
+  }
+
   test("--plan dry run reports cache-hit status without writing output") {
     // after the e2e run above populated the artifact cache, a dry-run
     // plan must see the cached stages as hits — and write NOTHING
