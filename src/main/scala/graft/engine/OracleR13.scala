@@ -58,6 +58,18 @@ object OracleR13 {
         |  AND epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
+    "emb_knn_outlier_score" ->
+      s"""WITH p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+        |    round(${OracleDocs.cosinePair}, 6) AS cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, cs,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cs DESC, nid) AS rk
+        |      FROM p)
+        |SELECT vec_id, cs AS knn10_sim FROM r WHERE rk = 10
+        |ORDER BY vec_id""".stripMargin,
+
     "fn_regexp" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)

@@ -282,6 +282,25 @@ object QueriesR13 {
       .orderBy("doc_id")
   }
 
+  /** kNN-distance outlier scoring — the embedding-space cleaning
+    * primitive (isolated vectors are mislabeled/degenerate candidates
+    * in a training corpus): every vector's similarity to its k=10th
+    * nearest neighbor, ascending — the classic kNN outlier score
+    * (low kth-neighbor similarity ⇔ sparse neighborhood). Emits the
+    * SCORE, not a keep flag: the cutoff is caller policy (a fixed
+    * threshold would be fixture-tuned; the score is the operator).
+    *
+    * Scale shape: one pass of the blocked exact kernel
+    * (Ops.knnBruteForce — broadcast fast path under one block,
+    * executor-side cogroup beyond), then a filter on rank k. At
+    * 100 TB the candidate generator is the IVF/LSH family with this
+    * kernel as ground truth, as everywhere in the emb_* keys. */
+  def embKnnOutlierScore(s: SparkSession, d: String): DataFrame =
+    Ops.knnBruteForce(embeddings(s, d), "vec_id", "embedding", k = 10)
+      .filter(col("rk") === 10)
+      .select(col("vec_id"), col("cos_sim").as("knn10_sim"))
+      .orderBy("vec_id")
+
   /** Regexp function matrix — the I-family completion for the regex
     * surface: capture-group extraction (regexp_extract with and
     * without a group), global extraction joined to a scalar

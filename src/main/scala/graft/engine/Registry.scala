@@ -244,6 +244,7 @@ object Registry {
     "docs_gopher_rules"    -> QueriesR13.docsGopherRules _,
     "multimodal_phash_near" -> QueriesR13.multimodalPhashNear _,
     "fn_regexp"            -> QueriesR13.fnRegexp _,
+    "emb_knn_outlier_score" -> QueriesR13.embKnnOutlierScore _,
   )
 
   val oracleSql: ListMap[String, String] =

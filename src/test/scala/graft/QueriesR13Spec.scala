@@ -83,6 +83,28 @@ class QueriesR13Spec extends SparkTestBase {
     }
   }
 
+  test("knn outlier score: an isolated vector is the strict minimum") {
+    import spark.implicits._
+    // 12 near-identical vectors around e1 (tiny deterministic jitter
+    // keeps ties off) + one orthogonal singleton; with k=10 every
+    // cluster member's 10th neighbor is still in-cluster (sim ≈ 1)
+    // while the singleton's 10th neighbor is cross-cluster (sim ≈ 0)
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        if (j == 0) 100.0f else (i * (j + 1) % 3).toFloat))
+    } :+ (99L, Array(0.0f, 0.0f, 0.0f, 100.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val scored = Ops.knnBruteForce(df, "vec_id", "embedding", k = 10)
+      .filter(col("rk") === 10)
+      .select(col("vec_id"), col("cos_sim").as("knn10_sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scored.size == 13, "one score per vector")
+    val (outlier, cluster) = (scored(99L), (scored - 99L).values)
+    assert(cluster.forall(outlier < _),
+      s"outlier $outlier not strictly below cluster min ${cluster.min}")
+    assert(outlier < 0.1 && cluster.min > 0.9)
+  }
+
   test("cepMatch: negation blocks, most-recent start wins, span bounds") {
     import spark.implicits._
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
