@@ -34,6 +34,27 @@ object OracleR13 {
       stepCte(s"w$i", s"g$i", if (i == 1) "w0_init" else s"w${i - 1}")
   }.mkString(",\n")
 
+  /** The exact-kNN vote CTE chain over the mod-5 holdout — the body
+    * both emb_knn_classify and emb_knn_eval share (eval re-derives
+    * the predictions, then aggregates them into per-label metrics). */
+  private val knnVoteCtes =
+    s"""q AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      |c AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid, b.label AS label,
+      |        round(${OracleDocs.cosinePair}, 6) AS cs
+      |      FROM q a JOIN c b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT vec_id, nid, label, cs,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY cs DESC, nid) AS rk
+      |      FROM p),
+      |v AS (SELECT vec_id, label,
+      |        sum(CAST(cs AS DECIMAL(18,6))) AS w
+      |      FROM r WHERE rk <= 10 GROUP BY vec_id, label),
+      |best AS (SELECT vec_id, label, w,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY w DESC, label) AS brk
+      |         FROM v)""".stripMargin
+
   val sql: ListMap[String, String] = ListMap(
     "events_cep_pattern" ->
       """WITH seq AS (
@@ -69,6 +90,77 @@ object OracleR13 {
         |      FROM p)
         |SELECT vec_id, cs AS knn10_sim FROM r WHERE rk = 10
         |ORDER BY vec_id""".stripMargin,
+
+    "events_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
+        |        event_type AS channel
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |pr AS (SELECT p.p_id, p.value, t.t_id, t.t_ts, t.channel
+        |       FROM p JOIN t ON p.user_id = t.user_id
+        |       WHERE t.t_ts < p.p_ts
+        |         AND epoch_us(p.p_ts) - epoch_us(t.t_ts)
+        |             <= 86400000000),
+        |rk AS (SELECT *,
+        |         row_number() OVER (PARTITION BY p_id
+        |                            ORDER BY t_ts, t_id) AS rf,
+        |         row_number() OVER (PARTITION BY p_id
+        |                            ORDER BY t_ts DESC, t_id DESC) AS rl,
+        |         count(*) OVER (PARTITION BY p_id) AS n
+        |       FROM pr),
+        |ft AS (SELECT channel,
+        |         sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS rev
+        |       FROM rk WHERE rf = 1 GROUP BY 1),
+        |lt AS (SELECT channel,
+        |         sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS rev
+        |       FROM rk WHERE rl = 1 GROUP BY 1),
+        |lin AS (SELECT channel,
+        |          sum(CAST(round(value / n, 6) AS DECIMAL(18,6))) AS rev
+        |        FROM rk GROUP BY 1)
+        |SELECT model, channel, CAST(rev AS DOUBLE) AS revenue FROM (
+        |  SELECT 'first_touch' AS model, channel, rev FROM ft
+        |  UNION ALL SELECT 'last_touch', channel, rev FROM lt
+        |  UNION ALL SELECT 'linear', channel, rev FROM lin)
+        |ORDER BY model, channel""".stripMargin,
+
+    "docs_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |             FROM documents),
+        |ex AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts
+        |       FROM tok),
+        |terms AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |            ts[i] AS term FROM ex),
+        |t0 AS (SELECT doc_id, pos FROM terms WHERE term = 'hash'),
+        |t1 AS (SELECT doc_id, pos - 1 AS pos FROM terms
+        |       WHERE term = 'join')
+        |SELECT t0.doc_id, count(*) AS n_hits,
+        |       min(t0.pos) AS first_pos
+        |FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
+        |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin,
+
+    "basket_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n_baskets FROM items),
+        |cnt AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+        |pairs AS (SELECT a.item AS ante, b.item AS cons,
+        |            count(*) AS pair_n
+        |          FROM items a JOIN items b
+        |            ON a.okey = b.okey AND a.item <> b.item
+        |          GROUP BY 1, 2)
+        |SELECT ante, cons, pair_n,
+        |  round(CAST(pair_n AS DOUBLE) / n_baskets, 6) AS support,
+        |  round(CAST(pair_n AS DOUBLE) / ca.n_item, 6) AS confidence,
+        |  round(CAST(n_baskets * pair_n AS DOUBLE)
+        |        / (ca.n_item * cb.n_item), 6) AS lift
+        |FROM pairs
+        |JOIN cnt ca ON ca.item = pairs.ante
+        |JOIN cnt cb ON cb.item = pairs.cons
+        |CROSS JOIN tot
+        |WHERE pair_n * 200 >= n_baskets
+        |ORDER BY ante, cons""".stripMargin,
 
     "fn_regexp" ->
       """SELECT p_partkey,
@@ -207,27 +299,43 @@ object OracleR13 {
         |ORDER BY d.doc_id""".stripMargin,
 
     "emb_knn_classify" ->
-      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
-        |c AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid, b.label AS label,
-        |        round(${OracleDocs.cosinePair}, 6) AS cs
-        |      FROM q a JOIN c b ON a.vec_id <> b.vec_id),
-        |r AS (SELECT vec_id, nid, label, cs,
-        |        row_number() OVER (PARTITION BY vec_id
-        |                           ORDER BY cs DESC, nid) AS rk
-        |      FROM p),
-        |v AS (SELECT vec_id, label,
-        |        sum(CAST(cs AS DECIMAL(18,6))) AS w
-        |      FROM r WHERE rk <= 10 GROUP BY vec_id, label),
-        |best AS (SELECT vec_id, label, w,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY w DESC, label) AS brk
-        |         FROM v)
+      s"""WITH $knnVoteCtes
         |SELECT b.vec_id, e.label AS label_true, b.label AS label_pred,
         |       CAST(b.w AS DOUBLE) AS vote_weight,
         |       CASE WHEN e.label = b.label THEN 1 ELSE 0 END AS correct
         |FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
         |WHERE b.brk = 1 ORDER BY b.vec_id""".stripMargin,
+
+    "emb_knn_eval" ->
+      s"""WITH $knnVoteCtes,
+        |pred AS (SELECT e.label AS label_true, b.label AS label_pred,
+        |           CASE WHEN e.label = b.label THEN 1 ELSE 0 END AS correct
+        |         FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+        |         WHERE b.brk = 1),
+        |byt AS (SELECT label_true AS label, count(*) AS n_true,
+        |          CAST(sum(correct) AS BIGINT) AS tp
+        |        FROM pred GROUP BY 1),
+        |byp AS (SELECT label_pred AS label, count(*) AS n_pred
+        |        FROM pred GROUP BY 1),
+        |m AS (SELECT l.label,
+        |        coalesce(t.n_true, 0) AS n_true,
+        |        coalesce(p.n_pred, 0) AS n_pred,
+        |        coalesce(t.tp, 0) AS tp,
+        |        CASE WHEN coalesce(p.n_pred, 0) > 0 THEN
+        |          round(CAST(coalesce(t.tp, 0) AS DOUBLE) / p.n_pred, 6)
+        |        END AS precision,
+        |        CASE WHEN coalesce(t.n_true, 0) > 0 THEN
+        |          round(CAST(coalesce(t.tp, 0) AS DOUBLE) / t.n_true, 6)
+        |        END AS recall
+        |      FROM (SELECT DISTINCT label FROM embeddings) l
+        |      LEFT JOIN byt t ON t.label = l.label
+        |      LEFT JOIN byp p ON p.label = l.label)
+        |SELECT label, n_true, n_pred, tp, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0 THEN
+        |    round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1
+        |FROM m ORDER BY label""".stripMargin,
 
     "docs_quality_logreg" ->
       s"""WITH feat AS (

@@ -301,6 +301,189 @@ object QueriesR13 {
       .select(col("vec_id"), col("cos_sim").as("knn10_sim"))
       .orderBy("vec_id")
 
+  /** Classifier evaluation metrics — the missing last step of the
+    * emb_knn_classify auto-labeling loop: per-label confusion counts
+    * (support, predicted count, true positives) and the derived
+    * precision / recall / F1 over the mod-5 holdout. The label frame
+    * is the FULL corpus label domain, so a label the classifier
+    * never predicts (or never sees in truth) still gets a row with
+    * NULL for the undefined ratio — absence is visible, not dropped.
+    *
+    * Determinism (§2.3): counts are integers; precision/recall are
+    * single IEEE-exact quotients rounded to 6 dp; F1 is computed
+    * FROM the rounded precision/recall (2PR/(P+R), one more exact
+    * expression over identical inputs) — no accumulation-order
+    * exposure anywhere.
+    *
+    * Scale shape: rides the classify key's blocked-kNN output; the
+    * metric aggregation itself is two map-side-combined group-bys on
+    * the label domain (bounded) joined back to the distinct-label
+    * frame — AQE broadcasts the tiny aggregated sides. At 100 TB the
+    * holdout is a sample, the label domain is still O(model). */
+  def embKnnEval(s: SparkSession, d: String): DataFrame = {
+    val pred = embKnnClassify(s, d)
+    val byTrue = pred.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_true"), sum("correct").as("tp_t"))
+    val byPred = pred.groupBy(col("label_pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val p = col("precision")
+    val r = col("recall")
+    embeddings(s, d).select("label").distinct()
+      .join(byTrue, Seq("label"), "left")
+      .join(byPred, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp_t"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        round(col("tp").cast("double") / col("n_pred"), 6)))
+      .withColumn("recall", when(col("n_true") > 0,
+        round(col("tp").cast("double") / col("n_true"), 6)))
+      .withColumn("f1", when(p.isNotNull && r.isNotNull && p + r > 0,
+        round(lit(2.0) * p * r / (p + r), 6)))
+      .orderBy("label")
+  }
+
+  /** Market-basket association rules — the co-occurrence mining
+    * family (Apriori's 2-itemset stage as one relational plan):
+    * baskets are orders, items the DISTINCT part brands they
+    * contain; every directed brand pair with support ≥ 0.5 % of
+    * baskets gets support / confidence / lift. The A-Priori
+    * candidate explosion never happens: pair generation is a
+    * self-equi-join on the basket key, so the pair count is bounded
+    * by Σ basket_width² — data-bounded (order width), never
+    * catalog² — and the support filter is an exact integer
+    * cross-multiplication (200·pair_n ≥ n_baskets), no float
+    * threshold to disagree at a boundary.
+    *
+    * Determinism (§2.3): counts are exact integers; the three ratios
+    * are single IEEE-exact quotients of integers rounded to 6 dp.
+    *
+    * Scale shape: one shuffle on the basket key for the self-join,
+    * map-side-combined pair counts on a bounded (brand × brand)
+    * domain, and the totals/counts frames are aggregated-tiny (1 row
+    * / |brands| rows) so AQE broadcasts them. The distinct
+    * (basket, item) table feeds four consumers (totals, item counts,
+    * both self-join sides), so it goes through the P6 artifact cache
+    * — the pagerank-edges discipline; without it Catalyst re-derives
+    * the lineitem⋈part+distinct subtree per reference. */
+  def basketAssocRules(s: SparkSession, d: String): DataFrame = {
+    val items = ArtifactCache.materialize(
+      lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(part(s, d).select("p_partkey", "p_brand"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
+        .distinct(),
+      Artifacts.cacheRoot, "basket_items_v1")
+    val tot = items.agg(countDistinct("okey").as("n_baskets"))
+    val cnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("okey"), col("item").as("ante"))
+      .join(items.select(col("okey"), col("item").as("cons")), Seq("okey"))
+      .filter(col("ante") =!= col("cons"))
+      .groupBy("ante", "cons").agg(count(lit(1)).as("pair_n"))
+    pairs
+      .join(cnt.select(col("item").as("ante"), col("n_item").as("ante_n")),
+            "ante")
+      .join(cnt.select(col("item").as("cons"), col("n_item").as("cons_n")),
+            "cons")
+      .crossJoin(tot)
+      .filter(col("pair_n") * 200 >= col("n_baskets"))
+      .select(col("ante"), col("cons"), col("pair_n"),
+        round(col("pair_n").cast("double") / col("n_baskets"), 6)
+          .as("support"),
+        round(col("pair_n").cast("double") / col("ante_n"), 6)
+          .as("confidence"),
+        round((col("n_baskets") * col("pair_n")).cast("double") /
+              (col("ante_n") * col("cons_n")), 6).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
+  /** Positional phrase search — the IR primitive the bag-of-words
+    * keys (tfidf, sparse_sim) cannot express: find every document
+    * containing the exact token sequence "hash join", with the
+    * occurrence count and first position. The classic positional-
+    * postings algorithm: tokenize WITH positions, keep only the
+    * phrase terms' postings, and fold the terms together with an
+    * equi-join on (doc_id, pos - term_offset) — an n-term phrase is
+    * n-1 equi-joins, never a string scan or a regex over the raw
+    * text. The fold is generic over the phrase literal.
+    *
+    * Determinism (§2.3): integers only.
+    *
+    * Scale shape: the term filter prunes the postings BEFORE any
+    * shuffle (phrase terms are a tiny fraction of the corpus
+    * vocabulary), and the adjacency joins are equi-joins on
+    * (doc_id, pos) — co-partitioned after one shuffle, every later
+    * fold stage reuses the partitioning. At 100 TB this runs against
+    * the persisted positional index (the Artifacts.sparsePostings
+    * discipline plus a position column), not a re-tokenize. */
+  def docsPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val phrase = Seq("hash", "join")
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    phrase.zipWithIndex
+      .map { case (t, i) =>
+        toks.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+      }
+      .reduce(_.join(_, Seq("doc_id", "pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+           min("pos").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Multi-touch revenue attribution — the marketing-analytics
+    * staple over the event stream: every purchase's value attributes
+    * to the user's view/click touchpoints in the 24 h before it,
+    * under three models at once — first_touch (earliest touch takes
+    * all), last_touch (latest takes all), linear (value/n to each) —
+    * aggregated to (model, channel) revenue. Purchases with no touch
+    * in the window attribute nowhere (no synthetic 'direct' bucket).
+    *
+    * Determinism (§2.3): the first/last touch is a struct-min/max
+    * under (ts, event_id, channel) with the unique event_id tiebreak
+    * (no window sort); per-touch amounts round to the 1e-6 grid
+    * BEFORE the DECIMAL sum, so accumulation order cannot show.
+    *
+    * Scale shape: one equi-join on user_id with the range predicate
+    * as a post-filter (the interval-join discipline — pair count is
+    * bounded by per-user 24 h activity, never |events|²); both model
+    * aggregations are map-side-combined over the bounded
+    * (model × channel) domain. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("p_ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+              col("ts").as("t_ts"), col("event_type").as("channel"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+              col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val dec = DecimalType(18, 6)
+    val perP = pairs.groupBy("p_id", "value").agg(
+      count(lit(1)).as("n"),
+      min(struct(col("t_ts"), col("t_id"), col("channel"))).as("ft"),
+      max(struct(col("t_ts"), col("t_id"), col("channel"))).as("lt"))
+    def touchModel(side: String, model: String) =
+      perP.groupBy(col(s"$side.channel").as("channel"))
+        .agg(sum(round(col("value"), 6).cast(dec)).as("rev"))
+        .select(lit(model).as("model"), col("channel"),
+                col("rev").cast("double").as("revenue"))
+    val lin = pairs.join(perP.select("p_id", "n"), "p_id")
+      .groupBy("channel")
+      .agg(sum(round(col("value") / col("n"), 6).cast(dec)).as("rev"))
+      .select(lit("linear").as("model"), col("channel"),
+              col("rev").cast("double").as("revenue"))
+    touchModel("ft", "first_touch")
+      .union(touchModel("lt", "last_touch"))
+      .union(lin)
+      .orderBy("model", "channel")
+  }
+
   /** Regexp function matrix — the I-family completion for the regex
     * surface: capture-group extraction (regexp_extract with and
     * without a group), global extraction joined to a scalar

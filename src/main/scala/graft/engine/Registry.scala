@@ -245,6 +245,10 @@ object Registry {
     "multimodal_phash_near" -> QueriesR13.multimodalPhashNear _,
     "fn_regexp"            -> QueriesR13.fnRegexp _,
     "emb_knn_outlier_score" -> QueriesR13.embKnnOutlierScore _,
+    "emb_knn_eval"          -> QueriesR13.embKnnEval _,
+    "basket_assoc_rules"    -> QueriesR13.basketAssocRules _,
+    "docs_phrase_search"    -> QueriesR13.docsPhraseSearch _,
+    "events_attribution"    -> QueriesR13.eventsAttribution _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -105,6 +105,74 @@ class QueriesR13Spec extends SparkTestBase {
     assert(outlier < 0.1 && cluster.min > 0.9)
   }
 
+  test("emb_knn_eval: confusion identities tie out against classify") {
+    val pred = QueriesR13.embKnnClassify(spark, sfDir).collect()
+    val eval = QueriesR13.embKnnEval(spark, sfDir).collect()
+    val n = pred.length
+    // the confusion decomposes the holdout exactly, on both axes
+    assert(eval.map(_.getLong(1)).sum == n, "support sums to holdout")
+    assert(eval.map(_.getLong(2)).sum == n, "predictions sum to holdout")
+    assert(eval.map(_.getLong(3)).sum ==
+      pred.map(_.getInt(4).toLong).sum, "tp sums to correct count")
+    eval.foreach { r =>
+      val (tp, p, rc) = (r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))
+      assert(tp <= r.getLong(1) && tp <= r.getLong(2))
+      (p ++ rc).foreach(v => assert(v >= 0.0 && v <= 1.0))
+      // F1 is the harmonic mean: bounded by its two inputs
+      Option(r.get(6)).map(_.asInstanceOf[Double]).foreach { f1 =>
+        assert(f1 <= math.max(p.get, rc.get) + 1e-9)
+        assert(f1 >= math.min(p.get, rc.get) - 1e-9)
+      }
+    }
+  }
+
+  test("basket_assoc_rules: lift symmetry and ratio identities") {
+    val rules = QueriesR13.basketAssocRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rules.nonEmpty)
+    rules.foreach { case ((a, b), (n, sup, conf, lift)) =>
+      // the mirrored rule exists with the same pair support and lift
+      val (mn, _, _, mlift) = rules((b, a))
+      assert(mn == n, "pair support is direction-independent")
+      assert(math.abs(mlift - lift) <= 2e-6, "lift is symmetric")
+      assert(n > 0 && sup > 0 && conf > 0 && conf <= 1.0 && lift > 0)
+      // confidence ≥ support: conf divides by the antecedent count,
+      // support by all baskets (a superset)
+      assert(conf >= sup - 1e-9)
+    }
+  }
+
+  test("docs_phrase_search matches a driver-side scan of the corpus") {
+    val got = QueriesR13.docsPhraseSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val hits = (0 until toks.length - 1)
+          .filter(i => toks(i) == "hash" && toks(i + 1) == "join")
+        if (hits.isEmpty) None
+        else Some(r.getLong(0) -> (hits.size.toLong, hits.min.toLong))
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("events_attribution: models conserve the attributed revenue") {
+    val out = QueriesR13.eventsAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+    val byModel = out.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    // first/last both sum round(value, 6) over the identical purchase
+    // set — exactly equal; linear differs only by per-touch rounding
+    assert(math.abs(byModel("first_touch") - byModel("last_touch")) < 1e-9)
+    assert(math.abs(byModel("linear") - byModel("first_touch")) < 0.05)
+    assert(out.map(_._1._2).toSet.subsetOf(Set("view", "click")))
+    assert(out.forall(_._2 > 0))
+  }
+
   test("cepMatch: negation blocks, most-recent start wins, span bounds") {
     import spark.implicits._
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
