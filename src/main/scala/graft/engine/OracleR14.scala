@@ -1,0 +1,86 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-9 wave-7 keys (graph neighborhood
+  * similarity, path mining, time-weighted averaging). Integer
+  * thresholds are the same cross-multiplications as the Spark side;
+  * every ratio is a single IEEE-exact quotient rounded 6 dp.
+  */
+object OracleR14 {
+
+  val sql: ListMap[String, String] = ListMap(
+    "graph_jaccard_neighbors" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l.l_suppkey AS sup, o.o_custkey AS cust
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT sup, count(*) AS deg FROM pairs GROUP BY 1),
+        |com AS (SELECT a.sup AS sup_a, b.sup AS sup_b,
+        |          count(*) AS common
+        |        FROM pairs a JOIN pairs b
+        |          ON a.cust = b.cust AND a.sup < b.sup
+        |        GROUP BY 1, 2)
+        |SELECT sup_a, sup_b, common, da.deg AS deg_a, db.deg AS deg_b,
+        |  round(CAST(common AS DOUBLE)
+        |        / (da.deg + db.deg - common), 6) AS jaccard
+        |FROM com
+        |JOIN deg da ON da.sup = com.sup_a
+        |JOIN deg db ON db.sup = com.sup_b
+        |WHERE common * 5 >= da.deg + db.deg - common
+        |ORDER BY sup_a, sup_b""".stripMargin,
+
+    "events_user_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT step1, step2, step3, count(*) AS n FROM seq
+        |      WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (ORDER BY n DESC, step1, step2, step3) AS INT) AS rank
+        |      FROM c)
+        |SELECT step1, step2, step3, n, rank FROM r
+        |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "orders_rfm_segments" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS c_custkey, max(o_orderdate) AS recency,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *,
+        |  CAST(ntile(3) OVER (ORDER BY recency, c_custkey) AS INT)
+        |    AS r_tile,
+        |  CAST(ntile(3) OVER (ORDER BY frequency, c_custkey) AS INT)
+        |    AS f_tile,
+        |  CAST(ntile(3) OVER (ORDER BY monetary, c_custkey) AS INT)
+        |    AS m_tile
+        |  FROM m)
+        |SELECT c_custkey, recency, frequency, monetary,
+        |  r_tile, f_tile, m_tile,
+        |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "events_twap_daily" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+        |    event_id, value
+        |  FROM events),
+        |n AS (SELECT *, lead(us) OVER (PARTITION BY user_id, day
+        |                               ORDER BY us, event_id) AS next_us
+        |      FROM e),
+        |sp AS (SELECT user_id, day, (next_us - us) // 1000 AS dur_ms,
+        |         CAST(round(value * ((next_us - us) // 1000), 6)
+        |              AS DECIMAL(28,6)) AS wv
+        |       FROM n WHERE next_us IS NOT NULL)
+        |SELECT user_id, day, count(*) AS n_spans,
+        |  CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+        |  round(CAST(sum(wv) AS DOUBLE) / sum(dur_ms), 6) AS twap
+        |FROM sp GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+  )
+}

@@ -1,0 +1,169 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 wave-7 keys: graph neighborhood similarity (link
+  * prediction), clickstream path mining, and time-weighted
+  * averaging — three analytics families the registry lacked, all
+  * under the §2.3 determinism discipline.
+  */
+object QueriesR14 {
+  import Tables._
+
+  /** Neighborhood Jaccard similarity — the common-neighbors link
+    * predictor over the supplier↔customer transaction graph (the
+    * pagerank/triangles graph): for every supplier pair sharing at
+    * least one customer, |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, kept when
+    * ≥ 0.2. The threshold is the exact integer cross-multiplication
+    * 5·common ≥ deg_a + deg_b − common (gopher_rules discipline);
+    * the ratio itself is one IEEE-exact quotient rounded 6 dp.
+    *
+    * Scale shape: candidate pairs come ONLY from the shared-neighbor
+    * equi-join on the customer id — Σ deg(cust)² work, bounded by
+    * per-customer supplier fan-out (an extreme hub node would take
+    * the absolute per-node candidate cap, the sparse_sim posting
+    * discipline), never |suppliers|². The distinct bipartite pair
+    * table feeds three consumers (degrees + both join sides), so it
+    * rides the P6 artifact cache like pagerank's edges. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val pairs = ArtifactCache.materialize(
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
+        .distinct(),
+      Artifacts.cacheRoot, "bipartite_pairs_v1")
+    val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
+    // The probe side explodes ~deg(cust)× in the join, so its task
+    // count must not be input-size-bound: the tiny artifact scan
+    // arrives as ONE file-bin (4.7 s single-task probe at sf0.1);
+    // an explicit-width repartition on the join key spreads the
+    // explosion across the cluster (AQE never coalesces a
+    // user-specified partition count) and is the co-partitioning a
+    // 100 TB deployment would bake into the edge table's layout.
+    val shufN = s.sessionState.conf.numShufflePartitions
+    val common = pairs.repartition(shufN, col("cust"))
+      .select(col("sup").as("sup_a"), col("cust"))
+      .join(pairs.select(col("sup").as("sup_b"), col("cust")), Seq("cust"))
+      .filter(col("sup_a") < col("sup_b"))
+      .groupBy("sup_a", "sup_b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("sup").as("sup_a"), col("deg").as("deg_a")),
+            "sup_a")
+      .join(deg.select(col("sup").as("sup_b"), col("deg").as("deg_b")),
+            "sup_b")
+      .filter(col("common") * 5 >=
+              col("deg_a") + col("deg_b") - col("common"))
+      .select(col("sup_a"), col("sup_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+              (col("deg_a") + col("deg_b") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy("sup_a", "sup_b")
+  }
+
+  /** Clickstream path mining — the top 25 most frequent 3-step
+    * event-type paths across all user streams (the "common journeys"
+    * query behind funnel DISCOVERY, where events_funnel/cep assume a
+    * known pattern): per-user (ts, event_id)-ordered trigrams via two
+    * lead()s sharing one window sort, counted globally.
+    *
+    * Determinism (§2.3): integers only; the top-25 cut is a
+    * row_number under the total order (n DESC, then the path) so ties
+    * at the boundary resolve identically everywhere.
+    *
+    * Scale shape: the trigram window is per-user (the H-family
+    * contract — parallel across users, bounded by the hottest user);
+    * the count is map-side combined onto the |types|³ = 125-row
+    * domain, and the ranking window runs over that aggregated,
+    * domain-bounded frame (the markov_transitions allowance). */
+  def eventsUserPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("step1"))
+      .withColumn("step2", lead("step1", 1).over(w))
+      .withColumn("step3", lead("step1", 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc,
+                       col("step1"), col("step2"), col("step3"))))
+      .filter(col("rank") <= 25)
+      .orderBy("rank")
+  }
+
+  /** RFM customer segmentation — the classic marketing cube: per
+    * purchasing customer, recency (last order date), frequency
+    * (order count), monetary (DECIMAL-exact revenue sum), each cut
+    * into exact terciles and composed into a 3-digit segment code
+    * (333 = most recent / most frequent / highest spend under the
+    * ascending-is-tile-1 convention).
+    *
+    * The terciles are EXACT ntile(3) semantics over the
+    * (metric, c_custkey) total order — frequency ties are massive, so
+    * a sketch threshold would misbucket boundary ties — but computed
+    * DISTRIBUTED through Ops.exactGlobalRank/exactNtile (the
+    * perplexity-buckets discipline, r8 verdict #3): never a global
+    * single-task window, even though the oracle spells it as one.
+    *
+    * Scale shape: one map-side-combined aggregate on the customer
+    * key, then three range exchanges over the aggregated per-customer
+    * frame (still ~|customers| rows at 100 TB — which is exactly why
+    * the rank must be distributed). */
+  def ordersRfmSegments(s: SparkSession, d: String): DataFrame = {
+    val m = orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max("o_orderdate").as("recency"),
+           count(lit(1)).as("frequency"),
+           sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+             .cast("double").as("monetary"))
+    def tiled(df: DataFrame, metric: String, outCol: String) =
+      Ops.exactNtile(
+        Ops.exactGlobalRank(df, Seq(col(metric), col("c_custkey"))),
+        tiles = 3, outCol)
+    val t = tiled(tiled(tiled(m, "recency", "r_tile"),
+                        "frequency", "f_tile"),
+                  "monetary", "m_tile")
+    t.withColumn("segment",
+        (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+          .cast("int"))
+      .orderBy("c_custkey")
+  }
+
+  /** Daily time-weighted average (TWAP) — the finance/IoT mean that
+    * weights each observation by how long it was the LATEST value:
+    * per (user, day), Σ value·Δt / Σ Δt over consecutive-event spans
+    * (the last event of a day opens no span; days with one event
+    * emit nothing). Span durations are integer milliseconds.
+    *
+    * Determinism (§2.3): value·Δt is one IEEE-exact product (Δt ≤
+    * 8.64e7 is exactly representable) rounded to the 1e-6 grid
+    * before the DECIMAL sum — accumulation order cannot show; the
+    * final quotient is the q8 pattern (DECIMAL sum cast to double,
+    * one division, round 6).
+    *
+    * Scale shape: one per-(user, day) window sort shared by the
+    * lead(), then a map-side-combined aggregate on the same key —
+    * partition-parallel across users and days, no global order
+    * anywhere. */
+  def eventsTwapDaily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_ms", expr("(next_us - us) div 1000"))
+      .withColumn("wv", round(col("value") * col("dur_ms"), 6)
+                          .cast(DecimalType(28, 6)))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_spans"),
+           sum("dur_ms").as("total_ms"),
+           sum("wv").as("swv"))
+      .select(col("user_id"), col("day"), col("n_spans"), col("total_ms"),
+        round(col("swv").cast("double") / col("total_ms"), 6).as("twap"))
+      .orderBy("user_id", "day")
+  }
+}

@@ -249,6 +249,12 @@ object Registry {
     "basket_assoc_rules"    -> QueriesR13.basketAssocRules _,
     "docs_phrase_search"    -> QueriesR13.docsPhraseSearch _,
     "events_attribution"    -> QueriesR13.eventsAttribution _,
+    // Round-9 wave 7: graph neighborhood similarity, clickstream
+    // path mining, and time-weighted averaging
+    "graph_jaccard_neighbors" -> QueriesR14.graphJaccardNeighbors _,
+    "events_user_paths"     -> QueriesR14.eventsUserPaths _,
+    "events_twap_daily"     -> QueriesR14.eventsTwapDaily _,
+    "orders_rfm_segments"   -> QueriesR14.ordersRfmSegments _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -256,5 +262,5 @@ object Registry {
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
-      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql
+      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql
 }

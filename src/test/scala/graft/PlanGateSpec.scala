@@ -95,6 +95,16 @@ class PlanGateSpec extends SparkTestBase {
       "bnlj_unbounded_build" ->
         ("the crossed frames are one merged theta sketch blob per year — " +
          "≤ 32 KB each, one row per side (grouped by year: bounded domain)")),
+    "orders_rfm_segments" -> Map(
+      "global_window" ->
+        ("the Ops.exactGlobalRank slice-count frame: a grouped-by-slice " +
+         "aggregate of ≤ #shuffle-partitions rows — cluster-width " +
+         "METADATA, never data — whose cumulative-offset window the " +
+         "structural rule cannot prove bounded (the perplexity_buckets " +
+         "discipline with no natural partition column to hide behind)"),
+      "fact_broadcast_hint" ->
+        ("the same ≤ #partitions-row slice-count frame broadcast back " +
+         "to attach global offsets — O(cluster width) by construction")),
     "fn_string_similarity" -> Map(
       "bnlj_unbounded_build" ->
         ("the p_partkey <= 60 key-range filter IS the blocking bound " +

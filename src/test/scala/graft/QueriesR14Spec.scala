@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueriesR14, Tables}
+
+/** Behavior pins for the round-9 wave-7 keys — full driver-side
+  * re-derivations at sf0.001 (the graph and TWAP algebra) plus the
+  * structural invariants the DuckDB hash match can't express.
+  */
+class QueriesR14Spec extends SparkTestBase {
+
+  test("graph_jaccard_neighbors equals a driver-side recompute") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (a, na) <- nbrs.toSeq
+      (b, nb) <- nbrs.toSeq if a < b
+      common = (na & nb).size if common > 0
+      union = na.size + nb.size - common if common * 5 >= union
+    } yield (a, b) -> (common.toLong,
+      BigDecimal(common.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    val got = QueriesR14.graphJaccardNeighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("events_user_paths: exactly 25 ranked rows, counts tie to trigrams") {
+    val out = QueriesR14.eventsUserPaths(spark, sfDir).collect()
+    assert(out.length == 25)
+    assert(out.map(_.getInt(4)).toSeq == (1 to 25))
+    val ns = out.map(_.getLong(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "counts descend with rank")
+    // total trigrams across ALL 125 possible paths = Σ max(0, c_u - 2)
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val totalTri = perUser.map(c => math.max(0L, c - 2)).sum
+    assert(ns.sum <= totalTri)
+  }
+
+  test("exactGlobalRank/exactNtile equal the window spelling on ties") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    import graft.engine.Ops
+    // heavy ties (metric = i % 7) + n = 100 ≡ 1 (mod 3): exercises
+    // both the tie ordering and the uneven-tile remainder arithmetic
+    val df = (0 until 100).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "metric")
+    val viaWindow = df
+      .withColumn("rnk", row_number().over(W.orderBy("metric", "id")))
+      .withColumn("tile", ntile(3).over(W.orderBy("metric", "id")))
+      .select("id", "rnk", "tile").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2)))
+      .toMap
+    val ranked = Ops.exactGlobalRank(df, Seq(col("metric"), col("id")))
+    val gotRnk = ranked.select("id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotTile = Ops.exactNtile(ranked, 3, "tile")
+      .select("id", "tile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotRnk == viaWindow.view.mapValues(_._1).toMap)
+    assert(gotTile == viaWindow.view.mapValues(_._2).toMap)
+  }
+
+  test("orders_rfm_segments: balanced terciles, segment composition") {
+    val out = QueriesR14.ordersRfmSegments(spark, sfDir).collect()
+    val n = out.length
+    assert(n > 0)
+    for ((idx, tag) <- Seq(4 -> "r", 5 -> "f", 6 -> "m")) {
+      val sizes = out.groupBy(_.getInt(idx)).view.mapValues(_.size)
+      assert(sizes.keySet == Set(1, 2, 3), s"$tag tiles present")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$tag terciles balanced (ntile contract)")
+    }
+    assert(out.forall(r => r.getInt(7) ==
+      r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)))
+  }
+
+  test("events_twap_daily matches a driver-side replay") {
+    // micros end-to-end: 999/1000 fixture stamps carry sub-ms digits,
+    // so a getTime-based (ms) replay would truncate per-event instead
+    // of per-span and silently diverge
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+              unix_micros(col("ts")).as("us"), col("event_id"),
+              col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 r.getLong(3), r.getDouble(4)))
+    val expected = rows.groupBy(r => (r._1, r._2)).flatMap {
+      case ((uid, day), evs) =>
+        val seq = evs.sortBy(e => (e._3, e._4))
+        val spans = seq.zip(seq.tail).map { case (cur, nxt) =>
+          val durMs = (nxt._3 - cur._3) / 1000L
+          (durMs, BigDecimal(cur._5 * durMs)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        if (spans.isEmpty) None
+        else {
+          val totalMs = spans.map(_._1).sum
+          val swv = spans.map(_._2).sum
+          Some((uid, day) -> (spans.size.toLong, totalMs,
+            BigDecimal(swv.toDouble / totalMs)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+    }
+    val got = QueriesR14.eventsTwapDaily(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
