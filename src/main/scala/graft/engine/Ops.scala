@@ -763,16 +763,36 @@ object Ops {
     *
     * Output: the input columns + `rnk` (1-based global rank) +
     * `n_total`. One range exchange + one bounded local sort. */
-  def exactGlobalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
-    val sliced = df.repartitionByRange(orderCols: _*)
+  def exactGlobalRank(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+    exactGroupRank(df, Nil, orderCols)
+
+  /** Per-GROUP variant of the distributed exact rank: `rnk` restarts
+    * at 1 inside each `partCols` group and `n_total` is the group
+    * size — `row_number() OVER (PARTITION BY partCols ORDER BY
+    * orderCols)` semantics without ever sorting a whole group in one
+    * task (the r8 verdict-#3 finding: at 100 TB one group can be most
+    * of the corpus). Range partitions of the FULL (group, order) key
+    * mean same-group rows across slices are already ordered, so
+    * slice-local row numbers + per-(group, slice) offsets from the
+    * ≤ #groups × #slices METADATA frame reconstruct the exact group
+    * rank; the metadata frame's own windows partition by group over
+    * ≤ #slices rows (cluster width). With `partCols` empty this is
+    * the global rank and the offset windows are the documented
+    * global-window allowlist case. */
+  def exactGroupRank(df: DataFrame, partCols: Seq[String],
+                     orderCols: Seq[Column]): DataFrame = {
+    val pc = partCols.map(col)
+    val sliced = df.repartitionByRange(pc ++ orderCols: _*)
       .withColumn("slice", spark_partition_id())
     val local = sliced.withColumn("lrk", row_number().over(
-      Window.partitionBy("slice").orderBy(orderCols: _*)))
-    val offs = local.groupBy("slice").agg(count(lit(1)).as("c"))
-      .select(col("slice"),
-        (sum("c").over(Window.orderBy("slice")) - col("c")).as("off"),
-        sum("c").over(Window.partitionBy()).as("n_total"))
-    local.join(broadcast(offs), Seq("slice"))
+      Window.partitionBy(pc :+ col("slice"): _*).orderBy(orderCols: _*)))
+    val cw = Window.partitionBy(pc: _*).orderBy("slice")
+    val offs = local.groupBy(pc :+ col("slice"): _*)
+      .agg(count(lit(1)).as("c"))
+      .select(pc ++ Seq(col("slice"),
+        (sum("c").over(cw) - col("c")).as("off"),
+        sum("c").over(Window.partitionBy(pc: _*)).as("n_total")): _*)
+    local.join(broadcast(offs), partCols :+ "slice")
       .withColumn("rnk", col("lrk") + col("off"))
       .drop("slice", "lrk", "off")
   }

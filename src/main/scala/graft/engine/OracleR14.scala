@@ -65,6 +65,34 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "events_anomaly_mad" ->
+      """WITH v AS (SELECT event_id, event_type, value FROM events),
+        |r1 AS (SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM v),
+        |med AS (SELECT event_type, avg(value) AS med FROM r1
+        |        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        |        GROUP BY event_type),
+        |d AS (SELECT v.event_id, v.event_type, v.value, m.med,
+        |        abs(v.value - m.med) AS dev
+        |      FROM v JOIN med m USING (event_type)),
+        |r2 AS (SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY dev, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM d),
+        |mad AS (SELECT event_type, avg(dev) AS mad FROM r2
+        |        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        |        GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+        |  round(d.med, 6) AS med, round(m2.mad, 6) AS mad,
+        |  round(d.dev, 6) AS dev
+        |FROM d JOIN mad m2 USING (event_type)
+        |WHERE d.dev > 4.4478 * m2.mad
+        |ORDER BY d.event_id""".stripMargin,
+
     "events_twap_daily" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,

@@ -713,37 +713,18 @@ object QueriesR11 {
           .as("cross_entropy"))
     val langed = documents(s, d).select("doc_id", "lang")
       .join(scored, "doc_id")
-    // distributed exact rank: slices are range partitions of the full
-    // sort key, so same-lang rows across slices are already ordered
-    // and (lang, slice)-local row numbers + slice offsets reconstruct
-    // the per-lang global rank without any per-lang global sort
-    val sliced = langed
-      .repartitionByRange(col("lang"), col("cross_entropy"), col("doc_id"))
-      .withColumn("slice", spark_partition_id())
-    val lw = Window.partitionBy("lang", "slice")
-      .orderBy(col("cross_entropy"), col("doc_id"))
-    val local = sliced.withColumn("lrk", row_number().over(lw))
-    // slice-count frame: #langs × #slices rows — metadata, not data.
-    // Its windows partition by lang over ≤ #slices rows (cluster
-    // width), which is why they are exempt from the "no per-lang
-    // window" rule the data path obeys.
-    val cw = Window.partitionBy("lang").orderBy("slice")
-    val offs = local.groupBy("lang", "slice").agg(count(lit(1)).as("c"))
-      .select(col("lang"), col("slice"),
-        (sum("c").over(cw) - col("c")).as("off"),
-        sum("c").over(Window.partitionBy("lang")).as("n_l"))
-    // exact ntile(3) arithmetic: n = 3q + r gives the first r tiles
-    // q+1 rows — boundaries b1/b2 below, tile = first boundary >= rank
-    val ranked = local.join(broadcast(offs), Seq("lang", "slice"))
-      .withColumn("rnk", col("lrk") + col("off"))
-      .withColumn("q", (col("n_l") / 3).cast("long"))
-      .withColumn("r", col("n_l") % 3)
-      .withColumn("b1", col("q") + when(col("r") >= 1, 1L).otherwise(0L))
-      .withColumn("b2", col("b1") + col("q") +
-        when(col("r") >= 2, 1L).otherwise(0L))
-    ranked.select(col("doc_id"), col("lang"), col("cross_entropy"),
-        when(col("rnk") <= col("b1"), "head")
-          .when(col("rnk") <= col("b2"), "middle")
+    // distributed exact rank, factored as Ops.exactGroupRank (this
+    // key's original inline spelling, r8 verdict #3): range partitions
+    // of the full sort key + slice-local row numbers + the metadata
+    // offset frame — never a per-lang global sort. exactNtile is the
+    // same n = 3q + r boundary arithmetic as the original b1/b2.
+    Ops.exactNtile(
+        Ops.exactGroupRank(langed, Seq("lang"),
+          Seq(col("cross_entropy"), col("doc_id"))),
+        tiles = 3, "tile")
+      .select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }

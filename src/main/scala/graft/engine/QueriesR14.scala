@@ -132,6 +132,47 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Robust anomaly detection by median absolute deviation — the
+    * outlier filter events_anomaly_zscore's mean/stddev version
+    * cannot be: one extreme value drags a z-score threshold toward
+    * itself (masking), while the median/MAD pair has a 50 %
+    * breakdown point. Per event type: med = exact median of value,
+    * MAD = exact median of |value − med|, flag rows where
+    * |value − med| > 3·1.4826·MAD (the literal is pre-folded to
+    * 4.4478 so both engines evaluate ONE multiplication).
+    *
+    * Exactness: medians are true order statistics — the avg of the
+    * two middle rows under the (metric, event_id) total order via
+    * TWO passes of Ops.exactGroupRank (the distributed per-group
+    * rank), never an approx-percentile sketch; a sketch-based median
+    * shifts with partitioning, which would flip boundary rows of the
+    * anomaly set.
+    *
+    * Scale shape: each median pass is one range exchange with
+    * slice-local sorts (no per-type single-task window — at 100 TB
+    * one event type can be most of the stream); everything else is
+    * broadcast joins of the 5-row per-type stats. */
+  def eventsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val v = events(s, d).select("event_id", "event_type", "value")
+    def medianOf(df: DataFrame, valueCol: String, out: String) =
+      Ops.exactGroupRank(df, Seq("event_type"),
+                         Seq(col(valueCol), col("event_id")))
+        .filter(col("rnk") === expr("(n_total + 1) div 2") ||
+                col("rnk") === expr("(n_total + 2) div 2"))
+        .groupBy("event_type").agg(avg(valueCol).as(out))
+    val dev = v.join(medianOf(v, "value", "med"), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    dev
+      .join(medianOf(dev.select("event_id", "event_type", "dev"),
+                     "dev", "mad"),
+            "event_type")
+      .filter(col("dev") > lit(4.4478) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), round(col("dev"), 6).as("dev"))
+      .orderBy("event_id")
+  }
+
   /** Daily time-weighted average (TWAP) — the finance/IoT mean that
     * weights each observation by how long it was the LATEST value:
     * per (user, day), Σ value·Δt / Σ Δt over consecutive-event spans

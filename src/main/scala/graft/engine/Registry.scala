@@ -255,6 +255,7 @@ object Registry {
     "events_user_paths"     -> QueriesR14.eventsUserPaths _,
     "events_twap_daily"     -> QueriesR14.eventsTwapDaily _,
     "orders_rfm_segments"   -> QueriesR14.ordersRfmSegments _,
+    "events_anomaly_mad"    -> QueriesR14.eventsAnomalyMad _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -95,6 +95,11 @@ class PlanGateSpec extends SparkTestBase {
       "bnlj_unbounded_build" ->
         ("the crossed frames are one merged theta sketch blob per year — " +
          "≤ 32 KB each, one row per side (grouped by year: bounded domain)")),
+    "events_anomaly_mad" -> Map(
+      "fact_broadcast_hint" ->
+        ("the Ops.exactGroupRank slice-offset frames of the two median " +
+         "passes: ≤ #types × #shuffle-partitions rows each — the " +
+         "docs_perplexity_buckets metadata-frame case")),
     "orders_rfm_segments" -> Map(
       "global_window" ->
         ("the Ops.exactGlobalRank slice-count frame: a grouped-by-slice " +

@@ -85,6 +85,47 @@ class QueriesR14Spec extends SparkTestBase {
       r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)))
   }
 
+  test("exactGroupRank equals the per-group window spelling") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    import graft.engine.Ops
+    val df = (0 until 90).map(i =>
+      (i.toLong, s"g${i % 4}", (i % 5).toLong)).toDF("id", "grp", "metric")
+    val viaWindow = df.withColumn("rnk", row_number().over(
+        W.partitionBy("grp").orderBy("metric", "id")))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("grp")))
+      .select("id", "rnk", "n").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+    val got = Ops.exactGroupRank(df, Seq("grp"),
+        Seq(col("metric"), col("id")))
+      .select("id", "rnk", "n_total").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == viaWindow)
+  }
+
+  test("events_anomaly_mad matches a driver-side replay") {
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (typ, evs) =>
+      val med = median(evs.map(_._3).toSeq)
+      val mad = median(evs.map(e => math.abs(e._3 - med)).toSeq)
+      evs.filter(e => math.abs(e._3 - med) > 4.4478 * mad)
+        .map(e => e._1 -> (typ,
+          BigDecimal(math.abs(e._3 - med))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = QueriesR14.eventsAnomalyMad(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(5))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("events_twap_daily matches a driver-side replay") {
     // micros end-to-end: 999/1000 fixture stamps carry sub-ms digits,
     // so a getTime-based (ms) replay would truncate per-event instead
