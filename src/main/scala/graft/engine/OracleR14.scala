@@ -93,6 +93,33 @@ object OracleR14 {
         |WHERE d.dev > 4.4478 * m2.mad
         |ORDER BY d.event_id""".stripMargin,
 
+    "merge_upsert_delete" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS key, o_orderstatus, o_custkey
+        |  FROM orders),
+        |ret AS (SELECT l_orderkey, count(*) AS n_returned
+        |        FROM lineitem WHERE l_returnflag = 'R'
+        |        GROUP BY 1 HAVING l_orderkey % 97 <> 0),
+        |cdc AS (
+        |  SELECT l_orderkey AS key, 'U' AS op, 'R' AS new_status,
+        |    n_returned
+        |  FROM ret
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000, 'U', 'N', n_returned
+        |  FROM ret WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT key, 'D', NULL, CAST(0 AS BIGINT)
+        |  FROM target WHERE key % 97 = 0)
+        |SELECT coalesce(t.key, c.key) AS key,
+        |  coalesce(c.new_status, t.o_orderstatus) AS status,
+        |  coalesce(c.n_returned, 0) AS n_returned,
+        |  CASE WHEN c.op IS NULL THEN 'keep'
+        |       WHEN t.o_orderstatus IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM target t FULL OUTER JOIN cdc c ON t.key = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY key""".stripMargin,
+
     "events_twap_daily" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,

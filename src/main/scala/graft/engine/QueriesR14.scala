@@ -173,6 +173,54 @@ object QueriesR14 {
       .orderBy("event_id")
   }
 
+  /** MERGE with a DELETE clause — the CDC shape the scd1/scd2 keys
+    * omit (WHEN MATCHED AND op = 'D' THEN DELETE): one change batch
+    * carrying upserts, inserts under fresh keys, and tombstones
+    * (key % 97 — the GDPR-erasure stand-in), applied in ONE
+    * full-outer join on the merge key. Matched deletes drop the row;
+    * unmatched deletes are no-ops (both vanish through one filter);
+    * everything else follows the scd1 coalesce algebra with the
+    * `action` audit column. Deletions are proven by ABSENCE under
+    * the oracle's row hash, not by an audit row.
+    *
+    * Determinism (§2.3): integers and strings only.
+    *
+    * Scale shape: exactly merge_upsert_scd1's — both sides shuffle
+    * once on the merge key (what Delta/Iceberg MERGE does minus the
+    * log); the tombstone filter is a post-join predicate, no extra
+    * pass. */
+  def mergeUpsertDelete(s: SparkSession, d: String): DataFrame = {
+    val target = orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus"),
+              col("o_custkey"))
+    val returned = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_returned"))
+      .filter(col("l_orderkey") % 97 =!= 0)
+    val upserts = returned
+      .select(col("l_orderkey").as("key"), lit("U").as("op"),
+              lit("R").as("new_status"), col("n_returned"))
+      .union(returned.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("U").as("op"), lit("N").as("new_status"),
+                col("n_returned")))
+    val deletes = target.filter(col("key") % 97 === 0)
+      .select(col("key"), lit("D").as("op"),
+              lit(null).cast("string").as("new_status"),
+              lit(0L).as("n_returned"))
+    target.join(upserts.union(deletes), Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("key"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        when(col("op").isNull, "keep")
+          .when(col("o_orderstatus").isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy("key")
+  }
+
   /** Daily time-weighted average (TWAP) — the finance/IoT mean that
     * weights each observation by how long it was the LATEST value:
     * per (user, day), Σ value·Δt / Σ Δt over consecutive-event spans

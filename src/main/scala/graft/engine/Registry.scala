@@ -256,6 +256,7 @@ object Registry {
     "events_twap_daily"     -> QueriesR14.eventsTwapDaily _,
     "orders_rfm_segments"   -> QueriesR14.ordersRfmSegments _,
     "events_anomaly_mad"    -> QueriesR14.eventsAnomalyMad _,
+    "merge_upsert_delete"   -> QueriesR14.mergeUpsertDelete _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -126,6 +126,23 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("merge_upsert_delete: tombstoned keys vanish, audit consistent") {
+    val out = QueriesR14.mergeUpsertDelete(spark, sfDir).collect()
+    val keys = out.map(_.getLong(0)).toSet
+    val targetKeys = Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // matched tombstones delete, everything else survives the merge
+    assert(targetKeys.filter(_ % 97 == 0).forall(k => !keys.contains(k)))
+    assert(targetKeys.filter(_ % 97 != 0).forall(keys.contains))
+    val byAction = out.groupBy(_.getString(3)).view.mapValues(_.length)
+    assert(byAction.keySet == Set("keep", "update", "insert"))
+    out.filter(_.getString(3) == "insert")
+      .foreach(r => assert(r.getLong(0) > 100000000L,
+        "inserts arrive only under offset keys"))
+    assert(out.filter(_.getString(3) == "update")
+      .forall(_.getString(1) == "R"))
+  }
+
   test("events_twap_daily matches a driver-side replay") {
     // micros end-to-end: 999/1000 fixture stamps carry sub-ms digits,
     // so a getTime-based (ms) replay would truncate per-event instead
