@@ -268,6 +268,38 @@ object Stream {
     out.iterator
   }
 
+  case class SpanState(us: Long, value: Double)
+
+  case class SpanRow(user_id: Long, epoch_day: Int, dur_ms: Long,
+                     value: Double)
+
+  /** One user's TWAP span emission: each event CLOSES the span opened
+    * by the user's previous event of the same UTC day — emitting
+    * (day, floor-ms duration, the value that was live over the span)
+    * — and opens the next. State is ONE (us, value) pair per live
+    * user (transitions-sized). A batch rollup of this span log
+    * reproduces graft.engine.QueriesR14.eventsTwapDaily exactly
+    * (StreamingSpec asserts), because the batch key's lead() spans
+    * are precisely the same-day consecutive pairs this fold walks. */
+  private[graft] def spanStep(
+      uid: Long, rows: Iterator[(Long, Long, Double)],
+      state: GroupState[SpanState]): Iterator[SpanRow] = {
+    var prev = state.getOption
+    val out = rows.toSeq
+      .sortBy(r => (r._2, r._1))               // (ts micros, event_id)
+      .flatMap { case (_, us, value) =>
+        val day = (us / 86400000000L).toInt
+        val row = prev.collect {
+          case p if p.us / 86400000000L == day =>
+            SpanRow(uid, day, (us - p.us) / 1000L, p.value)
+        }
+        prev = Some(SpanState(us, value))
+        row
+      }
+    prev.foreach(state.update)
+    out.iterator
+  }
+
   /** The deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
@@ -432,6 +464,31 @@ object Stream {
           .select(col("user_id"), col("cur"), col("nxt"),
                   timestamp_micros(col("us")).as("ts"), col("event_id"))
       },
+      // The streaming TWAP span log — the stateful half of the batch
+      // events_twap_daily key: one (us, value) pair per live user;
+      // each event closes the previous same-day span the moment it
+      // lands. The daily TWAP is a batch rollup over this sink with
+      // the key's own arithmetic (StreamingSpec asserts rollup ≡
+      // batch key). Same single-batch ordering invariant as
+      // ewma/transitions, asserted in runAll; a resident deployment
+      // bounds state with EventTimeTimeout + TTL per the funnel_ttl
+      // recipe (a user idle past the TTL opens no further spans).
+      "twap_spans" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("event_id"), unix_micros(col("ts")).as("us"),
+                  col("value"), col("user_id"))
+          .as[(Long, Long, Double, Long)]
+          .groupByKey(_._4)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
+             st: GroupState[SpanState]) =>
+              spanStep(uid, rows.map(r => (r._1, r._2, r._3)), st))
+          .select(col("user_id"),
+                  date_from_unix_date(col("epoch_day")).as("day"),
+                  col("dur_ms"), col("value"))
+      },
       // The streaming twin of the batch events_ohlc key: per
       // (event_type, day) OHLC bars from the SAME struct-min/max
       // aggregation — associative partials merge across microbatches,
@@ -515,7 +572,8 @@ object Stream {
       // the one staged file with no maxFilesPerTrigger yields exactly
       // that. Assert it so a future multi-file staging or trigger
       // option can't silently void the sink ≡ batch guarantee.
-      if (name == "ewma" || name == "transitions" || name == "cep") {
+      if (name == "ewma" || name == "transitions" || name == "cep" ||
+          name == "twap_spans") {
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name drained $dataBatches data microbatches; its batch-" +

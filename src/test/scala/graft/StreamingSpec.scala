@@ -304,7 +304,7 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions", "cep"))
+          "transitions", "cep", "twap_spans"))
     // the CEP sink replays per-user events in (ts, event_id) order
     // with one-tuple state — a bounded drain must equal the batch
     // pattern key row-for-row
@@ -383,6 +383,28 @@ class StreamingSpec extends SparkTestBase {
       s"transition sink counts diverged from batch: " +
         s"sink-only=${(sinkTrans.toSet -- batchTrans.toSet).take(3)}, " +
         s"batch-only=${(batchTrans.toSet -- sinkTrans.toSet).take(3)}")
+    // the TWAP span log replays per-user events with one-pair state;
+    // rolling its spans up with the batch key's own arithmetic must
+    // reproduce events_twap_daily exactly
+    def twapRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+                 r.getLong(3), r.getDouble(4))).toSet
+    val batchTwap = twapRows(
+      graft.engine.QueriesR14.eventsTwapDaily(spark, sfDir))
+    val sinkTwap = twapRows(spark.read.parquet(s"$out/twap_spans")
+      .withColumn("wv", round(col("value") * col("dur_ms"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_spans"), sum("dur_ms").as("total_ms"),
+           sum("wv").as("swv"))
+      .select(col("user_id"), col("day"), col("n_spans"),
+              col("total_ms"),
+              round(col("swv").cast("double") / col("total_ms"), 6)
+                .as("twap")))
+    assert(sinkTwap == batchTwap,
+      s"twap span rollup diverged from batch: " +
+        s"sink-only=${(sinkTwap -- batchTwap).take(3)}, " +
+        s"batch-only=${(batchTwap -- sinkTwap).take(3)}")
     // outer ⊇ inner: every matched pair must also reach the outer sink
     // (its null-extension rows are EXTRA, gated by the watermark)
     assert(counts("attribution_outer") >= counts("attribution"),
