@@ -93,6 +93,27 @@ object OracleR14 {
         |WHERE d.dev > 4.4478 * m2.mad
         |ORDER BY d.event_id""".stripMargin,
 
+    "emb_maxsim_topk" ->
+      s"""WITH v AS (SELECT vec_id, vec_id // 5 AS doc, embedding
+        |           FROM embeddings),
+        |q AS (SELECT * FROM v WHERE doc % 10 = 0),
+        |c AS (SELECT * FROM v WHERE doc % 10 <> 0),
+        |p AS (SELECT a.doc AS qdoc, a.vec_id AS qv, b.doc AS doc,
+        |        round(${OracleDocs.cosinePair}, 6) AS cs
+        |      FROM q a JOIN c b ON true),
+        |m AS (SELECT qdoc, qv, doc, max(cs) AS mx FROM p
+        |      GROUP BY 1, 2, 3),
+        |sc AS (SELECT qdoc, doc,
+        |         CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE)
+        |           AS maxsim
+        |       FROM m GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qdoc ORDER BY maxsim DESC, doc) AS INT)
+        |        AS rk
+        |      FROM sc)
+        |SELECT qdoc, doc, maxsim, rk FROM r WHERE rk <= 5
+        |ORDER BY qdoc, rk""".stripMargin,
+
     "merge_upsert_delete" ->
       """WITH target AS (
         |  SELECT o_orderkey AS key, o_orderstatus, o_custkey

@@ -173,6 +173,51 @@ object QueriesR14 {
       .orderBy("event_id")
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval — the
+    * multi-vector scoring model single-vector cosine top-k cannot
+    * express: documents are BAGS of vectors (vec_id div 5 groups the
+    * fixture into 5-vector docs), and score(q, d) =
+    * Σ_{qv∈q} max_{dv∈d} cos(qv, dv) — each query token matches its
+    * best document token, then token evidence sums. Top-5 docs per
+    * query under the (score DESC, doc) total order.
+    *
+    * Determinism (§2.3): cosines round to 6 dp BEFORE the max (so
+    * the argmax is grid-stable), the per-token maxima sum as
+    * DECIMAL(18,6) (order-proof), ranking has the doc tiebreak.
+    *
+    * Scale shape: the QUERY batch broadcasts — O(batch) by
+    * definition in production (a query set does not grow with the
+    * corpus; the mod-10 fixture slice is the stand-in, the
+    * docs_contamination precedent) — and the corpus streams past it
+    * partition-parallel; the per-token max and per-doc sum are
+    * map-side-combined into the (query × doc) frame, and the top-5
+    * window partitions by query. At 100 TB candidate docs come from
+    * an ANN index (the emb_ann_* family) with this exact kernel
+    * re-scoring the candidates. */
+  def embMaxsimTopk(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s)
+    val v = embeddings(s, d)
+      .select(expr("vec_id div 5").as("doc"), col("vec_id"),
+              col("embedding"))
+    val q = v.filter(col("doc") % 10 === 0)
+      .select(col("doc").as("qdoc"), col("vec_id").as("qv"),
+              col("embedding").as("qe"))
+    val c = v.filter(col("doc") % 10 =!= 0)
+      .select(col("doc"), col("embedding").as("ce"))
+    c.crossJoin(broadcast(q))
+      .select(col("qdoc"), col("qv"), col("doc"),
+              round(expr("cosine_sim(qe, ce)"), 6).as("cs"))
+      .groupBy("qdoc", "qv", "doc").agg(max("cs").as("mx"))
+      .groupBy("qdoc", "doc")
+      .agg(sum(col("mx").cast(DecimalType(18, 6))).cast("double")
+        .as("maxsim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qdoc")
+          .orderBy(col("maxsim").desc, col("doc"))))
+      .filter(col("rk") <= 5)
+      .orderBy("qdoc", "rk")
+  }
+
   /** MERGE with a DELETE clause — the CDC shape the scd1/scd2 keys
     * omit (WHEN MATCHED AND op = 'D' THEN DELETE): one change batch
     * carrying upserts, inserts under fresh keys, and tombstones

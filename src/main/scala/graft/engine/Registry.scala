@@ -257,6 +257,7 @@ object Registry {
     "orders_rfm_segments"   -> QueriesR14.ordersRfmSegments _,
     "events_anomaly_mad"    -> QueriesR14.eventsAnomalyMad _,
     "merge_upsert_delete"   -> QueriesR14.mergeUpsertDelete _,
+    "emb_maxsim_topk"       -> QueriesR14.embMaxsimTopk _,
   )
 
   val oracleSql: ListMap[String, String] =

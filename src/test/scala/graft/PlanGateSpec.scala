@@ -95,6 +95,16 @@ class PlanGateSpec extends SparkTestBase {
       "bnlj_unbounded_build" ->
         ("the crossed frames are one merged theta sketch blob per year — " +
          "≤ 32 KB each, one row per side (grouped by year: bounded domain)")),
+    "emb_maxsim_topk" -> Map(
+      "bnlj_unbounded_build" ->
+        ("the broadcast build is the QUERY batch — O(batch) by " +
+         "definition in production (a query set does not grow with " +
+         "the corpus; the mod-10 fixture slice is the stand-in, the " +
+         "docs_contamination precedent); the corpus side streams " +
+         "partition-parallel and candidates come from the ANN index " +
+         "family at scale"),
+      "fact_broadcast_hint" ->
+        ("the same query batch: O(batch), corpus-independent")),
     "events_anomaly_mad" -> Map(
       "fact_broadcast_hint" ->
         ("the Ops.exactGroupRank slice-offset frames of the two median " +

@@ -126,6 +126,27 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("emb_maxsim_topk: rank structure and token-evidence bounds") {
+    val out = QueriesR14.embMaxsimTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    val nDocs = Tables.embeddings(spark, sfDir)
+      .select(expr("vec_id div 5").as("doc")).distinct().count()
+    out.groupBy(_._1).foreach { case (qdoc, rows) =>
+      val expectRows = math.min(5L, nDocs - 1) // corpus excludes queries
+      assert(rows.length <= 5 && rows.length == expectRows.toInt ||
+             rows.length == 5)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"maxsim not non-increasing for query $qdoc")
+      // Σ of per-token maxima: each of the 5 query tokens contributes
+      // a cosine in [-1, 1] (6 dp-rounded)
+      rows.foreach(r => assert(r._3 >= -5.000005 && r._3 <= 5.000005))
+      assert(!rows.exists(_._2 == qdoc), "a query never scores itself")
+    }
+  }
+
   test("merge_upsert_delete: tombstoned keys vanish, audit consistent") {
     val out = QueriesR14.mergeUpsertDelete(spark, sfDir).collect()
     val keys = out.map(_.getLong(0)).toSet
