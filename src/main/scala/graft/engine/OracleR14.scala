@@ -93,6 +93,31 @@ object OracleR14 {
         |WHERE d.dev > 4.4478 * m2.mad
         |ORDER BY d.event_id""".stripMargin,
 
+    "emb_sign_hamming_topk" ->
+      """WITH ex AS (SELECT vec_id,
+        |              unnest(range(1, len(embedding) + 1)) AS i,
+        |              embedding
+        |            FROM embeddings),
+        |bits AS (SELECT vec_id,
+        |           -- bit 63 spelled as the min-long literal: DuckDB
+        |           -- range-checks 1 << 63 where Java shiftleft wraps
+        |           bit_or(CASE WHEN embedding[i] <= 0 THEN 0::BIGINT
+        |                  WHEN i = 64
+        |                  THEN (-9223372036854775807 - 1)::BIGINT
+        |                  ELSE 1::BIGINT << (i - 1) END) AS sig
+        |         FROM ex GROUP BY vec_id),
+        |q AS (SELECT * FROM bits WHERE vec_id % 10 = 0),
+        |c AS (SELECT * FROM bits WHERE vec_id % 10 <> 0),
+        |p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+        |        CAST(bit_count(xor(q.sig, c.sig)) AS INT) AS hamming
+        |      FROM q JOIN c ON true),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY vec_id
+        |         ORDER BY hamming, neighbor_id) AS INT) AS rk
+        |      FROM p)
+        |SELECT vec_id, neighbor_id, hamming, rk FROM r WHERE rk <= 10
+        |ORDER BY vec_id, rk""".stripMargin,
+
     "emb_maxsim_topk" ->
       s"""WITH v AS (SELECT vec_id, vec_id // 5 AS doc, embedding
         |           FROM embeddings),

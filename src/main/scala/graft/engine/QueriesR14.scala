@@ -218,6 +218,46 @@ object QueriesR14 {
       .orderBy("qdoc", "rk")
   }
 
+  /** 1-bit (sign) embedding quantization + Hamming top-k — the
+    * extreme end of the compression spectrum the int8/PQ keys start:
+    * each 64-dim vector collapses to ONE 64-bit signature (bit i =
+    * sign of dim i, a 256× compression), and retrieval is
+    * bit_count(xor) — pure integer ops, no floats anywhere past the
+    * quantizer, so the whole key is exactly reproducible by
+    * construction. Top-10 corpus neighbors per mod-10 query under
+    * (hamming ASC, id) via the bounded topk_by_score aggregate — n×k
+    * tuples cross the wire, never a per-query corpus-sized rank
+    * window.
+    *
+    * Scale shape: signatures are 8 bytes/vector (the PQ-artifact
+    * discipline would persist them); the query batch broadcasts
+    * (O(batch), the maxsim allowlist case) and the corpus streams
+    * past it; at 100 TB candidates come from banding the signature
+    * (the phash_near hamming-band recipe applies verbatim to THESE
+    * signatures) with this kernel re-scoring. */
+  def embSignHammingTopk(s: SparkSession, d: String): DataFrame = {
+    TopK.register(s)
+    val bits = embeddings(s, d).select(col("vec_id"),
+      expr("aggregate(zip_with(embedding, " +
+           "sequence(0, size(embedding) - 1), " +
+           "(e, i) -> IF(e > 0D, shiftleft(1L, i), 0L)), " +
+           "0L, (acc, x) -> acc | x)").as("sig"))
+    val q = bits.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val c = bits.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("cid"), col("sig").as("csig"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        expr("CAST(bit_count(qsig ^ csig) AS DOUBLE)").as("h"))
+      .groupBy("qid")
+      .agg(expr("topk_by_score(-h, cid, 10)").as("t"))
+      .select(col("qid").as("vec_id"), posexplode(col("t")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("int").as("hamming"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** MERGE with a DELETE clause — the CDC shape the scd1/scd2 keys
     * omit (WHEN MATCHED AND op = 'D' THEN DELETE): one change batch
     * carrying upserts, inserts under fresh keys, and tombstones

@@ -258,6 +258,7 @@ object Registry {
     "events_anomaly_mad"    -> QueriesR14.eventsAnomalyMad _,
     "merge_upsert_delete"   -> QueriesR14.mergeUpsertDelete _,
     "emb_maxsim_topk"       -> QueriesR14.embMaxsimTopk _,
+    "emb_sign_hamming_topk" -> QueriesR14.embSignHammingTopk _,
   )
 
   val oracleSql: ListMap[String, String] =

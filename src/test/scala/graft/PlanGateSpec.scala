@@ -105,6 +105,14 @@ class PlanGateSpec extends SparkTestBase {
          "family at scale"),
       "fact_broadcast_hint" ->
         ("the same query batch: O(batch), corpus-independent")),
+    "emb_sign_hamming_topk" -> Map(
+      "bnlj_unbounded_build" ->
+        ("the broadcast build is the 8-byte-signature QUERY batch — " +
+         "O(batch), the emb_maxsim_topk case; at scale candidates " +
+         "come from hamming-banding the signatures (the phash_near " +
+         "recipe) with this kernel re-scoring"),
+      "fact_broadcast_hint" ->
+        ("the same signature query batch: O(batch)")),
     "events_anomaly_mad" -> Map(
       "fact_broadcast_hint" ->
         ("the Ops.exactGroupRank slice-offset frames of the two median " +

@@ -147,6 +147,31 @@ class QueriesR14Spec extends SparkTestBase {
     }
   }
 
+  test("emb_sign_hamming_topk equals an integer driver recompute") {
+    // pure integers past the quantizer — the driver replay is exact,
+    // no float-accumulation caveats anywhere
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val sigs = vecs.map { case (id, e) =>
+      id -> e.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > 0) acc | (1L << i) else acc
+      }
+    }.toMap
+    val qs = sigs.keys.filter(_ % 10 == 0)
+    val cs = sigs.keys.filter(_ % 10 != 0).toSeq
+    val expected = qs.flatMap { q =>
+      cs.map(c => (java.lang.Long.bitCount(sigs(q) ^ sigs(c)), c))
+        .sorted.take(10).zipWithIndex
+        .map { case ((h, c), i) => (q, c) -> (h, i + 1) }
+    }.toMap
+    val got = QueriesR14.embSignHammingTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("merge_upsert_delete: tombstoned keys vanish, audit consistent") {
     val out = QueriesR14.mergeUpsertDelete(spark, sfDir).collect()
     val keys = out.map(_.getLong(0)).toSet
