@@ -65,6 +65,27 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "orders_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey,
+        |             date_trunc('month', min(o_orderdate)) AS cohort
+        |           FROM orders GROUP BY 1),
+        |o AS (SELECT orders.o_custkey,
+        |        date_trunc('month', o_orderdate) AS m,
+        |        o_totalprice, cohort
+        |      FROM orders JOIN f ON orders.o_custkey = f.o_custkey),
+        |b AS (SELECT cohort,
+        |        CAST(datediff('month', cohort, m) AS INT) AS month_offset,
+        |        count(*) AS n_orders,
+        |        count(DISTINCT o_custkey) AS n_active,
+        |        sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |          AS rev
+        |      FROM o GROUP BY 1, 2)
+        |SELECT CAST(cohort AS DATE) AS cohort, month_offset, n_orders,
+        |  n_active, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY month_offset)
+        |       AS DOUBLE) AS cum_revenue
+        |FROM b ORDER BY cohort, month_offset""".stripMargin,
+
     "events_anomaly_mad" ->
       """WITH v AS (SELECT event_id, event_type, value FROM events),
         |r1 AS (SELECT *,

@@ -132,6 +132,42 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Cohort lifetime-value (LTV) matrix — the companion to
+    * events_retention's activity matrix, in REVENUE: customers
+    * cohort by first-order month; every order lands in
+    * (cohort, months-since-cohort) with order count, active-customer
+    * count, period revenue, and the running cumulative revenue that
+    * IS the LTV curve.
+    *
+    * Determinism (§2.3): month arithmetic on truncated dates is
+    * exact; revenue sums ride DECIMAL(18,2); the cumulative window
+    * is a running sum over UNIQUE offsets (no peer-order ambiguity).
+    *
+    * Scale shape: one aggregate on the customer key for cohorts, one
+    * map-side-combined aggregate onto the (cohort × offset) domain —
+    * months² rows, domain-bounded — and the LTV window runs over
+    * that aggregated frame (the markov_transitions allowance). */
+  def ordersCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val first = orders(s, d).groupBy("o_custkey")
+      .agg(trunc(min(col("o_orderdate")), "month").as("cohort"))
+    val base = orders(s, d).join(first, "o_custkey")
+      .withColumn("month_offset",
+        months_between(trunc(col("o_orderdate"), "month"), col("cohort"))
+          .cast("int"))
+      .groupBy("cohort", "month_offset")
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct("o_custkey").as("n_active"),
+           sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+             .as("rev"))
+    base
+      .withColumn("cum", sum("rev").over(
+        Window.partitionBy("cohort").orderBy("month_offset")))
+      .select(col("cohort"), col("month_offset"), col("n_orders"),
+        col("n_active"), col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"))
+      .orderBy("cohort", "month_offset")
+  }
+
   /** Robust anomaly detection by median absolute deviation — the
     * outlier filter events_anomaly_zscore's mean/stddev version
     * cannot be: one extreme value drags a z-score threshold toward

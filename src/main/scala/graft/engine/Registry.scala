@@ -259,6 +259,7 @@ object Registry {
     "merge_upsert_delete"   -> QueriesR14.mergeUpsertDelete _,
     "emb_maxsim_topk"       -> QueriesR14.embMaxsimTopk _,
     "emb_sign_hamming_topk" -> QueriesR14.embSignHammingTopk _,
+    "orders_cohort_ltv"     -> QueriesR14.ordersCohortLtv _,
   )
 
   val oracleSql: ListMap[String, String] =

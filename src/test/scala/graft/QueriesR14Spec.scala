@@ -147,6 +147,25 @@ class QueriesR14Spec extends SparkTestBase {
     }
   }
 
+  test("orders_cohort_ltv: LTV curves accumulate, totals tie out") {
+    val out = QueriesR14.ordersCohortLtv(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+                 r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum == Tables.orders(spark, sfDir).count(),
+      "every order lands in exactly one (cohort, offset) cell")
+    out.groupBy(_._1).foreach { case (cohort, rows) =>
+      val seq = rows.sortBy(_._2)
+      assert(seq.head._2 == 0, s"cohort $cohort misses its own month")
+      // the LTV curve is the exact running sum of period revenue
+      val run = seq.scanLeft(0.0)((acc, r) => acc + r._5).tail
+      seq.map(_._6).zip(run).foreach { case (cum, exp) =>
+        assert(math.abs(cum - exp) < 1e-6) }
+      assert(seq.forall(r => r._4 <= r._3), "actives bounded by orders")
+      assert(seq.forall(r => r._5 > 0))
+    }
+  }
+
   test("emb_sign_hamming_topk equals an integer driver recompute") {
     // pure integers past the quantizer — the driver replay is exact,
     // no float-accumulation caveats anywhere
