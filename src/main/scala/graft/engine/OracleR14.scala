@@ -65,6 +65,35 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "docs_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |              FROM documents),
+        |len AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |        FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM len),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        |       WHERE t IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |           ((tf * 2.2) /
+        |            (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9)
+        |           AS ts
+        |       FROM tf JOIN df USING (t) JOIN len USING (doc_id)
+        |       CROSS JOIN stats),
+        |agg AS (SELECT doc_id,
+        |          round(CAST(sum(CAST(ts AS DECIMAL(28,9)))
+        |                     AS DOUBLE), 6) AS score,
+        |          count(*) AS n_terms
+        |        FROM sc GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (ORDER BY score DESC, doc_id) AS INT) AS rk
+        |      FROM agg)
+        |SELECT doc_id, n_terms, score, rk FROM r WHERE rk <= 10
+        |ORDER BY rk""".stripMargin,
+
     "orders_cohort_ltv" ->
       """WITH f AS (SELECT o_custkey,
         |             date_trunc('month', min(o_orderdate)) AS cohort

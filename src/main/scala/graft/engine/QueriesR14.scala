@@ -132,6 +132,50 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** BM25 ranked retrieval — the standard IR scoring function the
+    * tf-idf key approximates without: term saturation (k1 = 1.2) and
+    * document-length normalization (b = 0.75) over the query
+    * {hash, join, spark}, top-10 docs. idf = ln(1 + (N − df + ½)/(df
+    * + ½)) — the ln() rides the docs_lm_score precedent (both
+    * engines' libm agreed on every fixture input there); every other
+    * factor is spelled with the IDENTICAL association in both
+    * engines, per-term scores round to the 1e-9 grid before the
+    * DECIMAL sum, the doc score to 6 dp before ranking.
+    *
+    * Scale shape: postings prune to the query terms BEFORE any
+    * shuffle; df/stats are 3-row/1-row aggregated frames; the top-10
+    * cut is the bounded topk_by_score aggregate, never a global rank
+    * window over the scored-docs frame. */
+  def docsBm25Topk(s: SparkSession, d: String): DataFrame = {
+    TopK.register(s)
+    val docs = documents(s, d)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin("hash", "join", "spark"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val agg = tf.join(df, "t").join(lens, "doc_id").crossJoin(stats)
+      .selectExpr("doc_id",
+        "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9)" +
+        " AS ts")
+      .groupBy("doc_id")
+      .agg(round(sum(col("ts").cast(DecimalType(28, 9))).cast("double"),
+                 6).as("score"),
+           count(lit(1)).as("n_terms"))
+    agg.agg(expr("topk_by_score(score, doc_id, 10)").as("t"))
+      .select(posexplode(col("t")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("int")
+        .as("rk"))
+      .join(agg, "doc_id")
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rk"))
+      .orderBy("rk")
+  }
+
   /** Cohort lifetime-value (LTV) matrix — the companion to
     * events_retention's activity matrix, in REVENUE: customers
     * cohort by first-order month; every order lands in

@@ -260,6 +260,7 @@ object Registry {
     "emb_maxsim_topk"       -> QueriesR14.embMaxsimTopk _,
     "emb_sign_hamming_topk" -> QueriesR14.embSignHammingTopk _,
     "orders_cohort_ltv"     -> QueriesR14.ordersCohortLtv _,
+    "docs_bm25_topk"        -> QueriesR14.docsBm25Topk _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -147,6 +147,35 @@ class QueriesR14Spec extends SparkTestBase {
     }
   }
 
+  test("docs_bm25_topk matches a driver-side replay") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val terms = Seq("hash", "join", "spark")
+    val nDocs = texts.length
+    val avgdl = texts.map(_._2.length.toDouble).sum / nDocs
+    val tf = texts.map { case (id, ts) =>
+      id -> terms.map(t => t -> ts.count(_ == t)).filter(_._2 > 0).toMap
+    }.toMap
+    val df = terms.map(t => t -> tf.values.count(_.contains(t))).toMap
+    def r(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val scored = tf.toSeq.filter(_._2.nonEmpty).map { case (id, m) =>
+      val dl = texts.find(_._1 == id).get._2.length
+      val sc = m.map { case (t, f) =>
+        r(math.log(1 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+          ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9)
+      }.sum
+      (id, m.size.toLong, r(sc.toDouble, 6).toDouble)
+    }
+    val expected = scored.sortBy(x => (-x._3, x._1)).take(10)
+      .zipWithIndex.map { case ((id, n, sc), i) => (id, n, sc, i + 1) }
+    val got = QueriesR14.docsBm25Topk(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+                 x.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
   test("orders_cohort_ltv: LTV curves accumulate, totals tie out") {
     val out = QueriesR14.ordersCohortLtv(spark, sfDir).collect()
       .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
