@@ -810,6 +810,34 @@ object Ops {
       .drop("rnk", "n_total")
   }
 
+  /** Distributed exact RUNNING SUM of `valCol` under a strict total
+    * order — the prefix-sum sibling of `exactGroupRank` (same
+    * range-partition + slice-offset machinery, with per-slice SUMS
+    * instead of counts in the metadata frame): `sum(val) OVER
+    * (PARTITION BY partCols ORDER BY orderCols ROWS UNBOUNDED
+    * PRECEDING)` semantics without a single-task sort. This is the
+    * scale-safe spelling of sweep-line algorithms (interval
+    * concurrency, balance ledgers, inventory levels), where the
+    * naive global cumsum is the canonical scale-killer.
+    * Output: input columns + `prefix_sum`. */
+  def exactPrefixSum(df: DataFrame, partCols: Seq[String],
+                     orderCols: Seq[Column], valCol: String): DataFrame = {
+    val pc = partCols.map(col)
+    val sliced = df.repartitionByRange(pc ++ orderCols: _*)
+      .withColumn("slice", spark_partition_id())
+    val local = sliced.withColumn("lps", sum(valCol).over(
+      Window.partitionBy(pc :+ col("slice"): _*).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cw = Window.partitionBy(pc: _*).orderBy("slice")
+    val offs = local.groupBy(pc :+ col("slice"): _*)
+      .agg(sum(valCol).as("c"))
+      .select(pc ++ Seq(col("slice"),
+        (sum("c").over(cw) - col("c")).as("off")): _*)
+    local.join(broadcast(offs), partCols :+ "slice")
+      .withColumn("prefix_sum", col("lps") + col("off"))
+      .drop("slice", "lps", "off")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: without this every iteration

@@ -65,6 +65,41 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "events_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |             AS BIGINT) AS session_id
+        |      FROM m),
+        |sess AS (SELECT user_id, session_id,
+        |           epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |         FROM g GROUP BY 1, 2),
+        |ep AS (SELECT user_id * 1000000 + session_id AS sid,
+        |         s_us AS us, 1::BIGINT AS delta
+        |       FROM sess
+        |       UNION ALL
+        |       SELECT user_id * 1000000 + session_id, e_us, -1::BIGINT
+        |       FROM sess),
+        |rs AS (SELECT *,
+        |         CAST(sum(delta) OVER (ORDER BY us, delta DESC, sid
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc,
+        |         CAST(make_timestamp(us) AS DATE) AS day
+        |       FROM ep),
+        |r2 AS (SELECT day, conc, us,
+        |         row_number() OVER (PARTITION BY day
+        |           ORDER BY conc DESC, us, sid) AS rk
+        |       FROM rs)
+        |SELECT day, conc AS peak, make_timestamp(us) AS at_ts
+        |FROM r2 WHERE rk = 1 ORDER BY day""".stripMargin,
+
     "docs_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |              FROM documents),

@@ -132,6 +132,49 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Peak session concurrency — the sweep-line interval query
+    * (max-overlap): sessionize the event stream (30-min gap), emit
+    * +1/−1 endpoints per session, running-sum them under the
+    * (time, +1-before-−1, session) total order, and report each
+    * day's maximum concurrency with the earliest instant it was
+    * observed. Peaks are defined over endpoint instants (concurrency
+    * is constant between endpoints, and every new maximum occurs AT
+    * a +1 endpoint).
+    *
+    * Determinism (§2.3): integers and timestamps only; equal-time
+    * endpoints order (delta DESC, sid) — a start and an end at the
+    * same instant count as overlapping, identically in both engines.
+    *
+    * Scale shape: the global running sum is `Ops.exactPrefixSum` —
+    * the sweep-line's canonical scale-killer (one task sorting every
+    * endpoint) replaced by range slices + a per-slice-sum metadata
+    * frame; the per-day peak is then one map-side-combined
+    * struct-max. The sessionizer itself is the per-user H-family
+    * window. */
+  def eventsPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = Ops.sessionize(events(s, d), "user_id", "ts",
+                              "event_id", "30 minutes")
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+           max(unix_micros(col("ts"))).as("e_us"))
+      .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
+              col("s_us"), col("e_us"))
+    val ep = sess.select(col("sid"), col("s_us").as("us"),
+                         lit(1L).as("delta"))
+      .union(sess.select(col("sid"), col("e_us").as("us"),
+                         lit(-1L).as("delta")))
+    Ops.exactPrefixSum(ep, Nil,
+        Seq(col("us"), col("delta").desc, col("sid")), "delta")
+      .select(timestamp_micros(col("us")).cast("date").as("day"),
+              col("prefix_sum").as("conc"), col("us"), col("sid"))
+      .groupBy("day")
+      .agg(max(struct(col("conc"), (lit(0L) - col("us")).as("nus"),
+                      (lit(0L) - col("sid")).as("nsid"))).as("m"))
+      .select(col("day"), col("m.conc").as("peak"),
+              timestamp_micros(lit(0L) - col("m.nus")).as("at_ts"))
+      .orderBy("day")
+  }
+
   /** BM25 ranked retrieval — the standard IR scoring function the
     * tf-idf key approximates without: term saturation (k1 = 1.2) and
     * document-length normalization (b = 0.75) over the query

@@ -261,6 +261,7 @@ object Registry {
     "emb_sign_hamming_topk" -> QueriesR14.embSignHammingTopk _,
     "orders_cohort_ltv"     -> QueriesR14.ordersCohortLtv _,
     "docs_bm25_topk"        -> QueriesR14.docsBm25Topk _,
+    "events_peak_concurrency" -> QueriesR14.eventsPeakConcurrency _,
   )
 
   val oracleSql: ListMap[String, String] =

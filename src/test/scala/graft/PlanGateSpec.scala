@@ -118,6 +118,13 @@ class PlanGateSpec extends SparkTestBase {
         ("the Ops.exactGroupRank slice-offset frames of the two median " +
          "passes: ≤ #types × #shuffle-partitions rows each — the " +
          "docs_perplexity_buckets metadata-frame case")),
+    "events_peak_concurrency" -> Map(
+      "global_window" ->
+        ("the Ops.exactPrefixSum slice-sum frame: ≤ #shuffle-partitions " +
+         "rows of cluster-width METADATA (the orders_rfm_segments " +
+         "case, with per-slice sums instead of counts)"),
+      "fact_broadcast_hint" ->
+        ("the same ≤ #partitions-row slice-sum frame broadcast back")),
     "orders_rfm_segments" -> Map(
       "global_window" ->
         ("the Ops.exactGlobalRank slice-count frame: a grouped-by-slice " +

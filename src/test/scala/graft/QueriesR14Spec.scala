@@ -147,6 +147,55 @@ class QueriesR14Spec extends SparkTestBase {
     }
   }
 
+  test("exactPrefixSum equals the window cumsum on ties") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    import graft.engine.Ops
+    val df = (0 until 120).map(i =>
+      (i.toLong, (i % 9).toLong, if (i % 3 == 0) -1L else 1L))
+      .toDF("id", "key", "delta")
+    val viaWindow = df.withColumn("ps", sum("delta").over(
+        W.orderBy("key", "id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select("id", "ps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ops.exactPrefixSum(df, Nil,
+        Seq(col("key"), col("id")), "delta")
+      .select("id", "prefix_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaWindow)
+  }
+
+  test("events_peak_concurrency matches a driver-side sweep") {
+    val sess = graft.engine.Ops.sessionize(
+        Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+        "30 minutes")
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("s"),
+           max(unix_micros(col("ts"))).as("e"))
+      .collect()
+      .map(r => (r.getLong(0) * 1000000L + r.getLong(1),
+                 r.getLong(2), r.getLong(3)))
+    val eps = sess.flatMap { case (sid, s, e) =>
+      Seq((s, 1L, sid), (e, -1L, sid)) }
+      .sortBy { case (us, d, sid) => (us, -d, sid) }
+    var conc = 0L
+    val swept = eps.map { case (us, d, _) => conc += d; (us, conc) }
+    val expected = swept.groupBy(_._1 / 86400000000L).map {
+      case (day, points) =>
+        val peak = points.map(_._2).max
+        day -> (peak, points.filter(_._2 == peak).map(_._1).min)
+    }
+    val got = QueriesR14.eventsPeakConcurrency(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getLong(1),
+                 r.getTimestamp(2).toInstant.toEpochMilli * 1000 +
+                   r.getTimestamp(2).getNanos / 1000 % 1000))
+      .map { case (day, peak, us) =>
+        us / 86400000000L -> (peak, us) }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("docs_bm25_topk matches a driver-side replay") {
     val texts = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
