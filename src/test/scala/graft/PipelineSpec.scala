@@ -119,12 +119,13 @@ class PipelineSpec extends SparkTestBase {
     val counts = Pipeline.runFile(
       spark, "tools/example_pipeline.json", sfDir, outDir)
     assert(counts.keySet ==
-      Set("pricing", "dedup", "quality", "survivors", "curated",
-          "big_groups", "summary"))
+      Set("pricing", "dedup", "quality", "rules", "survivors",
+          "curated", "big_groups", "summary"))
     assert(counts("pricing") > 0 && counts("dedup") > 0)
-    // the curation arm: trained quality scores joined onto dedup
-    // survivors with a threshold — a real subset of the survivors
+    // the curation arm: trained quality scores AND the gopher rule
+    // ledger joined onto dedup survivors — a real subset of them
     assert(counts("curated") > 0 && counts("curated") <= counts("survivors"))
+    assert(counts("rules") > 0 && counts("curated") <= counts("rules"))
     // the SQL stages really consumed the earlier stages' temp views
     val summary = spark.read.parquet(s"$outDir/summary").collect()(0)
     assert(summary.getAs[Long]("n_unique_docs") == counts("dedup"))
@@ -147,7 +148,8 @@ class PipelineSpec extends SparkTestBase {
     val lvl = PipelineConfig.waves(p)
     // query stages read only base tables
     assert(lvl("pricing") == 0 && lvl("dedup") == 0 &&
-           lvl("quality") == 0 && lvl("survivors") == 0)
+           lvl("quality") == 0 && lvl("rules") == 0 &&
+           lvl("survivors") == 0)
     // curated references survivors + quality (wave 0) → 1;
     // big_groups references pricing → 1;
     // summary references dedup (0), big_groups (1), curated (1) → 2
@@ -233,8 +235,8 @@ class PipelineSpec extends SparkTestBase {
     val report = Pipeline.planFile(
       spark, "tools/example_pipeline.json", sfDir)
     assert(report.map(_.name) ==
-      Seq("pricing", "dedup", "quality", "survivors", "curated",
-          "big_groups", "summary"))
+      Seq("pricing", "dedup", "quality", "rules", "survivors",
+          "curated", "big_groups", "summary"))
     val byName = report.map(r => r.name -> r).toMap
     assert(byName("pricing").kind == "query" && !byName("pricing").cache)
     assert(byName("summary").kind == "sql")
