@@ -447,4 +447,47 @@ class OpsEdgeSpec extends SparkTestBase {
     assert(incr.exists(_._3 == "base") && incr.exists(_._3 == "delta"),
       "fixture must exercise BOTH match sources for this test to mean anything")
   }
+
+  test("exactNtile: fewer rows than tiles matches window ntile") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    // n = 2 < tiles = 3: ntile gives tiles 1 and 2, no tile 3 —
+    // the q=0/remainder arithmetic must reproduce that exactly
+    val df = Seq((1L, 5L), (2L, 3L)).toDF("id", "metric")
+    val expected = df.withColumn("tile",
+        ntile(3).over(W.orderBy("metric", "id")))
+      .select("id", "tile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ops.exactNtile(
+        Ops.exactGlobalRank(df, Seq(col("metric"), col("id"))),
+        3, "tile")
+      .select("id", "tile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected && got.values.toSet == Set(1, 2))
+  }
+
+  test("exactGroupRank: single-row groups and a group per slice") {
+    import spark.implicits._
+    // more groups than shuffle partitions, one row each: every rank
+    // is 1 and every n_total is 1 regardless of slice assignment
+    val df = (0 until 100).map(i => (i.toLong, s"g$i"))
+      .toDF("id", "grp")
+    val got = Ops.exactGroupRank(df, Seq("grp"), Seq(col("id")))
+      .select("grp", "rnk", "n_total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    assert(got.forall { case (_, rnk, n) => rnk == 1L && n == 1L })
+  }
+
+  test("exactPrefixSum: all-negative deltas and a single row") {
+    import spark.implicits._
+    val one = Seq((1L, 7L)).toDF("id", "v")
+    val g1 = Ops.exactPrefixSum(one, Nil, Seq(col("id")), "v")
+      .select("prefix_sum").collect().map(_.getLong(0))
+    assert(g1.toSeq == Seq(7L))
+    val neg = (1 to 6).map(i => (i.toLong, -2L)).toDF("id", "v")
+    val g2 = Ops.exactPrefixSum(neg, Nil, Seq(col("id")), "v")
+      .orderBy("id").select("prefix_sum").collect().map(_.getLong(0))
+    assert(g2.toSeq == Seq(-2L, -4L, -6L, -8L, -10L, -12L))
+  }
 }
