@@ -132,6 +132,35 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Mergeable-sketch TIME SERIES — the pattern that makes sketches
+    * worth persisting: one 4 KB HLL per day (written once, with any
+    * artifact), then BOTH the daily distinct-user curve and the
+    * cumulative-reach curve read from sketch rows alone — the
+    * cumulative estimate merges day sketches 1..d without EVER
+    * rescanning events (register-wise max is associative and
+    * monotone, so reach never decreases). The triangular day≤day
+    * join runs over the day-sketch frame: O(span²) sketch rows,
+    * never O(events).
+    *
+    * No oracle by declaration (sketch values are engine-specific,
+    * the agg_distinct_hll contract); the bound test pins both curves
+    * within the dense-HLL error envelope of exact distincts and the
+    * cumulative curve's monotonicity. */
+  def eventsHllDaily(s: SparkSession, d: String): DataFrame = {
+    Hll.register(s)
+    val daily = events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+    val cum = daily.select(col("day").as("d2"), col("sk").as("sk2"))
+      .join(daily.select("day"), col("d2") <= col("day"))
+      .groupBy("day")
+      .agg(expr("hll_estimate(hll_merge(sk2))").as("cum_users"))
+    daily.select(col("day"), expr("hll_estimate(sk)").as("daily_users"))
+      .join(cum, "day")
+      .orderBy("day")
+  }
+
   /** Peak session concurrency — the sweep-line interval query
     * (max-overlap): sessionize the event stream (30-min gap), emit
     * +1/−1 endpoints per session, running-sum them under the

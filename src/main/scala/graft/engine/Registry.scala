@@ -262,6 +262,7 @@ object Registry {
     "orders_cohort_ltv"     -> QueriesR14.ordersCohortLtv _,
     "docs_bm25_topk"        -> QueriesR14.docsBm25Topk _,
     "events_peak_concurrency" -> QueriesR14.eventsPeakConcurrency _,
+    "events_hll_daily"      -> QueriesR14.eventsHllDaily _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -118,6 +118,13 @@ class PlanGateSpec extends SparkTestBase {
         ("the Ops.exactGroupRank slice-offset frames of the two median " +
          "passes: ≤ #types × #shuffle-partitions rows each — the " +
          "docs_perplexity_buckets metadata-frame case")),
+    "events_hll_daily" -> Map(
+      "bnlj_unbounded_build" ->
+        ("the triangular day ≤ day join of the DAY-SKETCH frame: one " +
+         "4 KB sketch row per day (grouped-by-day aggregate the " +
+         "structural rule cannot prove) — O(time span), never " +
+         "O(events); the agg_set_overlap per-year-blob case over a " +
+         "date domain")),
     "events_peak_concurrency" -> Map(
       "global_window" ->
         ("the Ops.exactPrefixSum slice-sum frame: ≤ #shuffle-partitions " +

@@ -166,6 +166,30 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("events_hll_daily: curves inside the HLL envelope, reach monotone") {
+    val got = QueriesR14.eventsHllDaily(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    got.foreach { case (day, daily, cum) =>
+      val exactDaily = byDay(day).size
+      val exactCum = days.takeWhile(_ <= day)
+        .flatMap(byDay(_)).toSet.size
+      assert(math.abs(daily - exactDaily) <= math.max(3, exactDaily / 20),
+        s"$day daily $daily vs exact $exactDaily")
+      assert(math.abs(cum - exactCum) <= math.max(3, exactCum / 20),
+        s"$day cum $cum vs exact $exactCum")
+    }
+    val cums = got.sortBy(_._1).map(_._3)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "merged reach must be monotone (register-wise max)")
+  }
+
   test("events_peak_concurrency matches a driver-side sweep") {
     val sess = graft.engine.Ops.sessionize(
         Tables.events(spark, sfDir), "user_id", "ts", "event_id",
