@@ -65,6 +65,40 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "docs_keyphrase_rake" ->
+      """WITH ex AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i,
+        |              ts
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |                  FROM documents)),
+        |tok AS (SELECT doc_id, i AS pos, ts[i] AS t,
+        |          CASE WHEN ts[i] IN ('the','of','and','to','in','a',
+        |                              'is','for')
+        |               THEN 1 ELSE 0 END AS is_stop
+        |        FROM ex),
+        |runs AS (SELECT *, sum(is_stop) OVER (PARTITION BY doc_id
+        |           ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |         FROM tok),
+        |t2 AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp)
+        |         AS plen
+        |       FROM runs WHERE is_stop = 0),
+        |wsc AS (SELECT doc_id, t,
+        |          round(CAST(sum(plen) AS DOUBLE) / count(*), 9) AS ws
+        |        FROM t2 GROUP BY 1, 2),
+        |ph AS (SELECT t2.doc_id, grp,
+        |         string_agg(t2.t, ' ' ORDER BY pos) AS phrase,
+        |         round(CAST(sum(CAST(ws AS DECIMAL(28,9))) AS DOUBLE),
+        |               6) AS score
+        |       FROM t2 JOIN wsc ON t2.doc_id = wsc.doc_id
+        |                       AND t2.t = wsc.t
+        |       GROUP BY 1, 2),
+        |dd AS (SELECT doc_id, phrase, max(score) AS score FROM ph
+        |       GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, phrase) AS INT) AS rk
+        |      FROM dd)
+        |SELECT doc_id, phrase, score, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
     "events_peak_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),

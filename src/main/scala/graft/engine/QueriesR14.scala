@@ -132,6 +132,58 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** RAKE keyphrase extraction — the unsupervised keyword stage of a
+    * text pipeline (the tfidf_topk key ranks single TERMS; this
+    * ranks PHRASES): candidate phrases are maximal stopword-free
+    * token runs (run id = prefix count of stopwords, one per-doc
+    * window), each word scores deg/freq over the doc's candidates
+    * (deg = Σ length of the phrases its occurrences sit in), a
+    * phrase scores the sum of its occurrences' word scores, top-3
+    * phrases per doc.
+    *
+    * Determinism (§2.3): counts are integers; deg/freq is one
+    * IEEE-exact quotient rounded to the 1e-9 grid before the DECIMAL
+    * phrase sum; ranking has the phrase-text tiebreak; phrase text
+    * assembles from array_sort(struct(pos, token)) — the
+    * agg_collect_sorted discipline, never an unordered collect_list.
+    *
+    * Scale shape: everything is per-doc windows (H-family, parallel
+    * across docs) and (doc, word)/(doc, phrase) map-side-combined
+    * aggregates; the top-3 window partitions by doc over the
+    * handful-of-phrases frame. */
+  def docsKeyphraseRake(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is", "for")
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("is_stop", col("t").isin(stop: _*).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = toks
+      .withColumn("grp", sum("is_stop").over(w))
+      .filter(col("is_stop") === 0)
+    val phraseLen = Window.partitionBy("doc_id", "grp")
+    val tok2 = runs.withColumn("plen", count(lit(1)).over(phraseLen))
+    val wordScore = tok2.groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("doc_id"), col("t"),
+        round(col("deg").cast("double") / col("freq"), 9).as("ws"))
+    val phrases = tok2.join(wordScore, Seq("doc_id", "t"))
+      .groupBy("doc_id", "grp")
+      .agg(
+        expr("array_join(transform(array_sort(" +
+             "collect_list(struct(pos, t))), p -> p.t), ' ')")
+          .as("phrase"),
+        round(sum(col("ws").cast(DecimalType(28, 9))).cast("double"), 6)
+          .as("score"))
+    phrases.groupBy("doc_id", "phrase").agg(max("score").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
   /** Mergeable-sketch TIME SERIES — the pattern that makes sketches
     * worth persisting: one 4 KB HLL per day (written once, with any
     * artifact), then BOTH the daily distinct-user curve and the

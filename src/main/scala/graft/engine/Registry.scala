@@ -263,6 +263,7 @@ object Registry {
     "docs_bm25_topk"        -> QueriesR14.docsBm25Topk _,
     "events_peak_concurrency" -> QueriesR14.eventsPeakConcurrency _,
     "events_hll_daily"      -> QueriesR14.eventsHllDaily _,
+    "docs_keyphrase_rake"   -> QueriesR14.docsKeyphraseRake _,
   )
 
   val oracleSql: ListMap[String, String] =

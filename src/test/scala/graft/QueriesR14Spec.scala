@@ -166,6 +166,40 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("docs_keyphrase_rake matches a driver-side replay") {
+    val stop = Set("the", "of", "and", "to", "in", "a", "is", "for")
+    def r(v: Double, sc: Int) =
+      BigDecimal(v).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .flatMap { row =>
+        val id = row.getLong(0)
+        val toks = row.getString(1).split(" ", -1)
+        // maximal stopword-free runs
+        val runs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+        var cur = List.empty[String]
+        toks.foreach { t =>
+          if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+          else cur ::= t
+        }
+        if (cur.nonEmpty) runs += cur.reverse
+        val occ = runs.flatMap(p => p.map(w => (w, p.length)))
+        val ws = occ.groupBy(_._1).map { case (w, os) =>
+          w -> r(os.map(_._2).sum.toDouble / os.size, 9)
+        }
+        val scored = runs.map(p =>
+          (p.mkString(" "), r(p.map(ws).sum.toDouble, 6).toDouble))
+        scored.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+          .sortBy { case (ph, sc) => (-sc, ph) }.take(3).zipWithIndex
+          .map { case ((ph, sc), i) => (id, ph, sc, i + 1) }
+      }.toSet
+    val got = QueriesR14.docsKeyphraseRake(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+                 x.getInt(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("events_hll_daily: curves inside the HLL envelope, reach monotone") {
     val got = QueriesR14.eventsHllDaily(spark, sfDir).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
