@@ -65,6 +65,45 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "events_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) >
+        |              sum(CASE WHEN event_type = 'click'
+        |                       THEN 1 ELSE 0 END)
+        |         THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              < '8'
+        |         THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+        |       AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+        |       AS BIGINT) AS c_b
+        |  FROM u),
+        |r AS (SELECT n_a, n_b, c_a, c_b,
+        |        round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |        round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |        round((c_a + c_b) / CAST(n_a + n_b AS DOUBLE), 9)
+        |          AS p_pool
+        |      FROM agg),
+        |z AS (SELECT n_a, n_b, c_a, c_b, rate_a, rate_b,
+        |        round(rate_b - rate_a, 6) AS lift,
+        |        CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+        |          round((rate_b - rate_a) / sqrt(p_pool * (1 - p_pool) *
+        |            (1.0/n_a + 1.0/n_b)), 6) END AS z_score
+        |      FROM r)
+        |SELECT *, CASE WHEN z_score IS NOT NULL AND abs(z_score) > 1.96
+        |          THEN 1 ELSE 0 END
+        |  AS significant
+        |FROM z""".stripMargin,
+
     "docs_keyphrase_rake" ->
       """WITH ex AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i,
         |              ts

@@ -132,6 +132,57 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** A/B experiment readout — the product-analytics closer over the
+    * event stream: users assign to variants by the deterministic
+    * md5-first-hex split (the sample_hash_deterministic convention —
+    * never rand()), convert when their purchases outnumber their
+    * clicks (a scale-invariant ~50/50 split — "any purchase" is
+    * degenerate on these fixtures: every user converts and the
+    * pooled variance is zero), and the readout is ONE row: per-arm
+    * exposure/conversion counts and rates, lift, the two-proportion
+    * pooled z-score (NULL when an arm or the pool is degenerate —
+    * the zero-variance guard), and the |z| > 1.96 significance
+    * flag. On the fixtures assignment ⊥ behavior, so the honest
+    * expected readout is z ≈ 0 / not significant — the spec pins
+    * that, not a fixture-tuned win.
+    *
+    * Determinism (§2.3): rates/lift/z are spelled with IDENTICAL
+    * association in both engines from 6 dp-rounded rates and a
+    * 9 dp-rounded pooled p (sqrt is exactly rounded in IEEE 754 —
+    * safe cross-engine, unlike exp/ln).
+    *
+    * Scale shape: one map-side-combined per-user aggregate, then a
+    * single global aggregate row. */
+  def eventsAbTest(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+                      .otherwise(0L)) >
+                sum(when(col("event_type") === "click", 1L)
+                      .otherwise(0L)), 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+             "A").otherwise("B"))
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "A", col("converted"))
+          .otherwise(0L)).as("c_a"),
+        sum(when(col("variant") === "B", col("converted"))
+          .otherwise(0L)).as("c_b"))
+      .selectExpr("n_a", "n_b", "c_a", "c_b",
+        "round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a",
+        "round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b",
+        "round((c_a + c_b) / CAST(n_a + n_b AS DOUBLE), 9) AS p_pool")
+      .selectExpr("n_a", "n_b", "c_a", "c_b", "rate_a", "rate_b",
+        "round(rate_b - rate_a, 6) AS lift",
+        "CASE WHEN p_pool > 0 AND p_pool < 1 THEN " +
+        "round((rate_b - rate_a) / sqrt(p_pool * (1 - p_pool) * " +
+        "(1.0/n_a + 1.0/n_b)), 6) END AS z_score")
+      .selectExpr("*",
+        "CASE WHEN z_score IS NOT NULL AND abs(z_score) > 1.96 THEN 1 ELSE 0 END AS significant")
+
   /** RAKE keyphrase extraction — the unsupervised keyword stage of a
     * text pipeline (the tfidf_topk key ranks single TERMS; this
     * ranks PHRASES): candidate phrases are maximal stopword-free

@@ -264,6 +264,7 @@ object Registry {
     "events_peak_concurrency" -> QueriesR14.eventsPeakConcurrency _,
     "events_hll_daily"      -> QueriesR14.eventsHllDaily _,
     "docs_keyphrase_rake"   -> QueriesR14.docsKeyphraseRake _,
+    "events_ab_test"        -> QueriesR14.eventsAbTest _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -166,6 +166,22 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("events_ab_test: one-row readout, honest null result") {
+    val out = QueriesR14.eventsAbTest(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == nUsers,
+      "arms partition the exposed users")
+    assert(r.getLong(2) <= r.getLong(0) && r.getLong(3) <= r.getLong(1))
+    // assignment ⊥ behavior on fixtures: the readout must be a null
+    // result, not a fixture-tuned win
+    if (!r.isNullAt(7))
+      assert(math.abs(r.getDouble(7)) < 1.96, s"spurious significance")
+    assert(r.getInt(8) == 0)
+  }
+
   test("docs_keyphrase_rake matches a driver-side replay") {
     val stop = Set("the", "of", "and", "to", "in", "a", "is", "for")
     def r(v: Double, sc: Int) =
