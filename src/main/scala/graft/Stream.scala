@@ -22,7 +22,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
   *   writes <outDir>/tumbling|sessions|dedup|attribution|
   *          attribution_outer|funnel|funnel_ttl|ewma|ohlc|
-  *          transitions|cep/
+  *          transitions|cep|twap_spans|paths/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -300,6 +300,36 @@ object Stream {
     out.iterator
   }
 
+  case class Path2State(prev: List[String]) // ≤ 2, most recent LAST
+
+  case class PathRow(user_id: Long, step1: String, step2: String,
+                     step3: String, us: Long, event_id: Long)
+
+  /** One user's trigram path emission: two-deep type state — an
+    * event closes the trigram (t1, t2, current) only once TWO
+    * predecessors exist (a user's first two events emit nothing,
+    * exactly like the batch key's two lead()s returning null). A
+    * batch rollup of this log (count per path, rank) reproduces the
+    * batch events_user_paths top-25 exactly (StreamingSpec
+    * asserts). */
+  private[graft] def pathStep(
+      uid: Long, rows: Iterator[(String, Long, Long)],
+      state: GroupState[Path2State]): Iterator[PathRow] = {
+    var prev = state.getOption.map(_.prev).getOrElse(Nil)
+    val out = rows.toSeq
+      .sortBy(r => (r._2, r._3))               // (ts micros, event_id)
+      .flatMap { case (typ, us, eid) =>
+        val row = prev match {
+          case List(a, b) => Some(PathRow(uid, a, b, typ, us, eid))
+          case _ => None
+        }
+        prev = (prev :+ typ).takeRight(2)
+        row
+      }
+    state.update(Path2State(prev))
+    out.iterator
+  }
+
   /** The deployed queries, keyed by sink name. */
   def queries(spark: SparkSession, inDir: String): Map[String, DataFrame] = {
     val ev = eventsStream(spark, inDir)
@@ -464,6 +494,28 @@ object Stream {
           .select(col("user_id"), col("cur"), col("nxt"),
                   timestamp_micros(col("us")).as("ts"), col("event_id"))
       },
+      // The streaming trigram path log — the stateful half of the
+      // batch events_user_paths key: two event types per live user;
+      // each event closes its (t1, t2, t3) journey step as it lands.
+      // The top-25 path table is a batch rollup over this sink
+      // (StreamingSpec asserts rollup ≡ batch key). Same single-batch
+      // ordering invariant as ewma/transitions, asserted in runAll.
+      "paths" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.select(col("event_type"), unix_micros(col("ts")).as("us"),
+                  col("event_id"), col("user_id"))
+          .as[(String, Long, Long, Long)]
+          .groupByKey(_._4)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            (uid: Long, rows: Iterator[(String, Long, Long, Long)],
+             st: GroupState[Path2State]) =>
+              pathStep(uid, rows.map(r => (r._1, r._2, r._3)), st))
+          .select(col("user_id"), col("step1"), col("step2"),
+                  col("step3"), timestamp_micros(col("us")).as("ts"),
+                  col("event_id"))
+      },
       // The streaming TWAP span log — the stateful half of the batch
       // events_twap_daily key: one (us, value) pair per live user;
       // each event closes the previous same-day span the moment it
@@ -573,7 +625,7 @@ object Stream {
       // that. Assert it so a future multi-file staging or trigger
       // option can't silently void the sink ≡ batch guarantee.
       if (name == "ewma" || name == "transitions" || name == "cep" ||
-          name == "twap_spans") {
+          name == "twap_spans" || name == "paths") {
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name drained $dataBatches data microbatches; its batch-" +

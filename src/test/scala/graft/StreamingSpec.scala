@@ -304,7 +304,7 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions", "cep", "twap_spans"))
+          "transitions", "cep", "twap_spans", "paths"))
     // the CEP sink replays per-user events in (ts, event_id) order
     // with one-tuple state — a bounded drain must equal the batch
     // pattern key row-for-row
@@ -405,6 +405,23 @@ class StreamingSpec extends SparkTestBase {
       s"twap span rollup diverged from batch: " +
         s"sink-only=${(sinkTwap -- batchTwap).take(3)}, " +
         s"batch-only=${(batchTwap -- sinkTwap).take(3)}")
+    // the path log replays per-user events with two-type state;
+    // rolling its trigrams up with the batch key's ranking must
+    // reproduce the events_user_paths top-25 row-for-row
+    val batchPaths = graft.engine.QueriesR14
+      .eventsUserPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3), r.getInt(4))).toSeq
+    val sinkPaths = spark.read.parquet(s"$out/paths")
+      .groupBy("step1", "step2", "step3").count()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("count").desc, col("step1"), col("step2"), col("step3"))))
+      .filter(col("rank") <= 25).orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3), r.getInt(4))).toSeq
+    assert(sinkPaths == batchPaths,
+      s"path sink rollup diverged from batch key")
     // outer ⊇ inner: every matched pair must also reach the outer sink
     // (its null-extension rows are EXTRA, gated by the watermark)
     assert(counts("attribution_outer") >= counts("attribution"),
