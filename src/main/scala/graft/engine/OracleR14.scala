@@ -65,6 +65,29 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9)))
+        |               AS DOUBLE) / count(*), 6) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |        round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
+        |              / count(*), 9) AS g
+        |      FROM daily GROUP BY 1),
+        |sd AS (SELECT d.event_type, d.day,
+        |         sum(CAST(round(m - g, 9) AS DECIMAL(28,9)))
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                 ROWS UNBOUNDED PRECEDING) AS cs
+        |       FROM daily d JOIN g ON d.event_type = g.event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cs) DESC, day) AS rk
+        |      FROM sd)
+        |SELECT event_type, day AS cp_day,
+        |  round(CAST(cs AS DOUBLE), 6) AS cusum,
+        |  CASE WHEN cs > 0 THEN 'above' ELSE 'below' END AS direction
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
     "events_ab_test" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -132,6 +132,51 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** CUSUM change-point detection — the drift question the anomaly
+    * keys (zscore/MAD flag POINTS) don't answer: where does a
+    * series' LEVEL shift? Per event type, daily means ride the
+    * 1e-9-grid DECIMAL sum; the cumulative sum of (daily mean −
+    * series mean) walks the days, and the day of maximum |CUSUM| is
+    * the classic change-point estimate, with the excursion's sign
+    * (above/below the long-run mean before the turn). On fixtures
+    * with no planted shift this reports the random-walk extremum —
+    * the operator is the estimator, not a fixture-tuned detection.
+    *
+    * Determinism (§2.3): deviations round to the 1e-9 grid BEFORE
+    * the running DECIMAL sum; the argmax has the earliest-day
+    * tiebreak via struct-max (no ordering ambiguity at equal |S|).
+    *
+    * Scale shape: one map-side-combined (type, day) aggregate; the
+    * running-sum window partitions by type over the DAY-domain frame
+    * (O(span) rows per type — the markov allowance), then one
+    * struct-max. */
+  def eventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(28, 9)
+    val daily = events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(round(sum(round(col("value"), 9).cast(dec)).cast("double")
+                   / count(lit(1)), 6).as("m"))
+    val g = daily.groupBy("event_type")
+      .agg(round(sum(col("m").cast(DecimalType(18, 6))).cast("double")
+                   / count(lit(1)), 9).as("g"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(g, "event_type")
+      .withColumn("dev", round(col("m") - col("g"), 9).cast(dec))
+      .withColumn("cs", sum("dev").over(w))
+      .groupBy("event_type")
+      .agg(max(struct(abs(col("cs")).as("a"),
+                      (lit(0) - unix_date(col("day"))).as("nd"),
+                      col("cs").as("cs"))).as("m"))
+      .select(col("event_type"),
+        date_from_unix_date(lit(0) - col("m.nd")).as("cp_day"),
+        round(col("m.cs").cast("double"), 6).as("cusum"),
+        when(col("m.cs") > 0, "above").otherwise("below")
+          .as("direction"))
+      .orderBy("event_type")
+  }
+
   /** A/B experiment readout — the product-analytics closer over the
     * event stream: users assign to variants by the deterministic
     * md5-first-hex split (the sample_hash_deterministic convention —

@@ -265,6 +265,7 @@ object Registry {
     "events_hll_daily"      -> QueriesR14.eventsHllDaily _,
     "docs_keyphrase_rake"   -> QueriesR14.docsKeyphraseRake _,
     "events_ab_test"        -> QueriesR14.eventsAbTest _,
+    "events_changepoint"    -> QueriesR14.eventsChangepoint _,
   )
 
   val oracleSql: ListMap[String, String] =

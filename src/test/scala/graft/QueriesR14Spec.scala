@@ -166,6 +166,35 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("events_changepoint matches a driver-side CUSUM replay") {
+    def r(v: BigDecimal, sc: Int) =
+      v.setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+              to_date(col("ts")).cast("string").as("day"), col("value"))
+      .collect().map(x => (x.getString(0), x.getString(1),
+                           x.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (typ, evs) =>
+      val daily = evs.groupBy(_._2).toSeq.map { case (day, vs) =>
+        val sum9 = vs.map(v => r(BigDecimal(v._3), 9)).sum
+        day -> r(BigDecimal(sum9.toDouble / vs.size), 6)
+      }.sortBy(_._1)
+      val g = r(BigDecimal(
+        daily.map(_._2).sum.toDouble / daily.size), 9)
+      val cs = daily.scanLeft(BigDecimal(0)) {
+        case (acc, (_, m)) => acc + r(m - g, 9) }.tail
+      val (bestDay, bestS) = daily.map(_._1).zip(cs)
+        .sortBy { case (day, s) => (-s.abs, day) }.head
+      typ -> (bestDay, r(bestS, 6).toDouble,
+              if (bestS > 0) "above" else "below")
+    }
+    val got = QueriesR14.eventsChangepoint(spark, sfDir).collect()
+      .map(x => x.getString(0) -> (x.getDate(1).toString,
+        x.getDouble(2), x.getString(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("events_ab_test: one-row readout, honest null result") {
     val out = QueriesR14.eventsAbTest(spark, sfDir).collect()
     assert(out.length == 1)
