@@ -65,6 +65,33 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "join_pit_scd2" ->
+      """WITH flips AS (SELECT DISTINCT l_orderkey AS key
+        |               FROM lineitem WHERE l_returnflag = 'R'),
+        |base AS (SELECT o.o_orderkey AS key, o.o_orderstatus,
+        |           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |           CASE WHEN f.key IS NULL THEN 0 ELSE 1 END AS flips
+        |         FROM orders o LEFT JOIN flips f
+        |           ON o.o_orderkey = f.key),
+        |dim AS (
+        |  SELECT key, o_orderstatus AS status,
+        |    CAST(NULL AS DATE) AS valid_from,
+        |    CASE WHEN flips = 1 THEN o_orderdate + 30 END AS valid_to
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key, 'R', o_orderdate + 30, NULL
+        |  FROM base WHERE flips = 1)
+        |SELECT d.status AS pit_status, l.l_returnflag,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS qty
+        |FROM lineitem l JOIN dim d ON l.l_orderkey = d.key
+        |WHERE (d.valid_from IS NULL
+        |       OR CAST(l.l_shipdate AS DATE) >= d.valid_from)
+        |  AND (d.valid_to IS NULL
+        |       OR CAST(l.l_shipdate AS DATE) < d.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

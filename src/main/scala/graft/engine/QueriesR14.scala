@@ -132,6 +132,61 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Point-in-time (bitemporal) dimension lookup — the warehouse
+    * pattern the scd2 key stops short of: a DATE-RANGED versioned
+    * dimension (orders whose lineitems returned flip to 'R' thirty
+    * days after order date — two versions whose [valid_from,
+    * valid_to) ranges partition the FULL timeline: the initial
+    * version is open-ended backwards, the standard PIT convention,
+    * since the synthetic data ships some items before the order
+    * date) and every fact row
+    * (lineitem) joined to the version valid AT ITS OWN ship date —
+    * never the current one. The readout aggregates
+    * (as-of status × return flag), where the off-diagonal cells are
+    * exactly the facts that shipped BEFORE the dimension caught up —
+    * the late-arriving-dimension problem made visible.
+    *
+    * Determinism (§2.3): dates and integers; quantity sums ride
+    * DECIMAL(18,2).
+    *
+    * Scale shape: the PIT lookup is one equi-join on the dimension
+    * key with the range predicate as a post-filter (the
+    * interval-join discipline — ≤ 2 versions per key here, O(version
+    * count) in general); the aggregate is map-side-combined onto the
+    * status × flag domain. */
+  def joinPitScd2(s: SparkSession, d: String): DataFrame = {
+    val flips = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("key")).distinct()
+      .withColumn("flips", lit(1))
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus"),
+              to_date(col("o_orderdate")).as("o_orderdate"))
+      .join(flips, Seq("key"), "left")
+    val dim = base.select(col("key"),
+        col("o_orderstatus").as("status"),
+        lit(null).cast("date").as("valid_from"),
+        when(col("flips").isNotNull, date_add(col("o_orderdate"), 30))
+          .as("valid_to"))
+      .union(base.filter(col("flips").isNotNull)
+        .select(col("key"), lit("R").as("status"),
+                date_add(col("o_orderdate"), 30).as("valid_from"),
+                lit(null).cast("date").as("valid_to")))
+    lineitem(s, d)
+      .select(col("l_orderkey").as("key"),
+              to_date(col("l_shipdate")).as("l_shipdate"),
+              col("l_returnflag"), col("l_quantity"))
+      .join(dim, Seq("key"))
+      .filter((col("valid_from").isNull ||
+               col("l_shipdate") >= col("valid_from")) &&
+              (col("valid_to").isNull ||
+               col("l_shipdate") < col("valid_to")))
+      .groupBy(col("status").as("pit_status"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast("double").as("qty"))
+      .orderBy("pit_status", "l_returnflag")
+  }
+
   /** CUSUM change-point detection — the drift question the anomaly
     * keys (zscore/MAD flag POINTS) don't answer: where does a
     * series' LEVEL shift? Per event type, daily means ride the

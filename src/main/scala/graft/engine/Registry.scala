@@ -266,6 +266,7 @@ object Registry {
     "docs_keyphrase_rake"   -> QueriesR14.docsKeyphraseRake _,
     "events_ab_test"        -> QueriesR14.eventsAbTest _,
     "events_changepoint"    -> QueriesR14.eventsChangepoint _,
+    "join_pit_scd2"         -> QueriesR14.joinPitScd2 _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -166,6 +166,22 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("join_pit_scd2: every fact row matches exactly one version") {
+    val out = QueriesR14.joinPitScd2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nFacts = Tables.lineitem(spark, sfDir).count()
+    // the version ranges partition [orderdate, ∞) and every TPC-H
+    // lineitem ships on/after its order date, so the PIT lookup must
+    // be a total exactly-once assignment: any double-match inflates
+    // the sum, any gap deflates it
+    assert(out.map(_._3).sum == nFacts,
+      s"PIT join not exactly-once: ${out.map(_._3).sum} vs $nFacts")
+    // the late-arriving-dimension cells exist: items that shipped
+    // under the PRE-flip status of an order that later flipped
+    assert(out.exists { case (pit, rf, _) => pit != "R" && rf == "R" })
+    assert(out.exists { case (pit, _, _) => pit == "R" })
+  }
+
   test("events_changepoint matches a driver-side CUSUM replay") {
     def r(v: BigDecimal, sc: Int) =
       v.setScale(sc, BigDecimal.RoundingMode.HALF_UP)
