@@ -65,6 +65,14 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  md5(p_name || '|' || p_brand) AS h_composite,
+        |  substring(md5(p_name), 1, 2) AS shard
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "join_pit_scd2" ->
       """WITH flips AS (SELECT DISTINCT l_orderkey AS key
         |               FROM lineitem WHERE l_returnflag = 'R'),

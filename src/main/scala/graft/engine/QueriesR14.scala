@@ -132,6 +132,24 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Cryptographic-hash function matrix — the I-family completion
+    * for content addressing (what the dedup keys and the artifact
+    * cache consume as a primitive): md5 and sha-256 digests of a
+    * column, the delimiter-joined COMPOSITE-key digest (the
+    * multi-column content-hash recipe — the delimiter prevents
+    * ("ab","c") colliding with ("a","bc")), and the 2-hex-char shard
+    * prefix (the deterministic bucketing recipe behind
+    * sample_hash_deterministic / the A/B split). Row-level,
+    * shuffle-free; both engines emit lowercase hex. */
+  def fnHash(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(col("p_partkey"),
+      md5(col("p_name")).as("h_md5"),
+      sha2(col("p_name"), 256).as("h_sha256"),
+      md5(concat_ws("|", col("p_name"), col("p_brand")))
+        .as("h_composite"),
+      substring(md5(col("p_name")), 1, 2).as("shard"))
+      .orderBy("p_partkey")
+
   /** Point-in-time (bitemporal) dimension lookup — the warehouse
     * pattern the scd2 key stops short of: a DATE-RANGED versioned
     * dimension (orders whose lineitems returned flip to 'R' thirty

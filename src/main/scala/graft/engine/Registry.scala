@@ -267,6 +267,7 @@ object Registry {
     "events_ab_test"        -> QueriesR14.eventsAbTest _,
     "events_changepoint"    -> QueriesR14.eventsChangepoint _,
     "join_pit_scd2"         -> QueriesR14.joinPitScd2 _,
+    "fn_hash"               -> QueriesR14.fnHash _,
   )
 
   val oracleSql: ListMap[String, String] =
