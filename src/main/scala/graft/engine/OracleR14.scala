@@ -65,6 +65,24 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "multimodal_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+        |       FROM dims),
+        |v AS (SELECT doc_id, w, h, (doc_id + i) % 251 AS p FROM px)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width,
+        |  CAST(max(h) AS INT) AS height,
+        |  count(*) AS n_pixels,
+        |  CAST(sum(p) AS BIGINT) AS px_sum,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS px_mean,
+        |  CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+        |  CAST(sum(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dark
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "fn_hash" ->
       """SELECT p_partkey,
         |  md5(p_name) AS h_md5,

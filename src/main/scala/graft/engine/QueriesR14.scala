@@ -132,6 +132,38 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Per-image pixel statistics — the multimodal FEATURE-EXTRACTION
+    * stage the hash keys skip past (phash fingerprints; this
+    * profiles): every document's PNG decodes through the real codec
+    * (chunk walk + CRC + inflate + filter strip) and reduces to
+    * dimensions, pixel count, exact integer sum, mean, min/max, and
+    * the dark-pixel count (< 64 — the brightness-QA cut an image
+    * curation pipeline thresholds on). The oracle re-derives every
+    * number from the closed-form pixel model (pixel(i) =
+    * (doc_id + i) mod 251) without decoding a PNG — agreement proves
+    * the decode→statistics path end-to-end, the phash_dedup posture.
+    *
+    * Scale shape: mapPartitions over binary blobs (the sanctioned
+    * codec exception), one row out per image — the decode is
+    * embarrassingly parallel and the stats never leave the row. */
+  def multimodalPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    QueriesExtra.docPngBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val dec = Png.decodeGray8Pixels(blob)
+        val px = dec.pixels.map(b => (b & 0xff).toLong)
+        val sum = px.sum
+        (id, dec.width, dec.height, px.length.toLong, sum,
+         BigDecimal(sum.toDouble / px.length)
+           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         px.min.toInt, px.max.toInt, px.count(_ < 64).toLong)
+      })
+      .toDF("doc_id", "width", "height", "n_pixels", "px_sum",
+            "px_mean", "px_min", "px_max", "n_dark")
+      .orderBy("doc_id")
+  }
+
   /** Cryptographic-hash function matrix — the I-family completion
     * for content addressing (what the dedup keys and the artifact
     * cache consume as a primitive): md5 and sha-256 digests of a

@@ -268,6 +268,7 @@ object Registry {
     "events_changepoint"    -> QueriesR14.eventsChangepoint _,
     "join_pit_scd2"         -> QueriesR14.joinPitScd2 _,
     "fn_hash"               -> QueriesR14.fnHash _,
+    "multimodal_pixel_stats" -> QueriesR14.multimodalPixelStats _,
   )
 
   val oracleSql: ListMap[String, String] =
