@@ -565,8 +565,17 @@ object QueriesR14 {
         .filter(col("rnk") === expr("(n_total + 1) div 2") ||
                 col("rnk") === expr("(n_total + 2) div 2"))
         .groupBy("event_type").agg(avg(valueCol).as(out))
+    // dev feeds THREE consumers (the MAD rank pass + the final join
+    // + its own filter); without pinning, Catalyst re-derives the
+    // events scan + median join per reference — measured 3.7 s in
+    // full-session runs vs 1.9 s focused. localCheckpoint
+    // materializes it once (the pca_power/connectedComponents
+    // discipline); at 100 TB this is the one deliberate
+    // materialization of an events-sized frame the two-pass median
+    // algorithm needs anyway.
     val dev = v.join(medianOf(v, "value", "med"), "event_type")
       .withColumn("dev", abs(col("value") - col("med")))
+      .localCheckpoint(true)
     dev
       .join(medianOf(dev.select("event_id", "event_type", "dev"),
                      "dev", "mad"),
