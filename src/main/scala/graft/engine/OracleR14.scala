@@ -65,6 +65,16 @@ object OracleR14 {
         |  CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         |FROM t ORDER BY c_custkey""".stripMargin,
 
+    "events_rolling_wau" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events),
+        |x AS (SELECT day + CAST(k AS INT) AS window_end, user_id, day
+        |      FROM e CROSS JOIN
+        |        (SELECT unnest(range(0, 7)) AS k) ks)
+        |SELECT window_end, count(DISTINCT user_id) AS wau,
+        |  count(DISTINCT day) AS n_active_days
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "multimodal_pixel_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,

@@ -132,6 +132,34 @@ object QueriesR14 {
       .orderBy("c_custkey")
   }
 
+  /** Rolling 7-day active users (WAU) — the dashboard staple the
+    * tumbling keys can't express without overlap: every calendar day
+    * reports the EXACT distinct-user count of its trailing 7-day
+    * window. Spelled as window replication — each (day, user) pair
+    * contributes to the 7 windows ending on day..day+6 — which
+    * turns the sliding distinct into a plain per-window exact
+    * distinct (no approximate sketch, no window-function state).
+    *
+    * Determinism (§2.3): dates and integers only.
+    *
+    * Scale shape: the (day, user) frame DEDUPES BEFORE the 7×
+    * replication (activity is heavily repeated within a day, so the
+    * explode multiplies the small dedup output, not the raw
+    * events); the per-window exact distinct is the standard two-level
+    * aggregate. Trailing windows past the data edge report their
+    * partial coverage — identically in both engines. */
+  def eventsRollingWau(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+              explode(expr("sequence(0, 6)")).as("k"))
+      .withColumn("window_end", expr("date_add(day, k)"))
+      .groupBy("window_end")
+      .agg(countDistinct("user_id").as("wau"),
+           countDistinct("day").as("n_active_days"))
+      .orderBy("window_end")
+
   /** Per-image pixel statistics — the multimodal FEATURE-EXTRACTION
     * stage the hash keys skip past (phash fingerprints; this
     * profiles): every document's PNG decodes through the real codec

@@ -269,6 +269,7 @@ object Registry {
     "join_pit_scd2"         -> QueriesR14.joinPitScd2 _,
     "fn_hash"               -> QueriesR14.fnHash _,
     "multimodal_pixel_stats" -> QueriesR14.multimodalPixelStats _,
+    "events_rolling_wau"    -> QueriesR14.eventsRollingWau _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -166,6 +166,25 @@ class QueriesR14Spec extends SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("events_rolling_wau matches a driver-side window replay") {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)),
+                 r.getLong(1)))
+    val expected = du.flatMap { case (day, uid) =>
+      (0 to 6).map(k => (day.plusDays(k), uid, day)) }
+      .groupBy(_._1).map { case (wend, rows) =>
+        wend.toString -> (rows.map(_._2).distinct.length.toLong,
+                          rows.map(_._3).distinct.length.toLong)
+      }
+    val got = QueriesR14.eventsRollingWau(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("join_pit_scd2: every fact row matches exactly one version") {
     val out = QueriesR14.joinPitScd2(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
