@@ -22,20 +22,70 @@ object QueriesR14 {
     * the ratio itself is one IEEE-exact quotient rounded 6 dp.
     *
     * Scale shape: candidate pairs come ONLY from the shared-neighbor
-    * equi-join on the customer id — Σ deg(cust)² work, bounded by
-    * per-customer supplier fan-out (an extreme hub node would take
-    * the absolute per-node candidate cap, the sparse_sim posting
-    * discipline), never |suppliers|². The distinct bipartite pair
-    * table feeds three consumers (degrees + both join sides), so it
-    * rides the P6 artifact cache like pagerank's edges. */
-  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
-    val pairs = ArtifactCache.materialize(
+    * equi-join on the customer id — and that fan-out is HARD-CAPPED:
+    * each customer contributes pairs only among its `cap` (512)
+    * lowest-degree suppliers (topk_by_score on −degree: the
+    * mergeable bounded heap, map-side partials — never a per-hub
+    * sort), so emissions are ≤ Σ min(deg(cust), cap)², linear in
+    * customers by construction. An extreme hub with degree D no
+    * longer emits D² pairs — the last quadratic-in-skew blowup in
+    * the registry, removed with the docs_sparse_sim_topk posting
+    * discipline. Keeping the LOWEST-degree suppliers is the
+    * principled prefix: the jaccard ≥ 0.2 threshold means a pair
+    * needs common ≥ (deg_a + deg_b)/6, so low-degree endpoints are
+    * precisely the ones that can still clear it through one shared
+    * hub. Degrees stay EXACT (uncapped groupBy), so under a
+    * truncating cap the reported jaccard is a conservative lower
+    * bound — borderline hub pairs drop, survivors never inflate. At
+    * the test SFs the max per-customer degree is 102 < 512, so the
+    * capped plan is bit-identical to the uncapped spelling and the
+    * DuckDB oracle is unchanged; JaccardBoundSpec pins the emission
+    * bound with a deliberately truncating cap. The distinct
+    * bipartite pair table feeds three consumers (degrees + both join
+    * sides), so it rides the P6 artifact cache like pagerank's
+    * edges. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame =
+    graphJaccardNeighborsCapped(s, d, JaccardNeighborCap)
+
+  /** Absolute per-customer candidate cap — 512 exceeds every
+    * per-customer supplier degree at the test SFs (max 102 at
+    * sf0.1), so the default key is exactly the uncapped semantics;
+    * at 100 TB the cap bounds hub emissions at cap²/2 per customer. */
+  val JaccardNeighborCap = 512
+
+  /** The distinct supplier↔customer bipartite edge table (P6
+    * artifact) — exposed for JaccardBoundSpec. */
+  private[graft] def jaccardBipartitePairs(s: SparkSession,
+                                           d: String): DataFrame =
+    ArtifactCache.materialize(
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
         .distinct(),
       Artifacts.cacheRoot, "bipartite_pairs_v1")
+
+  /** The cap-truncated edge set: each customer keeps its `cap`
+    * lowest-degree suppliers (ties → lowest sup id) — exposed for
+    * JaccardBoundSpec's emission-bound math. */
+  private[graft] def jaccardCappedEdges(pairs: DataFrame,
+                                        cap: Int): DataFrame = {
+    TopK.register(pairs.sparkSession)
+    val supType = pairs.schema("sup").dataType
     val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
+    // The degree join hits the aggregated |suppliers|-row frame (AQE
+    // broadcasts it from runtime size — no hint needed).
+    pairs.join(deg, "sup")
+      .groupBy("cust")
+      .agg(expr(s"topk_by_score(-CAST(deg AS DOUBLE), sup, $cap)").as("t"))
+      .select(col("cust"), explode(col("t")).as("p"))
+      .select(col("cust"), col("p.id").cast(supType).as("sup"))
+  }
+
+  private[graft] def graphJaccardNeighborsCapped(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
+    val pairs = jaccardBipartitePairs(s, d)
+    val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
+    val capped = jaccardCappedEdges(pairs, cap)
     // The probe side explodes ~deg(cust)× in the join, so its task
     // count must not be input-size-bound: the tiny artifact scan
     // arrives as ONE file-bin (4.7 s single-task probe at sf0.1);
@@ -44,9 +94,9 @@ object QueriesR14 {
     // user-specified partition count) and is the co-partitioning a
     // 100 TB deployment would bake into the edge table's layout.
     val shufN = s.sessionState.conf.numShufflePartitions
-    val common = pairs.repartition(shufN, col("cust"))
+    val common = capped.repartition(shufN, col("cust"))
       .select(col("sup").as("sup_a"), col("cust"))
-      .join(pairs.select(col("sup").as("sup_b"), col("cust")), Seq("cust"))
+      .join(capped.select(col("sup").as("sup_b"), col("cust")), Seq("cust"))
       .filter(col("sup_a") < col("sup_b"))
       .groupBy("sup_a", "sup_b").agg(count(lit(1)).as("common"))
     common
