@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
@@ -80,7 +80,45 @@ object Hll {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_estimate", (args: Seq[Expression]) => HllEstimateExpr(args.head),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge2", (args: Seq[Expression]) =>
+        HllMerge2Expr(args(0), args(1)),
+      "built-in")
   }
+}
+
+/** `hll_merge2(a, b)` → binary: the SCALAR two-sketch union (bytewise
+  * register max) — what lets a prefix-merge combine a slice-local
+  * running sketch with its predecessor-slices offset sketch row-wise,
+  * the exactPrefixSum offset-attach step applied to sketches. Either
+  * side null (e.g. the first slice's empty offset) passes the other
+  * through unchanged — the merge identity. Runs once per OUTPUT row
+  * of an aggregated frame, so interpreted eval is fine
+  * (CodegenFallback, the hll_estimate posture). */
+case class HllMerge2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def prettyName: String = "hll_merge2"
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null) return b
+    if (b == null) return a
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    require(ab.length == Hll.M && bb.length == Hll.M,
+      s"hll_merge2: expected ${Hll.M}-byte dense sketches, " +
+        s"got ${ab.length}/${bb.length} bytes")
+    val out = ab.clone()
+    Hll.mergeInto(out, bb)
+    out
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `hll_sketch(longCol)` → binary: one 4 KB dense sketch per group.

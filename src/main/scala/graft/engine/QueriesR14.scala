@@ -469,9 +469,17 @@ object QueriesR14 {
     * cumulative-reach curve read from sketch rows alone — the
     * cumulative estimate merges day sketches 1..d without EVER
     * rescanning events (register-wise max is associative and
-    * monotone, so reach never decreases). The triangular day≤day
-    * join runs over the day-sketch frame: O(span²) sketch rows,
-    * never O(events).
+    * monotone, so reach never decreases). The cumulative curve is a
+    * LINEAR prefix-merge (the r9-verdict #4 fix — the triangular
+    * day≤day join was O(span²) sketch rows): range-slice the day
+    * frame, run the slice-LOCAL running hll_merge window, compute
+    * per-slice total sketches (≤ #shuffle-partitions rows of
+    * cluster-width metadata), attach each slice's
+    * predecessor-slices offset sketch via a broadcast join, and
+    * combine row-wise with the scalar hll_merge2 — exactPrefixSum's
+    * shape verbatim with (+, 0) replaced by (register-max, empty
+    * sketch), both monoids, so associativity gives byte-identical
+    * sketches to the sequential fold. O(span) merge work, one pass.
     *
     * No oracle by declaration (sketch values are engine-specific,
     * the agg_distinct_hll contract); the bound test pins both curves
@@ -483,12 +491,27 @@ object QueriesR14 {
       .withColumn("day", to_date(col("ts")))
       .groupBy("day")
       .agg(expr("hll_sketch(user_id)").as("sk"))
-    val cum = daily.select(col("day").as("d2"), col("sk").as("sk2"))
-      .join(daily.select("day"), col("d2") <= col("day"))
-      .groupBy("day")
-      .agg(expr("hll_estimate(hll_merge(sk2))").as("cum_users"))
-    daily.select(col("day"), expr("hll_estimate(sk)").as("daily_users"))
-      .join(cum, "day")
+    val sliced = daily.repartitionByRange(col("day"))
+      .withColumn("slice", spark_partition_id())
+    val local = sliced.withColumn("lsk", expr("hll_merge(sk)").over(
+      Window.partitionBy("slice").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // predecessor-slices offset: the per-slice totals frame is ≤
+    // #shuffle-partitions rows (cluster-width METADATA), so its
+    // s2 < slice triangular merge is O(#slices²) on metadata — the
+    // exactPrefixSum offs frame with sum() spelled as hll_merge
+    val tot = sliced.groupBy("slice").agg(expr("hll_merge(sk)").as("tsk"))
+    val offs = tot.select(col("slice"))
+      .join(tot.select(col("slice").as("s2"), col("tsk")),
+            col("s2") < col("slice"), "left")
+      .groupBy("slice").agg(expr("hll_merge(tsk)").as("off"))
+    val cum = local.join(broadcast(offs), Seq("slice"))
+      .select(col("day"), col("sk"),
+        // the first slice's offset is an all-zero empty sketch
+        // (hll_merge over zero non-null rows) — the merge identity
+        expr("hll_merge2(lsk, off)").as("csk"))
+    cum.select(col("day"), expr("hll_estimate(sk)").as("daily_users"),
+               expr("hll_estimate(csk)").as("cum_users"))
       .orderBy("day")
   }
 

@@ -120,11 +120,16 @@ class PlanGateSpec extends SparkTestBase {
          "docs_perplexity_buckets metadata-frame case")),
     "events_hll_daily" -> Map(
       "bnlj_unbounded_build" ->
-        ("the triangular day ≤ day join of the DAY-SKETCH frame: one " +
-         "4 KB sketch row per day (grouped-by-day aggregate the " +
-         "structural rule cannot prove) — O(time span), never " +
-         "O(events); the agg_set_overlap per-year-blob case over a " +
-         "date domain")),
+        ("the s2 < slice predecessor-merge of the PER-SLICE total-" +
+         "sketch frame: ≤ #shuffle-partitions 4 KB rows of cluster-" +
+         "width metadata (grouped-by-slice aggregate the structural " +
+         "rule cannot prove) — the exactPrefixSum offs frame with " +
+         "register-max for sum"),
+      "fact_broadcast_hint" ->
+        ("the same ≤ #partitions-row slice-offset sketch frame " +
+         "broadcast back to attach cumulative offsets — the " +
+         "events_peak_concurrency / orders_rfm_segments metadata-" +
+         "frame case, one 4 KB sketch per slice")),
     "events_peak_concurrency" -> Map(
       "global_window" ->
         ("the Ops.exactPrefixSum slice-sum frame: ≤ #shuffle-partitions " +
