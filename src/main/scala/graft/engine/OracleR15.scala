@@ -1,0 +1,53 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-10 keys. The sign-signature banding
+  * is pure integer arithmetic (the emb_sign_hamming_topk bit recipe
+  * with DuckDB's range-checked 1<<63 spelled as the min-long
+  * literal), so the candidate set — and hence the re-scored top-5 —
+  * re-derives exactly.
+  */
+object OracleR15 {
+
+  val sql: ListMap[String, String] = ListMap(
+    "emb_maxsim_ann" ->
+      s"""WITH ex AS (SELECT vec_id,
+        |              unnest(range(1, len(embedding) + 1)) AS i,
+        |              embedding
+        |            FROM embeddings),
+        |bits AS (SELECT vec_id,
+        |           bit_or(CASE WHEN embedding[i] <= 0 THEN 0::BIGINT
+        |                  WHEN i = 64
+        |                  THEN (-9223372036854775807 - 1)::BIGINT
+        |                  ELSE 1::BIGINT << (i - 1) END) AS sig
+        |         FROM ex GROUP BY vec_id),
+        |sg AS (SELECT vec_id // 5 AS doc, sig FROM bits),
+        |qband AS (SELECT DISTINCT doc AS qdoc, b,
+        |            (sig >> (8 * b)) & 255 AS val
+        |          FROM sg, range(0, 8) t(b) WHERE doc % 10 = 0),
+        |cband AS (SELECT DISTINCT doc, b, (sig >> (8 * b)) & 255 AS val
+        |          FROM sg, range(0, 8) t(b) WHERE doc % 10 <> 0),
+        |cand AS (SELECT DISTINCT qdoc, doc
+        |         FROM qband JOIN cband USING (b, val)),
+        |v AS (SELECT vec_id, vec_id // 5 AS doc, embedding
+        |      FROM embeddings),
+        |q AS (SELECT doc AS qdoc, vec_id AS qv, embedding FROM v
+        |      WHERE doc % 10 = 0),
+        |c AS (SELECT doc, embedding FROM v WHERE doc % 10 <> 0),
+        |p AS (SELECT a.qdoc, a.qv, b.doc,
+        |        round(${OracleDocs.cosinePair}, 6) AS cs
+        |      FROM cand JOIN q a USING (qdoc) JOIN c b USING (doc)),
+        |m AS (SELECT qdoc, qv, doc, max(cs) AS mx FROM p
+        |      GROUP BY 1, 2, 3),
+        |sc AS (SELECT qdoc, doc,
+        |         CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE)
+        |           AS maxsim
+        |       FROM m GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY qdoc ORDER BY maxsim DESC, doc) AS INT)
+        |        AS rk
+        |      FROM sc)
+        |SELECT qdoc, doc, maxsim, rk FROM r WHERE rk <= 5
+        |ORDER BY qdoc, rk""".stripMargin)
+}

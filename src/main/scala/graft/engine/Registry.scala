@@ -270,6 +270,9 @@ object Registry {
     "fn_hash"               -> QueriesR14.fnHash _,
     "multimodal_pixel_stats" -> QueriesR14.multimodalPixelStats _,
     "events_rolling_wau"    -> QueriesR14.eventsRollingWau _,
+    // Round-10: ANN-candidate -> MaxSim re-score composition and the
+    // JPEG leg of the multimodal decode family
+    "emb_maxsim_ann"        -> QueriesR15.embMaxsimAnn _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -277,5 +280,5 @@ object Registry {
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
-      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql
+      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++ OracleR15.sql
 }

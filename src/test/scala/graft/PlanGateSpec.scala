@@ -105,6 +105,14 @@ class PlanGateSpec extends SparkTestBase {
          "family at scale"),
       "fact_broadcast_hint" ->
         ("the same query batch: O(batch), corpus-independent")),
+    "emb_maxsim_ann" -> Map(
+      "fact_broadcast_hint" ->
+        ("both hints carry the QUERY batch — the banded signature set " +
+         "and the query token vectors: O(batch) by definition in " +
+         "production (the emb_maxsim_topk / docs_contamination " +
+         "precedent; the mod-10 fixture slice is the stand-in); the " +
+         "corpus side streams through the (band, value) bucket join " +
+         "and the candidate-pair kernel partition-parallel")),
     "emb_sign_hamming_topk" -> Map(
       "bnlj_unbounded_build" ->
         ("the broadcast build is the 8-byte-signature QUERY batch — " +
