@@ -1,0 +1,494 @@
+package graft.engine
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM baseline-sequential JPEG (JFIF) codec for 8-bit grayscale
+  * — the third leg of the multimodal decode family (PNG: chunk walk +
+  * inflate; WAV: RIFF walk; JPEG: entropy decode + IDCT), closing the
+  * "real crawls are mostly JPEG" gap (r9 verdict #5). Everything here
+  * is public T.81/JFIF structure: marker segments (SOI/APP0/DQT/SOF0/
+  * DHT/SOS/EOI), the Annex K.1 luminance quantization table, the
+  * Annex K.3 typical luminance Huffman tables, canonical code
+  * construction from BITS/HUFFVAL, byte stuffing (FF 00), DC
+  * prediction, run/size AC coding with EOB/ZRL, zigzag ordering, and
+  * a double-precision IDCT.
+  *
+  * The encoder is the fixture half (the Png.encodeGray8 posture): it
+  * emits spec-complete baseline streams for arbitrary gray images.
+  * The decoder is the codec under test: a full baseline entropy
+  * decoder (any run/size AC layout, restart-free single scan) — not
+  * just the inverse of what the encoder happens to emit. JPEG is
+  * lossy in general; the multimodal_decode_jpeg fixture feeds blocks
+  * whose DCT is DC-only with exactly-quantizable DC (uniform blocks
+  * of even value), so the decoded image is bit-exact and the DuckDB
+  * oracle can restate it in closed form — agreement proves the
+  * marker walk, Huffman decode, dequant, and IDCT end-to-end.
+  */
+object Jpeg {
+
+  /** Annex K.1 luminance quantization table, natural (row-major)
+    * order. Q(0,0) = 16 is what makes the fixture's DC exactly
+    * quantizable: DC = 8·(v−128) with v even divides evenly. */
+  val QuantLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Zigzag scan order: ZigZag(k) = natural index of the k-th
+    * coefficient in scan order. */
+  val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 typical DC luminance table: BITS then HUFFVAL. */
+  val DcBits: Array[Int] =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.3.2 typical AC luminance table. */
+  val AcBits: Array[Int] =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman codes from BITS/HUFFVAL (T.81 C.2): returns
+    * value → (code, length). */
+  private def buildEncodeTable(bits: Array[Int],
+                               vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Decode table: MINCODE/MAXCODE/VALPTR per length (T.81 F.2.2.3). */
+  private final class DecodeTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len)
+        k += bits(len)
+        maxCode(len) = if (bits(len) > 0) code - 1 else -1
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len))
+  }
+
+  private final class BitWriter {
+    val out = new ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = {
+      // pad the final byte with 1-bits (T.81 F.1.2.3)
+      if (nBits > 0) {
+        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+        out.write(acc & 0xff)
+        if ((acc & 0xff) == 0xff) out.write(0x00)
+        acc = 0; nBits = 0
+      }
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        require(pos < data.length, "jpeg: entropy stream truncated")
+        val b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "jpeg: dangling FF in entropy stream")
+          val m = data(pos) & 0xff
+          require(m == 0x00, f"jpeg: unexpected marker FF$m%02X mid-scan")
+          pos += 1
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Magnitude category (number of bits) of a coefficient. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map s raw bits back to a signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0
+    else if (v < (1 << (s - 1))) v - (1 << s) + 1
+    else v
+
+  // ---------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------
+
+  /** Encode an 8-bit grayscale image as baseline JFIF. `pixel(x, y)`
+    * supplies values 0..255; dimensions need not be block-aligned
+    * (edge blocks replicate the border sample, the standard pad). */
+  def encodeGray8(width: Int, height: Int,
+                  pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: empty image")
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1) // version 1.1
+    u8(0); u16(1); u16(1) // no units, 1:1 aspect
+    u8(0); u8(0) // no thumbnail
+    marker(0xdb) // DQT
+    u16(2 + 1 + 64)
+    u8(0x00) // 8-bit precision, table 0
+    var k = 0
+    while (k < 64) { u8(QuantLum(ZigZag(k))); k += 1 } // zigzag order
+    marker(0xc0) // SOF0: baseline, 8-bit, 1 component, no subsampling
+    u16(8 + 3 * 1)
+    u8(8); u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0) // component 1, 1x1 sampling, qtable 0
+    marker(0xc4) // DHT: DC table 0
+    u16(2 + 1 + 16 + DcVals.length)
+    u8(0x00)
+    for (i <- 1 to 16) u8(DcBits(i))
+    DcVals.foreach(u8)
+    marker(0xc4) // DHT: AC table 0
+    u16(2 + 1 + 16 + AcVals.length)
+    u8(0x10)
+    for (i <- 1 to 16) u8(AcBits(i))
+    AcVals.foreach(u8)
+    marker(0xda) // SOS
+    u16(6 + 2 * 1)
+    u8(1); u8(1); u8(0x00) // component 1 uses DC 0 / AC 0
+    u8(0); u8(63); u8(0) // full spectral selection, no approximation
+
+    val dcEnc = buildEncodeTable(DcBits, DcVals)
+    val acEnc = buildEncodeTable(AcBits, AcVals)
+    val bw = new BitWriter
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        // forward DCT of the level-shifted block (border-replicated)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var sum = 0.0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val px = pixel(math.min(bx * 8 + x, width - 1),
+                               math.min(by * 8 + y, height - 1)) - 128
+                sum += px *
+                  math.cos((2 * x + 1) * v * math.Pi / 16) *
+                  math.cos((2 * y + 1) * u * math.Pi / 16)
+                x += 1
+              }
+              y += 1
+            }
+            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+            val s = 0.25 * cu * cv * sum
+            coef(u * 8 + v) = math.round(s / QuantLum(u * 8 + v)).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC: differential, category + raw bits
+        val diff = coef(0) - pred
+        pred = coef(0)
+        val s0 = category(diff)
+        val (c0, l0) = dcEnc(s0)
+        bw.put(c0, l0)
+        if (s0 > 0)
+          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+        // AC: run/size with ZRL and EOB
+        var run = 0
+        var kk = 1
+        while (kk < 64) {
+          val ac = coef(ZigZag(kk))
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) {
+              val (cz, lz) = acEnc(0xf0); bw.put(cz, lz); run -= 16
+            }
+            val sa = category(ac)
+            val (ca, la) = acEnc((run << 4) | sa)
+            bw.put(ca, la)
+            bw.put(if (ac >= 0) ac else ac + (1 << sa) - 1, sa)
+            run = 0
+          }
+          kk += 1
+        }
+        if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  final case class Decoded(width: Int, height: Int, nBlocks: Int,
+                           pixels: Array[Byte])
+
+  /** Decode a baseline-sequential single-component (grayscale) JFIF
+    * stream: full marker walk, canonical Huffman decode, dequant,
+    * de-zigzag, double-precision IDCT, level shift + clamp. Rejects
+    * progressive/multi-component/restart-interval streams loudly —
+    * honest scope, not silent garbage. */
+  def decodeGray8(bytes: Array[Byte]): Decoded = {
+    require(bytes.length > 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "jpeg: missing SOI")
+    var pos = 2
+    var width = 0
+    var height = 0
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[DecodeTable](4)
+    val acTabs = new Array[DecodeTable](4)
+    var qSel = 0
+    var dcSel = 0
+    var acSel = 0
+    var sosAt = -1
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
+      require((bytes(pos) & 0xff) == 0xff, "jpeg: expected marker")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val seg = pos + 4
+      require(seg + len - 2 <= bytes.length,
+        f"jpeg: segment FF$m%02X (len=$len) runs past end of stream")
+      m match {
+        case 0xdb => // DQT: one or more tables in the segment
+          var p = seg
+          while (p < seg + len - 2) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "jpeg: 16-bit quant tables unsupported")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              t(ZigZag(i)) = bytes(p + 1 + i) & 0xff; i += 1
+            }
+            quant(tq) = t
+            p += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          require((bytes(seg) & 0xff) == 8, "jpeg: only 8-bit samples")
+          height = u16(seg + 1)
+          width = u16(seg + 3)
+          val nc = bytes(seg + 5) & 0xff
+          require(nc == 1,
+            s"jpeg: $nc components; this decoder is grayscale-only")
+          require((bytes(seg + 7) & 0xff) == 0x11,
+            "jpeg: subsampling on a single component")
+          qSel = bytes(seg + 8) & 0x0f
+        case 0xc1 | 0xc2 | 0xc3 =>
+          throw new IllegalArgumentException(
+            f"jpeg: SOF$m%02X (non-baseline) unsupported")
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < seg + len - 2) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            val bits = new Array[Int](17)
+            var total = 0
+            var i = 1
+            while (i <= 16) {
+              bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+            }
+            val vals = new Array[Int](total)
+            i = 0
+            while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+            val tab = new DecodeTable(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            p += 17 + total
+          }
+        case 0xdd =>
+          throw new IllegalArgumentException(
+            "jpeg: restart intervals unsupported")
+        case 0xda => // SOS
+          val ns = bytes(seg) & 0xff
+          require(ns == 1, "jpeg: multi-component scan")
+          dcSel = (bytes(seg + 2) & 0xff) >> 4
+          acSel = bytes(seg + 2) & 0x0f
+          sosAt = seg + 1 + 2 * ns + 3
+        case _ => // APPn / COM / others: skip
+      }
+      pos = seg + len - 2
+      if (m == 0xda) pos = sosAt
+    }
+    require(width > 0 && height > 0, "jpeg: SOS before SOF")
+    val q = quant(qSel)
+    require(q != null, "jpeg: missing quant table")
+    val dcT = dcTabs(dcSel)
+    val acT = acTabs(acSel)
+    require(dcT != null && acT != null, "jpeg: missing huffman table")
+
+    val br = new BitReader(bytes, sosAt)
+    def decodeHuff(t: DecodeTable): Int = {
+      var code = br.bit()
+      var len = 1
+      while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
+        require(len < 16, "jpeg: invalid huffman code")
+        code = (code << 1) | br.bit()
+        len += 1
+      }
+      t.value(len, code)
+    }
+
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val pixels = new Array[Byte](width * height)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        java.util.Arrays.fill(coef, 0)
+        val s0 = decodeHuff(dcT)
+        pred += extend(br.bits(s0), s0)
+        coef(0) = pred * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeHuff(acT)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            k += rs >> 4
+            require(k < 64, "jpeg: AC run past block end")
+            val s = rs & 0x0f
+            val nat = ZigZag(k)
+            coef(nat) = extend(br.bits(s), s) * q(nat)
+            k += 1
+          }
+        }
+        // IDCT + level shift into the (cropped) output raster
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val px = bx * 8 + x
+            if (px < width && py < height) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val c = coef(u * 8 + v)
+                  if (c != 0) {
+                    val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                    val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                    sum += cu * cv * c *
+                      math.cos((2 * x + 1) * v * math.Pi / 16) *
+                      math.cos((2 * y + 1) * u * math.Pi / 16)
+                  }
+                  v += 1
+                }
+                u += 1
+              }
+              val s = math.round(0.25 * sum + 128).toInt
+              pixels(py * width + px) =
+                math.max(0, math.min(255, s)).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Decoded(width, height, blocksX * blocksY, pixels)
+  }
+}

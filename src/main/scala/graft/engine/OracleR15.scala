@@ -49,5 +49,35 @@ object OracleR15 {
         |        AS rk
         |      FROM sc)
         |SELECT qdoc, doc, maxsim, rk FROM r WHERE rk <= 5
-        |ORDER BY qdoc, rk""".stripMargin)
+        |ORDER BY qdoc, rk""".stripMargin,
+
+    // Restates docJpegBlobs' closed-form block model: uniform even-
+    // valued 8x8 blocks decode bit-exactly (DC-only DCT, Q(0,0)=16
+    // divides 8*(v-128) when v is even), so every statistic is pure
+    // integer arithmetic over the raster block index i.
+    "multimodal_decode_jpeg" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS nbx,
+        |         (doc_id // 3) % 2 + 1 AS nby
+        |  FROM documents),
+        |blk AS (SELECT doc_id, nbx, nby,
+        |          unnest(range(0, nbx * nby)) AS i
+        |        FROM dims),
+        |v AS (SELECT doc_id, nbx, nby, i,
+        |        2 * ((doc_id * 31 + i * 67) % 128) AS p
+        |      FROM blk)
+        |SELECT doc_id,
+        |  CAST(max(nbx) * 8 AS INT) AS width,
+        |  CAST(max(nby) * 8 AS INT) AS height,
+        |  CAST(count(*) AS INT) AS n_blocks,
+        |  CAST(sum(p) * 64 AS BIGINT) AS px_sum,
+        |  round(CAST(sum(p) * 64 AS DOUBLE) / (count(*) * 64), 6)
+        |    AS px_mean,
+        |  CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+        |  CAST(64 * sum(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dark,
+        |  CAST(min(CASE WHEN i = 0 THEN p END) AS INT) AS px_first,
+        |  CAST(min(CASE WHEN i = nbx * nby - 1 THEN p END) AS INT)
+        |    AS px_last
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

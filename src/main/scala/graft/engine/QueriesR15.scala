@@ -85,4 +85,64 @@ object QueriesR15 {
       .filter(col("rk") <= 5)
       .orderBy("qdoc", "rk")
   }
+
+  /** The deterministic per-document JPEG encode feeding
+    * multimodal_decode_jpeg (the docPngBlobs posture): 1–3 × 1–2
+    * blocks of 8×8, each block UNIFORM at the even value
+    * 2·((doc_id·31 + i·67) mod 128) for raster block index i — the
+    * construction that makes a lossy codec exact: a uniform block's
+    * DCT is DC-only, and an even-valued DC (8·(v−128), v even)
+    * divides the K.1 table's Q(0,0)=16 without remainder, so
+    * quantize → dequantize → IDCT returns v bit-for-bit. The oracle
+    * restates THIS arithmetic; change it only in lockstep. */
+  private[engine] def docJpegBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val nbx = (id % 3 + 1).toInt
+        val nby = ((id / 3) % 2 + 1).toInt
+        def blockVal(i: Int): Int = (2 * ((id * 31 + i * 67) % 128)).toInt
+        (id, Jpeg.encodeGray8(nbx * 8, nby * 8,
+          (x, y) => blockVal((y / 8) * nbx + (x / 8))))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** JPEG decode + per-image statistics — the third decode leg of
+    * the multimodal family (r9 verdict #5: "a real crawl corpus is
+    * mostly JPEG"): every document's baseline JFIF blob decodes
+    * through the real codec (marker walk + canonical Huffman +
+    * dequant + IDCT) and reduces to dimensions, block count, exact
+    * integer pixel sum, mean, min/max, the dark-pixel count, and two
+    * position probes (first/last pixel) that pin the block RASTER
+    * ORDER — a transposed MCU walk would break them while leaving
+    * the order-free stats intact. The oracle re-derives every number
+    * from the closed-form block model without touching a JPEG;
+    * agreement proves the decode path end-to-end (the
+    * multimodal_pixel_stats posture).
+    *
+    * Scale shape: mapPartitions over binary blobs (the sanctioned
+    * codec exception), one row out per image — embarrassingly
+    * parallel, stats never leave the row. */
+  def multimodalDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docJpegBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val dec = Jpeg.decodeGray8(blob)
+        val px = dec.pixels.map(b => (b & 0xff).toLong)
+        val sum = px.sum
+        (id, dec.width, dec.height, dec.nBlocks, sum,
+         BigDecimal(sum.toDouble / px.length)
+           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         px.min.toInt, px.max.toInt, px.count(_ < 64).toLong,
+         px.head.toInt, px.last.toInt)
+      })
+      .toDF("doc_id", "width", "height", "n_blocks", "px_sum",
+            "px_mean", "px_min", "px_max", "n_dark",
+            "px_first", "px_last")
+      .orderBy("doc_id")
+  }
 }

@@ -273,6 +273,7 @@ object Registry {
     // Round-10: ANN-candidate -> MaxSim re-score composition and the
     // JPEG leg of the multimodal decode family
     "emb_maxsim_ann"        -> QueriesR15.embMaxsimAnn _,
+    "multimodal_decode_jpeg" -> QueriesR15.multimodalDecodeJpeg _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -1,0 +1,97 @@
+package graft
+
+import graft.engine.Jpeg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the baseline JPEG codec beyond the DC-only fixture the
+  * multimodal_decode_jpeg oracle covers: general AC content (real
+  * run/size Huffman coding), non-block-aligned dimensions (border
+  * replication + crop), entropy byte stuffing, and the loud-rejection
+  * paths — the decoder must refuse what it cannot decode, never emit
+  * silent garbage.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  test("uniform even-valued blocks roundtrip bit-exactly") {
+    // the lossless-by-construction case the oracle leans on:
+    // DC-only DCT with Q(0,0)=16 | 8*(v-128) for even v
+    val vals = Array(0, 2, 64, 126, 128, 130, 200, 254)
+    for (v <- vals) {
+      val blob = Jpeg.encodeGray8(8, 8, (_, _) => v)
+      val dec = Jpeg.decodeGray8(blob)
+      assert(dec.width == 8 && dec.height == 8 && dec.nBlocks == 1)
+      assert(dec.pixels.forall(b => (b & 0xff) == v),
+        s"uniform block of $v did not roundtrip exactly")
+    }
+  }
+
+  test("smooth gradient roundtrips within quantization tolerance") {
+    // general AC path: a ramp has small high-frequency energy, so
+    // K.1 quantization error stays within a few levels
+    val w = 24; val h = 16
+    val blob = Jpeg.encodeGray8(w, h, (x, y) => (x * 5 + y * 3) % 256)
+    val dec = Jpeg.decodeGray8(blob)
+    assert(dec.width == w && dec.height == h && dec.nBlocks == 6)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val got = dec.pixels(y * w + x) & 0xff
+      val want = (x * 5 + y * 3) % 256
+      maxErr = math.max(maxErr, math.abs(got - want))
+    }
+    // the ramp wraps 255->0 once, whose block carries real high
+    // frequencies; elsewhere the error is a couple of levels
+    assert(maxErr <= 96, s"gradient max error $maxErr")
+  }
+
+  test("pseudorandom image decodes and stays plausible (stuffing path)") {
+    // dense AC content makes FF bytes in the entropy stream (and
+    // hence stuffing) statistically certain at this size
+    val w = 64; val h = 64
+    def px(x: Int, y: Int): Int = ((x * 7919 + y * 104729) ^ (x * y)) & 0xff
+    val blob = Jpeg.encodeGray8(w, h, px)
+    // sanity: the entropy segment really contains stuffed FF 00 pairs
+    val body = blob.slice(2, blob.length - 2)
+    val hasStuffing = body.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    assert(hasStuffing, "fixture never produced a stuffed byte — " +
+      "the stuffing path is not exercised")
+    val dec = Jpeg.decodeGray8(blob)
+    assert(dec.width == w && dec.height == h)
+    var sumErr = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sumErr += math.abs((dec.pixels(y * w + x) & 0xff) - px(x, y))
+    val meanErr = sumErr.toDouble / (w * h)
+    // noise is the worst case for K.1 quantization; the mean must
+    // still be far from "decoded garbage" (uniform random would give
+    // a mean absolute error around 85)
+    assert(meanErr < 40, s"mean abs error $meanErr")
+  }
+
+  test("non-aligned dimensions crop correctly") {
+    val w = 13; val h = 10
+    val blob = Jpeg.encodeGray8(w, h, (x, y) => (x * 16 + y) % 256)
+    val dec = Jpeg.decodeGray8(blob)
+    assert(dec.width == w && dec.height == h)
+    assert(dec.pixels.length == w * h)
+    assert(dec.nBlocks == 4) // 2x2 padded grid
+  }
+
+  test("rejects what it cannot decode, loudly") {
+    val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
+    // missing SOI
+    assertThrows[IllegalArgumentException] {
+      Jpeg.decodeGray8(ok.drop(2))
+    }
+    // truncated entropy stream
+    assertThrows[IllegalArgumentException] {
+      Jpeg.decodeGray8(ok.dropRight(8))
+    }
+    // progressive SOF: flip SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = ok.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assertThrows[IllegalArgumentException] { Jpeg.decodeGray8(prog) }
+  }
+}
