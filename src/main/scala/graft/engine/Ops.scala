@@ -220,27 +220,25 @@ object Ops {
         col(s"a.$idCol") > col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id"), col(s"b.$idCol").as("match_id"),
               lit("delta").as("match_src"))
-    // Materialize the candidate list ONCE through a scratch parquet:
-    // it feeds five consumers (pair output, two candIds unions, both
-    // verify joins), each of which would otherwise re-run the
-    // delta-hash + index-probe subtree. A parquet round trip (the
-    // RunScratch pattern) gives the consumers a clean scan with no
-    // stale partitioning claims — localCheckpoint under AQE reports
-    // the pre-coalesce partitioning and dies downstream with "Can't
-    // zip RDDs with unequal numbers of partitions". Candidates are
-    // the sliver the LSH exists to produce, so the write is small; at
-    // 100 TB this is the candidate list a dedup pass persists between
-    // its generate and verify stages anyway.
-    val spark = deltaDocs.sparkSession
-    // per-CALL subdir (not RunScratch's usual overwrite-in-place): the
-    // read-back below is lazy, so a second build in this JVM would
-    // otherwise overwrite the directory an earlier DataFrame is still
-    // wired to scan
-    val candDir = RunScratch.dir("incr_cand") + "/" +
-      java.lang.Long.toHexString(System.nanoTime())
-    candBase.unionByName(candDelta).distinct()
-      .write.mode("overwrite").parquet(candDir)
-    val cand = spark.read.parquet(candDir)
+    // Materialize the candidate list ONCE as a P6 ARTIFACT: it feeds
+    // five consumers (pair output, two candIds unions, both verify
+    // joins), each of which would otherwise re-run the delta-hash +
+    // index-probe subtree, and it is fully determined by (base index
+    // × delta batch × hyperparameters) — all visible in the plan the
+    // content hash covers. The parquet round trip also gives the
+    // consumers a clean scan with no stale partitioning claims
+    // (localCheckpoint under AQE reports the pre-coalesce
+    // partitioning and dies downstream with "Can't zip RDDs with
+    // unequal numbers of partitions"). Candidates are the sliver the
+    // LSH exists to produce, so the write is small; at 100 TB this is
+    // the candidate list a dedup pass persists between its generate
+    // and verify stages anyway — and the artifact keying is what
+    // makes REPEATED sessions over an unchanged batch (the r9-verdict
+    // #6 steady state) skip straight to verification instead of
+    // re-hashing the delta every run.
+    val cand = ArtifactCache.materialize(
+      candBase.unionByName(candDelta).distinct(),
+      Artifacts.cacheRoot, "neardup_incr_cand_v1")
     // Verification shingles come from DOCS pruned to candidate ids
     // BEFORE the explode — the semi join sits on the raw (id, text)
     // rows, so the base corpus is never re-shingled wholesale; only
