@@ -164,11 +164,19 @@ object QueriesR14 {
     * frame (still ~|customers| rows at 100 TB — which is exactly why
     * the rank must be distributed). */
   def ordersRfmSegments(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint pins the aggregated per-customer frame (the
+    // events_anomaly_mad discipline, r9 verdict #7): each of the
+    // three exactGlobalRank passes runs a range-sampling job that
+    // would otherwise re-evaluate the orders aggregate — under a
+    // loaded session queue that re-evaluation is the 2–4× wobble the
+    // r9 close measured. One deliberate materialization of an
+    // ~|customers|-row frame the three-pass algorithm needs anyway.
     val m = orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
       .agg(max("o_orderdate").as("recency"),
            count(lit(1)).as("frequency"),
            sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
              .cast("double").as("monetary"))
+      .localCheckpoint(true)
     def tiled(df: DataFrame, metric: String, outCol: String) =
       Ops.exactNtile(
         Ops.exactGlobalRank(df, Seq(col(metric), col("c_custkey"))),
