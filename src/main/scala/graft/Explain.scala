@@ -80,7 +80,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (written, failed) = run(spark, sfDir, outDir, args.drop(2).toSet)
-    println(s"""{"explained": $written, "failed": $failed, "out": "$outDir"}""")
+    println(s"""{"explained": $written, "failed": $failed,""" +
+      s""" "out": ${JsonOut.str(outDir)}}""")
     spark.stop()
   }
 }

@@ -69,6 +69,14 @@ object Pipeline {
 
   def main(args: Array[String]): Unit = {
     val flags = args.takeWhile(_.startsWith("--")).toSet
+    // unknown flags fail loudly: a typo'd --paralel silently running
+    // the whole pipeline sequentially (or a typo'd --plan WRITING
+    // everything it was asked to dry-run) is the opposite of intent
+    val unknownFlags = flags -- Set("--plan", "--parallel")
+    require(unknownFlags.isEmpty,
+      s"unknown flag(s) ${unknownFlags.mkString(", ")}; " +
+        "usage: runMain graft.Pipeline [--plan] [--parallel] " +
+        "<config.json> [sfDir] [outDir]")
     val dryRun = flags("--plan")
     val parallel = flags("--parallel")
     val rest = args.dropWhile(_.startsWith("--"))

@@ -148,7 +148,18 @@ object Stream {
     * The timeout timestamp is clamped above the current watermark
     * (Spark rejects arming a timeout the watermark already passed —
     * possible when one user's newest event is older than
-    * watermark − ttl). */
+    * watermark − ttl).
+    *
+    * RE-EMISSION semantics (deliberate, pinned by StreamingSpec): a
+    * completed funnel's state removal means a LATER fresh
+    * signup→click→purchase from the same user emits a SECOND
+    * FunnelHit, where the NoTimeout funnel's done-flag emits
+    * once-per-user forever. That is the production-correct resident
+    * reading — a user genuinely can convert twice, and keeping a
+    * per-converted-user tombstone forever would rebuild exactly the
+    * unbounded state the TTL exists to evict. The two variants agree
+    * on a bounded single-conversion drain (the equality test) and
+    * diverge, by design, on multi-conversion streams. */
   private[graft] def funnelStepTtl(ttlMillis: Long)(
       uid: Long, rows: Iterator[(Long, String, Long, Long)],
       state: GroupState[FunnelState]): Iterator[FunnelHit] = {

@@ -43,8 +43,12 @@ object PipelineConfig {
             Option(n.get("cache")).exists(_.asBoolean()))
     }.toSeq
     require(stages.nonEmpty, "pipeline has no stages")
-    require(stages.map(_.name).distinct.size == stages.size,
-      "duplicate stage names")
+    // case-INSENSITIVE uniqueness: temp views live in Spark's
+    // case-insensitive namespace, so stages "Top" and "top" would
+    // silently shadow each other's registered view
+    require(stages.map(_.name.toLowerCase).distinct.size == stages.size,
+      "duplicate stage names (stage names are case-insensitive: they " +
+        "become Spark temp views)")
     Pipeline(Option(root.get("cacheRoot")).map(_.asText()), stages)
   }
 
@@ -70,8 +74,14 @@ object PipelineConfig {
     pipeline.stages.foreach { st =>
       val deps = st.sql match {
         case Some(sql) =>
-          val words = sql.split("[^A-Za-z0-9_]+").toSet
-          level.keys.filter(words.contains).toSeq
+          // case-insensitive match: Spark resolves temp-view names
+          // case-insensitively, so 'FROM Pricing' depends on stage
+          // "pricing" — a case-sensitive match put such a stage in
+          // wave 0 under --parallel, racing its dependency's
+          // createOrReplaceTempView
+          val words =
+            sql.split("[^A-Za-z0-9_]+").map(_.toLowerCase).toSet
+          level.keys.filter(k => words.contains(k.toLowerCase)).toSeq
         case None => Seq.empty
       }
       level(st.name) =
@@ -171,10 +181,20 @@ object PipelineConfig {
         if (st.cache)
           Some(ArtifactCache.isCached(base, rootOf(pipeline), st.name))
         else None
-      base.createOrReplaceTempView(st.name)
+      // For an already-cached stage, register the ARTIFACT's parquet
+      // frame as the view — what runStage registers — so a cached SQL
+      // stage downstream of another cached stage hashes the same
+      // analyzed plan in the dry run as in the real run (a base-frame
+      // view made chained cached stages report false misses). The
+      // materialize call on a hit only opens the parquet footer.
+      val view =
+        if (hit.contains(true))
+          ArtifactCache.materialize(base, rootOf(pipeline), st.name)
+        else base
+      view.createOrReplaceTempView(st.name)
       StageRun(st.name, if (st.query.isDefined) "query" else "sql",
                st.cache, hit, (System.nanoTime() - t0) / 1000000L,
-               lvl(st.name), base)
+               lvl(st.name), view)
     }
   }
 

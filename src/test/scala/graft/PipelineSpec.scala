@@ -247,4 +247,56 @@ class PipelineSpec extends SparkTestBase {
     assert(byName("survivors").cacheHit.contains(true))
     assert(byName("big_groups").cacheHit.isEmpty, "uncached stage got a probe")
   }
+
+  test("waves: SQL view references resolve case-insensitively") {
+    // Spark resolves temp-view names case-insensitively, so 'FROM
+    // Pricing' depends on stage "pricing" — a case-sensitive match
+    // placed such a stage in wave 0, racing its dependency's
+    // createOrReplaceTempView under --parallel (r9 advice)
+    val p = PipelineConfig.parse(
+      """{"stages": [
+        |  {"name": "pricing", "query": "q1_pricing_summary"},
+        |  {"name": "Top", "sql": "SELECT * FROM Pricing LIMIT 1"},
+        |  {"name": "again", "sql": "SELECT * FROM TOP"}
+        |]}""".stripMargin)
+    val lvl = PipelineConfig.waves(p)
+    assert(lvl("pricing") == 0)
+    assert(lvl("Top") == 1, s"'FROM Pricing' not seen as a dep: $lvl")
+    assert(lvl("again") == 2, s"'FROM TOP' not seen as a dep: $lvl")
+    // and stage names that differ only by case are rejected outright:
+    // they would shadow each other's view
+    assertThrows[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """{"stages": [
+          |  {"name": "a", "query": "q1_pricing_summary"},
+          |  {"name": "A", "query": "q1_pricing_summary"}
+          |]}""".stripMargin)
+    }
+  }
+
+  test("plan: chained cached SQL stages report hits (artifact-frame views)") {
+    // r9 advice: plan() used to register each stage's UNmaterialized
+    // base frame as the view, so a cached SQL stage downstream of
+    // another cached stage hashed a different analyzed plan in the
+    // dry run than in the real run (which registers the artifact's
+    // parquet frame) — a false miss even when the artifact exists
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_cache").toString
+    val json =
+      s"""{"cacheRoot": ${JsonOut.str(root)},
+        | "stages": [
+        |  {"name": "base_c", "query": "q1_pricing_summary",
+        |   "cache": true},
+        |  {"name": "mid_c", "sql": "SELECT * FROM base_c WHERE sum_qty > 0",
+        |   "cache": true},
+        |  {"name": "top_c", "sql": "SELECT count(*) AS n FROM mid_c",
+        |   "cache": true}
+        |]}""".stripMargin
+    val p = PipelineConfig.parse(json)
+    PipelineConfig.runReport(spark, sfDir, p) // populates all three
+    val planned = PipelineConfig.plan(spark, sfDir, p)
+    val misses = planned.filter(_.cacheHit.contains(false)).map(_.name)
+    assert(misses.isEmpty,
+      s"chained cached stages report false misses in --plan: $misses")
+  }
 }

@@ -91,6 +91,64 @@ class StreamingSpec extends SparkTestBase {
       s"TTL eviction broken: completed users = $hits (want {2})")
   }
 
+  test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
+    // The documented divergence between the two funnel variants
+    // (r9 advice): completion REMOVES the TTL funnel's state, so a
+    // later fresh signup→click→purchase emits a second hit — the
+    // resident-mode reading (users can convert twice; a forever
+    // tombstone would rebuild the unbounded state TTL evicts). The
+    // NoTimeout funnel's done-flag emits once per user forever.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val ttlOut = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.funnelStepTtlTs(30L * 60000))
+    val in2 = MemoryStream[(Long, String, Timestamp, Long)]
+    val plainOut = in2.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .as[(Long, String, Timestamp, Long)]
+      .map(r => (r._1, r._2,
+        Math.floorDiv(r._3.getTime, 1000L) * 1000000L +
+          r._3.getNanos / 1000L, r._4))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        Stream.funnelStep)
+    val q1 = ttlOut.writeStream.format("memory").queryName("fttl_re")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = plainOut.writeStream.format("memory").queryName("fplain_re")
+      .outputMode(OutputMode.Append()).start()
+    // conversion 1, all within the TTL
+    val c1 = Seq((7L, "signup", ts("2024-01-01 10:00:00"), 1L),
+                 (7L, "click", ts("2024-01-01 10:05:00"), 2L),
+                 (7L, "purchase", ts("2024-01-01 10:10:00"), 3L))
+    // conversion 2: a fresh funnel 20 minutes later, within a new TTL
+    val c2 = Seq((7L, "signup", ts("2024-01-01 10:30:00"), 4L),
+                 (7L, "click", ts("2024-01-01 10:35:00"), 5L),
+                 (7L, "purchase", ts("2024-01-01 10:40:00"), 6L))
+    for (batch <- Seq(c1, c2)) {
+      in.addData(batch); in2.addData(batch)
+      q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+    val ttlHits = spark.table("fttl_re")
+      .filter($"user_id" === 7L).count()
+    val plainHits = spark.table("fplain_re")
+      .filter($"user_id" === 7L).count()
+    assert(ttlHits == 2L,
+      s"TTL funnel emitted $ttlHits hits for a twice-converting user " +
+        "(want 2: completion removes state, a fresh funnel re-emits)")
+    assert(plainHits == 1L,
+      s"NoTimeout funnel emitted $plainHits hits (want 1: the " +
+        "done-flag is once-per-user forever)")
+  }
+
   test("stream-stream interval join matches events to orders within the window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
