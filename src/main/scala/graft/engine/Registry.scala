@@ -274,6 +274,9 @@ object Registry {
     // JPEG leg of the multimodal decode family
     "emb_maxsim_ann"        -> QueriesR15.embMaxsimAnn _,
     "multimodal_decode_jpeg" -> QueriesR15.multimodalDecodeJpeg _,
+    // Round-10: log-structured transactional table (LakeTable)
+    "lake_time_travel"      -> QueriesR15.lakeTimeTravel _,
+    "lake_merge_upsert"     -> QueriesR15.lakeMergeUpsert _,
   )
 
   val oracleSql: ListMap[String, String] =

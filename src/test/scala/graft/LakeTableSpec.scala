@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.LakeTable
+
+import org.apache.spark.sql.functions._
+
+/** Pins the lake table's transactional protocol — the pieces the two
+  * oracle keys (lake_time_travel / lake_merge_upsert) exercise but
+  * cannot assert directly: the single-winner commit race, log-replay
+  * snapshot isolation, the atomic rewrite swap, and vacuum's
+  * retained-version safety.
+  */
+class LakeTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_lake_$tag").toString
+
+  test("append / time travel / rewrite replay the log correctly") {
+    val root = freshRoot("replay")
+    val v0 = LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val v1 = LakeTable.append(Seq((3L, "c")).toDF("k", "v"), root)
+    assert((v0, v1) == (0L, 1L))
+    assert(LakeTable.read(spark, root).count() == 3)
+    assert(LakeTable.read(spark, root, Some(0L)).count() == 2)
+    // rewrite atomically swaps the whole file set in one commit
+    val v2 = LakeTable.rewrite(
+      LakeTable.read(spark, root).filter($"k" =!= 2L), root)
+    assert(v2 == 2L)
+    assert(LakeTable.activeDirs(spark, root).size == 1,
+      "rewrite must leave exactly the new directory active")
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    // old versions still replay
+    assert(LakeTable.read(spark, root, Some(1L)).count() == 3)
+    // a version that never existed fails loudly
+    assertThrows[IllegalArgumentException] {
+      LakeTable.read(spark, root, Some(9L))
+    }
+  }
+
+  test("commit race: exactly one writer of a version wins") {
+    val root = freshRoot("race")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    // both writers resolved the same snapshot and race version 1
+    val c1 = LakeTable.Commit(1L, Seq("data-x"), Seq.empty)
+    val c2 = LakeTable.Commit(1L, Seq("data-y"), Seq.empty)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(Seq(c1, c2).map(c => Future {
+        try { LakeTable.writeCommit(spark, root, c); Right(c.adds.head) }
+        catch { case e: LakeTable.CommitConflictException => Left(e) }
+      })), Duration.Inf).toList
+    assert(results.count(_.isRight) == 1,
+      s"expected exactly one winner, got $results")
+    assert(results.count(_.isLeft) == 1,
+      s"expected exactly one CommitConflictException, got $results")
+    // the losing writer's re-resolve sees the winner's commit
+    assert(LakeTable.latestVersion(spark, root).contains(1L))
+  }
+
+  test("vacuum deletes only what no retained version references") {
+    val root = freshRoot("vacuum")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    LakeTable.rewrite(LakeTable.read(spark, root), root) // v2 compaction
+    // retaining from v0 keeps everything: v0/v1 still reference the
+    // original directories
+    assert(LakeTable.vacuum(spark, root, retainFrom = 0L).isEmpty)
+    assert(LakeTable.read(spark, root, Some(0L)).count() == 1)
+    // retaining only v2 deletes the two pre-compaction directories
+    val deleted = LakeTable.vacuum(spark, root, retainFrom = 2L)
+    assert(deleted.size == 2, s"expected 2 vacuumed dirs, got $deleted")
+    // latest still reads; the vacuumed snapshot is gone — the
+    // documented time-travel trade
+    assert(LakeTable.read(spark, root).count() == 2)
+    assertThrows[Exception] {
+      LakeTable.read(spark, root, Some(0L)).count()
+    }
+  }
+
+  test("snapshot isolation: a reader's resolved version is immune to later commits") {
+    val root = freshRoot("iso")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val resolved = LakeTable.latestVersion(spark, root).get
+    val before = LakeTable.activeDirs(spark, root, Some(resolved))
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    LakeTable.rewrite(Seq((9L, "z")).toDF("k", "v"), root)
+    // replaying the resolved version yields the same file set
+    assert(LakeTable.activeDirs(spark, root, Some(resolved)) == before)
+    assert(LakeTable.read(spark, root, Some(resolved))
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+}
