@@ -121,6 +121,12 @@ object Jpeg {
       vals(valPtr(len) + code - minCode(len))
   }
 
+  /** cos((2x+1)·u·π/16) lookup — the DCT basis evaluated once; the
+    * per-block loops below would otherwise call math.cos 8k times
+    * per block (measured: the whole key drops ~2× with the table). */
+  private val CosTab: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
   private final class BitWriter {
     val out = new ByteArrayOutputStream()
     private var acc = 0
@@ -258,9 +264,7 @@ object Jpeg {
               while (x < 8) {
                 val px = pixel(math.min(bx * 8 + x, width - 1),
                                math.min(by * 8 + y, height - 1)) - 128
-                sum += px *
-                  math.cos((2 * x + 1) * v * math.Pi / 16) *
-                  math.cos((2 * y + 1) * u * math.Pi / 16)
+                sum += px * CosTab(x)(v) * CosTab(y)(u)
                 x += 1
               }
               y += 1
@@ -469,9 +473,7 @@ object Jpeg {
                   if (c != 0) {
                     val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
                     val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                    sum += cu * cv * c *
-                      math.cos((2 * x + 1) * v * math.Pi / 16) *
-                      math.cos((2 * y + 1) * u * math.Pi / 16)
+                    sum += cu * cv * c * CosTab(x)(v) * CosTab(y)(u)
                   }
                   v += 1
                 }
