@@ -648,7 +648,32 @@ object Stream {
       // single-timestamp input) has a directory with no data files,
       // where schema inference throws instead of reporting 0.
       name -> spark.read.schema(df.schema).parquet(s"$outDir/$name").count()
-    }
+    } ++ runLakeSink(spark, inDir, outDir)
+  }
+
+  /** Exactly-once transactional ingest — the Structured-Streaming →
+    * lake-table production pattern: the stateful-dedup stream lands
+    * in a [[graft.engine.LakeTable]] via foreachBatch, each
+    * microbatch committed with an (appId, batchId) idempotence token
+    * (LakeTable.appendTxn). A re-delivered batch after a failure
+    * finds its batchId already in the commit log and becomes a
+    * no-op — end-to-end exactly-once on top of the source's at-least-
+    * once re-delivery, which plain parquet sinks only approximate by
+    * overwriting task files. LakeTableSpec pins the idempotence;
+    * StreamingSpec pins that the lake content equals the dedup
+    * parquet sink row-for-row on a bounded drain. */
+  private[graft] def runLakeSink(spark: SparkSession, inDir: String,
+                                 outDir: String): Map[String, Long] = {
+    val root = s"$outDir/lake_dedup"
+    val q = queries(spark, inDir)("dedup").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        engine.LakeTable.appendTxn(b, root, "stream_dedup", id); ()
+      }
+      .option("checkpointLocation", s"$outDir/checkpoints/lake_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Map("lake_dedup" -> engine.LakeTable.read(spark, root).count())
   }
 
   def main(args: Array[String]): Unit = {

@@ -73,8 +73,13 @@ object LakeTable {
   /** One commit's actions: data DIRECTORIES added and removed
     * (relative to the table root). Directories, not files: Spark
     * writes each transaction's data as one parquet directory, and
-    * the directory is the atomic unit the log tracks. */
-  case class Commit(version: Long, adds: Seq[String], removes: Seq[String])
+    * the directory is the atomic unit the log tracks. `txn` carries
+    * an optional (appId, batchId) idempotence token — the
+    * exactly-once handshake for streaming writers (the Delta
+    * `txn`-action pattern): a re-delivered microbatch finds its
+    * batchId already in the log and becomes a no-op. */
+  case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
+                    txn: Option[(String, Long)] = None)
 
   private def readCommit(spark: SparkSession, root: String,
                          version: Long): Commit = {
@@ -87,7 +92,9 @@ object LakeTable {
     def arr(k: String): Seq[String] =
       Option(node.get(k)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Seq.empty)
-    Commit(node.get("version").asLong(), arr("add"), arr("remove"))
+    val txn = Option(node.get("txnApp")).map(a =>
+      (a.asText(), node.get("txnBatch").asLong()))
+    Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -103,6 +110,10 @@ object LakeTable {
     commit.adds.foreach(adds.add)
     val removes = json.putArray("remove")
     commit.removes.foreach(removes.add)
+    commit.txn.foreach { case (app, batch) =>
+      json.put("txnApp", app)
+      json.put("txnBatch", batch)
+    }
     val bytes = mapper.writeValueAsBytes(json)
     val lp = logPath(root, commit.version)
     if (f.getScheme == "file") {
@@ -179,6 +190,49 @@ object LakeTable {
     df.write.mode("errorifexists").parquet(s"$root/$dir")
     writeCommit(spark, root, Commit(next, Seq(dir), Seq.empty))
     next
+  }
+
+  /** Highest batchId `appId` has committed, from log replay — the
+    * streaming writer's restart question. */
+  def lastTxn(spark: SparkSession, root: String,
+              appId: String): Option[Long] =
+    versions(spark, root)
+      .flatMap(v => readCommit(spark, root, v).txn)
+      .collect { case (app, batch) if app == appId => batch }
+      .maxOption
+
+  /** IDEMPOTENT append — the exactly-once streaming sink: commits
+    * `df` tagged (appId, batchId) unless that batch is already in
+    * the log (a foreachBatch re-delivery after a failure), in which
+    * case nothing is written and None returns. Version conflicts
+    * with CONCURRENT writers retry after re-checking the txn state —
+    * the loser of a race might be losing to its own earlier attempt.
+    * An empty batch still commits (with no data directory), so the
+    * txn high-water mark advances exactly once per batch. */
+  def appendTxn(df: DataFrame, root: String, appId: String,
+                batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    var attempt = 0
+    while (true) {
+      if (lastTxn(spark, root, appId).exists(_ >= batchId)) return None
+      val next = latestVersion(spark, root).getOrElse(-1L) + 1
+      val adds =
+        if (df.isEmpty) Seq.empty
+        else {
+          val dir = f"data-v$next%010d-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          df.write.mode("errorifexists").parquet(s"$root/$dir")
+          Seq(dir)
+        }
+      try {
+        writeCommit(spark, root,
+          Commit(next, adds, Seq.empty, Some((appId, batchId))))
+        return Some(next)
+      } catch {
+        case _: CommitConflictException if attempt < 20 => attempt += 1
+      }
+    }
+    None // unreachable
   }
 
   /** Rewrite commit — the merge/compact shape: `df` becomes the new

@@ -83,6 +83,28 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("appendTxn: re-delivered batches are no-ops; empty batches advance the mark") {
+    val root = freshRoot("txn")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(LakeTable.appendTxn(b0, root, "app", 0L).isDefined)
+    // a foreachBatch re-delivery after failure: same batchId → no-op
+    assert(LakeTable.appendTxn(b0, root, "app", 0L).isEmpty)
+    assert(LakeTable.read(spark, root).count() == 2,
+      "re-delivered batch duplicated rows")
+    // an EMPTY batch still commits, so the high-water mark advances
+    // exactly once per batch and a restart never re-asks for it
+    assert(LakeTable.appendTxn(b0.limit(0), root, "app", 1L).isDefined)
+    assert(LakeTable.lastTxn(spark, root, "app").contains(1L))
+    assert(LakeTable.read(spark, root).count() == 2)
+    // a different appId has its own txn line
+    assert(LakeTable.lastTxn(spark, root, "other").isEmpty)
+    assert(LakeTable.appendTxn(Seq((9L, "z")).toDF("k", "v"),
+      root, "other", 0L).isDefined)
+    assert(LakeTable.read(spark, root).count() == 3)
+    // stale batchId below the mark: also a no-op
+    assert(LakeTable.appendTxn(b0, root, "app", 0L).isEmpty)
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)

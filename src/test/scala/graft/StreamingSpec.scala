@@ -362,7 +362,17 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions", "cep", "twap_spans", "paths"))
+          "transitions", "cep", "twap_spans", "paths", "lake_dedup"))
+    // the transactional lake ingest must hold exactly the dedup
+    // sink's rows — same stream, exactly-once commits
+    val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
+      .collect().map(_.toSeq).toSet
+    val dedupRows = spark.read.parquet(s"$out/dedup").collect()
+      .map(_.toSeq).toSet
+    assert(lakeRows == dedupRows,
+      s"lake ingest diverged from the dedup sink: " +
+        s"lake-only=${(lakeRows -- dedupRows).take(3)}, " +
+        s"sink-only=${(dedupRows -- lakeRows).take(3)}")
     // the CEP sink replays per-user events in (ts, event_id) order
     // with one-tuple state — a bounded drain must equal the batch
     // pattern key row-for-row
