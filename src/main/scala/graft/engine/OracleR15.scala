@@ -110,5 +110,41 @@ object OracleR15 {
         |SELECT coalesce(t.key, u.key) AS key,
         |  coalesce(u.new_status, t.status) AS status
         |FROM target t FULL OUTER JOIN upd u ON t.key = u.key
-        |ORDER BY key""".stripMargin)
+        |ORDER BY key""".stripMargin,
+
+    // The version-0 → version-1 row delta, Delta-CDF-style: inserts,
+    // update pre/post images, deletes (none under a pure upsert);
+    // unchanged rows excluded.
+    "lake_change_feed" ->
+      """WITH target AS (SELECT o_orderkey AS key,
+        |                  o_orderstatus AS status
+        |                FROM orders),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R'),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS new_status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0),
+        |merged AS (
+        |  SELECT coalesce(t.key, u.key) AS key,
+        |    coalesce(u.new_status, t.status) AS status
+        |  FROM target t FULL OUTER JOIN upd u ON t.key = u.key),
+        |feed AS (
+        |  SELECT m.key, m.status, 'insert' AS change_type
+        |  FROM merged m LEFT JOIN target t ON m.key = t.key
+        |  WHERE t.key IS NULL
+        |  UNION ALL
+        |  SELECT t.key, t.status, 'update_preimage'
+        |  FROM target t JOIN merged m ON t.key = m.key
+        |  WHERE t.status <> m.status
+        |  UNION ALL
+        |  SELECT m.key, m.status, 'update_postimage'
+        |  FROM target t JOIN merged m ON t.key = m.key
+        |  WHERE t.status <> m.status
+        |  UNION ALL
+        |  SELECT t.key, t.status, 'delete'
+        |  FROM target t LEFT JOIN merged m ON t.key = m.key
+        |  WHERE m.key IS NULL)
+        |SELECT key, status, change_type FROM feed
+        |ORDER BY key, change_type""".stripMargin)
 }

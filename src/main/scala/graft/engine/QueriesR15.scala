@@ -216,4 +216,58 @@ object QueriesR15 {
     LakeTable.rewrite(merged, root)
     LakeTable.read(s, root).orderBy("key")
   }
+
+  /** Change-data-feed between two lake versions — what a downstream
+    * incremental consumer reads instead of diffing snapshots by
+    * hand: version 0 is the base dimension, version 1 the SCD-1
+    * merge rewrite (lake_merge_upsert's transaction), and the feed
+    * is the row-level delta classified Delta-CDF-style: `insert`
+    * (new key), `update_preimage`/`update_postimage` (changed key,
+    * old and new row), `delete` (vanished key — none under a pure
+    * upsert, the shape proves the branch). Computed as ONE full-outer
+    * join of the two snapshot reads on the key with an array+explode
+    * fan-out (the scd2 discipline — no second pass over either
+    * side). Unchanged rows do not appear: the feed is O(churn), not
+    * O(table), which is the entire point of CDC at 100 TB.
+    *
+    * Determinism (§2.3): integers and strings only. */
+  def lakeChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_cdf").toString
+    val v0 = LakeTable.append(
+      orders(s, d).select(col("o_orderkey").as("key"),
+                          col("o_orderstatus").as("status")),
+      root)
+    val target = LakeTable.read(s, root)
+    val returned = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val updates = returned
+      .select(col("l_orderkey").as("key"), lit("R").as("new_status"))
+      .union(returned.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("N").as("new_status")))
+    val merged = target.join(updates, Seq("key"), "full_outer")
+      .select(col("key"),
+              coalesce(col("new_status"), col("status")).as("status"))
+    val v1 = LakeTable.rewrite(merged, root)
+    val before = LakeTable.read(s, root, Some(v0))
+      .select(col("key"), col("status").as("old_status"))
+    val after = LakeTable.read(s, root, Some(v1))
+      .select(col("key"), col("status").as("new_status"))
+    before.join(after, Seq("key"), "full_outer")
+      .select(col("key"), explode(expr(
+        """CASE
+          |  WHEN old_status IS NULL THEN
+          |    array(struct(new_status AS status, 'insert' AS change_type))
+          |  WHEN new_status IS NULL THEN
+          |    array(struct(old_status AS status, 'delete' AS change_type))
+          |  WHEN old_status <> new_status THEN array(
+          |    struct(old_status AS status, 'update_preimage' AS change_type),
+          |    struct(new_status AS status, 'update_postimage' AS change_type))
+          |  ELSE NULL
+          |END""".stripMargin)).as("c")) // explode(NULL): unchanged rows vanish
+      .select(col("key"), col("c.status").as("status"),
+              col("c.change_type").as("change_type"))
+      .orderBy("key", "change_type")
+  }
 }

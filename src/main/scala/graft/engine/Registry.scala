@@ -277,6 +277,7 @@ object Registry {
     // Round-10: log-structured transactional table (LakeTable)
     "lake_time_travel"      -> QueriesR15.lakeTimeTravel _,
     "lake_merge_upsert"     -> QueriesR15.lakeMergeUpsert _,
+    "lake_change_feed"      -> QueriesR15.lakeChangeFeed _,
   )
 
   val oracleSql: ListMap[String, String] =
