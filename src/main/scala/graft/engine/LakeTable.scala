@@ -79,7 +79,8 @@ object LakeTable {
     * `txn`-action pattern): a re-delivered microbatch finds its
     * batchId already in the log and becomes a no-op. */
   case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
-                    txn: Option[(String, Long)] = None)
+                    txn: Option[(String, Long)] = None,
+                    stats: Map[String, (String, String)] = Map.empty)
 
   private def readCommit(spark: SparkSession, root: String,
                          version: Long): Commit = {
@@ -94,7 +95,14 @@ object LakeTable {
         .getOrElse(Seq.empty)
     val txn = Option(node.get("txnApp")).map(a =>
       (a.asText(), node.get("txnBatch").asLong()))
-    Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn)
+    val stats = Option(node.get("stats")).map { s =>
+      s.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("min").asText(),
+                     e.getValue.get("max").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
+           stats)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -113,6 +121,14 @@ object LakeTable {
     commit.txn.foreach { case (app, batch) =>
       json.put("txnApp", app)
       json.put("txnBatch", batch)
+    }
+    if (commit.stats.nonEmpty) {
+      val st = json.putObject("stats")
+      commit.stats.foreach { case (dir, (mn, mx)) =>
+        val o = st.putObject(dir)
+        o.put("min", mn)
+        o.put("max", mx)
+      }
     }
     val bytes = mapper.writeValueAsBytes(json)
     val lp = logPath(root, commit.version)
@@ -190,6 +206,57 @@ object LakeTable {
     df.write.mode("errorifexists").parquet(s"$root/$dir")
     writeCommit(spark, root, Commit(next, Seq(dir), Seq.empty))
     next
+  }
+
+  /** Append with per-directory min/max statistics on `statsCol` —
+    * the DATA-SKIPPING half of the lakehouse read path (Delta's
+    * per-file stats / Iceberg's manifest ranges): the bounds live in
+    * the commit log, so a range read prunes directories from the log
+    * alone, never opening a parquet footer it will not scan. Stats
+    * are stored as STRINGS and compared lexicographically — dates
+    * and zero-padded numerics qualify; anything else should not be a
+    * skipping column. */
+  def appendWithStats(df: DataFrame, root: String,
+                      statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val spark = df.sparkSession
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val dir = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$dir")
+    val bounds = spark.read.parquet(s"$root/$dir")
+      .agg(min(col(statsCol)).cast("string"),
+           max(col(statsCol)).cast("string")).head()
+    writeCommit(spark, root, Commit(next, Seq(dir), Seq.empty, None,
+      Map(dir -> (bounds.getString(0), bounds.getString(1)))))
+    next
+  }
+
+  /** The active directories whose recorded [min, max] on `statsCol`
+    * intersects [lo, hi] — directories WITHOUT stats always survive
+    * (stats are an optimization, never a correctness filter). */
+  def rangeDirs(spark: SparkSession, root: String, lo: String, hi: String,
+                asOf: Option[Long] = None): Seq[String] = {
+    val stats = versions(spark, root)
+      .map(v => readCommit(spark, root, v))
+      .flatMap(_.stats)
+      .toMap
+    activeDirs(spark, root, asOf).filter(d =>
+      stats.get(d).forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
+  /** Range read through the log's stats: scans only the directories
+    * `rangeDirs` keeps and applies the row-level predicate on top —
+    * skipping changes WHAT IS SCANNED, never what is returned. */
+  def readRange(spark: SparkSession, root: String, statsCol: String,
+                lo: String, hi: String,
+                asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = rangeDirs(spark, root, lo, hi, asOf)
+    // every directory skipped: a legitimately empty result — keep the
+    // table schema (limit(0) never scans data) instead of failing
+    if (dirs.isEmpty) return read(spark, root, asOf).limit(0)
+    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      .filter(col(statsCol).cast("string").between(lo, hi))
   }
 
   /** Highest batchId `appId` has committed, from log replay — the

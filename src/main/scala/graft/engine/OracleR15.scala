@@ -146,5 +146,17 @@ object OracleR15 {
         |  FROM target t LEFT JOIN merged m ON t.key = m.key
         |  WHERE m.key IS NULL)
         |SELECT key, status, change_type FROM feed
-        |ORDER BY key, change_type""".stripMargin)
+        |ORDER BY key, change_type""".stripMargin,
+
+    // Skipping changes what is SCANNED, never what is returned: the
+    // readout is the plain range aggregate over orders.
+    "lake_data_skipping" ->
+      """SELECT substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |      BETWEEN '1994-01-01' AND '1995-12-31'
+        |GROUP BY 1 ORDER BY month""".stripMargin)
 }

@@ -270,4 +270,43 @@ object QueriesR15 {
               col("c.change_type").as("change_type"))
       .orderBy("key", "change_type")
   }
+
+  /** Data skipping through commit-log statistics — the lakehouse
+    * read-path half the snapshot keys don't exercise: orders land in
+    * the lake as one append PER YEAR, each commit recording the
+    * directory's [min, max] order date, and a two-year range read
+    * prunes to the intersecting directories from the LOG ALONE
+    * (LakeTableSpec asserts the directory count; Delta per-file
+    * stats / Iceberg manifest ranges are this exact mechanism). The
+    * row-level predicate still applies on top — skipping changes
+    * what is SCANNED, never what is returned — and the oracle
+    * recomputes the readout straight from `orders`, so a skipped
+    * directory that should have been read breaks the hash.
+    *
+    * Scale shape: at 100 TB the log's stats are O(directories) tiny
+    * rows while the data is the 100 TB — pruning from the log is the
+    * difference between a metadata operation and a full scan; the
+    * readout itself is one map-side-combined aggregate over the
+    * surviving slice. */
+  def lakeDataSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_skip").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"),
+              col("o_orderdate").cast("date").cast("string").as("odate"),
+              round(col("o_totalprice"), 2)
+                .cast(DecimalType(18, 2)).as("price"))
+      .withColumn("yr", substring(col("odate"), 1, 4))
+    val years = base.select("yr").distinct()
+      .collect().map(_.getString(0)).sorted
+    years.foreach { y =>
+      LakeTable.appendWithStats(
+        base.filter(col("yr") === y).drop("yr"), root, "odate")
+    }
+    LakeTable.readRange(s, root, "odate", "1994-01-01", "1995-12-31")
+      .groupBy(substring(col("odate"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum("price").cast("double").as("revenue"))
+      .orderBy("month")
+  }
 }

@@ -278,6 +278,7 @@ object Registry {
     "lake_time_travel"      -> QueriesR15.lakeTimeTravel _,
     "lake_merge_upsert"     -> QueriesR15.lakeMergeUpsert _,
     "lake_change_feed"      -> QueriesR15.lakeChangeFeed _,
+    "lake_data_skipping"    -> QueriesR15.lakeDataSkipping _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -105,6 +105,34 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.appendTxn(b0, root, "app", 0L).isEmpty)
   }
 
+  test("data skipping: range reads prune directories from the log alone") {
+    val root = freshRoot("skip")
+    // three directories with disjoint key ranges, zero-padded so the
+    // lexicographic stat comparison is numeric
+    for (lo <- Seq(0, 100, 200)) {
+      LakeTable.appendWithStats(
+        (lo until lo + 100).map(i => (f"$i%05d", i.toLong)).toDF("k", "v"),
+        root, "k")
+    }
+    assert(LakeTable.activeDirs(spark, root).size == 3)
+    // a range inside the middle directory keeps exactly one dir
+    val pruned = LakeTable.rangeDirs(spark, root, "00150", "00160")
+    assert(pruned.size == 1, s"expected 1 surviving dir, got $pruned")
+    val got = LakeTable.readRange(spark, root, "k", "00150", "00160")
+      .count()
+    assert(got == 11, s"range read returned $got rows (want 11)")
+    // a range spanning two directories keeps two
+    assert(LakeTable.rangeDirs(spark, root, "00090", "00110").size == 2)
+    // stats are an optimization, never a filter: a dir committed
+    // WITHOUT stats always survives pruning
+    LakeTable.append(Seq(("99999", 9L)).toDF("k", "v"), root)
+    assert(LakeTable.rangeDirs(spark, root, "00150", "00160").size == 2,
+      "stats-less directory was skipped — stats must never filter")
+    // an empty intersection returns an empty frame with the schema
+    val none = LakeTable.readRange(spark, root, "k", "55500", "55600")
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
