@@ -187,14 +187,21 @@ object LakeTable {
     active.toSeq
   }
 
-  /** Snapshot read at `asOf` (default: latest committed version). */
+  /** Snapshot read at `asOf` (default: latest committed version).
+    * mergeSchema unions the active directories' schemas — ADDITIVE
+    * schema evolution for free: a column introduced by a later
+    * append reads as null for rows committed before it (the
+    * Delta/Iceberg add-column semantics; lake_schema_evolution pins
+    * it). Non-additive changes (type change, rename) fail loudly at
+    * parquet reconciliation, which is the safe default. */
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None): DataFrame = {
     val dirs = activeDirs(spark, root, asOf)
     require(dirs.nonEmpty,
       s"lake table at $root has no active data at " +
         s"version ${asOf.getOrElse(latestVersion(spark, root).getOrElse(-1L))}")
-    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$root/$d"): _*)
   }
 
   /** Append `df` as the next version: write an immutable data

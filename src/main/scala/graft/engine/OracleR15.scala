@@ -158,5 +158,16 @@ object OracleR15 {
         |FROM orders
         |WHERE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
         |      BETWEEN '1994-01-01' AND '1995-12-31'
-        |GROUP BY 1 ORDER BY month""".stripMargin)
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // Pre-migration rows (even keys, landed before the column
+    // existed) report NULL priority — the add-column no-backfill
+    // contract, visible as the null bucket.
+    "lake_schema_evolution" ->
+      """SELECT o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY status, priority""".stripMargin)
 }

@@ -309,4 +309,34 @@ object QueriesR15 {
            sum("price").cast("double").as("revenue"))
       .orderBy("month")
   }
+
+  /** Additive schema evolution through the lake read path — the
+    * migration every long-lived table lives through: version 0
+    * lands (key, status), a later append carries the WIDER schema
+    * (key, status, priority), and the merged snapshot read serves
+    * the union — pre-migration rows report null priority, exactly
+    * the Delta/Iceberg add-column contract (nullable, no backfill).
+    * The readout aggregates (status × priority) with the null bucket
+    * visible, so a backfilling or row-dropping reader breaks the
+    * hash. Spark-first: the merge is parquet schema reconciliation
+    * (mergeSchema) over the log-selected directories — no rewrite of
+    * the old data, which at 100 TB is the entire point of additive
+    * evolution.
+    *
+    * Determinism (§2.3): integers and strings only. */
+  def lakeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_evo").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"),
+              col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("priority"))
+    LakeTable.append(base.filter(col("key") % 2 === 0)
+      .drop("priority"), root)
+    LakeTable.append(base.filter(col("key") % 2 === 1), root)
+    LakeTable.read(s, root)
+      .groupBy("status", "priority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status", "priority")
+  }
 }

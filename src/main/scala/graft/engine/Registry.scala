@@ -279,6 +279,7 @@ object Registry {
     "lake_merge_upsert"     -> QueriesR15.lakeMergeUpsert _,
     "lake_change_feed"      -> QueriesR15.lakeChangeFeed _,
     "lake_data_skipping"    -> QueriesR15.lakeDataSkipping _,
+    "lake_schema_evolution" -> QueriesR15.lakeSchemaEvolution _,
   )
 
   val oracleSql: ListMap[String, String] =
