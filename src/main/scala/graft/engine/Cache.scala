@@ -291,6 +291,25 @@ object Artifacts {
       Ops.kmeansCodebook(e, "vec_id", "embedding", k, iters))
   }
 
+  /** The IVF codebook trained on the BASE corpus slice only
+    * (vec_id ≢ 0 mod 7) — the incremental-ingest story's frozen
+    * model (emb_ann_incremental): delta vectors are assigned to
+    * these cells WITHOUT retraining, exactly how a production index
+    * absorbs a daily batch (retrains are scheduled, not per-ingest).
+    * Same materializeKeyed posture as ivfCodebook. */
+  def ivfCodebookBase(s: org.apache.spark.sql.SparkSession,
+                      dataDir: String, k: Int = 16,
+                      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(s, dataDir)
+      .filter(!(col("vec_id") % 7 === 0))
+      .select("vec_id", "embedding")
+    ArtifactCache.materializeKeyed(
+      s, cacheRoot, s"ivf_codebook_base7_v1_k${k}_i$iters",
+      ArtifactCache.artifactHash(e))(
+      Ops.kmeansCodebook(e, "vec_id", "embedding", k, iters))
+  }
+
   /** Exact top-5 cosine neighbors for the embeddings table — the
     * ground-truth artifact: `emb_knn_bruteforce` serves it directly and
     * `emb_ivf_recall` reads its top-3 prefix (a bounded top-k under a

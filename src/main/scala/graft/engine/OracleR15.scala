@@ -169,5 +169,33 @@ object OracleR15 {
         |    AS priority,
         |  count(*) AS n
         |FROM orders
-        |GROUP BY 1, 2 ORDER BY status, priority""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY status, priority""".stripMargin,
+
+    // The k-means chain trained on the BASE slice only (the
+    // codebookCtes fragment retargeted at embeddings_base), then both
+    // slices assigned by the emb_ann_ivf rule; delta rows read out
+    // with their cell's base occupancy.
+    "emb_ann_incremental" ->
+      s"""WITH embeddings_base AS (
+        |  SELECT * FROM embeddings WHERE vec_id % 7 <> 0),
+        |${OracleKmeans.codebookCtes
+             .replace("FROM embeddings", "FROM embeddings_base")},
+        |ab AS (SELECT e.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(${OracleKmeans.cosFD("e", "c")}, 6)
+        |             DESC, c.cid) AS rn
+        |       FROM embeddings_base e JOIN cent c ON true),
+        |occ AS (SELECT cid, count(*) AS n_base FROM ab
+        |        WHERE rn = 1 GROUP BY cid),
+        |dd AS (SELECT e.vec_id, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(${OracleKmeans.cosFD("e", "c")}, 6)
+        |             DESC, c.cid) AS rn
+        |       FROM (SELECT * FROM embeddings WHERE vec_id % 7 = 0) e
+        |       JOIN cent c ON true)
+        |SELECT d.vec_id, CAST(d.cid AS INT) AS cell_id,
+        |  CAST(coalesce(o.n_base, 0) AS BIGINT) AS n_base
+        |FROM dd d LEFT JOIN occ o ON d.cid = o.cid
+        |WHERE d.rn = 1
+        |ORDER BY d.vec_id""".stripMargin)
 }

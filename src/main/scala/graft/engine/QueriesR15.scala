@@ -339,4 +339,42 @@ object QueriesR15 {
       .agg(count(lit(1)).as("n"))
       .orderBy("status", "priority")
   }
+
+  /** Incremental ANN ingest — the index-MAINTENANCE half the
+    * build-once/query-many ANN family leaves implicit (the
+    * docs_dedup_incremental posture applied to vectors): the IVF
+    * codebook is trained on the BASE corpus slice and FROZEN
+    * (Artifacts.ivfCodebookBase — a P6 model artifact); a delta
+    * batch (vec_id ≡ 0 mod 7) is then assigned to those cells
+    * without retraining — cost ∝ batch × k, never corpus — and the
+    * readout reports each delta vector's cell with the cell's base
+    * occupancy (the merged index a probe would search). Assignment
+    * is emb_ann_ivf's exact rule (cosine rounded 6 dp,
+    * topk_by_score tie → lowest cid), so the oracle re-derives it
+    * from the same unrolled k-means CTE chain trained on the base
+    * slice.
+    *
+    * Scale shape: the codebook broadcasts (O(model)); both
+    * assignment passes are one broadcast cross pass with a bounded
+    * top-1 heap — map-side-combined, no shuffle of the vectors. */
+  def embAnnIncremental(s: SparkSession, d: String): DataFrame = {
+    Exprs.register(s); TopK.register(s)
+    val all = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cent = Artifacts.ivfCodebookBase(s, d)
+      .select(col("cid"), col("cemb"))
+    def assign(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), expr("t[0].id").cast("int").as("cell_id"))
+    val baseOcc = assign(all.filter(!(col("vec_id") % 7 === 0)))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
+    assign(all.filter(col("vec_id") % 7 === 0))
+      .join(baseOcc, Seq("cell_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+              coalesce(col("n_base"), lit(0L)).cast("long").as("n_base"))
+      .orderBy("vec_id")
+  }
 }

@@ -280,6 +280,8 @@ object Registry {
     "lake_change_feed"      -> QueriesR15.lakeChangeFeed _,
     "lake_data_skipping"    -> QueriesR15.lakeDataSkipping _,
     "lake_schema_evolution" -> QueriesR15.lakeSchemaEvolution _,
+    // Round-10: ANN index maintenance (frozen codebook, delta assign)
+    "emb_ann_incremental"   -> QueriesR15.embAnnIncremental _,
   )
 
   val oracleSql: ListMap[String, String] =
