@@ -323,6 +323,49 @@ object LakeTable {
     next
   }
 
+  /** CLUSTERED rewrite — compaction + 1-D clustering in one atomic
+    * commit (the OPTIMIZE ZORDER shape, one dimension): the table
+    * content range-partitions on `clusterCol` into `buckets`
+    * contiguous slices, each slice lands as its own data directory,
+    * and every directory's [min, max] goes into the commit log — so
+    * a table whose appends carried no stats (arrival order scatters
+    * every column) becomes range-prunable in one transaction.
+    * Readers replaying the log see the old layout or the new one,
+    * never a mix. The range exchange is the only shuffle; no global
+    * sort. */
+  def rewriteClustered(df: DataFrame, root: String, clusterCol: String,
+                       buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, max, min, spark_partition_id}
+    val spark = df.sparkSession
+    val prev = activeDirs(spark, root)
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val base = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartitionByRange(buckets, col(clusterCol))
+      .withColumn("__bucket", spark_partition_id())
+      .write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$root/$base")
+    // enumerate the bucket leaves actually written (range partitioning
+    // may leave some buckets empty) and stat each from one grouped agg
+    val f = fs(spark, root)
+    val leaves = f.listStatus(new Path(root, base)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .sorted
+      .map(n => s"$base/$n")
+    val statRows = spark.read.parquet(s"$root/$base")
+      .groupBy("__bucket")
+      .agg(min(col(clusterCol)).cast("string").as("mn"),
+           max(col(clusterCol)).cast("string").as("mx"))
+      .collect()
+      .map(r => s"$base/__bucket=${r.get(0)}" ->
+        (r.getString(1), r.getString(2)))
+      .toMap
+    writeCommit(spark, root,
+      Commit(next, leaves, prev, None,
+             leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap))
+    next
+  }
+
   /** Physically delete data directories no longer referenced by any
     * version ≥ `retainFrom` — the explicit time-travel trade.
     * Directories referenced by ANY retained snapshot survive.

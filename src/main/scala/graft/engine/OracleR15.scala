@@ -197,5 +197,18 @@ object OracleR15 {
         |  CAST(coalesce(o.n_base, 0) AS BIGINT) AS n_base
         |FROM dd d LEFT JOIN occ o ON d.cid = o.cid
         |WHERE d.rn = 1
-        |ORDER BY d.vec_id""".stripMargin)
+        |ORDER BY d.vec_id""".stripMargin,
+
+    // Clustering changes the LAYOUT only: the readout is the plain
+    // 1996 range aggregate over orders.
+    "lake_cluster_compact" ->
+      """SELECT substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |    1, 7) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |      BETWEEN '1996-01-01' AND '1996-12-31'
+        |GROUP BY 1 ORDER BY month""".stripMargin)
 }

@@ -377,4 +377,38 @@ object QueriesR15 {
               coalesce(col("n_base"), lit(0L)).cast("long").as("n_base"))
       .orderBy("vec_id")
   }
+
+  /** Clustered compaction — OPTIMIZE-ZORDER's one-dimensional core
+    * as one atomic lake transaction: orders land in four appends
+    * split by KEY parity (arrival order — every append's date range
+    * spans the whole table, so nothing is prunable and the appends
+    * carry no stats), then `rewriteClustered` range-partitions the
+    * content on the order date into eight contiguous directories
+    * whose [min, max] goes into the commit log. The same range read
+    * that had to scan everything now prunes from metadata alone —
+    * LakeTableSpec asserts the before/after directory counts; this
+    * key proves the CONTENT through the oracle (skipping changes
+    * what is scanned, never what is returned).
+    *
+    * Scale shape: the clustering is one range exchange (no global
+    * sort) + one grouped stats pass; at 100 TB this is the nightly
+    * maintenance job that converts an ingest-ordered table into a
+    * range-prunable one without blocking readers. */
+  def lakeClusterCompact(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lake_clu").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"),
+              col("o_orderdate").cast("date").cast("string").as("odate"),
+              round(col("o_totalprice"), 2)
+                .cast(DecimalType(18, 2)).as("price"))
+    (0 until 4).foreach(p =>
+      LakeTable.append(base.filter(col("key") % 4 === p), root))
+    LakeTable.rewriteClustered(LakeTable.read(s, root), root, "odate", 8)
+    LakeTable.readRange(s, root, "odate", "1996-01-01", "1996-12-31")
+      .groupBy(substring(col("odate"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum("price").cast("double").as("revenue"))
+      .orderBy("month")
+  }
 }

@@ -282,6 +282,7 @@ object Registry {
     "lake_schema_evolution" -> QueriesR15.lakeSchemaEvolution _,
     // Round-10: ANN index maintenance (frozen codebook, delta assign)
     "emb_ann_incremental"   -> QueriesR15.embAnnIncremental _,
+    "lake_cluster_compact"  -> QueriesR15.lakeClusterCompact _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -133,6 +133,31 @@ class LakeTableSpec extends SparkTestBase {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
   }
 
+  test("clustered rewrite makes an unprunable table range-prunable") {
+    val root = freshRoot("cluster")
+    // two stats-less appends whose key ranges interleave: nothing
+    // can be pruned (stats-less dirs always survive)
+    LakeTable.append(
+      (0 until 100 by 2).map(i => (f"$i%05d", i.toLong)).toDF("k", "v"), root)
+    LakeTable.append(
+      (1 until 100 by 2).map(i => (f"$i%05d", i.toLong)).toDF("k", "v"), root)
+    assert(LakeTable.rangeDirs(spark, root, "00010", "00019").size == 2,
+      "stats-less appends must all survive pruning")
+    // one atomic clustered rewrite: 4 contiguous ranges with stats
+    LakeTable.rewriteClustered(LakeTable.read(spark, root), root, "k", 4)
+    val active = LakeTable.activeDirs(spark, root)
+    assert(active.size >= 2 && active.forall(_.contains("__bucket=")),
+      s"expected bucket leaves, got $active")
+    val pruned = LakeTable.rangeDirs(spark, root, "00010", "00019")
+    assert(pruned.size < active.size,
+      s"clustering did not enable pruning: $pruned of $active")
+    // content is unchanged by layout: same rows, and the range read
+    // returns exactly the rows in range
+    assert(LakeTable.read(spark, root).count() == 100)
+    assert(LakeTable.readRange(spark, root, "k", "00010", "00019")
+      .count() == 10)
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
