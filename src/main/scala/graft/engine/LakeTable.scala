@@ -323,6 +323,41 @@ object LakeTable {
     next
   }
 
+  /** One INGEST commit whose data lands pre-split by `partCol`
+    * value — the partitioned-landing shape (a day's ingest writing
+    * one directory per partition value in one job), each leaf
+    * directory entering the log with [min, max] stats on `statsCol`.
+    * One write job + one commit, however many partition values the
+    * batch carries; the partition column itself is directory
+    * metadata (parquet partitionBy) and is not stored in the rows. */
+  def appendPartitioned(df: DataFrame, root: String, partCol: String,
+                        statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val spark = df.sparkSession
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val base = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").partitionBy(partCol)
+      .parquet(s"$root/$base")
+    val f = fs(spark, root)
+    val leaves = f.listStatus(new Path(root, base)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .sorted
+      .map(n => s"$base/$n")
+    val statRows = spark.read.parquet(s"$root/$base")
+      .groupBy(partCol)
+      .agg(min(col(statsCol)).cast("string").as("mn"),
+           max(col(statsCol)).cast("string").as("mx"))
+      .collect()
+      .map(r => s"$base/$partCol=${r.get(0)}" ->
+        (r.getString(1), r.getString(2)))
+      .toMap
+    writeCommit(spark, root,
+      Commit(next, leaves, Seq.empty, None,
+             leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap))
+    next
+  }
+
   /** CLUSTERED rewrite — compaction + 1-D clustering in one atomic
     * commit (the OPTIMIZE ZORDER shape, one dimension): the table
     * content range-partitions on `clusterCol` into `buckets`

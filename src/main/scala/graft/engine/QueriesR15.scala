@@ -273,9 +273,10 @@ object QueriesR15 {
 
   /** Data skipping through commit-log statistics — the lakehouse
     * read-path half the snapshot keys don't exercise: orders land in
-    * the lake as one append PER YEAR, each commit recording the
-    * directory's [min, max] order date, and a two-year range read
-    * prunes to the intersecting directories from the LOG ALONE
+    * ONE partitioned ingest commit (one write job splitting by year,
+    * each year-directory entering the log with its [min, max] order
+    * date — the partitioned-landing shape), and a two-year range
+    * read prunes to the intersecting directories from the LOG ALONE
     * (LakeTableSpec asserts the directory count; Delta per-file
     * stats / Iceberg manifest ranges are this exact mechanism). The
     * row-level predicate still applies on top — skipping changes
@@ -297,12 +298,7 @@ object QueriesR15 {
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
       .withColumn("yr", substring(col("odate"), 1, 4))
-    val years = base.select("yr").distinct()
-      .collect().map(_.getString(0)).sorted
-    years.foreach { y =>
-      LakeTable.appendWithStats(
-        base.filter(col("yr") === y).drop("yr"), root, "odate")
-    }
+    LakeTable.appendPartitioned(base, root, "yr", "odate")
     LakeTable.readRange(s, root, "odate", "1994-01-01", "1995-12-31")
       .groupBy(substring(col("odate"), 1, 7).as("month"))
       .agg(count(lit(1)).as("n_orders"),

@@ -133,6 +133,24 @@ class LakeTableSpec extends SparkTestBase {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
   }
 
+  test("appendPartitioned: one commit, one leaf per partition value, all stat'd") {
+    val root = freshRoot("part")
+    val df = Seq(("a", "00001", 1L), ("a", "00003", 2L),
+                 ("b", "00105", 3L), ("c", "00210", 4L))
+      .toDF("g", "k", "v")
+    val v = LakeTable.appendPartitioned(df, root, "g", "k")
+    assert(v == 0L)
+    val active = LakeTable.activeDirs(spark, root)
+    assert(active.size == 3 && active.forall(_.contains("g=")),
+      s"expected one leaf per partition value, got $active")
+    // every leaf carries stats: a point range keeps exactly one dir
+    assert(LakeTable.rangeDirs(spark, root, "00105", "00105").size == 1)
+    // the partition column is directory metadata, not row data
+    assert(LakeTable.read(spark, root).columns.toSeq.sorted ==
+      Seq("k", "v"))
+    assert(LakeTable.read(spark, root).count() == 4)
+  }
+
   test("clustered rewrite makes an unprunable table range-prunable") {
     val root = freshRoot("cluster")
     // two stats-less appends whose key ranges interleave: nothing
