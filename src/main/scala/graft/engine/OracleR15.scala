@@ -210,5 +210,24 @@ object OracleR15 {
         |FROM orders
         |WHERE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
         |      BETWEEN '1996-01-01' AND '1996-12-31'
-        |GROUP BY 1 ORDER BY month""".stripMargin)
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // Exact DECIMAL cumulative revenue under the (rev DESC, cust)
+    // total order; classes cut by integer-scaled cross-multiplication
+    // so no float boundary can disagree.
+    "orders_abc_pareto" ->
+      """WITH m AS (SELECT o_custkey AS c_custkey,
+        |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM m),
+        |r AS (SELECT c_custkey, rev,
+        |        sum(rev) OVER (ORDER BY rev DESC, c_custkey) AS cum
+        |      FROM m)
+        |SELECT c_custkey, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS cum_share,
+        |  CASE WHEN cum * 10 <= total * 7 THEN 'A'
+        |       WHEN cum * 10 <= total * 9 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r, t ORDER BY c_custkey""".stripMargin)
 }

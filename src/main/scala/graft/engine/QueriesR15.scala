@@ -407,4 +407,36 @@ object QueriesR15 {
            sum("price").cast("double").as("revenue"))
       .orderBy("month")
   }
+
+  /** ABC / Pareto classification — the inventory-analytics staple
+    * (who makes up the first 70% of revenue?): customers rank by
+    * exact DECIMAL revenue (DESC, custkey tiebreak), the cumulative
+    * revenue runs through `Ops.exactPrefixSum` (range slices + a
+    * ≤ #partitions-row offset frame — the sweep-line discipline,
+    * never a single-task global window), and the A/≤70% / B/≤90% /
+    * C classes cut on exact integer-scaled DECIMAL
+    * cross-multiplications (10·cum ≤ 7·total), so no float boundary
+    * can disagree. The reported share is one IEEE-exact quotient
+    * rounded 6 dp.
+    *
+    * Scale shape: one map-side-combined aggregate onto the customer
+    * key, one range exchange for the prefix sum, and the 1-row total
+    * broadcasts — ~|customers| rows end to end, the
+    * orders_rfm_segments frame. */
+  def ordersAbcPareto(s: SparkSession, d: String): DataFrame = {
+    val m = orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+        .as("rev"))
+    val tot = m.agg(sum("rev").as("total"))
+    Ops.exactPrefixSum(m, Seq.empty,
+        Seq(col("rev").desc, col("c_custkey")), "rev")
+      .crossJoin(broadcast(tot))
+      .select(col("c_custkey"), col("rev").cast("double").as("revenue"),
+        round(col("prefix_sum").cast("double") /
+              col("total").cast("double"), 6).as("cum_share"),
+        when(col("prefix_sum") * 10 <= col("total") * 7, "A")
+          .when(col("prefix_sum") * 10 <= col("total") * 9, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("c_custkey")
+  }
 }

@@ -283,6 +283,8 @@ object Registry {
     // Round-10: ANN index maintenance (frozen codebook, delta assign)
     "emb_ann_incremental"   -> QueriesR15.embAnnIncremental _,
     "lake_cluster_compact"  -> QueriesR15.lakeClusterCompact _,
+    // Round-10: Pareto/ABC classification over the distributed prefix sum
+    "orders_abc_pareto"     -> QueriesR15.ordersAbcPareto _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -145,6 +145,16 @@ class PlanGateSpec extends SparkTestBase {
          "case, with per-slice sums instead of counts)"),
       "fact_broadcast_hint" ->
         ("the same ≤ #partitions-row slice-sum frame broadcast back")),
+    "orders_abc_pareto" -> Map(
+      "global_window" ->
+        ("the Ops.exactPrefixSum slice-sum frame: ≤ #shuffle-partitions " +
+         "rows of cluster-width METADATA (the events_peak_concurrency " +
+         "case — per-slice DECIMAL revenue sums, no natural partition " +
+         "column to hide behind)"),
+      "fact_broadcast_hint" ->
+        ("two metadata broadcasts: the ≤ #partitions-row slice-offset " +
+         "frame and the 1-row revenue total — both aggregated-tiny by " +
+         "construction")),
     "orders_rfm_segments" -> Map(
       "global_window" ->
         ("the Ops.exactGlobalRank slice-count frame: a grouped-by-slice " +
