@@ -229,5 +229,20 @@ object OracleR15 {
         |  CASE WHEN cum * 10 <= total * 7 THEN 'A'
         |       WHEN cum * 10 <= total * 9 THEN 'B'
         |       ELSE 'C' END AS abc_class
-        |FROM r, t ORDER BY c_custkey""".stripMargin)
+        |FROM r, t ORDER BY c_custkey""".stripMargin,
+
+    // The date-minus-row_number anchor: consecutive days share one
+    // anchor, any gap shifts it.
+    "events_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id
+        |                ORDER BY day) AS INT) AS anchor
+        |      FROM days),
+        |runs AS (SELECT user_id, anchor, count(*) AS len
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, max(len) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -439,4 +439,37 @@ object QueriesR15 {
           .otherwise("C").as("abc_class"))
       .orderBy("c_custkey")
   }
+
+  /** Gaps-and-islands — the consecutive-run SQL classic the session
+    * keys (time-GAP grouping) don't cover: per user, group ACTIVE
+    * CALENDAR DAYS into maximal consecutive runs via the
+    * date-minus-row_number anchor trick (consecutive days share one
+    * anchor; any gap shifts it), then report days active, number of
+    * streaks, and the longest streak. The engagement metric every
+    * product dashboard carries.
+    *
+    * Determinism (§2.3): dates and integers only.
+    *
+    * Scale shape: the row_number window is per-user (the H-family
+    * contract — parallel across users, bounded by the hottest
+    * user's DISTINCT DAYS, ≤ calendar span); both aggregates are
+    * map-side-combined on (user, anchor) then user. One shuffle on
+    * the user key end to end — the dedup projects per-user days
+    * before any window. */
+  def eventsActivityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    days
+      .withColumn("anchor",
+        expr("date_sub(day, row_number() OVER " +
+             "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
 }

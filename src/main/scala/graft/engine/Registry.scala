@@ -285,6 +285,7 @@ object Registry {
     "lake_cluster_compact"  -> QueriesR15.lakeClusterCompact _,
     // Round-10: Pareto/ABC classification over the distributed prefix sum
     "orders_abc_pareto"     -> QueriesR15.ordersAbcPareto _,
+    "events_activity_streaks" -> QueriesR15.eventsActivityStreaks _,
   )
 
   val oracleSql: ListMap[String, String] =
