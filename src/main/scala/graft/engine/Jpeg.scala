@@ -356,6 +356,8 @@ object Jpeg {
             val pq = (bytes(p) & 0xff) >> 4
             val tq = bytes(p) & 0x0f
             require(pq == 0, "jpeg: 16-bit quant tables unsupported")
+            require(tq < 4, s"jpeg: quant table id $tq out of range")
+            require(p + 65 <= bytes.length, "jpeg: DQT runs past stream")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) {
@@ -374,6 +376,7 @@ object Jpeg {
           require((bytes(seg + 7) & 0xff) == 0x11,
             "jpeg: subsampling on a single component")
           qSel = bytes(seg + 8) & 0x0f
+          require(qSel < 4, s"jpeg: SOF quant selector $qSel out of range")
         case 0xc1 | 0xc2 | 0xc3 =>
           throw new IllegalArgumentException(
             f"jpeg: SOF$m%02X (non-baseline) unsupported")
@@ -382,12 +385,17 @@ object Jpeg {
           while (p < seg + len - 2) {
             val tc = (bytes(p) & 0xff) >> 4
             val th = bytes(p) & 0x0f
+            require(tc < 2 && th < 4,
+              s"jpeg: huffman table class/id $tc/$th out of range")
+            require(p + 17 <= bytes.length, "jpeg: DHT runs past stream")
             val bits = new Array[Int](17)
             var total = 0
             var i = 1
             while (i <= 16) {
               bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
             }
+            require(p + 17 + total <= bytes.length,
+              "jpeg: DHT values run past stream")
             val vals = new Array[Int](total)
             i = 0
             while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
@@ -403,6 +411,8 @@ object Jpeg {
           require(ns == 1, "jpeg: multi-component scan")
           dcSel = (bytes(seg + 2) & 0xff) >> 4
           acSel = bytes(seg + 2) & 0x0f
+          require(dcSel < 4 && acSel < 4,
+            s"jpeg: SOS table selectors $dcSel/$acSel out of range")
           sosAt = seg + 1 + 2 * ns + 3
         case _ => // APPn / COM / others: skip
       }

@@ -77,6 +77,37 @@ class JpegSpec extends AnyFunSuite {
     assert(dec.nBlocks == 4) // 2x2 padded grid
   }
 
+  test("fuzz: corrupted streams fail cleanly, never uncontrolled") {
+    // a crawl pipeline decodes UNTRUSTED bytes: every mutation of a
+    // valid stream must either decode (flipped pixel data is legal)
+    // or throw the decoder's own IllegalArgumentException — never an
+    // ArrayIndexOutOfBounds / NegativeArraySize / infinite loop.
+    // Deterministic LCG; no wall-clock or global randomness.
+    val base = Jpeg.encodeGray8(24, 16,
+      (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff)
+    var seed = 0x2545f4914f6cdd1dL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 0 until 1000) {
+      val b = base.clone()
+      val flips = 1 + nxt(3)
+      for (_ <- 0 until flips) b(nxt(b.length)) = nxt(256).toByte
+      try { Jpeg.decodeGray8(b); decoded += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        // any other throwable (AIOOBE, NegativeArraySize, ...) fails
+        // the test by escaping
+      }
+    }
+    assert(decoded + rejected == 1000)
+    assert(rejected > 0, "no mutation was ever rejected — the " +
+      "validation paths are not being exercised")
+  }
+
   test("rejects what it cannot decode, loudly") {
     val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
     // missing SOI
