@@ -133,13 +133,29 @@ object Png {
     }
     require(bitDepth == 8 && colorType == 0,
       s"decoder scope is gray8 (got depth=$bitDepth color=$colorType)")
+    // untrusted-byte contract (the fuzz test's): corrupted IHDR
+    // dimensions must fail loudly, not drive a negative/overflowing
+    // (or multi-GB) allocation. 1<<26 bytes = a 64 MB raw buffer —
+    // far above any fixture, far below an allocation-DoS.
+    require(width > 0 && height > 0 &&
+        (width + 1).toLong * height <= (1L << 26),
+      s"png: implausible dimensions ${width}x$height")
     val inflater = new Inflater()
     val compressed = idat.toByteArray
     inflater.setInput(compressed)
     val raw = new Array[Byte]((width + 1) * height)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, raw.length - got)
+      // a corrupt deflate stream throws the checked DataFormatException
+      // — surface it as the decoder's own loud failure (untrusted-byte
+      // contract: IllegalArgumentException or success, nothing else)
+      val n =
+        try inflater.inflate(raw, got, raw.length - got)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"png: corrupt deflate stream (${e.getMessage})", e)
+        }
       require(n > 0 || inflater.finished(), "inflate stalled")
       got += n
     }

@@ -63,6 +63,30 @@ class PngSpec extends AnyFunSuite {
     assert(ok, "corrupted blob decoded silently with valid CRCs")
   }
 
+
+  test("fuzz: corrupted streams fail cleanly, never uncontrolled") {
+    // untrusted-byte posture (the JpegSpec fuzz, same LCG): every
+    // mutation either decodes (a data flip that still passes CRC is
+    // impossible here, but header-area no-ops exist) or throws the
+    // decoder's own IllegalArgumentException — never an uncontrolled
+    // ArrayIndexOutOfBounds / NegativeArraySize / infinite loop.
+    val base = Png.encodeGray8(24, 16, i => (i * 31 + 5) % 251)
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var outcomes = 0
+    for (_ <- 0 until 1000) {
+      val b = base.clone()
+      val flips = 1 + nxt(3)
+      for (_ <- 0 until flips) b(nxt(b.length)) = nxt(256).toByte
+      try { Png.decodeGray8Pixels(b); outcomes += 1 }
+      catch { case _: IllegalArgumentException => outcomes += 1 }
+    }
+    assert(outcomes == 1000)
+  }
+
   test("truncation and a bad signature fail loudly") {
     val bytes = Png.encodeGray8(8, 8, _ => 7)
     intercept[IllegalArgumentException] {

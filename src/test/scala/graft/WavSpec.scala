@@ -33,6 +33,30 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+
+  test("fuzz: corrupted streams fail cleanly, never uncontrolled") {
+    // untrusted-byte posture (the JpegSpec fuzz, same LCG): every
+    // mutation either decodes (a data flip that still passes CRC is
+    // impossible here, but header-area no-ops exist) or throws the
+    // decoder's own IllegalArgumentException — never an uncontrolled
+    // ArrayIndexOutOfBounds / NegativeArraySize / infinite loop.
+    val base = Wav.encodePcm16(200, i => i * 13 - 600)
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var outcomes = 0
+    for (_ <- 0 until 1000) {
+      val b = base.clone()
+      val flips = 1 + nxt(3)
+      for (_ <- 0 until flips) b(nxt(b.length)) = nxt(256).toByte
+      try { Wav.decodePcm16Samples(b); outcomes += 1 }
+      catch { case _: IllegalArgumentException => outcomes += 1 }
+    }
+    assert(outcomes == 1000)
+  }
+
   test("truncation and a bad magic fail loudly") {
     val bytes = Wav.encodePcm16(10, _ => 5)
     intercept[IllegalArgumentException] {
