@@ -89,7 +89,21 @@ object LakeTable {
     val bytes =
       try in.readAllBytes()
       finally in.close()
-    val node = mapper.readTree(bytes)
+    // a torn or corrupted log file is a table-integrity event: fail
+    // with the table's own message (and the path), not a bare
+    // Jackson parse error three frames deep
+    val node =
+      try {
+        val n = mapper.readTree(bytes)
+        require(n != null && n.has("version"),
+          "commit record has no version field")
+        n
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"lake: corrupt commit log ${logPath(root, version)} " +
+              s"(${e.getMessage})", e)
+      }
     def arr(k: String): Seq[String] =
       Option(node.get(k)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Seq.empty)

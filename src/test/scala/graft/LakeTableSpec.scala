@@ -176,6 +176,24 @@ class LakeTableSpec extends SparkTestBase {
       .count() == 10)
   }
 
+  test("corrupt commit log fails loudly with the table's own error") {
+    val root = freshRoot("corrupt")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    // tear the second commit's log file
+    val log = java.nio.file.Paths.get(root, "_graft_log",
+      "0000000001.json")
+    java.nio.file.Files.write(log,
+      "{\"version\": 1, \"add\": [".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("corrupt commit log"),
+      s"wrong failure surface: ${e.getMessage}")
+    // versions BEFORE the torn commit still replay
+    assert(LakeTable.read(spark, root, Some(0L)).count() == 1)
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
