@@ -244,5 +244,24 @@ object OracleR15 {
         |         FROM g GROUP BY 1, 2)
         |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
         |  count(*) AS n_streaks, max(len) AS longest_streak
-        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The IVM contract: incrementally-refreshed aggregate == full
+    // recompute over the post-merge state.
+    "lake_ivm_refresh" ->
+      """WITH target AS (SELECT o_orderkey AS key,
+        |                  o_orderstatus AS status
+        |                FROM orders),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R'),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS new_status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0),
+        |merged AS (
+        |  SELECT coalesce(t.key, u.key) AS key,
+        |    coalesce(u.new_status, t.status) AS status
+        |  FROM target t FULL OUTER JOIN upd u ON t.key = u.key)
+        |SELECT status, count(*) AS n FROM merged
+        |GROUP BY status ORDER BY status""".stripMargin)
 }

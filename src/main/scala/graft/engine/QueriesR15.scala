@@ -231,7 +231,11 @@ object QueriesR15 {
     * O(table), which is the entire point of CDC at 100 TB.
     *
     * Determinism (§2.3): integers and strings only. */
-  def lakeChangeFeed(s: SparkSession, d: String): DataFrame = {
+  /** Builds the two-version merge table lake_change_feed /
+    * lake_ivm_refresh share: v0 = the orders base dimension, v1 =
+    * the SCD-1 merge rewrite. Returns (root, v0, v1). */
+  private def mergeLakeTable(s: SparkSession,
+                             d: String): (String, Long, Long) = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_lake_cdf").toString
     val v0 = LakeTable.append(
@@ -250,6 +254,14 @@ object QueriesR15 {
       .select(col("key"),
               coalesce(col("new_status"), col("status")).as("status"))
     val v1 = LakeTable.rewrite(merged, root)
+    (root, v0, v1)
+  }
+
+  /** The v0→v1 row delta classified Delta-CDF-style — shared by
+    * lake_change_feed (which emits it) and lake_ivm_refresh (which
+    * consumes it as the aggregate's incremental input). */
+  private def changeFeedFrame(s: SparkSession, root: String,
+                              v0: Long, v1: Long): DataFrame = {
     val before = LakeTable.read(s, root, Some(v0))
       .select(col("key"), col("status").as("old_status"))
     val after = LakeTable.read(s, root, Some(v1))
@@ -269,6 +281,43 @@ object QueriesR15 {
       .select(col("key"), col("c.status").as("status"),
               col("c.change_type").as("change_type"))
       .orderBy("key", "change_type")
+  }
+
+  def lakeChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val (root, v0, v1) = mergeLakeTable(s, d)
+    changeFeedFrame(s, root, v0, v1)
+  }
+
+  /** Incremental view maintenance from the change feed — what CDC
+    * exists FOR: the per-status count aggregate is refreshed from
+    * the v0 aggregate plus the feed's signed deltas (+1 for
+    * insert/update_postimage, −1 for delete/update_preimage) and
+    * must equal a full recompute over v1 — which is exactly what the
+    * oracle computes, so a wrong delta sign or a missed feed row
+    * breaks the hash. Refresh cost is O(churn) + O(aggregate), never
+    * O(table): at 100 TB the materialized aggregate updates from the
+    * day's change feed while the full recompute would rescan the
+    * lake.
+    *
+    * Scale shape: one aggregate over the v0 snapshot (in production,
+    * the PERSISTED materialized view — here recomputed once to seed
+    * it), one aggregate over the O(churn) feed, one |statuses|-row
+    * merge join. */
+  def lakeIvmRefresh(s: SparkSession, d: String): DataFrame = {
+    val (root, v0, v1) = mergeLakeTable(s, d)
+    val baseAgg = LakeTable.read(s, root, Some(v0))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    val deltas = changeFeedFrame(s, root, v0, v1)
+      .select(col("status"),
+        when(col("change_type").isin("insert", "update_postimage"),
+             lit(1L)).otherwise(lit(-1L)).as("w"))
+      .groupBy("status").agg(sum("w").as("dn"))
+    baseAgg.join(deltas, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"))
+      .filter(col("n") > 0)
+      .orderBy("status")
   }
 
   /** Data skipping through commit-log statistics — the lakehouse

@@ -286,6 +286,7 @@ object Registry {
     // Round-10: Pareto/ABC classification over the distributed prefix sum
     "orders_abc_pareto"     -> QueriesR15.ordersAbcPareto _,
     "events_activity_streaks" -> QueriesR15.eventsActivityStreaks _,
+    "lake_ivm_refresh"      -> QueriesR15.lakeIvmRefresh _,
   )
 
   val oracleSql: ListMap[String, String] =
