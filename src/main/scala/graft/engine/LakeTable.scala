@@ -280,6 +280,32 @@ object LakeTable {
       .filter(col(statsCol).cast("string").between(lo, hi))
   }
 
+  /** Incremental consumption — the reader half of the streaming
+    * story (the Delta `startingVersion` pattern): the rows ADDED by
+    * commits in (afterVersion, latest], for a downstream consumer
+    * that polls the log and keeps its own high-water mark. Valid on
+    * APPEND-ONLY ranges: a rewrite commit inside the range rewrote
+    * history (its adds duplicate surviving old rows), so it fails
+    * loudly instead of double-delivering — the consumer must
+    * re-seed from a snapshot, exactly Delta's documented behavior
+    * for non-append commits in a stream. Returns None when no new
+    * data committed (all-new-commits-empty included). */
+  def readSince(spark: SparkSession, root: String,
+                afterVersion: Long): Option[DataFrame] = {
+    val vs = versions(spark, root).filter(_ > afterVersion)
+    val commits = vs.map(v => readCommit(spark, root, v))
+    val rewrites = commits.filter(_.removes.nonEmpty).map(_.version)
+    require(rewrites.isEmpty,
+      s"lake: incremental read across rewrite commit(s) " +
+        s"${rewrites.mkString(",")} — re-seed from a snapshot " +
+        "(rewrites rewrite history; replaying their adds would " +
+        "double-deliver surviving rows)")
+    val dirs = commits.flatMap(_.adds)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$root/$d"): _*))
+  }
+
   /** Highest batchId `appId` has committed, from log replay — the
     * streaming writer's restart question. */
   def lastTxn(spark: SparkSession, root: String,

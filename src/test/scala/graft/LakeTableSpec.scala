@@ -176,6 +176,31 @@ class LakeTableSpec extends SparkTestBase {
       .count() == 10)
   }
 
+  test("readSince: incremental consumption covers exactly the new commits") {
+    val root = freshRoot("since")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root) // v0
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root) // v1
+    val mark = LakeTable.latestVersion(spark, root).get
+    // nothing new yet
+    assert(LakeTable.readSince(spark, root, mark).isEmpty)
+    LakeTable.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), root) // v2
+    LakeTable.append(Seq((5L, "e")).toDF("k", "v"), root)            // v3
+    val inc = LakeTable.readSince(spark, root, mark).get
+    assert(inc.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L), "increment must be exactly the new commits' rows")
+    // increment + snapshot-at-mark == full snapshot
+    assert(inc.count() + LakeTable.read(spark, root, Some(mark)).count()
+      == LakeTable.read(spark, root).count())
+    // a rewrite inside the range rewrote history: loud failure
+    LakeTable.rewrite(LakeTable.read(spark, root), root) // v4
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.readSince(spark, root, mark)
+    }
+    assert(e.getMessage.contains("re-seed"), e.getMessage)
+    // consuming from AFTER the rewrite works again
+    assert(LakeTable.readSince(spark, root, 4L).isEmpty)
+  }
+
   test("corrupt commit log fails loudly with the table's own error") {
     val root = freshRoot("corrupt")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
