@@ -263,19 +263,5 @@ object OracleR15 {
         |    coalesce(u.new_status, t.status) AS status
         |  FROM target t FULL OUTER JOIN upd u ON t.key = u.key)
         |SELECT status, count(*) AS n FROM merged
-        |GROUP BY status ORDER BY status""".stripMargin,
-
-    // DuckDB >> on BIGINT is arithmetic like Spark's shiftright;
-    // bit_count returns the same popcount on two's-complement longs.
-    "fn_bitwise" ->
-      """SELECT p_partkey,
-        |  p_partkey & 255 AS b_and,
-        |  p_partkey | 4096 AS b_or,
-        |  xor(CAST(p_partkey AS BIGINT), 6148914691236517205) AS b_xor,
-        |  CAST(p_partkey AS BIGINT) << 3 AS b_shl,
-        |  (CAST(p_partkey AS BIGINT) * -1) >> 2 AS b_ashr,
-        |  CAST(bit_count(CAST(p_partkey AS BIGINT)) AS INT) AS b_pop,
-        |  (CAST(p_partkey AS BIGINT) << 32) |
-        |    (CAST(p_partkey AS BIGINT) & 4294967295) AS b_pack
-        |FROM part ORDER BY p_partkey""".stripMargin)
+        |GROUP BY status ORDER BY status""".stripMargin)
 }

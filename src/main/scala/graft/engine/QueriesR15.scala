@@ -320,26 +320,6 @@ object QueriesR15 {
       .orderBy("status")
   }
 
-  /** Bitwise scalar matrix — the I-family corner the hash/sign keys
-    * use implicitly but never expose as a declared surface: AND / OR
-    * / XOR, shifts (arithmetic right — both engines sign-extend),
-    * popcount, and the pack-two-ints-into-one-long recipe
-    * (hi·2³² | lo — the composite-key trick sessionize and the
-    * sign-signature keys lean on). Row-level, shuffle-free,
-    * whole-stage-codegen'd; integers only (§2.3). */
-  def fnBitwise(s: SparkSession, d: String): DataFrame =
-    part(s, d).select(col("p_partkey"),
-      expr("p_partkey & 255").as("b_and"),
-      expr("p_partkey | 4096").as("b_or"),
-      expr("CAST(p_partkey AS BIGINT) ^ 6148914691236517205")
-        .as("b_xor"),
-      expr("shiftleft(CAST(p_partkey AS BIGINT), 3)").as("b_shl"),
-      expr("shiftright(CAST(p_partkey AS BIGINT) * -1, 2)")
-        .as("b_ashr"),
-      expr("bit_count(CAST(p_partkey AS BIGINT))").as("b_pop"),
-      expr("shiftleft(CAST(p_partkey AS BIGINT), 32) | " +
-           "(CAST(p_partkey AS BIGINT) & 4294967295)").as("b_pack"))
-      .orderBy("p_partkey")
 
   /** Data skipping through commit-log statistics — the lakehouse
     * read-path half the snapshot keys don't exercise: orders land in

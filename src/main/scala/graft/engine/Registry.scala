@@ -287,7 +287,6 @@ object Registry {
     "orders_abc_pareto"     -> QueriesR15.ordersAbcPareto _,
     "events_activity_streaks" -> QueriesR15.eventsActivityStreaks _,
     "lake_ivm_refresh"      -> QueriesR15.lakeIvmRefresh _,
-    "fn_bitwise"            -> QueriesR15.fnBitwise _,
   )
 
   val oracleSql: ListMap[String, String] =
