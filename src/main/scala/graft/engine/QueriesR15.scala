@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Round-10 keys: the ANN→MaxSim retrieval composition the r9
-  * verdict asked to prove (#3), plus the JPEG leg of the multimodal
-  * decode family (#5) — all under the §2.3 determinism discipline.
+  * verdict asked to prove (#3), the JPEG leg of the multimodal
+  * decode family (#5), the LakeTable transactional surface
+  * (time travel / merge / CDC / data skipping / schema evolution /
+  * clustered compaction / IVM refresh — the r9 "no transactional
+  * table format" gap), incremental ANN ingest, Pareto/ABC
+  * classification, and gaps-and-islands streaks — all under the
+  * §2.3 determinism discipline.
   */
 object QueriesR15 {
   import Tables._
