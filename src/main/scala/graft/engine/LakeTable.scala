@@ -30,6 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * LogStore posture, and like there, everything else (data files,
   * log bodies) is plain immutable-object I/O.
   *
+  * Deliberate non-goal: a DataSourceV2 connector. The read path
+  * delegates to `spark.read.parquet` over the log-selected
+  * directories, which keeps the built-in scan's vectorized reader,
+  * nested-column pruning, and row-group pushdown for free; a custom
+  * V2 `PartitionReader` would have to reimplement that machinery to
+  * add nothing but indirection — the log's job is choosing WHICH
+  * directories to hand the scan (snapshot, time travel, range
+  * stats), and that composes with the native reader as-is.
+  *
   * Scale shape: the log is O(commits) tiny JSON files and a
   * snapshot read is one replay + one parquet scan over the active
   * directories — no data-tree listing, no tombstone scans. Data

@@ -219,6 +219,50 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.read(spark, root, Some(0L)).count() == 1)
   }
 
+  test("property: random append/rewrite histories replay like the reference model") {
+    // model-based check of the log-replay semantics: an in-memory
+    // reference (the row multiset after each operation) must agree
+    // with the table's replay at EVERY version, for random operation
+    // sequences. Deterministic LCG seeds — reproducible.
+    var seed = 0x6a09e667f3bcc909L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 0 until 3) {
+      val root = freshRoot(s"prop$trial")
+      var model = Vector.empty[Vector[Long]] // row multiset per version
+      var next = 0L
+      for (_ <- 0 until 8) {
+        val op = nxt(3)
+        if (op < 2 || model.isEmpty) {
+          // append a random batch of fresh keys
+          val n = 1 + nxt(4)
+          val rows = (0 until n).map(_ => { next += 1; next }).toVector
+          LakeTable.append(rows.map(k => (k, s"v$k")).toDF("k", "v"), root)
+          model = model :+ (model.lastOption.getOrElse(Vector.empty) ++ rows)
+        } else {
+          // rewrite: keep a random subset of the current content
+          val cur = model.last
+          val kept = cur.filter(_ => nxt(2) == 0)
+          LakeTable.rewrite(
+            if (kept.isEmpty) Seq.empty[(Long, String)].toDF("k", "v")
+            else kept.map(k => (k, s"v$k")).toDF("k", "v"), root)
+          model = model :+ kept
+        }
+      }
+      // every version's replay equals the model at that version
+      for (v <- model.indices) {
+        val got =
+          if (model(v).isEmpty) Vector.empty
+          else LakeTable.read(spark, root, Some(v.toLong))
+            .select("k").as[Long].collect().toVector.sorted
+        assert(got == model(v).sorted,
+          s"trial $trial version $v: replay $got != model ${model(v).sorted}")
+      }
+    }
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
