@@ -527,4 +527,35 @@ object QueriesR15 {
            max("len").as("longest_streak"))
       .orderBy("user_id")
   }
+
+  /** Rolling 7-day distinct users from DAY SKETCHES — the third leg
+    * of the sketch time series (daily: events_hll_daily's first
+    * curve; cumulative: its prefix-merge; rolling: this): each
+    * calendar day's trailing-7-day reach is the register-max merge
+    * of ≤ 7 persisted day sketches. The day≤day band join is
+    * RANGE-BOUNDED (0 ≤ day − d2 < 7): O(span × 7) sketch rows,
+    * never O(span²) — the window-replication recipe
+    * events_rolling_wau uses on raw rows, applied to 4 KB sketches
+    * instead, which is what survives when a day's raw rows no
+    * longer fit a re-scan. No oracle by declaration (sketch values
+    * are engine-specific, the events_hll_daily contract); the bound
+    * test pins the curve inside the dense-HLL envelope of the EXACT
+    * rolling WAU key.
+    *
+    * Scale shape: sketches once per day (map-side-combined), then
+    * all merge work happens on the O(span)-row sketch frame. */
+  def eventsHllRolling7(s: SparkSession, d: String): DataFrame = {
+    Hll.register(s)
+    val daily = events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+    daily.select(col("day").as("d2"), col("sk"))
+      .join(daily.select("day"),
+        col("d2") <= col("day") && col("d2") > date_sub(col("day"), 7))
+      .groupBy("day")
+      .agg(expr("hll_estimate(hll_merge(sk))").as("wau_est"),
+           count(lit(1)).as("n_days_merged"))
+      .orderBy("day")
+  }
 }

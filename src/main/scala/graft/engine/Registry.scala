@@ -287,6 +287,7 @@ object Registry {
     "orders_abc_pareto"     -> QueriesR15.ordersAbcPareto _,
     "events_activity_streaks" -> QueriesR15.eventsActivityStreaks _,
     "lake_ivm_refresh"      -> QueriesR15.lakeIvmRefresh _,
+    "events_hll_rolling7"   -> QueriesR15.eventsHllRolling7 _,
   )
 
   val oracleSql: ListMap[String, String] =

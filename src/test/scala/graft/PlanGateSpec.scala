@@ -126,6 +126,13 @@ class PlanGateSpec extends SparkTestBase {
         ("the Ops.exactGroupRank slice-offset frames of the two median " +
          "passes: ≤ #types × #shuffle-partitions rows each — the " +
          "docs_perplexity_buckets metadata-frame case")),
+    "events_hll_rolling7" -> Map(
+      "bnlj_unbounded_build" ->
+        ("the RANGE-BOUNDED (0 ≤ day − d2 < 7) band join of the DAY-" +
+         "SKETCH frame: one 4 KB sketch row per day (grouped-by-day " +
+         "aggregate the structural rule cannot prove) — O(span × 7) " +
+         "pair surface, never O(events); the pre-r10 events_hll_daily " +
+         "triangular-join case, with the band bound making it linear")),
     "events_hll_daily" -> Map(
       "bnlj_unbounded_build" ->
         ("the s2 < slice predecessor-merge of the PER-SLICE total-" +

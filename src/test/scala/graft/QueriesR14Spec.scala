@@ -304,6 +304,30 @@ class QueriesR14Spec extends SparkTestBase {
       "merged reach must be monotone (register-wise max)")
   }
 
+  test("events_hll_rolling7: rolling reach inside the HLL envelope") {
+    val got = graft.engine.QueriesR15.eventsHllRolling7(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    got.foreach { case (day, est, merged) =>
+      // exact trailing-7-day distinct users over active days in range
+      val window = days.filter(d2 =>
+        d2 <= day && java.time.LocalDate.parse(d2)
+          .isAfter(java.time.LocalDate.parse(day).minusDays(7)))
+      assert(merged == window.size,
+        s"$day merged $merged sketch days, expected ${window.size}")
+      val exact = window.flatMap(byDay(_)).toSet.size
+      assert(math.abs(est - exact) <= math.max(3, exact / 20),
+        s"$day rolling est $est vs exact $exact")
+    }
+  }
+
   test("events_peak_concurrency matches a driver-side sweep") {
     val sess = graft.engine.Ops.sessionize(
         Tables.events(spark, sfDir), "user_id", "ts", "event_id",

@@ -13,7 +13,8 @@ class QueriesSpec extends SparkTestBase {
     // sketch values are engine-specific
     val noOracle = Set("distinct_approx", "agg_distinct_hll",
                        "agg_quantile_sketch", "agg_heavy_hitters",
-                       "agg_set_overlap", "events_hll_daily")
+                       "agg_set_overlap", "events_hll_daily",
+                       "events_hll_rolling7")
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"keys without oracle: $missing")
