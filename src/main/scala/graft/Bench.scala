@@ -41,11 +41,22 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_BENCH_GCSTATS=1: per-key stderr line with GC-time
+    // delta, heap use, and pinned-RDD count — the round-11 diagnostic
+    // for session-tail slowdown (a key whose wall time inflates only
+    // in full-session runs shows up here as GC time, not kernel time).
+    val gcStats = sys.env.get("SPARK_GRAFT_BENCH_GCSTATS").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     var keyIdx = 0
     var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       keyIdx += 1
       SessionHygiene.step(spark, keyIdx)
+      val gc0 = if (gcStats) gcMillis else 0L
       if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
       else {
         // Isolate rather than destroy — and PER KEY, not per JVM:
@@ -67,6 +78,12 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
           -1.0
         }
+      if (gcStats) {
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        val nPinned = spark.sparkContext.getPersistentRDDs.size
+        System.err.println(f"[gcstats] $name%-28s sec=$sec%7.3f gc_ms=${gcMillis - gc0}%6d heap_mb=$heapMb%6d pinned_rdds=$nPinned%4d")
+      }
       name -> sec
     }
     def jstr(s: String): String = JsonOut.str(s)

@@ -24,12 +24,19 @@ object SessionHygiene {
   private val enabled: Boolean =
     !sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("0")
 
-  /** Inter-key step: drop cached relations a key left behind, and
-    * every 20 keys nudge a full GC so the ContextCleaner reclaims
-    * localCheckpoint blocks / destroyed broadcasts before they pile
-    * into old-gen. */
+  /** Inter-key step: drop cached relations a key left behind,
+    * explicitly unpersist any still-pinned RDDs (localCheckpoint
+    * blocks live in the block manager until the RDD object is GC'd
+    * AND the async ContextCleaner drains — `clearCache` never touches
+    * them, and the round-11 instrumented session showed keys leaving
+    * 4–12 pinned RDD sets behind), and every 20 keys nudge a full GC
+    * so destroyed broadcasts follow. Safe between keys: no key reads
+    * another key's in-memory state (cross-key reuse goes through the
+    * on-disk artifact cache), and each key rebuilds its own frames. */
   def step(spark: SparkSession, keyIdx: Int): Unit = if (enabled) {
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     if (keyIdx % 20 == 0) System.gc()
   }
 }

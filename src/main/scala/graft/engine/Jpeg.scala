@@ -2,32 +2,45 @@ package graft.engine
 
 import java.io.ByteArrayOutputStream
 
-/** Pure-JVM baseline-sequential JPEG (JFIF) codec for 8-bit grayscale
-  * — the third leg of the multimodal decode family (PNG: chunk walk +
-  * inflate; WAV: RIFF walk; JPEG: entropy decode + IDCT), closing the
-  * "real crawls are mostly JPEG" gap (r9 verdict #5). Everything here
+/** Pure-JVM baseline-sequential JPEG (JFIF) codec — the third leg of
+  * the multimodal decode family (PNG: chunk walk + inflate; WAV: RIFF
+  * walk; JPEG: entropy decode + IDCT), closing the "real crawls are
+  * mostly JPEG" gap (r9 verdict #5) and, since round 11, the
+  * grayscale-only gap (r10 verdict #6): both 8-bit grayscale and
+  * 3-component 4:2:0 YCbCr baseline streams decode. Everything here
   * is public T.81/JFIF structure: marker segments (SOI/APP0/DQT/SOF0/
-  * DHT/SOS/EOI), the Annex K.1 luminance quantization table, the
-  * Annex K.3 typical luminance Huffman tables, canonical code
-  * construction from BITS/HUFFVAL, byte stuffing (FF 00), DC
-  * prediction, run/size AC coding with EOB/ZRL, zigzag ordering, and
-  * a double-precision IDCT.
+  * DHT/SOS/EOI), the Annex K.1/K.2 quantization tables, Annex K.3
+  * typical Huffman tables, canonical code construction from
+  * BITS/HUFFVAL, byte stuffing (FF 00), per-component DC prediction,
+  * run/size AC coding with EOB/ZRL, zigzag ordering, MCU-interleaved
+  * scans with 2x2/1x1/1x1 sampling (T.81 A.2), and a double-precision
+  * IDCT.
   *
-  * The encoder is the fixture half (the Png.encodeGray8 posture): it
-  * emits spec-complete baseline streams for arbitrary gray images.
-  * The decoder is the codec under test: a full baseline entropy
-  * decoder (any run/size AC layout, restart-free single scan) — not
-  * just the inverse of what the encoder happens to emit. JPEG is
-  * lossy in general; the multimodal_decode_jpeg fixture feeds blocks
-  * whose DCT is DC-only with exactly-quantizable DC (uniform blocks
-  * of even value), so the decoded image is bit-exact and the DuckDB
-  * oracle can restate it in closed form — agreement proves the
-  * marker walk, Huffman decode, dequant, and IDCT end-to-end.
+  * The encoders are the fixture half (the Png.encodeGray8 posture):
+  * they emit spec-complete baseline streams for arbitrary images. The
+  * decoder is the codec under test: a full baseline entropy decoder
+  * (any run/size AC layout, restart-free scans, tables taken from the
+  * stream's own DQT/DHT segments — not assumed) — not just the
+  * inverse of what the encoders happen to emit. JPEG is lossy in
+  * general; the multimodal_decode_jpeg fixtures feed blocks whose DCT
+  * is DC-only with exactly-quantizable DC (uniform luma blocks of
+  * even value; uniform chroma blocks at 128 + 17t, since the K.2
+  * table's Q(0,0) = 17), so the decoded image is bit-exact and the
+  * DuckDB oracle can restate it in closed form — agreement proves the
+  * marker walk, Huffman decode, dequant, MCU raster, and IDCT
+  * end-to-end.
+  *
+  * Untrusted-byte contract (fuzz-pinned): any input either decodes or
+  * throws IllegalArgumentException — every segment field read is
+  * bounded by BOTH the segment's declared length and the stream
+  * length, and standalone markers (TEM, RSTn, premature EOI) before
+  * SOS are handled explicitly instead of misreading payload bytes as
+  * a length.
   */
 object Jpeg {
 
   /** Annex K.1 luminance quantization table, natural (row-major)
-    * order. Q(0,0) = 16 is what makes the fixture's DC exactly
+    * order. Q(0,0) = 16 is what makes the luma fixture's DC exactly
     * quantizable: DC = 8·(v−128) with v even divides evenly. */
   val QuantLum: Array[Int] = Array(
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -38,6 +51,19 @@ object Jpeg {
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quantization table, natural order.
+    * Q(0,0) = 17: a uniform chroma block at 128 + 17t has DC = 8·17t,
+    * exactly quantizable — the color fixture's closed-form hook. */
+  val QuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
 
   /** Zigzag scan order: ZigZag(k) = natural index of the k-th
     * coefficient in scan order. */
@@ -80,6 +106,40 @@ object Jpeg {
     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Annex K.3.1 typical DC chrominance table. */
+  val DcBitsC: Array[Int] =
+    Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  val DcValsC: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.3.2 typical AC chrominance table. (The decoder takes its
+    * tables from the stream's DHT segments, so these are the ENCODER's
+    * fixture tables — any self-consistent canonical table works; these
+    * follow the published typical tables.) */
+  val AcBitsC: Array[Int] =
+    Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
   /** Canonical Huffman codes from BITS/HUFFVAL (T.81 C.2): returns
@@ -197,8 +257,67 @@ object Jpeg {
     else v
 
   // ---------------------------------------------------------------
-  // Encoder
+  // Encoders
   // ---------------------------------------------------------------
+
+  /** Forward-DCT, quantize, and entropy-code one level-shifted 8×8
+    * block sampled via `sample(x, y)` (block-local coordinates);
+    * returns the new DC predictor. */
+  private def encodeBlock(bw: BitWriter, sample: (Int, Int) => Int,
+                          quant: Array[Int],
+                          dcEnc: Map[Int, (Int, Int)],
+                          acEnc: Map[Int, (Int, Int)], pred: Int): Int = {
+    val coef = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sum += (sample(x, y) - 128) * CosTab(x)(v) * CosTab(y)(u)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        val s = 0.25 * cu * cv * sum
+        coef(u * 8 + v) = math.round(s / quant(u * 8 + v)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    // DC: differential, category + raw bits
+    val diff = coef(0) - pred
+    val s0 = category(diff)
+    val (c0, l0) = dcEnc(s0)
+    bw.put(c0, l0)
+    if (s0 > 0)
+      bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+    // AC: run/size with ZRL and EOB
+    var run = 0
+    var kk = 1
+    while (kk < 64) {
+      val ac = coef(ZigZag(kk))
+      if (ac == 0) run += 1
+      else {
+        while (run > 15) {
+          val (cz, lz) = acEnc(0xf0); bw.put(cz, lz); run -= 16
+        }
+        val sa = category(ac)
+        val (ca, la) = acEnc((run << 4) | sa)
+        bw.put(ca, la)
+        bw.put(if (ac >= 0) ac else ac + (1 << sa) - 1, sa)
+        run = 0
+      }
+      kk += 1
+    }
+    if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) }
+    coef(0)
+  }
 
   /** Encode an 8-bit grayscale image as baseline JFIF. `pixel(x, y)`
     * supplies values 0..255; dimensions need not be block-aligned
@@ -246,67 +365,116 @@ object Jpeg {
     val bw = new BitWriter
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
-    val coef = new Array[Int](64)
     var pred = 0
     var by = 0
     while (by < blocksY) {
       var bx = 0
       while (bx < blocksX) {
-        // forward DCT of the level-shifted block (border-replicated)
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var sum = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val px = pixel(math.min(bx * 8 + x, width - 1),
-                               math.min(by * 8 + y, height - 1)) - 128
-                sum += px * CosTab(x)(v) * CosTab(y)(u)
-                x += 1
-              }
-              y += 1
-            }
-            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-            val s = 0.25 * cu * cv * sum
-            coef(u * 8 + v) = math.round(s / QuantLum(u * 8 + v)).toInt
-            v += 1
-          }
-          u += 1
-        }
-        // DC: differential, category + raw bits
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val s0 = category(diff)
-        val (c0, l0) = dcEnc(s0)
-        bw.put(c0, l0)
-        if (s0 > 0)
-          bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
-        // AC: run/size with ZRL and EOB
-        var run = 0
-        var kk = 1
-        while (kk < 64) {
-          val ac = coef(ZigZag(kk))
-          if (ac == 0) run += 1
-          else {
-            while (run > 15) {
-              val (cz, lz) = acEnc(0xf0); bw.put(cz, lz); run -= 16
-            }
-            val sa = category(ac)
-            val (ca, la) = acEnc((run << 4) | sa)
-            bw.put(ca, la)
-            bw.put(if (ac >= 0) ac else ac + (1 << sa) - 1, sa)
-            run = 0
-          }
-          kk += 1
-        }
-        if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) }
+        pred = encodeBlock(bw,
+          (x, y) => pixel(math.min(bx * 8 + x, width - 1),
+                          math.min(by * 8 + y, height - 1)),
+          QuantLum, dcEnc, acEnc, pred)
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 YCbCr image as baseline JFIF (T.81 A.2: MCU =
+    * 2×2 luma blocks + 1 Cb + 1 Cr, interleaved single scan). `y`
+    * samples the full-resolution luma plane; `cb`/`cr` sample the
+    * HALF-resolution chroma planes (⌈w/2⌉ × ⌈h/2⌉ — 4:2:0 stores
+    * chroma at half resolution in both axes; no upsampling happens at
+    * encode). Edge blocks replicate the border sample per plane. */
+  def encodeColor420(width: Int, height: Int,
+                     y: (Int, Int) => Int, cb: (Int, Int) => Int,
+                     cr: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: empty image")
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def dqt(id: Int, t: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 1 + 64); u8(id)
+      var k = 0
+      while (k < 64) { u8(t(ZigZag(k))); k += 1 }
+    }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      for (i <- 1 to 16) u8(bits(i))
+      vals.foreach(u8)
+    }
+
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    dqt(0, QuantLum)
+    dqt(1, QuantChroma)
+    marker(0xc0) // SOF0: baseline, 8-bit, 3 components, 4:2:0
+    u16(8 + 3 * 3)
+    u8(8); u16(height); u16(width); u8(3)
+    u8(1); u8(0x22); u8(0) // Y: 2x2 sampling, qtable 0
+    u8(2); u8(0x11); u8(1) // Cb: 1x1, qtable 1
+    u8(3); u8(0x11); u8(1) // Cr: 1x1, qtable 1
+    dht(0, 0, DcBits, DcVals)
+    dht(1, 0, AcBits, AcVals)
+    dht(0, 1, DcBitsC, DcValsC)
+    dht(1, 1, AcBitsC, AcValsC)
+    marker(0xda) // SOS
+    u16(6 + 2 * 3)
+    u8(3)
+    u8(1); u8(0x00) // Y uses DC 0 / AC 0
+    u8(2); u8(0x11) // Cb uses DC 1 / AC 1
+    u8(3); u8(0x11) // Cr uses DC 1 / AC 1
+    u8(0); u8(63); u8(0)
+
+    val dcY = buildEncodeTable(DcBits, DcVals)
+    val acY = buildEncodeTable(AcBits, AcVals)
+    val dcC = buildEncodeTable(DcBitsC, DcValsC)
+    val acC = buildEncodeTable(AcBitsC, AcValsC)
+    val bw = new BitWriter
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // 4 luma blocks, left-to-right then top-to-bottom (T.81 A.2.3)
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            val ox = mx * 16 + hb * 8
+            val oy = my * 16 + vb * 8
+            predY = encodeBlock(bw,
+              (x, yy) => y(math.min(ox + x, width - 1),
+                           math.min(oy + yy, height - 1)),
+              QuantLum, dcY, acY, predY)
+            hb += 1
+          }
+          vb += 1
+        }
+        predCb = encodeBlock(bw,
+          (x, yy) => cb(math.min(mx * 8 + x, cw - 1),
+                        math.min(my * 8 + yy, ch - 1)),
+          QuantChroma, dcC, acC, predCb)
+        predCr = encodeBlock(bw,
+          (x, yy) => cr(math.min(mx * 8 + x, cw - 1),
+                        math.min(my * 8 + yy, ch - 1)),
+          QuantChroma, dcC, acC, predCr)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     out.write(bw.out.toByteArray)
@@ -321,110 +489,186 @@ object Jpeg {
   final case class Decoded(width: Int, height: Int, nBlocks: Int,
                            pixels: Array[Byte])
 
-  /** Decode a baseline-sequential single-component (grayscale) JFIF
-    * stream: full marker walk, canonical Huffman decode, dequant,
-    * de-zigzag, double-precision IDCT, level shift + clamp. Rejects
-    * progressive/multi-component/restart-interval streams loudly —
-    * honest scope, not silent garbage. */
-  def decodeGray8(bytes: Array[Byte]): Decoded = {
+  /** One decoded component plane at its NATIVE resolution
+    * (T.81 A.1.1: ⌈width·h/hmax⌉ × ⌈height·v/vmax⌉ — for 4:2:0 the
+    * chroma planes are half-size in both axes; no upsampling). */
+  final case class Plane(w: Int, h: Int, samples: Array[Byte])
+
+  /** Full decode result: planes in SOF component order (gray: 1 plane;
+    * YCbCr: Y, Cb, Cr). `nUnits` counts decoded 8×8 blocks across all
+    * components. */
+  final case class DecodedImage(width: Int, height: Int, nUnits: Int,
+                                planes: Array[Plane])
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int,
+                                var dcSel: Int = 0, var acSel: Int = 0)
+
+  /** Decode a baseline-sequential JFIF stream: full marker walk,
+    * canonical Huffman decode (tables from the stream's own DHT),
+    * dequant, de-zigzag, double-precision IDCT, level shift + clamp.
+    * Supports single-component (grayscale) scans and the dominant
+    * 3-component interleaved shape with sampling factors ≤ 2×2
+    * (4:2:0 / 4:2:2 / 4:4:4). Rejects progressive / restart-interval
+    * streams loudly — honest scope, not silent garbage.
+    *
+    * Untrusted-byte contract: IllegalArgumentException or success;
+    * every field read is bounded by the segment's declared length
+    * (not just the stream end), and standalone markers before SOS
+    * (TEM, RSTn) are skipped as zero-length while a premature EOI is
+    * rejected — neither misreads payload bytes as a length. */
+  def decode(bytes: Array[Byte]): DecodedImage = {
     require(bytes.length > 4 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "jpeg: missing SOI")
     var pos = 2
     var width = 0
     var height = 0
+    var comps: Array[Comp] = null
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[DecodeTable](4)
     val acTabs = new Array[DecodeTable](4)
-    var qSel = 0
-    var dcSel = 0
-    var acSel = 0
     var sosAt = -1
+    var scanComps: Array[Comp] = null
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (sosAt < 0) {
-      require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
+      require(pos + 2 <= bytes.length, "jpeg: truncated before SOS")
       require((bytes(pos) & 0xff) == 0xff, "jpeg: expected marker")
       val m = bytes(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      val seg = pos + 4
-      require(seg + len - 2 <= bytes.length,
-        f"jpeg: segment FF$m%02X (len=$len) runs past end of stream")
-      m match {
-        case 0xdb => // DQT: one or more tables in the segment
-          var p = seg
-          while (p < seg + len - 2) {
-            val pq = (bytes(p) & 0xff) >> 4
-            val tq = bytes(p) & 0x0f
-            require(pq == 0, "jpeg: 16-bit quant tables unsupported")
-            require(tq < 4, s"jpeg: quant table id $tq out of range")
-            require(p + 65 <= bytes.length, "jpeg: DQT runs past stream")
-            val t = new Array[Int](64)
+      // Standalone markers carry NO length field (T.81 B.1.1.3):
+      // reading one would misinterpret payload bytes as a length.
+      // TEM / RSTn before SOS are parametric no-ops; EOI here means
+      // the stream ended without a scan.
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else if (m == 0xd9) {
+        throw new IllegalArgumentException("jpeg: EOI before SOS")
+      } else {
+        require(pos + 4 <= bytes.length, "jpeg: truncated before SOS")
+        val len = u16(pos + 2)
+        require(len >= 2, f"jpeg: segment FF$m%02X declares length $len < 2")
+        val seg = pos + 4
+        val segEnd = seg + len - 2 // first byte past this segment's payload
+        require(segEnd <= bytes.length,
+          f"jpeg: segment FF$m%02X (len=$len) runs past end of stream")
+        m match {
+          case 0xdb => // DQT: one or more tables in the segment
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq == 0, "jpeg: 16-bit quant tables unsupported")
+              require(tq < 4, s"jpeg: quant table id $tq out of range")
+              require(p + 65 <= segEnd,
+                "jpeg: DQT table runs past its segment")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(ZigZag(i)) = bytes(p + 1 + i) & 0xff; i += 1
+              }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc0 => // SOF0 baseline
+            require(len >= 8, s"jpeg: SOF0 length $len too short")
+            require((bytes(seg) & 0xff) == 8, "jpeg: only 8-bit samples")
+            height = u16(seg + 1)
+            width = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3,
+              s"jpeg: $nc components; this decoder handles 1 or 3")
+            require(len >= 8 + 3 * nc,
+              s"jpeg: SOF0 length $len short for $nc components")
+            comps = Array.tabulate(nc) { i =>
+              val p = seg + 6 + 3 * i
+              val c = Comp(bytes(p) & 0xff, (bytes(p + 1) & 0xff) >> 4,
+                           bytes(p + 1) & 0x0f, bytes(p + 2) & 0x0f)
+              require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+                s"jpeg: sampling ${c.h}x${c.v} unsupported (max 2x2)")
+              require(c.tq < 4,
+                s"jpeg: SOF quant selector ${c.tq} out of range")
+              c
+            }
+            if (nc == 1)
+              require(comps(0).h == 1 && comps(0).v == 1,
+                "jpeg: subsampling on a single component")
+          case 0xc1 | 0xc2 | 0xc3 =>
+            throw new IllegalArgumentException(
+              f"jpeg: SOF$m%02X (non-baseline) unsupported")
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc < 2 && th < 4,
+                s"jpeg: huffman table class/id $tc/$th out of range")
+              require(p + 17 <= segEnd,
+                "jpeg: DHT counts run past their segment")
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) {
+                bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+              }
+              require(p + 17 + total <= segEnd,
+                "jpeg: DHT values run past their segment")
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+              val tab = new DecodeTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xdd =>
+            throw new IllegalArgumentException(
+              "jpeg: restart intervals unsupported")
+          case 0xda => // SOS
+            require(comps != null, "jpeg: SOS before SOF")
+            require(len >= 3, s"jpeg: SOS length $len too short")
+            val ns = bytes(seg) & 0xff
+            require(ns == comps.length,
+              s"jpeg: scan has $ns components, frame has ${comps.length} " +
+                "(partial scans unsupported)")
+            require(len >= 6 + 2 * ns,
+              s"jpeg: SOS length $len short for $ns components")
+            scanComps = new Array[Comp](ns)
             var i = 0
-            while (i < 64) {
-              t(ZigZag(i)) = bytes(p + 1 + i) & 0xff; i += 1
+            while (i < ns) {
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val sel = bytes(seg + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(
+                  s"jpeg: SOS names unknown component id $cid"))
+              c.dcSel = sel >> 4
+              c.acSel = sel & 0x0f
+              require(c.dcSel < 4 && c.acSel < 4,
+                s"jpeg: SOS table selectors ${c.dcSel}/${c.acSel} out of range")
+              scanComps(i) = c
+              i += 1
             }
-            quant(tq) = t
-            p += 65
-          }
-        case 0xc0 => // SOF0 baseline
-          require((bytes(seg) & 0xff) == 8, "jpeg: only 8-bit samples")
-          height = u16(seg + 1)
-          width = u16(seg + 3)
-          val nc = bytes(seg + 5) & 0xff
-          require(nc == 1,
-            s"jpeg: $nc components; this decoder is grayscale-only")
-          require((bytes(seg + 7) & 0xff) == 0x11,
-            "jpeg: subsampling on a single component")
-          qSel = bytes(seg + 8) & 0x0f
-          require(qSel < 4, s"jpeg: SOF quant selector $qSel out of range")
-        case 0xc1 | 0xc2 | 0xc3 =>
-          throw new IllegalArgumentException(
-            f"jpeg: SOF$m%02X (non-baseline) unsupported")
-        case 0xc4 => // DHT: one or more tables
-          var p = seg
-          while (p < seg + len - 2) {
-            val tc = (bytes(p) & 0xff) >> 4
-            val th = bytes(p) & 0x0f
-            require(tc < 2 && th < 4,
-              s"jpeg: huffman table class/id $tc/$th out of range")
-            require(p + 17 <= bytes.length, "jpeg: DHT runs past stream")
-            val bits = new Array[Int](17)
-            var total = 0
-            var i = 1
-            while (i <= 16) {
-              bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
-            }
-            require(p + 17 + total <= bytes.length,
-              "jpeg: DHT values run past stream")
-            val vals = new Array[Int](total)
-            i = 0
-            while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
-            val tab = new DecodeTable(bits, vals)
-            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
-            p += 17 + total
-          }
-        case 0xdd =>
-          throw new IllegalArgumentException(
-            "jpeg: restart intervals unsupported")
-        case 0xda => // SOS
-          val ns = bytes(seg) & 0xff
-          require(ns == 1, "jpeg: multi-component scan")
-          dcSel = (bytes(seg + 2) & 0xff) >> 4
-          acSel = bytes(seg + 2) & 0x0f
-          require(dcSel < 4 && acSel < 4,
-            s"jpeg: SOS table selectors $dcSel/$acSel out of range")
-          sosAt = seg + 1 + 2 * ns + 3
-        case _ => // APPn / COM / others: skip
+            sosAt = seg + 1 + 2 * ns + 3
+            require(sosAt <= bytes.length, "jpeg: SOS header truncated")
+          case _ => // APPn / COM / others: skip
+        }
+        pos = if (m == 0xda) sosAt else segEnd
       }
-      pos = seg + len - 2
-      if (m == 0xda) pos = sosAt
     }
     require(width > 0 && height > 0, "jpeg: SOS before SOF")
-    val q = quant(qSel)
-    require(q != null, "jpeg: missing quant table")
-    val dcT = dcTabs(dcSel)
-    val acT = acTabs(acSel)
-    require(dcT != null && acT != null, "jpeg: missing huffman table")
+    scanComps.foreach { c =>
+      require(quant(c.tq) != null, s"jpeg: missing quant table ${c.tq}")
+      require(dcTabs(c.dcSel) != null && acTabs(c.acSel) != null,
+        s"jpeg: missing huffman table for component ${c.id}")
+    }
+
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component native plane dims (T.81 A.1.1) and padded buffers
+    // sized to the MCU grid; cropped at the end
+    val planeW = comps.map(c => (width * c.h + hmax - 1) / hmax)
+    val planeH = comps.map(c => (height * c.v + vmax - 1) / vmax)
+    val padW = comps.map(c => mcusX * c.h * 8)
+    val buf = comps.indices.map(i =>
+      new Array[Byte](padW(i) * mcusY * comps(i).v * 8)).toArray
 
     val br = new BitReader(bytes, sosAt)
     def decodeHuff(t: DecodeTable): Int = {
@@ -438,69 +682,107 @@ object Jpeg {
       t.value(len, code)
     }
 
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
-    val pixels = new Array[Byte](width * height)
     val coef = new Array[Int](64)
-    var pred = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
-        java.util.Arrays.fill(coef, 0)
-        val s0 = decodeHuff(dcT)
-        pred += extend(br.bits(s0), s0)
-        coef(0) = pred * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeHuff(acT)
-          if (rs == 0x00) eob = true
-          else if (rs == 0xf0) k += 16
-          else {
-            k += rs >> 4
-            require(k < 64, "jpeg: AC run past block end")
-            val s = rs & 0x0f
-            val nat = ZigZag(k)
-            coef(nat) = extend(br.bits(s), s) * q(nat)
-            k += 1
-          }
-        }
-        // IDCT + level shift into the (cropped) output raster
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val px = bx * 8 + x
-            if (px < width && py < height) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val c = coef(u * 8 + v)
-                  if (c != 0) {
-                    val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-                    val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                    sum += cu * cv * c * CosTab(x)(v) * CosTab(y)(u)
-                  }
-                  v += 1
+    val preds = new Array[Int](comps.length)
+    var nUnits = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          val compIdx = comps.indexOf(c)
+          val q = quant(c.tq)
+          val dcT = dcTabs(c.dcSel)
+          val acT = acTabs(c.acSel)
+          var vb = 0
+          while (vb < c.v) {
+            var hb = 0
+            while (hb < c.h) {
+              java.util.Arrays.fill(coef, 0)
+              val s0 = decodeHuff(dcT)
+              require(s0 <= 11, s"jpeg: DC category $s0 out of range")
+              preds(compIdx) += extend(br.bits(s0), s0)
+              coef(0) = preds(compIdx) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff(acT)
+                if (rs == 0x00) eob = true
+                else if (rs == 0xf0) k += 16
+                else {
+                  k += rs >> 4
+                  require(k < 64, "jpeg: AC run past block end")
+                  val s = rs & 0x0f
+                  val nat = ZigZag(k)
+                  coef(nat) = extend(br.bits(s), s) * q(nat)
+                  k += 1
                 }
-                u += 1
               }
-              val s = math.round(0.25 * sum + 128).toInt
-              pixels(py * width + px) =
-                math.max(0, math.min(255, s)).toByte
+              nUnits += 1
+              // IDCT + level shift into the padded component buffer
+              val w = padW(compIdx)
+              val ox = (mx * c.h + hb) * 8
+              val oy = (my * c.v + vb) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    while (v < 8) {
+                      val cc = coef(u * 8 + v)
+                      if (cc != 0) {
+                        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+                        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+                        sum += cu * cv * cc * CosTab(x)(v) * CosTab(y)(u)
+                      }
+                      v += 1
+                    }
+                    u += 1
+                  }
+                  val s = math.round(0.25 * sum + 128).toInt
+                  buf(compIdx)((oy + y) * w + ox + x) =
+                    math.max(0, math.min(255, s)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              hb += 1
             }
-            x += 1
+            vb += 1
           }
-          y += 1
+          ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Decoded(width, height, blocksX * blocksY, pixels)
+    val planes = comps.indices.map { i =>
+      val pw = planeW(i)
+      val ph = planeH(i)
+      val w = padW(i)
+      val outPx = new Array[Byte](pw * ph)
+      var y = 0
+      while (y < ph) {
+        System.arraycopy(buf(i), y * w, outPx, y * pw, pw)
+        y += 1
+      }
+      Plane(pw, ph, outPx)
+    }.toArray
+    DecodedImage(width, height, nUnits, planes)
+  }
+
+  /** Grayscale decode — the round-10 surface, now a view over the
+    * general decoder: rejects multi-component streams, returns the
+    * single luma plane. */
+  def decodeGray8(bytes: Array[Byte]): Decoded = {
+    val img = decode(bytes)
+    require(img.planes.length == 1,
+      s"jpeg: ${img.planes.length} components; this decoder is grayscale-only")
+    Decoded(img.width, img.height, img.nUnits, img.planes(0).samples)
   }
 }

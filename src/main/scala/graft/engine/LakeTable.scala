@@ -86,10 +86,16 @@ object LakeTable {
     * an optional (appId, batchId) idempotence token — the
     * exactly-once handshake for streaming writers (the Delta
     * `txn`-action pattern): a re-delivered microbatch finds its
-    * batchId already in the log and becomes a no-op. */
+    * batchId already in the log and becomes a no-op. `stats` is the
+    * legacy single-column [min, max] per directory; `colStats` is
+    * the multi-column generalization (dir → column → [min, max])
+    * that 2-D clustering writes so a two-predicate range read can
+    * prune on both dimensions. */
   case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
                     txn: Option[(String, Long)] = None,
-                    stats: Map[String, (String, String)] = Map.empty)
+                    stats: Map[String, (String, String)] = Map.empty,
+                    colStats: Map[String, Map[String, (String, String)]] =
+                      Map.empty)
 
   private def readCommit(spark: SparkSession, root: String,
                          version: Long): Commit = {
@@ -124,8 +130,16 @@ object LakeTable {
                      e.getValue.get("max").asText())
       }.toMap
     }.getOrElse(Map.empty[String, (String, String)])
+    val colStats = Option(node.get("colstats")).map { s =>
+      s.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { c =>
+          c.getKey -> (c.getValue.get("min").asText(),
+                       c.getValue.get("max").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (String, String)]])
     Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
-           stats)
+           stats, colStats)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -151,6 +165,17 @@ object LakeTable {
         val o = st.putObject(dir)
         o.put("min", mn)
         o.put("max", mx)
+      }
+    }
+    if (commit.colStats.nonEmpty) {
+      val st = json.putObject("colstats")
+      commit.colStats.foreach { case (dir, cols) =>
+        val d = st.putObject(dir)
+        cols.foreach { case (c, (mn, mx)) =>
+          val o = d.putObject(c)
+          o.put("min", mn)
+          o.put("max", mx)
+        }
       }
     }
     val bytes = mapper.writeValueAsBytes(json)
@@ -274,6 +299,61 @@ object LakeTable {
       stats.get(d).forall { case (mn, mx) => mx >= lo && mn <= hi })
   }
 
+  /** Numeric-aware stat comparison: both sides parsing as numbers
+    * compare numerically (so an integer key column needs no zero
+    * padding), anything else lexicographically (dates qualify). */
+  private def statLeq(a: String, b: String): Boolean =
+    (toNum(a), toNum(b)) match {
+      case (Some(x), Some(y)) => x <= y
+      case _                  => a <= b
+    }
+  private def toNum(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+
+  /** The active directories whose recorded per-COLUMN [min, max]
+    * intersects EVERY requested (col, lo, hi) predicate — the
+    * multi-dimension pruning a Z-ordered layout exists for.
+    * Directories without stats on a requested column always survive
+    * (stats are an optimization, never a correctness filter). */
+  def rangeDirs2(spark: SparkSession, root: String,
+                 preds: Seq[(String, String, String)],
+                 asOf: Option[Long] = None): Seq[String] = {
+    val stats = versions(spark, root)
+      .map(v => readCommit(spark, root, v))
+      .flatMap(_.colStats)
+      .toMap
+    activeDirs(spark, root, asOf).filter { d =>
+      preds.forall { case (c, lo, hi) =>
+        stats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
+          statLeq(lo, mx) && statLeq(mn, hi)
+        }
+      }
+    }
+  }
+
+  /** Multi-predicate range read through the log's per-column stats:
+    * scans only the directories every predicate's range intersects,
+    * then applies all row-level predicates on top — skipping changes
+    * WHAT IS SCANNED, never what is returned. */
+  def readRange2(spark: SparkSession, root: String,
+                 preds: Seq[(String, String, String)],
+                 asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = rangeDirs2(spark, root, preds, asOf)
+    if (dirs.isEmpty) return read(spark, root, asOf).limit(0)
+    preds.foldLeft(
+      spark.read.parquet(dirs.map(d => s"$root/$d"): _*)) {
+      case (df, (c, lo, hi)) =>
+        // numeric bounds compare numerically (matching statLeq), string
+        // bounds (dates) lexicographically on the casted string
+        df.filter((toNum(lo), toNum(hi)) match {
+          case (Some(l), Some(h)) =>
+            col(c).cast("double").between(l.toDouble, h.toDouble)
+          case _ => col(c).cast("string").between(lo, hi)
+        })
+    }
+  }
+
   /** Range read through the log's stats: scans only the directories
     * `rangeDirs` keeps and applies the row-level predicate on top —
     * skipping changes WHAT IS SCANNED, never what is returned. */
@@ -335,24 +415,45 @@ object LakeTable {
   def appendTxn(df: DataFrame, root: String, appId: String,
                 batchId: Long): Option[Long] = {
     val spark = df.sparkSession
+    // The data directory is written ONCE and reused across commit
+    // retries (its name embeds the version of the attempt that wrote
+    // it, but the name is only an identifier — the log, not the name,
+    // carries the version). Without the reuse, every lost race left an
+    // orphaned unreferenced directory that vacuum (which only walks
+    // ever-ADDED dirs) could never reclaim.
+    var dataDir: Option[String] = None
+    def dropOrphan(): Unit = dataDir.foreach { d =>
+      fs(spark, root).delete(new Path(root, d), true)
+      dataDir = None
+    }
     var attempt = 0
     while (true) {
-      if (lastTxn(spark, root, appId).exists(_ >= batchId)) return None
+      if (lastTxn(spark, root, appId).exists(_ >= batchId)) {
+        // the batch committed elsewhere (or on our own earlier,
+        // half-acknowledged attempt): our unreferenced copy is garbage
+        dropOrphan()
+        return None
+      }
       val next = latestVersion(spark, root).getOrElse(-1L) + 1
       val adds =
         if (df.isEmpty) Seq.empty
         else {
-          val dir = f"data-v$next%010d-" +
-            java.util.UUID.randomUUID().toString.take(8)
-          df.write.mode("errorifexists").parquet(s"$root/$dir")
-          Seq(dir)
+          if (dataDir.isEmpty) {
+            val dir = f"data-v$next%010d-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            df.write.mode("errorifexists").parquet(s"$root/$dir")
+            dataDir = Some(dir)
+          }
+          Seq(dataDir.get)
         }
       try {
         writeCommit(spark, root,
           Commit(next, adds, Seq.empty, Some((appId, batchId))))
         return Some(next)
       } catch {
-        case _: CommitConflictException if attempt < 20 => attempt += 1
+        case e: CommitConflictException =>
+          if (attempt < 20) attempt += 1
+          else { dropOrphan(); throw e } // give up clean — no orphan
       }
     }
     None // unreachable
@@ -450,10 +551,86 @@ object LakeTable {
     next
   }
 
+  /** 2-D clustered rewrite — the Z-ORDER core (r10 verdict #5): the
+    * table content is laid out on the bit-interleaved Morton code of
+    * its two cluster columns (each scaled to 16 bits by min/max
+    * normalization — the public Delta OPTIMIZE ZORDER recipe), range-
+    * partitioned into `buckets` contiguous z-slices, each slice
+    * landing as its own data directory with per-directory [min, max]
+    * recorded for BOTH columns in the commit log. Because the Morton
+    * curve alternates bits, every z-contiguous slice is a small
+    * rectangle-ish region of the (A, B) plane — so a range predicate
+    * on EITHER column (or both) prunes directories, which no 1-D sort
+    * can offer. One atomic commit; readers see the old layout or the
+    * new, never a mix.
+    *
+    * Column ordinals: numeric columns cast directly; string/date
+    * columns map through their days-since-epoch ordinal. The scaling
+    * min/max is one 1-row aggregate (a driver-side constant, the
+    * appendPartitioned stats posture). The range exchange on the
+    * z-value is the only shuffle; no global sort. */
+  def rewriteClustered2D(df: DataFrame, root: String, colA: String,
+                         colB: String, buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, expr, max, min,
+      spark_partition_id}
+    val spark = df.sparkSession
+    Exprs.register(spark) // zorder2
+    val prev = activeDirs(spark, root)
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val base = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    def ordSql(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType =>
+        s"CAST(datediff(CAST(`$c` AS DATE), DATE '1970-01-01') AS DOUBLE)"
+      case _ => s"CAST(`$c` AS DOUBLE)"
+    }
+    val bounds = df.agg(min(expr(ordSql(colA))), max(expr(ordSql(colA))),
+                        min(expr(ordSql(colB))), max(expr(ordSql(colB))))
+      .head()
+    def scaleSql(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, 1e-9)
+      s"CAST(floor((${ordSql(c)} - $lo) / $span * 65535.0) AS BIGINT)"
+    }
+    val z = expr(s"zorder2(${scaleSql(colA, bounds.getDouble(0),
+        bounds.getDouble(1))}, " +
+      s"${scaleSql(colB, bounds.getDouble(2), bounds.getDouble(3))})")
+    df.repartitionByRange(buckets, z)
+      .withColumn("__bucket", spark_partition_id())
+      .write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$root/$base")
+    val f = fs(spark, root)
+    val leaves = f.listStatus(new Path(root, base)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .sorted
+      .map(n => s"$base/$n")
+    val statRows = spark.read.parquet(s"$root/$base")
+      .groupBy("__bucket")
+      .agg(min(col(colA)).cast("string"), max(col(colA)).cast("string"),
+           min(col(colB)).cast("string"), max(col(colB)).cast("string"))
+      .collect()
+      .map(r => s"$base/__bucket=${r.get(0)}" -> Map(
+        colA -> (r.getString(1), r.getString(2)),
+        colB -> (r.getString(3), r.getString(4))))
+      .toMap
+    writeCommit(spark, root,
+      Commit(next, leaves, prev, None, Map.empty,
+             leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap))
+    next
+  }
+
   /** Physically delete data directories no longer referenced by any
     * version ≥ `retainFrom` — the explicit time-travel trade.
-    * Directories referenced by ANY retained snapshot survive.
-    * Returns the deleted directory names. */
+    *
+    * Retention contract (spec-pinned): a reader holding any version
+    * ≥ `retainFrom` ALWAYS succeeds afterwards — every directory any
+    * retained snapshot references survives. A reader pinned BELOW
+    * `retainFrom` whose snapshot referenced a reclaimed directory
+    * fails loudly at scan time (missing input path) — vacuum trades
+    * exactly that history away, never silently serves partial data
+    * (the log entry still exists, so `read(asOf)` resolves; the scan,
+    * not the replay, surfaces the reclamation). Returns the deleted
+    * directory names. */
   def vacuum(spark: SparkSession, root: String, retainFrom: Long): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.contains(retainFrom),
@@ -465,5 +642,46 @@ object LakeTable {
     val doomed = everAdded.distinct.filterNot(retained)
     doomed.foreach(d => f.delete(new Path(root, d), true))
     doomed
+  }
+}
+
+/** Content-addressed CACHED lake-table roots — P6 applied to the
+  * lake keys' multi-version fixture tables (r10 verdict #3): building
+  * a fixture (appends + merge/rewrite commits) is deterministic in
+  * (source content × build spec), so the first invocation pays the
+  * transaction machinery once into the shared artifact root and every
+  * later Verify/Bench invocation replays the commit log only — the
+  * bench rows time the READ path the keys exist to prove, and /tmp no
+  * longer accretes one full table copy per invocation (the r10 ADVICE
+  * leak). Same install discipline as [[ArtifactCache]]: build into an
+  * `.inflight-` scratch, mark ready, rename into place; a corpse
+  * without the ready marker is healed, a lost rename race discards
+  * the scratch copy. (A lake root is a directory tree with its own
+  * `_graft_log`, not a single parquet dir — hence this sibling of
+  * `materializeKeyed` rather than a reuse: the ready marker plays
+  * _SUCCESS's role for the whole tree, and everything in the log is
+  * root-relative so the rename is semantics-free.) */
+object LakeFixtures {
+  private val ReadyMarker = "_GRAFT_LAKE_READY"
+
+  /** Returns the root of the cached fixture named `name` for content
+    * `hash`, building it via `build(root)` on a miss. */
+  def cached(spark: SparkSession, name: String, hash: String)(
+      build: String => Unit): String = {
+    val dir = new Path(s"${Artifacts.cacheRoot}/$name-$hash")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ready = new Path(dir, ReadyMarker)
+    if (!f.exists(ready)) {
+      val scratch = new Path(
+        s"${Artifacts.cacheRoot}/.inflight-$name-$hash-${System.nanoTime()}")
+      build(scratch.toString)
+      f.create(new Path(scratch, ReadyMarker), true).close()
+      // heal a corpse from a killed build, then install unless a
+      // concurrent winner appeared (the ArtifactCache rename race)
+      if (f.exists(dir) && !f.exists(ready)) f.delete(dir, true)
+      if (f.exists(dir) || !f.rename(scratch, dir))
+        f.delete(scratch, true)
+    }
+    dir.toString
   }
 }
