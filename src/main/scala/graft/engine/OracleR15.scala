@@ -23,9 +23,15 @@ object OracleR15 {
         |                  ELSE 1::BIGINT << (i - 1) END) AS sig
         |         FROM ex GROUP BY vec_id),
         |sg AS (SELECT vec_id // 5 AS doc, sig FROM bits),
-        |qband AS (SELECT DISTINCT doc AS qdoc, b,
-        |            (sig >> (8 * b)) & 255 AS val
-        |          FROM sg, range(0, 8) t(b) WHERE doc % 10 = 0),
+        |qb0 AS (SELECT DISTINCT doc AS qdoc, b,
+        |          (sig >> (8 * b)) & 255 AS val
+        |        FROM sg, range(0, 8) t(b) WHERE doc % 10 = 0),
+        |qband AS (SELECT DISTINCT qdoc, b,
+        |            xor(val, CASE WHEN i = 0 THEN 0
+        |                     WHEN i = 1 THEN 1::BIGINT << CAST(b AS INT)
+        |                     ELSE 1::BIGINT << CAST((b + 4) % 8 AS INT)
+        |                END) AS val
+        |          FROM qb0, range(0, 3) f(i)),
         |cband AS (SELECT DISTINCT doc, b, (sig >> (8 * b)) & 255 AS val
         |          FROM sg, range(0, 8) t(b) WHERE doc % 10 <> 0),
         |cand AS (SELECT DISTINCT qdoc, doc

@@ -85,7 +85,13 @@ object QueriesR14 {
       s: SparkSession, d: String, cap: Int): DataFrame = {
     val pairs = jaccardBipartitePairs(s, d)
     val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
-    val capped = jaccardCappedEdges(pairs, cap)
+    // The capped edge set is deterministic in (pairs content, cap) —
+    // a P6 artifact like the pair table itself (r10 verdict #7): the
+    // topk_by_score cap computation runs once per corpus, and both
+    // sides of the self-join below scan the materialized parquet.
+    val capped = ArtifactCache.materialize(
+      jaccardCappedEdges(pairs, cap), Artifacts.cacheRoot,
+      s"jaccard_capped_edges_v1_cap$cap")
     // The probe side explodes ~deg(cust)× in the join, so its task
     // count must not be input-size-bound: the tiny artifact scan
     // arrives as ONE file-bin (4.7 s single-task probe at sf0.1);

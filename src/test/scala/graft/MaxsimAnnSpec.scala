@@ -3,16 +3,19 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Grades the composed ANN→MaxSim key (r9 verdict #3) against the
-  * brute-force emb_maxsim_topk ground truth: the sign-band candidate
-  * generator must recover a pinned fraction of the exact top-5 while
-  * genuinely pruning the pair surface — the recall/efficiency trade
-  * every deployed ANN index is graded on (the emb_recall_matrix
-  * posture, applied to the late-interaction kernel).
+  * brute-force emb_maxsim_topk ground truth: the multi-probed
+  * sign-band candidate generator must recover a pinned fraction of
+  * the exact top-5 while genuinely pruning the pair surface — the
+  * recall/efficiency trade every deployed ANN index is graded on
+  * (the emb_recall_matrix posture, applied to the late-interaction
+  * kernel). Round 11 raised the recall floor from 0.5 to 0.85 (the
+  * r10 verdict task): one-bit-flip multi-probing of the query bands
+  * lifted measured recall@5 from 0.64 to 1.0 at the fixture SFs.
   */
 class MaxsimAnnSpec extends SparkTestBase {
   import graft.engine.{QueriesR14, QueriesR15}
 
-  test("ANN-candidate MaxSim recovers >= 50% of the exact top-5") {
+  test("ANN-candidate MaxSim recovers >= 85% of the exact top-5") {
     val exact = QueriesR14.embMaxsimTopk(spark, sfDir)
       .select("qdoc", "doc")
     val ann = QueriesR15.embMaxsimAnn(spark, sfDir)
@@ -21,32 +24,45 @@ class MaxsimAnnSpec extends SparkTestBase {
     assert(nExact > 0, "empty ground truth")
     val hits = exact.join(ann, Seq("qdoc", "doc"), "left_semi").count()
     val recall = hits.toDouble / nExact
-    // 0.64 at the fixture SFs; pinned with margin — the random-ish
-    // fixture vectors are the sign-band worst case
-    assert(recall >= 0.5,
-      f"recall@5 $recall%.3f below the 0.5 floor ($hits/$nExact)")
+    // 1.0 measured at sf0.001 and sf0.01; pinned with margin
+    assert(recall >= 0.85,
+      f"recall@5 $recall%.3f below the 0.85 floor ($hits/$nExact)")
   }
 
   test("band candidates genuinely prune the pair surface") {
-    // every scored pair came through a shared (band, value) bucket:
-    // the ANN result can never contain MORE (qdoc, doc) pairs than
-    // the full cross surface, and at the fixture it must be a strict
-    // subset (some exact top-5 pairs share no band — recall < 1)
+    // the efficiency half of the trade: the multi-probe must not
+    // degenerate to all-pairs. Count the CANDIDATE surface itself
+    // (before the exact kernel) against the full qdoc × doc cross
+    // product — at the fixture's random-ish vectors (sign-banding's
+    // adversarial case) the probed band join must still discard a
+    // meaningful fraction of the cross product.
+    val cand = QueriesR15.embMaxsimAnnCandidates(spark, sfDir)
+    val nQ = cand.select("qdoc").distinct().count()
+    val nC = cand.select("doc").distinct().count()
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(expr("vec_id div 5").as("doc")).distinct()
+    val allQ = emb.filter(col("doc") % 10 === 0).count()
+    val allC = emb.filter(col("doc") % 10 =!= 0).count()
+    val surface = cand.count()
+    val cross = allQ * allC
+    assert(surface < cross,
+      s"candidate surface $surface equals/exceeds the $cross cross " +
+        "product — the band join is not pruning at all")
+    info(f"pair surface: $surface/$cross = ${surface.toDouble / cross}%.3f " +
+      s"(qdocs probed: $nQ/$allQ, docs reached: $nC/$allC)")
+    // and nothing is invented: ANN pairs score with the same exact
+    // kernel, so any pair ANN ranks top-5 that brute force does not
+    // must have been DISPLACED by a missed better pair, never a new doc
     val exact = QueriesR14.embMaxsimTopk(spark, sfDir)
       .select("qdoc", "doc")
     val ann = QueriesR15.embMaxsimAnn(spark, sfDir)
       .select("qdoc", "doc")
-    val missed = exact.join(ann, Seq("qdoc", "doc"), "left_anti").count()
-    assert(missed > 0,
-      "ANN result equals brute force at the fixture — the band join is " +
-        "not actually pruning (candidate generation degenerated to the " +
-        "full cross product)")
-    // and nothing is invented: ANN pairs score with the same exact
-    // kernel, so any pair ANN ranks top-5 that brute force does not
-    // must have been DISPLACED by a missed better pair, never a new doc
     val annOnly = ann.join(exact, Seq("qdoc", "doc"), "left_anti")
-    val perQ = annOnly.groupBy("qdoc").count()
-      .agg(max("count")).head.getLong(0)
-    assert(perQ <= 5, s"a query gained $perQ > 5 non-exact pairs")
+    if (annOnly.isEmpty) ()
+    else {
+      val perQ = annOnly.groupBy("qdoc").count()
+        .agg(max("count")).head.getLong(0)
+      assert(perQ <= 5, s"a query gained $perQ > 5 non-exact pairs")
+    }
   }
 }
