@@ -288,6 +288,12 @@ object Registry {
     "events_activity_streaks" -> QueriesR15.eventsActivityStreaks _,
     "lake_ivm_refresh"      -> QueriesR15.lakeIvmRefresh _,
     "events_hll_rolling7"   -> QueriesR15.eventsHllRolling7 _,
+    // Round-11: 2-D Z-order read path, SUM/AVG IVM with signed deltas,
+    // and the 4:2:0 YCbCr color leg of the JPEG decode family
+    "lake_zorder_2d"        -> QueriesR16.lakeZorder2d _,
+    "lake_ivm_sumavg"       -> QueriesR16.lakeIvmSumavg _,
+    "lake_change_feed_deletes" -> QueriesR16.lakeChangeFeedDeletes _,
+    "multimodal_decode_jpeg_color" -> QueriesR16.multimodalDecodeJpegColor _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -295,5 +301,6 @@ object Registry {
       OracleDocs.sql ++ OracleExtra.sql ++ OracleDedup.sql ++ OracleR2.sql ++
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
-      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++ OracleR15.sql
+      OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
+      OracleR15.sql ++ OracleR16.sql
 }

@@ -108,6 +108,118 @@ class JpegSpec extends AnyFunSuite {
       "validation paths are not being exercised")
   }
 
+  test("color 4:2:0: exactly-quantizable uniform blocks roundtrip bit-exactly") {
+    // luma: even values (K.1 Q(0,0)=16 | 8(v-128)); chroma: 128+17t
+    // (K.2 Q(0,0)=17 | 8*17t) — the color oracle's closed-form hook
+    val w = 32; val h = 16 // 2x1 MCUs
+    def yv(x: Int, y: Int) = 2 * (((y / 8) * 4 + (x / 8)) * 29 % 128)
+    def cbv(cx: Int, cy: Int) = 128 + 17 * ((cx / 8 + cy / 8) % 15 - 7)
+    def crv(cx: Int, cy: Int) = 128 - 17 * ((cx / 8) % 8 - 4)
+    val blob = Jpeg.encodeColor420(w, h, yv, cbv, crv)
+    val img = Jpeg.decode(blob)
+    assert(img.width == w && img.height == h && img.planes.length == 3)
+    assert(img.nUnits == 2 * (4 + 1 + 1), "2 MCUs x (4 Y + Cb + Cr)")
+    val Array(py, pcb, pcr) = img.planes
+    assert(py.w == w && py.h == h)
+    assert(pcb.w == w / 2 && pcb.h == h / 2, "chroma at half resolution")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((py.samples(y * w + x) & 0xff) == yv(x, y),
+        s"Y($x,$y)")
+    for (cy <- 0 until h / 2; cx <- 0 until w / 2) {
+      assert((pcb.samples(cy * pcb.w + cx) & 0xff) == cbv(cx, cy),
+        s"Cb($cx,$cy)")
+      assert((pcr.samples(cy * pcr.w + cx) & 0xff) == crv(cx, cy),
+        s"Cr($cx,$cy)")
+    }
+  }
+
+  test("color 4:2:0: general content decodes plausibly per channel") {
+    // non-aligned dims (crop + border replication on all 3 planes)
+    // and dense AC content through both table families
+    val w = 27; val h = 22
+    def yv(x: Int, y: Int) = ((x * 7919 + y * 104729) ^ (x * y)) & 0xff
+    def cv(cx: Int, cy: Int) = (cx * 11 + cy * 7) % 256
+    val blob = Jpeg.encodeColor420(w, h, yv, cv, (cx, cy) => cv(cy, cx))
+    val img = Jpeg.decode(blob)
+    assert(img.width == w && img.height == h)
+    assert(img.planes(0).w == w && img.planes(0).h == h)
+    assert(img.planes(1).w == (w + 1) / 2 && img.planes(1).h == (h + 1) / 2)
+    var sumErr = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sumErr += math.abs((img.planes(0).samples(y * w + x) & 0xff) - yv(x, y))
+    assert(sumErr.toDouble / (w * h) < 40,
+      s"luma mean abs error ${sumErr.toDouble / (w * h)}")
+    // the smooth chroma ramp must reconstruct tightly
+    var cbErr = 0
+    val pcb = img.planes(1)
+    for (cy <- 0 until pcb.h; cx <- 0 until pcb.w)
+      cbErr = math.max(cbErr,
+        math.abs((pcb.samples(cy * pcb.w + cx) & 0xff) - cv(cx, cy)))
+    assert(cbErr <= 96, s"chroma max error $cbErr")
+  }
+
+  test("fuzz: corrupted COLOR streams fail cleanly, never uncontrolled") {
+    // untrusted-byte parity with the gray path (r10 verdict #6)
+    val base = Jpeg.encodeColor420(24, 16,
+      (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff,
+      (cx, cy) => (cx * 11 + cy * 7) % 256,
+      (cx, cy) => (cx * 5 + cy * 13) % 256)
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 0 until 1000) {
+      val b = base.clone()
+      val flips = 1 + nxt(3)
+      for (_ <- 0 until flips) b(nxt(b.length)) = nxt(256).toByte
+      try { Jpeg.decode(b); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 1000)
+    assert(rejected > 0)
+  }
+
+  test("standalone markers before SOS: RST/TEM skipped, premature EOI rejected") {
+    val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
+    // splice a standalone RST0 (no length field) right after SOI: a
+    // length-reading walk would misparse the next marker's bytes
+    val withRst = ok.take(2) ++ Array(0xff.toByte, 0xd0.toByte) ++ ok.drop(2)
+    val dec = Jpeg.decodeGray8(withRst)
+    assert(dec.width == 8 && (dec.pixels(0) & 0xff) == 100)
+    // TEM likewise
+    val withTem = ok.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ ok.drop(2)
+    assert(Jpeg.decodeGray8(withTem).height == 8)
+    // a premature EOI is a loud rejection, not a garbage length read
+    val withEoi = ok.take(2) ++ Array(0xff.toByte, 0xd9.toByte) ++ ok.drop(2)
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeGray8(withEoi) }
+    assert(e.getMessage.contains("EOI before SOS"), e.getMessage)
+  }
+
+  test("segment fields are bounded by the declared segment length") {
+    // shrink SOF0's declared length below its field size: the reads
+    // must fail with the decoder's own error, not run into the next
+    // segment's bytes (the r10 ADVICE bound gap)
+    val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
+    val sofAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    val shrunk = ok.clone()
+    shrunk(sofAt + 2) = 0; shrunk(sofAt + 3) = 4 // len=4 < 8+3
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeGray8(shrunk) }
+    assert(e.getMessage.contains("SOF0 length"), e.getMessage)
+    // DHT declaring fewer bytes than its value table needs
+    val dhtAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc4).get
+    val shrunkDht = ok.clone()
+    shrunkDht(dhtAt + 2) = 0; shrunkDht(dhtAt + 3) = 10 // < 2+1+16
+    val e2 = intercept[IllegalArgumentException] {
+      Jpeg.decodeGray8(shrunkDht)
+    }
+    assert(e2.getMessage.contains("jpeg"), e2.getMessage)
+  }
+
   test("rejects what it cannot decode, loudly") {
     val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
     // missing SOI

@@ -176,6 +176,118 @@ class LakeTableSpec extends SparkTestBase {
       .count() == 10)
   }
 
+  test("2-D clustered rewrite prunes on BOTH dimensions") {
+    val root = freshRoot("z2d")
+    // a 32x32 (a, b) grid landed in two arrival-order appends:
+    // nothing prunable on either column
+    val grid = for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, b.toLong, (a * 32 + b).toLong)
+    LakeTable.append(grid.filter(_._3 % 2 == 0).toDF("a", "b", "v"), root)
+    LakeTable.append(grid.filter(_._3 % 2 == 1).toDF("a", "b", "v"), root)
+    LakeTable.rewriteClustered2D(LakeTable.read(spark, root), root,
+      "a", "b", 16)
+    val active = LakeTable.activeDirs(spark, root)
+    assert(active.size >= 4 && active.forall(_.contains("__bucket=")),
+      s"expected bucket leaves, got $active")
+    // a narrow range on EITHER dimension alone prunes directories —
+    // the property no 1-D sort offers (a sort on `a` cannot prune a
+    // b-only predicate; the Morton layout prunes both)
+    val onlyA = LakeTable.rangeDirs2(spark, root, Seq(("a", "0", "3")))
+    val onlyB = LakeTable.rangeDirs2(spark, root, Seq(("b", "0", "3")))
+    assert(onlyA.size < active.size,
+      s"a-only predicate kept all ${active.size} dirs")
+    assert(onlyB.size < active.size,
+      s"b-only predicate kept all ${active.size} dirs")
+    // both predicates together prune to the intersection or fewer
+    val both = LakeTable.rangeDirs2(spark, root,
+      Seq(("a", "0", "3"), ("b", "0", "3")))
+    assert(both.size <= math.min(onlyA.size, onlyB.size))
+    // skipping changes what is scanned, never what is returned
+    assert(LakeTable.readRange2(spark, root,
+      Seq(("a", "0", "3"), ("b", "0", "3"))).count() == 16)
+    assert(LakeTable.read(spark, root).count() == 1024)
+    // numeric stat comparison: unpadded integer bounds work (the "9"
+    // vs "10" lexicographic trap)
+    assert(LakeTable.readRange2(spark, root,
+      Seq(("a", "9", "10"))).count() == 64)
+  }
+
+  test("IVM with signed deltas: a delete pulls SUM down; MIN needs the re-scan fallback") {
+    import graft.engine.QueriesR16
+    def dec(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("key", "status", "p")
+        .select($"key", $"status",
+          $"p".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2)).as("price"))
+    val before = dec(Seq((1L, "x", 10.00), (2L, "x", 5.00),
+                         (3L, "x", 7.00), (4L, "y", 1.00)))
+    // delete key 2 (the CURRENT MIN of x — the non-self-maintainable
+    // case), update key 3 down to 6.00, insert key 5
+    val after = dec(Seq((1L, "x", 10.00), (3L, "x", 6.00),
+                        (4L, "y", 1.00), (5L, "x", 2.50)))
+    val got = QueriesR16.ivmSumRefresh(before, after)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4))).toSeq
+    // x: n 3→3 (−1 delete +1 insert), sum 22.00→18.50 (the delete
+    // genuinely pulled it down), min 5.00→2.50 — a stale v0 min would
+    // read 5.00 for a row that no longer exists
+    assert(got == Seq(("x", 3L, 18.50, 2.50), ("y", 1L, 1.00, 1.00)),
+      s"got $got")
+    // the full recompute over `after` agrees — IVM ≡ recompute
+    val full = after.groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("price").cast("double").as("s"),
+           min("price").cast("double").as("m"))
+      .orderBy("status")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == full, s"IVM $got != recompute $full")
+  }
+
+  test("vacuum retention contract: retained pinned readers survive, older ones fail loudly") {
+    val root = freshRoot("vacrace")
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v0
+    LakeTable.rewrite(
+      LakeTable.read(spark, root).filter($"k" === 1L), root)         // v1
+    LakeTable.append(Seq((3L, "c")).toDF("k", "v"), root)            // v2
+    // both readers RESOLVE their snapshots (log replay → directory
+    // list) BEFORE the vacuum — the concurrent-reader shape
+    val pinnedRetained = LakeTable.read(spark, root, Some(1L))
+    val pinnedDoomed = LakeTable.read(spark, root, Some(0L))
+    val deleted = LakeTable.vacuum(spark, root, retainFrom = 1L)
+    assert(deleted.size == 1, s"expected v0's directory gone, got $deleted")
+    // a reader of a RETAINED version always succeeds after the vacuum
+    assert(pinnedRetained.count() == 1)
+    assert(LakeTable.read(spark, root).count() == 2)
+    // a reader pinned BELOW retainFrom fails loudly at scan time —
+    // the documented trade, never silent partial data
+    assertThrows[Exception] { pinnedDoomed.count() }
+  }
+
+  test("appendTxn race: the losing writer leaves no orphaned data directory") {
+    val root = freshRoot("txnrace")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two writers deliver the SAME (appId, batchId) concurrently —
+    // the foreachBatch re-delivery race; exactly one commits
+    val results = Await.result(
+      Future.sequence((1 to 2).map(_ => Future {
+        LakeTable.appendTxn(df, root, "app", 0L)
+      })), Duration.Inf)
+    assert(results.flatten.size == 1,
+      s"expected exactly one commit, got $results")
+    assert(LakeTable.read(spark, root).count() == 2)
+    // whatever the interleaving, no unreferenced data directory
+    // survives (the r10 ADVICE leak: a lost race used to orphan its
+    // already-written directory forever)
+    val onDisk = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("data-")).toSet
+    val referenced = LakeTable.activeDirs(spark, root).toSet
+    assert(onDisk == referenced,
+      s"orphaned data dirs: ${onDisk -- referenced}")
+  }
+
   test("readSince: incremental consumption covers exactly the new commits") {
     val root = freshRoot("since")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root) // v0
