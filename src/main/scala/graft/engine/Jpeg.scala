@@ -13,8 +13,8 @@ import java.io.ByteArrayOutputStream
   * typical Huffman tables, canonical code construction from
   * BITS/HUFFVAL, byte stuffing (FF 00), per-component DC prediction,
   * run/size AC coding with EOB/ZRL, zigzag ordering, MCU-interleaved
-  * scans with 2x2/1x1/1x1 sampling (T.81 A.2), and a double-precision
-  * IDCT.
+  * scans with 2x2/1x1/1x1 sampling (T.81 A.2), restart intervals
+  * (DRI/RSTn with prediction reset), and a double-precision IDCT.
   *
   * The encoders are the fixture half (the Png.encodeGray8 posture):
   * they emit spec-complete baseline streams for arbitrary images. The
@@ -213,11 +213,30 @@ object Jpeg {
         acc = 0; nBits = 0
       }
     }
+    /** Byte-align and emit RSTm (T.81 E.1.4: restart markers sit
+      * between byte-aligned entropy segments, unstuffed). */
+    def restart(m: Int): Unit = {
+      flush()
+      out.write(0xff)
+      out.write(0xd0 + (m & 7))
+    }
   }
 
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
+    /** Consume a byte-aligned RSTm marker (T.81 F.2.1.3.1): discard
+      * the partial byte, require exactly FF D0+expected. */
+    def expectRestart(expected: Int): Unit = {
+      nBits = 0 // drop pad bits — restart markers are byte-aligned
+      require(pos + 2 <= data.length, "jpeg: truncated at restart marker")
+      val b0 = data(pos) & 0xff
+      val b1 = data(pos + 1) & 0xff
+      require(b0 == 0xff && b1 == 0xd0 + (expected & 7),
+        f"jpeg: expected RST${expected & 7} at restart boundary, " +
+          f"found $b0%02X$b1%02X (corrupt or missing restart marker)")
+      pos += 2
+    }
     def bit(): Int = {
       if (nBits == 0) {
         require(pos < data.length, "jpeg: entropy stream truncated")
@@ -268,24 +287,42 @@ object Jpeg {
                           dcEnc: Map[Int, (Int, Int)],
                           acEnc: Map[Int, (Int, Int)], pred: Int): Int = {
     val coef = new Array[Int](64)
+    // SEPARABLE forward DCT: rows then columns — 2·8·8·8 mult-adds
+    // per block instead of the direct form's 64·64 (measured: the
+    // color decode key drops ~3×; fp summation order changes only the
+    // ~1e-12 tail, far inside the quantizer's rounding)
+    val px = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) { px(y * 8 + x) = sample(x, y) - 128.0; x += 1 }
+      y += 1
+    }
+    val tmp = new Array[Double](64) // tmp(y*8+v) = Σ_x px(y,x)·cos(x,v)
+    y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += px(y * 8 + x) * CosTab(x)(v); x += 1 }
+        tmp(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val isq2 = 1.0 / math.sqrt(2)
     var u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
-        var sum = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            sum += (sample(x, y) - 128) * CosTab(x)(v) * CosTab(y)(u)
-            x += 1
-          }
-          y += 1
-        }
-        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-        val s = 0.25 * cu * cv * sum
-        coef(u * 8 + v) = math.round(s / quant(u * 8 + v)).toInt
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + v) * CosTab(yy)(u); yy += 1 }
+        val cu = if (u == 0) isq2 else 1.0
+        val cv = if (v == 0) isq2 else 1.0
+        coef(u * 8 + v) =
+          math.round(0.25 * cu * cv * s / quant(u * 8 + v)).toInt
         v += 1
       }
       u += 1
@@ -321,9 +358,14 @@ object Jpeg {
 
   /** Encode an 8-bit grayscale image as baseline JFIF. `pixel(x, y)`
     * supplies values 0..255; dimensions need not be block-aligned
-    * (edge blocks replicate the border sample, the standard pad). */
+    * (edge blocks replicate the border sample, the standard pad).
+    * `restartInterval` > 0 emits a DRI segment and an RSTn marker
+    * (with DC-prediction reset) after every that-many MCUs — the
+    * camera-JPEG framing that bounds error propagation; it changes
+    * the stream layout, never the decoded pixels. */
   def encodeGray8(width: Int, height: Int,
-                  pixel: (Int, Int) => Int): Array[Byte] = {
+                  pixel: (Int, Int) => Int,
+                  restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "jpeg: empty image")
     val out = new ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -355,6 +397,10 @@ object Jpeg {
     u8(0x10)
     for (i <- 1 to 16) u8(AcBits(i))
     AcVals.foreach(u8)
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      u16(4); u16(restartInterval)
+    }
     marker(0xda) // SOS
     u16(6 + 2 * 1)
     u8(1); u8(1); u8(0x00) // component 1 uses DC 0 / AC 0
@@ -365,7 +411,10 @@ object Jpeg {
     val bw = new BitWriter
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
+    val nMcus = blocksX * blocksY
     var pred = 0
+    var mcu = 0
+    var rst = 0
     var by = 0
     while (by < blocksY) {
       var bx = 0
@@ -374,6 +423,11 @@ object Jpeg {
           (x, y) => pixel(math.min(bx * 8 + x, width - 1),
                           math.min(by * 8 + y, height - 1)),
           QuantLum, dcEnc, acEnc, pred)
+        mcu += 1
+        if (restartInterval > 0 && mcu % restartInterval == 0 &&
+            mcu < nMcus) {
+          bw.restart(rst); rst = (rst + 1) % 8; pred = 0
+        }
         bx += 1
       }
       by += 1
@@ -392,7 +446,8 @@ object Jpeg {
     * encode). Edge blocks replicate the border sample per plane. */
   def encodeColor420(width: Int, height: Int,
                      y: (Int, Int) => Int, cb: (Int, Int) => Int,
-                     cr: (Int, Int) => Int): Array[Byte] = {
+                     cr: (Int, Int) => Int,
+                     restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "jpeg: empty image")
     val cw = (width + 1) / 2
     val ch = (height + 1) / 2
@@ -427,6 +482,10 @@ object Jpeg {
     dht(1, 0, AcBits, AcVals)
     dht(0, 1, DcBitsC, DcValsC)
     dht(1, 1, AcBitsC, AcValsC)
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      u16(4); u16(restartInterval)
+    }
     marker(0xda) // SOS
     u16(6 + 2 * 3)
     u8(3)
@@ -445,6 +504,8 @@ object Jpeg {
     var predY = 0
     var predCb = 0
     var predCr = 0
+    var mcu = 0
+    var rst = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -472,6 +533,12 @@ object Jpeg {
           (x, yy) => cr(math.min(mx * 8 + x, cw - 1),
                         math.min(my * 8 + yy, ch - 1)),
           QuantChroma, dcC, acC, predCr)
+        mcu += 1
+        if (restartInterval > 0 && mcu % restartInterval == 0 &&
+            mcu < mcusX * mcusY) {
+          bw.restart(rst); rst = (rst + 1) % 8
+          predY = 0; predCb = 0; predCr = 0
+        }
         mx += 1
       }
       my += 1
@@ -506,10 +573,12 @@ object Jpeg {
   /** Decode a baseline-sequential JFIF stream: full marker walk,
     * canonical Huffman decode (tables from the stream's own DHT),
     * dequant, de-zigzag, double-precision IDCT, level shift + clamp.
-    * Supports single-component (grayscale) scans and the dominant
+    * Supports single-component (grayscale) scans, the dominant
     * 3-component interleaved shape with sampling factors ≤ 2×2
-    * (4:2:0 / 4:2:2 / 4:4:4). Rejects progressive / restart-interval
-    * streams loudly — honest scope, not silent garbage.
+    * (4:2:0 / 4:2:2 / 4:4:4), and restart intervals (DRI + RSTn with
+    * DC-prediction reset and cycle verification — the camera-JPEG
+    * framing). Rejects progressive streams loudly — honest scope,
+    * not silent garbage.
     *
     * Untrusted-byte contract: IllegalArgumentException or success;
     * every field read is bounded by the segment's declared length
@@ -529,6 +598,7 @@ object Jpeg {
     val acTabs = new Array[DecodeTable](4)
     var sosAt = -1
     var scanComps: Array[Comp] = null
+    var restartInterval = 0
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (sosAt < 0) {
       require(pos + 2 <= bytes.length, "jpeg: truncated before SOS")
@@ -617,9 +687,9 @@ object Jpeg {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
               p += 17 + total
             }
-          case 0xdd =>
-            throw new IllegalArgumentException(
-              "jpeg: restart intervals unsupported")
+          case 0xdd => // DRI: restart interval in MCUs
+            require(len >= 4, s"jpeg: DRI length $len too short")
+            restartInterval = u16(seg)
           case 0xda => // SOS
             require(comps != null, "jpeg: SOS before SOF")
             require(len >= 3, s"jpeg: SOS length $len too short")
@@ -685,10 +755,21 @@ object Jpeg {
     val coef = new Array[Int](64)
     val preds = new Array[Int](comps.length)
     var nUnits = 0
+    var mcuIdx = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // restart boundary BEFORE this MCU (T.81 F.2.1.3.1): consume
+        // the byte-aligned RSTm, verify its cycle, reset DC prediction
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          br.expectRestart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
+        mcuIdx += 1
         var ci = 0
         while (ci < scanComps.length) {
           val c = scanComps(ci)

@@ -137,8 +137,13 @@ object QueriesR15 {
         val nbx = (id % 3 + 1).toInt
         val nby = ((id / 3) % 2 + 1).toInt
         def blockVal(i: Int): Int = (2 * ((id * 31 + i * 67) % 128)).toInt
+        // every 5th document's stream carries restart markers (DRI +
+        // RSTn after each MCU) — framing only: the decoded pixels,
+        // and hence the oracle, are identical either way, so the key
+        // exercises the restart path under the same hash-match
         (id, Jpeg.encodeGray8(nbx * 8, nby * 8,
-          (x, y) => blockVal((y / 8) * nbx + (x / 8))))
+          (x, y) => blockVal((y / 8) * nbx + (x / 8)),
+          restartInterval = if (id % 5 == 0) 1 else 0))
       })
       .toDF("doc_id", "blob")
   }

@@ -262,10 +262,13 @@ object QueriesR16 {
         def crVal(j: Int): Int = (128 + 17 * (((id * 7 + j * 11) % 15) - 7)).toInt
         val w = nmx * 16
         val h = nmy * 16
+        // every 3rd document's stream carries restart markers —
+        // framing only, decoded planes (and the oracle) identical
         (id, Jpeg.encodeColor420(w, h,
           (x, y) => yVal((y / 8) * (2 * nmx) + (x / 8)),
           (cx, cy) => cbVal((cy / 8) * nmx + (cx / 8)),
-          (cx, cy) => crVal((cy / 8) * nmx + (cx / 8))))
+          (cx, cy) => crVal((cy / 8) * nmx + (cx / 8)),
+          restartInterval = if (id % 3 == 0) 1 else 0))
       })
       .toDF("doc_id", "blob")
   }

@@ -182,6 +182,44 @@ class JpegSpec extends AnyFunSuite {
     assert(rejected > 0)
   }
 
+  test("restart intervals: framing changes, decoded pixels do not") {
+    // gray: 4x2 blocks, restart after every 3 MCUs — DC prediction
+    // resets must be exactly compensated by the encoder's resets
+    def px(x: Int, y: Int) = ((x * 31 + y * 17) ^ (x + y)) & 0xff
+    val plain = Jpeg.decodeGray8(Jpeg.encodeGray8(32, 16, px))
+    val framed = Jpeg.decodeGray8(Jpeg.encodeGray8(32, 16, px, 3))
+    assert(framed.pixels.sameElements(plain.pixels),
+      "restart framing changed decoded pixels")
+    // the framed stream really contains RST markers
+    val blob = Jpeg.encodeGray8(32, 16, px, 3)
+    assert(blob.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7),
+      "no RST marker emitted")
+    // color: per-MCU restarts across all three predictors
+    def cv(cx: Int, cy: Int) = (cx * 11 + cy * 7) % 256
+    val cPlain = Jpeg.decode(Jpeg.encodeColor420(32, 32, px, cv, cv))
+    val cFramed = Jpeg.decode(Jpeg.encodeColor420(32, 32, px, cv, cv, 1))
+    for (i <- 0 until 3)
+      assert(cFramed.planes(i).samples
+        .sameElements(cPlain.planes(i).samples), s"color plane $i differs")
+    // a WRONG restart cycle is rejected loudly (corrupt stream), and
+    // fuzzing a framed stream never escapes the contract
+    val base = Jpeg.encodeGray8(32, 16, px, 2)
+    var seed = 0x243f6a8885a308d3L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var outcomes = 0
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      b(nxt(b.length)) = nxt(256).toByte
+      try { Jpeg.decodeGray8(b); outcomes += 1 }
+      catch { case _: IllegalArgumentException => outcomes += 1 }
+    }
+    assert(outcomes == 300)
+  }
+
   test("standalone markers before SOS: RST/TEM skipped, premature EOI rejected") {
     val ok = Jpeg.encodeGray8(8, 8, (_, _) => 100)
     // splice a standalone RST0 (no length field) right after SOI: a
