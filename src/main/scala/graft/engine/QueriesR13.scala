@@ -155,16 +155,26 @@ object QueriesR13 {
   }
 
   /** (doc_id, phash) via the REAL decode path — shared by the exact
-    * and near-dup image keys. */
+    * and near-dup image keys. A P6 artifact since round 11: the
+    * encode→decode→dhash pass is deterministic in the corpus, so it
+    * runs once per corpus fingerprint and every consumer scans ~72
+    * bytes/doc of parquet (keyed on the INPUT's hash — the typed
+    * mapPartitions plan embeds JVM-specific lambda identities, the
+    * ivfCodebook posture). Version the name if the pixel model or
+    * dhash changes. */
   private def docPhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    QueriesExtra.docPngBlobs(s, d)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, blob) =>
-        val dec = Png.decodeGray8Pixels(blob)
-        (id, Png.dhash64(dec.pixels, dec.width, dec.height))
-      })
-      .toDF("doc_id", "phash")
+    val docs = documents(s, d).select("doc_id")
+    ArtifactCache.materializeKeyed(s, Artifacts.cacheRoot,
+      "doc_phashes_v1", ArtifactCache.artifactHash(docs)) {
+      QueriesExtra.docPngBlobs(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, blob) =>
+          val dec = Png.decodeGray8Pixels(blob)
+          (id, Png.dhash64(dec.pixels, dec.width, dec.height))
+        })
+        .toDF("doc_id", "phash")
+    }
   }
 
   /** Perceptual-hash image dedup — the multimodal cousin of
@@ -263,9 +273,9 @@ object QueriesR13 {
   }
 
   def multimodalPhashNear(s: SparkSession, d: String): DataFrame = {
-    // tiny frame (one 72-char row per doc) reused by reps + map-back:
-    // checkpoint so the PNG decode pass runs once
-    val hashed = docPhashes(s, d).localCheckpoint(true)
+    // tiny artifact-backed frame (one 72-char row per doc) reused by
+    // reps + map-back: both consumers scan the materialized parquet
+    val hashed = docPhashes(s, d)
     val reps = hashed.groupBy("phash").agg(min("doc_id").as("rep"))
     val pairs = phashNearPairs(reps)
     val cc = Ops.connectedComponents(pairs, "rep1", "rep2")
