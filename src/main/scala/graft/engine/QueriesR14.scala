@@ -53,45 +53,71 @@ object QueriesR14 {
     * at 100 TB the cap bounds hub emissions at cap²/2 per customer. */
   val JaccardNeighborCap = 512
 
-  /** The distinct supplier↔customer bipartite edge table (P6
-    * artifact) — exposed for JaccardBoundSpec. */
+  /** The raw (multi-hit) supplier↔customer edge stream — dedup happens
+    * inside jaccardCappedEdgesDeg on its single sup-keyed exchange. */
+  private def jaccardRawPairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
+
+  /** The distinct supplier↔customer bipartite edge frame (NOT an
+    * artifact — the key below folds the cap into its single artifact
+    * build; JaccardBoundSpec consumes this lazily for its bound math). */
   private[graft] def jaccardBipartitePairs(s: SparkSession,
                                            d: String): DataFrame =
-    ArtifactCache.materialize(
-      lineitem(s, d)
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
-        .distinct(),
-      Artifacts.cacheRoot, "bipartite_pairs_v1")
+    jaccardRawPairs(s, d).distinct()
 
-  /** The cap-truncated edge set: each customer keeps its `cap`
-    * lowest-degree suppliers (ties → lowest sup id) — exposed for
-    * JaccardBoundSpec's emission-bound math. */
-  private[graft] def jaccardCappedEdges(pairs: DataFrame,
-                                        cap: Int): DataFrame = {
+  /** The cap-truncated edge set WITH each supplier's exact (uncapped)
+    * degree carried per row: each customer keeps its `cap`
+    * lowest-degree suppliers (ties → lowest sup id). Carrying `deg`
+    * means the single materialized artifact serves all three
+    * consumers below (both self-join sides AND the degree lookups) —
+    * the r11-verdict #2 fix for the cold path that serially built a
+    * pairs artifact and then a capped artifact from it. The degree
+    * round-trips exactly through the topk score (a double holds
+    * integers < 2^53; degrees are row counts, far below). */
+  private[graft] def jaccardCappedEdgesDeg(pairs: DataFrame,
+                                           cap: Int): DataFrame = {
     TopK.register(pairs.sparkSession)
     val supType = pairs.schema("sup").dataType
-    val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
-    // The degree join hits the aggregated |suppliers|-row frame (AQE
-    // broadcasts it from runtime size — no hint needed).
-    pairs.join(deg, "sup")
+    // Degree via an unordered window over sup, not groupBy+join-back:
+    // the join spelling evaluates the pairs subtree TWICE (the degree
+    // branch and the probe branch — measured 3.4 s vs 2.5 s cold at
+    // sf0.1); the window is one pass, one exchange on sup.
+    // One exchange serves both the dedup and the degree window:
+    // HashPartitioning(sup) satisfies the distinct's ClusteredDistribution
+    // on (sup, cust) — equal pairs share a sup — and the window's
+    // partitioning on sup. (At 100 TB a pathological hub supplier would
+    // skew this single-key exchange; the topk cap downstream bounds the
+    // damage to one straggler task, and the distinct-by-both-keys
+    // spelling remains the salted fallback.)
+    pairs.repartition(col("sup")).distinct()
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("sup")))
       .groupBy("cust")
       .agg(expr(s"topk_by_score(-CAST(deg AS DOUBLE), sup, $cap)").as("t"))
       .select(col("cust"), explode(col("t")).as("p"))
-      .select(col("cust"), col("p.id").cast(supType).as("sup"))
+      .select(col("cust"), col("p.id").cast(supType).as("sup"),
+        (-col("p.score")).cast("long").as("deg"))
   }
+
+  /** Degree-less view — exposed for JaccardBoundSpec's emission-bound
+    * math (its assertions count (cust, sup) rows only). */
+  private[graft] def jaccardCappedEdges(pairs: DataFrame,
+                                        cap: Int): DataFrame =
+    jaccardCappedEdgesDeg(pairs, cap).drop("deg")
 
   private[graft] def graphJaccardNeighborsCapped(
       s: SparkSession, d: String, cap: Int): DataFrame = {
-    val pairs = jaccardBipartitePairs(s, d)
-    val deg = pairs.groupBy("sup").agg(count(lit(1)).as("deg"))
-    // The capped edge set is deterministic in (pairs content, cap) —
-    // a P6 artifact like the pair table itself (r10 verdict #7): the
-    // topk_by_score cap computation runs once per corpus, and both
-    // sides of the self-join below scan the materialized parquet.
+    // ONE artifact, ONE build pass (r11 verdict #2): the capped edge
+    // set with per-row exact degrees is deterministic in (corpus,
+    // cap); on a cold cache the raw pairs subtree is computed inside
+    // this single write job (Catalyst's ReuseExchange dedupes the
+    // shared distinct below the degree agg and the topk agg), and on
+    // a warm cache the key is three scans of one tiny parquet.
     val capped = ArtifactCache.materialize(
-      jaccardCappedEdges(pairs, cap), Artifacts.cacheRoot,
-      s"jaccard_capped_edges_v1_cap$cap")
+      jaccardCappedEdgesDeg(jaccardRawPairs(s, d), cap),
+      Artifacts.cacheRoot, s"jaccard_capped_edges_v2_cap$cap")
     // The probe side explodes ~deg(cust)× in the join, so its task
     // count must not be input-size-bound: the tiny artifact scan
     // arrives as ONE file-bin (4.7 s single-task probe at sf0.1);
@@ -99,17 +125,18 @@ object QueriesR14 {
     // explosion across the cluster (AQE never coalesces a
     // user-specified partition count) and is the co-partitioning a
     // 100 TB deployment would bake into the edge table's layout.
+    // Each artifact row carries its supplier's exact degree, so the
+    // pair aggregation picks degrees up as constants (max over a
+    // one-value group) — no degree joins, two scans total.
     val shufN = s.sessionState.conf.numShufflePartitions
-    val common = capped.repartition(shufN, col("cust"))
-      .select(col("sup").as("sup_a"), col("cust"))
-      .join(capped.select(col("sup").as("sup_b"), col("cust")), Seq("cust"))
+    capped.repartition(shufN, col("cust"))
+      .select(col("sup").as("sup_a"), col("deg").as("deg_a"), col("cust"))
+      .join(capped.select(col("sup").as("sup_b"), col("deg").as("deg_b"),
+        col("cust")), Seq("cust"))
       .filter(col("sup_a") < col("sup_b"))
-      .groupBy("sup_a", "sup_b").agg(count(lit(1)).as("common"))
-    common
-      .join(deg.select(col("sup").as("sup_a"), col("deg").as("deg_a")),
-            "sup_a")
-      .join(deg.select(col("sup").as("sup_b"), col("deg").as("deg_b")),
-            "sup_b")
+      .groupBy("sup_a", "sup_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("deg_a")).as("deg_a"), max(col("deg_b")).as("deg_b"))
       .filter(col("common") * 5 >=
               col("deg_a") + col("deg_b") - col("common"))
       .select(col("sup_a"), col("sup_b"), col("common"),
