@@ -205,6 +205,67 @@ object ZOrder {
   /** 32-bit Morton code: x's bits at even positions, y's at odd. */
   def interleave(x: Long, y: Long): Long =
     spread16(x) | (spread16(y) << 1)
+
+  /** N-way Morton code: bit i of value c lands at position i·N + c.
+    * `bits` low bits of each value participate; callers size
+    * bits·N ≤ 62 (rewriteClusteredN uses min(16, 62/N)). A plain
+    * double loop — this runs once per row in a LAYOUT job, never in a
+    * query's hot path. */
+  def interleaveN(vs: Array[Long], bits: Int): Long = {
+    val n = vs.length
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var c = 0
+      while (c < n) {
+        out |= ((vs(c) >>> i) & 1L) << (i * n + c)
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** `zordern(x1, …, xk)` → bigint k-way Morton code over each key's
+  * low ⌊62/k⌋ (≤16) bits — the N-column generalization of `zorder2`
+  * behind `rewriteClusteredN` (r11 verdict #5). Null in any key →
+  * null (a layout job maps nulls to a sentinel ordinal first).
+  * CodegenFallback by design: this evaluates once per row inside a
+  * one-off LAYOUT (maintenance) job, never in a query's hot path —
+  * zorder2 keeps the codegen'd two-key fast path. */
+case class ZOrderNExpr(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.size < 2)
+      TypeCheckResult.TypeCheckFailure("zordern expects >= 2 args")
+    else if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zordern expects bigint args, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zordern"
+
+  private def bits: Int = math.min(16, 62 / children.size)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Long](children.size)
+    var c = 0
+    while (c < children.size) {
+      val v = children(c).eval(input)
+      if (v == null) return null
+      vs(c) = v.asInstanceOf[Long]
+      c += 1
+    }
+    ZOrder.interleaveN(vs, bits)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
 /** `zorder2(x, y)` → bigint Morton code of the two keys' low 16 bits —
@@ -261,6 +322,10 @@ object Exprs {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2",
       (args: Seq[Expression]) => ZOrderExpr(args(0), args(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zordern",
+      (args: Seq[Expression]) => ZOrderNExpr(args),
       "built-in")
   }
 }

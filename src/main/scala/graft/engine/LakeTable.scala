@@ -95,7 +95,25 @@ object LakeTable {
                     txn: Option[(String, Long)] = None,
                     stats: Map[String, (String, String)] = Map.empty,
                     colStats: Map[String, Map[String, (String, String)]] =
+                      Map.empty,
+                    colKinds: Map[String, String] = Map.empty,
+                    fileStats: Map[String,
+                      Seq[(String, Map[String, (String, String)])]] =
                       Map.empty)
+
+  /** Stat-ordering tag for a column: "num" when the recorded min/max
+    * were computed under NUMERIC ordering, "str" under string
+    * (lexicographic) ordering. Readers compare bounds numerically ONLY
+    * when the writer declared "num" — a STRING column of unpadded
+    * digit strings records lexicographic extremes (min="100",
+    * max="25" for {"25","100"}), and comparing those numerically
+    * falsely prunes directories (the r11 ADVICE silent-wrong-results
+    * trap). Stats with no recorded kind (legacy logs) never prune. */
+  private[graft] def statKind(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => "num"
+      case _ => "str"
+    }
 
   private def readCommit(spark: SparkSession, root: String,
                          version: Long): Commit = {
@@ -138,8 +156,23 @@ object LakeTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val colKinds = Option(node.get("colkinds")).map { s =>
+      s.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val fileStats = Option(node.get("filestats")).map { s =>
+      s.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { f =>
+          (f.get("f").asText(),
+           f.get("cols").properties().asScala.map { c =>
+             c.getKey -> (c.getValue.get("min").asText(),
+                          c.getValue.get("max").asText())
+           }.toMap)
+        }.toSeq
+      }.toMap
+    }.getOrElse(
+      Map.empty[String, Seq[(String, Map[String, (String, String)])]])
     Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
-           stats, colStats)
+           stats, colStats, colKinds, fileStats)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -175,6 +208,26 @@ object LakeTable {
           val o = d.putObject(c)
           o.put("min", mn)
           o.put("max", mx)
+        }
+      }
+    }
+    if (commit.colKinds.nonEmpty) {
+      val ck = json.putObject("colkinds")
+      commit.colKinds.foreach { case (c, k) => ck.put(c, k) }
+    }
+    if (commit.fileStats.nonEmpty) {
+      val fsNode = json.putObject("filestats")
+      commit.fileStats.foreach { case (dir, files) =>
+        val a = fsNode.putArray(dir)
+        files.foreach { case (f, cols) =>
+          val o = a.addObject()
+          o.put("f", f)
+          val cs = o.putObject("cols")
+          cols.foreach { case (c, (mn, mx)) =>
+            val co = cs.putObject(c)
+            co.put("min", mn)
+            co.put("max", mx)
+          }
         }
       }
     }
@@ -299,16 +352,33 @@ object LakeTable {
       stats.get(d).forall { case (mn, mx) => mx >= lo && mn <= hi })
   }
 
-  /** Numeric-aware stat comparison: both sides parsing as numbers
-    * compare numerically (so an integer key column needs no zero
-    * padding), anything else lexicographically (dates qualify). */
-  private def statLeq(a: String, b: String): Boolean =
-    (toNum(a), toNum(b)) match {
-      case (Some(x), Some(y)) => x <= y
-      case _                  => a <= b
+  /** Does the predicate range [lo, hi] intersect recorded stats
+    * [mn, mx] under the column's DECLARED stat ordering? "num" →
+    * numeric (any parse failure keeps the data — stats are an
+    * optimization, never a correctness filter); "str" →
+    * lexicographic, which is exactly the ordering string-typed stats
+    * were computed under; unknown kind (legacy log) → always keep:
+    * numeric-LOOKING strings from a STRING column record
+    * lexicographic extremes (min="100", max="25" for {"25","100"}),
+    * and comparing those numerically silently drops directories whose
+    * rows the row-level filter would keep (the r11 ADVICE trap). */
+  private def statIntersects(lo: String, hi: String, mn: String,
+                             mx: String, kind: Option[String]): Boolean =
+    kind match {
+      case Some("num") =>
+        (toNum(lo), toNum(hi), toNum(mn), toNum(mx)) match {
+          case (Some(l), Some(h), Some(a), Some(b)) => l <= b && a <= h
+          case _ => true
+        }
+      case Some("str") => lo <= mx && mn <= hi
+      case _ => true
     }
   private def toNum(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+
+  /** All commits' column-kind declarations, later commits winning. */
+  private def colKindsOf(commits: Seq[Commit]): Map[String, String] =
+    commits.foldLeft(Map.empty[String, String])(_ ++ _.colKinds)
 
   /** The active directories whose recorded per-COLUMN [min, max]
     * intersects EVERY requested (col, lo, hi) predicate — the
@@ -318,16 +388,66 @@ object LakeTable {
   def rangeDirs2(spark: SparkSession, root: String,
                  preds: Seq[(String, String, String)],
                  asOf: Option[Long] = None): Seq[String] = {
-    val stats = versions(spark, root)
-      .map(v => readCommit(spark, root, v))
-      .flatMap(_.colStats)
-      .toMap
+    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
+    val stats = commits.flatMap(_.colStats).toMap
+    val kinds = colKindsOf(commits)
     activeDirs(spark, root, asOf).filter { d =>
       preds.forall { case (c, lo, hi) =>
         stats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
-          statLeq(lo, mx) && statLeq(mn, hi)
+          statIntersects(lo, hi, mn, mx, kinds.get(c))
         }
       }
+    }
+  }
+
+  /** FILE-grain pruning (r11 verdict #5): the survivors of a
+    * multi-predicate range read as (whole directories without
+    * per-file stats, individual files that intersect every
+    * predicate). Directory-grain pruning applies first; within a
+    * directory that recorded per-file stats, only intersecting FILES
+    * survive — at 100 TB the real I/O win lives at file grain (a
+    * 16-dir table prunes at best 15/16; the same table at 64 files
+    * prunes 60+/64 for a tight 3-D box). */
+  def rangeFiles(spark: SparkSession, root: String,
+                 preds: Seq[(String, String, String)],
+                 asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
+    val fstats = commits.flatMap(_.fileStats).toMap
+    val kinds = colKindsOf(commits)
+    val dirs = rangeDirs2(spark, root, preds, asOf)
+    val (withFiles, whole) = dirs.partition(fstats.contains)
+    val files = withFiles.flatMap { d =>
+      fstats(d).collect {
+        case (f, cols) if preds.forall { case (c, lo, hi) =>
+          cols.get(c).forall { case (mn, mx) =>
+            statIntersects(lo, hi, mn, mx, kinds.get(c))
+          }
+        } => s"$d/$f"
+      }
+    }
+    (whole, files)
+  }
+
+  /** The row-level predicate matching a (col, lo, hi) range under the
+    * column's declared ordering: "num" compares on the double cast,
+    * "str" (and unknown — matching the never-prune fallback, so the
+    * filter can only be consistent with what was scanned) on the
+    * string cast. */
+  private def rowRangeFilter(df: DataFrame, kinds: Map[String, String],
+      preds: Seq[(String, String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    preds.foldLeft(df) { case (acc, (c, lo, hi)) =>
+      val bothParse = toNum(lo).isDefined && toNum(hi).isDefined
+      val numeric = kinds.get(c) match {
+        case Some(k) => k == "num" && bothParse
+        // legacy log: the old both-parse heuristic (behavior-compatible)
+        case None => bothParse
+      }
+      acc.filter(
+        if (numeric)
+          col(c).cast("double")
+            .between(toNum(lo).get.toDouble, toNum(hi).get.toDouble)
+        else col(c).cast("string").between(lo, hi))
     }
   }
 
@@ -338,20 +458,26 @@ object LakeTable {
   def readRange2(spark: SparkSession, root: String,
                  preds: Seq[(String, String, String)],
                  asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val dirs = rangeDirs2(spark, root, preds, asOf)
     if (dirs.isEmpty) return read(spark, root, asOf).limit(0)
-    preds.foldLeft(
-      spark.read.parquet(dirs.map(d => s"$root/$d"): _*)) {
-      case (df, (c, lo, hi)) =>
-        // numeric bounds compare numerically (matching statLeq), string
-        // bounds (dates) lexicographically on the casted string
-        df.filter((toNum(lo), toNum(hi)) match {
-          case (Some(l), Some(h)) =>
-            col(c).cast("double").between(l.toDouble, h.toDouble)
-          case _ => col(c).cast("string").between(lo, hi)
-        })
-    }
+    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
+    rowRangeFilter(spark.read.parquet(dirs.map(d => s"$root/$d"): _*),
+      colKindsOf(commits), preds)
+  }
+
+  /** FILE-grain range read: like readRange2 but scanning only the
+    * surviving files inside per-file-stat'd directories (whole
+    * directories without file stats still scan in full) — same
+    * results, strictly less I/O. */
+  def readRangeFiles(spark: SparkSession, root: String,
+                     preds: Seq[(String, String, String)],
+                     asOf: Option[Long] = None): DataFrame = {
+    val (whole, files) = rangeFiles(spark, root, preds, asOf)
+    val paths = whole.map(d => s"$root/$d") ++ files.map(f => s"$root/$f")
+    if (paths.isEmpty) return read(spark, root, asOf).limit(0)
+    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
+    rowRangeFilter(spark.read.parquet(paths: _*),
+      colKindsOf(commits), preds)
   }
 
   /** Range read through the log's stats: scans only the directories
@@ -570,32 +696,67 @@ object LakeTable {
     * appendPartitioned stats posture). The range exchange on the
     * z-value is the only shuffle; no global sort. */
   def rewriteClustered2D(df: DataFrame, root: String, colA: String,
-                         colB: String, buckets: Int): Long = {
-    import org.apache.spark.sql.functions.{col, expr, max, min,
-      spark_partition_id}
+                         colB: String, buckets: Int): Long =
+    rewriteClusteredN(df, root, Seq(colA, colB), buckets)
+
+  /** K-column clustered rewrite with PER-FILE statistics (r11 verdict
+    * #5 — the generalization of the 2-D path): the table content is
+    * laid out on the k-way Morton interleave of the cluster columns
+    * (each scaled to ⌊62/k⌋ ≤ 16 bits by min/max normalization),
+    * range-partitioned into buckets × filesPerDir contiguous
+    * z-slices; every `filesPerDir` consecutive slices land as the
+    * files of one data directory. The commit log records [min, max]
+    * on EVERY cluster column at BOTH grains — per directory (the
+    * coarse prune) and per FILE (where the real 100 TB I/O win
+    * lives: a k-D box prunes most files even inside a surviving
+    * directory) — plus each column's stat-ordering kind, so readers
+    * never apply numeric ordering to lexicographic stats. One atomic
+    * commit; the range exchange on the z-value is the only shuffle;
+    * the stats pass is one grouped aggregate over input_file_name. */
+  def rewriteClusteredN(df: DataFrame, root: String, cols: Seq[String],
+                        buckets: Int, filesPerDir: Int = 4): Long = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name,
+      max, min, spark_partition_id, floor, lit}
+    require(cols.size >= 2, "rewriteClusteredN wants >= 2 cluster columns")
+    require(filesPerDir >= 1, "filesPerDir must be >= 1")
     val spark = df.sparkSession
-    Exprs.register(spark) // zorder2
+    Exprs.register(spark) // zordern
     val prev = activeDirs(spark, root)
     val next = latestVersion(spark, root).getOrElse(-1L) + 1
     val base = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val bits = math.min(16, 62 / cols.size)
+    val scaleMax = (1L << bits) - 1
+    // Ordinal for the z-curve only — layout quality, never
+    // correctness (stats are MEASURED from the written data, not
+    // derived from this): date-like strings map through
+    // days-since-epoch; other strings through their first 4 bytes
+    // (lexicographic-prefix-monotonic); numerics cast directly.
     def ordSql(c: String) = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.DateType =>
+      case org.apache.spark.sql.types.StringType =>
+        s"COALESCE(CAST(datediff(try_cast(`$c` AS DATE), " +
+          "DATE '1970-01-01') AS DOUBLE), " +
+          s"CAST(conv(substring(rpad(hex(CAST(`$c` AS BINARY)), 8, '0')," +
+          " 1, 8), 16, 10) AS DOUBLE), 0.0D)"
+      case org.apache.spark.sql.types.DateType =>
         s"CAST(datediff(CAST(`$c` AS DATE), DATE '1970-01-01') AS DOUBLE)"
       case _ => s"CAST(`$c` AS DOUBLE)"
     }
-    val bounds = df.agg(min(expr(ordSql(colA))), max(expr(ordSql(colA))),
-                        min(expr(ordSql(colB))), max(expr(ordSql(colB))))
-      .head()
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(expr(ordSql(c))), max(expr(ordSql(c)))))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
     def scaleSql(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, 1e-9)
-      s"CAST(floor((${ordSql(c)} - $lo) / $span * 65535.0) AS BIGINT)"
+      s"CAST(floor((${ordSql(c)} - $lo) / $span * $scaleMax.0) AS BIGINT)"
     }
-    val z = expr(s"zorder2(${scaleSql(colA, bounds.getDouble(0),
-        bounds.getDouble(1))}, " +
-      s"${scaleSql(colB, bounds.getDouble(2), bounds.getDouble(3))})")
-    df.repartitionByRange(buckets, z)
-      .withColumn("__bucket", spark_partition_id())
+    val z = expr("zordern(" + cols.zipWithIndex.map { case (c, i) =>
+      scaleSql(c, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    }.mkString(", ") + ")")
+    // Each range partition is one file; filesPerDir consecutive
+    // z-slices share a directory, so per-file stats are strictly
+    // tighter than their directory's.
+    df.repartitionByRange(buckets * filesPerDir, z)
+      .withColumn("__bucket",
+        floor(spark_partition_id().cast("long") / lit(filesPerDir)))
       .write.mode("errorifexists").partitionBy("__bucket")
       .parquet(s"$root/$base")
     val f = fs(spark, root)
@@ -604,18 +765,62 @@ object LakeTable {
       .filter(_.startsWith("__bucket="))
       .sorted
       .map(n => s"$base/$n")
-    val statRows = spark.read.parquet(s"$root/$base")
-      .groupBy("__bucket")
-      .agg(min(col(colA)).cast("string"), max(col(colA)).cast("string"),
-           min(col(colB)).cast("string"), max(col(colB)).cast("string"))
+    val kinds = cols.map(c => c -> statKind(df.schema(c).dataType)).toMap
+    // ONE grouped aggregate keyed by the actual file path yields the
+    // per-file bounds; directory bounds fold from their files under
+    // each column's declared ordering — no second data pass.
+    val statAggs = cols.flatMap(c => Seq(min(col(c)).cast("string"),
+                                         max(col(c)).cast("string")))
+    val fileAgg = spark.read.parquet(s"$root/$base")
+      .groupBy(input_file_name().as("__f"))
+      .agg(statAggs.head, statAggs.tail: _*)
       .collect()
-      .map(r => s"$base/__bucket=${r.get(0)}" -> Map(
-        colA -> (r.getString(1), r.getString(2)),
-        colB -> (r.getString(3), r.getString(4))))
-      .toMap
+    def relOf(uri: String): (String, String) = {
+      // ".../<base>/__bucket=K/part-....parquet" → (dir add-entry, file)
+      val idx = uri.indexOf(base)
+      require(idx >= 0, s"lake: stats file $uri outside $base")
+      val rel = uri.substring(idx) // base/__bucket=K/part-...
+      val cut = rel.lastIndexOf('/')
+      (rel.substring(0, cut), rel.substring(cut + 1))
+    }
+    val perFile = fileAgg.map { r =>
+      val (dir, file) = relOf(r.getString(0))
+      // an all-null column in a file records no bounds for it — the
+      // file then always survives pruning on that column
+      val colStats = cols.zipWithIndex.flatMap { case (c, i) =>
+        (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
+          match {
+            case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+            case _ => None
+          }
+      }.toMap
+      (dir, file, colStats)
+    }
+    val fileStats = perFile.groupBy(_._1).map { case (dir, fs0) =>
+      dir -> fs0.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+    }
+    def foldMin(c: String, a: String, b: String): String =
+      if (kinds(c) == "num") { if (BigDecimal(a) <= BigDecimal(b)) a else b }
+      else { if (a <= b) a else b }
+    def foldMax(c: String, a: String, b: String): String =
+      if (kinds(c) == "num") { if (BigDecimal(a) >= BigDecimal(b)) a else b }
+      else { if (a >= b) a else b }
+    val dirStats = perFile.groupBy(_._1).map { case (dir, fs0) =>
+      dir -> cols.flatMap { c =>
+        val bounds = fs0.flatMap(_._3.get(c))
+        // a directory whose every file has bounds on c gets dir bounds;
+        // any unbounded file leaves the directory unbounded on c
+        if (bounds.length == fs0.length && bounds.nonEmpty)
+          Some(c -> (bounds.map(_._1).reduce(foldMin(c, _, _)),
+                     bounds.map(_._2).reduce(foldMax(c, _, _))))
+        else None
+      }.toMap
+    }
     writeCommit(spark, root,
       Commit(next, leaves, prev, None, Map.empty,
-             leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap))
+             leaves.flatMap(d => dirStats.get(d).map(d -> _)).toMap,
+             kinds,
+             leaves.flatMap(d => fileStats.get(d).map(d -> _)).toMap))
     next
   }
 
@@ -664,11 +869,18 @@ object LakeTable {
 object LakeFixtures {
   private val ReadyMarker = "_GRAFT_LAKE_READY"
 
+  /** Folded into every cached-fixture key and bumped whenever
+    * LakeTable's LOG FORMAT or layout semantics change (r11 ADVICE
+    * #3: content hashes cannot see the producing code) — fmt2 added
+    * colkinds + per-file stats + the filesPerDir z-layout, so trees
+    * built under fmt1 would serve stale stats to the new read path. */
+  private val FormatVersion = "fmt2"
+
   /** Returns the root of the cached fixture named `name` for content
     * `hash`, building it via `build(root)` on a miss. */
   def cached(spark: SparkSession, name: String, hash: String)(
       build: String => Unit): String = {
-    val dir = new Path(s"${Artifacts.cacheRoot}/$name-$hash")
+    val dir = new Path(s"${Artifacts.cacheRoot}/$name-$FormatVersion-$hash")
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ready = new Path(dir, ReadyMarker)
     if (!f.exists(ready)) {

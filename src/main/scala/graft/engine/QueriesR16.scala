@@ -99,6 +99,46 @@ object QueriesR16 {
               col("c.change_type").as("change_type"))
   }
 
+  /** Deletion-aware MIN maintenance (r11 verdict #6): MIN is
+    * self-maintainable under inserts (new min = least(old min, min of
+    * inserted values)) but NOT under deletes — UNLESS the delete
+    * provably misses the current extremum. The view manager therefore
+    * inspects the feed's removal images (deletes + update pre-images)
+    * per group: a group whose removals are all STRICTLY ABOVE its
+    * current min keeps the incremental path; only groups where a
+    * removal touches the extremum (price ≤ current min — ties are
+    * conservative: an equal-valued survivor may exist, but proving it
+    * needs data) are re-scanned, and the re-scan is FILTERED to those
+    * groups. The touched-group set is O(|groups|) driver-side
+    * metadata (the same posture as the lake log's stats collects).
+    * Returns (per-group min frame, the re-scanned group set) so tests
+    * — and an operator's monitoring — can assert the re-scan really
+    * was skipped. */
+  private[graft] def ivmMinMaintain(before: DataFrame, after: DataFrame,
+      feed: DataFrame): (DataFrame, Set[String]) = {
+    val min0 = before.groupBy("status").agg(min("price").as("min0"))
+    val removals = feed
+      .filter(col("change_type").isin("delete", "update_preimage"))
+    val touched = removals.join(min0, Seq("status"))
+      .filter(col("price") <= col("min0"))
+      .select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    val insMin = feed
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .groupBy("status").agg(min("price").as("mins_new"))
+    // untouched groups: least(old min, inserted min) — no data scan
+    val incremental = min0.join(insMin, Seq("status"), "full_outer")
+      .filter(!col("status").isin(touched.toSeq: _*))
+      .select(col("status"),
+        least(col("min0"), col("mins_new")).as("min_price"))
+    if (touched.isEmpty) (incremental, touched)
+    else {
+      val rescan = after.filter(col("status").isin(touched.toSeq: _*))
+        .groupBy("status").agg(min("price").as("min_price"))
+      (incremental.unionByName(rescan), touched)
+    }
+  }
+
   /** SUM/AVG-maintaining IVM refresh from the feed (r10 verdict #4):
     * per status, count and SUM(price) update from signed deltas
     * (+1/+price for insert and update_postimage, −1/−price for
@@ -108,28 +148,24 @@ object QueriesR16 {
     * self-maintainability result: AVG is not self-maintainable, its
     * components are).
     *
-    * MIN/MAX deliberately do NOT maintain incrementally: a delete of
-    * the current minimum destroys the information needed to update it
-    * (MIN under inserts only is maintainable; under deletes it is
-    * not — the classic non-self-maintainable aggregate). The
-    * `minPrice` column here is computed by the documented RE-SCAN
-    * FALLBACK over the after-snapshot, which is what a production
-    * view manager schedules when the feed contains deletes
-    * (LakeTableSpec pins both facts: the stale-min trap and the
-    * fallback's correctness). */
+    * MIN maintains through [[ivmMinMaintain]] — incremental for every
+    * group whose removals miss the current extremum, re-scan (filtered
+    * to the touched groups) only where a delete/pre-image hits it
+    * (LakeTableSpec pins the stale-min trap, the skip, and the
+    * trigger). */
   private[graft] def ivmSumRefresh(before: DataFrame,
                                    after: DataFrame): DataFrame = {
     val baseAgg = before.groupBy("status")
       .agg(count(lit(1)).as("n0"), sum("price").as("sum0"))
-    val deltas = ivmSumFeed(before, after)
+    val feed = ivmSumFeed(before, after)
+    val deltas = feed
       .select(col("status"),
         when(col("change_type").isin("insert", "update_postimage"),
              lit(1L)).otherwise(lit(-1L)).as("w"),
         when(col("change_type").isin("insert", "update_postimage"),
              col("price")).otherwise(-col("price")).as("dp"))
       .groupBy("status").agg(sum("w").as("dn"), sum("dp").as("dsum"))
-    val minScan = after.groupBy("status")
-      .agg(min("price").as("min_price")) // the re-scan fallback
+    val (minScan, _) = ivmMinMaintain(before, after, feed)
     baseAgg.join(deltas, Seq("status"), "full_outer")
       .select(col("status"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))

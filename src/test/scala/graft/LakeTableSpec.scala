@@ -212,6 +212,57 @@ class LakeTableSpec extends SparkTestBase {
       Seq(("a", "9", "10"))).count() == 64)
   }
 
+  test("k-column clustered rewrite: a 3-D box prunes FILES inside surviving directories") {
+    val root = freshRoot("zn")
+    // a 16x16x16 integer cube in one arrival-order append
+    val cube = spark.range(4096).select(
+      ($"id" % 16).as("a"), expr("(id DIV 16) % 16").as("b"),
+      expr("(id DIV 256) % 16").as("c"), $"id".as("v"))
+    LakeTable.append(cube, root)
+    LakeTable.rewriteClusteredN(LakeTable.read(spark, root), root,
+      Seq("a", "b", "c"), 8, filesPerDir = 4)
+    val preds = Seq(("a", "0", "3"), ("b", "0", "3"), ("c", "0", "3"))
+    val survivingDirs = LakeTable.rangeDirs2(spark, root, preds)
+    val (whole, files) = LakeTable.rangeFiles(spark, root, preds)
+    assert(whole.isEmpty,
+      s"every leaf carries file stats, none should scan whole: $whole")
+    // file-grain beats directory-grain: strictly FEWER files survive
+    // than the surviving directories hold
+    val filesInSurvivors = survivingDirs.map { d =>
+      new java.io.File(s"$root/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(files.nonEmpty && files.size < filesInSurvivors,
+      s"per-file stats skipped nothing: ${files.size} of " +
+        s"$filesInSurvivors files in ${survivingDirs.size} dirs")
+    // skipping changes what is scanned, never what is returned
+    val got = LakeTable.readRangeFiles(spark, root, preds)
+    assert(got.count() == 4 * 4 * 4, s"got ${got.count()} rows")
+    assert(LakeTable.read(spark, root).count() == 4096)
+  }
+
+  test("string-typed digit stats never prune numerically (the lexicographic min/max trap)") {
+    val root = freshRoot("strstat")
+    // a STRING column whose values sort differently under the two
+    // orderings: lexicographic min/max of {"100", "25"} is
+    // (min="100", max="25") — numeric comparison against those bounds
+    // would falsely prune the file holding "25" for [23, 27]
+    val rows = (0 until 64).map(i =>
+      (if (i % 2 == 0) "100" else "25", (i % 8).toLong, i.toLong))
+    LakeTable.append(rows.toDF("s", "b", "v"), root)
+    LakeTable.rewriteClusteredN(LakeTable.read(spark, root), root,
+      Seq("s", "b"), 2, filesPerDir = 2)
+    val preds = Seq(("s", "23", "27"))
+    // ground truth: the row-level lexicographic filter over a full scan
+    val want = LakeTable.read(spark, root)
+      .filter($"s".cast("string").between("23", "27")).count()
+    assert(want == 32, s"fixture broke: expected the 32 '25'-rows, got $want")
+    assert(LakeTable.readRange2(spark, root, preds).count() == want,
+      "dir-grain skipping changed the result for string-kind stats")
+    assert(LakeTable.readRangeFiles(spark, root, preds).count() == want,
+      "file-grain skipping changed the result for string-kind stats")
+  }
+
   test("IVM with signed deltas: a delete pulls SUM down; MIN needs the re-scan fallback") {
     import graft.engine.QueriesR16
     def dec(rows: Seq[(Long, String, Double)]) =
@@ -241,6 +292,50 @@ class LakeTableSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toSeq
     assert(got == full, s"IVM $got != recompute $full")
+  }
+
+  test("deletion-aware MIN: non-extremal delete skips the re-scan; extremal delete triggers it") {
+    import graft.engine.QueriesR16
+    def dec(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("key", "status", "p")
+        .select($"key", $"status",
+          $"p".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2)).as("price"))
+    val before = dec(Seq((1L, "x", 10.00), (2L, "x", 5.00),
+                         (3L, "x", 7.00), (4L, "y", 1.00)))
+    // NON-extremal churn in x: delete 10.00 (min is 5.00), insert
+    // 6.00 — MIN stays maintainable, no group may re-scan
+    val afterSafe = dec(Seq((2L, "x", 5.00), (3L, "x", 7.00),
+                            (4L, "y", 1.00), (5L, "x", 6.00)))
+    val (minSafe, scannedSafe) = QueriesR16.ivmMinMaintain(
+      before, afterSafe, QueriesR16.ivmSumFeed(before, afterSafe))
+    assert(scannedSafe.isEmpty,
+      s"non-extremal delete re-scanned groups $scannedSafe")
+    val gotSafe = minSafe.orderBy("status").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(gotSafe == Seq(("x", 5.00), ("y", 1.00)), s"got $gotSafe")
+    // EXTREMAL delete: key 2 (x's min) goes — exactly x re-scans, y
+    // stays incremental; an insert BELOW the old min (2.50) must also
+    // come through
+    val afterHit = dec(Seq((1L, "x", 10.00), (3L, "x", 7.00),
+                           (4L, "y", 1.00), (5L, "x", 2.50)))
+    val (minHit, scannedHit) = QueriesR16.ivmMinMaintain(
+      before, afterHit, QueriesR16.ivmSumFeed(before, afterHit))
+    assert(scannedHit == Set("x"),
+      s"extremal delete should re-scan exactly x, got $scannedHit")
+    val gotHit = minHit.orderBy("status").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(gotHit == Seq(("x", 2.50), ("y", 1.00)), s"got $gotHit")
+    // an update whose PRE-image is the extremum also triggers (update
+    // = delete + insert for MIN purposes)
+    val afterUpd = dec(Seq((1L, "x", 10.00), (2L, "x", 8.00),
+                           (3L, "x", 7.00), (4L, "y", 1.00)))
+    val (minUpd, scannedUpd) = QueriesR16.ivmMinMaintain(
+      before, afterUpd, QueriesR16.ivmSumFeed(before, afterUpd))
+    assert(scannedUpd == Set("x"), s"got $scannedUpd")
+    val gotUpd = minUpd.orderBy("status").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(gotUpd == Seq(("x", 7.00), ("y", 1.00)), s"got $gotUpd")
   }
 
   test("vacuum retention contract: retained pinned readers survive, older ones fail loudly") {
