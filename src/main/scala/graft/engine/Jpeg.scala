@@ -732,6 +732,21 @@ object Jpeg {
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // Dimension-bomb guard (r11 ADVICE): buffer sizes are computed in
+    // LONG and capped BEFORE any allocation — a few hundred crafted
+    // bytes can declare 65535×65535 at 2×2 sampling, whose Int
+    // padW·mcusY·v·8 product wraps past 2^32 (later dying as an
+    // ArrayIndexOutOfBounds) or demands multi-GB planes. Untrusted
+    // bytes must decode or throw IllegalArgumentException (the
+    // fuzz-pinned contract), and a corpus decoder must bound its
+    // per-image memory; 1 GiB of total plane bytes is far above any
+    // legitimate fixture and far below an executor heap.
+    val totalPlaneBytes = comps.map(c =>
+      (mcusX * c.h * 8L) * (mcusY * c.v * 8L)).sum
+    require(totalPlaneBytes <= (1L << 30),
+      s"jpeg: image too large ($width x $height at sampling " +
+        s"${comps.map(c => s"${c.h}x${c.v}").mkString("/")}: " +
+        s"$totalPlaneBytes plane bytes > ${1L << 30} cap)")
     // per-component native plane dims (T.81 A.1.1) and padded buffers
     // sized to the MCU grid; cropped at the end
     val planeW = comps.map(c => (width * c.h + hmax - 1) / hmax)

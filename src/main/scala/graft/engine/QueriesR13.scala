@@ -165,8 +165,20 @@ object QueriesR13 {
   private def docPhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d).select("doc_id")
+    // Mechanical logic fingerprint (r11 ADVICE #3): the content hash
+    // sees only the INPUT frame, so the key also folds in the dhash of
+    // one driver-side probe blob run through the SAME encode→decode→
+    // dhash pipeline — editing the pixel model, the PNG codec, or the
+    // dhash now regenerates the artifact automatically instead of
+    // serving stale rows until someone remembers to bump the name.
+    val logicTag = {
+      val blob = Png.encodeGray8(37, 23, i => ((41L + i) % 251).toInt)
+      val dec = Png.decodeGray8Pixels(blob)
+      Png.dhash64(dec.pixels, dec.width, dec.height)
+    }
     ArtifactCache.materializeKeyed(s, Artifacts.cacheRoot,
-      "doc_phashes_v1", ArtifactCache.artifactHash(docs)) {
+      "doc_phashes_v1",
+      ArtifactCache.artifactHash(docs) + "-L" + logicTag) {
       QueriesExtra.docPngBlobs(s, d)
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, blob) =>

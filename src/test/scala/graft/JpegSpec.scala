@@ -108,6 +108,35 @@ class JpegSpec extends AnyFunSuite {
       "validation paths are not being exercised")
   }
 
+  test("dimension bomb: huge declared SOF dims reject before allocation") {
+    // a ~400-byte stream declaring 65535x65535 at 2x2 sampling used
+    // to overflow the Int plane-size product (wrapping to a small
+    // array, then AIOOBE) or demand multi-GB buffers; it must raise
+    // the decoder's own IllegalArgumentException instead (r11 ADVICE)
+    val base = Jpeg.encodeColor420(16, 16, (_, _) => 128,
+      (_, _) => 128, (_, _) => 128)
+    // find SOF0 (FFC0) and patch the declared height/width to 65535
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < base.length) {
+      if ((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "fixture has no SOF0 marker")
+    val bomb = base.clone()
+    // SOF payload: len(2) precision(1) height(2) width(2)
+    bomb(sof + 5) = 0xff.toByte; bomb(sof + 6) = 0xff.toByte
+    bomb(sof + 7) = 0xff.toByte; bomb(sof + 8) = 0xff.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bomb))
+    assert(e.getMessage.contains("too large"), e.getMessage)
+    // mid-size dims that DON'T overflow Int but demand GBs also reject
+    val big = base.clone()
+    big(sof + 5) = 0x7f.toByte; big(sof + 6) = 0xff.toByte
+    big(sof + 7) = 0x7f.toByte; big(sof + 8) = 0xff.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(big))
+    assert(e2.getMessage.contains("too large"), e2.getMessage)
+  }
+
   test("color 4:2:0: exactly-quantizable uniform blocks roundtrip bit-exactly") {
     // luma: even values (K.1 Q(0,0)=16 | 8(v-128)); chroma: 128+17t
     // (K.2 Q(0,0)=17 | 8*17t) — the color oracle's closed-form hook
