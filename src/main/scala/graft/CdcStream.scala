@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.LakeTable
+
+/** Lake change feed → Structured Streaming → incrementally maintained
+  * view (r11 verdict #7): the end-to-end CDC consumption path a
+  * lakehouse user expects, built from three public pieces —
+  *
+  *  1. a LOG-AWARE, IDEMPOTENT stager that materializes each committed
+  *     feed version's added rows as immutable files named by version
+  *     (exactly `LakeTable.readSince`'s mechanism, one commit at a
+  *     time: only committed adds are staged, so uncommitted orphan
+  *     directories from crashed writers never leak into the stream);
+  *  2. a STOCK FileStreamSource over the staging area with
+  *     `Trigger.AvailableNow` — its checkpoint is the consumer's
+  *     high-water mark, so a second drain processes exactly the files
+  *     staged after the first (= the post-checkpoint commits);
+  *  3. a foreachBatch IVM sink folding signed deltas into a per-group
+  *     (count, sum) view persisted in a lake table whose commits carry
+  *     (appId, batchId) tokens (`LakeTable.rewriteTxn`) — a
+  *     re-delivered microbatch after a failure is a no-op, giving
+  *     end-to-end exactly-once on top of the source's replay.
+  *
+  * The feed rows are the engine's CDC shape
+  * (key, status, price, change_type ∈ insert / delete /
+  * update_preimage / update_postimage); the maintained view equals
+  * the batch `ivmSumRefresh` result on (status, n, sum, avg) —
+  * StreamingSpec pins both that equality and the second-drain
+  * increment. At 100 TB the stager is a metadata walk plus one
+  * column-pruned scan per NEW commit; the view rewrite is O(groups).
+  */
+object CdcStream {
+
+  /** Stages every committed version of the append-only feed table not
+    * yet present in `stagingDir`. Files land as
+    * `v<version>-<part>.parquet`, written to a dot-prefixed scratch
+    * dir and renamed into place one by one — a concurrent drain sees
+    * only whole files, and a re-run of a half-staged version
+    * re-stages ONLY its missing part files (names are deterministic).
+    * Returns the versions staged by THIS call. */
+  def stage(spark: SparkSession, feedRoot: String,
+            stagingDir: String): Seq[Long] = {
+    val staging = new java.io.File(stagingDir)
+    staging.mkdirs()
+    val done: Set[Long] = staging.listFiles().toSeq
+      .map(_.getName)
+      .collect { case n if n.startsWith("v") && n.contains("-") =>
+        n.drop(1).takeWhile(_.isDigit).toLong }
+      .toSet
+    val todo = LakeTable.versions(spark, feedRoot)
+      .filterNot(done)
+      .filter(v => LakeTable.addedDirs(spark, feedRoot, v).nonEmpty)
+    todo.foreach { v =>
+      val dirs = LakeTable.addedDirs(spark, feedRoot, v)
+      val scratch = new java.io.File(staging, f".stage-v$v%010d")
+      scratch.mkdirs()
+      spark.read.parquet(dirs.map(d => s"$feedRoot/$d"): _*)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val parts = scratch.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val target = new java.io.File(staging, f"v$v%010d-$i%05d.parquet")
+        if (!target.exists()) {
+          require(p.renameTo(target), s"cdc: rename ${p} -> $target failed")
+        }
+      }
+      scratch.listFiles().foreach(_.delete())
+      scratch.delete()
+    }
+    todo
+  }
+
+  private val ViewApp = "cdc_ivm"
+
+  /** One AvailableNow drain: stage new commits, stream them through
+    * the checkpointed source, fold each microbatch's signed deltas
+    * into the view table. Returns (view read-out, input rows this
+    * drain processed). */
+  def drainIvm(spark: SparkSession, feedRoot: String,
+               workDir: String, viewRoot: String): (DataFrame, Long) = {
+    stage(spark, feedRoot, s"$workDir/staging")
+    val schema = LakeTable.read(spark, feedRoot).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$workDir/staging")
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        updateView(b, viewRoot, batchId); ()
+      }
+      .option("checkpointLocation", s"$workDir/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    (readView(spark, viewRoot), rows)
+  }
+
+  /** Signed-delta fold of one CDC microbatch into the (status → n,
+    * sum) view: +1/+price for insert and update_postimage, −1/−price
+    * for delete and update_preimage (the ivmSumRefresh delta model);
+    * the merged view commits with this batch's idempotence token. */
+  private def updateView(batch: DataFrame, viewRoot: String,
+                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val delta = batch.select(col("status"),
+        when(col("change_type").isin("insert", "update_postimage"),
+             lit(1L)).otherwise(lit(-1L)).as("w"),
+        when(col("change_type").isin("insert", "update_postimage"),
+             col("price")).otherwise(-col("price")).as("dp"))
+      .groupBy("status")
+      .agg(sum("w").as("dn"), sum("dp").cast(DecimalType(18, 2)).as("dsum"))
+    val merged =
+      if (LakeTable.latestVersion(spark, viewRoot).isEmpty)
+        delta.select(col("status"), col("dn").as("n"),
+                     col("dsum").as("sum_dec"))
+      else
+        LakeTable.read(spark, viewRoot)
+          .join(delta, Seq("status"), "full_outer")
+          .select(col("status"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("sum_dec"), zero) + coalesce(col("dsum"), zero))
+              .cast(DecimalType(18, 2)).as("sum_dec"))
+    LakeTable.rewriteTxn(merged.filter(col("n") > 0).coalesce(1),
+      viewRoot, ViewApp, batchId)
+  }
+
+  /** The maintained view's read-out, shaped like ivmSumRefresh minus
+    * the MIN column (MIN is not feed-maintainable; see
+    * QueriesR16.ivmMinMaintain for the deletion-aware path). */
+  def readView(spark: SparkSession, viewRoot: String): DataFrame =
+    LakeTable.read(spark, viewRoot)
+      .select(col("status"), col("n"),
+        col("sum_dec").cast("double").as("sum_price"),
+        round(col("sum_dec").cast("double") / col("n"), 6)
+          .as("avg_price"))
+      .orderBy("status")
+}

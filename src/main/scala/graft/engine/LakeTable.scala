@@ -521,6 +521,18 @@ object LakeTable {
       .parquet(dirs.map(d => s"$root/$d"): _*))
   }
 
+  /** The data directories ADDED by commit `version`, refusing
+    * rewrite commits — readSince's append-only contract at
+    * single-commit grain (the CDC staging walk consumes this). */
+  def addedDirs(spark: SparkSession, root: String,
+                version: Long): Seq[String] = {
+    val c = readCommit(spark, root, version)
+    require(c.removes.isEmpty,
+      s"lake: commit $version rewrites history — a CDC consumer must " +
+        "re-seed from a snapshot")
+    c.adds
+  }
+
   /** Highest batchId `appId` has committed, from log replay — the
     * streaming writer's restart question. */
   def lastTxn(spark: SparkSession, root: String,
@@ -583,6 +595,34 @@ object LakeTable {
       }
     }
     None // unreachable
+  }
+
+  /** Rewrite with an (appId, batchId) idempotence token — the
+    * exactly-once MAINTAINED-VIEW commit (the foreachBatch partner of
+    * [[appendTxn]] for sinks that REPLACE their content each
+    * microbatch): a re-delivered batch finds its batchId already in
+    * the log and becomes a no-op, returning None. A version conflict
+    * with a concurrent writer re-checks the txn state once (the loser
+    * may be losing to its own half-acknowledged attempt) and then
+    * fails loudly — maintained views have one writer by design. */
+  def rewriteTxn(df: DataFrame, root: String, appId: String,
+                 batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    if (lastTxn(spark, root, appId).exists(_ >= batchId)) return None
+    val prev = activeDirs(spark, root)
+    val next = latestVersion(spark, root).getOrElse(-1L) + 1
+    val dir = f"data-v$next%010d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$dir")
+    try {
+      writeCommit(spark, root,
+        Commit(next, Seq(dir), prev, Some((appId, batchId))))
+      Some(next)
+    } catch {
+      case e: CommitConflictException =>
+        fs(spark, root).delete(new Path(root, dir), true)
+        if (lastTxn(spark, root, appId).exists(_ >= batchId)) None
+        else throw e
+    }
   }
 
   /** Rewrite commit — the merge/compact shape: `df` becomes the new

@@ -659,4 +659,57 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("2024-01-01 10:00:00") == 2L)
     assert(rows("2024-01-01 11:30:00") == 1L)
   }
+
+  test("lake CDC feed -> streaming IVM: second drain processes exactly the post-checkpoint commits") {
+    import spark.implicits._
+    import graft.engine.{LakeTable, QueriesR16}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ivm").toString
+    val feedRoot = s"$work/feed"
+    val viewRoot = s"$work/view"
+    def dec(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("key", "status", "p")
+        .select($"key", $"status",
+          $"p".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2)).as("price"))
+    val v0 = dec(Seq((1L, "x", 10.00), (2L, "x", 5.00),
+                     (3L, "x", 7.00), (4L, "y", 1.00)))
+    // v0 -> v1: delete key 2, reprice key 3, insert key 5 — the
+    // LakeTableSpec IVM fixture, consumed through streaming this time
+    val v1 = dec(Seq((1L, "x", 10.00), (3L, "x", 6.00),
+                     (4L, "y", 1.00), (5L, "x", 2.50)))
+    // feed commit 0: the bootstrap — v0 itself as inserts
+    LakeTable.append(
+      v0.withColumn("change_type", lit("insert")), feedRoot)
+    val (view1, rows1) = CdcStream.drainIvm(spark, feedRoot, work, viewRoot)
+    assert(rows1 == 4L, s"first drain saw $rows1 rows, wanted v0's 4")
+    val got1 = view1.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got1 == Seq(("x", 3L, 22.00), ("y", 1L, 1.00)), s"got $got1")
+    // feed commit 1: the v0 -> v1 CDC delta
+    val feedB = QueriesR16.ivmSumFeed(v0, v1)
+    LakeTable.append(feedB, feedRoot)
+    val nB = feedB.count()
+    val (view2, rows2) = CdcStream.drainIvm(spark, feedRoot, work, viewRoot)
+    // EXACTLY the post-checkpoint commit — not a reprocess of commit 0
+    assert(rows2 == nB,
+      s"second drain saw $rows2 rows, wanted exactly feed B's $nB")
+    // streamed IVM state equals the batch ivmSumRefresh result
+    val streamed = view2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val batch = QueriesR16.ivmSumRefresh(v0, v1)
+      .select(col("status"), col("n"), col("sum_price"), col("avg_price"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(streamed == batch,
+      s"streamed view $streamed != batch refresh $batch")
+    // exactly-once: re-delivering the last microbatch is a no-op
+    // (same token, view version unchanged)
+    val vBefore = LakeTable.latestVersion(spark, viewRoot).get
+    val replay = LakeTable.read(spark, feedRoot)
+    assert(LakeTable.rewriteTxn(replay, viewRoot, "cdc_ivm", 1L).isEmpty)
+    assert(LakeTable.latestVersion(spark, viewRoot).get == vBefore)
+  }
 }
