@@ -1,0 +1,101 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-12 keys: the SQL front door proven by oracle (r11 verdict
+  * #8 — the same operators reachable from SQL TEXT, not just the
+  * Scala DSL) and the file-grain k-column Z-order read path (#5),
+  * all under the §2.3 determinism discipline.
+  */
+object QueriesR17 {
+  import Tables._
+
+  // ---------------------------------------------------------------
+  // sql_* — the spark.sql passthrough, graded end-to-end: the text
+  // goes through graft.Sql (views + function registry), Catalyst
+  // compiles it exactly like the DataFrame DSL, and the DuckDB oracle
+  // hash-checks the result. One join, one window, one lateral.
+  // ---------------------------------------------------------------
+
+  /** Multiway join + aggregate from SQL text. Determinism: DECIMAL
+    * sum cast to double at the end; month boundaries in UTC. */
+  def sqlJoinRevenue(s: SparkSession, d: String): DataFrame =
+    graft.Sql.run(s, d,
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
+  /** Ranked window from SQL text; (price DESC, orderkey) is a total
+    * order so the top-2 cut is deterministic. */
+  def sqlWindowTopn(s: SparkSession, d: String): DataFrame =
+    graft.Sql.run(s, d,
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders WHERE o_custkey <= 200) t
+        |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin)
+
+  /** Generator (LATERAL VIEW posexplode) from SQL text — the UDTF
+    * extension point reached through the SQL surface. */
+  def sqlLateralTokens(s: SparkSession, d: String): DataFrame =
+    graft.Sql.run(s, d,
+      """SELECT doc_id, pos + 1 AS pos, tok
+        |FROM documents
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // lake_zorder_files
+  // ---------------------------------------------------------------
+
+  /** Three-predicate data skipping at FILE grain through a 3-column
+    * Morton layout: orders lands in four arrival-order appends, then
+    * one `rewriteClusteredN` commit lays the content on the
+    * interleaved (o_orderdate, o_custkey, o_totalprice) curve into 8
+    * directories × 4 files, recording [min, max] per FILE for all
+    * three columns in the commit log. The 3-D box read then prunes
+    * individual files inside surviving directories
+    * (LakeTableSpec counts the skipped files); this key proves the
+    * CONTENT through the oracle — skipping changes what is scanned,
+    * never what is returned.
+    *
+    * Determinism (§2.3): integers, date strings, one exact DECIMAL
+    * sum cast to double at the end.
+    *
+    * Scale shape: the layout is one range exchange on the Morton code
+    * + one grouped stats pass over input_file_name; the fixture is a
+    * P6 artifact. At 100 TB per-file bounds are where the real I/O
+    * win lives — a surviving directory still skips most of its
+    * files for a tight box. */
+  def lakeZorderFiles(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey").as("key"),
+              col("o_orderdate").cast("date").cast("string").as("odate"),
+              col("o_custkey").as("custkey"),
+              round(col("o_totalprice"), 2)
+                .cast(DecimalType(18, 2)).as("price"))
+    val root = LakeFixtures.cached(s, "lake_zfiles_v1",
+      ArtifactCache.artifactHash(base)) { r =>
+      (0 until 4).foreach(p =>
+        LakeTable.append(base.filter(col("key") % 4 === p), r))
+      LakeTable.rewriteClusteredN(LakeTable.read(s, r), r,
+        Seq("odate", "custkey", "price"), 8, filesPerDir = 4)
+    }
+    LakeTable.readRangeFiles(s, root,
+        Seq(("odate", "1994-01-01", "1995-12-31"),
+            ("custkey", "1", "750"),
+            ("price", "50000", "150000")))
+      .groupBy(substring(col("odate"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum("price").cast("double").as("revenue"))
+      .orderBy("month")
+  }
+}

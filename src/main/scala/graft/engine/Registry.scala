@@ -294,6 +294,12 @@ object Registry {
     "lake_ivm_sumavg"       -> QueriesR16.lakeIvmSumavg _,
     "lake_change_feed_deletes" -> QueriesR16.lakeChangeFeedDeletes _,
     "multimodal_decode_jpeg_color" -> QueriesR16.multimodalDecodeJpegColor _,
+    // Round-12: the SQL front door (graft.Sql) proven by oracle, and
+    // file-grain k-column Z-order skipping
+    "sql_join_revenue"      -> QueriesR17.sqlJoinRevenue _,
+    "sql_window_topn"       -> QueriesR17.sqlWindowTopn _,
+    "sql_lateral_tokens"    -> QueriesR17.sqlLateralTokens _,
+    "lake_zorder_files"     -> QueriesR17.lakeZorderFiles _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -302,5 +308,5 @@ object Registry {
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
-      OracleR15.sql ++ OracleR16.sql
+      OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql
 }
