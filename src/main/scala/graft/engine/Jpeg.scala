@@ -142,6 +142,23 @@ object Jpeg {
     0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  /** AC table for PROGRESSIVE scans. The sequential typical table
+    * (K.3.2) has no codewords for the EOBn run codes 0x10..0xE0
+    * (T.81 G.1.2.2 — eob runs of 2..2^14 blocks) and leaves exactly
+    * ONE unused length-16 code, so they cannot be appended to it
+    * (the canonical code space would overflow into >16-bit codes).
+    * Instead progressive scans use a flat all-8-bit canonical table
+    * over every symbol they can emit — EOB0..EOB14, ZRL, and
+    * run/size (r ≤ 15, s ≤ 10): 176 codewords ≤ 2^8, Kraft-valid by
+    * construction. Suboptimal compression, irrelevant for fixtures;
+    * the decoder takes whatever table the stream's DHT declares. */
+  val AcValsProg: Array[Int] =
+    ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s)).toArray
+  val AcBitsProg: Array[Int] = {
+    val b = new Array[Int](17); b(8) = AcValsProg.length; b
+  }
+
   /** Canonical Huffman codes from BITS/HUFFVAL (T.81 C.2): returns
     * value → (code, length). */
   private def buildEncodeTable(bits: Array[Int],
@@ -275,22 +292,52 @@ object Jpeg {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
+  /** IDCT + level shift + clamp of one DEQUANTIZED natural-order 8×8
+    * block into a padded component buffer at (ox, oy). */
+  private def idctBlock(coef: Array[Int], buf: Array[Byte], w: Int,
+                        ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cc = coef(u * 8 + v)
+            if (cc != 0) {
+              val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+              val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+              sum += cu * cv * cc * CosTab(x)(v) * CosTab(y)(u)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val s = math.round(0.25 * sum + 128).toInt
+        buf((oy + y) * w + ox + x) =
+          math.max(0, math.min(255, s)).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   // ---------------------------------------------------------------
   // Encoders
   // ---------------------------------------------------------------
 
-  /** Forward-DCT, quantize, and entropy-code one level-shifted 8×8
-    * block sampled via `sample(x, y)` (block-local coordinates);
-    * returns the new DC predictor. */
-  private def encodeBlock(bw: BitWriter, sample: (Int, Int) => Int,
-                          quant: Array[Int],
-                          dcEnc: Map[Int, (Int, Int)],
-                          acEnc: Map[Int, (Int, Int)], pred: Int): Int = {
+  /** Forward-DCT + quantize one level-shifted 8×8 block sampled via
+    * `sample(x, y)` (block-local coordinates) → 64 quantized
+    * coefficients in natural order. SEPARABLE DCT: rows then
+    * columns — 2·8·8·8 mult-adds per block instead of the direct
+    * form's 64·64 (measured: the color decode key drops ~3×; fp
+    * summation order changes only the ~1e-12 tail, far inside the
+    * quantizer's rounding). */
+  private def quantBlock(sample: (Int, Int) => Int,
+                         quant: Array[Int]): Array[Int] = {
     val coef = new Array[Int](64)
-    // SEPARABLE forward DCT: rows then columns — 2·8·8·8 mult-adds
-    // per block instead of the direct form's 64·64 (measured: the
-    // color decode key drops ~3×; fp summation order changes only the
-    // ~1e-12 tail, far inside the quantizer's rounding)
     val px = new Array[Double](64)
     var y = 0
     while (y < 8) {
@@ -327,6 +374,17 @@ object Jpeg {
       }
       u += 1
     }
+    coef
+  }
+
+  /** Forward-DCT, quantize, and entropy-code one level-shifted 8×8
+    * block sampled via `sample(x, y)` (block-local coordinates);
+    * returns the new DC predictor. */
+  private def encodeBlock(bw: BitWriter, sample: (Int, Int) => Int,
+                          quant: Array[Int],
+                          dcEnc: Map[Int, (Int, Int)],
+                          acEnc: Map[Int, (Int, Int)], pred: Int): Int = {
+    val coef = quantBlock(sample, quant)
     // DC: differential, category + raw bits
     val diff = coef(0) - pred
     val s0 = category(diff)
@@ -434,6 +492,219 @@ object Jpeg {
     }
     bw.flush()
     out.write(bw.out.toByteArray)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Progressive encoder (T.81 Annex G) — the fixture half for
+  // multimodal_decode_jpeg_progressive and the JpegSpec parity tests.
+  // ---------------------------------------------------------------
+
+  /** AC point transform (G.1.2.2): division by 2^Al truncating toward
+    * ZERO — not an arithmetic shift, which floors. */
+  private def ptAc(v: Int, al: Int): Int =
+    if (v >= 0) v >> al else -((-v) >> al)
+
+  /** One AC FIRST scan (Ah = 0) over `blocks` for band [ss, se] at
+    * approximation Al: run/size over the point-transformed values,
+    * EOBn run codes across all-zero band tails. */
+  private def encodeAcFirst(bw: BitWriter, blocks: Array[Array[Int]],
+                            ss: Int, se: Int, al: Int,
+                            acEnc: Map[Int, (Int, Int)]): Unit = {
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = acEnc(n << 4)
+      bw.put(c, l)
+      if (n > 0) bw.put(eobrun - (1 << n), n)
+      eobrun = 0
+    }
+    var bi = 0
+    while (bi < blocks.length) {
+      val coef = blocks(bi)
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val v = ptAc(coef(ZigZag(k)), al)
+        if (v == 0) r += 1
+        else {
+          flushEob()
+          while (r > 15) {
+            val (cz, lz) = acEnc(0xf0); bw.put(cz, lz); r -= 16
+          }
+          val s = category(v)
+          val (ca, la) = acEnc((r << 4) | s)
+          bw.put(ca, la)
+          bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+      bi += 1
+    }
+    flushEob()
+  }
+
+  /** One AC REFINEMENT scan (Ah = Al + 1) over `blocks` for band
+    * [ss, se]: newly-significant coefficients code as run/1 + sign,
+    * already-nonzero coefficients contribute one buffered correction
+    * bit each, EOB runs carry their blocks' buffered bits (T.81
+    * G.1.2.3 — the two-buffer structure: a global buffer for bits
+    * owed by EOB-run blocks, a per-block buffer flushed after each
+    * emitted symbol). */
+  private def encodeAcRefine(bw: BitWriter, blocks: Array[Array[Int]],
+                             ss: Int, se: Int, al: Int,
+                             acEnc: Map[Int, (Int, Int)]): Unit = {
+    var eobrun = 0
+    val be = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acEnc(n << 4)
+        bw.put(c, l)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      be.foreach(bw.put(_, 1))
+      be.clear()
+    }
+    var bi = 0
+    while (bi < blocks.length) {
+      val coef = blocks(bi)
+      val absv = new Array[Int](se + 1)
+      var eobPos = ss - 1 // last newly-significant index in this block
+      var k = ss
+      while (k <= se) {
+        val a = math.abs(coef(ZigZag(k))) >> al
+        absv(k) = a
+        if (a == 1) eobPos = k
+        k += 1
+      }
+      var r = 0
+      val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+      k = ss
+      while (k <= se) {
+        val a = absv(k)
+        if (a == 0) r += 1
+        else {
+          while (r > 15 && k <= eobPos) {
+            flushEob()
+            val (cz, lz) = acEnc(0xf0); bw.put(cz, lz); r -= 16
+            br.foreach(bw.put(_, 1)); br.clear()
+          }
+          if (a > 1) br += (a & 1)
+          else {
+            flushEob()
+            val (ca, la) = acEnc((r << 4) | 1)
+            bw.put(ca, la)
+            bw.put(if (coef(ZigZag(k)) >= 0) 1 else 0, 1)
+            br.foreach(bw.put(_, 1)); br.clear()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || br.nonEmpty) {
+        eobrun += 1
+        be ++= br
+        if (eobrun == 0x7fff) flushEob()
+      }
+      bi += 1
+    }
+    flushEob()
+  }
+
+  /** Encode an 8-bit grayscale image as PROGRESSIVE JFIF (SOF2,
+    * T.81 Annex G): six scans exercising both progressive modes —
+    * spectral selection (DC, AC 1–5, AC 6–63 as separate scans) and
+    * successive approximation (every band sends its high bits first
+    * at Al=1, then a refinement scan at Al=0). Decoding all scans
+    * reconstructs the EXACT quantized coefficients of the baseline
+    * encoding, so `decode` of this stream equals `decode` of
+    * `encodeGray8` of the same image bit-for-bit (JpegSpec parity).
+    * Same border-replicating block pad as the baseline encoder. */
+  def encodeGray8Progressive(width: Int, height: Int,
+                             pixel: (Int, Int) => Int): Array[Byte] =
+    encodeGray8ProgressiveScans(width, height, pixel, Seq(
+      (0, 0, 0, 1), (1, 5, 0, 1), (6, 63, 0, 1),
+      (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0)))
+
+  /** Progressive encode with an explicit scan plan (Ss, Se, Ah, Al)
+    * — exposed for spec-level bisection of the scan machinery; the
+    * public entry uses the canonical six-scan plan. The plan must
+    * follow G.1.1.1: DC first scan precedes AC scans; each band's
+    * first scan precedes its refinements; refinements step Al down
+    * by one. */
+  private[graft] def encodeGray8ProgressiveScans(
+      width: Int, height: Int, pixel: (Int, Int) => Int,
+      plan: Seq[(Int, Int, Int, Int)]): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: empty image")
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val blocks = Array.tabulate(blocksY * blocksX) { bi =>
+      val bx = bi % blocksX
+      val by = bi / blocksX
+      quantBlock((x, y) => pixel(math.min(bx * 8 + x, width - 1),
+                                 math.min(by * 8 + y, height - 1)),
+        QuantLum)
+    }
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb) // DQT
+    u16(2 + 1 + 64); u8(0x00)
+    var k = 0
+    while (k < 64) { u8(QuantLum(ZigZag(k))); k += 1 }
+    marker(0xc2) // SOF2: progressive, 8-bit, 1 component
+    u16(8 + 3)
+    u8(8); u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0)
+    marker(0xc4) // DHT: DC table 0
+    u16(2 + 1 + 16 + DcVals.length); u8(0x00)
+    for (i <- 1 to 16) u8(DcBits(i))
+    DcVals.foreach(u8)
+    marker(0xc4) // DHT: AC table 0 (progressive: includes EOBn codes)
+    u16(2 + 1 + 16 + AcValsProg.length); u8(0x10)
+    for (i <- 1 to 16) u8(AcBitsProg(i))
+    AcValsProg.foreach(u8)
+
+    val dcEnc = buildEncodeTable(DcBits, DcVals)
+    val acEnc = buildEncodeTable(AcBitsProg, AcValsProg)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda)
+      u16(6 + 2); u8(1); u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    plan.foreach { case (ss, se, ah, al) =>
+      sos(ss, se, ah, al)
+      val bw = new BitWriter
+      if (ss == 0 && ah == 0) {
+        // DC first: differential high bits (the DC point transform is
+        // an ARITHMETIC shift, G.1.2.1)
+        var pred = 0
+        blocks.foreach { coef =>
+          val v = coef(0) >> al
+          val diff = v - pred
+          pred = v
+          val s = category(diff)
+          val (c, l) = dcEnc(s)
+          bw.put(c, l)
+          if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        }
+      } else if (ss == 0) {
+        // DC refinement: one raw bit per block
+        blocks.foreach(coef => bw.put((coef(0) >> al) & 1, 1))
+      } else if (ah == 0) encodeAcFirst(bw, blocks, ss, se, al, acEnc)
+      else encodeAcRefine(bw, blocks, ss, se, al, acEnc)
+      bw.flush(); out.write(bw.out.toByteArray)
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }
@@ -660,7 +931,9 @@ object Jpeg {
             if (nc == 1)
               require(comps(0).h == 1 && comps(0).v == 1,
                 "jpeg: subsampling on a single component")
-          case 0xc1 | 0xc2 | 0xc3 =>
+          case 0xc2 => // SOF2: progressive — the Annex G path
+            return decodeProgressive(bytes)
+          case 0xc1 | 0xc3 =>
             throw new IllegalArgumentException(
               f"jpeg: SOF$m%02X (non-baseline) unsupported")
           case 0xc4 => // DHT: one or more tables
@@ -817,36 +1090,8 @@ object Jpeg {
                 }
               }
               nUnits += 1
-              // IDCT + level shift into the padded component buffer
-              val w = padW(compIdx)
-              val ox = (mx * c.h + hb) * 8
-              val oy = (my * c.v + vb) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    while (v < 8) {
-                      val cc = coef(u * 8 + v)
-                      if (cc != 0) {
-                        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-                        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-                        sum += cu * cv * cc * CosTab(x)(v) * CosTab(y)(u)
-                      }
-                      v += 1
-                    }
-                    u += 1
-                  }
-                  val s = math.round(0.25 * sum + 128).toInt
-                  buf(compIdx)((oy + y) * w + ox + x) =
-                    math.max(0, math.min(255, s)).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              idctBlock(coef, buf(compIdx), padW(compIdx),
+                (mx * c.h + hb) * 8, (my * c.v + vb) * 8)
               hb += 1
             }
             vb += 1
@@ -856,6 +1101,429 @@ object Jpeg {
         mx += 1
       }
       my += 1
+    }
+    val planes = comps.indices.map { i =>
+      val pw = planeW(i)
+      val ph = planeH(i)
+      val w = padW(i)
+      val outPx = new Array[Byte](pw * ph)
+      var y = 0
+      while (y < ph) {
+        System.arraycopy(buf(i), y * w, outPx, y * pw, pw)
+        y += 1
+      }
+      Plane(pw, ph, outPx)
+    }.toArray
+    DecodedImage(width, height, nUnits, planes)
+  }
+
+  /** Decode a PROGRESSIVE (SOF2) JFIF stream per T.81 Annex G: the
+    * frame's quantized coefficients accumulate across scans — DC
+    * first/refinement (successive approximation; interleaved multi-
+    * component DC scans supported), AC first/refinement per spectral
+    * band (non-interleaved, single component per scan, with EOBn run
+    * codes) — then one dequant + IDCT pass renders the planes. The
+    * scan machinery mirrors the baseline decoder: tables from the
+    * stream's own DQT/DHT (re-definable between scans, as the
+    * standard allows), byte stuffing, restart intervals with
+    * prediction/EOB-run reset, and the same untrusted-byte contract
+    * (decode or IllegalArgumentException, buffer sizes Long-checked
+    * and capped before allocation). */
+  private def decodeProgressive(bytes: Array[Byte]): DecodedImage = {
+    var pos = 2
+    var width = 0
+    var height = 0
+    var comps: Array[Comp] = null
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[DecodeTable](4)
+    val acTabs = new Array[DecodeTable](4)
+    var restartInterval = 0
+    var coefBufs: Array[Array[Int]] = null // per comp: padded block grid × 64
+    var mcusX = 0
+    var mcusY = 0
+    var hmax = 1
+    var vmax = 1
+    val preds = new Array[Int](4)
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+
+    def decodeScan(scanComps: Array[Comp], ss: Int, se: Int,
+                   ah: Int, al: Int, from: Int): Int = {
+      require(comps != null, "jpeg: SOS before SOF")
+      scanComps.foreach { c =>
+        require(quant(c.tq) != null, s"jpeg: missing quant table ${c.tq}")
+        if (ss == 0 && ah == 0)
+          require(dcTabs(c.dcSel) != null,
+            s"jpeg: missing DC huffman table for component ${c.id}")
+        if (ss > 0 && ah == 0)
+          require(acTabs(c.acSel) != null,
+            s"jpeg: missing AC huffman table for component ${c.id}")
+        if (ss > 0 && ah > 0)
+          require(acTabs(c.acSel) != null,
+            s"jpeg: missing AC huffman table for component ${c.id}")
+      }
+      require(ss <= se && se < 64, s"jpeg: bad spectral band $ss..$se")
+      if (ss == 0)
+        require(se == 0, "jpeg: DC scan with AC coefficients (Se > 0)")
+      else
+        require(scanComps.length == 1,
+          "jpeg: interleaved AC scan (progressive AC scans are " +
+            "single-component)")
+      require(ah == 0 || ah == al + 1,
+        s"jpeg: successive approximation Ah=$ah Al=$al out of sequence")
+      val br = new BitReader(bytes, from)
+      var eobrun = 0
+      java.util.Arrays.fill(preds, 0)
+      def decodeHuff(t: DecodeTable): Int = {
+        var code = br.bit()
+        var len = 1
+        while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
+          require(len < 16, "jpeg: invalid huffman code")
+          code = (code << 1) | br.bit()
+          len += 1
+        }
+        t.value(len, code)
+      }
+      val p1 = 1 << al
+      val m1 = -1 << al
+
+      def dcFirst(c: Comp, coef: Array[Int], base: Int): Unit = {
+        val s = decodeHuff(dcTabs(c.dcSel))
+        require(s <= 11, s"jpeg: DC category $s out of range")
+        val ci = comps.indexOf(c)
+        preds(ci) += extend(br.bits(s), s)
+        coef(base) = preds(ci) << al
+      }
+      def dcRefine(coef: Array[Int], base: Int): Unit =
+        if (br.bit() == 1) coef(base) |= p1
+
+      def acFirst(c: Comp, coef: Array[Int], base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuff(acTabs(c.acSel))
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.bits(r)
+              return
+            }
+          } else {
+            k += r
+            require(k <= se, "jpeg: AC run past band end")
+            coef(base + ZigZag(k)) = extend(br.bits(s), s) << al
+            k += 1
+          }
+        }
+      }
+      def acRefine(c: Comp, coef: Array[Int], base: Int): Unit = {
+        var k = ss
+        if (eobrun == 0) {
+          var broke = false
+          while (!broke && k <= se) {
+            val rs = decodeHuff(acTabs(c.acSel))
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var insert = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.bits(r)
+                broke = true
+              }
+              // r == 15: ZRL — advance over 16 zero-history coefs
+            } else {
+              require(s == 1, s"jpeg: AC refinement size $s != 1")
+              insert = if (br.bit() == 1) p1 else m1
+            }
+            if (!broke) {
+              var placed = false
+              while (!placed && k <= se) {
+                val z = base + ZigZag(k)
+                if (coef(z) != 0) {
+                  if (br.bit() == 1 && (coef(z) & p1) == 0)
+                    coef(z) += (if (coef(z) >= 0) p1 else m1)
+                } else {
+                  if (r == 0) {
+                    if (insert != 0) coef(z) = insert
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              require(placed || insert == 0,
+                "jpeg: AC refinement run past band end")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = base + ZigZag(k)
+            if (coef(z) != 0) {
+              if (br.bit() == 1 && (coef(z) & p1) == 0)
+                coef(z) += (if (coef(z) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      // Walk the scan's data units. DC scans (interleaved or not)
+      // cover the MCU grid; AC scans cover the single component's own
+      // (non-padded) block grid in raster order (T.81 G.1.1 / A.2.2).
+      if (ss == 0 && scanComps.length > 1) {
+        // interleaved DC scan: MCU walk, h×v blocks per component
+        var unitIdx = 0
+        var rstIdx = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (restartInterval > 0 && unitIdx > 0 &&
+                unitIdx % restartInterval == 0) {
+              br.expectRestart(rstIdx)
+              rstIdx = (rstIdx + 1) % 8
+              java.util.Arrays.fill(preds, 0)
+              eobrun = 0
+            }
+            unitIdx += 1
+            var ci = 0
+            while (ci < scanComps.length) {
+              val c = scanComps(ci)
+              val compIdx = comps.indexOf(c)
+              val wBlocks = mcusX * c.h
+              var vb = 0
+              while (vb < c.v) {
+                var hb = 0
+                while (hb < c.h) {
+                  val bIdx = (my * c.v + vb) * wBlocks + (mx * c.h + hb)
+                  if (ah == 0) dcFirst(c, coefBufs(compIdx), bIdx * 64)
+                  else dcRefine(coefBufs(compIdx), bIdx * 64)
+                  hb += 1
+                }
+                vb += 1
+              }
+              ci += 1
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan (DC or AC): the component's own grid
+        val c = scanComps(0)
+        val compIdx = comps.indexOf(c)
+        val wBlocks = mcusX * c.h // padded grid width (storage)
+        val cw = (width * c.h + hmax - 1) / hmax
+        val chh = (height * c.v + vmax - 1) / vmax
+        val nbx = (cw + 7) / 8
+        val nby = (chh + 7) / 8
+        var unitIdx = 0
+        var rstIdx = 0
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            if (restartInterval > 0 && unitIdx > 0 &&
+                unitIdx % restartInterval == 0) {
+              br.expectRestart(rstIdx)
+              rstIdx = (rstIdx + 1) % 8
+              java.util.Arrays.fill(preds, 0)
+              eobrun = 0
+            }
+            unitIdx += 1
+            val base = (by * wBlocks + bx) * 64
+            if (ss == 0) {
+              if (ah == 0) dcFirst(c, coefBufs(compIdx), base)
+              else dcRefine(coefBufs(compIdx), base)
+            } else {
+              if (ah == 0) acFirst(c, coefBufs(compIdx), base)
+              else acRefine(c, coefBufs(compIdx), base)
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // the scan's entropy data ends where the next marker begins;
+      // any partial byte is padding
+      br.pos
+    }
+
+    var sawEoi = false
+    while (!sawEoi) {
+      require(pos + 2 <= bytes.length, "jpeg: truncated before EOI")
+      require((bytes(pos) & 0xff) == 0xff, "jpeg: expected marker")
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else if (m == 0xd9) { sawEoi = true }
+      else {
+        require(pos + 4 <= bytes.length, "jpeg: truncated segment")
+        val len = u16(pos + 2)
+        require(len >= 2, f"jpeg: segment FF$m%02X declares length $len < 2")
+        val seg = pos + 4
+        val segEnd = seg + len - 2
+        require(segEnd <= bytes.length,
+          f"jpeg: segment FF$m%02X (len=$len) runs past end of stream")
+        m match {
+          case 0xdb =>
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              require(pq == 0, "jpeg: 16-bit quant tables unsupported")
+              require(tq < 4, s"jpeg: quant table id $tq out of range")
+              require(p + 65 <= segEnd,
+                "jpeg: DQT table runs past its segment")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(ZigZag(i)) = bytes(p + 1 + i) & 0xff; i += 1
+              }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc2 =>
+            require(comps == null, "jpeg: multiple SOF segments")
+            require(len >= 8, s"jpeg: SOF2 length $len too short")
+            require((bytes(seg) & 0xff) == 8, "jpeg: only 8-bit samples")
+            height = u16(seg + 1)
+            width = u16(seg + 3)
+            require(width > 0 && height > 0, "jpeg: empty frame")
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3,
+              s"jpeg: $nc components; this decoder handles 1 or 3")
+            require(len >= 8 + 3 * nc,
+              s"jpeg: SOF2 length $len short for $nc components")
+            comps = Array.tabulate(nc) { i =>
+              val p = seg + 6 + 3 * i
+              val c = Comp(bytes(p) & 0xff, (bytes(p + 1) & 0xff) >> 4,
+                           bytes(p + 1) & 0x0f, bytes(p + 2) & 0x0f)
+              require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
+                s"jpeg: sampling ${c.h}x${c.v} unsupported (max 2x2)")
+              require(c.tq < 4,
+                s"jpeg: SOF quant selector ${c.tq} out of range")
+              c
+            }
+            if (nc == 1)
+              require(comps(0).h == 1 && comps(0).v == 1,
+                "jpeg: subsampling on a single component")
+            hmax = comps.map(_.h).max
+            vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            // dimension-bomb guard (same contract as baseline): Long
+            // math + cap BEFORE the coefficient buffers allocate
+            // (coefficients are Ints — 4 bytes per sample here)
+            val totalCoefBytes = comps.map(c =>
+              (mcusX * c.h * 8L) * (mcusY * c.v * 8L) * 4L).sum
+            require(totalCoefBytes <= (1L << 30),
+              s"jpeg: image too large ($width x $height at sampling " +
+                s"${comps.map(c => s"${c.h}x${c.v}").mkString("/")}: " +
+                s"$totalCoefBytes coef bytes > ${1L << 30} cap)")
+            coefBufs = comps.map(c =>
+              new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          case 0xc0 | 0xc1 | 0xc3 =>
+            throw new IllegalArgumentException(
+              f"jpeg: SOF$m%02X inside a progressive decode")
+          case 0xc4 =>
+            var p = seg
+            while (p < segEnd) {
+              val tc = (bytes(p) & 0xff) >> 4
+              val th = bytes(p) & 0x0f
+              require(tc < 2 && th < 4,
+                s"jpeg: huffman table class/id $tc/$th out of range")
+              require(p + 17 <= segEnd,
+                "jpeg: DHT counts run past their segment")
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) {
+                bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+              }
+              require(p + 17 + total <= segEnd,
+                "jpeg: DHT values run past their segment")
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+              val tab = new DecodeTable(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xdd =>
+            require(len >= 4, s"jpeg: DRI length $len too short")
+            restartInterval = u16(seg)
+          case 0xda =>
+            require(comps != null, "jpeg: SOS before SOF")
+            require(len >= 3, s"jpeg: SOS length $len too short")
+            val ns = bytes(seg) & 0xff
+            require(ns >= 1 && ns <= comps.length,
+              s"jpeg: scan has $ns components, frame has ${comps.length}")
+            require(len >= 6 + 2 * ns,
+              s"jpeg: SOS length $len short for $ns components")
+            val scanComps = Array.tabulate(ns) { i =>
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val sel = bytes(seg + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(
+                  s"jpeg: SOS names unknown component id $cid"))
+              c.dcSel = sel >> 4
+              c.acSel = sel & 0x0f
+              require(c.dcSel < 4 && c.acSel < 4,
+                s"jpeg: SOS table selectors out of range")
+              c
+            }
+            val pSs = seg + 1 + 2 * ns
+            require(pSs + 3 <= bytes.length, "jpeg: SOS header truncated")
+            val ss = bytes(pSs) & 0xff
+            val se = bytes(pSs + 1) & 0xff
+            val ahAl = bytes(pSs + 2) & 0xff
+            pos = decodeScan(scanComps, ss, se, ahAl >> 4, ahAl & 0x0f,
+              pSs + 3)
+            // a 1-padded final entropy byte can itself be FF 00
+            // (stuffed); it belongs to the scan, not the marker walk
+            while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+                   (bytes(pos + 1) & 0xff) == 0x00) pos += 2
+          case _ => // APPn / COM / others: skip
+        }
+        if (m != 0xda) pos = segEnd
+      }
+    }
+    require(comps != null, "jpeg: EOI before SOF")
+
+    // one dequant + IDCT pass over the accumulated coefficients
+    val planeW = comps.map(c => (width * c.h + hmax - 1) / hmax)
+    val planeH = comps.map(c => (height * c.v + vmax - 1) / vmax)
+    val padW = comps.map(c => mcusX * c.h * 8)
+    val buf = comps.indices.map(i =>
+      new Array[Byte](padW(i) * mcusY * comps(i).v * 8)).toArray
+    var nUnits = 0
+    val dq = new Array[Int](64)
+    comps.indices.foreach { i =>
+      val c = comps(i)
+      val q = quant(c.tq)
+      require(q != null, s"jpeg: missing quant table ${c.tq}")
+      val wBlocks = mcusX * c.h
+      val nbx = (planeW(i) + 7) / 8
+      val nby = (planeH(i) + 7) / 8
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          val base = (by * wBlocks + bx) * 64
+          var j = 0
+          while (j < 64) {
+            dq(j) = coefBufs(i)(base + j) * q(j); j += 1
+          }
+          idctBlock(dq, buf(i), padW(i), bx * 8, by * 8)
+          nUnits += 1
+          bx += 1
+        }
+        by += 1
+      }
     }
     val planes = comps.indices.map { i =>
       val pw = planeW(i)

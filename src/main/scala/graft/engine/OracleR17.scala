@@ -36,6 +36,35 @@ object OracleR17 {
         |            FROM documents WHERE doc_id < 50) t1) t2
         |ORDER BY doc_id, pos""".stripMargin,
 
+    // The progressive fixture's closed-form block model, re-derived
+    // without touching a JPEG: nbx = id%2+1, nby = (id/2)%3+1 blocks,
+    // block i uniform at 2*((id*37 + i*71) % 128).
+    "multimodal_decode_jpeg_progressive" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 2 + 1 AS nbx,
+        |         (doc_id // 2) % 3 + 1 AS nby
+        |  FROM documents),
+        |blk AS (SELECT doc_id, nbx, nby,
+        |          unnest(range(0, nbx * nby)) AS i
+        |        FROM dims),
+        |v AS (SELECT doc_id, nbx, nby, i,
+        |        2 * ((doc_id * 37 + i * 71) % 128) AS p
+        |      FROM blk)
+        |SELECT doc_id,
+        |  CAST(max(nbx) * 8 AS INT) AS width,
+        |  CAST(max(nby) * 8 AS INT) AS height,
+        |  CAST(count(*) AS INT) AS n_blocks,
+        |  CAST(sum(p) * 64 AS BIGINT) AS px_sum,
+        |  round(CAST(sum(p) * 64 AS DOUBLE) / (count(*) * 64), 6)
+        |    AS px_mean,
+        |  CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+        |  CAST(64 * sum(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dark,
+        |  CAST(min(CASE WHEN i = 0 THEN p END) AS INT) AS px_first,
+        |  CAST(min(CASE WHEN i = nbx * nby - 1 THEN p END) AS INT)
+        |    AS px_last
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The 3-D file-grain Z-order layout changes what is SCANNED,
     // never what is returned — the oracle is the plain box aggregate.
     "lake_zorder_files" ->

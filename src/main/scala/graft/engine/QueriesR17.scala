@@ -53,6 +53,66 @@ object QueriesR17 {
         |WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin)
 
   // ---------------------------------------------------------------
+  // multimodal_decode_jpeg_progressive
+  // ---------------------------------------------------------------
+
+  /** The deterministic per-document PROGRESSIVE JPEG encode (r11
+    * verdict #4 — "a real crawl corpus is a meaningful fraction
+    * progressive scans"): 1–2 × 1–3 blocks, each uniform at the even
+    * value 2·((doc_id·37 + i·71) mod 128) for raster block index i —
+    * the docJpegBlobs closed-form model under a six-scan Annex G
+    * stream (DC first/refine with successive approximation, two AC
+    * spectral bands first/refine). Uniform blocks are DC-only, so the
+    * multi-block images drive real EOBn run codes across blocks, and
+    * full-precision decode is bit-exact — the oracle restates the
+    * model in closed form. JpegSpec's parity tests cover nonzero-AC
+    * refinement on general content. */
+  private[engine] def docJpegProgressiveBlobs(s: SparkSession,
+                                              d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val nbx = (id % 2 + 1).toInt
+        val nby = ((id / 2) % 3 + 1).toInt
+        def blockVal(i: Int): Int = (2 * ((id * 37 + i * 71) % 128)).toInt
+        (id, Jpeg.encodeGray8Progressive(nbx * 8, nby * 8,
+          (x, y) => blockVal((y / 8) * nbx + (x / 8))))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** Progressive JPEG decode + per-image statistics — the same probe
+    * surface as multimodal_decode_jpeg, through the SOF2 scan
+    * accumulator (spectral selection + successive approximation)
+    * instead of the single baseline scan. Scale shape: mapPartitions
+    * over binary blobs (the sanctioned codec exception), one row out
+    * per image. */
+  def multimodalDecodeJpegProgressive(s: SparkSession,
+                                      d: String): DataFrame = {
+    import s.implicits._
+    docJpegProgressiveBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val img = Jpeg.decode(blob)
+        require(img.planes.length == 1,
+          "progressive fixture must decode 1 plane")
+        val px = img.planes(0).samples.map(b => (b & 0xff).toLong)
+        val sum = px.sum
+        (id, img.width, img.height, img.nUnits, sum,
+         BigDecimal(sum.toDouble / px.length)
+           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         px.min.toInt, px.max.toInt, px.count(_ < 64).toLong,
+         px.head.toInt, px.last.toInt)
+      })
+      .toDF("doc_id", "width", "height", "n_blocks", "px_sum",
+            "px_mean", "px_min", "px_max", "n_dark",
+            "px_first", "px_last")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // lake_zorder_files
   // ---------------------------------------------------------------
 

@@ -108,6 +108,53 @@ class JpegSpec extends AnyFunSuite {
       "validation paths are not being exercised")
   }
 
+  test("progressive: decode equals baseline decode bit-for-bit") {
+    // full successive approximation is lossless at coefficient level:
+    // the six-scan progressive stream reconstructs the EXACT quantized
+    // coefficients of the baseline encoding, so both decodes agree on
+    // every pixel — general content, all AC paths (runs, ZRL, EOB
+    // runs, newly-significant + correction bits) exercised
+    for ((w, h, f) <- Seq[(Int, Int, (Int, Int) => Int)](
+        (8, 8, (x, y) => 2 * ((x * 31 + y * 67) % 128)), // uniform-ish
+        (24, 16, (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff),
+        (17, 11, (x, y) => (x * 16 + y) % 256), // non-aligned dims
+        (32, 32, (x, y) => if ((x / 4 + y / 4) % 2 == 0) 0 else 255),
+        (40, 24, (x, y) => (x * 5 + y * 3) % 256))) {
+      val base = Jpeg.decodeGray8(Jpeg.encodeGray8(w, h, f))
+      val prog = Jpeg.decode(Jpeg.encodeGray8Progressive(w, h, f))
+      assert(prog.planes.length == 1)
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(prog.planes(0).samples.sameElements(base.pixels),
+        s"progressive decode diverged from baseline at ${w}x$h: " +
+          s"first diff at index ${prog.planes(0).samples
+            .zip(base.pixels).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
+  test("fuzz: corrupted PROGRESSIVE streams fail cleanly, never uncontrolled") {
+    val base = Jpeg.encodeGray8Progressive(24, 16,
+      (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff)
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 0 until 1000) {
+      val b = base.clone()
+      val flips = 1 + nxt(3)
+      for (_ <- 0 until flips) b(nxt(b.length)) = nxt(256).toByte
+      try { Jpeg.decode(b); decoded += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+      }
+    }
+    assert(decoded + rejected == 1000)
+    assert(rejected > 0, "no mutation was ever rejected — the " +
+      "progressive validation paths are not being exercised")
+  }
+
   test("dimension bomb: huge declared SOF dims reject before allocation") {
     // a ~400-byte stream declaring 65535x65535 at 2x2 sampling used
     // to overflow the Int plane-size product (wrapping to a small
