@@ -300,8 +300,7 @@ object Registry {
     "sql_window_topn"       -> QueriesR17.sqlWindowTopn _,
     "sql_lateral_tokens"    -> QueriesR17.sqlLateralTokens _,
     "lake_zorder_files"     -> QueriesR17.lakeZorderFiles _,
-    "multimodal_decode_jpeg_progressive" ->
-      QueriesR17.multimodalDecodeJpegProgressive _,
+    "multimodal_decode_jpeg_progressive" -> QueriesR17.multimodalDecodeJpegProgressive _,
   )
 
   val oracleSql: ListMap[String, String] =
