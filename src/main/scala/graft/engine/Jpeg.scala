@@ -709,6 +709,161 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a 4:2:0 YCbCr image as PROGRESSIVE JFIF — the
+    * multi-component Annex G shape: one INTERLEAVED DC first scan
+    * (MCU walk, per-component prediction, Al=1), an interleaved DC
+    * refinement, then per-component AC first + refinement scans over
+    * each component's own (non-interleaved) block raster — AC scans
+    * in progressive frames are single-component by definition
+    * (G.1.1). Decoding reconstructs the exact quantized coefficients
+    * of `encodeColor420`, so the two decodes agree bit-for-bit per
+    * plane (JpegSpec parity). */
+  def encodeColor420Progressive(width: Int, height: Int,
+                                y: (Int, Int) => Int,
+                                cb: (Int, Int) => Int,
+                                cr: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: empty image")
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    // padded per-component quantized coefficient grids (the DC
+    // interleaved walk covers MCU-pad blocks; AC walks cover only the
+    // component's own raster — pad blocks stay DC-only, cropped away)
+    def grid(wB: Int, hB: Int, quant: Array[Int],
+             sample: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(hB * wB) { bi =>
+        val bx = bi % wB
+        val by = bi / wB
+        quantBlock((x, yy) => sample(bx * 8 + x, by * 8 + yy), quant)
+      }
+    val yBlocks = grid(mcusX * 2, mcusY * 2, QuantLum,
+      (x, yy) => y(math.min(x, width - 1), math.min(yy, height - 1)))
+    val cbBlocks = grid(mcusX, mcusY, QuantChroma,
+      (x, yy) => cb(math.min(x, cw - 1), math.min(yy, ch - 1)))
+    val crBlocks = grid(mcusX, mcusY, QuantChroma,
+      (x, yy) => cr(math.min(x, cw - 1), math.min(yy, ch - 1)))
+
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def dqt(id: Int, t: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 1 + 64); u8(id)
+      var k = 0
+      while (k < 64) { u8(t(ZigZag(k))); k += 1 }
+    }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      for (i <- 1 to 16) u8(bits(i))
+      vals.foreach(u8)
+    }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    dqt(0, QuantLum)
+    dqt(1, QuantChroma)
+    marker(0xc2) // SOF2: progressive, 8-bit, 3 components, 4:2:0
+    u16(8 + 3 * 3)
+    u8(8); u16(height); u16(width); u8(3)
+    u8(1); u8(0x22); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    dht(0, 0, DcBits, DcVals)
+    dht(0, 1, DcBitsC, DcValsC)
+    dht(1, 0, AcBitsProg, AcValsProg) // both components' AC scans
+    val dcEncY = buildEncodeTable(DcBits, DcVals)
+    val dcEncC = buildEncodeTable(DcBitsC, DcValsC)
+    val acEnc = buildEncodeTable(AcBitsProg, AcValsProg)
+
+    def sos(comps: Seq[(Int, Int, Int)], ss: Int, se: Int,
+            ah: Int, al: Int): Unit = {
+      marker(0xda)
+      u16(6 + 2 * comps.length); u8(comps.length)
+      comps.foreach { case (id, dcSel, acSel) =>
+        u8(id); u8((dcSel << 4) | acSel)
+      }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // the interleaved MCU walk's per-block visit order: Y 2×2, Cb, Cr
+    def mcuWalk(visit: (Int /*comp*/, Array[Int] /*coef*/) => Unit): Unit = {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var vb = 0
+          while (vb < 2) {
+            var hb = 0
+            while (hb < 2) {
+              visit(0, yBlocks((my * 2 + vb) * (mcusX * 2) + mx * 2 + hb))
+              hb += 1
+            }
+            vb += 1
+          }
+          visit(1, cbBlocks(my * mcusX + mx))
+          visit(2, crBlocks(my * mcusX + mx))
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    val allComps = Seq((1, 0, 0), (2, 1, 0), (3, 1, 0))
+    // Scan 1 — interleaved DC first at Al=1
+    sos(allComps, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter
+      val preds = new Array[Int](3)
+      mcuWalk { (ci, coef) =>
+        val v = coef(0) >> 1
+        val diff = v - preds(ci)
+        preds(ci) = v
+        val s = category(diff)
+        val (c, l) = (if (ci == 0) dcEncY else dcEncC)(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+      bw.flush(); out.write(bw.out.toByteArray)
+    }
+    // Scans 2–7 — per-component AC first at Al=1 over the component's
+    // own block raster (nbx × nby inside the padded grid)
+    def compRaster(ci: Int): Array[Array[Int]] = {
+      val (blocks, wB, pw, ph) = ci match {
+        case 0 => (yBlocks, mcusX * 2, width, height)
+        case 1 => (cbBlocks, mcusX, cw, ch)
+        case _ => (crBlocks, mcusX, cw, ch)
+      }
+      val nbx = (pw + 7) / 8
+      val nby = (ph + 7) / 8
+      Array.tabulate(nby * nbx) { bi =>
+        blocks((bi / nbx) * wB + bi % nbx)
+      }
+    }
+    val compIds = Seq((1, 0, 0), (2, 1, 0), (3, 1, 0))
+    compIds.zipWithIndex.foreach { case (cid, ci) =>
+      sos(Seq(cid), 1, 63, 0, 1)
+      val bw = new BitWriter
+      encodeAcFirst(bw, compRaster(ci), 1, 63, 1, acEnc)
+      bw.flush(); out.write(bw.out.toByteArray)
+    }
+    // Scan — interleaved DC refinement (one raw bit per block)
+    sos(allComps, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter
+      mcuWalk((_, coef) => bw.put(coef(0) & 1, 1))
+      bw.flush(); out.write(bw.out.toByteArray)
+    }
+    // per-component AC refinement to full precision
+    compIds.zipWithIndex.foreach { case (cid, ci) =>
+      sos(Seq(cid), 1, 63, 1, 0)
+      val bw = new BitWriter
+      encodeAcRefine(bw, compRaster(ci), 1, 63, 0, acEnc)
+      bw.flush(); out.write(bw.out.toByteArray)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Encode a 4:2:0 YCbCr image as baseline JFIF (T.81 A.2: MCU =
     * 2×2 luma blocks + 1 Cb + 1 Cr, interleaved single scan). `y`
     * samples the full-resolution luma plane; `cb`/`cr` sample the

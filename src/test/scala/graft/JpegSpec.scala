@@ -131,6 +131,30 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive COLOR 4:2:0: decode equals baseline decode per plane") {
+    // exercises the multi-component progressive machinery: the
+    // interleaved DC scan (MCU walk, per-component prediction) and
+    // per-component non-interleaved AC scans over grids narrower than
+    // the MCU-padded storage (w=24 -> luma raster 3 wide, padded 4)
+    for ((w, h) <- Seq((16, 16), (24, 16), (18, 10), (32, 32))) {
+      def yv(x: Int, y: Int) = ((x * 7919 + y * 104729) ^ (x * y)) & 0xff
+      def cbv(cx: Int, cy: Int) = (cx * 11 + cy * 7) % 256
+      def crv(cx: Int, cy: Int) = (cx * 5 + cy * 13) % 256
+      val base = Jpeg.decode(Jpeg.encodeColor420(w, h, yv, cbv, crv))
+      val prog = Jpeg.decode(
+        Jpeg.encodeColor420Progressive(w, h, yv, cbv, crv))
+      assert(prog.planes.length == 3)
+      for (p <- 0 until 3) {
+        assert(prog.planes(p).w == base.planes(p).w &&
+               prog.planes(p).h == base.planes(p).h)
+        assert(prog.planes(p).samples.sameElements(base.planes(p).samples),
+          s"color progressive plane $p diverged at ${w}x$h, first diff " +
+            s"at ${prog.planes(p).samples.zip(base.planes(p).samples)
+              .indexWhere(q => q._1 != q._2)}")
+      }
+    }
+  }
+
   test("fuzz: corrupted PROGRESSIVE streams fail cleanly, never uncontrolled") {
     val base = Jpeg.encodeGray8Progressive(24, 16,
       (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff)
