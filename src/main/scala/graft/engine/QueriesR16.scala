@@ -115,26 +115,43 @@ object QueriesR16 {
     * — and an operator's monitoring — can assert the re-scan really
     * was skipped. */
   private[graft] def ivmMinMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame): (DataFrame, Set[String]) = {
-    val min0 = before.groupBy("status").agg(min("price").as("min0"))
+      feed: DataFrame): (DataFrame, Set[String]) =
+    ivmExtremumMaintain(before, after, feed, isMin = true)
+
+  /** The same maintenance for MAX (a removal at price ≥ the current
+    * maximum is what destroys information); both directions share one
+    * implementation with the comparison and combiner flipped. */
+  private[graft] def ivmMaxMaintain(before: DataFrame, after: DataFrame,
+      feed: DataFrame): (DataFrame, Set[String]) =
+    ivmExtremumMaintain(before, after, feed, isMin = false)
+
+  private def ivmExtremumMaintain(before: DataFrame, after: DataFrame,
+      feed: DataFrame, isMin: Boolean): (DataFrame, Set[String]) = {
+    val aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (isMin) min else max
+    val outCol = if (isMin) "min_price" else "max_price"
+    val ext0 = before.groupBy("status").agg(aggFn(col("price")).as("ext0"))
     val removals = feed
       .filter(col("change_type").isin("delete", "update_preimage"))
-    val touched = removals.join(min0, Seq("status"))
-      .filter(col("price") <= col("min0"))
+    val touched = removals.join(ext0, Seq("status"))
+      .filter(if (isMin) col("price") <= col("ext0")
+              else col("price") >= col("ext0"))
       .select("status").distinct()
       .collect().map(_.getString(0)).toSet
-    val insMin = feed
+    val insExt = feed
       .filter(col("change_type").isin("insert", "update_postimage"))
-      .groupBy("status").agg(min("price").as("mins_new"))
-    // untouched groups: least(old min, inserted min) — no data scan
-    val incremental = min0.join(insMin, Seq("status"), "full_outer")
+      .groupBy("status").agg(aggFn(col("price")).as("ext_new"))
+    // untouched groups: combine(old extremum, inserted extremum) —
+    // no data scan
+    val incremental = ext0.join(insExt, Seq("status"), "full_outer")
       .filter(!col("status").isin(touched.toSeq: _*))
       .select(col("status"),
-        least(col("min0"), col("mins_new")).as("min_price"))
+        (if (isMin) least(col("ext0"), col("ext_new"))
+         else greatest(col("ext0"), col("ext_new"))).as(outCol))
     if (touched.isEmpty) (incremental, touched)
     else {
       val rescan = after.filter(col("status").isin(touched.toSeq: _*))
-        .groupBy("status").agg(min("price").as("min_price"))
+        .groupBy("status").agg(aggFn(col("price")).as(outCol))
       (incremental.unionByName(rescan), touched)
     }
   }

@@ -336,6 +336,27 @@ class LakeTableSpec extends SparkTestBase {
     val gotUpd = minUpd.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotUpd == Seq(("x", 7.00), ("y", 1.00)), s"got $gotUpd")
+    // MAX is the mirror image: deleting x's 10.00 (the max) triggers
+    // exactly x's re-scan; the SAME change is non-extremal for MAX
+    // when it only touches the min side
+    val afterMaxHit = dec(Seq((2L, "x", 5.00), (3L, "x", 7.00),
+                              (4L, "y", 1.00)))
+    val (maxHit, scannedMaxHit) = QueriesR16.ivmMaxMaintain(
+      before, afterMaxHit, QueriesR16.ivmSumFeed(before, afterMaxHit))
+    assert(scannedMaxHit == Set("x"), s"got $scannedMaxHit")
+    val gotMaxHit = maxHit.orderBy("status").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(gotMaxHit == Seq(("x", 7.00), ("y", 1.00)), s"got $gotMaxHit")
+    // deleting the MIN (key 2, 5.00) is non-extremal for MAX: no
+    // re-scan, max stays incremental (insert 12.00 lifts it)
+    val afterMaxSafe = dec(Seq((1L, "x", 10.00), (3L, "x", 7.00),
+                               (4L, "y", 1.00), (5L, "x", 12.00)))
+    val (maxSafe, scannedMaxSafe) = QueriesR16.ivmMaxMaintain(
+      before, afterMaxSafe, QueriesR16.ivmSumFeed(before, afterMaxSafe))
+    assert(scannedMaxSafe.isEmpty, s"got $scannedMaxSafe")
+    val gotMaxSafe = maxSafe.orderBy("status").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
+    assert(gotMaxSafe == Seq(("x", 12.00), ("y", 1.00)), s"got $gotMaxSafe")
   }
 
   test("vacuum retention contract: retained pinned readers survive, older ones fail loudly") {
