@@ -36,6 +36,14 @@ object OracleR17 {
         |            FROM documents WHERE doc_id < 50) t1) t2
         |ORDER BY doc_id, pos""".stripMargin,
 
+    // Same relational content as expr_native_cosine's oracle — the
+    // engine side differs only in ARRIVING THROUGH SQL TEXT.
+    "sql_expr_cosine" ->
+      s"""SELECT a.vec_id AS vec_id,
+        |  round(${OracleDocs.cosinePair}, 6) AS cos_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
+
     // The progressive fixture's closed-form block model, re-derived
     // without touching a JPEG: nbx = id%2+1, nby = (id/2)%3+1 blocks,
     // block i uniform at 2*((id*37 + i*71) % 128).
@@ -64,6 +72,25 @@ object OracleR17 {
         |  CAST(min(CASE WHEN i = nbx * nby - 1 THEN p END) AS INT)
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The two-tone signal's spectrum in closed form: lines only at
+    // n/2 (A1*n) and n/4 (A2*n/2); DC exactly zero; energy
+    // (n/4)*(4*A1^2 + 2*A2^2); A2 odd => no peak ties.
+    "multimodal_audio_fft" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(64 * power(2, doc_id % 4) AS BIGINT) AS n,
+        |    (doc_id * 7) % 40 + 10 AS a1,
+        |    2 * ((doc_id * 13) % 40) + 15 AS a2
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS INT) AS n,
+        |  round(CAST(a1 * n AS DOUBLE), 4) AS mag_half,
+        |  round(CAST(a2 * n / 2 AS DOUBLE), 4) AS mag_quarter,
+        |  CAST(CASE WHEN a2 * n / 2 > a1 * n THEN n / 4 ELSE n / 2 END
+        |    AS INT) AS peak_bin,
+        |  CAST(0.0 AS DOUBLE) AS mag_dc,
+        |  CAST((n / 4) * (4 * a1 * a1 + 2 * a2 * a2) AS BIGINT) AS energy
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // The 3-D file-grain Z-order layout changes what is SCANNED,
     // never what is returned — the oracle is the plain box aggregate.

@@ -52,6 +52,18 @@ object QueriesR17 {
         |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
         |WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin)
 
+  /** The native codegen Expression (CosineSimilarityExpr) invoked
+    * from SQL TEXT — proving the Catalyst extension point is
+    * reachable through the front door, not just the DSL (graft.Sql
+    * registers it in the session's function registry). Same
+    * computation as expr_native_cosine. */
+  def sqlExprCosine(s: SparkSession, d: String): DataFrame =
+    graft.Sql.run(s, d,
+      """SELECT a.vec_id AS vec_id,
+        |  round(cosine_sim(a.embedding, b.embedding), 6) AS cos_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin)
+
   // ---------------------------------------------------------------
   // multimodal_decode_jpeg_progressive
   // ---------------------------------------------------------------
@@ -109,6 +121,75 @@ object QueriesR17 {
       .toDF("doc_id", "width", "height", "n_blocks", "px_sum",
             "px_mean", "px_min", "px_max", "n_dark",
             "px_first", "px_last")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // multimodal_audio_fft
+  // ---------------------------------------------------------------
+
+  /** WAV → FFT spectral analysis with a CLOSED-FORM oracle: each
+    * document's PCM16 blob carries an exactly-representable two-tone
+    * signal — x[i] = A1·(−1)^i + A2·q(i) with q the 4-periodic
+    * {0,1,0,−1} — whose DFT is nonzero ONLY at bins n/2 (|X| = A1·n)
+    * and n/4 (|X| = A2·n/2), both exact integers (the period-2 and
+    * period-4 sequences are the only integer-exact sinusoids, which
+    * is precisely what makes a lossless spectral oracle possible).
+    * The blob round-trips through the real RIFF walk, the samples
+    * through the radix-2 FFT, and the key reports the two line
+    * magnitudes, the peak bin (fp noise at the zero bins is ~1e-9
+    * against integer line spacing ≥ 32 — argmax is deterministic),
+    * the DC line (exactly 0: both tones sum to 0 per period), and
+    * the exact integer energy Σx² = (n/4)·(4A1² + 2A2²). A2 is
+    * forced odd so A2·n/2 ≠ A1·n — no peak ties. The oracle restates
+    * every column from (A1, A2, n) without touching a WAV or an FFT.
+    *
+    * Scale shape: mapPartitions over binary blobs (the sanctioned
+    * codec exception), O(n log n) per row, one row out per blob. */
+  def multimodalAudioFft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 64 << (id % 4).toInt             // 64..512, power of 2
+        val a1 = ((id * 7) % 40 + 10).toInt      // 10..49
+        val a2 = (2 * ((id * 13) % 40) + 15).toInt // odd, 15..93
+        def q(i: Int): Int = (i % 4) match {
+          case 1 => 1
+          case 3 => -1
+          case _ => 0
+        }
+        def sample(i: Int): Int =
+          a1 * (if ((i & 1) == 0) 1 else -1) + a2 * q(i)
+        val blob = Wav.encodePcm16(n, sample)
+        (id, blob)
+      })
+      .mapPartitions(_.map { case (id, blob) =>
+        val samples = Wav.decodePcm16Samples(blob)
+        val n = samples.length
+        val mags = Fft.magnitudes(samples)
+        var peak = 1
+        var k = 2
+        while (k < mags.length) {
+          if (mags(k) > mags(peak)) peak = k
+          k += 1
+        }
+        var energy = 0L
+        var i = 0
+        while (i < n) { energy += samples(i).toLong * samples(i); i += 1 }
+        (id, n,
+         BigDecimal(mags(n / 2)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         BigDecimal(mags(n / 4)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         peak,
+         BigDecimal(mags(0)).setScale(4,
+           BigDecimal.RoundingMode.HALF_UP).toDouble,
+         energy)
+      })
+      .toDF("doc_id", "n", "mag_half", "mag_quarter", "peak_bin",
+            "mag_dc", "energy")
       .orderBy("doc_id")
   }
 

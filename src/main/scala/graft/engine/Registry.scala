@@ -301,6 +301,8 @@ object Registry {
     "sql_lateral_tokens"    -> QueriesR17.sqlLateralTokens _,
     "lake_zorder_files"     -> QueriesR17.lakeZorderFiles _,
     "multimodal_decode_jpeg_progressive" -> QueriesR17.multimodalDecodeJpegProgressive _,
+    "sql_expr_cosine"       -> QueriesR17.sqlExprCosine _,
+    "multimodal_audio_fft"  -> QueriesR17.multimodalAudioFft _,
   )
 
   val oracleSql: ListMap[String, String] =
