@@ -73,6 +73,27 @@ object OracleR17 {
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // GIF is lossless: the pixel model p(i) = (3*doc_id + i) % 251
+    // over i = 0..w*h-1 restated directly (the PNG oracle posture).
+    "multimodal_decode_gif" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 40 + 1 AS INT) AS w,
+        |    CAST(doc_id % 24 + 1 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, w * h),
+        |      i -> (3 * doc_id + i) % 251) AS p
+        |  FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(p) AS BIGINT) AS px_sum,
+        |  CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+        |  CAST(list_aggregate(p, 'max') AS INT) AS px_max,
+        |  CAST(p[1] AS INT) AS px_first,
+        |  CAST(p[w * h] AS INT) AS px_last
+        |FROM px ORDER BY doc_id""".stripMargin,
+
     // The two-tone signal's spectrum in closed form: lines only at
     // n/2 (A1*n) and n/4 (A2*n/2); DC exactly zero; energy
     // (n/4)*(4*A1^2 + 2*A2^2); A2 odd => no peak ties.

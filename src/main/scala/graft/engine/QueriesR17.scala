@@ -125,6 +125,45 @@ object QueriesR17 {
   }
 
   // ---------------------------------------------------------------
+  // multimodal_decode_gif
+  // ---------------------------------------------------------------
+
+  /** GIF87a decode + per-image statistics — the FOURTH image codec
+    * leg (PNG chunk walk, JPEG baseline, JPEG progressive, now GIF's
+    * variable-width LZW): every document's grayscale-palette GIF
+    * decodes through the real marker walk (signature, little-endian
+    * descriptors, palette, sub-block defragmentation) and the full
+    * LZW machinery (code-width growth, dictionary rebuild, KwKwK),
+    * and reduces to dimensions, exact pixel sum / min / max, and the
+    * first/last position probes that pin raster order. GIF is
+    * lossless, so the oracle restates the pixel model
+    * p(i) = (3·doc_id + i) mod 251 in closed form (the PNG posture).
+    *
+    * Scale shape: mapPartitions over binary blobs (the sanctioned
+    * codec exception), one row out per image. */
+  def multimodalDecodeGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = (nChars % 40 + 1).toInt
+        val h = (id % 24 + 1).toInt
+        (id, Gif.encodeGray8(w, h,
+          (x, y) => ((3 * id + y.toLong * w + x) % 251).toInt))
+      })
+      .mapPartitions(_.map { case (id, blob) =>
+        val dec = Gif.decodeGray8(blob)
+        val px = dec.pixels.map(b => (b & 0xff).toLong)
+        (id, dec.width, dec.height, px.sum, px.min.toInt, px.max.toInt,
+         px.head.toInt, px.last.toInt)
+      })
+      .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max",
+            "px_first", "px_last")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // multimodal_audio_fft
   // ---------------------------------------------------------------
 

@@ -303,6 +303,7 @@ object Registry {
     "multimodal_decode_jpeg_progressive" -> QueriesR17.multimodalDecodeJpegProgressive _,
     "sql_expr_cosine"       -> QueriesR17.sqlExprCosine _,
     "multimodal_audio_fft"  -> QueriesR17.multimodalAudioFft _,
+    "multimodal_decode_gif" -> QueriesR17.multimodalDecodeGif _,
   )
 
   val oracleSql: ListMap[String, String] =
