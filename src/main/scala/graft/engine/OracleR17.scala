@@ -73,6 +73,46 @@ object OracleR17 {
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // An INDEPENDENT traversal of the same graph: recursive CTE
+    // expanding (typ, id, dist) triples, min(dist) per node = BFS.
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey AS sup, o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |bfs(typ, id, dist) AS (
+        |  SELECT 's', s_suppkey, 0 FROM supplier
+        |  WHERE s_suppkey % 50 = 1
+        |  UNION
+        |  SELECT CASE WHEN b.typ = 's' THEN 'c' ELSE 's' END,
+        |         CASE WHEN b.typ = 's' THEN e.cust ELSE e.sup END,
+        |         b.dist + 1
+        |  FROM bfs b JOIN e
+        |    ON (b.typ = 's' AND e.sup = b.id)
+        |    OR (b.typ = 'c' AND e.cust = b.id)
+        |  WHERE b.dist < 3)
+        |SELECT typ, id, CAST(min(dist) AS INT) AS dist
+        |FROM bfs GROUP BY typ, id ORDER BY typ, id""".stripMargin,
+
+    // Per-frame closed form: frame f of doc d has lines A1(d,f)*64 at
+    // bin 32 and A2(d,f)*32 at bin 16; energy 16*(4*A1^2 + 2*A2^2).
+    "multimodal_audio_stft" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, CAST(doc_id % 3 + 2 AS INT)))
+        |    AS frame
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, frame,
+        |    ((doc_id * 7 + frame * 11) % 40) + 10 AS a1,
+        |    2 * ((doc_id * 13 + frame * 5) % 40) + 15 AS a2
+        |  FROM fr)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  round(CAST(a1 * 64 AS DOUBLE), 4) AS mag_half,
+        |  round(CAST(a2 * 32 AS DOUBLE), 4) AS mag_quarter,
+        |  CAST(CASE WHEN a2 * 32 > a1 * 64 THEN 16 ELSE 32 END AS INT)
+        |    AS peak_bin,
+        |  CAST(16 * (4 * a1 * a1 + 2 * a2 * a2) AS BIGINT) AS energy
+        |FROM p ORDER BY doc_id, frame""".stripMargin,
+
     // GIF is lossless: the pixel model p(i) = (3*doc_id + i) % 251
     // over i = 0..w*h-1 restated directly (the PNG oracle posture).
     "multimodal_decode_gif" ->

@@ -125,6 +125,57 @@ object QueriesR17 {
   }
 
   // ---------------------------------------------------------------
+  // graph_bfs_hops
+  // ---------------------------------------------------------------
+
+  /** Bounded multi-source BFS over the supplier↔customer bipartite
+    * graph (the pagerank/jaccard graph): exact hop distance (≤ 3)
+    * from the seed suppliers (s_suppkey ≡ 1 mod 50) to every
+    * reachable node — the neighborhood-expansion primitive behind
+    * "find everything within k hops of these flagged accounts". The
+    * graph is bipartite, so frontiers alternate sides and each hop is
+    * ONE equi-join against the edge artifact plus one anti-join
+    * exclusion of already-visited nodes (set semantics — no per-path
+    * blowup; the frontier is a node SET, never a path list). The
+    * oracle walks the same graph with a DuckDB recursive CTE and
+    * takes min(dist) — a genuinely independent traversal.
+    *
+    * Determinism (§2.3): set semantics + (typ, id) total order.
+    *
+    * Scale shape: k bounded joins over a P6-materialized edge table;
+    * each frontier is distinct-deduped before expanding, so hop h
+    * costs O(|frontier_h| joined against edges), never O(paths). At
+    * 100 TB the edge table would be bucketed by both endpoints; the
+    * anti-join exclusions keep frontiers from re-expanding the
+    * visited set (the textbook distributed-BFS discipline). */
+  def graphBfsHops(s: SparkSession, d: String): DataFrame = {
+    val edges = ArtifactCache.materialize(
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
+        .distinct(),
+      Artifacts.cacheRoot, "bfs_edges_v1")
+    val s0 = supplier(s, d).filter(col("s_suppkey") % 50 === 1)
+      .select(col("s_suppkey").as("id")).distinct()
+    val c1 = edges.join(s0, edges("sup") === s0("id"))
+      .select(col("cust").as("id")).distinct()
+    val s2 = edges.join(c1, edges("cust") === c1("id"))
+      .select(col("sup").as("id")).distinct()
+      .join(s0, Seq("id"), "left_anti")
+    val c3 = edges.join(s2, edges("sup") === s2("id"))
+      .select(col("cust").as("id")).distinct()
+      .join(c1, Seq("id"), "left_anti")
+    s0.select(lit("s").as("typ"), col("id"), lit(0).as("dist"))
+      .unionByName(c1.select(lit("c").as("typ"), col("id"),
+        lit(1).as("dist")))
+      .unionByName(s2.select(lit("s").as("typ"), col("id"),
+        lit(2).as("dist")))
+      .unionByName(c3.select(lit("c").as("typ"), col("id"),
+        lit(3).as("dist")))
+      .orderBy("typ", "id")
+  }
+
+  // ---------------------------------------------------------------
   // multimodal_decode_gif
   // ---------------------------------------------------------------
 
@@ -230,6 +281,74 @@ object QueriesR17 {
       .toDF("doc_id", "n", "mag_half", "mag_quarter", "peak_bin",
             "mag_dc", "energy")
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // multimodal_audio_stft
+  // ---------------------------------------------------------------
+
+  /** Short-time Fourier transform — framed spectral analysis (the
+    * feature extractor a speech/audio training pipeline actually
+    * runs): each document's PCM stream is 2–4 consecutive 64-sample
+    * frames, each frame an integer-exact two-tone with FRAME-VARYING
+    * amplitudes; the key decodes the WAV, windows it (rectangular,
+    * hop = frame — the exact-oracle special case), FFTs each frame,
+    * and emits one row per (doc, frame) with the two line magnitudes,
+    * the peak bin, and the exact frame energy. The oracle restates
+    * every number from (doc_id, frame) alone. One input row fans out
+    * to nFrames output rows — posexplode over the frame index, the
+    * UDTF shape.
+    *
+    * Scale shape: mapPartitions over blobs; frames never leave their
+    * row; output is O(total frames). */
+  def multimodalAudioStft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 64
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = (id % 3 + 2).toInt
+        def a1(f: Int): Int = (((id * 7 + f * 11) % 40) + 10).toInt
+        def a2(f: Int): Int = (2 * ((id * 13 + f * 5) % 40) + 15).toInt
+        def q(i: Int): Int = (i % 4) match {
+          case 1 => 1
+          case 3 => -1
+          case _ => 0
+        }
+        val blob = Wav.encodePcm16(nFrames * frameLen, { i =>
+          val f = i / frameLen
+          val j = i % frameLen
+          a1(f) * (if ((j & 1) == 0) 1 else -1) + a2(f) * q(j)
+        })
+        (id, blob)
+      })
+      .flatMap { case (id, blob) =>
+        val samples = Wav.decodePcm16Samples(blob)
+        val nFrames = samples.length / frameLen
+        (0 until nFrames).map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            samples, f * frameLen, (f + 1) * frameLen)
+          val mags = Fft.magnitudes(frame)
+          var peak = 1
+          var k = 2
+          while (k < mags.length) {
+            if (mags(k) > mags(peak)) peak = k
+            k += 1
+          }
+          var energy = 0L
+          frame.foreach(v => energy += v.toLong * v)
+          (id, f,
+           BigDecimal(mags(frameLen / 2)).setScale(4,
+             BigDecimal.RoundingMode.HALF_UP).toDouble,
+           BigDecimal(mags(frameLen / 4)).setScale(4,
+             BigDecimal.RoundingMode.HALF_UP).toDouble,
+           peak, energy)
+        }
+      }
+      .toDF("doc_id", "frame", "mag_half", "mag_quarter", "peak_bin",
+            "energy")
+      .orderBy("doc_id", "frame")
   }
 
   // ---------------------------------------------------------------

@@ -304,6 +304,8 @@ object Registry {
     "sql_expr_cosine"       -> QueriesR17.sqlExprCosine _,
     "multimodal_audio_fft"  -> QueriesR17.multimodalAudioFft _,
     "multimodal_decode_gif" -> QueriesR17.multimodalDecodeGif _,
+    "multimodal_audio_stft" -> QueriesR17.multimodalAudioStft _,
+    "graph_bfs_hops"        -> QueriesR17.graphBfsHops _,
   )
 
   val oracleSql: ListMap[String, String] =
