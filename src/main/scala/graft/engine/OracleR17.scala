@@ -73,6 +73,80 @@ object OracleR17 {
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // An INDEPENDENT parse of the same synthesized URLs: DuckDB
+    // regexes + list functions re-derive the canonical form.
+    "docs_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://WWW.Site' || (doc_id % 7) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN
+        |          (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |    || '/A' || (doc_id % 5) || '/b'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&q=' || (doc_id % 10)
+        |    || '&a=' || (doc_id % 3)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+        |      AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1)
+        |      AS port,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+        |      AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |  FROM raw),
+        |norm AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE ':' || port END AS portseg,
+        |    CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path0, '/$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(query0, '&'),
+        |      p -> NOT starts_with(p, 'utm_'))), '&') AS qnorm
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host || portseg || path ||
+        |    (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END)
+        |    AS url_norm,
+        |  host,
+        |  CAST(len(list_filter(string_split(qnorm, '&'), p -> p <> ''))
+        |    AS INT) AS n_params
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // The identical IEEE recurrence stepped by a recursive CTE
+    // (alpha = beta = 1/2: adds and exact halvings only, so both
+    // engines produce the same doubles before the 6-dp round).
+    "events_holt_trend" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS i
+        |  FROM events),
+        |nn AS (SELECT user_id, max(i) AS n FROM o GROUP BY user_id),
+        |hw(user_id, i, lev, tr) AS (
+        |  SELECT user_id, CAST(1 AS BIGINT), value, CAST(0.0 AS DOUBLE)
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.i,
+        |    (o.value + h.lev + h.tr) / 2,
+        |    (((o.value + h.lev + h.tr) / 2) - h.lev + h.tr) / 2
+        |  FROM hw h JOIN o
+        |    ON o.user_id = h.user_id AND o.i = h.i + 1)
+        |SELECT h.user_id, nn.n AS n_events,
+        |  round(h.lev, 6) AS level, round(h.tr, 6) AS trend,
+        |  round(h.lev + h.tr, 6) AS forecast_1
+        |FROM hw h JOIN nn ON nn.user_id = h.user_id AND h.i = nn.n
+        |ORDER BY h.user_id""".stripMargin,
+
     // An INDEPENDENT traversal of the same graph: recursive CTE
     // expanding (typ, id, dist) triples, min(dist) per node = BFS.
     "graph_bfs_hops" ->

@@ -125,6 +125,111 @@ object QueriesR17 {
   }
 
   // ---------------------------------------------------------------
+  // docs_url_normalize
+  // ---------------------------------------------------------------
+
+  /** URL canonicalization — the crawl-dedup step every web corpus
+    * runs before exact dedup (two spellings of one URL are one
+    * document): lowercase scheme and host, strip the scheme's
+    * default port (keep explicit non-default ports), drop the
+    * fragment, drop utm_* tracking parameters, sort the surviving
+    * query parameters, and strip a trailing path slash. The messy
+    * input URL is synthesized deterministically per document (mixed
+    * case, shuffled parameter order, default and non-default ports,
+    * fragments), and the whole normalization is NATIVE column
+    * functions — parse_url, regexp, array_sort — inside whole-stage
+    * codegen; no UDF. The oracle re-derives the same canonical form
+    * with DuckDB's regex/list functions — an independent parser.
+    *
+    * Scale shape: row-local projection, no exchange before the
+    * output sort. */
+  def docsUrlNormalize(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise("https"),
+        lit("://"),
+        lit("WWW.Site"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443"))
+          .when(col("doc_id") % 3 === 1, ":8080").otherwise(""),
+        lit("/A"), (col("doc_id") % 5).cast("string"), lit("/b"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&q="), (col("doc_id") % 10).cast("string"),
+        lit("&a="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 6 === 0, "#frag").otherwise(""))
+        .as("url"))
+    raw.select(col("doc_id"), col("url"),
+        lower(expr("parse_url(url, 'PROTOCOL')")).as("scheme"),
+        lower(expr("parse_url(url, 'HOST')")).as("host"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*:(\\d+)", 1)
+          .as("port"),
+        expr("parse_url(url, 'PATH')").as("path0"),
+        expr("parse_url(url, 'QUERY')").as("query0"))
+      .select(col("doc_id"), col("scheme"), col("host"),
+        // keep only a NON-DEFAULT explicit port
+        when(col("port") === "" ||
+             (col("scheme") === "http" && col("port") === "80") ||
+             (col("scheme") === "https" && col("port") === "443"), "")
+          .otherwise(concat(lit(":"), col("port"))).as("portseg"),
+        when(regexp_replace(col("path0"), "/$", "") === "", "/")
+          .otherwise(regexp_replace(col("path0"), "/$", "")).as("path"),
+        array_join(array_sort(filter(split(col("query0"), "&"),
+          p => !p.startsWith("utm_"))), "&").as("qnorm"))
+      .select(col("doc_id"),
+        concat(col("scheme"), lit("://"), col("host"), col("portseg"),
+          col("path"),
+          when(col("qnorm") === "", "").otherwise(
+            concat(lit("?"), col("qnorm")))).as("url_norm"),
+        col("host"),
+        size(filter(split(col("qnorm"), "&"), p => p =!= ""))
+          .as("n_params"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // events_holt_trend
+  // ---------------------------------------------------------------
+
+  /** Holt double exponential smoothing (level + trend) per user
+    * stream — the trend-aware forecasting sibling of events_ewma:
+    * s_t = α·v_t + (1−α)(s_{t−1} + b_{t−1}),
+    * b_t = β(s_t − s_{t−1}) + (1−β)·b_{t−1}, with α = β = 1/2 so
+    * every step is adds and EXACT binary halvings — the Spark
+    * recurrence and the oracle's recursive CTE execute the identical
+    * IEEE operation sequence and agree bit-for-bit before the final
+    * 6-dp round. Reports each user's terminal level, trend, and
+    * one-step forecast.
+    *
+    * Scale shape: per-user sequential fold in mapGroups (the
+    * H-family contract — parallel across users, bounded by the
+    * hottest user's event count; state is two doubles). */
+  def eventsHoltTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(r => (r._2.getTime, r._3))
+        var lev = sorted.head._4
+        var tr = 0.0
+        var i = 1
+        while (i < sorted.length) {
+          val v = sorted(i)._4
+          val nl = (v + lev + tr) / 2
+          tr = (nl - lev + tr) / 2
+          lev = nl
+          i += 1
+        }
+        (uid, sorted.length.toLong, r6(lev), r6(tr), r6(lev + tr))
+      }
+      .toDF("user_id", "n_events", "level", "trend", "forecast_1")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
   // graph_bfs_hops
   // ---------------------------------------------------------------
 

@@ -306,6 +306,8 @@ object Registry {
     "multimodal_decode_gif" -> QueriesR17.multimodalDecodeGif _,
     "multimodal_audio_stft" -> QueriesR17.multimodalAudioStft _,
     "graph_bfs_hops"        -> QueriesR17.graphBfsHops _,
+    "events_holt_trend"     -> QueriesR17.eventsHoltTrend _,
+    "docs_url_normalize"    -> QueriesR17.docsUrlNormalize _,
   )
 
   val oracleSql: ListMap[String, String] =
