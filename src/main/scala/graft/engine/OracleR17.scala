@@ -73,6 +73,80 @@ object OracleR17 {
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // The normalization chain again (see docs_url_normalize), grouped
+    // on the canonical form — min-id keeper per URL.
+    "docs_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://WWW.Site' || (doc_id % 7) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN
+        |          (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |    || '/A' || (doc_id % 5) || '/b'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&q=' || (doc_id % 10)
+        |    || '&a=' || (doc_id % 3)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+        |      AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1)
+        |      AS port,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+        |      AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |  FROM raw),
+        |norm AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |            OR (scheme = 'https' AND port = '443') THEN ''
+        |          ELSE ':' || port END) ||
+        |    (CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+        |          ELSE regexp_replace(path0, '/$', '') END) ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(
+        |            string_split(query0, '&'),
+        |            p -> NOT starts_with(p, 'utm_'))), '&') = '' THEN ''
+        |          ELSE '?' || array_to_string(list_sort(list_filter(
+        |            string_split(query0, '&'),
+        |            p -> NOT starts_with(p, 'utm_'))), '&') END)
+        |      AS url_norm
+        |  FROM parts)
+        |SELECT url_norm, min(doc_id) AS keeper,
+        |  count(*) AS n_dups
+        |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+
+    // The same capped-space containment recomputed from scratch:
+    // kept = shingles with df <= 64; containment over kept shingles.
+    "docs_dedup_containment" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) - 10, 4)) AS i
+        |        FROM documents WHERE length(text) >= 12) z),
+        |kept AS (
+        |  SELECT g.doc_id, g.gram FROM g
+        |  JOIN (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(*) <= 64) keep USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    count(*) AS n_shared
+        |  FROM kept a JOIN kept b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_shared, s1.sz AS sz1, s2.sz AS sz2,
+        |  round(CAST(n_shared AS DOUBLE) / least(s1.sz, s2.sz), 6)
+        |    AS containment
+        |FROM inter
+        |JOIN sz s1 ON s1.doc_id = id1
+        |JOIN sz s2 ON s2.doc_id = id2
+        |WHERE n_shared * 5 >= least(s1.sz, s2.sz) * 3
+        |ORDER BY id1, id2""".stripMargin,
+
     // An INDEPENDENT parse of the same synthesized URLs: DuckDB
     // regexes + list functions re-derive the canonical form.
     "docs_url_normalize" ->

@@ -125,6 +125,69 @@ object QueriesR17 {
   }
 
   // ---------------------------------------------------------------
+  // docs_dedup_containment / docs_dedup_url
+  // ---------------------------------------------------------------
+
+  /** CONTAINMENT near-dup scoring — the asymmetric metric Jaccard
+    * misses: a short document quoted inside a long one has
+    * |A∩B| / min(|A|,|B|) ≈ 1 while its Jaccard stays small (the
+    * excerpt/quotation case every dedup pipeline handles separately).
+    * Char-12-gram shingles (stride 4, the docs_dedup_ngram_jaccard
+    * space) restricted to DISCRIMINATIVE shingles (document frequency
+    * ≤ 64 — the posting-list df-cap discipline: a stop-shingle in
+    * thousands of docs carries no containment signal and is what
+    * would make the shared-shingle join quadratic); candidate pairs
+    * come only from shared kept shingles; containment ≥ 0.6 as the
+    * exact integer cross-multiplication 5·|A∩B| ≥ 3·min(|A|,|B|).
+    * The oracle recomputes the same capped-space metric from scratch.
+    *
+    * Scale shape: emissions bounded by Σ_shingle df² ≤ cap·Σ df —
+    * linear in the shingle table at fixed cap; sizes and intersections
+    * are plain aggregations. */
+  def docsDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val n = 12
+    val dfCap = 64
+    val g = documents(s, d)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}, 4), " +
+          s"i -> substring(text, i, $n))")).as("shingle"))
+      .distinct()
+    val kept = g.join(
+      g.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("shingle"),
+      Seq("shingle"))
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.select(col("doc_id").as("id1"), col("shingle"))
+      .join(kept.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .filter(col("n_shared") * 5 >= least(col("sz1"), col("sz2")) * 3)
+      .select(col("id1"), col("id2"), col("n_shared"),
+        col("sz1"), col("sz2"),
+        round(col("n_shared").cast("double") /
+          least(col("sz1"), col("sz2")), 6).as("containment"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Exact dedup keyed on the CANONICAL URL — the crawl pipeline's
+    * first dedup pass (two spellings of one URL are one fetch):
+    * normalize (docsUrlNormalize's canonical form), keep the lowest
+    * doc_id per canonical URL, report group sizes. Composes the
+    * normalization key with the exact-dedup discipline: hash-group on
+    * the canonical key, linear. */
+  def docsDedupUrl(s: SparkSession, d: String): DataFrame =
+    docsUrlNormalize(s, d)
+      .groupBy("url_norm")
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("url_norm")
+
+  // ---------------------------------------------------------------
   // docs_url_normalize
   // ---------------------------------------------------------------
 

@@ -308,6 +308,8 @@ object Registry {
     "graph_bfs_hops"        -> QueriesR17.graphBfsHops _,
     "events_holt_trend"     -> QueriesR17.eventsHoltTrend _,
     "docs_url_normalize"    -> QueriesR17.docsUrlNormalize _,
+    "docs_dedup_url"        -> QueriesR17.docsDedupUrl _,
+    "docs_dedup_containment" -> QueriesR17.docsDedupContainment _,
   )
 
   val oracleSql: ListMap[String, String] =
