@@ -153,10 +153,18 @@ object QueriesR17 {
         s"transform(sequence(1, length(text) - ${n - 1}, 4), " +
           s"i -> substring(text, i, $n))")).as("shingle"))
       .distinct()
-    val kept = g.join(
-      g.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select("shingle"),
-      Seq("shingle"))
+    // The df-capped shingle table feeds THREE consumers (the size
+    // aggregate and both self-join sides) and the df filter itself
+    // re-evaluates the extraction — a P6 artifact turns four passes
+    // over the explode into one build + tiny parquet scans (the
+    // nearDupPairs posture). Deterministic in (corpus, n, stride,
+    // cap) — all in the plan hash.
+    val kept = ArtifactCache.materialize(
+      g.join(
+        g.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("shingle"),
+        Seq("shingle")),
+      Artifacts.cacheRoot, s"containment_kept_n${n}s4df$dfCap")
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.select(col("doc_id").as("id1"), col("shingle"))
       .join(kept.select(col("doc_id").as("id2"), col("shingle")),
