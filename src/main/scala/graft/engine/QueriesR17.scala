@@ -144,15 +144,29 @@ object QueriesR17 {
     * Scale shape: emissions bounded by Σ_shingle df² ≤ cap·Σ df —
     * linear in the shingle table at fixed cap; sizes and intersections
     * are plain aggregations. */
-  def docsDedupContainment(s: SparkSession, d: String): DataFrame = {
+  /** The distinct char-12-gram (stride 4) shingle frame — exposed for
+    * ContainmentBoundSpec's emission-bound math. */
+  private[graft] def containmentShingles(s: SparkSession,
+                                         d: String): DataFrame = {
     val n = 12
-    val dfCap = 64
-    val g = documents(s, d)
+    documents(s, d)
       .filter(length(col("text")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${n - 1}, 4), " +
           s"i -> substring(text, i, $n))")).as("shingle"))
       .distinct()
+  }
+
+  /** The df-capped view of the shingle frame (the candidate space). */
+  private[graft] def containmentKept(g: DataFrame, dfCap: Int): DataFrame =
+    g.join(
+      g.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("shingle"),
+      Seq("shingle"))
+
+  def docsDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val dfCap = 64
+    val g = containmentShingles(s, d)
     // The df-capped shingle table feeds THREE consumers (the size
     // aggregate and both self-join sides) and the df filter itself
     // re-evaluates the extraction — a P6 artifact turns four passes
@@ -160,11 +174,8 @@ object QueriesR17 {
     // nearDupPairs posture). Deterministic in (corpus, n, stride,
     // cap) — all in the plan hash.
     val kept = ArtifactCache.materialize(
-      g.join(
-        g.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= dfCap).select("shingle"),
-        Seq("shingle")),
-      Artifacts.cacheRoot, s"containment_kept_n${n}s4df$dfCap")
+      containmentKept(g, dfCap),
+      Artifacts.cacheRoot, s"containment_kept_n12s4df$dfCap")
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.select(col("doc_id").as("id1"), col("shingle"))
       .join(kept.select(col("doc_id").as("id2"), col("shingle")),
