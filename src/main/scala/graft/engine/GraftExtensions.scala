@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrderExpr].getName, "zorder2"),
       (args: Seq[Expression]) => ZOrderExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zordern"),
+      new ExpressionInfo(classOf[ZOrderNExpr].getName, "zordern"),
+      (args: Seq[Expression]) => ZOrderNExpr(args)))
     // the bloom family (build / re-merge / membership / count)
     ext.injectFunction((
       FunctionIdentifier("bf_sketch"),

@@ -26,6 +26,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))"""
           .stripMargin).collect()(0).getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
+      // the k-way Morton code resolves too (bit 0 of x at position 0,
+      // bit 0 of y at 1, bit 0 of z at 2 for a 3-ary interleave)
+      val z = s.sql("SELECT zordern(1L, 0L, 1L)").collect()(0).getLong(0)
+      assert(z == 5L, s"zordern(1,0,1) gave $z")
       val top = s.sql(
         """SELECT g, topk_by_score(s, id, 2) FROM VALUES
           |  (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.7D, 12L)
