@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{Exprs, Hll, NGrams, SimHashAgg, Tables, TopK, Udfs}
+import graft.engine.{Bf, Cms, Exprs, Hll, NGrams, Qsk, SimHashAgg,
+  Tables, Theta, TopK, Udfs}
 
 /** The SQL front door (r11 verdict #8): any external user's first
   * question is "where do I type SQL" — this registers the ten corpus
@@ -41,6 +42,10 @@ object Sql {
     NGrams.register(spark)    // the native generator UDTF
     Hll.register(spark)       // HLL sketch aggregates
     SimHashAgg.register(spark)
+    Qsk.register(spark)       // quantile sketch family
+    Bf.register(spark)        // bloom family
+    Theta.register(spark)     // theta set-operation family
+    Cms.register(spark)       // count-min family
   }
 
   /** One SQL text over the registered corpus. */
