@@ -404,6 +404,38 @@ class LakeTableSpec extends SparkTestBase {
       s"orphaned data dirs: ${onDisk -- referenced}")
   }
 
+  test("rewriteTxn race: same-token writers commit once, no orphans") {
+    val root = freshRoot("rwtxnrace")
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val newContent = Seq((1L, "a"), (3L, "c")).toDF("k", "v")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two maintained-view writers re-deliver the SAME (appId, batchId)
+    // — the foreachBatch replay race on the REWRITE path: exactly one
+    // version lands; the loser either no-ops on the txn check or loses
+    // the commit race, rechecks, and returns None without an orphan
+    val results = Await.result(
+      Future.sequence((1 to 2).map(_ => Future {
+        LakeTable.rewriteTxn(newContent, root, "view", 7L)
+      })), Duration.Inf)
+    assert(results.flatten.size == 1,
+      s"expected exactly one rewrite commit, got $results")
+    assert(LakeTable.read(spark, root).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    assert(LakeTable.lastTxn(spark, root, "view").contains(7L))
+    // no unreferenced data directory survives the race: exactly the
+    // original append dir (historical, pre-vacuum) and the ONE
+    // winning rewrite dir — the loser's already-written copy is gone
+    val onDisk = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("data-")).toSet
+    assert(onDisk.size == 2, s"expected 2 data dirs, got $onDisk")
+    val active = LakeTable.activeDirs(spark, root).toSet
+    assert(active.subsetOf(onDisk), s"active $active missing from disk")
+    // a later re-delivery of the same batch is still a no-op
+    assert(LakeTable.rewriteTxn(newContent, root, "view", 7L).isEmpty)
+  }
+
   test("readSince: incremental consumption covers exactly the new commits") {
     val root = freshRoot("since")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root) // v0
