@@ -73,6 +73,37 @@ object OracleR17 {
         |    AS px_last
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // The same extraction pipeline through DuckDB's RE2 engine (the
+    // 'g' flag makes each replace global, matching Spark's default).
+    "docs_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>p{color:red}</style></head><body><p>' ||
+        |    substr(text, 1, 80) ||
+        |    '</p><!-- boilerplate --><p>tail &amp; &lt;tag&gt; ' ||
+        |    (doc_id % 50) || ' &quot;q&quot;</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(html,
+        |          '(?s)<head>.*?</head>', '', 'g'),
+        |        '(?s)<!--.*?-->', '', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'),
+        |        '&quot;', '"', 'g'),
+        |        '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g'),
+        |      '^ | $', '', 'g') AS body_text
+        |  FROM h)
+        |SELECT doc_id, title, body_text,
+        |  CAST(length(body_text) AS INT) AS n_body_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
+
     // The normalization chain again (see docs_url_normalize), grouped
     // on the canonical form — min-id keeper per URL.
     "docs_dedup_url" ->

@@ -125,6 +125,52 @@ object QueriesR17 {
   }
 
   // ---------------------------------------------------------------
+  // docs_html_extract
+  // ---------------------------------------------------------------
+
+  /** HTML → text extraction — the step between the crawl and every
+    * text operator in this registry (a web corpus arrives as markup):
+    * title capture, head/style block removal, comment removal, tag
+    * stripping, entity decoding (&lt; &gt; &quot; then &amp; LAST —
+    * the classic double-decode pitfall), and whitespace collapse,
+    * entirely in native regexp functions inside whole-stage codegen.
+    * The fixture wraps each document's text in deterministic markup
+    * (title, a style block that must NOT leak into the body text, a
+    * comment, entities); the oracle runs the same pipeline through
+    * DuckDB's RE2 engine — two regex engines agreeing on the same
+    * extraction is the check.
+    *
+    * Scale shape: row-local projection; no exchange before the
+    * output sort. */
+  def docsHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style></head><body><p>"),
+      substring(col("text"), 1, 80),
+      lit("</p><!-- boilerplate --><p>tail &amp; &lt;tag&gt; "),
+      (col("doc_id") % 50).cast("string"),
+      lit(" &quot;q&quot;</p></body></html>"))
+    documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "<title>(.*?)</title>", 1).as("title"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("html"),
+              "(?s)<head>.*?</head>", ""),
+            "(?s)<!--.*?-->", ""),
+            "<[^>]*>", " "),
+            "&lt;", "<"),
+            "&gt;", ">"),
+            "&quot;", "\""),
+            "&amp;", "&"),
+          "\\s+", " "),
+          "^ | $", "").as("body_text"))
+      .withColumn("n_body_chars", length(col("body_text")))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // docs_dedup_containment / docs_dedup_url
   // ---------------------------------------------------------------
 

@@ -310,6 +310,7 @@ object Registry {
     "docs_url_normalize"    -> QueriesR17.docsUrlNormalize _,
     "docs_dedup_url"        -> QueriesR17.docsDedupUrl _,
     "docs_dedup_containment" -> QueriesR17.docsDedupContainment _,
+    "docs_html_extract"     -> QueriesR17.docsHtmlExtract _,
   )
 
   val oracleSql: ListMap[String, String] =
