@@ -27,10 +27,25 @@ object Gif {
 
   // ------------------------------------------------------------- encode
 
+  /** The GIF 4-pass interlace row schedule: rows 0,8,16,… then
+    * 4,12,… then 2,6,… then 1,3,… — sequence position → actual row. */
+  private[graft] def interlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var i = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { out(i) = r; i += 1; r += step }
+    }
+    out
+  }
+
   /** Encode an 8-bit grayscale image as GIF87a with a 256-entry
-    * grayscale global color table and real LZW (min code size 8). */
+    * grayscale global color table and real LZW (min code size 8);
+    * `interlaced` emits the 4-pass row order with the descriptor flag
+    * set — stream framing only, decoded pixels identical. */
   def encodeGray8(width: Int, height: Int,
-                  pixel: (Int, Int) => Int): Array[Byte] = {
+                  pixel: (Int, Int) => Int,
+                  interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "gif: empty image")
     val out = new ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -44,7 +59,7 @@ object Gif {
     while (i < 256) { u8(i); u8(i); u8(i); i += 1 } // grayscale palette
     u8(0x2c) // image descriptor
     u16le(0); u16le(0); u16le(width); u16le(height)
-    u8(0x00) // no local table, sequential (not interlaced)
+    u8(if (interlaced) 0x40 else 0x00) // no local table; interlace flag
     u8(8)    // LZW min code size
     // --- LZW compress the index stream ---
     val clear = 256
@@ -66,8 +81,12 @@ object Gif {
     var next = 258
     putCode(clear)
     var cur = -1
-    var y = 0
-    while (y < height) {
+    val rowOrder: Array[Int] =
+      if (interlaced) interlaceRows(height)
+      else Array.tabulate(height)(identity)
+    var yi = 0
+    while (yi < height) {
+      val y = rowOrder(yi)
       var x = 0
       while (x < width) {
         val px = pixel(x, y) & 0xff
@@ -91,7 +110,7 @@ object Gif {
         }
         x += 1
       }
-      y += 1
+      yi += 1
     }
     if (cur >= 0) putCode(cur)
     putCode(eoi)
@@ -119,8 +138,9 @@ object Gif {
     * and image descriptors, palette-mapped LZW pixel recovery (the
     * palette's red channel — for the grayscale fixture r = g = b =
     * index). Extensions (0x21, GIF89a) are skipped by their
-    * sub-block framing. Interlaced images and local color tables
-    * reject loudly — honest scope. */
+    * sub-block framing. Interlaced images de-interlace through the
+    * 4-pass row schedule; local color tables reject loudly — honest
+    * scope. */
   def decodeGray8(bytes: Array[Byte]): Decoded = {
     var pos = 0
     def u8(): Int = {
@@ -169,7 +189,7 @@ object Gif {
     val h = u16le()
     val ipacked = u8()
     require((ipacked & 0x80) == 0, "gif: local color tables unsupported")
-    require((ipacked & 0x40) == 0, "gif: interlaced images unsupported")
+    val interlaced = (ipacked & 0x40) != 0
     require(w > 0 && h > 0, "gif: empty image")
     require(w <= sw && h <= sh, "gif: image exceeds logical screen")
     require(w.toLong * h <= (1L << 28),
@@ -188,11 +208,22 @@ object Gif {
       len = u8()
     }
     val lzw = data.toByteArray
+    // sequential emission index -> output index (identity unless the
+    // 4-pass interlace schedule reorders rows)
+    val rowMap: Array[Int] =
+      if (interlaced) interlaceRows(h) else null
     // --- LZW decompress ---
     val clear = 1 << minCode
     val eoi = clear + 1
     val out = new Array[Byte](w * h)
     var outPos = 0
+    def write(b: Byte): Unit = {
+      val idx =
+        if (rowMap == null) outPos
+        else rowMap(outPos / w) * w + (outPos % w)
+      out(idx) = b
+      outPos += 1
+    }
     // dictionary as (prefix link, suffix byte); entries < clear are roots
     val prefix = new Array[Int](4096)
     val suffix = new Array[Byte](4096)
@@ -215,11 +246,10 @@ object Gif {
       val head = c
       require(outPos + depth + 1 <= out.length,
         "gif: LZW output exceeds declared dimensions")
-      out(outPos) = (palette(c % palette.length)); outPos += 1
+      write(palette(c % palette.length))
       var i = depth - 1
       while (i >= 0) {
-        out(outPos) = palette((expand(i) & 0xff) % palette.length)
-        outPos += 1
+        write(palette((expand(i) & 0xff) % palette.length))
         i -= 1
       }
       head
@@ -255,8 +285,7 @@ object Gif {
             val h0 = emit(prev)
             require(outPos < out.length,
               "gif: LZW output exceeds declared dimensions")
-            out(outPos) = palette(h0 % palette.length)
-            outPos += 1
+            write(palette(h0 % palette.length))
             h0
           }
         if (next < 4096) {

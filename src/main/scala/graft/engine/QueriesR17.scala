@@ -433,8 +433,14 @@ object QueriesR17 {
       .mapPartitions(_.map { case (id, nChars) =>
         val w = (nChars % 40 + 1).toInt
         val h = (id % 24 + 1).toInt
+        // every 3rd document's stream is INTERLACED (the 4-pass row
+        // schedule) — framing only: decoded pixels, and hence the
+        // oracle, are identical either way (the JPEG restart-marker
+        // pattern), so the key exercises de-interlacing under the
+        // same hash match
         (id, Gif.encodeGray8(w, h,
-          (x, y) => ((3 * id + y.toLong * w + x) % 251).toInt))
+          (x, y) => ((3 * id + y.toLong * w + x) % 251).toInt,
+          interlaced = id % 3 == 0))
       })
       .mapPartitions(_.map { case (id, blob) =>
         val dec = Gif.decodeGray8(blob)

@@ -46,6 +46,24 @@ class GifSpec extends AnyFunSuite {
     assert(dec.nSubBlocks > 10, s"only ${dec.nSubBlocks} sub-blocks")
   }
 
+  test("interlaced encode/decode: framing changes, pixels do not") {
+    for ((w, h) <- Seq((13, 7), (40, 24), (16, 3), (8, 1))) {
+      def f(x: Int, y: Int): Int = (x * 31 + y * 17 + 5) % 251
+      val seq = Gif.decodeGray8(Gif.encodeGray8(w, h, f))
+      val int = Gif.decodeGray8(
+        Gif.encodeGray8(w, h, f, interlaced = true))
+      assert(int.pixels.sameElements(seq.pixels),
+        s"interlaced decode diverged at ${w}x$h, first diff " +
+          s"${int.pixels.zip(seq.pixels).indexWhere(p => p._1 != p._2)}")
+    }
+    // the 4-pass schedule is a permutation for every height
+    for (h <- 1 to 40) {
+      val rows = Gif.interlaceRows(h)
+      assert(rows.sorted.sameElements(Array.tabulate(h)(identity)),
+        s"interlace schedule for h=$h is not a permutation")
+    }
+  }
+
   test("GIF89a extensions are skipped by their sub-block framing") {
     val base = Gif.encodeGray8(8, 4, (x, y) => (x + y * 8) * 7 % 251)
     // splice a graphic-control extension after the palette:
