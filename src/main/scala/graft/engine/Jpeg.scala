@@ -864,6 +864,95 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a 4:2:2 YCbCr image as baseline JFIF (MCU = 2×1 luma
+    * blocks + 1 Cb + 1 Cr; chroma half-WIDTH, full height — the
+    * broadcast-video sampling). Exercises the decoder's generic
+    * (h, v) ≤ 2 component walk on a shape the 4:2:0 fixture never
+    * produces (vmax = 1 with hmax = 2). Edge blocks replicate. */
+  def encodeColor422(width: Int, height: Int,
+                     y: (Int, Int) => Int, cb: (Int, Int) => Int,
+                     cr: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg: empty image")
+    val cw = (width + 1) / 2
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def dqt(id: Int, t: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 1 + 64); u8(id)
+      var k = 0
+      while (k < 64) { u8(t(ZigZag(k))); k += 1 }
+    }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      for (i <- 1 to 16) u8(bits(i))
+      vals.foreach(u8)
+    }
+    marker(0xd8)
+    marker(0xe0)
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    dqt(0, QuantLum)
+    dqt(1, QuantChroma)
+    marker(0xc0) // SOF0: baseline, 8-bit, 3 components, 4:2:2
+    u16(8 + 3 * 3)
+    u8(8); u16(height); u16(width); u8(3)
+    u8(1); u8(0x21); u8(0) // Y: 2x1 sampling
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    dht(0, 0, DcBits, DcVals)
+    dht(1, 0, AcBits, AcVals)
+    dht(0, 1, DcBitsC, DcValsC)
+    dht(1, 1, AcBitsC, AcValsC)
+    marker(0xda)
+    u16(6 + 2 * 3)
+    u8(3)
+    u8(1); u8(0x00)
+    u8(2); u8(0x11)
+    u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    val dcY = buildEncodeTable(DcBits, DcVals)
+    val acY = buildEncodeTable(AcBits, AcVals)
+    val dcC = buildEncodeTable(DcBitsC, DcValsC)
+    val acC = buildEncodeTable(AcBitsC, AcValsC)
+    val bw = new BitWriter
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 7) / 8
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var hb = 0
+        while (hb < 2) { // 2×1 luma blocks, left to right
+          val ox = mx * 16 + hb * 8
+          val oy = my * 8
+          predY = encodeBlock(bw,
+            (x, yy) => y(math.min(ox + x, width - 1),
+                         math.min(oy + yy, height - 1)),
+            QuantLum, dcY, acY, predY)
+          hb += 1
+        }
+        predCb = encodeBlock(bw,
+          (x, yy) => cb(math.min(mx * 8 + x, cw - 1),
+                        math.min(my * 8 + yy, height - 1)),
+          QuantChroma, dcC, acC, predCb)
+        predCr = encodeBlock(bw,
+          (x, yy) => cr(math.min(mx * 8 + x, cw - 1),
+                        math.min(my * 8 + yy, height - 1)),
+          QuantChroma, dcC, acC, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(bw.out.toByteArray)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode a 4:2:0 YCbCr image as baseline JFIF (T.81 A.2: MCU =
     * 2×2 luma blocks + 1 Cb + 1 Cr, interleaved single scan). `y`
     * samples the full-resolution luma plane; `cb`/`cr` sample the

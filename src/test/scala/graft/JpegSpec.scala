@@ -131,6 +131,54 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("color 4:2:2: exactly-quantizable uniform blocks roundtrip bit-exactly") {
+    // vmax = 1 with hmax = 2 — the sampling shape the 4:2:0 fixture
+    // never produces; uniform blocks make the lossy path exact (the
+    // 4:2:0 construction: even luma | K.1 Q(0,0)=16, chroma 128+17t |
+    // K.2 Q(0,0)=17)
+    val (w, h) = (32, 16) // 2×2 MCUs of 16×8
+    def yv(x: Int, yy: Int) = 2 * (((yy / 8) * 4 + (x / 8)) * 23 % 128)
+    def cbv(cx: Int, cy: Int) = 128 + 17 * ((cx / 8 + cy / 8) % 15 - 7)
+    def crv(cx: Int, cy: Int) = 128 - 17 * ((cx / 8) % 8 - 4)
+    val img = Jpeg.decode(Jpeg.encodeColor422(w, h, yv, cbv, crv))
+    assert(img.planes.length == 3)
+    assert(img.planes(0).w == w && img.planes(0).h == h)
+    assert(img.planes(1).w == (w + 1) / 2 && img.planes(1).h == h,
+      "4:2:2 chroma is half-width FULL-height")
+    for (yy <- 0 until h; x <- 0 until w)
+      assert((img.planes(0).samples(yy * w + x) & 0xff) == yv(x, yy),
+        s"luma ($x,$yy)")
+    val cw = (w + 1) / 2
+    for (cy <- 0 until h; cx <- 0 until cw) {
+      assert((img.planes(1).samples(cy * cw + cx) & 0xff) == cbv(cx, cy),
+        s"cb ($cx,$cy)")
+      assert((img.planes(2).samples(cy * cw + cx) & 0xff) == crv(cx, cy),
+        s"cr ($cx,$cy)")
+    }
+  }
+
+  test("fuzz: corrupted 4:2:2 streams fail cleanly") {
+    val base = Jpeg.encodeColor422(24, 16,
+      (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff,
+      (cx, cy) => (cx * 11 + cy * 7) % 256,
+      (cx, cy) => (cx * 5 + cy * 13) % 256)
+    var seed = 0x6a09e667f3bcc909L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 0 until 500) {
+      val b = base.clone()
+      b(nxt(b.length)) = nxt(256).toByte
+      try { Jpeg.decode(b); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 500)
+    assert(rejected > 0)
+  }
+
   test("progressive COLOR 4:2:0: decode equals baseline decode per plane") {
     // exercises the multi-component progressive machinery: the
     // interleaved DC scan (MCU walk, per-component prediction) and
