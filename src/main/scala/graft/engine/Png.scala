@@ -8,7 +8,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * zlib-inflate of IDAT, per-scanline filter strip, pixel readback)
   * with zero external libraries, replacing round-3's declared stub.
   * Scope is the engine's own encoder output: 8-bit grayscale,
-  * filter 0, non-interlaced — the decoder validates every structural
+  * all five row filters, non-interlaced — the decoder validates every structural
   * invariant it relies on and fails loudly otherwise, which is the
   * contract a corpus-scale media pass needs (corrupt blobs must
   * surface, not silently produce garbage metadata).
@@ -39,16 +39,50 @@ object Png {
     * pixel in row-major order (low 8 bits used). Filter type 0 on
     * every scanline, one IDAT chunk, fixed deflate level 6 so the
     * byte stream is deterministic across runs and JVMs. */
-  def encodeGray8(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+  def encodeGray8(width: Int, height: Int, pixel: Int => Int): Array[Byte] =
+    encodeGray8Filtered(width, height, pixel, _ => 0)
+
+  /** Encode with a caller-chosen RFC 2083 row filter (0..4) per row —
+    * the fixture half of the full unfiltering path: the encoder
+    * APPLIES the filter (stores the residual), the decoder must
+    * reconstruct. Filter choice changes the stream bytes, never the
+    * decoded pixels. */
+  def encodeGray8Filtered(width: Int, height: Int, pixel: Int => Int,
+                          rowFilter: Int => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) { px(i) = pixel(i) & 0xff; i += 1 }
     val raw = new Array[Byte]((width + 1) * height)
-    var idx = 0; var i = 0
+    var idx = 0
     var y = 0
     while (y < height) {
-      raw(idx) = 0; idx += 1 // filter type 0
+      val f = rowFilter(y)
+      require(f >= 0 && f <= 4, s"bad filter $f for row $y")
+      raw(idx) = f.toByte; idx += 1
       var x = 0
       while (x < width) {
-        raw(idx) = (pixel(i) & 0xff).toByte; idx += 1; i += 1; x += 1
+        val cur = px(y * width + x)
+        val left = if (x > 0) px(y * width + x - 1) else 0
+        val above = if (y > 0) px((y - 1) * width + x) else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * width + x - 1) else 0
+        val resid = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - ((left + above) >> 1)
+          case 4 =>
+            val p = left + above - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - above)
+            val pc = math.abs(p - ul)
+            val pred =
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) above
+              else ul
+            cur - pred
+        }
+        raw(idx) = (resid & 0xff).toByte; idx += 1; x += 1
       }
       y += 1
     }
@@ -84,10 +118,11 @@ object Png {
 
   /** Full decode: signature, chunk walk (every CRC32 recomputed and
     * checked — `crcOk` is 1 only if ALL match), IHDR field extraction,
-    * IDAT concatenation across chunks, zlib inflate, filter-byte
-    * verification, pixel sum. Throws on structural corruption
-    * (truncation, bad signature, wrong inflated length, non-zero
-    * filter) — a media pass must fail loudly per blob. */
+    * IDAT concatenation across chunks, zlib inflate, per-row
+    * unfiltering (all five RFC 2083 filters), pixel sum. Throws on
+    * structural corruption (truncation, bad signature, wrong inflated
+    * length, invalid filter id) — a media pass must fail loudly per
+    * blob. */
   def decodeGray8(bytes: Array[Byte]): Meta = {
     val d = decodeGray8Pixels(bytes)
     var pixelSum = 0L
@@ -166,9 +201,42 @@ object Png {
     var idx = 0
     var y = 0
     while (y < height) {
-      require(raw(idx) == 0, s"unsupported filter ${raw(idx)} at row $y")
+      // Per-row UNFILTERING (the full RFC 2083 §6 set for bpp = 1 —
+      // real-world encoders emit Sub/Up/Average/Paeth on nearly every
+      // row; a filter-0-only decoder rejects most wild PNGs):
+      //   1 Sub:     x += left        2 Up:      x += above
+      //   3 Average: x += (left + above) >> 1
+      //   4 Paeth:   x += the RFC predictor over (left, above,
+      //              upper-left) — all mod-256 byte arithmetic.
+      val filter = raw(idx) & 0xff
+      require(filter <= 4, s"png: invalid filter $filter at row $y")
       idx += 1
-      System.arraycopy(raw, idx, pixels, y * width, width)
+      var x = 0
+      while (x < width) {
+        val cur = raw(idx + x) & 0xff
+        val left = if (x > 0) pixels(y * width + x - 1) & 0xff else 0
+        val above = if (y > 0) pixels((y - 1) * width + x) & 0xff else 0
+        val ul =
+          if (x > 0 && y > 0) pixels((y - 1) * width + x - 1) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + above
+          case 3 => cur + ((left + above) >> 1)
+          case 4 =>
+            val p = left + above - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - above)
+            val pc = math.abs(p - ul)
+            val pred =
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) above
+              else ul
+            cur + pred
+        }
+        pixels(y * width + x) = (recon & 0xff).toByte
+        x += 1
+      }
       idx += width
       y += 1
     }

@@ -275,7 +275,12 @@ object QueriesExtra {
       .mapPartitions(_.map { case (id, nChars) =>
         val w = (nChars % 64 + 1).toInt
         val h = (id % 48 + 1).toInt
-        (id, Png.encodeGray8(w, h, i => ((id + i) % 251).toInt))
+        // every 4th document's stream uses real per-row filters
+        // (Sub/Up/Average/Paeth cycling) — framing only: decoded
+        // pixels, and hence the oracle, are identical either way
+        // (the JPEG-restart / GIF-interlace pattern)
+        (id, Png.encodeGray8Filtered(w, h, i => ((id + i) % 251).toInt,
+          y => if (id % 4 == 0) (y + 1) % 5 else 0))
       })
       .toDF("doc_id", "blob")
   }

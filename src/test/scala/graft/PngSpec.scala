@@ -95,4 +95,42 @@ class PngSpec extends AnyFunSuite {
     val bad = bytes.clone(); bad(0) = 0
     intercept[IllegalArgumentException] { Png.decodeGray8(bad) }
   }
+  test("all five row filters reconstruct the same pixels") {
+    val (w, h) = (23, 11)
+    def f(i: Int) = (i * 31 + 5) % 251
+    val base = Png.decodeGray8Pixels(Png.encodeGray8(w, h, f)).pixels
+    for (filt <- 1 to 4) {
+      val dec = Png.decodeGray8Pixels(
+        Png.encodeGray8Filtered(w, h, f, _ => filt))
+      assert(dec.pixels.sameElements(base),
+        s"filter $filt diverged, first diff " +
+          s"${dec.pixels.zip(base).indexWhere(p => p._1 != p._2)}")
+    }
+    // mixed per-row filters (the real-encoder shape: heuristic choice
+    // per row) reconstruct identically too
+    val mixed = Png.decodeGray8Pixels(
+      Png.encodeGray8Filtered(w, h, f, y => y % 5))
+    assert(mixed.pixels.sameElements(base))
+  }
+
+  test("fuzz: corrupted FILTERED streams fail cleanly or decode") {
+    val base = Png.encodeGray8Filtered(24, 16,
+      i => (i * 7919) % 251, y => (y + 1) % 5)
+    var seed = 0xb5297a4d3f84d5b5L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    var decoded = 0
+    var rejected = 0
+    for (_ <- 0 until 500) {
+      val b = base.clone()
+      b(nxt(b.length)) = nxt(256).toByte
+      try { Png.decodeGray8Pixels(b); decoded += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(decoded + rejected == 500)
+    assert(rejected > 0)
+  }
+
 }
