@@ -5,8 +5,8 @@ import java.io.ByteArrayOutputStream
 /** Pure-JVM RIFF/WAV codec — the audio sibling of [[Png]]: a real
   * container walk (RIFF framing, word alignment, fmt field parse, PCM
   * sample readback) with zero external libraries. Scope is canonical
-  * PCM16 mono; the decoder validates the framing it relies on and
-  * fails loudly on corruption.
+  * PCM16 mono and stereo (interleaved); the decoder validates the
+  * framing it relies on and fails loudly on corruption.
   */
 object Wav {
 
@@ -40,14 +40,41 @@ object Wav {
     out.toByteArray
   }
 
+  /** Encode PCM16 STEREO at 8 kHz: n frames, `left`/`right` supply
+    * the per-channel samples; the data chunk interleaves L R L R …
+    * (the canonical WAV channel layout). */
+  def encodePcm16Stereo(n: Int, left: Int => Int,
+                        right: Int => Int): Array[Byte] = {
+    require(n > 0, "need at least one frame")
+    val out = new ByteArrayOutputStream(44 + 4 * n)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + 4 * n))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1))            // PCM
+    out.write(le16(2))            // stereo
+    out.write(le32(8000))         // sample rate
+    out.write(le32(8000 * 4))     // byte rate
+    out.write(le16(4))            // block align
+    out.write(le16(16))           // bits per sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32(4 * n))
+    var i = 0
+    while (i < n) {
+      out.write(le16(left(i) & 0xffff))
+      out.write(le16(right(i) & 0xffff))
+      i += 1
+    }
+    out.toByteArray
+  }
+
   final case class Meta(audioFormat: Long, channels: Long, sampleRate: Long,
                         bitsPerSample: Long, nChunks: Long, nSamples: Long,
                         sumAbs: Long)
 
   /** Full decode: RIFF/WAVE framing, sub-chunk walk with word
     * alignment, fmt field extraction, PCM16 sample readback with an
-    * exact integer digest (Σ|sample|). Throws on truncation or
-    * non-PCM16-mono content. */
+    * exact integer digest (Σ|sample| over every channel). nSamples is
+    * the FRAME count (per-channel). Throws on truncation or
+    * non-PCM16 content; 1 or 2 channels. */
   def decodePcm16(bytes: Array[Byte]): Meta = {
     require(bytes.length >= 12 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
@@ -71,10 +98,13 @@ object Wav {
           rate = readLe32(bytes, off + 12)
           bits = readLe16(bytes, off + 22)
         case "data" =>
-          require(fmt == 1 && channels == 1 && bits == 16,
-            s"decoder scope is PCM16 mono (fmt=$fmt ch=$channels bits=$bits)")
-          require(len % 2 == 0, "odd PCM16 data length")
-          nSamples = len / 2
+          require(fmt == 1 && (channels == 1 || channels == 2) &&
+              bits == 16,
+            s"decoder scope is PCM16 mono/stereo " +
+              s"(fmt=$fmt ch=$channels bits=$bits)")
+          require(len % (2 * channels) == 0,
+            "PCM16 data length not frame-aligned")
+          nSamples = len / 2 / channels // FRAMES (per-channel count)
           var i = off + 8
           val end = off + 8 + len
           while (i < end) {
@@ -92,9 +122,10 @@ object Wav {
 
   /** Sample readback for feature extraction: validates through the
     * full [[decodePcm16]] walk FIRST (RIFF size, chunk bounds, PCM16
-    * mono scope — a stereo/8-bit/float file must fail loudly, never
-    * be silently misread as mono int16), then re-walks for the
-    * samples themselves. */
+    * scope — an 8-bit/float file must fail loudly, never be silently
+    * misread as int16), then re-walks for the samples themselves.
+    * Stereo streams return the raw INTERLEAVED order (L R L R …);
+    * [[deinterleave]] splits channels. */
   def decodePcm16Samples(bytes: Array[Byte]): Array[Int] = {
     decodePcm16(bytes) // full validation; throws on anything off-scope
     var off = 12
@@ -117,5 +148,16 @@ object Wav {
     }
     require(out != null, "no data chunk")
     out
+  }
+
+  /** Split an interleaved multi-channel sample array into per-channel
+    * arrays (frame-major interleave, the WAV layout). */
+  def deinterleave(samples: Array[Int],
+                   channels: Int): Array[Array[Int]] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"cannot split ${samples.length} samples into $channels channels")
+    val frames = samples.length / channels
+    Array.tabulate(channels)(c =>
+      Array.tabulate(frames)(f => samples(f * channels + c)))
   }
 }

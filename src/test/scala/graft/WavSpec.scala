@@ -65,4 +65,39 @@ class WavSpec extends AnyFunSuite {
     val bad = bytes.clone(); bad(8) = 'X'.toByte
     intercept[IllegalArgumentException] { Wav.decodePcm16(bad) }
   }
+  test("stereo: interleaved roundtrip, frame count, channel split") {
+    def l(i: Int) = (i * 37 - 500) % 30000
+    def r(i: Int) = (i * 91 + 250) % 30000
+    val blob = Wav.encodePcm16Stereo(100, l, r)
+    val m = Wav.decodePcm16(blob)
+    assert(m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.nSamples == 100, "nSamples is the FRAME count")
+    val want = (0 until 100).map(i =>
+      math.abs(l(i).toLong) + math.abs(r(i).toLong)).sum
+    assert(m.sumAbs == want)
+    val inter = Wav.decodePcm16Samples(blob)
+    assert(inter.length == 200)
+    assert(inter(0) == l(0) && inter(1) == r(0) &&
+           inter(2) == l(1) && inter(3) == r(1))
+    val ch = Wav.deinterleave(inter, 2)
+    assert(ch(0).toSeq == (0 until 100).map(l))
+    assert(ch(1).toSeq == (0 until 100).map(r))
+  }
+
+  test("stereo data length must be frame-aligned") {
+    val blob = Wav.encodePcm16Stereo(10, _ => 1, _ => 2)
+    // truncate the data chunk by one SAMPLE (2 bytes): still
+    // 2-byte-aligned, but no longer a whole stereo frame
+    val cut = blob.dropRight(2).clone()
+    // patch RIFF size and data length down by 2
+    def patchLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    patchLe32(cut, 4, cut.length - 8)
+    patchLe32(cut, 40, 4 * 10 - 2)
+    val e = intercept[IllegalArgumentException](Wav.decodePcm16(cut))
+    assert(e.getMessage.contains("frame-aligned"), e.getMessage)
+  }
+
 }
