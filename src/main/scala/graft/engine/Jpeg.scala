@@ -511,8 +511,10 @@ object Jpeg {
     * EOBn run codes across all-zero band tails. */
   private def encodeAcFirst(bw: BitWriter, blocks: Array[Array[Int]],
                             ss: Int, se: Int, al: Int,
-                            acEnc: Map[Int, (Int, Int)]): Unit = {
+                            acEnc: Map[Int, (Int, Int)],
+                            restartInterval: Int = 0): Unit = {
     var eobrun = 0
+    var rstIdx = 0
     def flushEob(): Unit = if (eobrun > 0) {
       val n = 31 - Integer.numberOfLeadingZeros(eobrun)
       val (c, l) = acEnc(n << 4)
@@ -522,6 +524,11 @@ object Jpeg {
     }
     var bi = 0
     while (bi < blocks.length) {
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        flushEob() // a pending EOB run may not cross a restart boundary
+        bw.restart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+      }
       val coef = blocks(bi)
       var r = 0
       var k = ss
@@ -556,8 +563,10 @@ object Jpeg {
     * emitted symbol). */
   private def encodeAcRefine(bw: BitWriter, blocks: Array[Array[Int]],
                              ss: Int, se: Int, al: Int,
-                             acEnc: Map[Int, (Int, Int)]): Unit = {
+                             acEnc: Map[Int, (Int, Int)],
+                             restartInterval: Int = 0): Unit = {
     var eobrun = 0
+    var rstIdx = 0
     val be = scala.collection.mutable.ArrayBuffer.empty[Int]
     def flushEob(): Unit = {
       if (eobrun > 0) {
@@ -572,6 +581,11 @@ object Jpeg {
     }
     var bi = 0
     while (bi < blocks.length) {
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        flushEob() // EOB runs and buffered bits may not cross restarts
+        bw.restart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+      }
       val coef = blocks(bi)
       val absv = new Array[Int](se + 1)
       var eobPos = ss - 1 // last newly-significant index in this block
@@ -626,10 +640,11 @@ object Jpeg {
     * `encodeGray8` of the same image bit-for-bit (JpegSpec parity).
     * Same border-replicating block pad as the baseline encoder. */
   def encodeGray8Progressive(width: Int, height: Int,
-                             pixel: (Int, Int) => Int): Array[Byte] =
+                             pixel: (Int, Int) => Int,
+                             restartInterval: Int = 0): Array[Byte] =
     encodeGray8ProgressiveScans(width, height, pixel, Seq(
       (0, 0, 0, 1), (1, 5, 0, 1), (6, 63, 0, 1),
-      (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0)))
+      (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0)), restartInterval)
 
   /** Progressive encode with an explicit scan plan (Ss, Se, Ah, Al)
     * — exposed for spec-level bisection of the scan machinery; the
@@ -639,7 +654,8 @@ object Jpeg {
     * by one. */
   private[graft] def encodeGray8ProgressiveScans(
       width: Int, height: Int, pixel: (Int, Int) => Int,
-      plan: Seq[(Int, Int, Int, Int)]): Array[Byte] = {
+      plan: Seq[(Int, Int, Int, Int)],
+      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "jpeg: empty image")
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
@@ -675,6 +691,10 @@ object Jpeg {
     for (i <- 1 to 16) u8(AcBitsProg(i))
     AcValsProg.foreach(u8)
 
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI
+      u16(4); u16(restartInterval)
+    }
     val dcEnc = buildEncodeTable(DcBits, DcVals)
     val acEnc = buildEncodeTable(AcBitsProg, AcValsProg)
     def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
@@ -689,7 +709,13 @@ object Jpeg {
         // DC first: differential high bits (the DC point transform is
         // an ARITHMETIC shift, G.1.2.1)
         var pred = 0
-        blocks.foreach { coef =>
+        var rstIdx = 0
+        blocks.zipWithIndex.foreach { case (coef, bi) =>
+          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+            bw.restart(rstIdx)
+            rstIdx = (rstIdx + 1) % 8
+            pred = 0 // prediction resets at restart boundaries
+          }
           val v = coef(0) >> al
           val diff = v - pred
           pred = v
@@ -699,10 +725,19 @@ object Jpeg {
           if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
         }
       } else if (ss == 0) {
-        // DC refinement: one raw bit per block
-        blocks.foreach(coef => bw.put((coef(0) >> al) & 1, 1))
-      } else if (ah == 0) encodeAcFirst(bw, blocks, ss, se, al, acEnc)
-      else encodeAcRefine(bw, blocks, ss, se, al, acEnc)
+        // DC refinement: one raw bit per block (byte-aligned restarts
+        // still punctuate the stream)
+        var rstIdx = 0
+        blocks.zipWithIndex.foreach { case (coef, bi) =>
+          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+            bw.restart(rstIdx)
+            rstIdx = (rstIdx + 1) % 8
+          }
+          bw.put((coef(0) >> al) & 1, 1)
+        }
+      } else if (ah == 0)
+        encodeAcFirst(bw, blocks, ss, se, al, acEnc, restartInterval)
+      else encodeAcRefine(bw, blocks, ss, se, al, acEnc, restartInterval)
       bw.flush(); out.write(bw.out.toByteArray)
     }
     marker(0xd9) // EOI

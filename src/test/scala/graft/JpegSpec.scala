@@ -203,6 +203,26 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive restart intervals: framing changes, decoded pixels do not") {
+    // exercises the progressive decoder's in-scan restart handling
+    // (prediction + EOB-run reset at each RSTn) across all four scan
+    // types — a claimed path nothing emitted until now
+    def px(x: Int, y: Int) = ((x * 31 + y * 17) ^ (x + y)) & 0xff
+    val plain = Jpeg.decode(Jpeg.encodeGray8Progressive(32, 24, px))
+    for (ri <- Seq(1, 3, 5)) {
+      val framed = Jpeg.decode(
+        Jpeg.encodeGray8Progressive(32, 24, px, restartInterval = ri))
+      assert(framed.planes(0).samples
+        .sameElements(plain.planes(0).samples),
+        s"restart interval $ri changed decoded pixels, first diff " +
+          s"${framed.planes(0).samples.zip(plain.planes(0).samples)
+            .indexWhere(p => p._1 != p._2)}")
+    }
+    // and the framed stream still equals the BASELINE decode
+    val base = Jpeg.decodeGray8(Jpeg.encodeGray8(32, 24, px))
+    assert(plain.planes(0).samples.sameElements(base.pixels))
+  }
+
   test("fuzz: corrupted PROGRESSIVE streams fail cleanly, never uncontrolled") {
     val base = Jpeg.encodeGray8Progressive(24, 16,
       (x, y) => ((x * 7919 + y * 104729) ^ (x * y)) & 0xff)
