@@ -89,8 +89,12 @@ object QueriesR17 {
         val nbx = (id % 2 + 1).toInt
         val nby = ((id / 2) % 3 + 1).toInt
         def blockVal(i: Int): Int = (2 * ((id * 37 + i * 71) % 128)).toInt
+        // every 3rd document's scans carry restart markers — framing
+        // only (the baseline-key DRI pattern): decoded planes and the
+        // oracle are identical either way
         (id, Jpeg.encodeGray8Progressive(nbx * 8, nby * 8,
-          (x, y) => blockVal((y / 8) * nbx + (x / 8))))
+          (x, y) => blockVal((y / 8) * nbx + (x / 8)),
+          restartInterval = if (id % 3 == 0) 1 else 0))
       })
       .toDF("doc_id", "blob")
   }
