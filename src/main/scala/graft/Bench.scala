@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Round-13 shape, fixing the two round-12 verdict
+  * findings about the bench RECORD (VERDICT r12 "Next round" #1/#3):
+  *
+  *  1. The driver keeps only the last ~2000 chars of stdout, so a
+  *     single JSON line carrying all ~254 registry keys can never
+  *     survive into BENCH_r{N}.json (r11/r12 both stored `parsed:
+  *     null` + a ~56-key tail fragment). The stdout line is now
+  *     COMPACT (<1500 chars): the 12 BASELINE-gated keys' medians,
+  *     session aggregates, and a pointer to the full artifact. The
+  *     full per-key map — median plus [min, median, max] spread for
+  *     every key — is written as one parseable JSON file
+  *     (SPARK_GRAFT_BENCH_OUT, default `BENCH_full.json` in cwd).
+  *
+  *  2. Single timed runs made box noise indistinguishable from
+  *     regressions (r12 burned judge time proving two 5 s spikes were
+  *     contention). Each key is now timed REPEATS times (default 3)
+  *     after the untimed warmup, and the reported number is the
+  *     median; the spread map preserves min/max so a noisy box shows
+  *     up as spread, not as a fake median regression.
+  *
+  * Methodology stays aligned with BASELINE.md ("median of 3 runs
+  * after 1 warm-up").
+  */
 object Bench {
+
+  /** The 12 BASELINE.md-gated keys (§6 list) — the 2× gate is defined
+    * over exactly these, so they are what the compact stdout line
+    * carries per-key. */
+  val gatedKeys: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_unshipped", "q5_multiway_join",
+    "join_semi_anti", "window_rank_frame", "agg_rollup",
+    "distinct_exact", "events_tumbling", "events_session",
+    "docs_dedup_exact", "docs_token_stats", "emb_knn_bruteforce")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,20 +49,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One untimed warmup execution per query, then the timed run —
-    // matching BASELINE.md's methodology ("median of 3 runs after 1
-    // warm-up"): the baseline numbers exclude JIT/codegen warmup, so
-    // comparable measurements must too.
-    //
     // SPARK_GRAFT_BENCH_COLD=1 is the mechanical cold-kernel probe:
-    // it skips warmup AND gives every key a fresh artifact-cache
-    // root, so artifact-backed keys (knn / ann_ivf / ivf_recall /
-    // dedup family) time their full compute — a kernel regression
-    // cannot hide behind P6 reuse, including reuse of an artifact a
-    // PRIOR listed key just built. SPARK_GRAFT_BENCH_KEYS=k1,k2
-    // restricts the run (cold runs target the artifact-backed
-    // subset).
-    val warm = !sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    // it skips warmup, forces a SINGLE timed run (a second run of the
+    // same key would be warm, defeating the probe), and gives every
+    // key a fresh artifact-cache root, so artifact-backed keys
+    // (knn / ann_ivf / ivf_recall / dedup family) time their full
+    // compute — a kernel regression cannot hide behind P6 reuse,
+    // including reuse of an artifact a PRIOR listed key just built.
+    // SPARK_GRAFT_BENCH_KEYS=k1,k2 restricts the run.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    val repeats =
+      if (cold) 1
+      else sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
+    require(repeats >= 1, s"repeats must be >= 1, got $repeats")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = keyFilter match {
@@ -53,47 +87,81 @@ object Bench {
     }
     var keyIdx = 0
     var errors = List.empty[(String, String)]
-    val results = selected.map { case (name, fn) =>
-      keyIdx += 1
-      SessionHygiene.step(spark, keyIdx)
-      val gc0 = if (gcStats) gcMillis else 0L
-      if (warm) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
-      else {
-        // Isolate rather than destroy — and PER KEY, not per JVM:
-        // pointing the cache at a fresh temp root before every timed
-        // key makes each key's full kernel run cold even when several
-        // listed keys share an artifact (knn → ivf → recall), without
-        // deleting the shared root under a concurrent session's reads.
-        System.setProperty("graft.cache.root",
-          java.nio.file.Files.createTempDirectory("graft_cold_cache_")
-            .toString)
-      }
-      // A key that throws records -1 (an impossible duration) AND its
-      // error — round 7 proved that timing the failure instead turns an
-      // instant AnalysisException into a fake 4.5x "speedup".
-      val t0 = System.nanoTime()
-      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors ::= name ->
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-          -1.0
+    // name -> (min, median, max); error keys record (-1, -1, -1) — an
+    // impossible duration — plus their message in `errors` (round 7
+    // proved that timing the failure instead turns an instant
+    // AnalysisException into a fake 4.5x "speedup").
+    val results: Seq[(String, (Double, Double, Double))] =
+      selected.toSeq.map { case (name, fn) =>
+        keyIdx += 1
+        SessionHygiene.step(spark, keyIdx)
+        val gc0 = if (gcStats) gcMillis else 0L
+        if (!cold) { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
+        else {
+          // Isolate rather than destroy — and PER KEY, not per JVM:
+          // pointing the cache at a fresh temp root before every timed
+          // key makes each key's full kernel run cold even when several
+          // listed keys share an artifact (knn → ivf → recall), without
+          // deleting the shared root under a concurrent session's reads.
+          System.setProperty("graft.cache.root",
+            java.nio.file.Files.createTempDirectory("graft_cold_cache_")
+              .toString)
         }
-      if (gcStats) {
-        val rt = Runtime.getRuntime
-        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-        val nPinned = spark.sparkContext.getPersistentRDDs.size
-        System.err.println(f"[gcstats] $name%-28s sec=$sec%7.3f gc_ms=${gcMillis - gc0}%6d heap_mb=$heapMb%6d pinned_rdds=$nPinned%4d")
+        var failed = false
+        val times = (1 to repeats).flatMap { _ =>
+          if (failed) None
+          else {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              failed = true
+              errors ::= name ->
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+              None
+            }
+          }
+        }
+        val triple =
+          if (times.isEmpty) (-1.0, -1.0, -1.0)
+          else {
+            val st = times.sorted
+            (st.head, st(st.size / 2), st.last)
+          }
+        if (gcStats) {
+          val rt = Runtime.getRuntime
+          val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+          val nPinned = spark.sparkContext.getPersistentRDDs.size
+          System.err.println(f"[gcstats] $name%-28s med=${triple._2}%7.3f min=${triple._1}%7.3f max=${triple._3}%7.3f gc_ms=${gcMillis - gc0}%6d heap_mb=$heapMb%6d pinned_rdds=$nPinned%4d")
+        }
+        name -> triple
       }
-      name -> sec
-    }
+    val byName = results.toMap
     def jstr(s: String): String = JsonOut.str(s)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    // ---- full artifact: every key, median + spread, one JSON file ----
+    val fullQs = results
+      .map { case (k, (_, med, _)) => jstr(k) + ":" + r3(med) }
+      .mkString("{", ",", "}")
+    val fullSpread = results
+      .map { case (k, (mn, med, mx)) =>
+        jstr(k) + s":[${r3(mn)},${r3(med)},${r3(mx)}]" }
       .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-    // total sums SUCCESSFUL keys only; n_errors > 0 is the red flag
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_keys":${results.size},"n_errors":${errors.size},"errors":$errJson}""")
+    // total sums SUCCESSFUL keys' medians only; n_errors > 0 is the red flag
+    val total = results.collect { case (_, (_, med, _)) if med >= 0 => med }.sum
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"spread":$fullSpread,"sf":${jstr(sfDir)},"repeats":$repeats,"n_keys":${results.size},"n_errors":${errors.size},"errors":$errJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    // ---- compact stdout line: gated keys only, <1500 chars, so the
+    // driver's 2000-char tail capture holds the WHOLE line and it
+    // parses (VERDICT r12 finding #1) ----
+    val gatedPresent = gatedKeys.filter(byName.contains)
+    val gatedQs = gatedPresent
+      .map(k => jstr(k) + ":" + r3(byName(k)._2)).mkString("{", ",", "}")
+    val gatedTotal = gatedPresent.map(byName(_)._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$gatedQs,"gated_total":${r3(gatedTotal)},"sf":${jstr(sfDir)},"repeats":$repeats,"n_keys":${results.size},"n_errors":${errors.size},"full":${jstr(outPath)}}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size}/${results.size} keys FAILED: " +
         errors.reverse.map(_._1).mkString(", "))

@@ -37,20 +37,26 @@ import graft.engine.LakeTable
 object CdcStream {
 
   /** Stages every committed version of the append-only feed table not
-    * yet present in `stagingDir`. Files land as
-    * `v<version>-<part>.parquet`, written to a dot-prefixed scratch
-    * dir and renamed into place one by one — a concurrent drain sees
-    * only whole files, and a re-run of a half-staged version
-    * re-stages ONLY its missing part files (names are deterministic).
+    * yet present in `stagingDir`. Each version lands as a DIRECTORY
+    * `v<version>/` holding that commit's added rows, written first to
+    * a dot-prefixed scratch dir and then moved into place with ONE
+    * atomic rename — a version is either fully visible or not at all.
+    * "Done" derives from the presence of the final directory, never
+    * from individual part files, so a crash mid-write leaves only a
+    * dot-prefixed scratch dir (invisible to the stream source and to
+    * the done-set) that the re-run wipes and restages from scratch.
+    * The previous spelling renamed part files one by one and treated
+    * ANY `v<version>-*` part as "version done" — a crash between
+    * renames stranded the version half-staged forever, silently
+    * dropping committed rows from the stream (r12 advice, medium).
     * Returns the versions staged by THIS call. */
   def stage(spark: SparkSession, feedRoot: String,
             stagingDir: String): Seq[Long] = {
     val staging = new java.io.File(stagingDir)
     staging.mkdirs()
     val done: Set[Long] = staging.listFiles().toSeq
-      .map(_.getName)
-      .collect { case n if n.startsWith("v") && n.contains("-") =>
-        n.drop(1).takeWhile(_.isDigit).toLong }
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
       .toSet
     val todo = LakeTable.versions(spark, feedRoot)
       .filterNot(done)
@@ -58,19 +64,15 @@ object CdcStream {
     todo.foreach { v =>
       val dirs = LakeTable.addedDirs(spark, feedRoot, v)
       val scratch = new java.io.File(staging, f".stage-v$v%010d")
-      scratch.mkdirs()
+      if (scratch.exists()) {  // crashed prior attempt: never visible, wipe
+        scratch.listFiles().foreach(_.delete())
+        scratch.delete()
+      }
       spark.read.parquet(dirs.map(d => s"$feedRoot/$d"): _*)
         .write.mode("overwrite").parquet(scratch.toString)
-      val parts = scratch.listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val target = new java.io.File(staging, f"v$v%010d-$i%05d.parquet")
-        if (!target.exists()) {
-          require(p.renameTo(target), s"cdc: rename ${p} -> $target failed")
-        }
-      }
-      scratch.listFiles().foreach(_.delete())
-      scratch.delete()
+      val target = new java.io.File(staging, f"v$v%010d")
+      require(scratch.renameTo(target),
+        s"cdc: atomic publish $scratch -> $target failed")
     }
     todo
   }
@@ -85,18 +87,31 @@ object CdcStream {
                workDir: String, viewRoot: String): (DataFrame, Long) = {
     stage(spark, feedRoot, s"$workDir/staging")
     val schema = LakeTable.read(spark, feedRoot).schema
+    // glob over the per-version directories stage() publishes
+    // atomically; the dot-prefixed scratch dirs never match
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$workDir/staging")
+      .parquet(s"$workDir/staging/v*")
+    // Row count accumulates INSIDE foreachBatch (driver-side counter;
+    // the batch is cached so the count and the view fold share one
+    // scan): q.recentProgress is truncated to
+    // spark.sql.streaming.numRecentProgressUpdates (default 100)
+    // entries, so a drain spanning more microbatches undercounted
+    // (r12 advice, low).
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        updateView(b, viewRoot, batchId); ()
+        b.persist()
+        try {
+          rowsSeen.addAndGet(b.count())
+          updateView(b, viewRoot, batchId)
+        } finally b.unpersist()
+        ()
       }
       .option("checkpointLocation", s"$workDir/cp")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val rows = q.recentProgress.map(_.numInputRows).sum
-    (readView(spark, viewRoot), rows)
+    (readView(spark, viewRoot), rowsSeen.get())
   }
 
   /** Signed-delta fold of one CDC microbatch into the (status → n,

@@ -89,17 +89,29 @@ object QueriesCore {
     * (o ⋉ c) dim is ~1/5 the filtered orders (one broadcast build of
     * 13k rows instead of 68k at sf0.1, measured −8% on the key; round-7
     * BASELINE.md) and the fact side crosses ONE join instead of two.
-    * No broadcast hints: at test SF AQE broadcasts the dim from its
-    * runtime size; at 100 TB the same plan degrades gracefully to
-    * shuffle joins instead of forcing an OOM-sized broadcast. */
+    *
+    * Round 13 (VERDICT r12 "Next round" #2): both dim sides carry
+    * SIZE-GATED broadcast hints (`Ops.broadcastIfSmall`, gate on the
+    * raw scan's file-size stats). At test SF the plan collapses to a
+    * single shuffle: scan lineitem → BHJ against the broadcast
+    * (o ⋉ c) dim (itself a broadcast semi-join, no exchange) →
+    * partial agg → ONE exchange on the group key → final agg →
+    * TakeOrderedAndProject. Previously AQE planned 3 exchanges
+    * (o-shuffle, l⋈dim-shuffle, agg), whose per-stage scheduling
+    * floor dominated this sub-second key (1.5–2.3× stock on slow
+    * boxes). At 100 TB orders/customer exceed the 64 MB gate, no hint
+    * is emitted, and the join degrades to shuffle joins instead of a
+    * forced driver OOM. */
   def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val o = orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-    val dim = o.join(c, col("c_custkey") === col("o_custkey"), "left_semi")
-    l.join(dim, col("o_orderkey") === col("l_orderkey"))
+    val dim = o.join(Ops.broadcastIfSmall(c, customer(s, d)),
+                     col("c_custkey") === col("o_custkey"), "left_semi")
+    l.join(Ops.broadcastIfSmall(dim, orders(s, d)),
+           col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
              .as("revenue"))

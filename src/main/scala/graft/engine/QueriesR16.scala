@@ -142,9 +142,14 @@ object QueriesR16 {
       .filter(col("change_type").isin("insert", "update_postimage"))
       .groupBy("status").agg(aggFn(col("price")).as("ext_new"))
     // untouched groups: combine(old extremum, inserted extremum) —
-    // no data scan
+    // no data scan. The exclusion must be NULL-SAFE: `touched` can
+    // never hold a NULL key (removals reach it through an equi-join,
+    // which drops null keys), but a NULL-status GROUP would make the
+    // bare `!isin` evaluate to NULL and silently vanish from the
+    // MIN/MAX view even though the SUM/COUNT path's groupBy keeps it
+    // (r12 advice, low).
     val incremental = ext0.join(insExt, Seq("status"), "full_outer")
-      .filter(!col("status").isin(touched.toSeq: _*))
+      .filter(coalesce(!col("status").isin(touched.toSeq: _*), lit(true)))
       .select(col("status"),
         (if (isMin) least(col("ext0"), col("ext_new"))
          else greatest(col("ext0"), col("ext_new"))).as(outCol))

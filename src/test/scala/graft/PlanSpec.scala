@@ -29,6 +29,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q3 is a single-shuffle plan ending in top-k (VERDICT r12 #2)") {
+    // The scale/latency contract for the one gated key that rode the
+    // 2x line: with both dim sides size-gate-broadcast, the only
+    // shuffle left is the group-by exchange, and the final sort+limit
+    // is a TakeOrderedAndProject (never a global Sort). 3 AQE stages
+    // collapsed to 2; the per-stage scheduling floor on a sub-second
+    // key was the whole 1.5-2.3x-vs-stock gap.
+    val p = plan("q3_top_unshipped")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"q3 expected exactly 1 shuffle exchange, got $shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q3 top-10 must be TakeOrderedAndProject, not global sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"q3 expected both dim joins broadcast:\n$p")
+  }
+
   test("q5 supplier broadcast is size-gated: no hint when the scan exceeds the gate") {
     // The scale contract for What's-wrong r8 #1: q5's supplier-side
     // broadcast only exists because the raw scan estimate is tiny at
