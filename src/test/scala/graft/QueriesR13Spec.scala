@@ -68,6 +68,24 @@ class QueriesR13Spec extends SparkTestBase {
     assert(chunked == single)
   }
 
+  test("knnBruteForce: multi-block self-join cogroup path equals single-block top-5") {
+    // VERDICT r12 #4: the b×nB block-pair cogroup (the actual 100 TB
+    // self-join path) was only reached above 256 MB; force it with a
+    // tiny maxBlockBytes on the sf0.001 embeddings and require exact
+    // equality with the broadcast fast path — scores, ranks, and tie
+    // resolution (cos DESC, neighbor_id ASC) included.
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val single = canon(Ops.knnBruteForce(e, "vec_id", "embedding", 5))
+    val chunked = canon(Ops.knnBruteForce(e, "vec_id", "embedding", 5,
+      maxBlockBytes = 2000L)) // few rows per block → many block pairs
+    assert(single.nonEmpty && single.size == e.count() * 5)
+    assert(chunked == single)
+  }
+
   test("emb_knn_classify: one prediction per held-out id, bounded votes") {
     val out = QueriesR13.embKnnClassify(spark, sfDir).collect()
     val e = Tables.embeddings(spark, sfDir)
