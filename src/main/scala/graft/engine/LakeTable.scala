@@ -79,6 +79,215 @@ object LakeTable {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  // ---------------------------------------------------------------
+  // Log checkpointing (r12 verdict #6): at 100 TB with 10^5 commits,
+  // replaying every JSON commit per read is the bottleneck — the
+  // standard Delta answer is a periodic CHECKPOINT file holding the
+  // fully-folded log state at version V, so a read loads ONE
+  // checkpoint plus only the commits after it. Commit JSONs are
+  // retained (they stay the source of truth and time travel to any
+  // version — including pre-checkpoint ones — replays them exactly
+  // as before; a checkpoint is pure acceleration, never truth).
+  // ---------------------------------------------------------------
+
+  /** Fully-folded log state at `version`: what a replay of commits
+    * 0..version produces. `active` preserves commit order (the order
+    * `activeDirs` always returned); stats/kinds fold later-commit-
+    * wins; `txns` keeps each app's max batchId. */
+  private[graft] case class LogState(
+      version: Long,
+      active: Seq[String],
+      stats: Map[String, (String, String)],
+      colStats: Map[String, Map[String, (String, String)]],
+      colKinds: Map[String, String],
+      fileStats: Map[String, Seq[(String, Map[String, (String, String)])]],
+      txns: Map[String, Long])
+
+  private[graft] val emptyState =
+    LogState(-1L, Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
+             Map.empty)
+
+  private def foldCommit(st: LogState, c: Commit): LogState = {
+    val act = scala.collection.mutable.LinkedHashSet[String](st.active: _*)
+    c.removes.foreach(act.remove)
+    act ++= c.adds
+    LogState(c.version, act.toSeq,
+      st.stats ++ c.stats,
+      st.colStats ++ c.colStats,
+      st.colKinds ++ c.colKinds,
+      st.fileStats ++ c.fileStats,
+      c.txn.fold(st.txns) { case (app, b) =>
+        st.txns + (app -> math.max(b, st.txns.getOrElse(app, Long.MinValue)))
+      })
+  }
+
+  /** Test/diagnostic instrumentation: every log FILE the readers open
+    * (commit JSON or checkpoint) bumps this — LakeTableSpec's
+    * O(1)-after-checkpoint assertion counts these, the honest measure
+    * of "reads touch O(1) log files". */
+  private[graft] val logFilesRead = new java.util.concurrent.atomic.AtomicLong
+
+  private def checkpointPath(root: String, version: Long): Path =
+    new Path(logDir(root), f"$version%010d.checkpoint.json")
+
+  /** All checkpoint versions present, ascending. */
+  private[graft] def checkpointVersions(spark: SparkSession,
+                                        root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{10}\\.checkpoint\\.json"))
+      .map(_.take(10).toLong)
+      .sorted
+  }
+
+  private def readCheckpoint(spark: SparkSession, root: String,
+                             version: Long): LogState = {
+    logFilesRead.incrementAndGet()
+    val f = fs(spark, root)
+    val in = f.open(checkpointPath(root, version))
+    val bytes = try in.readAllBytes() finally in.close()
+    val node =
+      try {
+        val n = mapper.readTree(bytes)
+        require(n != null && n.has("version") && n.has("active"),
+          "checkpoint record missing version/active")
+        n
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"lake: corrupt checkpoint ${checkpointPath(root, version)} " +
+              s"(${e.getMessage})", e)
+      }
+    def strMap(k: String): Map[String, String] =
+      Option(node.get(k)).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    def boundsOf(n: com.fasterxml.jackson.databind.JsonNode) =
+      (n.get("min").asText(), n.get("max").asText())
+    val stats = Option(node.get("stats")).map(_.properties().asScala
+      .map(e => e.getKey -> boundsOf(e.getValue)).toMap).getOrElse(Map.empty)
+    val colStats = Option(node.get("colstats")).map(_.properties().asScala
+      .map { e =>
+        e.getKey -> e.getValue.properties().asScala
+          .map(c => c.getKey -> boundsOf(c.getValue)).toMap
+      }.toMap).getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val fileStats = Option(node.get("filestats")).map(_.properties().asScala
+      .map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { fn =>
+          (fn.get("f").asText(),
+           fn.get("cols").properties().asScala
+             .map(c => c.getKey -> boundsOf(c.getValue)).toMap)
+        }.toSeq
+      }.toMap)
+      .getOrElse(Map.empty[String, Seq[(String, Map[String, (String, String)])]])
+    val txns = Option(node.get("txns")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    LogState(node.get("version").asLong(),
+      node.get("active").elements().asScala.map(_.asText()).toSeq,
+      stats, colStats, strMap("colkinds"), fileStats, txns)
+  }
+
+  private def writeCheckpoint(spark: SparkSession, root: String,
+                              st: LogState): Unit = {
+    val json = mapper.createObjectNode()
+    json.put("version", st.version)
+    val act = json.putArray("active")
+    st.active.foreach(act.add)
+    if (st.stats.nonEmpty) {
+      val o = json.putObject("stats")
+      st.stats.foreach { case (d, (mn, mx)) =>
+        val b = o.putObject(d); b.put("min", mn); b.put("max", mx)
+      }
+    }
+    if (st.colStats.nonEmpty) {
+      val o = json.putObject("colstats")
+      st.colStats.foreach { case (d, cols) =>
+        val dn = o.putObject(d)
+        cols.foreach { case (c, (mn, mx)) =>
+          val b = dn.putObject(c); b.put("min", mn); b.put("max", mx)
+        }
+      }
+    }
+    if (st.colKinds.nonEmpty) {
+      val o = json.putObject("colkinds")
+      st.colKinds.foreach { case (c, k) => o.put(c, k) }
+    }
+    if (st.fileStats.nonEmpty) {
+      val o = json.putObject("filestats")
+      st.fileStats.foreach { case (d, files) =>
+        val a = o.putArray(d)
+        files.foreach { case (fn, cols) =>
+          val fo = a.addObject()
+          fo.put("f", fn)
+          val cs = fo.putObject("cols")
+          cols.foreach { case (c, (mn, mx)) =>
+            val b = cs.putObject(c); b.put("min", mn); b.put("max", mx)
+          }
+        }
+      }
+    }
+    if (st.txns.nonEmpty) {
+      val o = json.putObject("txns")
+      st.txns.foreach { case (app, b) => o.put(app, b) }
+    }
+    val f = fs(spark, root)
+    val lp = checkpointPath(root, st.version)
+    // last-writer-wins is fine here: any two checkpoints of the same
+    // version are byte-identical folds of the same immutable commits
+    val out = f.create(lp, true)
+    try out.write(mapper.writeValueAsBytes(json))
+    finally out.close()
+  }
+
+  /** Folded log state at `asOf` (or latest), accelerated by the
+    * newest checkpoint at-or-below the target: load it, replay only
+    * the commits after it. With no usable checkpoint this is the
+    * plain full replay — byte-for-byte the same state. */
+  private[graft] def replayState(spark: SparkSession, root: String,
+                                 asOf: Option[Long] = None): LogState = {
+    val vs = versions(spark, root)
+    val upTo = asOf match {
+      case Some(v) =>
+        require(vs.contains(v),
+          s"version $v does not exist (have: ${vs.mkString(",")})")
+        vs.filter(_ <= v)
+      case None => vs
+    }
+    if (upTo.isEmpty) return emptyState
+    val target = upTo.last
+    val base = checkpointVersions(spark, root).filter(_ <= target)
+      .lastOption match {
+        case Some(cv) => readCheckpoint(spark, root, cv)
+        case None => emptyState
+      }
+    upTo.filter(_ > base.version)
+      .foldLeft(base)((st, v) => foldCommit(st, readCommit(spark, root, v)))
+  }
+
+  /** Write a checkpoint of the CURRENT latest version; returns that
+    * version. Maintenance cadence is the caller's policy (the Delta
+    * default is every 10 commits — see [[maybeCheckpoint]]); calling
+    * it twice at the same version rewrites an identical file. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val st = replayState(spark, root, None)
+    require(st.version >= 0, s"lake: cannot checkpoint an empty log at $root")
+    writeCheckpoint(spark, root, st)
+    st.version
+  }
+
+  /** Checkpoint iff `every` or more commits accumulated since the
+    * last checkpoint (or since the log began) — the hook an ingest
+    * job calls after its commit. */
+  def maybeCheckpoint(spark: SparkSession, root: String,
+                      every: Int = 10): Option[Long] = {
+    val latest = latestVersion(spark, root).getOrElse(return None)
+    val since = latest - checkpointVersions(spark, root).lastOption
+      .getOrElse(-1L)
+    if (since >= every) Some(checkpoint(spark, root)) else None
+  }
+
   /** One commit's actions: data DIRECTORIES added and removed
     * (relative to the table root). Directories, not files: Spark
     * writes each transaction's data as one parquet directory, and
@@ -117,6 +326,7 @@ object LakeTable {
 
   private def readCommit(spark: SparkSession, root: String,
                          version: Long): Commit = {
+    logFilesRead.incrementAndGet()
     val f = fs(spark, root)
     val in = f.open(logPath(root, version))
     val bytes =
@@ -270,23 +480,8 @@ object LakeTable {
   /** The active data directories at `asOf` (or latest): log replay,
     * adds minus removes, in commit order. */
   def activeDirs(spark: SparkSession, root: String,
-                 asOf: Option[Long] = None): Seq[String] = {
-    val vs = versions(spark, root)
-    val upTo = asOf match {
-      case Some(v) =>
-        require(vs.contains(v),
-          s"version $v does not exist (have: ${vs.mkString(",")})")
-        vs.filter(_ <= v)
-      case None => vs
-    }
-    val active = scala.collection.mutable.LinkedHashSet[String]()
-    upTo.foreach { v =>
-      val c = readCommit(spark, root, v)
-      c.removes.foreach(active.remove)
-      active ++= c.adds
-    }
-    active.toSeq
-  }
+                 asOf: Option[Long] = None): Seq[String] =
+    replayState(spark, root, asOf).active
 
   /** Snapshot read at `asOf` (default: latest committed version).
     * mergeSchema unions the active directories' schemas — ADDITIVE
@@ -344,12 +539,9 @@ object LakeTable {
     * (stats are an optimization, never a correctness filter). */
   def rangeDirs(spark: SparkSession, root: String, lo: String, hi: String,
                 asOf: Option[Long] = None): Seq[String] = {
-    val stats = versions(spark, root)
-      .map(v => readCommit(spark, root, v))
-      .flatMap(_.stats)
-      .toMap
-    activeDirs(spark, root, asOf).filter(d =>
-      stats.get(d).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val st = replayState(spark, root, asOf)
+    st.active.filter(d =>
+      st.stats.get(d).forall { case (mn, mx) => mx >= lo && mn <= hi })
   }
 
   /** Does the predicate range [lo, hi] intersect recorded stats
@@ -376,10 +568,6 @@ object LakeTable {
   private def toNum(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
 
-  /** All commits' column-kind declarations, later commits winning. */
-  private def colKindsOf(commits: Seq[Commit]): Map[String, String] =
-    commits.foldLeft(Map.empty[String, String])(_ ++ _.colKinds)
-
   /** The active directories whose recorded per-COLUMN [min, max]
     * intersects EVERY requested (col, lo, hi) predicate — the
     * multi-dimension pruning a Z-ordered layout exists for.
@@ -388,13 +576,11 @@ object LakeTable {
   def rangeDirs2(spark: SparkSession, root: String,
                  preds: Seq[(String, String, String)],
                  asOf: Option[Long] = None): Seq[String] = {
-    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
-    val stats = commits.flatMap(_.colStats).toMap
-    val kinds = colKindsOf(commits)
-    activeDirs(spark, root, asOf).filter { d =>
+    val st = replayState(spark, root, asOf)
+    st.active.filter { d =>
       preds.forall { case (c, lo, hi) =>
-        stats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
-          statIntersects(lo, hi, mn, mx, kinds.get(c))
+        st.colStats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
+          statIntersects(lo, hi, mn, mx, st.colKinds.get(c))
         }
       }
     }
@@ -411,16 +597,20 @@ object LakeTable {
   def rangeFiles(spark: SparkSession, root: String,
                  preds: Seq[(String, String, String)],
                  asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
-    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
-    val fstats = commits.flatMap(_.fileStats).toMap
-    val kinds = colKindsOf(commits)
-    val dirs = rangeDirs2(spark, root, preds, asOf)
-    val (withFiles, whole) = dirs.partition(fstats.contains)
+    val st = replayState(spark, root, asOf)
+    val dirs = st.active.filter { d =>
+      preds.forall { case (c, lo, hi) =>
+        st.colStats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
+          statIntersects(lo, hi, mn, mx, st.colKinds.get(c))
+        }
+      }
+    }
+    val (withFiles, whole) = dirs.partition(st.fileStats.contains)
     val files = withFiles.flatMap { d =>
-      fstats(d).collect {
+      st.fileStats(d).collect {
         case (f, cols) if preds.forall { case (c, lo, hi) =>
           cols.get(c).forall { case (mn, mx) =>
-            statIntersects(lo, hi, mn, mx, kinds.get(c))
+            statIntersects(lo, hi, mn, mx, st.colKinds.get(c))
           }
         } => s"$d/$f"
       }
@@ -460,9 +650,8 @@ object LakeTable {
                  asOf: Option[Long] = None): DataFrame = {
     val dirs = rangeDirs2(spark, root, preds, asOf)
     if (dirs.isEmpty) return read(spark, root, asOf).limit(0)
-    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
     rowRangeFilter(spark.read.parquet(dirs.map(d => s"$root/$d"): _*),
-      colKindsOf(commits), preds)
+      replayState(spark, root, asOf).colKinds, preds)
   }
 
   /** FILE-grain range read: like readRange2 but scanning only the
@@ -475,9 +664,8 @@ object LakeTable {
     val (whole, files) = rangeFiles(spark, root, preds, asOf)
     val paths = whole.map(d => s"$root/$d") ++ files.map(f => s"$root/$f")
     if (paths.isEmpty) return read(spark, root, asOf).limit(0)
-    val commits = versions(spark, root).map(v => readCommit(spark, root, v))
     rowRangeFilter(spark.read.parquet(paths: _*),
-      colKindsOf(commits), preds)
+      replayState(spark, root, asOf).colKinds, preds)
   }
 
   /** Range read through the log's stats: scans only the directories
@@ -537,10 +725,7 @@ object LakeTable {
     * streaming writer's restart question. */
   def lastTxn(spark: SparkSession, root: String,
               appId: String): Option[Long] =
-    versions(spark, root)
-      .flatMap(v => readCommit(spark, root, v).txn)
-      .collect { case (app, batch) if app == appId => batch }
-      .maxOption
+    replayState(spark, root, None).txns.get(appId)
 
   /** IDEMPOTENT append — the exactly-once streaming sink: commits
     * `df` tagged (appId, batchId) unless that batch is already in
