@@ -56,6 +56,7 @@ class PlanGateSpec extends SparkTestBase {
         ("the documented single-stream-clock model: a GLOBAL arrival-order " +
          "watermark is definitionally a total order; the scale-safe keyed " +
          "twin is events_watermark_late_perkey")),
+    "q3_top_unshipped"     -> Map("fact_broadcast_hint" -> sizeGated),
     "q5_multiway_join"     -> Map("fact_broadcast_hint" -> sizeGated),
     "q7_volume_shipping"   -> Map("fact_broadcast_hint" -> sizeGated),
     "q8_market_share"      -> Map("fact_broadcast_hint" -> sizeGated),
@@ -266,6 +267,37 @@ class PlanGateSpec extends SparkTestBase {
       if (lBounded(h.child)) Nil
       else Seq("fact_broadcast_hint" -> h.child.nodeName)
     }
+  }
+
+  test("salting actually spreads the hot keys across reducers (r12 stretch #8)") {
+    // The salted keys pass their oracles, but the oracle only proves
+    // the ANSWER — this proves the MECHANISM: hash-partitioning the
+    // fact on the salted key must (a) occupy strictly more reducers
+    // and (b) shrink the largest reducer's share vs the unsalted key,
+    // the exact property that keeps one hot event_type from pinning
+    // one reducer at 100 TB. Uses the same partition count as the
+    // shuffle would and counts real rows per partition id.
+    import org.apache.spark.sql.functions._
+    val p = 32
+    val fact = graft.engine.Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(8L)))
+    def partCounts(keys: Seq[String]): Seq[Long] =
+      fact.repartition(p, keys.map(col): _*)
+        .groupBy(spark_partition_id().as("pid")).count()
+        .collect().map(_.getLong(1)).toSeq
+    val unsalted = partCounts(Seq("event_type"))
+    val salted = partCounts(Seq("event_type", "salt"))
+    val total = unsalted.sum
+    assert(salted.sum == total)
+    // 5 event types can land on at most 5 reducers; 40 (type, salt)
+    // groups must occupy strictly more
+    assert(unsalted.size <= 5, s"unsalted occupied ${unsalted.size} reducers")
+    assert(salted.size > unsalted.size,
+      s"salt did not spread: ${salted.size} vs ${unsalted.size} reducers")
+    // hotspot bound: the largest salted reducer carries well under
+    // half of what the largest unsalted reducer carried
+    assert(salted.max * 2 < unsalted.max,
+      s"salted max ${salted.max} not < half unsalted max ${unsalted.max}")
   }
 
   test("no scale-killer plan shapes outside the documented allowlist") {

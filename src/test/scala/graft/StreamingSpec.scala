@@ -255,6 +255,97 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("events_watermark_late streamed: stream drops ⊆ batch drops; injected late rows dropped") {
+    // VERDICT r12 #7: the registry key's semantics re-executed through
+    // Structured Streaming OVER THE REAL FIXTURE. The fixture itself
+    // is ts-monotone in arrival (event_id) order, so the pristine
+    // stream must emit every row the batch key keeps; a final batch
+    // of injected hours-late rows must be dropped by BOTH executions.
+    // Containment direction: the streaming watermark (prior-batch max
+    // − 10 min) lags the batch emulation's per-row running max, so
+    // anything streaming drops the batch twin must drop too.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val fixture = graft.engine.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val maxTs = fixture.map(_._3.getTime).max
+    val lastEid = fixture.map(_._1).max
+    // hours-late stragglers, arriving AFTER the whole fixture
+    val late = Seq(
+      (lastEid + 1, 1L, new Timestamp(maxTs - 6L * 3600 * 1000)),
+      (lastEid + 2, 2L, new Timestamp(maxTs - 12L * 3600 * 1000)))
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val deduped = in.toDF().toDF("event_id", "user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("event_id", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("wml_out")
+      .outputMode(OutputMode.Append()).start()
+    fixture.grouped(250).foreach { chunk =>
+      in.addData(chunk); q.processAllAvailable()
+    }
+    in.addData(late); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wml_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch emulation over the SAME augmented arrival sequence
+    val augmented = (fixture ++ late).toSeq
+      .toDF("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val batchKept = augmented.withColumn("wm", max("ts").over(w))
+      .filter(col("ts") >= col("wm") - expr("INTERVAL 10 MINUTES"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val all = augmented.select("event_id").collect().map(_.getLong(0)).toSet
+    val streamDropped = all -- streamed
+    val batchDropped = all -- batchKept
+    assert(late.map(_._1).toSet.subsetOf(streamDropped),
+      "injected late rows must be dropped by the stream")
+    assert(streamDropped.subsetOf(batchDropped),
+      s"stream dropped rows the batch twin keeps: ${streamDropped -- batchDropped}")
+    assert(batchKept.subsetOf(streamed),
+      "stream must emit every row the batch key keeps")
+    // the pristine fixture equals the registry key exactly
+    val keyRows = SparkEntry.queries("events_watermark_late")(spark, sfDir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert((streamed -- late.map(_._1).toSet) == keyRows,
+      "pristine-fixture stream result must equal the batch registry key")
+    spark.sql("DROP TABLE IF EXISTS wml_out")
+  }
+
+  test("events_stateful_dedup streamed: ts-order arrival equals the batch registry key") {
+    // The registry key keeps the first event per (user_id, event_type)
+    // by (ts, event_id); a stream fed in exactly that order through
+    // dropDuplicates must keep the identical row set.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val fixture = graft.engine.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getTimestamp(3)))
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val deduped = in.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .dropDuplicates(Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("sd_out")
+      .outputMode(OutputMode.Append()).start()
+    fixture.grouped(250).foreach { chunk =>
+      in.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sd_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val keyRows = SparkEntry.queries("events_stateful_dedup")(spark, sfDir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == keyRows,
+      s"stream/batch diverge: extra=${streamed -- keyRows} missing=${keyRows -- streamed}")
+    spark.sql("DROP TABLE IF EXISTS sd_out")
+  }
+
   test("file readStream over the events fixture equals the batch result") {
     // readStream needs a directory: stage the fixture file into one,
     // stream it through the same tumbling-window aggregation as the
