@@ -311,6 +311,8 @@ object Registry {
     "docs_dedup_url"        -> QueriesR17.docsDedupUrl _,
     "docs_dedup_containment" -> QueriesR17.docsDedupContainment _,
     "docs_html_extract"     -> QueriesR17.docsHtmlExtract _,
+    // Round-13: the checkpointed commit-log read path, oracle-checked
+    "lake_log_checkpoint"   -> QueriesR18.lakeLogCheckpoint _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -319,5 +321,5 @@ object Registry {
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
-      OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql
+      OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql
 }

@@ -547,6 +547,9 @@ class LakeTableSpec extends SparkTestBase {
       var model = Vector.empty[Vector[Long]] // row multiset per version
       var next = 0L
       for (_ <- 0 until 8) {
+        // a checkpoint at a random point must be invisible to every
+        // replay below — pure acceleration, never truth (r13 addition)
+        if (model.nonEmpty && nxt(3) == 0) LakeTable.checkpoint(spark, root)
         val op = nxt(3)
         if (op < 2 || model.isEmpty) {
           // append a random batch of fresh keys
