@@ -77,6 +77,33 @@ object CdcStream {
     todo
   }
 
+  /** Retention for the staging area (the 100 TB posture: staged
+    * version dirs otherwise accumulate a full copy of the feed).
+    * Deletes the DATA FILES of every staged version ≤ `throughVersion`
+    * but keeps the empty version directory as the idempotence marker,
+    * so a later [[stage]] call still sees the version as done and
+    * never re-stages (and thus never re-feeds) pruned rows.
+    *
+    * Contract: prune only versions the consumer's checkpoint has
+    * fully committed (the value returned by the drain that processed
+    * them). The FileStreamSource never re-reads files its checkpoint
+    * already recorded, so pruning behind the checkpoint is invisible
+    * to the stream; pruning AHEAD of it would lose rows — hence the
+    * explicit bound, never a blanket sweep. Returns the versions
+    * pruned by this call. */
+  def pruneStaging(stagingDir: String, throughVersion: Long): Seq[Long] = {
+    val staging = new java.io.File(stagingDir)
+    if (!staging.exists()) return Seq.empty
+    staging.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toLong <= throughVersion)
+      .filter(_.listFiles().nonEmpty)
+      .map { dir =>
+        dir.listFiles().foreach(_.delete())
+        dir.getName.drop(1).toLong
+      }.sorted
+  }
+
   private val ViewApp = "cdc_ivm"
 
   /** One AvailableNow drain: stage new commits, stream them through

@@ -777,6 +777,14 @@ class StreamingSpec extends SparkTestBase {
     val got1 = view1.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got1 == Seq(("x", 3L, 22.00), ("y", 1L, 1.00)), s"got $got1")
+    // retention: prune the consumed version's staged files (keep the
+    // dir as the done-marker) — the stream checkpoint already recorded
+    // them, so the next drain must neither re-stage nor re-process
+    assert(CdcStream.pruneStaging(s"$work/staging", 0L) == Seq(0L))
+    assert(CdcStream.stage(spark, feedRoot, s"$work/staging").isEmpty,
+      "pruned version must still read as staged (idempotence marker)")
+    assert(CdcStream.pruneStaging(s"$work/staging", 0L).isEmpty,
+      "second prune of the same version must be a no-op")
     // feed commit 1: the v0 -> v1 CDC delta
     val feedB = QueriesR16.ivmSumFeed(v0, v1)
     LakeTable.append(feedB, feedRoot)
