@@ -288,6 +288,21 @@ object LakeTable {
     if (since >= every) Some(checkpoint(spark, root)) else None
   }
 
+  /** Checkpoint retention: drop all but the newest `keep` checkpoint
+    * files (at a checkpoint-every-10 cadence, 10^5 commits otherwise
+    * leave 10^4 snapshot files in the log dir). Always safe: a read
+    * that loses its preferred checkpoint falls back to the next older
+    * one or the full JSON replay — commits are the truth, checkpoints
+    * only acceleration. Returns the versions pruned. */
+  def pruneCheckpoints(spark: SparkSession, root: String,
+                       keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"must keep at least one checkpoint, got $keep")
+    val f = fs(spark, root)
+    val victims = checkpointVersions(spark, root).dropRight(keep)
+    victims.foreach(v => f.delete(checkpointPath(root, v), false))
+    victims
+  }
+
   /** One commit's actions: data DIRECTORIES added and removed
     * (relative to the table root). Directories, not files: Spark
     * writes each transaction's data as one parquet directory, and

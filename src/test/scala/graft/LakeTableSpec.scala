@@ -92,6 +92,13 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.maybeCheckpoint(spark, root, every = 10).isEmpty)
     assert(LakeTable.maybeCheckpoint(spark, root, every = 2)
       .contains(n.toLong + 2))
+    // retention: keep=1 drops the older checkpoint; reads (incl. a
+    // pre-checkpoint time travel that now has NO usable checkpoint)
+    // fall back correctly — commits are the truth
+    assert(LakeTable.pruneCheckpoints(spark, root, keep = 1)
+      == Seq(n.toLong))
+    assert(LakeTable.read(spark, root).count() == got.size)
+    assert(LakeTable.read(spark, root, Some(10L)).count() == preAsOf10)
   }
 
   test("commit race: exactly one writer of a version wins") {
