@@ -257,11 +257,27 @@ object LakeTable {
     }
     if (upTo.isEmpty) return emptyState
     val target = upTo.last
+    // A torn/corrupt checkpoint must never take reads down — commits
+    // are the truth, a checkpoint only acceleration. Walk candidates
+    // newest-first and degrade to the full JSON replay if none loads.
     val base = checkpointVersions(spark, root).filter(_ <= target)
-      .lastOption match {
-        case Some(cv) => readCheckpoint(spark, root, cv)
-        case None => emptyState
+      .reverse.iterator
+      .map { cv =>
+        // NonFatal, not just the parse error: a torn file can surface
+        // as anything the filesystem throws (e.g. Hadoop's
+        // ChecksumException when the .crc sidecar disagrees)
+        try Some(readCheckpoint(spark, root, cv))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[lake] WARNING: skipping unreadable checkpoint v$cv " +
+                s"at $root (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                "replaying commits")
+            None
+        }
       }
+      .collectFirst { case Some(st) => st }
+      .getOrElse(emptyState)
     upTo.filter(_ > base.version)
       .foldLeft(base)((st, v) => foldCommit(st, readCommit(spark, root, v)))
   }

@@ -101,6 +101,33 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.read(spark, root, Some(10L)).count() == preAsOf10)
   }
 
+  test("corrupt checkpoint degrades to replay (older checkpoint, then commits) — reads never fail") {
+    val root = freshRoot("ckptcorrupt")
+    (0 until 5).foreach { i =>
+      LakeTable.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), root)
+    }
+    val cvA = LakeTable.checkpoint(spark, root) // good, version 4
+    (5 until 7).foreach { i =>
+      LakeTable.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), root)
+    }
+    val cvB = LakeTable.checkpoint(spark, root) // version 6 — to be torn
+    val ckptB = java.nio.file.Paths.get(
+      s"$root/_graft_log/" + f"$cvB%010d.checkpoint.json")
+    java.nio.file.Files.write(ckptB, "{torn".getBytes("UTF-8"))
+    LakeTable.logFilesRead.set(0L)
+    assert(LakeTable.read(spark, root).select("k")
+      .as[Long].collect().sorted.toSeq == (0L until 7L),
+      "read through a torn checkpoint must fall back, not fail")
+    // fallback cost: torn B + good A + the 2 commits after A
+    assert(LakeTable.logFilesRead.get() <= 4,
+      s"fallback touched ${LakeTable.logFilesRead.get()} log files")
+    // with EVERY checkpoint torn, the full JSON replay still serves
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$root/_graft_log/" + f"$cvA%010d.checkpoint.json"),
+      "{also torn".getBytes("UTF-8"))
+    assert(LakeTable.read(spark, root).count() == 7)
+  }
+
   test("commit race: exactly one writer of a version wins") {
     val root = freshRoot("race")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
