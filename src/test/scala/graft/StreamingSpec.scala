@@ -751,6 +751,42 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("2024-01-01 11:30:00") == 1L)
   }
 
+  test("CDC stage(): crash mid-write leaves nothing visible; re-run restages the full version") {
+    // The r12 medium advice pinned executable: a writer that dies
+    // between the scratch write and the publish rename must leave the
+    // version (a) invisible to the stream glob and (b) NOT marked
+    // done, so the re-run stages every row. We simulate the corpse a
+    // crashed stage() leaves: a half-written dot-prefixed scratch dir.
+    import spark.implicits._
+    import graft.engine.LakeTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_cdc_crash").toString
+    val feedRoot = s"$work/feed"
+    val stagingDir = s"$work/staging"
+    LakeTable.append(
+      Seq((1L, "x", "insert"), (2L, "y", "insert"))
+        .toDF("key", "status", "change_type"), feedRoot)
+    // the corpse: partial scratch for version 0, never published
+    val scratch = new java.io.File(stagingDir, ".stage-v0000000000")
+    scratch.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(scratch, "part-00000.parquet").toPath,
+      "torn".getBytes("UTF-8"))
+    // invisible: the version glob matches nothing
+    assert(new java.io.File(stagingDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).isEmpty)
+    // the re-run wipes the corpse and stages the WHOLE version
+    val staged = CdcStream.stage(spark, feedRoot, stagingDir)
+    assert(staged == Seq(0L), s"restage saw $staged")
+    val vDir = new java.io.File(stagingDir, "v0000000000")
+    assert(vDir.isDirectory, "version must be published as a directory")
+    assert(spark.read.parquet(vDir.toString).count() == 2,
+      "restaged version must carry every committed row")
+    assert(!scratch.exists(), "corpse must be gone after publish")
+    // idempotent: a second stage() call sees the version as done
+    assert(CdcStream.stage(spark, feedRoot, stagingDir).isEmpty)
+  }
+
   test("lake CDC feed -> streaming IVM: second drain processes exactly the post-checkpoint commits") {
     import spark.implicits._
     import graft.engine.{LakeTable, QueriesR16}
