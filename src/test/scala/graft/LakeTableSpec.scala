@@ -466,6 +466,52 @@ class LakeTableSpec extends SparkTestBase {
     assertThrows[Exception] { pinnedDoomed.count() }
   }
 
+  test("concurrent appenders + a checkpointer: exactly-once survives live checkpointing") {
+    // The ingest-at-scale interleaving: several distinct streaming
+    // writers (appendTxn retry machinery) racing version numbers WHILE
+    // a maintenance thread checkpoints the moving log. Checkpoints of
+    // a given version are byte-identical folds of immutable commits,
+    // so the overwrite race is benign; the replayed table must hold
+    // every writer's every batch exactly once, and a post-hoc
+    // checkpointed read must equal the pure-JSON replay.
+    val root = freshRoot("ckptrace")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writers = 3
+    val batches = 4
+    val work = (0 until writers).map { w =>
+      Future {
+        (0 until batches).foreach { b =>
+          val rows = Seq((w * 100L + b, s"w$w-b$b")).toDF("k", "v")
+          LakeTable.appendTxn(rows, root, s"app$w", b.toLong)
+        }
+      }
+    } :+ Future {
+      (0 until 6).foreach { _ =>
+        try LakeTable.maybeCheckpoint(spark, root, every = 2)
+        catch { case _: IllegalArgumentException => () } // empty log yet
+        Thread.sleep(30)
+      }
+    }
+    Await.result(Future.sequence(work), Duration.Inf)
+    val expect = (for (w <- 0 until writers; b <- 0 until batches)
+      yield w * 100L + b).sorted
+    val got = LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got == expect, s"lost/duplicated rows: got $got")
+    // every writer's high-water mark survived whatever fold raced it
+    (0 until writers).foreach { w =>
+      assert(LakeTable.lastTxn(spark, root, s"app$w")
+        .contains(batches.toLong - 1))
+    }
+    // a fresh checkpoint now, then the checkpointed read must equal
+    // the model exactly
+    LakeTable.checkpoint(spark, root)
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == expect)
+  }
+
   test("appendTxn race: the losing writer leaves no orphaned data directory") {
     val root = freshRoot("txnrace")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
