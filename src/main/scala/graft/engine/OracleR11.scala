@@ -104,6 +104,10 @@ object OracleR11 {
         |SELECT doc_id, sim_doc, cos, rk FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
+    // Quantizations spelled as floor(x*10^s + 0.5) — the IEEE ops both
+    // engines execute bit-identically — never library round(), whose
+    // half-up tie handling differs per engine (the r13 sf0.1 sweep's
+    // one divergence: a term on a 9dp boundary).
     "events_ewma" ->
       """WITH o AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    value,
@@ -111,13 +115,15 @@ object OracleR11 {
         |                       ORDER BY ts, event_id) AS i
         |  FROM events),
         |contrib AS (SELECT user_id, i + k AS ti,
-        |    CAST(round(value * power(2.0, -k), 9) AS DECIMAL(28,9)) AS term
+        |    CAST(floor(value * power(2.0, -k) * 1000000000.0 + 0.5)
+        |         AS BIGINT) AS term_u
         |  FROM (SELECT user_id, i, value, unnest(range(0, 32)) AS k
         |        FROM o) t),
-        |agg AS (SELECT user_id, ti, sum(term) AS num, count(*) AS m
+        |agg AS (SELECT user_id, ti, sum(term_u) AS num_u, count(*) AS m
         |        FROM contrib GROUP BY user_id, ti)
         |SELECT o.event_id, o.user_id, o.ts, o.value, a.m,
-        |  round(CAST(a.num AS DOUBLE) / (2 - power(2.0, 1.0 - a.m)), 6)
+        |  floor((CAST(a.num_u AS DOUBLE) / 1e9
+        |         / (2.0 - power(2.0, 1.0 - a.m))) * 1e6 + 0.5) / 1e6
         |    AS ewma
         |FROM o JOIN agg a ON o.user_id = a.user_id AND o.i = a.ti
         |ORDER BY o.event_id""".stripMargin,

@@ -180,11 +180,23 @@ object QueriesR11 {
     *
     * Determinism (§2.3): weights are exact powers of two (α = 0.5 is
     * chosen so no libm pow parity is ever in play), every term is
-    * rounded to the 1e-9 grid and summed as DECIMAL(28,9) — the
-    * order-proof accumulator — and the denominator is the closed form
-    * 2 − 2^(1−m), again exact. A window-function spelling would hang
-    * the result on each engine's frame-accumulation FP order; this
-    * one cannot differ.
+    * quantized to the 1e-9 grid and summed as an exact INTEGER count
+    * of 1e-9 units (≤ ~1.2e12 — order-proof, overflow-proof), and the
+    * denominator is the closed form 2 − 2^(1−m), again exact. A
+    * window-function spelling would hang the result on each engine's
+    * frame-accumulation FP order; this one cannot differ.
+    *
+    * BOTH quantizations (term → 1e-9, result → 1e-6) are spelled as
+    * `floor(x·10^s + 0.5)` — pure IEEE ops that every engine executes
+    * bit-identically on identical inputs — NOT as the engine's
+    * `round()`: library round semantics differ at half-up boundaries
+    * (Spark rounds the double's shortest decimal string HALF_UP,
+    * DuckDB rounds the scaled double), and the round-13 sf0.1 sweep
+    * caught a real term landing on a 9dp boundary (event 92303's
+    * user: one term off by 1e-9 pushed the quotient across a 6dp
+    * boundary — the only hash divergence in 255 keys × 91k rows).
+    * Values are nonnegative (fixture min 0.0), so floor(x+0.5) is
+    * exactly half-away-from-zero.
     *
     * Scale shape: one map-side explode (bounded ×32 amplification —
     * a constant, not a function of history length), one shuffle on
@@ -198,16 +210,18 @@ object QueriesR11 {
       .select(col("user_id"), col("i"), col("value"),
               explode(expr("sequence(0, 31)")).as("k"))
       .select(col("user_id"), (col("i") + col("k")).as("ti"),
-        expr("CAST(round(value * pow(2.0, -k), 9) AS DECIMAL(28,9))")
-          .as("term"))
+        // exact 1e-9-unit integer: floor of the IEEE-scaled double
+        expr("FLOOR(value * pow(2.0, -k) * 1000000000.0 + 0.5)")
+          .as("term_u"))
     val agg = contrib.groupBy("user_id", "ti")
-      .agg(sum("term").as("num"), count(lit(1)).as("m"))
+      .agg(sum("term_u").as("num_u"), count(lit(1)).as("m"))
     o.as("o").join(agg.as("g"),
         col("o.user_id") === col("g.user_id") && col("o.i") === col("g.ti"))
       .select(col("o.event_id"), col("o.user_id"), col("o.ts"),
         col("o.value"), col("g.m"),
-        round(col("g.num").cast("double") /
-          (lit(2.0) - pow(lit(2.0), lit(1.0) - col("g.m"))), 6).as("ewma"))
+        (floor((col("g.num_u").cast("double") / lit(1e9) /
+            (lit(2.0) - pow(lit(2.0), lit(1.0) - col("g.m")))) *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
       .orderBy("event_id")
   }
 
