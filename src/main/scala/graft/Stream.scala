@@ -220,29 +220,28 @@ object Stream {
   /** One user's EWMA step: replay this batch's events in (ts,
     * event_id) order (the batch key's row_number order), compute each
     * point's truncated exponentially-weighted mean with EXACTLY the
-    * batch arithmetic — per-term round to the 1e-9 grid, exact
-    * BigDecimal accumulation, closed-form denominator, final 6dp
-    * HALF_UP round (Spark's round() semantics) — so a bounded
-    * AvailableNow drain reproduces graft.engine.QueriesR11.eventsEwma
-    * row-for-row. */
+    * batch arithmetic — per-term IEEE floor-shift to the 1e-9 grid
+    * summed as exact integer units, closed-form denominator, final
+    * 6dp IEEE floor-shift (the r13 spelling: `floor(x·10^s + 0.5)`
+    * replaces library round(), whose half-up tie handling differs
+    * per engine) — so a bounded AvailableNow drain reproduces
+    * graft.engine.QueriesR11.eventsEwma row-for-row. */
   private[graft] def ewmaStep(
       uid: Long, rows: Iterator[(Long, Long, Long, Double)],
       state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
-    def r9(v: Double): BigDecimal =
-      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    def r6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var buf = state.getOption.map(_.prev).getOrElse(Nil)
     val out = rows.toSeq
       .sortBy(r => (r._3, r._1))               // (ts micros, event_id)
       .map { case (eid, user, us, x) =>
         val window = x :: buf                   // lag 0 = current
         val m = window.size                     // ≤ 32 by construction
-        val num = window.zipWithIndex
-          .map { case (v, k) => r9(v * math.pow(2.0, -k)) }.sum
+        val numU = window.zipWithIndex
+          .map { case (v, k) =>
+            math.floor(v * math.pow(2.0, -k) * 1e9 + 0.5).toLong }.sum
         val denom = 2.0 - math.pow(2.0, 1.0 - m)
         buf = window.take(31)
-        EwmaPoint(eid, user, us, x, m.toLong, r6(num.toDouble / denom))
+        EwmaPoint(eid, user, us, x, m.toLong,
+          math.floor((numU.toDouble / 1e9 / denom) * 1e6 + 0.5) / 1e6)
       }
     state.update(EwmaState(buf))
     out.iterator
