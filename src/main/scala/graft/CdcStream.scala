@@ -161,9 +161,15 @@ object CdcStream {
         delta.select(col("status"), col("dn").as("n"),
                      col("dsum").as("sum_dec"))
       else
+        // NULL-SAFE group-key merge (the QueriesR16 r13 rule): a
+        // plain USING join would fork a null-status group into two
+        // rows, one per side, corrupting the maintained counts
         LakeTable.read(spark, viewRoot)
-          .join(delta, Seq("status"), "full_outer")
-          .select(col("status"),
+          .select(col("status").as("sv"), col("n"), col("sum_dec"))
+          .join(delta.select(col("status").as("sd"), col("dn"),
+                             col("dsum")),
+                col("sv") <=> col("sd"), "full_outer")
+          .select(coalesce(col("sv"), col("sd")).as("status"),
             (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
               .as("n"),
             (coalesce(col("sum_dec"), zero) + coalesce(col("dsum"), zero))

@@ -73,20 +73,29 @@ object QueriesR16 {
     * (explode(NULL)), so the feed stays O(churn). */
   private[graft] def ivmSumFeed(before: DataFrame,
                                 after: DataFrame): DataFrame = {
+    // Presence is a dedicated flag, never the status column's
+    // nullability: a PRESENT row with a NULL status used to read as
+    // "absent" and emit a spurious insert every refresh (r13 audit of
+    // the r12 null-key advice). Change detection is null-safe (<=>)
+    // for the same reason: a null→'x' status flip must fire the
+    // pre/post pair, and null→null must not.
     val b = before.select(col("key"), col("status").as("old_status"),
-                          col("price").as("old_price"))
+                          col("price").as("old_price"),
+                          lit(true).as("old_present"))
     val a = after.select(col("key"), col("status").as("new_status"),
-                         col("price").as("new_price"))
+                         col("price").as("new_price"),
+                         lit(true).as("new_present"))
     b.join(a, Seq("key"), "full_outer")
       .select(col("key"), explode(expr(
         """CASE
-          |  WHEN old_status IS NULL THEN array(struct(
+          |  WHEN old_present IS NULL THEN array(struct(
           |    new_status AS status, new_price AS price,
           |    'insert' AS change_type))
-          |  WHEN new_status IS NULL THEN array(struct(
+          |  WHEN new_present IS NULL THEN array(struct(
           |    old_status AS status, old_price AS price,
           |    'delete' AS change_type))
-          |  WHEN old_status <> new_status OR old_price <> new_price
+          |  WHEN NOT (old_status <=> new_status)
+          |    OR NOT (old_price <=> new_price)
           |  THEN array(
           |    struct(old_status AS status, old_price AS price,
           |           'update_preimage' AS change_type),
@@ -111,51 +120,70 @@ object QueriesR16 {
     * needs data) are re-scanned, and the re-scan is FILTERED to those
     * groups. The touched-group set is O(|groups|) driver-side
     * metadata (the same posture as the lake log's stats collects).
-    * Returns (per-group min frame, the re-scanned group set) so tests
-    * — and an operator's monitoring — can assert the re-scan really
-    * was skipped. */
+    * Returns (per-group min frame, the re-scanned group set — NULL
+    * group key as None) so tests — and an operator's monitoring — can
+    * assert the re-scan really was skipped. */
   private[graft] def ivmMinMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame): (DataFrame, Set[String]) =
+      feed: DataFrame): (DataFrame, Set[Option[String]]) =
     ivmExtremumMaintain(before, after, feed, isMin = true)
 
   /** The same maintenance for MAX (a removal at price ≥ the current
     * maximum is what destroys information); both directions share one
     * implementation with the comparison and combiner flipped. */
   private[graft] def ivmMaxMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame): (DataFrame, Set[String]) =
+      feed: DataFrame): (DataFrame, Set[Option[String]]) =
     ivmExtremumMaintain(before, after, feed, isMin = false)
 
+  /** NULL group keys are first-class throughout (the r12 advice, made
+    * systematic in r13): SQL GROUP BY puts null-status rows in one
+    * real group, so every join here is NULL-SAFE (`<=>` — a plain
+    * equi-join silently unpairs the null group: it duplicated in the
+    * old full-outer merge and could never be marked touched, leaving
+    * a stale extremum after a null-group delete). `touched` carries
+    * the null group as None. */
   private def ivmExtremumMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame, isMin: Boolean): (DataFrame, Set[String]) = {
+      feed: DataFrame, isMin: Boolean): (DataFrame, Set[Option[String]]) = {
     val aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (isMin) min else max
     val outCol = if (isMin) "min_price" else "max_price"
     val ext0 = before.groupBy("status").agg(aggFn(col("price")).as("ext0"))
     val removals = feed
       .filter(col("change_type").isin("delete", "update_preimage"))
-    val touched = removals.join(ext0, Seq("status"))
+    val touched: Set[Option[String]] = removals
+      .join(ext0.select(col("status").as("e_status"), col("ext0")),
+            col("status") <=> col("e_status"))
       .filter(if (isMin) col("price") <= col("ext0")
               else col("price") >= col("ext0"))
       .select("status").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => Option(r.getString(0))).toSet
+    val touchedNonNull = touched.flatten.toSeq.sorted
     val insExt = feed
       .filter(col("change_type").isin("insert", "update_postimage"))
       .groupBy("status").agg(aggFn(col("price")).as("ext_new"))
     // untouched groups: combine(old extremum, inserted extremum) —
-    // no data scan. The exclusion must be NULL-SAFE: `touched` can
-    // never hold a NULL key (removals reach it through an equi-join,
-    // which drops null keys), but a NULL-status GROUP would make the
-    // bare `!isin` evaluate to NULL and silently vanish from the
-    // MIN/MAX view even though the SUM/COUNT path's groupBy keeps it
-    // (r12 advice, low).
-    val incremental = ext0.join(insExt, Seq("status"), "full_outer")
-      .filter(coalesce(!col("status").isin(touched.toSeq: _*), lit(true)))
-      .select(col("status"),
+    // no data scan
+    val notTouched = {
+      val nonNullOk =
+        coalesce(!col("status").isin(touchedNonNull: _*), lit(true))
+      if (touched.contains(None)) nonNullOk && col("status").isNotNull
+      else nonNullOk
+    }
+    val incremental = ext0.select(col("status").as("s0"), col("ext0"))
+      .join(insExt.select(col("status").as("s1"), col("ext_new")),
+            col("s0") <=> col("s1"), "full_outer")
+      .select(coalesce(col("s0"), col("s1")).as("status"),
         (if (isMin) least(col("ext0"), col("ext_new"))
          else greatest(col("ext0"), col("ext_new"))).as(outCol))
+      .filter(notTouched)
     if (touched.isEmpty) (incremental, touched)
     else {
-      val rescan = after.filter(col("status").isin(touched.toSeq: _*))
+      val inTouched = {
+        val nonNullHit =
+          coalesce(col("status").isin(touchedNonNull: _*), lit(false))
+        if (touched.contains(None)) nonNullHit || col("status").isNull
+        else nonNullHit
+      }
+      val rescan = after.filter(inTouched)
         .groupBy("status").agg(aggFn(col("price")).as(outCol))
       (incremental.unionByName(rescan), touched)
     }
@@ -188,15 +216,21 @@ object QueriesR16 {
              col("price")).otherwise(-col("price")).as("dp"))
       .groupBy("status").agg(sum("w").as("dn"), sum("dp").as("dsum"))
     val (minScan, _) = ivmMinMaintain(before, after, feed)
-    baseAgg.join(deltas, Seq("status"), "full_outer")
-      .select(col("status"),
+    // merges are NULL-SAFE on the group key: a plain USING join
+    // unpairs a null-status group (it appeared twice — once from each
+    // side — and the MIN column never attached to it)
+    baseAgg.select(col("status").as("sb"), col("n0"), col("sum0"))
+      .join(deltas.select(col("status").as("sd"), col("dn"), col("dsum")),
+            col("sb") <=> col("sd"), "full_outer")
+      .select(coalesce(col("sb"), col("sd")).as("status"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n"),
         (coalesce(col("sum0"), lit(0).cast(DecimalType(18, 2))) +
          coalesce(col("dsum"), lit(0).cast(DecimalType(18, 2))))
           .as("sum_dec"))
       .filter(col("n") > 0)
-      .join(minScan, Seq("status"), "left")
+      .join(minScan.select(col("status").as("sm"), col("min_price")),
+            col("status") <=> col("sm"), "left")
       .select(col("status"), col("n"),
         col("sum_dec").cast("double").as("sum_price"),
         round(col("sum_dec").cast("double") / col("n"), 6)

@@ -381,6 +381,61 @@ class LakeTableSpec extends SparkTestBase {
     assert(got == full, s"IVM $got != recompute $full")
   }
 
+  test("deletion-aware MIN: a NULL-status group survives an extremal delete elsewhere (r12 advice)") {
+    // The null-safety fix pinned: with `touched` non-empty, the old
+    // bare !isin evaluated to NULL for a NULL group key and silently
+    // dropped that group from the MIN view while SUM/COUNT kept it.
+    import graft.engine.QueriesR16
+    def dec(rows: Seq[(Long, Option[String], Double)]) =
+      rows.toDF("key", "status", "p")
+        .select($"key", $"status",
+          $"p".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2)).as("price"))
+    val before = dec(Seq((1L, Some("x"), 10.00), (2L, Some("x"), 5.00),
+                         (3L, None, 7.00), (4L, None, 3.00)))
+    // delete x's minimum → x re-scans; the NULL group is untouched
+    // and must stay in the view with its min intact
+    val after = dec(Seq((1L, Some("x"), 10.00), (3L, None, 7.00),
+                        (4L, None, 3.00)))
+    val feed = QueriesR16.ivmSumFeed(before, after)
+    // the feed is O(churn) even with null statuses: unchanged
+    // null-status rows must NOT read as absent (presence is a flag,
+    // not the status column's nullability)
+    val feedRows = feed.collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(feedRows == Seq((2L, "delete")),
+      s"spurious feed entries for unchanged null-status rows: $feedRows")
+    val (minV, scanned) = QueriesR16.ivmMinMaintain(before, after, feed)
+    assert(scanned == Set(Some("x")), s"got $scanned")
+    val got = minV.orderBy($"status".asc_nulls_first).collect()
+      .map(r => (Option(r.getString(0)),
+                 r.getDecimal(1).doubleValue())).toSeq
+    assert(got == Seq((None, 3.00), (Some("x"), 10.00)),
+      s"NULL group dropped, duplicated, or wrong: $got")
+    // a delete INSIDE the null group hitting its minimum must mark
+    // the null group touched and re-scan it (the old equi-join could
+    // never pair a null removal with its group's extremum → stale min)
+    val afterNullHit = dec(Seq((1L, Some("x"), 10.00),
+                               (2L, Some("x"), 5.00), (3L, None, 7.00)))
+    val feedNull = QueriesR16.ivmSumFeed(before, afterNullHit)
+    val (minNull, scannedNull) =
+      QueriesR16.ivmMinMaintain(before, afterNullHit, feedNull)
+    assert(scannedNull == Set(None), s"got $scannedNull")
+    val gotNull = minNull.orderBy($"status".asc_nulls_first).collect()
+      .map(r => (Option(r.getString(0)),
+                 r.getDecimal(1).doubleValue())).toSeq
+    assert(gotNull == Seq((None, 7.00), (Some("x"), 5.00)),
+      s"stale or duplicated null-group min: $gotNull")
+    // the SUM/AVG/MIN refresh carries exactly ONE null-group row with
+    // the right state (the old USING merge forked it into two)
+    val view = QueriesR16.ivmSumRefresh(before, afterNullHit)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2),
+                 r.getDouble(4))).toSeq
+    assert(view == Seq((None, 1L, 7.00, 7.00), (Some("x"), 2L, 15.00, 5.00)),
+      s"null-group view row wrong: $view")
+  }
+
   test("deletion-aware MIN: non-extremal delete skips the re-scan; extremal delete triggers it") {
     import graft.engine.QueriesR16
     def dec(rows: Seq[(Long, String, Double)]) =
@@ -408,7 +463,7 @@ class LakeTableSpec extends SparkTestBase {
                            (4L, "y", 1.00), (5L, "x", 2.50)))
     val (minHit, scannedHit) = QueriesR16.ivmMinMaintain(
       before, afterHit, QueriesR16.ivmSumFeed(before, afterHit))
-    assert(scannedHit == Set("x"),
+    assert(scannedHit == Set(Some("x")),
       s"extremal delete should re-scan exactly x, got $scannedHit")
     val gotHit = minHit.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
@@ -419,7 +474,7 @@ class LakeTableSpec extends SparkTestBase {
                            (3L, "x", 7.00), (4L, "y", 1.00)))
     val (minUpd, scannedUpd) = QueriesR16.ivmMinMaintain(
       before, afterUpd, QueriesR16.ivmSumFeed(before, afterUpd))
-    assert(scannedUpd == Set("x"), s"got $scannedUpd")
+    assert(scannedUpd == Set(Some("x")), s"got $scannedUpd")
     val gotUpd = minUpd.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotUpd == Seq(("x", 7.00), ("y", 1.00)), s"got $gotUpd")
@@ -430,7 +485,7 @@ class LakeTableSpec extends SparkTestBase {
                               (4L, "y", 1.00)))
     val (maxHit, scannedMaxHit) = QueriesR16.ivmMaxMaintain(
       before, afterMaxHit, QueriesR16.ivmSumFeed(before, afterMaxHit))
-    assert(scannedMaxHit == Set("x"), s"got $scannedMaxHit")
+    assert(scannedMaxHit == Set(Some("x")), s"got $scannedMaxHit")
     val gotMaxHit = maxHit.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotMaxHit == Seq(("x", 7.00), ("y", 1.00)), s"got $gotMaxHit")
