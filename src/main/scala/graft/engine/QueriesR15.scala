@@ -347,8 +347,12 @@ object QueriesR15 {
         when(col("change_type").isin("insert", "update_postimage"),
              lit(1L)).otherwise(lit(-1L)).as("w"))
       .groupBy("status").agg(sum("w").as("dn"))
-    baseAgg.join(deltas, Seq("status"), "full_outer")
-      .select(col("status"),
+    // NULL-SAFE group-key merge (the QueriesR16 r13 rule): a plain
+    // USING join would fork a null-status group into one row per side
+    baseAgg.select(col("status").as("sb"), col("n"))
+      .join(deltas.select(col("status").as("sd"), col("dn")),
+            col("sb") <=> col("sd"), "full_outer")
+      .select(coalesce(col("sb"), col("sd")).as("status"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n"))
       .filter(col("n") > 0)
