@@ -78,6 +78,37 @@ class ShuffleVolumeSpec extends SparkTestBase {
       s"q3 shuffle bytes $bHinted not < 1/3 of naive $bNaive")
   }
 
+  test("q5: hand-pushed ASIA dims + size-gated broadcasts move a fraction of the naive chain's bytes") {
+    import graft.engine.Tables._
+    val (_, bEngine) =
+      shuffleVolume(SparkEntry.queries("q5_multiway_join")(spark, sf01))
+    // naive spelling: region filter applied ABOVE the 6-way join, no
+    // pushed dims, broadcasts disabled — every join shuffles both sides
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (_, bNaive) =
+      try shuffleVolume(
+        customer(spark, sf01)
+          .join(orders(spark, sf01)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(lineitem(spark, sf01), col("o_orderkey") === col("l_orderkey"))
+          .join(supplier(spark, sf01),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(nation(spark, sf01), col("s_nationkey") === col("n_nationkey"))
+          .join(region(spark, sf01), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name")))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert(bEngine * 2 < bNaive,
+      s"q5 shuffle bytes $bEngine not < 1/2 of naive $bNaive")
+  }
+
   test("docs_dedup_exact: the one shuffle carries digests, not payloads") {
     import graft.engine.Tables
     val docs = Tables.documents(spark, sf01)
