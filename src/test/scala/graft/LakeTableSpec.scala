@@ -381,6 +381,71 @@ class LakeTableSpec extends SparkTestBase {
     assert(got == full, s"IVM $got != recompute $full")
   }
 
+  test("property: IVM feed + refresh match a reference model on random null-keyed histories") {
+    // Model-based armor for the r13 null-key overhaul: random
+    // before/after snapshots (keys churn; statuses drawn from
+    // {x, y, NULL}; prices from a small grid) must produce (1) an
+    // O(churn) feed whose per-key classification equals the reference
+    // model's, and (2) a refresh equal to a full recompute over
+    // `after` — null group included, exactly once.
+    import graft.engine.QueriesR16
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    def dec(rows: Seq[(Long, Option[String], Double)]) =
+      rows.toDF("key", "status", "p")
+        .select($"key", $"status",
+          $"p".cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 2)).as("price"))
+    val statuses = Vector(Some("x"), Some("y"), None)
+    for (trial <- 0 until 4) {
+      def snap(keys: Seq[Long]): Map[Long, (Option[String], Double)] =
+        keys.map(k => k -> (statuses(nxt(3)),
+                            (nxt(40) + 1) * 0.25)).toMap
+      val beforeM = snap(0L until 30L)
+      // churn: drop ~1/4 of keys, add fresh ones, re-roll ~1/3
+      val afterM = beforeM.filter(_ => nxt(4) > 0)
+        .map { case (k, v) => k -> (if (nxt(3) == 0)
+          (statuses(nxt(3)), (nxt(40) + 1) * 0.25) else v) } ++
+        snap(30L until 30L + nxt(6))
+      val before = dec(beforeM.toSeq.map { case (k, (s, p)) => (k, s, p) })
+      val after = dec(afterM.toSeq.map { case (k, (s, p)) => (k, s, p) })
+      // (1) the feed equals the model's classification
+      val feed = QueriesR16.ivmSumFeed(before, after).collect()
+        .map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+      val model = (beforeM.keySet ++ afterM.keySet).toSeq.flatMap { k =>
+        (beforeM.get(k), afterM.get(k)) match {
+          case (None, Some(_)) => Seq(k -> "insert")
+          case (Some(_), None) => Seq(k -> "delete")
+          case (Some(o), Some(n)) if o != n =>
+            Seq(k -> "update_postimage", k -> "update_preimage")
+          case _ => Seq.empty
+        }
+      }.sorted
+      assert(feed == model,
+        s"trial $trial: feed ${feed.take(6)}... != model ${model.take(6)}...")
+      // (2) refresh == full recompute over `after`
+      val got = QueriesR16.ivmSumRefresh(before, after)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1),
+                   BigDecimal(r.getDouble(2)).setScale(2,
+                     BigDecimal.RoundingMode.HALF_UP),
+                   BigDecimal(r.getDouble(4)).setScale(2,
+                     BigDecimal.RoundingMode.HALF_UP))).toSet
+      val want = afterM.values.groupBy(_._1).map { case (s, vs) =>
+        val ps = vs.map(_._2).toSeq
+        (s, ps.size.toLong,
+         BigDecimal(ps.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+         BigDecimal(ps.min).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }.toSet
+      assert(got == want,
+        s"trial $trial: view ${got.toSeq.sortBy(_.toString)} != " +
+          s"recompute ${want.toSeq.sortBy(_.toString)}")
+    }
+  }
+
   test("deletion-aware MIN: a NULL-status group survives an extremal delete elsewhere (r12 advice)") {
     // The null-safety fix pinned: with `touched` non-empty, the old
     // bare !isin evaluated to NULL for a NULL group key and silently
