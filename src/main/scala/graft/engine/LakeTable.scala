@@ -304,6 +304,31 @@ object LakeTable {
     if (since >= every) Some(checkpoint(spark, root)) else None
   }
 
+  /** LOG retention — the checkpoint's other companion at 10^5
+    * commits (the Delta `logRetentionDuration` shape): deletes commit
+    * JSONs STRICTLY BELOW the newest checkpoint, whose folded state
+    * replaces them for every read at-or-above it. Time travel below
+    * the checkpoint fails loudly afterwards (the version no longer
+    * exists — the same explicit trade as [[vacuum]]'s retention).
+    * Refuses to run without a checkpoint.
+    *
+    * ORDERING CONTRACT: run [[vacuum]] BEFORE pruning — vacuum's
+    * reclaim walk reads the surviving commits' adds, so a directory
+    * both added and removed entirely below the checkpoint becomes
+    * unreclaimable once its commits are gone (a storage leak, never
+    * a correctness hazard: the checkpoint's active set is complete).
+    * Returns the pruned versions. */
+  def pruneLog(spark: SparkSession, root: String): Seq[Long] = {
+    val cv = checkpointVersions(spark, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"lake: pruneLog requires a checkpoint at $root — " +
+          "call checkpoint() first"))
+    val f = fs(spark, root)
+    val victims = versions(spark, root).filter(_ < cv)
+    victims.foreach(v => f.delete(logPath(root, v), false))
+    victims
+  }
+
   /** Checkpoint retention: drop all but the newest `keep` checkpoint
     * files (at a checkpoint-every-10 cadence, 10^5 commits otherwise
     * leave 10^4 snapshot files in the log dir). Always safe: a read

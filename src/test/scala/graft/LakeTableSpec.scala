@@ -101,6 +101,36 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.read(spark, root, Some(10L)).count() == preAsOf10)
   }
 
+  test("pruneLog: commits below the checkpoint go; reads, stats, and txn marks survive on the fold") {
+    val root = freshRoot("logprune")
+    (0 until 6).foreach { i =>
+      LakeTable.appendWithStats(
+        Seq((i.toLong, f"v$i%03d")).toDF("k", "v"), root, "v")
+    }
+    LakeTable.appendTxn(Seq((100L, "t00")).toDF("k", "v"), root, "pl_app", 3L)
+    val cv = LakeTable.checkpoint(spark, root) // version 6
+    LakeTable.appendWithStats(Seq((101L, "z01")).toDF("k", "v"), root, "v")
+    val expect = ((0L until 6L) ++ Seq(100L, 101L)).sorted
+    assert(cv == 6L, s"fixture drifted: checkpoint at $cv")
+    val pruned = LakeTable.pruneLog(spark, root)
+    assert(pruned == (0L until 6L), s"unexpected prune set $pruned")
+    // reads at latest and at the checkpoint version still serve
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == expect)
+    assert(LakeTable.read(spark, root, Some(cv)).count() == expect.size - 1)
+    // time travel below the checkpoint now fails loudly
+    assertThrows[IllegalArgumentException] {
+      LakeTable.read(spark, root, Some(2L))
+    }
+    // the txn high-water mark rode the checkpoint: a re-delivery no-ops
+    assert(LakeTable.appendTxn(Seq((999L, "dup")).toDF("k", "v"),
+      root, "pl_app", 3L).isEmpty)
+    // stats survived: range pruning still cuts to the matching dir
+    // (+ the unstat'd txn dir, which must always survive)
+    val dirs = LakeTable.rangeDirs(spark, root, "v003", "v004")
+    assert(dirs.size == 3, s"stats lost after pruneLog: $dirs")
+  }
+
   test("corrupt checkpoint degrades to replay (older checkpoint, then commits) — reads never fail") {
     val root = freshRoot("ckptcorrupt")
     (0 until 5).foreach { i =>
