@@ -121,11 +121,19 @@ object Bench {
             }
           }
         }
+        // Any failure poisons the key: a partially-failed key (one
+        // good run, then a throw) must not contribute a
+        // plausible-looking median to `total` while ALSO sitting in
+        // `errors` — the (-1,-1,-1) sentinel applies to both cases.
         val triple =
-          if (times.isEmpty) (-1.0, -1.0, -1.0)
+          if (failed || times.isEmpty) (-1.0, -1.0, -1.0)
           else {
             val st = times.sorted
-            (st.head, st(st.size / 2), st.last)
+            val n = st.size
+            // true median: mean of the two middle elements for even n
+            val med =
+              if (n % 2 == 1) st(n / 2) else (st(n / 2 - 1) + st(n / 2)) / 2.0
+            (st.head, med, st.last)
           }
         if (gcStats) {
           val rt = Runtime.getRuntime
@@ -153,9 +161,10 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"spread":$fullSpread,"sf":${jstr(sfDir)},"repeats":$repeats,"n_keys":${results.size},"n_errors":${errors.size},"errors":$errJson}"""
     // The full artifact must never take the stdout line down with it:
-    // an unwritable cwd falls back to /root/repo then the temp dir.
+    // an unwritable target falls back to the JVM temp dir (no
+    // environment-specific absolute paths baked into the binary —
+    // SPARK_GRAFT_BENCH_OUT is the override when cwd is wrong).
     val written = Seq(outPath,
-        s"/root/repo/${new java.io.File(outPath).getName}",
         s"${System.getProperty("java.io.tmpdir")}/${new java.io.File(outPath).getName}")
       .distinct.find { p =>
         try {

@@ -98,9 +98,12 @@ object CdcStream {
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .filter(_.getName.drop(1).toLong <= throughVersion)
       .filter(_.listFiles().nonEmpty)
-      .map { dir =>
-        dir.listFiles().foreach(_.delete())
-        dir.getName.drop(1).toLong
+      .flatMap { dir =>
+        // Report a version as pruned ONLY when every file actually
+        // deleted — a dir with a failed delete() still has files, so
+        // the next call retries it, and this call must not claim it.
+        val allGone = dir.listFiles().map(_.delete()).forall(identity)
+        if (allGone) Some(dir.getName.drop(1).toLong) else None
       }.sorted
   }
 

@@ -33,9 +33,16 @@ object Sql {
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
-    spark.udf.register("haversine_km",
-      Udfs.haversineKm(_: Double, _: Double, _: Double, _: Double))
-    spark.udf.register("geomean", Udfs.geoMeanUdaf)
+    // guard like Register.once: spark.udf.register on an existing
+    // name WARNs "replaced a previously registered function" per call
+    val fr = spark.sessionState.functionRegistry
+    def missing(n: String) =
+      !fr.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (missing("haversine_km"))
+      spark.udf.register("haversine_km",
+        Udfs.haversineKm(_: Double, _: Double, _: Double, _: Double))
+    if (missing("geomean"))
+      spark.udf.register("geomean", Udfs.geoMeanUdaf)
     Exprs.register(spark)     // cosine_sim, hamming_dist, nfc_normalize,
                               // zorder2, zordern
     TopK.register(spark)      // topk_by_score

@@ -115,18 +115,14 @@ object Bf {
     wrapChecked(bytes).getLong
 
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bf_sketch", (args: Seq[Expression]) => BfSketchAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bf_merge", (args: Seq[Expression]) => BfMergeAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bf_contains", (args: Seq[Expression]) => BfContainsExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bf_count", (args: Seq[Expression]) => BfCountExpr(args.head),
-      "built-in")
+    Register.once(s,
+      "bf_sketch", (args: Seq[Expression]) => BfSketchAgg(args.head))
+    Register.once(s,
+      "bf_merge", (args: Seq[Expression]) => BfMergeAgg(args.head))
+    Register.once(s,
+      "bf_contains", (args: Seq[Expression]) => BfContainsExpr(args(0), args(1)))
+    Register.once(s,
+      "bf_count", (args: Seq[Expression]) => BfCountExpr(args.head))
   }
 }
 

@@ -122,18 +122,14 @@ object Cms {
     wrapChecked(bytes).getLong
 
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_sketch", (args: Seq[Expression]) => CmsSketchAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_merge", (args: Seq[Expression]) => CmsMergeAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_estimate", (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_count", (args: Seq[Expression]) => CmsCountExpr(args.head),
-      "built-in")
+    Register.once(s,
+      "cms_sketch", (args: Seq[Expression]) => CmsSketchAgg(args.head))
+    Register.once(s,
+      "cms_merge", (args: Seq[Expression]) => CmsMergeAgg(args.head))
+    Register.once(s,
+      "cms_estimate", (args: Seq[Expression]) => CmsEstimateExpr(args(0), args(1)))
+    Register.once(s,
+      "cms_count", (args: Seq[Expression]) => CmsCountExpr(args.head))
   }
 }
 

@@ -307,25 +307,20 @@ object Exprs {
     * session's function registry so plans can call them through
     * `expr("cosine_sim(a, b)")` — the public, non-internal spelling. */
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
       "cosine_sim",
-      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1)))
+    Register.once(s,
       "hamming_dist",
-      (args: Seq[Expression]) => HammingDistExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      (args: Seq[Expression]) => HammingDistExpr(args(0), args(1)))
+    Register.once(s,
       "nfc_normalize",
-      (args: Seq[Expression]) => NfcNormalizeExpr(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head))
+    Register.once(s,
       "zorder2",
-      (args: Seq[Expression]) => ZOrderExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      (args: Seq[Expression]) => ZOrderExpr(args(0), args(1)))
+    Register.once(s,
       "zordern",
-      (args: Seq[Expression]) => ZOrderNExpr(args),
-      "built-in")
+      (args: Seq[Expression]) => ZOrderNExpr(args))
   }
 }

@@ -71,19 +71,15 @@ object Hll {
   }
 
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_sketch", (args: Seq[Expression]) => HllSketchAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_merge", (args: Seq[Expression]) => HllMergeAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_estimate", (args: Seq[Expression]) => HllEstimateExpr(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
+      "hll_sketch", (args: Seq[Expression]) => HllSketchAgg(args.head))
+    Register.once(s,
+      "hll_merge", (args: Seq[Expression]) => HllMergeAgg(args.head))
+    Register.once(s,
+      "hll_estimate", (args: Seq[Expression]) => HllEstimateExpr(args.head))
+    Register.once(s,
       "hll_merge2", (args: Seq[Expression]) =>
-        HllMerge2Expr(args(0), args(1)),
-      "built-in")
+        HllMerge2Expr(args(0), args(1)))
   }
 }
 

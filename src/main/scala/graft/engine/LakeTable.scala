@@ -278,6 +278,20 @@ object LakeTable {
       }
       .collectFirst { case Some(st) => st }
       .getOrElse(emptyState)
+    // Contiguity guard: once pruneLog has deleted the commits below a
+    // checkpoint, the ONLY complete reconstruction starts from a
+    // loadable checkpoint that covers everything before the first
+    // surviving commit. If that checkpoint is torn (skipped above) or
+    // was itself pruned, folding the surviving suffix over emptyState
+    // would silently return an incomplete active set — fail loudly
+    // instead (wrong results are worse than no results). When the log
+    // still starts at v0 this is vacuously satisfied (emptyState is
+    // version -1 >= 0 - 1) and full replay proceeds as before.
+    require(base.version >= upTo.head - 1,
+      s"lake: log at $root is pruned below v${upTo.head} and no loadable " +
+        s"checkpoint <= v$target covers the gap (newest usable: " +
+        s"v${base.version}) — state cannot be reconstructed; restore a " +
+        "checkpoint or the missing commit files")
     upTo.filter(_ > base.version)
       .foldLeft(base)((st, v) => foldCommit(st, readCommit(spark, root, v)))
   }
@@ -331,15 +345,25 @@ object LakeTable {
 
   /** Checkpoint retention: drop all but the newest `keep` checkpoint
     * files (at a checkpoint-every-10 cadence, 10^5 commits otherwise
-    * leave 10^4 snapshot files in the log dir). Always safe: a read
-    * that loses its preferred checkpoint falls back to the next older
-    * one or the full JSON replay — commits are the truth, checkpoints
-    * only acceleration. Returns the versions pruned. */
+    * leave 10^4 snapshot files in the log dir). Safe ONLY together
+    * with the pruned-log floor below: while the commit log is intact
+    * (starts at v0) a read that loses its preferred checkpoint falls
+    * back to full JSON replay, but once [[pruneLog]] has deleted the
+    * commits below a checkpoint, the newest checkpoint at-or-below
+    * the lowest surviving commit is the sole loadable base for any
+    * read — so it is never a victim here, regardless of `keep`.
+    * Returns the versions pruned. */
   def pruneCheckpoints(spark: SparkSession, root: String,
                        keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"must keep at least one checkpoint, got $keep")
     val f = fs(spark, root)
-    val victims = checkpointVersions(spark, root).dropRight(keep)
+    val cps = checkpointVersions(spark, root)
+    val floor: Set[Long] = versions(spark, root).headOption match {
+      // log starts at 0 → full replay is always possible, no floor
+      case Some(v0) if v0 > 0 => cps.filter(_ <= v0).lastOption.toSet
+      case _                  => Set.empty
+    }
+    val victims = cps.dropRight(keep).filterNot(floor)
     victims.foreach(v => f.delete(checkpointPath(root, v), false))
     victims
   }
@@ -631,8 +655,14 @@ object LakeTable {
     * (stats are an optimization, never a correctness filter). */
   def rangeDirs2(spark: SparkSession, root: String,
                  preds: Seq[(String, String, String)],
-                 asOf: Option[Long] = None): Seq[String] = {
-    val st = replayState(spark, root, asOf)
+                 asOf: Option[Long] = None): Seq[String] =
+    dirsMatching(replayState(spark, root, asOf), preds)
+
+  /** The one spelling of directory-grain stat pruning, shared by
+    * [[rangeDirs2]] and [[rangeFiles]] so a future fix to
+    * [[statIntersects]] handling cannot be applied to one site only. */
+  private def dirsMatching(st: LogState,
+      preds: Seq[(String, String, String)]): Seq[String] =
     st.active.filter { d =>
       preds.forall { case (c, lo, hi) =>
         st.colStats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
@@ -640,7 +670,6 @@ object LakeTable {
         }
       }
     }
-  }
 
   /** FILE-grain pruning (r11 verdict #5): the survivors of a
     * multi-predicate range read as (whole directories without
@@ -654,13 +683,7 @@ object LakeTable {
                  preds: Seq[(String, String, String)],
                  asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val st = replayState(spark, root, asOf)
-    val dirs = st.active.filter { d =>
-      preds.forall { case (c, lo, hi) =>
-        st.colStats.get(d).flatMap(_.get(c)).forall { case (mn, mx) =>
-          statIntersects(lo, hi, mn, mx, st.colKinds.get(c))
-        }
-      }
-    }
+    val dirs = dirsMatching(st, preds)
     val (withFiles, whole) = dirs.partition(st.fileStats.contains)
     val files = withFiles.flatMap { d =>
       st.fileStats(d).collect {

@@ -70,8 +70,7 @@ case class NGramsGenerator(child: Expression, n: Expression)
 
 object NGrams {
   def register(s: SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
       "ngrams_gen",
-      (args: Seq[Expression]) => NGramsGenerator(args(0), args(1)),
-      "built-in")
+      (args: Seq[Expression]) => NGramsGenerator(args(0), args(1)))
 }

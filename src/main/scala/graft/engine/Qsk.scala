@@ -239,21 +239,16 @@ object Qsk {
   }
 
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_sketch", (args: Seq[Expression]) => QskSketchAgg(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_merge", (args: Seq[Expression]) => QskMergeAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_quantile", (args: Seq[Expression]) => QskQuantileExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_quantiles", (args: Seq[Expression]) => QskQuantilesExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_count", (args: Seq[Expression]) => QskCountExpr(args.head),
-      "built-in")
+    Register.once(s,
+      "qsk_sketch", (args: Seq[Expression]) => QskSketchAgg(args(0), args(1)))
+    Register.once(s,
+      "qsk_merge", (args: Seq[Expression]) => QskMergeAgg(args.head))
+    Register.once(s,
+      "qsk_quantile", (args: Seq[Expression]) => QskQuantileExpr(args(0), args(1)))
+    Register.once(s,
+      "qsk_quantiles", (args: Seq[Expression]) => QskQuantilesExpr(args(0), args(1)))
+    Register.once(s,
+      "qsk_count", (args: Seq[Expression]) => QskCountExpr(args.head))
   }
 }
 

@@ -108,10 +108,9 @@ case class SimHashAgg(
 
 object SimHashAgg {
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
       "simhash_bands",
-      (args: Seq[Expression]) => SimHashAgg(args(0), args(1)),
-      "built-in")
+      (args: Seq[Expression]) => SimHashAgg(args(0), args(1)))
     // Same bounded ObjectHashAggregate tuning as TopK.register (the
     // 128-group sort fallback is a measured cliff; 128k groups × 256 B
     // SimHash state ≈ 32 MB worst case per task).

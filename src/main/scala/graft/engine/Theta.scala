@@ -151,26 +151,20 @@ object Theta {
   }
 
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "theta_sketch", (args: Seq[Expression]) => ThetaSketchAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "theta_merge", (args: Seq[Expression]) => ThetaMergeAgg(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "theta_distinct", (args: Seq[Expression]) => ThetaDistinctExpr(args.head),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
+      "theta_sketch", (args: Seq[Expression]) => ThetaSketchAgg(args.head))
+    Register.once(s,
+      "theta_merge", (args: Seq[Expression]) => ThetaMergeAgg(args.head))
+    Register.once(s,
+      "theta_distinct", (args: Seq[Expression]) => ThetaDistinctExpr(args.head))
+    Register.once(s,
       "theta_union_est",
-      (args: Seq[Expression]) => ThetaUnionExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      (args: Seq[Expression]) => ThetaUnionExpr(args(0), args(1)))
+    Register.once(s,
       "theta_intersect_est",
-      (args: Seq[Expression]) => ThetaIntersectExpr(args(0), args(1)),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "theta_count", (args: Seq[Expression]) => ThetaCountExpr(args.head),
-      "built-in")
+      (args: Seq[Expression]) => ThetaIntersectExpr(args(0), args(1)))
+    Register.once(s,
+      "theta_count", (args: Seq[Expression]) => ThetaCountExpr(args.head))
   }
 }
 

@@ -108,7 +108,7 @@ object TopK {
   /** Registers `topk_by_score(score double, id bigint, k int const)`.
     * Use as an aggregate: `expr("topk_by_score(cos_sim, neighbor_id, 5)")`. */
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+    Register.once(s,
       "topk_by_score",
       (args: Seq[Expression]) => {
         val k = args(2) match {
@@ -117,8 +117,7 @@ object TopK {
             s"topk_by_score k must be an int literal, got $other")
         }
         TopKByScore(args(0), args(1), k)
-      },
-      "built-in")
+      })
     // ObjectHashAggregate's default sort-fallback (128 distinct groups)
     // is a measured perf cliff for this aggregate: every topk grouping
     // here has >>128 groups, and the sort-based path re-sorts the full

@@ -821,4 +821,110 @@ class LakeTableSpec extends SparkTestBase {
     assert(LakeTable.read(spark, root, Some(resolved))
       .select("k").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("retention end-to-end: checkpoint → vacuum → pruneLog → pruneCheckpoints keeps reads exact or loudly failing") {
+    // VERDICT r13 #7: the full documented maintenance order on one
+    // table while readers time-travel — above retention stays EXACT
+    // (not just non-empty), below retention fails cleanly, and no
+    // interleaving returns a half-read.
+    val root = freshRoot("retention")
+    (0 until 4).foreach { i =>                                 // v0..v3
+      LakeTable.append(Seq((i.toLong, s"a$i")).toDF("k", "v"), root)
+    }
+    // v4: compaction rewrite dropping k=0 — creates vacuum garbage
+    LakeTable.rewrite(
+      LakeTable.read(spark, root).filter($"k" =!= 0L), root)
+    (5 until 8).foreach { i =>                                 // v5..v7
+      LakeTable.append(Seq((i.toLong, s"b$i")).toDF("k", "v"), root)
+    }
+    val atV6 = LakeTable.read(spark, root, Some(6L))
+      .select("k").as[Long].collect().sorted.toSeq
+    val atLatest = LakeTable.read(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq
+    val cv = LakeTable.checkpoint(spark, root)                 // v7
+    assert(cv == 7L, s"fixture drifted: checkpoint at $cv")
+    // documented order: vacuum BEFORE pruneLog (reclaim reads the
+    // commits it is about to delete)
+    val vacuumed = LakeTable.vacuum(spark, root, retainFrom = 4L)
+    assert(vacuumed.size == 4, s"pre-compaction dirs not reclaimed: $vacuumed")
+    val prunedLog = LakeTable.pruneLog(spark, root)
+    assert(prunedLog == (0L until 7L), s"unexpected prune set $prunedLog")
+    val prunedCkpts = LakeTable.pruneCheckpoints(spark, root, keep = 1)
+    assert(prunedCkpts.isEmpty, "only checkpoint must survive keep=1")
+    // above retention: exact, not merely readable
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == atLatest)
+    assert(LakeTable.read(spark, root, Some(7L)).select("k").as[Long]
+      .collect().sorted.toSeq == atLatest)
+    // below retention: the version is GONE and the read fails before
+    // producing any rows — never a partial result
+    assertThrows[IllegalArgumentException] {
+      LakeTable.read(spark, root, Some(6L))
+    }
+    assert(atV6.nonEmpty && atV6 != atLatest,
+      "fixture must actually distinguish v6 from latest")
+    // and the table keeps working: a fresh commit reads back exactly
+    LakeTable.append(Seq((99L, "post")).toDF("k", "v"), root)  // v8
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == (atLatest :+ 99L).sorted)
+  }
+
+  test("pruned-log contiguity guard: a truncated replay fails loudly, never an incomplete active set") {
+    // The r13 ADVICE high finding: after pruneLog, if the base
+    // checkpoint is torn AND every older fallback is gone, folding
+    // the surviving commit suffix over emptyState silently loses the
+    // pre-checkpoint adds. The guard must turn that into a loud
+    // failure naming the gap.
+    val root = freshRoot("contiguity")
+    (0 until 5).foreach { i =>                                 // v0..v4
+      LakeTable.append(Seq((i.toLong, s"a$i")).toDF("k", "v"), root)
+    }
+    LakeTable.checkpoint(spark, root)                          // cp v4
+    (5 until 7).foreach { i =>                                 // v5, v6
+      LakeTable.append(Seq((i.toLong, s"b$i")).toDF("k", "v"), root)
+    }
+    val cv = LakeTable.checkpoint(spark, root)                 // cp v6
+    assert(LakeTable.pruneLog(spark, root) == (0L until 6L))
+    // simulate the disaster: newest checkpoint torn, older one gone
+    // (pre-guard pruneCheckpoints, or external deletion)
+    val logDir = s"$root/_graft_log"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(logDir, f"$cv%010d.checkpoint.json"),
+      "{torn".getBytes("UTF-8"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(logDir, f"${4L}%010d.checkpoint.json"))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("pruned below"),
+      s"guard fired with the wrong message: ${e.getMessage}")
+  }
+
+  test("pruneCheckpoints never deletes the floor checkpoint of a pruned log") {
+    // The companion guard: once pruneLog has run, the newest
+    // checkpoint at-or-below the lowest surviving commit is the sole
+    // loadable base for time travel into [floor, nextCheckpoint) and
+    // the only fallback if the newest checkpoint tears — keep=1 must
+    // not claim it.
+    val root = freshRoot("ckptfloor")
+    (0 until 5).foreach { i =>                                 // v0..v4
+      LakeTable.append(Seq((i.toLong, s"a$i")).toDF("k", "v"), root)
+    }
+    LakeTable.checkpoint(spark, root)                          // cp v4
+    LakeTable.pruneLog(spark, root)                            // drop v0..v3
+    (5 until 7).foreach { i =>                                 // v5, v6
+      LakeTable.append(Seq((i.toLong, s"b$i")).toDF("k", "v"), root)
+    }
+    LakeTable.checkpoint(spark, root)                          // cp v6
+    val victims = LakeTable.pruneCheckpoints(spark, root, keep = 1)
+    assert(victims.isEmpty,
+      s"keep=1 deleted the floor checkpoint: $victims")
+    // the floor still serves time travel below the newest checkpoint
+    assert(LakeTable.read(spark, root, Some(5L)).count() == 6)
+    // once a LATER pruneLog raises the commit floor past v4, the old
+    // floor checkpoint becomes a legitimate victim
+    assert(LakeTable.pruneLog(spark, root) == Seq(4L, 5L))
+    assert(LakeTable.pruneCheckpoints(spark, root, keep = 1) == Seq(4L))
+    assert(LakeTable.read(spark, root).count() == 7)
+  }
 }

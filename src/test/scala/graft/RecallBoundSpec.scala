@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Ops
+
+/** ANN recall floor on CLUSTERED data (VERDICT r13 "Next round" #4).
+  *
+  * `emb_ivf_recall` measures recall on the random test embeddings —
+  * the worst case for IVF (no cluster structure to exploit: ~19% at
+  * nprobe=1, ~60% at nprobe=4, per the honest note in Ops.annIvf).
+  * Random vectors understate production recall, where embeddings DO
+  * cluster (that is why anyone deploys IVF); this suite is the
+  * complementary gate: a deterministic label-correlated Gaussian
+  * fixture where IVF should shine, with a hard floor asserted on it.
+  * A codebook regression (seed pick, Lloyd update, tie rule) or a
+  * probe-ranking regression in annIvf drops recall here and fails a
+  * NAMED suite instead of shifting an unasserted number.
+  *
+  * Fixture: 12 well-separated unit-norm cluster centers in 16-d
+  * (seeded java.util.Random — same bytes every run), 60 members each
+  * drawn as center + N(0, 0.05) noise, renormalized. Same-cluster
+  * cosine ≈ 0.99+, cross-cluster ≈ 0 — every vector's exact top-5
+  * lives in its own cluster, so an IVF index whose cells track the
+  * clusters and whose nprobe=4 probe list covers any k-means split
+  * of a true cluster recovers nearly all of them.
+  */
+class RecallBoundSpec extends SparkTestBase {
+
+  private val nClusters = 12
+  private val perCluster = 60
+  private val dim = 16
+  private val k = 5
+
+  /** Deterministic clustered corpus: (id, label, emb float[16]). */
+  private lazy val clustered = {
+    val rnd = new java.util.Random(42)
+    def normalize(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(nClusters)(
+      normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val emb = normalize(
+        centers(c).map(x => x + 0.05 * rnd.nextGaussian()))
+      (c.toLong * perCluster + i, c, emb)
+    }
+    import spark.implicits._
+    rows.toDF("id", "label", "emb").repartition(4)
+  }
+
+  /** recall@k of `approx` against exact brute force, averaged over
+    * all query vectors (both frames carry vec_id/neighbor_id). */
+  private def recallAtK(approx: org.apache.spark.sql.DataFrame,
+                        exact: org.apache.spark.sql.DataFrame): Double = {
+    val hits = exact.select("vec_id", "neighbor_id")
+      .join(approx.select("vec_id", "neighbor_id"),
+            Seq("vec_id", "neighbor_id"), "left_semi")
+      .count().toDouble
+    hits / exact.count().toDouble
+  }
+
+  test("annIvf recall@5 >= 0.9 on clustered embeddings at nprobe=4") {
+    val exact = Ops.knnBruteForce(clustered, "id", "emb", k)
+      .persist()
+    assert(exact.count() == nClusters.toLong * perCluster * k)
+    val codebook = Ops.kmeansCodebook(clustered, "id", "emb",
+      k = nClusters, iters = 3)
+    val ivf = Ops.annIvf(clustered, "id", "emb", codebook, k, nprobe = 4)
+    val r = recallAtK(ivf, exact)
+    assert(r >= 0.9, f"recall@5 on clustered fixture = $r%.3f, floor 0.9 " +
+      "— codebook training or probe ranking regressed")
+    exact.unpersist()
+    ()
+  }
+
+  test("clustered recall beats the random-vector worst case by a wide margin") {
+    // The same pipeline on structureless vectors is the documented
+    // worst case (~0.6 at nprobe=4 in emb_ivf_recall). Assert the
+    // fixture actually has exploitable structure: exact top-5 is
+    // same-cluster for essentially every vector. This is the
+    // precondition that makes the 0.9 floor above meaningful.
+    val exact = Ops.knnBruteForce(clustered, "id", "emb", k)
+    val labeled = exact
+      .join(clustered.select(col("id").as("vec_id"),
+                             col("label").as("qlab")), "vec_id")
+      .join(clustered.select(col("id").as("neighbor_id"),
+                             col("label").as("nlab")), "neighbor_id")
+    val sameFrac = labeled.agg(
+      avg(when(col("qlab") === col("nlab"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(sameFrac >= 0.99,
+      f"fixture lost its cluster structure: same-cluster frac = $sameFrac%.3f")
+  }
+}
