@@ -350,6 +350,19 @@ object Stream {
         .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
         .select(col("w.start").as("wstart"), col("event_type"),
                 col("cnt"), col("sum_value")),
+      // Sliding twin of the batch events_sliding key (1 h window
+      // every 15 min — each event lands in 4 windows). Same
+      // watermark discipline as tumbling; a closed window's count
+      // and 4dp-rounded sum are identical to the batch key's
+      // (StreamingSpec pins closed-window equality on a drain).
+      "sliding" -> ev
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"),
+                col("cnt"), col("sum_value")),
       "sessions" -> ev
         .withWatermark("ts", "30 minutes")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))

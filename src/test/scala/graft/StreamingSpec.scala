@@ -451,7 +451,7 @@ class StreamingSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
-      Set("tumbling", "sessions", "dedup", "attribution",
+      Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
           "transitions", "cep", "twap_spans", "paths", "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
@@ -846,5 +846,159 @@ class StreamingSpec extends SparkTestBase {
     val replay = LakeTable.read(spark, feedRoot)
     assert(LakeTable.rewriteTxn(replay, viewRoot, "cdc_ivm", 1L).isEmpty)
     assert(LakeTable.latestVersion(spark, viewRoot).get == vBefore)
+  }
+
+  // ---- r13 verdict #5: streaming twins for the rest of the H-family ----
+
+  /** Stages the events fixture into `<out>/input` and drains ONE named
+    * Stream sink into parquet; returns the sink read back with its
+    * own schema. */
+  private def drainOne(name: String, out: String) = {
+    val inDir = s"$out/input"
+    new java.io.File(inDir).mkdirs()
+    val tgt = java.nio.file.Paths.get(inDir, "events.parquet")
+    if (!java.nio.file.Files.exists(tgt))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "events.parquet"), tgt)
+    val df = Stream.queries(spark, inDir)(name)
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$out/$name")
+      .option("checkpointLocation", s"$out/checkpoints/$name")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(df.schema).parquet(s"$out/$name")
+  }
+
+  test("events_sliding streamed: watermark-closed windows equal the batch registry key") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sliding_t").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("wstart").cast("string"), col("event_type"),
+              col("cnt"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3)))
+    val sink = rows(drainOne("sliding", out)).toSet
+    val batchDf = SparkEntry.queries("events_sliding")(spark, sfDir)
+    val batch = rows(batchDf).toSet
+    // every sink window must match its batch twin EXACTLY (count and
+    // 4dp sum), and every window the final watermark closed
+    // (wend < max ts − 10 min) must have emitted
+    assert(sink.subsetOf(batch),
+      s"sink emitted windows the batch key does not have: " +
+        s"${(sink -- batch).take(3)}")
+    val wm = graft.engine.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      .toLocalDateTime.minusMinutes(10)
+    val closed = rows(batchDf.filter(
+      (col("wstart") + expr("INTERVAL 1 HOUR")).cast("timestamp") <
+        lit(java.sql.Timestamp.valueOf(wm)))).toSet
+    assert(closed.nonEmpty, "fixture too small: no closed sliding window")
+    assert(closed.subsetOf(sink),
+      s"watermark-closed windows missing from the sink: " +
+        s"${(closed -- sink).take(3)}")
+  }
+
+  test("events_session streamed: native session_window drain equals the batch gaps-and-islands key") {
+    // Batch s_end = last event's ts; native session_window end =
+    // last event's ts + gap. Map the batch key by +30 min and the
+    // two spellings must agree session-for-session: same start, same
+    // event count, same (shifted) end. Closed sessions (window end
+    // < final watermark = max ts − 30 min) must all have emitted.
+    val out = java.nio.file.Files.createTempDirectory("graft_session_t").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("s_start").cast("string"),
+              col("s_end").cast("string"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                 r.getLong(3)))
+    val sink = rows(drainOne("sessions", out)).toSet
+    val batchDf = SparkEntry.queries("events_session")(spark, sfDir)
+      .select(col("user_id"), col("s_start"),
+              (col("s_end") + expr("INTERVAL 30 MINUTES")).as("s_end"),
+              col("n_events"))
+    val batch = rows(batchDf).toSet
+    assert(sink.subsetOf(batch),
+      s"sink emitted sessions the batch key does not have: " +
+        s"${(sink -- batch).take(3)}")
+    val wm = graft.engine.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      .toLocalDateTime.minusMinutes(30)
+    val closed = rows(batchDf.filter(
+      col("s_end").cast("timestamp") <
+        lit(java.sql.Timestamp.valueOf(wm)))).toSet
+    assert(closed.nonEmpty, "fixture too small: no closed session")
+    assert(closed.subsetOf(sink),
+      s"watermark-closed sessions missing from the sink: " +
+        s"${(closed -- sink).take(3)}")
+  }
+
+  test("stateful funnel: kill-and-restart on the checkpoint is exactly-once into the parquet sink") {
+    // The checkpoint contract a resident deployment lives on: drain
+    // half the feed, stop (the "kill" — AvailableNow terminates the
+    // query; the checkpoint holds committed offsets + funnel state),
+    // restart with nothing new (must re-emit NOTHING — re-delivery
+    // protection), then restart with the second half (must resume
+    // the state machines mid-funnel, not reprocess the first half).
+    // Final sink ≡ the batch events_funnel key's completed funnels.
+    import graft.engine.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_t").toString
+    val inDir = s"$base/input"
+    new java.io.File(inDir).mkdirs()
+    val evAll = Tables.events(spark, sfDir)
+    // cut at the MEDIAN completed-funnel purchase time so roughly
+    // half the funnels complete in each drain — a midpoint-of-ts cut
+    // left every completion in the first half on this fixture
+    val purchUs = SparkEntry.queries("events_funnel")(spark, sfDir)
+      .filter(col("stage") === 3)
+      .select(unix_micros(col("t_purchase")))
+      .collect().map(_.getLong(0)).sorted
+    assert(purchUs.length >= 2, "fixture has too few completed funnels")
+    val cutUs = purchUs(purchUs.length / 2) - 1
+    // per-user cross-batch (ts, …) order holds because the cut is on
+    // ts: every file-A event precedes every file-B event in time
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = s"$base/scratch_$name"
+      half.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(inDir, s"events-$name.parquet"))
+    }
+    def drainFunnel(): Set[Seq[Any]] = {
+      val df = Stream.queries(spark, inDir)("funnel")
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$base/funnel")
+        .option("checkpointLocation", s"$base/checkpoints/funnel")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(df.schema).parquet(s"$base/funnel")
+        .collect().map(_.toSeq).toSet
+    }
+    stage(evAll.filter(unix_micros(col("ts")) <= cutUs), "a")
+    val afterA = drainFunnel()
+    val afterNoop = drainFunnel()    // restart, nothing new
+    assert(afterNoop == afterA,
+      s"restart with no new data re-emitted rows: " +
+        s"${(afterNoop -- afterA).take(3)}")
+    stage(evAll.filter(unix_micros(col("ts")) > cutUs), "b")
+    val finalSink = drainFunnel()
+    assert(afterA.subsetOf(finalSink),
+      "restart lost rows the first drain had committed")
+    val batch = SparkEntry.queries("events_funnel")(spark, sfDir)
+      .filter(col("stage") === 3)
+      .select("user_id", "t_signup", "t_click", "t_purchase")
+      .collect().map(_.toSeq).toSet
+    assert(finalSink == batch,
+      s"kill-and-restart drain diverged from batch: " +
+        s"sink-only=${(finalSink -- batch).take(3)}, " +
+        s"batch-only=${(batch -- finalSink).take(3)}")
+    // and the split genuinely exercised the restart path: at least
+    // one funnel completed only in the second drain
+    assert((finalSink -- afterA).nonEmpty,
+      "fixture cut left no funnel spanning the restart; move the cut")
   }
 }
