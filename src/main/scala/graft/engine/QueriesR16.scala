@@ -149,41 +149,43 @@ object QueriesR16 {
     val ext0 = before.groupBy("status").agg(aggFn(col("price")).as("ext0"))
     val removals = feed
       .filter(col("change_type").isin("delete", "update_preimage"))
-    val touched: Set[Option[String]] = removals
+    // The touched-group frame: groups where a removal hit the current
+    // extremum. Aggregated-tiny (≤ |groups| rows), so AQE broadcasts
+    // every join against it below.
+    val touchedDf = removals
       .join(ext0.select(col("status").as("e_status"), col("ext0")),
             col("status") <=> col("e_status"))
       .filter(if (isMin) col("price") <= col("ext0")
               else col("price") >= col("ext0"))
       .select("status").distinct()
+      .localCheckpoint(true) // tiny; 3 consumers (collect + 2 joins)
+    // Driver-side ONLY as the monitoring/test return value (bounded
+    // by |groups| — and a 100 TB deployment with pathological group
+    // cardinality would swap this readout for a count). The PLAN
+    // below never embeds the set: filtering is a null-safe anti/semi
+    // join against touchedDf (the r13-verdict anti-join spelling, now
+    // the only spelling), so group cardinality can never inflate the
+    // plan into a giant literal isin list.
+    val touched: Set[Option[String]] = touchedDf
       .collect().map(r => Option(r.getString(0))).toSet
-    val touchedNonNull = touched.flatten.toSeq.sorted
     val insExt = feed
       .filter(col("change_type").isin("insert", "update_postimage"))
       .groupBy("status").agg(aggFn(col("price")).as("ext_new"))
+    val tJoin = touchedDf.select(col("status").as("t_status"))
     // untouched groups: combine(old extremum, inserted extremum) —
-    // no data scan
-    val notTouched = {
-      val nonNullOk =
-        coalesce(!col("status").isin(touchedNonNull: _*), lit(true))
-      if (touched.contains(None)) nonNullOk && col("status").isNotNull
-      else nonNullOk
-    }
+    // no data scan; the anti join (null-safe, so the None group pairs
+    // with its row) drops exactly the touched groups
     val incremental = ext0.select(col("status").as("s0"), col("ext0"))
       .join(insExt.select(col("status").as("s1"), col("ext_new")),
             col("s0") <=> col("s1"), "full_outer")
       .select(coalesce(col("s0"), col("s1")).as("status"),
         (if (isMin) least(col("ext0"), col("ext_new"))
          else greatest(col("ext0"), col("ext_new"))).as(outCol))
-      .filter(notTouched)
+      .join(tJoin, col("status") <=> col("t_status"), "left_anti")
     if (touched.isEmpty) (incremental, touched)
     else {
-      val inTouched = {
-        val nonNullHit =
-          coalesce(col("status").isin(touchedNonNull: _*), lit(false))
-        if (touched.contains(None)) nonNullHit || col("status").isNull
-        else nonNullHit
-      }
-      val rescan = after.filter(inTouched)
+      val rescan = after
+        .join(tJoin, col("status") <=> col("t_status"), "left_semi")
         .groupBy("status").agg(aggFn(col("price")).as(outCol))
       (incremental.unionByName(rescan), touched)
     }

