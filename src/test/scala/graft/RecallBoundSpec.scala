@@ -78,6 +78,30 @@ class RecallBoundSpec extends SparkTestBase {
     ()
   }
 
+  test("annIvf recall is monotone in nprobe and reaches ~exact at all cells") {
+    // The recall/cost knob must actually buy recall: probing more
+    // cells can only add candidates (the probe list is a top-nprobe
+    // prefix of one ranked cell list), so recall@5 must be
+    // non-decreasing in nprobe, and probing EVERY cell makes the
+    // candidate set the whole corpus — brute-force recall up to 6dp
+    // rounding ties at the k boundary (annIvf rounds cosine to 6dp;
+    // knnBruteForce ranks at full precision).
+    val exact = Ops.knnBruteForce(clustered, "id", "emb", k).persist()
+    val codebook = Ops.kmeansCodebook(clustered, "id", "emb",
+      k = nClusters, iters = 3).persist()
+    val r = Seq(1, 4, nClusters).map { np =>
+      np -> recallAtK(
+        Ops.annIvf(clustered, "id", "emb", codebook, k, nprobe = np), exact)
+    }.toMap
+    assert(r(1) <= r(4) && r(4) <= r(nClusters),
+      s"recall not monotone in nprobe: $r")
+    assert(r(nClusters) >= 0.99,
+      f"all-cells probe recall ${r(nClusters)}%.3f < 0.99 — the " +
+        "probe-join is dropping candidates it was handed")
+    exact.unpersist(); codebook.unpersist()
+    ()
+  }
+
   test("clustered recall beats the random-vector worst case by a wide margin") {
     // The same pipeline on structureless vectors is the documented
     // worst case (~0.6 at nprobe=4 in emb_ivf_recall). Assert the
