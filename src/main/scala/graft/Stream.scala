@@ -185,6 +185,38 @@ object Stream {
   private def tsMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** TTL-bounded CEP step for RESIDENT deployments — the eviction
+    * recipe the NoTimeout cep sink documents, made executable (r14;
+    * the funnel_ttl pattern applied to the second stateful machine).
+    * Same matcher as cepStep; the ONLY addition is idleness eviction:
+    * a user whose newest event is TTL behind the watermark drops
+    * their live-signup state. Unlike the funnel, state is NOT removed
+    * on emission — the batch key's most-recent-signup semantics let
+    * one signup pair with later purchases, so self-cleaning on hit
+    * would change results; idleness is the whole eviction story here.
+    * Consequence (pinned by StreamingSpec): a purchase arriving after
+    * the TTL gap does not match its evicted signup even inside the
+    * 24 h pattern span, while the same purchase within the TTL does.
+    * Timeout timestamp is clamped above the current watermark, as in
+    * funnelStepTtl. */
+  private[graft] def cepStepTtl(spanMicros: Long, ttlMillis: Long)(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[CepState]): Iterator[CepHit] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val buf = rows.map(r => (r._1, r._2, tsMicros(r._3), r._4)).toSeq
+      val hits = cepStep(spanMicros)(uid, buf.iterator, state).toSeq
+      if (state.exists) {
+        val maxEventMs =
+          if (buf.isEmpty) Long.MinValue else buf.map(_._3).max / 1000L
+        state.setTimeoutTimestamp(
+          math.max(maxEventMs + ttlMillis, state.getCurrentWatermarkMs + 1))
+      }
+      hits.iterator
+    }
+
   /** funnelStepTtl over rows that still CARRY the watermarked
     * Timestamp column — EventTimeTimeout requires the watermark
     * attribute to survive into the stateful operator's input, so the
@@ -470,6 +502,28 @@ object Stream {
                   timestamp_micros(col("t_purchase")).as("t_purchase"),
                   col("n_between"))
       },
+      // The RESIDENT-mode CEP matcher: cepStep under EventTimeTimeout
+      // with a 24 h idle TTL (cepStepTtl). On a bounded single-batch
+      // drain no timeout fires, so this sink is IDENTICAL to the
+      // NoTimeout cep sink (StreamingSpec asserts the equality and,
+      // via MemoryStream, the eviction the TTL exists for).
+      "cep_ttl" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            cepStepTtl(86400000000L, 24L * 3600 * 1000))
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"),
+                  col("n_between"))
+      },
       // The RESIDENT-mode funnel: the same state machine under
       // EventTimeTimeout with a 24 h TTL — completed funnels drop
       // their state on emission, idle ones evict when the watermark
@@ -648,7 +702,7 @@ object Stream {
       // that. Assert it so a future multi-file staging or trigger
       // option can't silently void the sink ≡ batch guarantee.
       if (name == "ewma" || name == "transitions" || name == "cep" ||
-          name == "twap_spans" || name == "paths") {
+          name == "cep_ttl" || name == "twap_spans" || name == "paths") {
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name drained $dataBatches data microbatches; its batch-" +

@@ -91,6 +91,50 @@ class StreamingSpec extends SparkTestBase {
       s"TTL eviction broken: completed users = $hits (want {2})")
   }
 
+  test("CEP TTL evicts an idle signup; within-TTL purchase still matches") {
+    // The resident-mode CEP contract (cepStepTtl): a purchase whose
+    // signup idled past the TTL must NOT match even inside the 24 h
+    // pattern span (the signup state evicted on watermark), while an
+    // identical within-TTL purchase matches. TTL = 30 min, watermark
+    // delay = 10 min, span = 24 h.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.cepStepTtl(86400000000L, 30L * 60000))
+    val q = out.writeStream.format("memory").queryName("cttl_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: both users sign up at 10:00
+    in.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+               (2L, "signup", ts("2024-01-01 10:00:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: user 2 purchases WITHIN the TTL (matches); a bystander
+    // pushes the watermark to 11:50, far past user 1's 10:30 timeout
+    in.addData((2L, "purchase", ts("2024-01-01 10:20:00"), 3L),
+               (9L, "view", ts("2024-01-01 12:00:00"), 4L))
+    q.processAllAvailable()
+    // batch 3: dataless for user 1 — the expired timeout fires and
+    // evicts the idle signup
+    in.addData((9L, "view", ts("2024-01-01 12:05:00"), 5L))
+    q.processAllAvailable()
+    // batch 4: user 1's purchase arrives after the TTL gap but well
+    // inside the 24 h span — with the signup evicted it must NOT match
+    in.addData((1L, "purchase", ts("2024-01-01 11:58:00"), 6L))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("cttl_out").select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(hits == Set(2L),
+      s"CEP TTL eviction broken: matched users = $hits (want {2})")
+    spark.sql("DROP TABLE IF EXISTS cttl_out")
+  }
+
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
     // The documented divergence between the two funnel variants
     // (r9 advice): completion REMOVES the TTL funnel's state, so a
@@ -453,7 +497,8 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions", "cep", "twap_spans", "paths", "lake_dedup"))
+          "transitions", "cep", "cep_ttl", "twap_spans", "paths",
+          "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
     val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
@@ -475,6 +520,16 @@ class StreamingSpec extends SparkTestBase {
       s"cep sink diverged from batch: " +
         s"sink-only=${(sinkCep -- batchCep).take(3)}, " +
         s"batch-only=${(batchCep -- sinkCep).take(3)}")
+    // on a bounded single-batch drain no event-time timeout fires, so
+    // the TTL cep sink must equal the NoTimeout cep sink row-for-row
+    val ttlCep = spark.read.parquet(s"$out/cep_ttl").collect()
+      .map(_.toSeq).toSet
+    val plainCep = spark.read.parquet(s"$out/cep").collect()
+      .map(_.toSeq).toSet
+    assert(ttlCep == plainCep,
+      s"cep_ttl diverged from cep on a bounded drain: " +
+        s"ttl-only=${(ttlCep -- plainCep).take(3)}, " +
+        s"plain-only=${(plainCep -- ttlCep).take(3)}")
     // on a bounded single-batch drain no event-time timeout fires, so
     // the TTL funnel must equal the NoTimeout funnel row-for-row
     val plainFunnel = spark.read.parquet(s"$out/funnel").collect()
