@@ -809,6 +809,86 @@ class LakeTableSpec extends SparkTestBase {
     }
   }
 
+  test("property: random histories with maintenance read exact or fail loudly, never partial") {
+    // The retention-guard property (r14): random append/rewrite/
+    // checkpoint histories interleaved with the FULL maintenance
+    // composite (checkpoint → vacuum → pruneLog → pruneCheckpoints)
+    // must leave every surviving version replaying EXACTLY its model
+    // and every retired version failing loudly — and after tearing
+    // every checkpoint, a pruned log must fail the contiguity guard
+    // on every read rather than return a partial active set.
+    var seed = 0x243f6a8885a308d3L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 0 until 3) {
+      val root = freshRoot(s"mprop$trial")
+      var model = Vector.empty[Vector[Long]]
+      var floor = 0 // lowest surviving version after maintenance
+      var next = 0L
+      for (_ <- 0 until 10) {
+        if (model.nonEmpty && nxt(4) == 0) LakeTable.checkpoint(spark, root)
+        val op = nxt(4)
+        if (op == 3 && model.size - 1 > floor) {
+          // maintenance composite in the documented order, retiring
+          // everything below the current latest
+          val latest = model.size - 1
+          LakeTable.checkpoint(spark, root)
+          LakeTable.vacuum(spark, root, retainFrom = latest.toLong)
+          LakeTable.pruneLog(spark, root)
+          LakeTable.pruneCheckpoints(spark, root, keep = 1)
+          floor = latest
+        } else if (op < 2 || model.isEmpty) {
+          val n = 1 + nxt(4)
+          val rows = (0 until n).map(_ => { next += 1; next }).toVector
+          LakeTable.append(rows.map(k => (k, s"v$k")).toDF("k", "v"), root)
+          model = model :+ (model.lastOption.getOrElse(Vector.empty) ++ rows)
+        } else {
+          val kept = model.last.filter(_ => nxt(2) == 0)
+          LakeTable.rewrite(
+            if (kept.isEmpty) Seq.empty[(Long, String)].toDF("k", "v")
+            else kept.map(k => (k, s"v$k")).toDF("k", "v"), root)
+          model = model :+ kept
+        }
+      }
+      for (v <- model.indices) {
+        if (v < floor) {
+          // retired: the version is GONE and says so — never stale rows
+          assertThrows[IllegalArgumentException] {
+            LakeTable.read(spark, root, Some(v.toLong))
+          }
+        } else if (model(v).nonEmpty) {
+          val got = LakeTable.read(spark, root, Some(v.toLong))
+            .select("k").as[Long].collect().toVector.sorted
+          assert(got == model(v).sorted,
+            s"trial $trial version $v (floor $floor): " +
+              s"replay $got != model ${model(v).sorted}")
+        }
+      }
+      // terminal corruption: tear EVERY checkpoint file
+      val logDir = new java.io.File(s"$root/_graft_log")
+      logDir.listFiles().filter(_.getName.endsWith(".checkpoint.json"))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "{torn".getBytes("UTF-8")))
+      if (floor > 0) {
+        // pruned log + no loadable checkpoint: EVERY read must hit
+        // the contiguity guard, loudly
+        val e = intercept[IllegalArgumentException] {
+          LakeTable.read(spark, root).count()
+        }
+        assert(e.getMessage.contains("pruned below"),
+          s"trial $trial: wrong guard message: ${e.getMessage}")
+      } else if (model.nonEmpty && model.last.nonEmpty) {
+        // never pruned: commits are intact from v0, torn checkpoints
+        // degrade to full replay and the read stays exact
+        assert(LakeTable.read(spark, root).select("k").as[Long]
+          .collect().toVector.sorted == model.last.sorted,
+          s"trial $trial: torn-checkpoint full replay diverged")
+      }
+    }
+  }
+
   test("snapshot isolation: a reader's resolved version is immune to later commits") {
     val root = freshRoot("iso")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
