@@ -258,24 +258,77 @@ object Stream {
     * replaces library round(), whose half-up tie handling differs
     * per engine) — so a bounded AvailableNow drain reproduces
     * graft.engine.QueriesR11.eventsEwma row-for-row. */
+  /** The shared EWMA fold kernel: rows (event_id, user_id, us, value)
+    * already in (ts, event_id) order, trailing window in, points +
+    * updated window out — the exact batch arithmetic in one place so
+    * the plain and the watermark-ordered steps cannot drift. */
+  private def ewmaFold(prev0: List[Double],
+      ordered: Seq[(Long, Long, Long, Double)])
+      : (Seq[EwmaPoint], List[Double]) = {
+    var buf = prev0
+    val out = ordered.map { case (eid, user, us, x) =>
+      val window = x :: buf                     // lag 0 = current
+      val m = window.size                       // ≤ 32 by construction
+      val numU = window.zipWithIndex
+        .map { case (v, k) =>
+          math.floor(v * math.pow(2.0, -k) * 1e9 + 0.5).toLong }.sum
+      val denom = 2.0 - math.pow(2.0, 1.0 - m)
+      buf = window.take(31)
+      EwmaPoint(eid, user, us, x, m.toLong,
+        math.floor((numU.toDouble / 1e9 / denom) * 1e6 + 0.5) / 1e6)
+    }
+    (out, buf)
+  }
+
   private[graft] def ewmaStep(
       uid: Long, rows: Iterator[(Long, Long, Long, Double)],
       state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
-    var buf = state.getOption.map(_.prev).getOrElse(Nil)
-    val out = rows.toSeq
-      .sortBy(r => (r._3, r._1))               // (ts micros, event_id)
-      .map { case (eid, user, us, x) =>
-        val window = x :: buf                   // lag 0 = current
-        val m = window.size                     // ≤ 32 by construction
-        val numU = window.zipWithIndex
-          .map { case (v, k) =>
-            math.floor(v * math.pow(2.0, -k) * 1e9 + 0.5).toLong }.sum
-        val denom = 2.0 - math.pow(2.0, 1.0 - m)
-        buf = window.take(31)
-        EwmaPoint(eid, user, us, x, m.toLong,
-          math.floor((numU.toDouble / 1e9 / denom) * 1e6 + 0.5) / 1e6)
-      }
+    val (out, buf) = ewmaFold(
+      state.getOption.map(_.prev).getOrElse(Nil),
+      rows.toSeq.sortBy(r => (r._3, r._1)))    // (ts micros, event_id)
     state.update(EwmaState(buf))
+    out.iterator
+  }
+
+  /** Watermark-ordered EWMA state: the trailing window PLUS the
+    * not-yet-final rows and the fold frontier (the watermark as of
+    * the last fold — everything at-or-below it has been folded). */
+  case class EwmaOrdState(pending: List[(Long, Long, Long, Double)],
+                          prev: List[Double], frontierUs: Long)
+
+  /** The RESIDENT-mode ordered EWMA — the buffer-on-watermark recipe
+    * the plain ewma sink's ordering invariant points at, made
+    * executable (r14): instead of demanding per-user (ts, event_id)
+    * arrival order ACROSS microbatches (true only for a single-batch
+    * drain), rows buffer in state until the event-time watermark
+    * passes them; only then do they fold through the recurrence, in
+    * (ts, event_id) order. Any arrival order the watermark admits —
+    * out-of-order rows within the lag, split across any number of
+    * microbatches — produces the batch key's exact output. Rows at
+    * or behind the fold frontier are genuinely late (they missed
+    * their position in an already-folded prefix) and are DROPPED —
+    * the same contract as every watermarked operator. Emission waits
+    * for the watermark, so a bounded drain holds back the trailing
+    * lag window (exactly like the windowed sinks); state is the
+    * 32-double window + the in-flight lag rows per user, both
+    * watermark-bounded. The EventTimeTimeout arm makes buffered rows
+    * flush on watermark advance even when their user has no new
+    * events in the batch. */
+  private[graft] def ewmaStepOrdered(
+      uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+      state: GroupState[EwmaOrdState]): Iterator[EwmaPoint] = {
+    val st = state.getOption.getOrElse(EwmaOrdState(Nil, Nil, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val incoming = rows
+      .map(r => (r._1, r._2, tsMicros(r._3), r._4))
+      .filter(_._3 > st.frontierUs)             // late: missed the fold
+      .toList
+    val (ripe, hold) = (st.pending ++ incoming).partition(_._3 <= wmUs)
+    val (out, buf) = ewmaFold(st.prev, ripe.sortBy(r => (r._3, r._1)))
+    val frontier = math.max(st.frontierUs, wmUs)
+    state.update(EwmaOrdState(hold, buf, frontier))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
     out.iterator
   }
 
@@ -476,6 +529,31 @@ object Stream {
           .groupByKey(_._2)
           .flatMapGroupsWithState(
             OutputMode.Append, GroupStateTimeout.NoTimeout)(ewmaStep)
+          .select(col("event_id"), col("user_id"),
+                  timestamp_micros(col("us")).as("ts"),
+                  col("value"), col("m"), col("ewma"))
+      },
+      // The RESIDENT-mode ordered EWMA (see ewmaStepOrdered): rows
+      // buffer in state until the watermark passes them, so ANY
+      // arrival order the watermark admits — including out-of-order
+      // rows split across microbatches, which the plain ewma sink's
+      // invariant forbids — reproduces the batch key exactly on the
+      // watermark-released prefix. Trailing lag rows hold back, like
+      // the windowed sinks; a bounded single-batch drain emits only
+      // after its final watermark batch. NOTE on state: one 32-double
+      // window per ever-seen user (no TTL here — evicting the window
+      // would silently restart a returning user's recurrence; a
+      // deployment that accepts that trade adds the funnel_ttl arm).
+      "ewma_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .as[(Long, Long, java.sql.Timestamp, Double)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(ewmaStepOrdered)
           .select(col("event_id"), col("user_id"),
                   timestamp_micros(col("us")).as("ts"),
                   col("value"), col("m"), col("ewma"))

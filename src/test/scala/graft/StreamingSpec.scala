@@ -135,6 +135,72 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS cttl_out")
   }
 
+  test("ordered EWMA: out-of-order cross-batch arrival equals the batch recurrence; frontier drops true stragglers") {
+    // The buffer-on-watermark contract (ewmaStepOrdered): rows
+    // arriving OUT of (ts, event_id) order across microbatches —
+    // the case the plain ewma sink's invariant forbids — must fold
+    // in event-time order once the watermark passes them, matching
+    // the batch arithmetic point-for-point; a row behind the fold
+    // frontier is dropped, never folded out of order.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (event_id, user_id, ts, value)
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = in.toDF().toDF("event_id", "user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, Timestamp, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.ewmaStepOrdered)
+    val q = out.writeStream.format("memory").queryName("oewma_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1's SECOND and FOURTH points arrive first —
+    // disorder within the watermark lag
+    in.addData((12L, 1L, ts("2024-01-01 10:02:00"), 4.0),
+               (14L, 1L, ts("2024-01-01 10:06:00"), 8.0))
+    q.processAllAvailable()
+    // batch 2: the FIRST and THIRD points arrive late but inside the
+    // lag (watermark after batch 1 = 10:06 - 10 min = 09:56)
+    in.addData((11L, 1L, ts("2024-01-01 10:00:00"), 2.0),
+               (13L, 1L, ts("2024-01-01 10:04:00"), 6.0))
+    q.processAllAvailable()
+    // batch 3: a bystander pushes the watermark far past all four —
+    // the buffered rows flush, in (ts, event_id) order
+    in.addData((99L, 9L, ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    // batch 4: fire pending event-time timeouts (flush on a batch
+    // where user 1 has no data) + a true straggler behind the
+    // frontier, which must be dropped
+    in.addData((10L, 1L, ts("2024-01-01 09:59:00"), 100.0),
+               (98L, 9L, ts("2024-01-01 12:05:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("oewma_out")
+      .filter(col("user_id") === 1L)
+      .select("event_id", "m", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the batch arithmetic over the four in-order points
+    // (the straggler 10L is NOT part of it — it arrived behind the
+    // frontier and a correct operator must have dropped it)
+    def batchEwma(vals: Seq[Double]): Seq[(Long, Double)] =
+      vals.indices.map { i =>
+        val window = vals.take(i + 1).reverse
+        val numU = window.zipWithIndex.map { case (v, k) =>
+          math.floor(v * math.pow(2.0, -k) * 1e9 + 0.5).toLong }.sum
+        val denom = 2.0 - math.pow(2.0, 1.0 - window.size)
+        ((i + 1).toLong,
+         math.floor((numU.toDouble / 1e9 / denom) * 1e6 + 0.5) / 1e6)
+      }
+    val want = Seq(11L, 12L, 13L, 14L)
+      .zip(batchEwma(Seq(2.0, 4.0, 6.0, 8.0)))
+      .map { case (eid, (m, e)) => (eid, m, e) }.toSet
+    assert(got == want,
+      s"ordered EWMA diverged: got=$got want=$want")
+    spark.sql("DROP TABLE IF EXISTS oewma_out")
+  }
+
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
     // The documented divergence between the two funnel variants
     // (r9 advice): completion REMOVES the TTL funnel's state, so a
@@ -496,9 +562,9 @@ class StreamingSpec extends SparkTestBase {
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel", "funnel_ttl", "ewma", "ohlc",
-          "transitions", "cep", "cep_ttl", "twap_spans", "paths",
-          "lake_dedup"))
+          "attribution_outer", "funnel", "funnel_ttl", "ewma",
+          "ewma_ordered", "ohlc", "transitions", "cep", "cep_ttl",
+          "twap_spans", "paths", "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
     val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
@@ -583,6 +649,16 @@ class StreamingSpec extends SparkTestBase {
     assert(sinkEwma == batchEwma,
       s"ewma sink diverged from batch: sink-only=${(sinkEwma -- batchEwma).take(3)}, " +
         s"batch-only=${(batchEwma -- sinkEwma).take(3)}")
+    // the ordered variant emits only watermark-released rows on a
+    // bounded drain (trailing lag held back, like the windowed
+    // sinks) — but every row it DOES emit must match the batch
+    // recurrence exactly
+    val ordEwma = spark.read.parquet(s"$out/ewma_ordered")
+      .select("event_id", "m", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ordEwma.subsetOf(batchEwma),
+      s"ewma_ordered emitted rows the batch key does not have: " +
+        s"${(ordEwma -- batchEwma).take(3)}")
     // the transition log replays per-user events in (ts, event_id)
     // order with one-triple state — aggregating the sink's pairs must
     // reproduce the batch Markov key's counts (and thus its matrix)
