@@ -363,6 +363,41 @@ object Stream {
     out.iterator
   }
 
+  /** Watermark-ordered transition state: the last-seen triple PLUS
+    * the not-yet-final rows and the fold frontier — the ewmaStepOrdered
+    * recipe applied to the smallest machine. (cep / paths / twap_spans
+    * are the identical shape: swap the inner fold.) */
+  case class TransOrdState(pending: List[(String, Long, Long)],
+                           last: Option[TransState], frontierUs: Long)
+
+  /** Buffer-on-watermark transition log (see ewmaStepOrdered for the
+    * contract): rows fold into (cur → nxt) pairs only once the
+    * watermark passes them, in (ts, event_id) order, so any
+    * watermark-admissible arrival order across any number of
+    * microbatches reproduces the batch transition multiset on the
+    * released prefix; frontier-late rows drop. */
+  private[graft] def transStepOrdered(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[TransOrdState]): Iterator[TransRow] = {
+    val st = state.getOption.getOrElse(TransOrdState(Nil, None, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val incoming = rows
+      .map(r => (r._2, tsMicros(r._3), r._4))   // (type, us, event_id)
+      .filter(_._2 > st.frontierUs)
+      .toList
+    val (ripe, hold) = (st.pending ++ incoming).partition(_._2 <= wmUs)
+    var prev = st.last
+    val out = ripe.sortBy(r => (r._2, r._3)).flatMap { case (typ, us, eid) =>
+      val row = prev.map(p => TransRow(uid, p.typ, typ, us, eid))
+      prev = Some(TransState(us, eid, typ))
+      row
+    }
+    state.update(TransOrdState(hold, prev, math.max(st.frontierUs, wmUs)))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    out.iterator
+  }
+
   case class SpanState(us: Long, value: Double)
 
   case class SpanRow(user_id: Long, epoch_day: Int, dur_ms: Long,
@@ -646,6 +681,24 @@ object Stream {
           .groupByKey(_._1)
           .flatMapGroupsWithState(
             OutputMode.Append, GroupStateTimeout.NoTimeout)(transStep)
+          .select(col("user_id"), col("cur"), col("nxt"),
+                  timestamp_micros(col("us")).as("ts"), col("event_id"))
+      },
+      // The RESIDENT-mode ordered transition log (transStepOrdered):
+      // the ewma_ordered recipe on the smallest machine — any
+      // watermark-admissible arrival order reproduces the batch
+      // transition multiset on the released prefix.
+      "transitions_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(transStepOrdered)
           .select(col("user_id"), col("cur"), col("nxt"),
                   timestamp_micros(col("us")).as("ts"), col("event_id"))
       },

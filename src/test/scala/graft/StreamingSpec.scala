@@ -201,6 +201,44 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS oewma_out")
   }
 
+  test("ordered transitions: out-of-order cross-batch arrival yields the in-order pair log") {
+    // transStepOrdered is the ewma_ordered recipe on the transition
+    // machine: feed a user's events REVERSED across batches (inside
+    // the watermark lag) and the released pair log must equal the
+    // event-time-ordered chain a → b → c, stamped with the later
+    // event of each pair.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.transStepOrdered)
+    val q = out.writeStream.format("memory").queryName("otrans_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "c", ts("2024-01-01 10:04:00"), 3L))
+    q.processAllAvailable()
+    in.addData((1L, "b", ts("2024-01-01 10:02:00"), 2L),
+               (1L, "a", ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 9L)) // push wm
+    q.processAllAvailable()
+    in.addData((8L, "view", ts("2024-01-01 12:05:00"), 8L)) // fire timeout
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("otrans_out").filter(col("user_id") === 1L)
+      .select("cur", "nxt", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L), ("b", "c", 3L)),
+      s"ordered transition log wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS otrans_out")
+  }
+
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
     // The documented divergence between the two funnel variants
     // (r9 advice): completion REMOVES the TTL funnel's state, so a
@@ -563,8 +601,8 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma",
-          "ewma_ordered", "ohlc", "transitions", "cep", "cep_ttl",
-          "twap_spans", "paths", "lake_dedup"))
+          "ewma_ordered", "ohlc", "transitions", "transitions_ordered",
+          "cep", "cep_ttl", "twap_spans", "paths", "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
     val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
@@ -673,6 +711,15 @@ class StreamingSpec extends SparkTestBase {
       s"transition sink counts diverged from batch: " +
         s"sink-only=${(sinkTrans.toSet -- batchTrans.toSet).take(3)}, " +
         s"batch-only=${(batchTrans.toSet -- sinkTrans.toSet).take(3)}")
+    // the ordered variant's released prefix must be a subset of the
+    // complete transition log (row-level, same semantics)
+    val plainTransRows = spark.read.parquet(s"$out/transitions")
+      .collect().map(_.toSeq).toSet
+    val ordTransRows = spark.read.parquet(s"$out/transitions_ordered")
+      .collect().map(_.toSeq).toSet
+    assert(ordTransRows.subsetOf(plainTransRows),
+      s"transitions_ordered emitted rows the complete log lacks: " +
+        s"${(ordTransRows -- plainTransRows).take(3)}")
     // the TWAP span log replays per-user events with one-pair state;
     // rolling its spans up with the batch key's own arithmetic must
     // reproduce events_twap_daily exactly
