@@ -239,6 +239,72 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS otrans_out")
   }
 
+  test("ordered EWMA: buffered state survives a checkpoint restart; released prefix equals batch") {
+    // The restart contract for the buffer-on-watermark sinks: pending
+    // rows, the trailing window, and the fold frontier all live in
+    // GroupState, so a kill-and-restart must resume mid-buffer — no
+    // re-emission, no gap, and the final released prefix equals the
+    // batch events_ewma key on every watermark-released row.
+    import graft.engine.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_oewma_ckpt").toString
+    val inDir = s"$base/input"
+    new java.io.File(inDir).mkdirs()
+    val evAll = Tables.events(spark, sfDir)
+    val Array(mnUs, mxUs) = evAll
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val cutUs = mnUs + (mxUs - mnUs) / 2
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = s"$base/scratch_$name"
+      half.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(inDir, s"events-$name.parquet"))
+    }
+    def drain(): Set[(Long, Long, Double)] = {
+      val df = Stream.queries(spark, inDir)("ewma_ordered")
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$base/oewma")
+        .option("checkpointLocation", s"$base/checkpoints/oewma")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(df.schema).parquet(s"$base/oewma")
+        .select("event_id", "m", "ewma").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    stage(evAll.filter(unix_micros(col("ts")) <= cutUs), "a")
+    val afterA = drain()
+    val afterNoop = drain()          // restart, nothing new
+    assert(afterNoop == afterA,
+      s"empty restart changed the sink: ${(afterNoop -- afterA).take(3)}")
+    stage(evAll.filter(unix_micros(col("ts")) > cutUs), "b")
+    val finalSink = drain()
+    assert(afterA.subsetOf(finalSink), "restart lost released rows")
+    val batch = graft.engine.QueriesR11.eventsEwma(spark, sfDir)
+      .select(col("event_id"), col("m"), col("ewma"),
+              unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val batchSet = batch.map(t => (t._1, t._2, t._3)).toSet
+    assert(finalSink.subsetOf(batchSet),
+      s"sink emitted rows the batch key lacks: " +
+        s"${(finalSink -- batchSet).take(3)}")
+    // every row safely behind the final watermark (max ts − 1 h, with
+    // a second of slack for the ms-grain watermark) must have released
+    val wmSafeUs = mxUs - 3600L * 1000000L - 1000000L
+    val mustRelease = batch.filter(_._4 <= wmSafeUs)
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(mustRelease.nonEmpty, "fixture too small: nothing behind the watermark")
+    assert(mustRelease.subsetOf(finalSink),
+      s"watermark-passed rows missing from the sink: " +
+        s"${(mustRelease -- finalSink).take(3)}")
+    // and the split genuinely exercised the restart: new rows came
+    // from the second drain
+    assert((finalSink -- afterA).nonEmpty, "second drain released nothing")
+  }
+
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
     // The documented divergence between the two funnel variants
     // (r9 advice): completion REMOVES the TTL funnel's state, so a
