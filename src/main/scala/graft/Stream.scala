@@ -20,9 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Usage: runMain graft.Stream [sfDir] [outDir]
   *   reads  <sfDir>/events.parquet   (staged into <outDir>/input/)
-  *   writes <outDir>/tumbling|sessions|dedup|attribution|
-  *          attribution_outer|funnel|funnel_ttl|ewma|ohlc|
-  *          transitions|cep|twap_spans|paths/
+  *   writes <outDir>/tumbling|sliding|sessions|dedup|attribution|
+  *          attribution_outer|funnel|funnel_ttl|ewma|ewma_ordered|
+  *          ohlc|transitions|transitions_ordered|cep|cep_ttl|
+  *          cep_ordered|twap_spans|twap_spans_ordered|paths|
+  *          paths_ordered|lake_dedup/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -108,28 +110,39 @@ object Stream {
   private[graft] def cepStep(spanMicros: Long)(
       uid: Long, rows: Iterator[(Long, String, Long, Long)],
       state: GroupState[CepState]): Iterator[CepHit] = {
-    var cur = state.getOption
-    val out = rows.toSeq
-      .sortBy(r => (r._3, r._4))               // (ts micros, event_id)
-      .flatMap { case (_, typ, us, eid) =>
-        if (typ == "signup") {
-          cur = Some(CepState(us, eid, errSince = false, evSince = 0))
-          None
-        } else cur match {
-          case Some(st) =>
-            val hit =
-              if (typ == "purchase" && !st.errSince &&
-                  us - st.sigUs <= spanMicros)
-                Some(CepHit(uid, st.sigEid, eid, st.sigUs, us, st.evSince))
-              else None
-            cur = Some(st.copy(errSince = st.errSince || typ == "error",
-                               evSince = st.evSince + 1))
-            hit
-          case None => None
-        }
-      }
+    val (out, cur) = cepFold(spanMicros, uid)(state.getOption,
+      rows.toSeq.sortBy(r => (r._3, r._4))     // (ts micros, event_id)
+        .map(r => (r._2, r._3, r._4)))
     cur.foreach(state.update)
     out.iterator
+  }
+
+  /** The shared CEP fold kernel: rows (typ, us, event_id) already in
+    * (ts, event_id) order, matcher state in, hits + updated state out
+    * — one place for the pattern arithmetic so the plain and the
+    * watermark-ordered steps cannot drift (the ewmaFold rule). */
+  private def cepFold(spanMicros: Long, uid: Long)(
+      cur0: Option[CepState], ordered: Seq[(String, Long, Long)])
+      : (Seq[CepHit], Option[CepState]) = {
+    var cur = cur0
+    val out = ordered.flatMap { case (typ, us, eid) =>
+      if (typ == "signup") {
+        cur = Some(CepState(us, eid, errSince = false, evSince = 0))
+        None
+      } else cur match {
+        case Some(st) =>
+          val hit =
+            if (typ == "purchase" && !st.errSince &&
+                us - st.sigUs <= spanMicros)
+              Some(CepHit(uid, st.sigEid, eid, st.sigUs, us, st.evSince))
+            else None
+          cur = Some(st.copy(errSince = st.errSince || typ == "error",
+                             evSince = st.evSince + 1))
+          hit
+        case None => None
+      }
+    }
+    (out, cur)
   }
 
   /** TTL-bounded funnel step for RESIDENT deployments — the
@@ -185,6 +198,23 @@ object Stream {
   private def tsMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** The shared buffer-on-watermark admission — the one mechanism
+    * behind every *StepOrdered variant: frontier-late incoming rows
+    * drop (they missed their position in an already-folded prefix),
+    * the rest join the pending buffer, and the buffer splits into the
+    * watermark-released prefix (to fold now, caller sorts it) and the
+    * still-held remainder. Returns (ripe, hold, advanced frontier);
+    * the caller updates state and, iff hold is non-empty, arms the
+    * EventTimeTimeout at watermark+1 ms so the buffer flushes on the
+    * next watermark advance even with no new per-user data. */
+  private def wmAdmit[R](pending: List[R], frontierUs: Long,
+      incoming: Iterator[R], usOf: R => Long, wmUs: Long)
+      : (List[R], List[R], Long) = {
+    val inc = incoming.filter(r => usOf(r) > frontierUs).toList
+    val (ripe, hold) = (pending ++ inc).partition(r => usOf(r) <= wmUs)
+    (ripe, hold, math.max(frontierUs, wmUs))
+  }
+
   /** TTL-bounded CEP step for RESIDENT deployments — the eviction
     * recipe the NoTimeout cep sink documents, made executable (r14;
     * the funnel_ttl pattern applied to the second stateful machine).
@@ -216,6 +246,37 @@ object Stream {
       }
       hits.iterator
     }
+
+  /** Watermark-ordered CEP state: the matcher tuple PLUS the
+    * not-yet-final rows and the fold frontier. */
+  case class CepOrdState(pending: List[(String, Long, Long)],
+                         machine: Option[CepState], frontierUs: Long)
+
+  /** Buffer-on-watermark CEP matcher (see ewmaStepOrdered for the
+    * contract): events feed the pattern machine only once the
+    * event-time watermark passes them, in (ts, event_id) order — so
+    * an error arriving AFTER its purchase but BEFORE it in event time
+    * still poisons the match, the case the plain cep sink's
+    * cross-batch ordering invariant forbids. Frontier-late rows drop.
+    * Orthogonal to cep_ttl's idle eviction: a resident deployment
+    * wanting both composes this buffering with the TTL arm (the
+    * timeout would then carry two timestamps — flush-at-watermark and
+    * evict-at-idle — min-combined). */
+  private[graft] def cepStepOrdered(spanMicros: Long)(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[CepOrdState]): Iterator[CepHit] = {
+    val st = state.getOption.getOrElse(CepOrdState(Nil, None, Long.MinValue))
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
+      (r: (String, Long, Long)) => r._2,
+      state.getCurrentWatermarkMs * 1000L)
+    val (out, machine) = cepFold(spanMicros, uid)(st.machine,
+      ripe.sortBy(r => (r._2, r._3)))
+    state.update(CepOrdState(hold, machine, frontier))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    out.iterator
+  }
 
   /** funnelStepTtl over rows that still CARRY the watermarked
     * Timestamp column — EventTimeTimeout requires the watermark
@@ -318,14 +379,11 @@ object Stream {
       uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
       state: GroupState[EwmaOrdState]): Iterator[EwmaPoint] = {
     val st = state.getOption.getOrElse(EwmaOrdState(Nil, Nil, Long.MinValue))
-    val wmUs = state.getCurrentWatermarkMs * 1000L
-    val incoming = rows
-      .map(r => (r._1, r._2, tsMicros(r._3), r._4))
-      .filter(_._3 > st.frontierUs)             // late: missed the fold
-      .toList
-    val (ripe, hold) = (st.pending ++ incoming).partition(_._3 <= wmUs)
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._1, r._2, tsMicros(r._3), r._4)),
+      (r: (Long, Long, Long, Double)) => r._3,
+      state.getCurrentWatermarkMs * 1000L)
     val (out, buf) = ewmaFold(st.prev, ripe.sortBy(r => (r._3, r._1)))
-    val frontier = math.max(st.frontierUs, wmUs)
     state.update(EwmaOrdState(hold, buf, frontier))
     if (hold.nonEmpty)
       state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
@@ -351,16 +409,27 @@ object Stream {
   private[graft] def transStep(
       uid: Long, rows: Iterator[(Long, String, Long, Long)],
       state: GroupState[TransState]): Iterator[TransRow] = {
-    var prev = state.getOption
-    val out = rows.toSeq
-      .sortBy(r => (r._3, r._4))               // (ts micros, event_id)
-      .flatMap { case (_, typ, us, eid) =>
-        val row = prev.map(p => TransRow(uid, p.typ, typ, us, eid))
-        prev = Some(TransState(us, eid, typ))
-        row
-      }
+    val (out, prev) = transFold(uid)(state.getOption,
+      rows.toSeq.sortBy(r => (r._3, r._4))     // (ts micros, event_id)
+        .map(r => (r._2, r._3, r._4)))
     prev.foreach(state.update)
     out.iterator
+  }
+
+  /** The shared transition fold kernel: rows (typ, us, event_id)
+    * already in (ts, event_id) order, last-seen triple in, pair rows
+    * + updated triple out — the ewmaFold rule applied to the smallest
+    * machine. */
+  private def transFold(uid: Long)(prev0: Option[TransState],
+      ordered: Seq[(String, Long, Long)])
+      : (Seq[TransRow], Option[TransState]) = {
+    var prev = prev0
+    val out = ordered.flatMap { case (typ, us, eid) =>
+      val row = prev.map(p => TransRow(uid, p.typ, typ, us, eid))
+      prev = Some(TransState(us, eid, typ))
+      row
+    }
+    (out, prev)
   }
 
   /** Watermark-ordered transition state: the last-seen triple PLUS
@@ -380,19 +449,12 @@ object Stream {
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[TransOrdState]): Iterator[TransRow] = {
     val st = state.getOption.getOrElse(TransOrdState(Nil, None, Long.MinValue))
-    val wmUs = state.getCurrentWatermarkMs * 1000L
-    val incoming = rows
-      .map(r => (r._2, tsMicros(r._3), r._4))   // (type, us, event_id)
-      .filter(_._2 > st.frontierUs)
-      .toList
-    val (ripe, hold) = (st.pending ++ incoming).partition(_._2 <= wmUs)
-    var prev = st.last
-    val out = ripe.sortBy(r => (r._2, r._3)).flatMap { case (typ, us, eid) =>
-      val row = prev.map(p => TransRow(uid, p.typ, typ, us, eid))
-      prev = Some(TransState(us, eid, typ))
-      row
-    }
-    state.update(TransOrdState(hold, prev, math.max(st.frontierUs, wmUs)))
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
+      (r: (String, Long, Long)) => r._2,
+      state.getCurrentWatermarkMs * 1000L)
+    val (out, prev) = transFold(uid)(st.last, ripe.sortBy(r => (r._2, r._3)))
+    state.update(TransOrdState(hold, prev, frontier))
     if (hold.nonEmpty)
       state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
     out.iterator
@@ -414,19 +476,54 @@ object Stream {
   private[graft] def spanStep(
       uid: Long, rows: Iterator[(Long, Long, Double)],
       state: GroupState[SpanState]): Iterator[SpanRow] = {
-    var prev = state.getOption
-    val out = rows.toSeq
-      .sortBy(r => (r._2, r._1))               // (ts micros, event_id)
-      .flatMap { case (_, us, value) =>
-        val day = (us / 86400000000L).toInt
-        val row = prev.collect {
-          case p if p.us / 86400000000L == day =>
-            SpanRow(uid, day, (us - p.us) / 1000L, p.value)
-        }
-        prev = Some(SpanState(us, value))
-        row
-      }
+    val (out, prev) = spanFold(uid)(state.getOption,
+      rows.toSeq.sortBy(r => (r._2, r._1)))    // (ts micros, event_id)
     prev.foreach(state.update)
+    out.iterator
+  }
+
+  /** The shared TWAP span fold kernel: rows (event_id, us, value)
+    * already in (ts, event_id) order, open-span pair in, closed spans
+    * + updated pair out (the ewmaFold rule). */
+  private def spanFold(uid: Long)(prev0: Option[SpanState],
+      ordered: Seq[(Long, Long, Double)])
+      : (Seq[SpanRow], Option[SpanState]) = {
+    var prev = prev0
+    val out = ordered.flatMap { case (_, us, value) =>
+      val day = (us / 86400000000L).toInt
+      val row = prev.collect {
+        case p if p.us / 86400000000L == day =>
+          SpanRow(uid, day, (us - p.us) / 1000L, p.value)
+      }
+      prev = Some(SpanState(us, value))
+      row
+    }
+    (out, prev)
+  }
+
+  /** Watermark-ordered TWAP span state: the open-span pair PLUS the
+    * not-yet-final rows and the fold frontier (the ewmaStepOrdered
+    * shape on the span machine). */
+  case class SpanOrdState(pending: List[(Long, Long, Double)],
+                          last: Option[SpanState], frontierUs: Long)
+
+  /** Buffer-on-watermark TWAP span log (see ewmaStepOrdered for the
+    * contract): rows close spans only once the event-time watermark
+    * passes them, in (ts, event_id) order, so any watermark-admissible
+    * arrival order across any number of microbatches reproduces the
+    * batch span log on the released prefix; frontier-late rows drop. */
+  private[graft] def spanStepOrdered(
+      uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+      state: GroupState[SpanOrdState]): Iterator[SpanRow] = {
+    val st = state.getOption.getOrElse(SpanOrdState(Nil, None, Long.MinValue))
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._2, tsMicros(r._3), r._4)), // (event_id, us, value)
+      (r: (Long, Long, Double)) => r._2,
+      state.getCurrentWatermarkMs * 1000L)
+    val (out, prev) = spanFold(uid)(st.last, ripe.sortBy(r => (r._2, r._1)))
+    state.update(SpanOrdState(hold, prev, frontier))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
     out.iterator
   }
 
@@ -445,18 +542,54 @@ object Stream {
   private[graft] def pathStep(
       uid: Long, rows: Iterator[(String, Long, Long)],
       state: GroupState[Path2State]): Iterator[PathRow] = {
-    var prev = state.getOption.map(_.prev).getOrElse(Nil)
-    val out = rows.toSeq
-      .sortBy(r => (r._2, r._3))               // (ts micros, event_id)
-      .flatMap { case (typ, us, eid) =>
-        val row = prev match {
-          case List(a, b) => Some(PathRow(uid, a, b, typ, us, eid))
-          case _ => None
-        }
-        prev = (prev :+ typ).takeRight(2)
-        row
-      }
+    val (out, prev) = pathFold(uid)(
+      state.getOption.map(_.prev).getOrElse(Nil),
+      rows.toSeq.sortBy(r => (r._2, r._3)))    // (ts micros, event_id)
     state.update(Path2State(prev))
+    out.iterator
+  }
+
+  /** The shared trigram-path fold kernel: rows (typ, us, event_id)
+    * already in (ts, event_id) order, two-type window in, trigram rows
+    * + updated window out (the ewmaFold rule). */
+  private def pathFold(uid: Long)(prev0: List[String],
+      ordered: Seq[(String, Long, Long)])
+      : (Seq[PathRow], List[String]) = {
+    var prev = prev0
+    val out = ordered.flatMap { case (typ, us, eid) =>
+      val row = prev match {
+        case List(a, b) => Some(PathRow(uid, a, b, typ, us, eid))
+        case _ => None
+      }
+      prev = (prev :+ typ).takeRight(2)
+      row
+    }
+    (out, prev)
+  }
+
+  /** Watermark-ordered trigram path state: the two-type window PLUS
+    * the not-yet-final rows and the fold frontier. */
+  case class PathOrdState(pending: List[(String, Long, Long)],
+                          prev: List[String], frontierUs: Long)
+
+  /** Buffer-on-watermark trigram path log (see ewmaStepOrdered for
+    * the contract): events close their (t1, t2, t3) journey step only
+    * once the event-time watermark passes them, in (ts, event_id)
+    * order — any watermark-admissible arrival order reproduces the
+    * batch trigram multiset on the released prefix; frontier-late
+    * rows drop. */
+  private[graft] def pathStepOrdered(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[PathOrdState]): Iterator[PathRow] = {
+    val st = state.getOption.getOrElse(PathOrdState(Nil, Nil, Long.MinValue))
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
+      (r: (String, Long, Long)) => r._2,
+      state.getCurrentWatermarkMs * 1000L)
+    val (out, prev) = pathFold(uid)(st.prev, ripe.sortBy(r => (r._2, r._3)))
+    state.update(PathOrdState(hold, prev, frontier))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
     out.iterator
   }
 
@@ -637,6 +770,28 @@ object Stream {
                   timestamp_micros(col("t_purchase")).as("t_purchase"),
                   col("n_between"))
       },
+      // The RESIDENT-mode ordered CEP matcher (cepStepOrdered): the
+      // buffer-on-watermark recipe on the pattern machine — any
+      // watermark-admissible arrival order (an error landing after
+      // its purchase, stages split across microbatches) reproduces
+      // the batch events_cep_pattern hits on the released prefix.
+      "cep_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            cepStepOrdered(86400000000L))
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"),
+                  col("n_between"))
+      },
       // The RESIDENT-mode funnel: the same state machine under
       // EventTimeTimeout with a 24 h TTL — completed funnels drop
       // their state on emission, idle ones evict when the watermark
@@ -724,6 +879,23 @@ object Stream {
                   col("step3"), timestamp_micros(col("us")).as("ts"),
                   col("event_id"))
       },
+      // The RESIDENT-mode ordered trigram path log (pathStepOrdered):
+      // the buffer-on-watermark recipe on the two-type window.
+      "paths_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(pathStepOrdered)
+          .select(col("user_id"), col("step1"), col("step2"),
+                  col("step3"), timestamp_micros(col("us")).as("ts"),
+                  col("event_id"))
+      },
       // The streaming TWAP span log — the stateful half of the batch
       // events_twap_daily key: one (us, value) pair per live user;
       // each event closes the previous same-day span the moment it
@@ -745,6 +917,25 @@ object Stream {
             (uid: Long, rows: Iterator[(Long, Long, Double, Long)],
              st: GroupState[SpanState]) =>
               spanStep(uid, rows.map(r => (r._1, r._2, r._3)), st))
+          .select(col("user_id"),
+                  date_from_unix_date(col("epoch_day")).as("day"),
+                  col("dur_ms"), col("value"))
+      },
+      // The RESIDENT-mode ordered TWAP span log (spanStepOrdered):
+      // the buffer-on-watermark recipe on the open-span pair — spans
+      // close in event-time order whatever the arrival order, so no
+      // span is ever attributed the wrong live value.
+      "twap_spans_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_id"), col("ts"),
+                  col("value"))
+          .as[(Long, Long, java.sql.Timestamp, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(spanStepOrdered)
           .select(col("user_id"),
                   date_from_unix_date(col("epoch_day")).as("day"),
                   col("dur_ms"), col("value"))

@@ -239,6 +239,122 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS otrans_out")
   }
 
+  test("ordered CEP: a poisoning error arriving after its purchase still kills the match") {
+    // cepStepOrdered's reason to exist: the pattern machine is
+    // order-SENSITIVE (signup resets, error poisons, purchase
+    // matches), so cross-batch disorder the plain cep sink forbids
+    // must still produce the event-time-order verdict. Event-time
+    // truth for user 1: signup(1) → error(2) → signup(3) →
+    // purchase(4); fed purchase+error first, signups second. The only
+    // hit must pair purchase 4 with signup 3 (n_between = 0) — a
+    // matcher that folded in arrival order would emit nothing (no
+    // signup live when the purchase arrived).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.cepStepOrdered(86400000000L))
+    val q = out.writeStream.format("memory").queryName("ocep_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "purchase", ts("2024-01-01 10:06:00"), 4L),
+               (1L, "error", ts("2024-01-01 10:02:00"), 2L))
+    q.processAllAvailable()
+    in.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+               (1L, "signup", ts("2024-01-01 10:04:00"), 3L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 9L)) // push wm
+    q.processAllAvailable()
+    in.addData((8L, "view", ts("2024-01-01 12:05:00"), 8L)) // fire timeout
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ocep_out").filter(col("user_id") === 1L)
+      .select("signup_id", "purchase_id", "n_between").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 4L, 0L)),
+      s"ordered CEP wrong: $got (want {(3,4,0)})")
+    spark.sql("DROP TABLE IF EXISTS ocep_out")
+  }
+
+  test("ordered paths: reversed cross-batch arrival yields the in-order trigram log") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.pathStepOrdered)
+    val q = out.writeStream.format("memory").queryName("opath_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "d", ts("2024-01-01 10:06:00"), 4L),
+               (1L, "c", ts("2024-01-01 10:04:00"), 3L))
+    q.processAllAvailable()
+    in.addData((1L, "b", ts("2024-01-01 10:02:00"), 2L),
+               (1L, "a", ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 9L)) // push wm
+    q.processAllAvailable()
+    in.addData((8L, "view", ts("2024-01-01 12:05:00"), 8L)) // fire timeout
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("opath_out").filter(col("user_id") === 1L)
+      .select("step1", "step2", "step3", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3))).toSet
+    assert(got == Set(("a", "b", "c", 3L), ("b", "c", "d", 4L)),
+      s"ordered path log wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS opath_out")
+  }
+
+  test("ordered TWAP spans: disorder cannot attribute the wrong live value to a span") {
+    // The span machine attributes each span the value that was live
+    // when it OPENED — arrival disorder on the plain sink would pair
+    // durations with the wrong values. Event-time truth for user 1:
+    // v=2 @10:00, v=4 @10:02, v=8 @10:06 → spans (120 s, 2.0) and
+    // (240 s, 4.0).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_id, ts, value)
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = in.toDF().toDF("user_id", "event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.spanStepOrdered)
+    val q = out.writeStream.format("memory").queryName("ospan_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, 3L, ts("2024-01-01 10:06:00"), 8.0),
+               (1L, 1L, ts("2024-01-01 10:00:00"), 2.0))
+    q.processAllAvailable()
+    in.addData((1L, 2L, ts("2024-01-01 10:02:00"), 4.0))
+    q.processAllAvailable()
+    in.addData((9L, 9L, ts("2024-01-01 12:00:00"), 0.0)) // push wm
+    q.processAllAvailable()
+    in.addData((8L, 8L, ts("2024-01-01 12:05:00"), 0.0)) // fire timeout
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ospan_out").filter(col("user_id") === 1L)
+      .select("dur_ms", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((120000L, 2.0), (240000L, 4.0)),
+      s"ordered span log wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS ospan_out")
+  }
+
   test("ordered EWMA: buffered state survives a checkpoint restart; released prefix equals batch") {
     // The restart contract for the buffer-on-watermark sinks: pending
     // rows, the trailing window, and the fold frontier all live in
@@ -668,7 +784,8 @@ class StreamingSpec extends SparkTestBase {
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma",
           "ewma_ordered", "ohlc", "transitions", "transitions_ordered",
-          "cep", "cep_ttl", "twap_spans", "paths", "lake_dedup"))
+          "cep", "cep_ttl", "cep_ordered", "twap_spans",
+          "twap_spans_ordered", "paths", "paths_ordered", "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
     val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
@@ -786,6 +903,21 @@ class StreamingSpec extends SparkTestBase {
     assert(ordTransRows.subsetOf(plainTransRows),
       s"transitions_ordered emitted rows the complete log lacks: " +
         s"${(ordTransRows -- plainTransRows).take(3)}")
+    // every ordered variant's released prefix ⊆ its complete log,
+    // and non-empty (30 days of data against a 1 h lag: almost
+    // everything is watermark-released on the drain's flush batch)
+    for ((ord, plain) <- Seq("cep_ordered" -> "cep",
+                             "paths_ordered" -> "paths",
+                             "twap_spans_ordered" -> "twap_spans")) {
+      val ordRows = spark.read.parquet(s"$out/$ord")
+        .collect().map(_.toSeq).toSet
+      val plainRows = spark.read.parquet(s"$out/$plain")
+        .collect().map(_.toSeq).toSet
+      assert(ordRows.nonEmpty, s"$ord released nothing on the drain")
+      assert(ordRows.subsetOf(plainRows),
+        s"$ord emitted rows the complete $plain log lacks: " +
+          s"${(ordRows -- plainRows).take(3)}")
+    }
     // the TWAP span log replays per-user events with one-pair state;
     // rolling its spans up with the batch key's own arithmetic must
     // reproduce events_twap_daily exactly
