@@ -421,6 +421,79 @@ class StreamingSpec extends SparkTestBase {
     assert((finalSink -- afterA).nonEmpty, "second drain released nothing")
   }
 
+  test("state cardinality gates: each stateful sink's store holds exactly its documented row count") {
+    // The sinks' 100 TB posture rests on bounded state per key ("one
+    // tuple per live user", "32 doubles per user", "one row per
+    // (user, type)", "completed funnels self-clean"). Execute the
+    // claim instead of trusting the comment: drain each sink and read
+    // the state store's final numRowsTotal off the query progress —
+    // a state leak (e.g. a variant that forgets to remove() or keys
+    // state on the wrong column) fails here long before it OOMs a
+    // resident deployment.
+    import graft.engine.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_sbound").toString
+    val inDir = s"$base/input"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      java.nio.file.Paths.get(inDir, "events.parquet"))
+    val ev = Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    val nUserType = ev.select("user_id", "event_type").distinct().count()
+    // TTL eviction expectation, from first principles: the bounded
+    // drain's flush batch runs at watermark = max event ms − 1 h; a
+    // TTL sink evicts every user whose (last event ms + 24 h) the
+    // watermark passed. Survivors carry their state out of the drain.
+    val lastMsByUser = ev.groupBy("user_id")
+      .agg((max(unix_micros(col("ts"))) / lit(1000L)).cast("long").as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wmMs = lastMsByUser.values.max - 3600000L
+    val ttlSurvivors = lastMsByUser.filter {
+      case (_, ms) => ms + 24L * 3600000L >= wmMs }.keySet
+    val doneUsers = graft.engine.QueriesR2.eventsFunnel(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    def finalStateRows(name: String): Long = {
+      val df = Stream.queries(spark, inDir)(name)
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$base/$name")
+        .option("checkpointLocation", s"$base/cp/$name")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val p = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      assert(p.isDefined, s"$name reported no stateOperators progress")
+      p.get.stateOperators.map(_.numRowsTotal).sum
+    }
+    // one state row per ever-seen user: the per-user machines
+    for (name <- Seq("ewma", "ewma_ordered", "transitions",
+                     "transitions_ordered", "cep", "cep_ordered",
+                     "paths", "paths_ordered", "twap_spans",
+                     "twap_spans_ordered", "funnel")) {
+      val rows = finalStateRows(name)
+      assert(rows == nUsers,
+        s"$name state holds $rows rows, want one per user ($nUsers)")
+    }
+    // dedup keys on (user_id, event_type): one row per distinct pair
+    val dedupRows = finalStateRows("dedup")
+    assert(dedupRows == nUserType,
+      s"dedup state holds $dedupRows rows, want $nUserType")
+    // cep_ttl: idle users (last event + 24 h behind the final
+    // watermark) evict on the flush batch — the eviction the TTL
+    // exists for, visible as state rows < users
+    val cepTtlRows = finalStateRows("cep_ttl")
+    assert(cepTtlRows == ttlSurvivors.size,
+      s"cep_ttl state holds $cepTtlRows rows, want " +
+        s"${ttlSurvivors.size} TTL survivors of $nUsers users")
+    // funnel_ttl: completion REMOVES state, idleness evicts the rest
+    // past the TTL — survivors are incomplete AND recently active
+    val ttlRows = finalStateRows("funnel_ttl")
+    val wantFunnel = (ttlSurvivors -- doneUsers).size
+    assert(ttlRows == wantFunnel,
+      s"funnel_ttl state holds $ttlRows rows, want $wantFunnel " +
+        s"(incomplete ∩ TTL-surviving of $nUsers users)")
+  }
+
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
     // The documented divergence between the two funnel variants
     // (r9 advice): completion REMOVES the TTL funnel's state, so a
