@@ -23,8 +23,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   writes <outDir>/tumbling|sliding|sessions|dedup|attribution|
   *          attribution_outer|funnel|funnel_ttl|ewma|ewma_ordered|
   *          ohlc|transitions|transitions_ordered|cep|cep_ttl|
-  *          cep_ordered|twap_spans|twap_spans_ordered|paths|
-  *          paths_ordered|lake_dedup/
+  *          cep_ordered|cep_ordered_ttl|twap_spans|
+  *          twap_spans_ordered|paths|paths_ordered|lake_dedup/
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -206,7 +206,16 @@ object Stream {
     * still-held remainder. Returns (ripe, hold, advanced frontier);
     * the caller updates state and, iff hold is non-empty, arms the
     * EventTimeTimeout at watermark+1 ms so the buffer flushes on the
-    * next watermark advance even with no new per-user data. */
+    * next watermark advance even with no new per-user data.
+    *
+    * Note Spark's stateful operator already discards input rows older
+    * than the batch watermark before they reach the step function
+    * (verified empirically: a late row shows up as numRowsUpdated=0),
+    * and the fold frontier always equals the watermark of the last
+    * fold — so the frontier filter here is the operator-local
+    * statement of the same contract, kept as defense in depth and as
+    * the guard that stays correct if the upstream plan ever loses the
+    * watermark node. */
   private def wmAdmit[R](pending: List[R], frontierUs: Long,
       incoming: Iterator[R], usOf: R => Long, wmUs: Long)
       : (List[R], List[R], Long) = {
@@ -275,6 +284,49 @@ object Stream {
     state.update(CepOrdState(hold, machine, frontier))
     if (hold.nonEmpty)
       state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    out.iterator
+  }
+
+  /** Watermark-ordered + idle-TTL CEP state: CepOrdState plus the
+    * newest event time ever admitted (µs) — what idleness is measured
+    * against. */
+  case class CepOrdTtlState(pending: List[(String, Long, Long)],
+                            machine: Option[CepState], frontierUs: Long,
+                            lastUs: Long)
+
+  /** The full RESIDENT CEP spelling — cepStepOrdered's buffering
+    * COMPOSED with cepStepTtl's idle eviction, the combination the
+    * ordered sink's doc comment names. One EventTimeTimeout carries
+    * both duties, min-combined: while rows are buffered the timeout
+    * sits at watermark+1 ms (flush on the next advance — and a
+    * buffered user is never idle, because a held row's event time is
+    * by definition AHEAD of the watermark, so flush always outranks
+    * evict); once the buffer is empty it sits at (newest event + ttl)
+    * and a fire with nothing pending evicts the idle user's state
+    * entirely. A post-eviction arrival starts a fresh frontier — it
+    * folds immediately in arrival order, exactly cep_ttl's
+    * post-eviction behavior. */
+  private[graft] def cepStepOrderedTtl(spanMicros: Long, ttlMillis: Long)(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[CepOrdTtlState]): Iterator[CepHit] = {
+    val st = state.getOption.getOrElse(
+      CepOrdTtlState(Nil, None, Long.MinValue, Long.MinValue))
+    val wmMs = state.getCurrentWatermarkMs
+    val inc = rows.map(r => (r._2, tsMicros(r._3), r._4)).toList
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      inc.iterator, (r: (String, Long, Long)) => r._2, wmMs * 1000L)
+    val lastUs = (st.lastUs :: inc.map(_._2)).max
+    val (out, machine) = cepFold(spanMicros, uid)(st.machine,
+      ripe.sortBy(r => (r._2, r._3)))
+    if (hold.isEmpty && state.hasTimedOut && inc.isEmpty &&
+        lastUs / 1000L + ttlMillis < wmMs) {
+      state.remove()                            // idle past the TTL
+    } else {
+      state.update(CepOrdTtlState(hold, machine, frontier, lastUs))
+      state.setTimeoutTimestamp(
+        if (hold.nonEmpty) wmMs + 1
+        else math.max(lastUs / 1000L + ttlMillis, wmMs + 1))
+    }
     out.iterator
   }
 
@@ -878,6 +930,29 @@ object Stream {
           .select(col("user_id"), col("step1"), col("step2"),
                   col("step3"), timestamp_micros(col("us")).as("ts"),
                   col("event_id"))
+      },
+      // The full RESIDENT CEP deployment (cepStepOrderedTtl):
+      // buffer-on-watermark ordering + idle-TTL state eviction,
+      // min-combined on one event-time timeout. On a bounded drain
+      // its emissions equal cep_ordered exactly (eviction removes
+      // state, never rows); the state gate and the MemoryStream
+      // eviction test pin the TTL arm.
+      "cep_ordered_ttl" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            cepStepOrderedTtl(86400000000L, 24L * 3600 * 1000))
+          .select(col("user_id"), col("signup_id"), col("purchase_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"),
+                  col("n_between"))
       },
       // The RESIDENT-mode ordered trigram path log (pathStepOrdered):
       // the buffer-on-watermark recipe on the two-type window.

@@ -282,6 +282,64 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ocep_out")
   }
 
+  test("ordered+TTL CEP: disorder still matches in event-time order; idle state evicts; post-eviction purchase misses") {
+    // The composed resident spelling (cepStepOrderedTtl): user 2's
+    // purchase arrives BEFORE its signup (the disorder leg — fold
+    // must wait for the watermark and replay in event-time order),
+    // then both users idle past the 30 min TTL and evict (the
+    // eviction leg), so user 1's late purchase — inside the 24 h
+    // pattern span — finds no live signup (the post-eviction leg).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.cepStepOrderedTtl(86400000000L, 30L * 60000))
+    val q = out.writeStream.format("memory").queryName("octtl_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 2's purchase first, user 1's signup. The 8 min
+    // disorder span stays INSIDE the 10 min lag: Spark's stateful
+    // operator itself discards input older than the watermark, so
+    // wider disorder never even reaches the step function.
+    in.addData((2L, "purchase", ts("2024-01-01 10:08:00"), 3L),
+               (1L, "signup", ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // batch 2: user 2's signup arrives late but inside the lag
+    // (watermark after batch 1 = 09:58)
+    in.addData((2L, "signup", ts("2024-01-01 10:00:00"), 2L))
+    q.processAllAvailable()
+    // batches 3+4: bystander pushes the watermark far past both the
+    // buffered rows and the 30 min TTL, then fires the timeouts —
+    // user 2's purchase folds AFTER its signup (hit), both users
+    // then evict as idle
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 12:05:00"), 10L))
+    q.processAllAvailable()
+    // batch 5: user 1's purchase, inside the 24 h span of its evicted
+    // signup — must NOT match
+    in.addData((1L, "purchase", ts("2024-01-01 11:58:00"), 4L))
+    q.processAllAvailable()
+    // flush the trailing purchase for completeness (no emission)
+    in.addData((9L, "view", ts("2024-01-01 14:00:00"), 11L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 14:05:00"), 12L))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("octtl_out")
+      .select("user_id", "signup_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits == Set((2L, 2L, 3L)),
+      s"ordered+TTL CEP wrong: $hits (want {(2,2,3)})")
+    spark.sql("DROP TABLE IF EXISTS octtl_out")
+  }
+
   test("ordered paths: reversed cross-batch arrival yields the in-order trigram log") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -484,6 +542,13 @@ class StreamingSpec extends SparkTestBase {
     val cepTtlRows = finalStateRows("cep_ttl")
     assert(cepTtlRows == ttlSurvivors.size,
       s"cep_ttl state holds $cepTtlRows rows, want " +
+        s"${ttlSurvivors.size} TTL survivors of $nUsers users")
+    // cep_ordered_ttl: a user still holding buffered rows is by
+    // construction inside the watermark lag, hence never idle — the
+    // survivor set is exactly cep_ttl's
+    val cepOrdTtlRows = finalStateRows("cep_ordered_ttl")
+    assert(cepOrdTtlRows == ttlSurvivors.size,
+      s"cep_ordered_ttl state holds $cepOrdTtlRows rows, want " +
         s"${ttlSurvivors.size} TTL survivors of $nUsers users")
     // funnel_ttl: completion REMOVES state, idleness evicts the rest
     // past the TTL — survivors are incomplete AND recently active
@@ -857,8 +922,9 @@ class StreamingSpec extends SparkTestBase {
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "ewma",
           "ewma_ordered", "ohlc", "transitions", "transitions_ordered",
-          "cep", "cep_ttl", "cep_ordered", "twap_spans",
-          "twap_spans_ordered", "paths", "paths_ordered", "lake_dedup"))
+          "cep", "cep_ttl", "cep_ordered", "cep_ordered_ttl",
+          "twap_spans", "twap_spans_ordered", "paths", "paths_ordered",
+          "lake_dedup"))
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
     val lakeRows = graft.engine.LakeTable.read(spark, s"$out/lake_dedup")
@@ -991,6 +1057,16 @@ class StreamingSpec extends SparkTestBase {
         s"$ord emitted rows the complete $plain log lacks: " +
           s"${(ordRows -- plainRows).take(3)}")
     }
+    // the TTL-composed ordered CEP emits exactly what the ordered CEP
+    // does on a bounded drain — eviction removes state, never rows
+    val ordTtlCep = spark.read.parquet(s"$out/cep_ordered_ttl")
+      .collect().map(_.toSeq).toSet
+    val ordCep = spark.read.parquet(s"$out/cep_ordered")
+      .collect().map(_.toSeq).toSet
+    assert(ordTtlCep == ordCep,
+      s"cep_ordered_ttl diverged from cep_ordered on a bounded drain: " +
+        s"ttl-only=${(ordTtlCep -- ordCep).take(3)}, " +
+        s"ord-only=${(ordCep -- ordTtlCep).take(3)}")
     // the TWAP span log replays per-user events with one-pair state;
     // rolling its spans up with the batch key's own arithmetic must
     // reproduce events_twap_daily exactly
