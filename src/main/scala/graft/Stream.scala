@@ -25,6 +25,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *          ohlc|transitions|transitions_ordered|cep|cep_ttl|
   *          cep_ordered|cep_ordered_ttl|twap_spans|
   *          twap_spans_ordered|paths|paths_ordered|lake_dedup/
+  *   + <outDir>/ingest/{docs,bands,rejects}  (streaming near-dup
+  *     ingest of <sfDir>/documents.parquet — graft.engine.Ingest)
   *   + <outDir>/checkpoints/
   *
   * Append-mode note: windowed sinks only contain windows the FINAL
@@ -1111,7 +1113,43 @@ object Stream {
       // single-timestamp input) has a directory with no data files,
       // where schema inference throws instead of reporting 0.
       name -> spark.read.schema(df.schema).parquet(s"$outDir/$name").count()
-    } ++ runLakeSink(spark, inDir, outDir)
+    } ++ runLakeSink(spark, inDir, outDir) ++
+      runDocsIngest(spark, sfDir, outDir)
+  }
+
+  /** Streaming near-dup ingest drain (see [[graft.engine.Ingest]]):
+    * the documents table streams in microbatches (maxFilesPerTrigger
+    * keeps each staged file its own batch — the multi-batch corpus
+    * growth the incremental index exists for), each batch dedups
+    * against the accepted-so-far lake corpus and commits
+    * docs/bands/rejects exactly-once. */
+  private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
+                                   outDir: String): Map[String, Long] = {
+    val inDir = s"$outDir/docs_input"
+    new java.io.File(inDir).mkdirs()
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}-" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    java.nio.file.Files.copy(
+      src, java.nio.file.Paths.get(inDir, s"documents-$fp.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val root = s"$outDir/ingest"
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        engine.Ingest.ingestBatch(b, root, "docs_ingest", id); ()
+      }
+      .option("checkpointLocation", s"$outDir/checkpoints/docs_ingest")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def n(tableRoot: String): Long = engine.Ingest.readOrEmpty(
+      spark, tableRoot, new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long")).count()
+    Map("ingest_docs" -> n(engine.Ingest.docsRoot(root)),
+        "ingest_rejects" -> n(engine.Ingest.rejectsRoot(root)))
   }
 
   /** Exactly-once transactional ingest — the Structured-Streaming →
