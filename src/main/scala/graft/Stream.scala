@@ -1114,7 +1114,8 @@ object Stream {
       // where schema inference throws instead of reporting 0.
       name -> spark.read.schema(df.schema).parquet(s"$outDir/$name").count()
     } ++ runLakeSink(spark, inDir, outDir) ++
-      runDocsIngest(spark, sfDir, outDir)
+      runDocsIngest(spark, sfDir, outDir) ++
+      runEmbIngest(spark, sfDir, outDir)
   }
 
   /** Streaming near-dup ingest drain (see [[graft.engine.Ingest]]):
@@ -1150,6 +1151,39 @@ object Stream {
         .add("doc_id", "long")).count()
     Map("ingest_docs" -> n(engine.Ingest.docsRoot(root)),
         "ingest_rejects" -> n(engine.Ingest.rejectsRoot(root)))
+  }
+
+  /** Streaming SemDeDup ingest drain for the embeddings table — the
+    * vector-modality twin of [[runDocsIngest]] (frozen first-batch
+    * codebook, cell-scoped cosine dedup against the accepted lake
+    * corpus; graft.engine.Ingest.ingestEmbBatch). */
+  private[graft] def runEmbIngest(spark: SparkSession, sfDir: String,
+                                  outDir: String): Map[String, Long] = {
+    val inDir = s"$outDir/emb_input"
+    new java.io.File(inDir).mkdirs()
+    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}-" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    java.nio.file.Files.copy(
+      src, java.nio.file.Paths.get(inDir, s"embeddings-$fp.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val root = s"$outDir/ingest"
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id); ()
+      }
+      .option("checkpointLocation", s"$outDir/checkpoints/emb_ingest")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def n(tableRoot: String): Long = engine.Ingest.readOrEmpty(
+      spark, tableRoot, new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long")).count()
+    Map("ingest_vecs" -> n(engine.Ingest.vecsRoot(root)),
+        "ingest_vrejects" -> n(engine.Ingest.vrejectsRoot(root)))
   }
 
   /** Exactly-once transactional ingest — the Structured-Streaming →

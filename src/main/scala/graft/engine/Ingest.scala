@@ -123,9 +123,114 @@ object Ingest {
     LakeTable.appendTxn(accepted, docsRoot(root), appId, batchId)
     LakeTable.appendTxn(acceptedBands, bandsRoot(root), appId, batchId)
     LakeTable.appendTxn(rejects, rejectsRoot(root), appId, batchId)
-    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    dropStaging(spark, stagingDir)
+    ()
+  }
+
+  // ---------------------------------------------------------------
+  // Embedding ingest — the same posture for the vector modality
+  // ---------------------------------------------------------------
+
+  def vecsRoot(root: String): String = s"$root/vecs"
+  def vrejectsRoot(root: String): String = s"$root/vrejects"
+  def codebookRoot(root: String): String = s"$root/codebook"
+
+  private def vecsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("cell_id", LongType)))
+
+  private def dropStaging(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)                          // best-effort cleanup
+  }
+
+  /** Streaming SemDeDup ingest for embeddings — [[ingestBatch]]'s
+    * posture on the vector modality (QueriesR11.embSemdedup's
+    * cell-scoped kill rule, made incremental):
+    *
+    *  - The coarse k-means codebook trains ONCE, on the first batch,
+    *    deterministically (Ops.kmeansCodebook: hash-sampled seeds,
+    *    fixed iterations) and is FROZEN as its own lake table — the
+    *    emb_ann_incremental contract: later batches assign to the
+    *    frozen cells, cost ∝ batch × k, never corpus, no retraining.
+    *  - A delta vector is rejected iff some same-cell partner — an
+    *    accepted corpus vector (match_src "base") or an earlier-id
+    *    vector of its own batch ("delta") — has rounded cosine
+    *    STRICTLY above `dupCos` (embSemdedup's rule). The candidate
+    *    surface is Σ|cell ∩ batch|·|cell|, never n².
+    *  - Accepted vectors persist WITH their cell id (the frozen
+    *    codebook makes it immutable), so future batches probe the
+    *    index by an equi-join on cell_id — no corpus re-assignment.
+    *  - Same crash contract as the document leg: staging-first,
+    *    batch-id anti-joins on the base, three appendTxn commits
+    *    under one token (codebook first on batch 0 — it must exist
+    *    before any vecs commit), identical verdicts under every
+    *    partial-commit replay. */
+  def ingestEmbBatch(batch: DataFrame, root: String, appId: String,
+                     batchId: Long, dupCos: Double = 0.45,
+                     k: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    Exprs.register(spark); TopK.register(spark)
+    val stagingDir = s"$root/staging/emb-batch-$batchId"
+    batch.write.mode("overwrite").parquet(stagingDir)
+    val delta = spark.read.parquet(stagingDir)
+      .select("vec_id", "embedding")
+    if (delta.isEmpty) {
+      // Advance the txn high-water mark without touching the corpus —
+      // and never train (or commit) a codebook from nothing.
+      LakeTable.appendTxn(emptyFrame(spark, vecsSchema),
+        vecsRoot(root), appId, batchId)
+      LakeTable.appendTxn(emptyFrame(spark, StructType(Seq(
+          StructField("vec_id", LongType), StructField("dup_of", LongType),
+          StructField("cos", DoubleType),
+          StructField("match_src", StringType)))),
+        vrejectsRoot(root), appId, batchId)
+      dropStaging(spark, stagingDir)
+      return
+    }
+    if (LakeTable.latestVersion(spark, codebookRoot(root)).isEmpty)
+      LakeTable.appendTxn(
+        Ops.kmeansCodebook(delta, "vec_id", "embedding", k),
+        codebookRoot(root), appId, batchId)
+    val cent = LakeTable.read(spark, codebookRoot(root))
+      .select("cid", "cemb")
+    // argmax cell assignment — embSemdedup/annIvf's exact tie rule
+    val asg = delta.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
+              col("cid"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), expr("t[0].id").as("cell_id"))
+    val cells = delta.join(asg, "vec_id")
+    val batchIds = delta.select("vec_id")
+    val baseVecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
+      .join(batchIds, Seq("vec_id"), "left_anti")
+    def cos(a: String, b: String) =
+      round(expr(s"cosine_sim($a.embedding, $b.embedding)"), 6)
+    val candBase = cells.as("a")
+      .join(baseVecs.as("b"), col("a.cell_id") === col("b.cell_id"))
+      .filter(cos("a", "b") > lit(dupCos))
+      .select(col("a.vec_id").as("vec_id"),
+              col("b.vec_id").as("dup_of"),
+              cos("a", "b").as("cos"), lit("base").as("match_src"))
+    val candDelta = cells.as("a")
+      .join(cells.as("b"), col("a.cell_id") === col("b.cell_id") &&
+                           col("b.vec_id") < col("a.vec_id"))
+      .filter(cos("a", "b") > lit(dupCos))
+      .select(col("a.vec_id").as("vec_id"),
+              col("b.vec_id").as("dup_of"),
+              cos("a", "b").as("cos"), lit("delta").as("match_src"))
+    val rejects = candBase.unionByName(candDelta).localCheckpoint()
+    val accepted = cells
+      .join(rejects.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cell_id")
+    LakeTable.appendTxn(accepted, vecsRoot(root), appId, batchId)
+    LakeTable.appendTxn(rejects, vrejectsRoot(root), appId, batchId)
+    dropStaging(spark, stagingDir)
     ()
   }
 }

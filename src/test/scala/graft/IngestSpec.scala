@@ -113,6 +113,137 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("embedding ingest: frozen codebook, cell-scoped dedup, audited rejects, restart exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eingest").toString
+    val inDir = s"$base/input"
+    new java.io.File(inDir).mkdirs()
+    val root = s"$base/lake"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def stage(half: DataFrame, name: String): Unit = {
+      val scratch = s"$base/scratch_$name"
+      half.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(inDir, s"emb-$name.parquet"))
+    }
+    stage(all.filter(col("vec_id") < 250), "a")
+    val schema = spark.read.parquet(inDir).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Ingest.ingestEmbBatch(b, root, "t_emb", id); ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val vecsAfterA = rowsOf(spark, Ingest.vecsRoot(root))
+    val cbAfterA = rowsOf(spark, Ingest.codebookRoot(root))
+    assert(vecsAfterA.nonEmpty && cbAfterA.nonEmpty)
+    drain()                                     // restart, no new files
+    assert(rowsOf(spark, Ingest.vecsRoot(root)) == vecsAfterA,
+      "empty restart changed the vector corpus")
+    stage(all.filter(col("vec_id") >= 250), "b")
+    drain()
+    // the codebook never retrains: batch b left it untouched
+    assert(rowsOf(spark, Ingest.codebookRoot(root)) == cbAfterA,
+      "codebook changed after the first batch — it must be frozen")
+    val vecs = LakeTable.read(spark, Ingest.vecsRoot(root)).collect()
+    val acceptedIds = vecs.map(_.getAs[Long]("vec_id")).toSet
+    val rejects = LakeTable.read(spark, Ingest.vrejectsRoot(root)).collect()
+    val rejectedIds = rejects.map(_.getAs[Long]("vec_id")).toSet
+    val stagedIds = idsOf(all.select(col("vec_id").as("doc_id")))
+    assert((acceptedIds ++ rejectedIds) == stagedIds &&
+           (acceptedIds & rejectedIds).isEmpty,
+      s"corpus partition broken: lost=" +
+        s"${(stagedIds -- acceptedIds -- rejectedIds).take(5)}")
+    assert(rejectedIds.nonEmpty,
+      "fixture produced no embedding rejects — dedup leg untested")
+    // audit truth: recompute every pair's cosine independently
+    val embById = all.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    rejects.foreach { r =>
+      val (v, m) = (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))
+      val c = cosine(embById(v), embById(m))
+      assert(c > 0.45, s"audit pair ($v,$m) below threshold: $c")
+      assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9,
+        s"audit pair ($v,$m): stored ${r.getAs[Double]("cos")} != $c")
+      r.getAs[String]("match_src") match {
+        case "base"  => assert(acceptedIds.contains(m))
+        case "delta" => assert(m < v)
+        case other   => fail(s"unknown match_src $other")
+      }
+    }
+    // accepted cell ids are the frozen-codebook argmax (recompute for
+    // a sample against the committed codebook, exact rule)
+    val cb = LakeTable.read(spark, Ingest.codebookRoot(root)).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getSeq[Double](r.fieldIndex("cemb")).toArray)
+    def cosMixed(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i).toDouble
+        nb += b(i) * b(i); i += 1
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    vecs.take(50).foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val best = cb.map { case (cid, ce) =>
+        (cosMixed(embById(v), ce), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+      assert(r.getAs[Long]("cell_id") == best,
+        s"vec $v assigned cell ${r.getAs[Long]("cell_id")}, argmax $best")
+    }
+  }
+
+  test("embedding ingest partial-commit re-delivery: codebook-only and vecs-without-rejects windows both recompute identically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eingest_rd").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val halfA = all.filter(col("vec_id") < 250)
+    val halfB = all.filter(col("vec_id") >= 250)
+    val ref = s"$base/ref"
+    Ingest.ingestEmbBatch(halfA, ref, "t", 0L)
+    Ingest.ingestEmbBatch(halfB, ref, "t", 1L)
+    // window 1: batch 0 crashed after the codebook commit, before vecs
+    val c1 = s"$base/c1"
+    LakeTable.appendTxn(LakeTable.read(spark, Ingest.codebookRoot(ref)),
+      Ingest.codebookRoot(c1), "t", 0L)
+    Ingest.ingestEmbBatch(halfA, c1, "t", 0L)     // re-delivery
+    Ingest.ingestEmbBatch(halfB, c1, "t", 1L)
+    // window 2: batch 1 crashed after vecs commit, before rejects
+    val c2 = s"$base/c2"
+    Ingest.ingestEmbBatch(halfA, c2, "t", 0L)
+    val vecsB = LakeTable.read(spark, Ingest.vecsRoot(ref))
+      .filter(col("vec_id") >= 250)
+    LakeTable.appendTxn(vecsB, Ingest.vecsRoot(c2), "t", 1L)
+    Ingest.ingestEmbBatch(halfB, c2, "t", 1L)     // re-delivery
+    for (crash <- Seq(c1, c2);
+         sub <- Seq(Ingest.vecsRoot _, Ingest.vrejectsRoot _,
+                    Ingest.codebookRoot _)) {
+      val (r, c) = (rowsOf(spark, sub(ref)), rowsOf(spark, sub(crash)))
+      assert(r == c, s"diverged at ${sub(crash)}: " +
+        s"ref-only=${(r -- c).take(3)}, crash-only=${(c -- r).take(3)}")
+    }
+  }
+
   test("partial-commit re-delivery recomputes identical verdicts (docs+bands landed, rejects did not)") {
     // The nastiest crash window: batch 1's docs AND bands committed,
     // the rejects commit and Spark's own checkpoint both lost. The
