@@ -113,6 +113,70 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("ingest survives lake maintenance between batches; txn idempotence outlives the pruned log") {
+    // The operational composition: a long-running ingest's tables get
+    // checkpoint → vacuum → pruneLog → pruneCheckpoints between
+    // batches (the documented maintenance order). Later batches must
+    // reach identical verdicts, reads must stay exact — and the
+    // (appId, batchId) idempotence map must survive the commit-JSON
+    // prune (it is folded into the checkpoint), so a pathologically
+    // late re-delivery of an already-pruned batch still no-ops
+    // instead of double-committing.
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_mx").toString
+    val all = docs()
+    val halfA = all.filter(col("doc_id") < 250)
+    val halfB = all.filter(col("doc_id") >= 250)
+    val ref = s"$base/ref"
+    Ingest.ingestBatch(halfA, ref, "t", 0L)
+    Ingest.ingestBatch(halfB, ref, "t", 1L)
+    val mx = s"$base/mx"
+    Ingest.ingestBatch(halfA, mx, "t", 0L)
+    Ingest.ingestBatch(halfB, mx, "t", 1L)
+    // maintenance in the documented order — the v0 commit JSONs go
+    // away, so batch 0's txn record now lives ONLY in the checkpoint
+    for (sub <- Seq(Ingest.docsRoot(mx), Ingest.bandsRoot(mx),
+                    Ingest.rejectsRoot(mx))) {
+      LakeTable.checkpoint(spark, sub)
+      LakeTable.vacuum(spark, sub,
+        LakeTable.latestVersion(spark, sub).get)
+      val pruned = LakeTable.pruneLog(spark, sub)
+      assert(pruned.nonEmpty, s"$sub: nothing pruned — v0 JSON still " +
+        "present, the txn-survival leg is not being exercised")
+      LakeTable.pruneCheckpoints(spark, sub)
+    }
+    // pathologically late re-deliveries of BOTH batches must no-op
+    Ingest.ingestBatch(halfA, mx, "t", 0L)
+    Ingest.ingestBatch(halfB, mx, "t", 1L)
+    for (sub <- Seq(Ingest.docsRoot _, Ingest.bandsRoot _,
+                    Ingest.rejectsRoot _)) {
+      val (r, c) = (rowsOf(spark, sub(ref)), rowsOf(spark, sub(mx)))
+      assert(r == c, s"maintained run diverged at ${sub(mx)}: " +
+        s"ref-only=${(r -- c).take(3)}, mx-only=${(c -- r).take(3)}")
+    }
+    // and ingest proceeds over the maintained tables: a batch of
+    // EXACT COPIES of accepted docs (new ids, identical text) must be
+    // rejected wholesale — identical text means identical shingles,
+    // signatures, and bands, so each copy collides with its original
+    // in every band bucket and verifies at Jaccard 1.0
+    val acceptedBefore = idsOf(LakeTable.read(spark, Ingest.docsRoot(mx)))
+    val copies = LakeTable.read(spark, Ingest.docsRoot(mx))
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    Ingest.ingestBatch(copies, mx, "t", 2L)
+    assert(idsOf(LakeTable.read(spark, Ingest.docsRoot(mx))) ==
+             acceptedBefore,
+      "exact copies of accepted docs entered the corpus")
+    val rej2 = LakeTable.read(spark, Ingest.rejectsRoot(mx))
+      .filter(col("doc_id") >= 100000L).collect()
+    assert(rej2.map(_.getAs[Long]("doc_id")).toSet ==
+             acceptedBefore.map(_ + 100000L),
+      "some copy went unrejected")
+    rej2.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rows) =>
+      assert(rows.exists(r => r.getAs[Long]("match_id") == d - 100000L &&
+                              r.getAs[Double]("jaccard") == 1.0),
+        s"copy $d lacks the Jaccard-1.0 pair with its original")
+    }
+  }
+
   test("embedding ingest: frozen codebook, cell-scoped dedup, audited rejects, restart exactly-once") {
     val base = java.nio.file.Files.createTempDirectory("graft_eingest").toString
     val inDir = s"$base/input"
