@@ -206,9 +206,9 @@ object Stream {
     * the rest join the pending buffer, and the buffer splits into the
     * watermark-released prefix (to fold now, caller sorts it) and the
     * still-held remainder. Returns (ripe, hold, advanced frontier);
-    * the caller updates state and, iff hold is non-empty, arms the
-    * EventTimeTimeout at watermark+1 ms so the buffer flushes on the
-    * next watermark advance even with no new per-user data.
+    * the caller updates state and arms the EventTimeTimeout via
+    * [[armFlush]] so the buffer flushes the moment the watermark
+    * reaches its earliest row, even with no new per-user data.
     *
     * Note Spark's stateful operator already discards input rows older
     * than the batch watermark before they reach the step function
@@ -225,6 +225,25 @@ object Stream {
     val (ripe, hold) = (pending ++ inc).partition(r => usOf(r) <= wmUs)
     (ripe, hold, math.max(frontierUs, wmUs))
   }
+
+  /** Arms the buffer-flush timeout at the EARLIEST HELD ROW's event
+    * time (ms-floored minus one, so Spark's strict `timeout <
+    * watermark` fire rule triggers on the first batch whose watermark
+    * reaches the row) — not at watermark+1. The difference is pure
+    * state-store traffic at scale: with seconds-grain triggers and an
+    * hour lag, nearly every live user always holds rows, and a wm+1
+    * timeout would invoke every one of them on EVERY watermark
+    * advance to fold nothing and rewrite identical state; arming at
+    * the first releasable instant fires exactly when a row can
+    * ripen. Clamped above the current watermark (Spark rejects
+    * already-passed timestamps; the clamp only binds when the
+    * earliest held row is inside the next millisecond). */
+  private def armFlush[R](state: GroupState[_], hold: List[R],
+                          usOf: R => Long): Unit =
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(math.max(
+        Math.floorDiv(hold.map(usOf).min - 1L, 1000L),
+        state.getCurrentWatermarkMs + 1))
 
   /** TTL-bounded CEP step for RESIDENT deployments — the eviction
     * recipe the NoTimeout cep sink documents, made executable (r14;
@@ -284,8 +303,7 @@ object Stream {
     val (out, machine) = cepFold(spanMicros, uid)(st.machine,
       ripe.sortBy(r => (r._2, r._3)))
     state.update(CepOrdState(hold, machine, frontier))
-    if (hold.nonEmpty)
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    armFlush(state, hold, (r: (String, Long, Long)) => r._2)
     out.iterator
   }
 
@@ -300,14 +318,17 @@ object Stream {
     * COMPOSED with cepStepTtl's idle eviction, the combination the
     * ordered sink's doc comment names. One EventTimeTimeout carries
     * both duties, min-combined: while rows are buffered the timeout
-    * sits at watermark+1 ms (flush on the next advance — and a
-    * buffered user is never idle, because a held row's event time is
-    * by definition AHEAD of the watermark, so flush always outranks
-    * evict); once the buffer is empty it sits at (newest event + ttl)
-    * and a fire with nothing pending evicts the idle user's state
-    * entirely. A post-eviction arrival starts a fresh frontier — it
-    * folds immediately in arrival order, exactly cep_ttl's
-    * post-eviction behavior. */
+    * sits at the earliest held row's release instant (armFlush — and
+    * a buffered user is never idle, because a held row's event time
+    * is by definition AHEAD of the watermark, so flush always
+    * outranks evict); once the buffer is empty it sits at (newest
+    * event + ttl) and a fire with nothing pending evicts the idle
+    * user's state entirely. A post-eviction arrival starts a fresh
+    * frontier and re-enters the ordinary buffer-on-watermark cycle
+    * (it still waits for the watermark to pass it — eviction forgets
+    * the MACHINE, it does not change release timing; only its
+    * link to the pre-eviction past is gone, which is cep_ttl's
+    * post-eviction semantic too). */
   private[graft] def cepStepOrderedTtl(spanMicros: Long, ttlMillis: Long)(
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[CepOrdTtlState]): Iterator[CepHit] = {
@@ -325,9 +346,10 @@ object Stream {
       state.remove()                            // idle past the TTL
     } else {
       state.update(CepOrdTtlState(hold, machine, frontier, lastUs))
-      state.setTimeoutTimestamp(
-        if (hold.nonEmpty) wmMs + 1
-        else math.max(lastUs / 1000L + ttlMillis, wmMs + 1))
+      if (hold.nonEmpty)
+        armFlush(state, hold, (r: (String, Long, Long)) => r._2)
+      else state.setTimeoutTimestamp(
+        math.max(lastUs / 1000L + ttlMillis, wmMs + 1))
     }
     out.iterator
   }
@@ -439,8 +461,7 @@ object Stream {
       state.getCurrentWatermarkMs * 1000L)
     val (out, buf) = ewmaFold(st.prev, ripe.sortBy(r => (r._3, r._1)))
     state.update(EwmaOrdState(hold, buf, frontier))
-    if (hold.nonEmpty)
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    armFlush(state, hold, (r: (Long, Long, Long, Double)) => r._3)
     out.iterator
   }
 
@@ -509,8 +530,7 @@ object Stream {
       state.getCurrentWatermarkMs * 1000L)
     val (out, prev) = transFold(uid)(st.last, ripe.sortBy(r => (r._2, r._3)))
     state.update(TransOrdState(hold, prev, frontier))
-    if (hold.nonEmpty)
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    armFlush(state, hold, (r: (String, Long, Long)) => r._2)
     out.iterator
   }
 
@@ -576,8 +596,7 @@ object Stream {
       state.getCurrentWatermarkMs * 1000L)
     val (out, prev) = spanFold(uid)(st.last, ripe.sortBy(r => (r._2, r._1)))
     state.update(SpanOrdState(hold, prev, frontier))
-    if (hold.nonEmpty)
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    armFlush(state, hold, (r: (Long, Long, Double)) => r._2)
     out.iterator
   }
 
@@ -642,8 +661,7 @@ object Stream {
       state.getCurrentWatermarkMs * 1000L)
     val (out, prev) = pathFold(uid)(st.prev, ripe.sortBy(r => (r._2, r._3)))
     state.update(PathOrdState(hold, prev, frontier))
-    if (hold.nonEmpty)
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+    armFlush(state, hold, (r: (String, Long, Long)) => r._2)
     out.iterator
   }
 
@@ -1118,72 +1136,66 @@ object Stream {
       runEmbIngest(spark, sfDir, outDir)
   }
 
-  /** Streaming near-dup ingest drain (see [[graft.engine.Ingest]]):
-    * the documents table streams in microbatches (maxFilesPerTrigger
-    * keeps each staged file its own batch — the multi-batch corpus
-    * growth the incremental index exists for), each batch dedups
-    * against the accepted-so-far lake corpus and commits
-    * docs/bands/rejects exactly-once. */
-  private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
-                                   outDir: String): Map[String, Long] = {
-    val inDir = s"$outDir/docs_input"
+  /** Shared ingest-drain mechanics (staging fingerprint, one file per
+    * microbatch, AvailableNow, per-stream checkpoint): the source
+    * table streams in microbatches — maxFilesPerTrigger keeps each
+    * staged file its own batch, the multi-batch corpus growth the
+    * incremental indexes exist for — and each batch commits
+    * exactly-once through `ingest`. `counts` maps result keys to the
+    * lake roots to count afterwards. */
+  private def runIngestStream(spark: SparkSession, sfDir: String,
+      outDir: String, srcName: String, streamName: String,
+      ingest: (org.apache.spark.sql.DataFrame, Long) => Unit,
+      counts: Map[String, String]): Map[String, Long] = {
+    val inDir = s"$outDir/${streamName}_input"
     new java.io.File(inDir).mkdirs()
-    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val src = java.nio.file.Paths.get(sfDir, srcName)
     val fp = s"${java.nio.file.Files.size(src)}-" +
       java.nio.file.Files.getLastModifiedTime(src).toMillis
     java.nio.file.Files.copy(
-      src, java.nio.file.Paths.get(inDir, s"documents-$fp.parquet"),
+      src, java.nio.file.Paths.get(inDir, s"$streamName-$fp.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val root = s"$outDir/ingest"
     val schema = spark.read.parquet(inDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        engine.Ingest.ingestBatch(b, root, "docs_ingest", id); ()
+        ingest(b, id); ()
       }
-      .option("checkpointLocation", s"$outDir/checkpoints/docs_ingest")
+      .option("checkpointLocation", s"$outDir/checkpoints/$streamName")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    def n(tableRoot: String): Long = engine.Ingest.readOrEmpty(
-      spark, tableRoot, new org.apache.spark.sql.types.StructType()
-        .add("doc_id", "long")).count()
-    Map("ingest_docs" -> n(engine.Ingest.docsRoot(root)),
-        "ingest_rejects" -> n(engine.Ingest.rejectsRoot(root)))
+    counts.map { case (key, tableRoot) =>
+      key -> engine.Ingest.readOrEmpty(spark, tableRoot,
+        new org.apache.spark.sql.types.StructType().add("id", "long"))
+        .count()
+    }
   }
 
-  /** Streaming SemDeDup ingest drain for the embeddings table — the
-    * vector-modality twin of [[runDocsIngest]] (frozen first-batch
-    * codebook, cell-scoped cosine dedup against the accepted lake
-    * corpus; graft.engine.Ingest.ingestEmbBatch). */
+  /** Streaming near-dup document ingest drain (graft.engine.Ingest
+    * .ingestBatch — persisted band index, exactly-once lake). */
+  private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
+                                   outDir: String): Map[String, Long] = {
+    val root = s"$outDir/ingest"
+    runIngestStream(spark, sfDir, outDir, "documents.parquet",
+      "docs_ingest",
+      (b, id) => engine.Ingest.ingestBatch(b, root, "docs_ingest", id),
+      Map("ingest_docs" -> engine.Ingest.docsRoot(root),
+          "ingest_rejects" -> engine.Ingest.rejectsRoot(root)))
+  }
+
+  /** Streaming SemDeDup embedding ingest drain (graft.engine.Ingest
+    * .ingestEmbBatch — frozen first-batch codebook, cell-scoped
+    * cosine dedup). */
   private[graft] def runEmbIngest(spark: SparkSession, sfDir: String,
                                   outDir: String): Map[String, Long] = {
-    val inDir = s"$outDir/emb_input"
-    new java.io.File(inDir).mkdirs()
-    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-    val fp = s"${java.nio.file.Files.size(src)}-" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
-    java.nio.file.Files.copy(
-      src, java.nio.file.Paths.get(inDir, s"embeddings-$fp.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val root = s"$outDir/ingest"
-    val schema = spark.read.parquet(inDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id); ()
-      }
-      .option("checkpointLocation", s"$outDir/checkpoints/emb_ingest")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    def n(tableRoot: String): Long = engine.Ingest.readOrEmpty(
-      spark, tableRoot, new org.apache.spark.sql.types.StructType()
-        .add("vec_id", "long")).count()
-    Map("ingest_vecs" -> n(engine.Ingest.vecsRoot(root)),
-        "ingest_vrejects" -> n(engine.Ingest.vrejectsRoot(root)))
+    runIngestStream(spark, sfDir, outDir, "embeddings.parquet",
+      "emb_ingest",
+      (b, id) => engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id),
+      Map("ingest_vecs" -> engine.Ingest.vecsRoot(root),
+          "ingest_vrejects" -> engine.Ingest.vrejectsRoot(root)))
   }
 
   /** Exactly-once transactional ingest — the Structured-Streaming →

@@ -97,6 +97,23 @@ object Ingest {
     val stagingDir = s"$root/staging/batch-$batchId"
     batch.write.mode("overwrite").parquet(stagingDir)
     val delta = spark.read.parquet(stagingDir)
+    if (delta.isEmpty) {
+      // Advance the txn high-water mark without paying the corpus
+      // reads, the LSH probe, or an artifact write (the emb leg's
+      // guard, mirrored).
+      LakeTable.appendTxn(emptyFrame(spark, delta.schema),
+        docsRoot(root), appId, batchId)
+      LakeTable.appendTxn(emptyFrame(spark, bandSchema),
+        bandsRoot(root), appId, batchId)
+      LakeTable.appendTxn(emptyFrame(spark, StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("match_id", LongType),
+          StructField("match_src", StringType),
+          StructField("jaccard", DoubleType)))),
+        rejectsRoot(root), appId, batchId)
+      dropStaging(spark, stagingDir)
+      return
+    }
     val batchIds = delta.select("doc_id")
     // Exclude the batch's own ids from BOTH base frames: after a
     // partial commit + re-delivery, the lake may already hold this

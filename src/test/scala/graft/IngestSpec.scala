@@ -46,14 +46,8 @@ class IngestSpec extends SparkTestBase {
     new java.io.File(inDir).mkdirs()
     val root = s"$base/lake"
     val all = docs()
-    def stage(half: DataFrame, name: String): Unit = {
-      val scratch = s"$base/scratch_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(inDir, s"docs-$name.parquet"))
-    }
+    def stage(half: DataFrame, name: String): Unit =
+      stageOnePart(half, inDir, s"docs-$name")
     stage(all.filter(col("doc_id") < 250), "a")
     val schema = spark.read.parquet(inDir).schema
     def drain(): Unit = {
@@ -183,14 +177,8 @@ class IngestSpec extends SparkTestBase {
     new java.io.File(inDir).mkdirs()
     val root = s"$base/lake"
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def stage(half: DataFrame, name: String): Unit = {
-      val scratch = s"$base/scratch_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(inDir, s"emb-$name.parquet"))
-    }
+    def stage(half: DataFrame, name: String): Unit =
+      stageOnePart(half, inDir, s"emb-$name")
     stage(all.filter(col("vec_id") < 250), "a")
     val schema = spark.read.parquet(inDir).schema
     def drain(): Unit = {

@@ -8,6 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Stages `df` as ONE parquet part at <destDir>/<name>.parquet —
+    * the append-only file-source staging the streaming tests share.
+    * Single-part by construction, so a maxFilesPerTrigger=1 drain
+    * sees exactly one microbatch per stage (a multi-part write would
+    * silently split batches — hence the coalesce and the loud failure
+    * if no part emerges). */
+  def stageOnePart(df: org.apache.spark.sql.DataFrame, destDir: String,
+                   name: String): Unit = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file staged for $name"))
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(destDir, s"$name.parquet"))
+  }
 }
 
 object SparkTestBase {

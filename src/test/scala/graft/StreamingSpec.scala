@@ -428,14 +428,8 @@ class StreamingSpec extends SparkTestBase {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     val cutUs = mnUs + (mxUs - mnUs) / 2
-    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val scratch = s"$base/scratch_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(inDir, s"events-$name.parquet"))
-    }
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageOnePart(half, inDir, s"events-$name")
     def drain(): Set[(Long, Long, Double)] = {
       val df = Stream.queries(spark, inDir)("ewma_ordered")
       val q = df.writeStream.format("parquet")
@@ -1492,14 +1486,8 @@ class StreamingSpec extends SparkTestBase {
     val cutUs = purchUs(purchUs.length / 2) - 1
     // per-user cross-batch (ts, …) order holds because the cut is on
     // ts: every file-A event precedes every file-B event in time
-    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val scratch = s"$base/scratch_$name"
-      half.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(inDir, s"events-$name.parquet"))
-    }
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageOnePart(half, inDir, s"events-$name")
     def drainFunnel(): Set[Seq[Any]] = {
       val df = Stream.queries(spark, inDir)("funnel")
       val q = df.writeStream.format("parquet")
