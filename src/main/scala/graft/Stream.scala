@@ -1174,15 +1174,25 @@ object Stream {
   }
 
   /** Streaming near-dup document ingest drain (graft.engine.Ingest
-    * .ingestBatch — persisted band index, exactly-once lake). */
+    * .ingestBatch — persisted band index, exactly-once lake), with a
+    * representative quality gate in front of the dedup: documents
+    * under 100 chars drop to the `filtered` audit table (the
+    * length-rule stand-in for the gopher/lang-id batch keys — any
+    * deterministic (doc_id, reason) rule plugs in the same way). */
   private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
                                    outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
+    val tooShort: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      d => d.filter(col("n_chars") < 100)
+        .select(col("doc_id"), lit("too_short").as("reason"))
     runIngestStream(spark, sfDir, outDir, "documents.parquet",
       "docs_ingest",
-      (b, id) => engine.Ingest.ingestBatch(b, root, "docs_ingest", id),
+      (b, id) => engine.Ingest.ingestBatch(b, root, "docs_ingest", id,
+        filter = Some(tooShort)),
       Map("ingest_docs" -> engine.Ingest.docsRoot(root),
-          "ingest_rejects" -> engine.Ingest.rejectsRoot(root)))
+          "ingest_rejects" -> engine.Ingest.rejectsRoot(root),
+          "ingest_filtered" -> engine.Ingest.filteredRoot(root)))
   }
 
   /** Streaming SemDeDup embedding ingest drain (graft.engine.Ingest

@@ -47,10 +47,14 @@ object Ingest {
   def docsRoot(root: String): String = s"$root/docs"
   def bandsRoot(root: String): String = s"$root/bands"
   def rejectsRoot(root: String): String = s"$root/rejects"
+  def filteredRoot(root: String): String = s"$root/filtered"
 
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("bh", LongType)))
+
+  private val filteredSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("reason", StringType)))
 
   private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
                          schema: StructType): DataFrame =
@@ -68,15 +72,34 @@ object Ingest {
       LakeTable.read(spark, root)
     else emptyFrame(spark, schema)
 
-  /** Processes one microbatch: dedup against the accepted corpus +
-    * earlier in-batch docs, then commit (docs, bands, rejects) with
-    * the (appId, batchId) token. Safe to call again with the same
-    * batchId after any partial failure — see the determinism note
-    * above. */
+  /** Processes one microbatch: quality-filter (optional), dedup
+    * against the accepted corpus + earlier in-batch docs, then commit
+    * (docs, bands, rejects, filtered) with the (appId, batchId)
+    * token. Safe to call again with the same batchId after any
+    * partial failure — see the determinism note above.
+    *
+    * `filter`, when given, maps the staged batch to (doc_id, reason)
+    * rows naming the documents to EXCLUDE before dedup — the
+    * production ingest gate's first stage (length/language/quality
+    * rules), audited to its own lake table. Filtered documents never
+    * enter the band index, so they can never doom a later near-dup
+    * of themselves. The function must be deterministic in the batch
+    * content (pure Column logic qualifies) — it re-runs on
+    * re-delivery and its verdicts must replay identically, the same
+    * contract as the dedup stage.
+    *
+    * Survivor identity across batches is arrival-order-dependent by
+    * construction (streaming greedy dedup): if X lands a batch
+    * before its near-dup Y, X survives regardless of id order —
+    * base-wins beats earlier-id-wins. The corpus always keeps
+    * exactly one representative per duplicate chain; WHICH one
+    * depends on arrival, as in any incremental dedup. */
   def ingestBatch(batch: DataFrame, root: String, appId: String,
                   batchId: Long, threshold: Double = 0.8,
                   shingleSize: Int = 5, numHashes: Int = 32,
-                  rowsPerBand: Int = 2, maxBucket: Int = 256): Unit = {
+                  rowsPerBand: Int = 2, maxBucket: Int = 256,
+                  filter: Option[DataFrame => DataFrame] = None)
+      : Unit = {
     val spark = batch.sparkSession
     // Land the batch to a staging parquet and reprocess FROM FILES.
     // Two reasons, both load-bearing: (1) a foreachBatch frame is
@@ -111,9 +134,17 @@ object Ingest {
           StructField("match_src", StringType),
           StructField("jaccard", DoubleType)))),
         rejectsRoot(root), appId, batchId)
+      LakeTable.appendTxn(emptyFrame(spark, filteredSchema),
+        filteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
       return
     }
+    val flagged = filter
+      .map(f => f(delta).select(col("doc_id"), col("reason"))
+        .localCheckpoint())
+      .getOrElse(emptyFrame(spark, filteredSchema))
+    val surviving = delta
+      .join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     val batchIds = delta.select("doc_id")
     // Exclude the batch's own ids from BOTH base frames: after a
     // partial commit + re-delivery, the lake may already hold this
@@ -126,12 +157,12 @@ object Ingest {
       .join(batchIds, Seq("doc_id"), "left_anti")
     val pairs = Ops.minhashNearDupIncremental(
         baseBands, baseDocs.select("doc_id", "text"),
-        delta.select("doc_id", "text"), "doc_id", "text",
+        surviving.select("doc_id", "text"), "doc_id", "text",
         shingleSize, numHashes, rowsPerBand, threshold, maxBucket)
       .select(col("doc_id"), col("match_id"), col("match_src"),
               col("jaccard"))
     val rejects = pairs.localCheckpoint()       // 3 consumers, tiny
-    val accepted = delta
+    val accepted = surviving
       .join(rejects.select("doc_id"), Seq("doc_id"), "left_anti")
     val acceptedBands = Ops.lshBandIndex(
         Ops.shingles(accepted, "doc_id", "text", shingleSize),
@@ -140,6 +171,7 @@ object Ingest {
     LakeTable.appendTxn(accepted, docsRoot(root), appId, batchId)
     LakeTable.appendTxn(acceptedBands, bandsRoot(root), appId, batchId)
     LakeTable.appendTxn(rejects, rejectsRoot(root), appId, batchId)
+    LakeTable.appendTxn(flagged, filteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
     ()
   }

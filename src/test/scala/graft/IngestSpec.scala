@@ -107,6 +107,63 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("quality filter stage: filtered docs audit separately, never enter the index, and cannot doom their near-dups") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_f").toString
+    val root = s"$base/lake"
+    val all = docs()
+    val tooShort: DataFrame => DataFrame =
+      d => d.filter(col("n_chars") < 100)
+        .select(col("doc_id"), lit("too_short").as("reason"))
+    Ingest.ingestBatch(all.filter(col("doc_id") < 250), root, "t", 0L,
+      filter = Some(tooShort))
+    Ingest.ingestBatch(all.filter(col("doc_id") >= 250), root, "t", 1L,
+      filter = Some(tooShort))
+    val acceptedIds = idsOf(LakeTable.read(spark, Ingest.docsRoot(root)))
+    val rejectedIds = LakeTable.read(spark, Ingest.rejectsRoot(root))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val filtered = LakeTable.read(spark, Ingest.filteredRoot(root))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val filteredIds = filtered.map(_._1).toSet
+    val stagedIds = idsOf(all)
+    // three-way partition of the staged corpus
+    assert(acceptedIds ++ rejectedIds ++ filteredIds == stagedIds,
+      s"lost: ${(stagedIds -- acceptedIds -- rejectedIds -- filteredIds).take(5)}")
+    assert((acceptedIds & filteredIds).isEmpty &&
+           (rejectedIds & filteredIds).isEmpty &&
+           (acceptedIds & rejectedIds).isEmpty, "verdicts overlap")
+    // the filter verdict is exactly the rule, with its reason
+    val wantFiltered = idsOf(all.filter(col("n_chars") < 100))
+    assert(filteredIds == wantFiltered && filtered.forall(_._2 == "too_short"),
+      s"filter verdicts wrong: got ${filteredIds.size}, want ${wantFiltered.size}")
+    // filtered docs never entered the band index
+    assert((idsOf(LakeTable.read(spark, Ingest.bandsRoot(root)))
+              & filteredIds).isEmpty,
+      "a filtered doc's bands entered the index")
+    // and they cannot doom others: no reject names a filtered doc as
+    // its match
+    val matchIds = LakeTable.read(spark, Ingest.rejectsRoot(root))
+      .select("match_id").collect().map(_.getLong(0)).toSet
+    assert((matchIds & filteredIds).isEmpty,
+      "a filtered doc doomed another doc")
+    // re-delivery with the filter (docs+bands+rejects landed,
+    // filtered lost) replays identically
+    val ref = s"$base/ref"
+    Ingest.ingestBatch(all.filter(col("doc_id") < 250), ref, "t", 0L,
+      filter = Some(tooShort))
+    for (sub <- Seq(Ingest.docsRoot _, Ingest.bandsRoot _,
+                    Ingest.rejectsRoot _))
+      LakeTable.appendTxn(
+        LakeTable.read(spark, sub(root)).filter(col("doc_id") >= 250),
+        sub(ref), "t", 1L)
+    Ingest.ingestBatch(all.filter(col("doc_id") >= 250), ref, "t", 1L,
+      filter = Some(tooShort))
+    for (sub <- Seq(Ingest.docsRoot _, Ingest.bandsRoot _,
+                    Ingest.rejectsRoot _, Ingest.filteredRoot _)) {
+      val (r, c) = (rowsOf(spark, sub(root)), rowsOf(spark, sub(ref)))
+      assert(r == c, s"filtered re-delivery diverged at ${sub(ref)}")
+    }
+  }
+
   test("ingest survives lake maintenance between batches; txn idempotence outlives the pruned log") {
     // The operational composition: a long-running ingest's tables get
     // checkpoint → vacuum → pruneLog → pruneCheckpoints between

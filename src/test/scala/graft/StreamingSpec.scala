@@ -919,11 +919,12 @@ class StreamingSpec extends SparkTestBase {
           "cep", "cep_ttl", "cep_ordered", "cep_ordered_ttl",
           "twap_spans", "twap_spans_ordered", "paths", "paths_ordered",
           "lake_dedup", "ingest_docs", "ingest_rejects",
-          "ingest_vecs", "ingest_vrejects"))
+          "ingest_filtered", "ingest_vecs", "ingest_vrejects"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
-    assert(counts("ingest_docs") > 0 &&
-           counts("ingest_docs") + counts("ingest_rejects") >= 500,
+    assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
+           counts("ingest_docs") + counts("ingest_rejects") +
+             counts("ingest_filtered") >= 500,
       s"docs ingest lost documents: $counts")
     assert(counts("ingest_vecs") > 0 &&
            counts("ingest_vecs") + counts("ingest_vrejects") >= 500,
