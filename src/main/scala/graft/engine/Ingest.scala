@@ -182,7 +182,11 @@ object Ingest {
 
   def vecsRoot(root: String): String = s"$root/vecs"
   def vrejectsRoot(root: String): String = s"$root/vrejects"
+  def vfilteredRoot(root: String): String = s"$root/vfiltered"
   def codebookRoot(root: String): String = s"$root/codebook"
+
+  private val vfilteredSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("reason", StringType)))
 
   private def vecsSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -220,7 +224,9 @@ object Ingest {
     *    partial-commit replay. */
   def ingestEmbBatch(batch: DataFrame, root: String, appId: String,
                      batchId: Long, dupCos: Double = 0.45,
-                     k: Int = 16): Unit = {
+                     k: Int = 16,
+                     filter: Option[DataFrame => DataFrame] = None)
+      : Unit = {
     val spark = batch.sparkSession
     Exprs.register(spark); TopK.register(spark)
     val stagingDir = s"$root/staging/emb-batch-$batchId"
@@ -237,24 +243,35 @@ object Ingest {
           StructField("cos", DoubleType),
           StructField("match_src", StringType)))),
         vrejectsRoot(root), appId, batchId)
+      LakeTable.appendTxn(emptyFrame(spark, vfilteredSchema),
+        vfilteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
       return
     }
+    // Quality gate first (same contract as the document leg): a
+    // deterministic (vec_id, reason) rule; filtered vectors never
+    // shape the codebook, never enter a cell, never doom a neighbor.
+    val flagged = filter
+      .map(f => f(delta).select(col("vec_id"), col("reason"))
+        .localCheckpoint())
+      .getOrElse(emptyFrame(spark, vfilteredSchema))
+    val surviving = delta
+      .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
     if (LakeTable.latestVersion(spark, codebookRoot(root)).isEmpty)
       LakeTable.appendTxn(
-        Ops.kmeansCodebook(delta, "vec_id", "embedding", k),
+        Ops.kmeansCodebook(surviving, "vec_id", "embedding", k),
         codebookRoot(root), appId, batchId)
     val cent = LakeTable.read(spark, codebookRoot(root))
       .select("cid", "cemb")
     // argmax cell assignment — embSemdedup/annIvf's exact tie rule
-    val asg = delta.crossJoin(broadcast(cent))
+    val asg = surviving.crossJoin(broadcast(cent))
       .select(col("vec_id"),
               round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
               col("cid"))
       .groupBy("vec_id")
       .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
       .select(col("vec_id"), expr("t[0].id").as("cell_id"))
-    val cells = delta.join(asg, "vec_id")
+    val cells = surviving.join(asg, "vec_id")
     val batchIds = delta.select("vec_id")
     val baseVecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
       .join(batchIds, Seq("vec_id"), "left_anti")
@@ -279,6 +296,7 @@ object Ingest {
       .select("vec_id", "embedding", "cell_id")
     LakeTable.appendTxn(accepted, vecsRoot(root), appId, batchId)
     LakeTable.appendTxn(rejects, vrejectsRoot(root), appId, batchId)
+    LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
     ()
   }

@@ -323,6 +323,45 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("embedding quality filter: filtered vectors audit separately, shape no codebook cell, doom no neighbor") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eingest_f").toString
+    val root = s"$base/lake"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lowPrefixMass: DataFrame => DataFrame =
+      d => d.filter(expr(
+          "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
+            " (a, x) -> a + CAST(x AS DOUBLE) * x)) < 0.2"))
+        .select(col("vec_id"), lit("low_prefix_mass").as("reason"))
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") < 250), root, "t", 0L,
+      filter = Some(lowPrefixMass))
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") >= 250), root, "t", 1L,
+      filter = Some(lowPrefixMass))
+    val acceptedIds = LakeTable.read(spark, Ingest.vecsRoot(root))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rejectedIds = LakeTable.read(spark, Ingest.vrejectsRoot(root))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val filtered = LakeTable.read(spark, Ingest.vfilteredRoot(root))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val filteredIds = filtered.map(_._1).toSet
+    val stagedIds = all.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds ++ rejectedIds ++ filteredIds == stagedIds &&
+           (acceptedIds & filteredIds).isEmpty &&
+           (rejectedIds & filteredIds).isEmpty,
+      "three-way vector partition broken")
+    val wantFiltered = all.filter(expr(
+        "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
+          " (a, x) -> a + CAST(x AS DOUBLE) * x)) < 0.2"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filteredIds == wantFiltered &&
+           filtered.forall(_._2 == "low_prefix_mass"),
+      s"filter verdicts wrong: ${filteredIds.size} vs ${wantFiltered.size}")
+    assert(filteredIds.nonEmpty, "rule filtered nothing — leg untested")
+    // no reject blames a filtered vector
+    val dupOf = LakeTable.read(spark, Ingest.vrejectsRoot(root))
+      .select("dup_of").collect().map(_.getLong(0)).toSet
+    assert((dupOf & filteredIds).isEmpty, "a filtered vector doomed another")
+  }
+
   test("embedding ingest partial-commit re-delivery: codebook-only and vecs-without-rejects windows both recompute identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_eingest_rd").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")

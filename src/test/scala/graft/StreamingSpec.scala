@@ -919,15 +919,17 @@ class StreamingSpec extends SparkTestBase {
           "cep", "cep_ttl", "cep_ordered", "cep_ordered_ttl",
           "twap_spans", "twap_spans_ordered", "paths", "paths_ordered",
           "lake_dedup", "ingest_docs", "ingest_rejects",
-          "ingest_filtered", "ingest_vecs", "ingest_vrejects"))
+          "ingest_filtered", "ingest_vecs", "ingest_vrejects",
+          "ingest_vfiltered"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
     assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
            counts("ingest_docs") + counts("ingest_rejects") +
              counts("ingest_filtered") >= 500,
       s"docs ingest lost documents: $counts")
-    assert(counts("ingest_vecs") > 0 &&
-           counts("ingest_vecs") + counts("ingest_vrejects") >= 500,
+    assert(counts("ingest_vecs") > 0 && counts("ingest_vfiltered") > 0 &&
+           counts("ingest_vecs") + counts("ingest_vrejects") +
+             counts("ingest_vfiltered") >= 500,
       s"embedding ingest lost vectors: $counts")
     // the transactional lake ingest must hold exactly the dedup
     // sink's rows — same stream, exactly-once commits
