@@ -300,4 +300,45 @@ object Ingest {
     dropStaging(spark, stagingDir)
     ()
   }
+
+  /** kNN probe over the INGESTED vector corpus — the read half of the
+    * ingest→serve loop: queries (qid, embedding) rank the frozen
+    * codebook's cells (annIvf's exact conventions: cosine rounded
+    * 6 dp, topk (score DESC, id ASC)), probe their top `nprobe`
+    * cells against the STORED cell assignment (no corpus
+    * re-assignment, ever — the frozen codebook made cell_id immutable
+    * at accept time), and score candidates exactly. Returns
+    * (qid, neighbor_id, cos_sim, rk).
+    *
+    * Scale shape: the codebook broadcasts; the query→cell ranking is
+    * one map-side bounded-heap pass (cost ∝ queries × k_cells); the
+    * candidate join touches only probed cells — at 100 TB the vecs
+    * table is written partitioned/bucketed by cell_id so that join
+    * prunes to nprobe partitions per query batch, and the final
+    * top-k is the bounded TopKByScore heap (n_queries × k rows out,
+    * map-side partials — no global sort). */
+  def knnProbe(spark: org.apache.spark.sql.SparkSession, root: String,
+               queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    Exprs.register(spark); TopK.register(spark)
+    val cent = LakeTable.read(spark, codebookRoot(root))
+      .select("cid", "cemb")
+    val vecs = LakeTable.read(spark, vecsRoot(root))
+    val q = queries.select(col("qid"), col("embedding").as("qemb"))
+    val qcells = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cid"),
+              round(expr("cosine_sim(qemb, cemb)"), 6).as("cs"))
+      .groupBy("qid")
+      .agg(expr(s"topk_by_score(cs, cid, $nprobe)").as("t"))
+      .select(col("qid"), explode(col("t")).as("p"))
+      .select(col("qid"), col("p.id").as("cell_id"))
+    q.join(qcells, "qid")
+      .join(vecs, "cell_id")
+      .select(col("qid"), col("vec_id"),
+              round(expr("cosine_sim(qemb, embedding)"), 6).as("cos_sim"))
+      .groupBy("qid")
+      .agg(expr(s"topk_by_score(cos_sim, vec_id, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("neighbor_id"),
+              col("col.score").as("cos_sim"), (col("pos") + 1).as("rk"))
+  }
 }

@@ -362,6 +362,50 @@ class IngestSpec extends SparkTestBase {
     assert((dupOf & filteredIds).isEmpty, "a filtered vector doomed another")
   }
 
+  test("knnProbe over the ingested corpus: all-cells probe equals exact brute force, tie rule included") {
+    // The read half of the ingest→serve loop: with nprobe = every
+    // cell, the probe must reproduce the exact cosine top-k over the
+    // accepted corpus — recomputed here in plain Scala with the same
+    // 6 dp HALF_UP rounding and (score DESC, id ASC) tie rule.
+    val base = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val root = s"$base/lake"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") < 250), root, "t", 0L)
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") >= 250), root, "t", 1L)
+    val corpus = LakeTable.read(spark, Ingest.vecsRoot(root))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val queryIds = Seq(3L, 77L, 205L, 391L, 444L)
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val k = 5
+    val got = Ingest.knnProbe(spark, root, queries, k, nprobe = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq }
+    val qEmb = all.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    queryIds.foreach { qid =>
+      val want = corpus.map { case (vid, v) => (vid, cosine(qEmb(qid), v)) }
+        .sortBy { case (vid, c) => (-c, vid) }.take(k)
+        .map { case (vid, c) => (vid, c) }.toSeq
+      assert(got(qid) == want,
+        s"probe for $qid diverged:\n got=${got(qid)}\nwant=$want")
+    }
+  }
+
   test("embedding ingest partial-commit re-delivery: codebook-only and vecs-without-rejects windows both recompute identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_eingest_rd").toString
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
