@@ -1182,14 +1182,10 @@ object Stream {
   private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
                                    outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
-    val tooShort: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame =
-      d => d.filter(col("n_chars") < 100)
-        .select(col("doc_id"), lit("too_short").as("reason"))
     runIngestStream(spark, sfDir, outDir, "documents.parquet",
       "docs_ingest",
       (b, id) => engine.Ingest.ingestBatch(b, root, "docs_ingest", id,
-        filter = Some(tooShort)),
+        filter = Some(engine.Ingest.tooShortRule(100))),
       Map("ingest_docs" -> engine.Ingest.docsRoot(root),
           "ingest_rejects" -> engine.Ingest.rejectsRoot(root),
           "ingest_filtered" -> engine.Ingest.filteredRoot(root)))
@@ -1201,19 +1197,10 @@ object Stream {
   private[graft] def runEmbIngest(spark: SparkSession, sfDir: String,
                                   outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
-    // representative vector-quality gate: prefix-mass rule (the
-    // emb_norm_filter family) — vectors whose first-8-dim L2 mass is
-    // degenerate drop to the vfiltered audit table before dedup
-    val lowPrefixMass: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame =
-      d => d.filter(expr(
-          "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
-            " (a, x) -> a + CAST(x AS DOUBLE) * x)) < 0.2"))
-        .select(col("vec_id"), lit("low_prefix_mass").as("reason"))
     runIngestStream(spark, sfDir, outDir, "embeddings.parquet",
       "emb_ingest",
       (b, id) => engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id,
-        filter = Some(lowPrefixMass)),
+        filter = Some(engine.Ingest.lowPrefixMassRule(0.2))),
       Map("ingest_vecs" -> engine.Ingest.vecsRoot(root),
           "ingest_vrejects" -> engine.Ingest.vrejectsRoot(root),
           "ingest_vfiltered" -> engine.Ingest.vfilteredRoot(root)))

@@ -56,6 +56,25 @@ object Ingest {
   private val filteredSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("reason", StringType)))
 
+  private val rejectsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("match_id", LongType),
+    StructField("match_src", StringType), StructField("jaccard", DoubleType)))
+
+  /** Representative document quality rule (the drain's default):
+    * too-short documents, audited with their reason. Named HERE so
+    * production wiring and the specs share one definition. */
+  def tooShortRule(minChars: Int): DataFrame => DataFrame =
+    d => d.filter(col("n_chars") < minChars)
+      .select(col("doc_id"), lit("too_short").as("reason"))
+
+  /** Representative vector quality rule: degenerate first-8-dims L2
+    * mass (the emb_norm_filter family). */
+  def lowPrefixMassRule(minMass: Double): DataFrame => DataFrame =
+    d => d.filter(expr(
+        "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
+          s" (a, x) -> a + CAST(x AS DOUBLE) * x)) < $minMass"))
+      .select(col("vec_id"), lit("low_prefix_mass").as("reason"))
+
   private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
                          schema: StructType): DataFrame =
     spark.createDataFrame(
@@ -128,11 +147,7 @@ object Ingest {
         docsRoot(root), appId, batchId)
       LakeTable.appendTxn(emptyFrame(spark, bandSchema),
         bandsRoot(root), appId, batchId)
-      LakeTable.appendTxn(emptyFrame(spark, StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("match_id", LongType),
-          StructField("match_src", StringType),
-          StructField("jaccard", DoubleType)))),
+      LakeTable.appendTxn(emptyFrame(spark, rejectsSchema),
         rejectsRoot(root), appId, batchId)
       LakeTable.appendTxn(emptyFrame(spark, filteredSchema),
         filteredRoot(root), appId, batchId)
@@ -188,6 +203,10 @@ object Ingest {
   private val vfilteredSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("reason", StringType)))
 
+  private val vrejectsSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("dup_of", LongType),
+    StructField("cos", DoubleType), StructField("match_src", StringType)))
+
   private def vecsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -231,32 +250,39 @@ object Ingest {
     Exprs.register(spark); TopK.register(spark)
     val stagingDir = s"$root/staging/emb-batch-$batchId"
     batch.write.mode("overwrite").parquet(stagingDir)
-    val delta = spark.read.parquet(stagingDir)
-      .select("vec_id", "embedding")
-    if (delta.isEmpty) {
+    val staged = spark.read.parquet(stagingDir)
+    // Quality gate first, over the FULL staged frame (same contract
+    // as the document leg — a rule may reference any staged column):
+    // a deterministic (vec_id, reason) rule; filtered vectors never
+    // shape the codebook, never enter a cell, never doom a neighbor.
+    val flagged =
+      if (staged.isEmpty) emptyFrame(spark, vfilteredSchema)
+      else filter
+        .map(f => f(staged).select(col("vec_id"), col("reason"))
+          .localCheckpoint())
+        .getOrElse(emptyFrame(spark, vfilteredSchema))
+    val surviving = staged.select("vec_id", "embedding")
+      .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+    val trainable =
+      LakeTable.latestVersion(spark, codebookRoot(root)).isDefined ||
+      !surviving.isEmpty
+    if (staged.isEmpty || !trainable) {
       // Advance the txn high-water mark without touching the corpus —
-      // and never train (or commit) a codebook from nothing.
+      // and never train (or commit) a codebook from nothing: an
+      // all-filtered (or empty) batch before any codebook exists
+      // audits its filter verdicts and leaves training to the first
+      // batch with survivors. (A committed EMPTY codebook would wedge
+      // the root forever: every later batch would skip retraining on
+      // latestVersion.isDefined and then crash reading a data-less
+      // table.)
       LakeTable.appendTxn(emptyFrame(spark, vecsSchema),
         vecsRoot(root), appId, batchId)
-      LakeTable.appendTxn(emptyFrame(spark, StructType(Seq(
-          StructField("vec_id", LongType), StructField("dup_of", LongType),
-          StructField("cos", DoubleType),
-          StructField("match_src", StringType)))),
+      LakeTable.appendTxn(emptyFrame(spark, vrejectsSchema),
         vrejectsRoot(root), appId, batchId)
-      LakeTable.appendTxn(emptyFrame(spark, vfilteredSchema),
-        vfilteredRoot(root), appId, batchId)
+      LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
       return
     }
-    // Quality gate first (same contract as the document leg): a
-    // deterministic (vec_id, reason) rule; filtered vectors never
-    // shape the codebook, never enter a cell, never doom a neighbor.
-    val flagged = filter
-      .map(f => f(delta).select(col("vec_id"), col("reason"))
-        .localCheckpoint())
-      .getOrElse(emptyFrame(spark, vfilteredSchema))
-    val surviving = delta
-      .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
     if (LakeTable.latestVersion(spark, codebookRoot(root)).isEmpty)
       LakeTable.appendTxn(
         Ops.kmeansCodebook(surviving, "vec_id", "embedding", k),
@@ -272,7 +298,7 @@ object Ingest {
       .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
       .select(col("vec_id"), expr("t[0].id").as("cell_id"))
     val cells = surviving.join(asg, "vec_id")
-    val batchIds = delta.select("vec_id")
+    val batchIds = staged.select("vec_id")
     val baseVecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
       .join(batchIds, Seq("vec_id"), "left_anti")
     def cos(a: String, b: String) =
@@ -320,9 +346,14 @@ object Ingest {
   def knnProbe(spark: org.apache.spark.sql.SparkSession, root: String,
                queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     Exprs.register(spark); TopK.register(spark)
-    val cent = LakeTable.read(spark, codebookRoot(root))
+    // readOrEmpty, not read: a root whose ingest has started but not
+    // yet accepted a vector (all batches filtered/duplicate/empty)
+    // must answer with zero neighbors, not throw.
+    val cent = readOrEmpty(spark, codebookRoot(root), StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cemb", ArrayType(DoubleType)))))
       .select("cid", "cemb")
-    val vecs = LakeTable.read(spark, vecsRoot(root))
+    val vecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
     val q = queries.select(col("qid"), col("embedding").as("qemb"))
     val qcells = q.crossJoin(broadcast(cent))
       .select(col("qid"), col("cid"),

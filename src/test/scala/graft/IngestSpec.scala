@@ -111,9 +111,7 @@ class IngestSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_f").toString
     val root = s"$base/lake"
     val all = docs()
-    val tooShort: DataFrame => DataFrame =
-      d => d.filter(col("n_chars") < 100)
-        .select(col("doc_id"), lit("too_short").as("reason"))
+    val tooShort = Ingest.tooShortRule(100)
     Ingest.ingestBatch(all.filter(col("doc_id") < 250), root, "t", 0L,
       filter = Some(tooShort))
     Ingest.ingestBatch(all.filter(col("doc_id") >= 250), root, "t", 1L,
@@ -327,11 +325,7 @@ class IngestSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("graft_eingest_f").toString
     val root = s"$base/lake"
     val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val lowPrefixMass: DataFrame => DataFrame =
-      d => d.filter(expr(
-          "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
-            " (a, x) -> a + CAST(x AS DOUBLE) * x)) < 0.2"))
-        .select(col("vec_id"), lit("low_prefix_mass").as("reason"))
+    val lowPrefixMass = Ingest.lowPrefixMassRule(0.2)
     Ingest.ingestEmbBatch(all.filter(col("vec_id") < 250), root, "t", 0L,
       filter = Some(lowPrefixMass))
     Ingest.ingestEmbBatch(all.filter(col("vec_id") >= 250), root, "t", 1L,
@@ -348,10 +342,13 @@ class IngestSpec extends SparkTestBase {
            (acceptedIds & filteredIds).isEmpty &&
            (rejectedIds & filteredIds).isEmpty,
       "three-way vector partition broken")
-    val wantFiltered = all.filter(expr(
-        "sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
-          " (a, x) -> a + CAST(x AS DOUBLE) * x)) < 0.2"))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // independent recompute of the rule, in plain Scala (not the
+    // rule's own expr string — a typo there must fail here)
+    val wantFiltered = all.select("vec_id", "embedding").collect()
+      .filter { r =>
+        val v = r.getSeq[Float](1).toArray
+        math.sqrt(v.take(8).map(x => x.toDouble * x).sum) < 0.2
+      }.map(_.getLong(0)).toSet
     assert(filteredIds == wantFiltered &&
            filtered.forall(_._2 == "low_prefix_mass"),
       s"filter verdicts wrong: ${filteredIds.size} vs ${wantFiltered.size}")
@@ -360,6 +357,42 @@ class IngestSpec extends SparkTestBase {
     val dupOf = LakeTable.read(spark, Ingest.vrejectsRoot(root))
       .select("dup_of").collect().map(_.getLong(0)).toSet
     assert((dupOf & filteredIds).isEmpty, "a filtered vector doomed another")
+  }
+
+  test("all-filtered first embedding batch commits no codebook; probe answers empty; the next batch recovers") {
+    // The wedge the guard exists for: kmeansCodebook over zero
+    // survivors must never commit (an empty frozen codebook would
+    // make every later batch skip retraining and crash reading a
+    // data-less table, forever). The filter verdicts still audit,
+    // the txn mark still advances, a probe answers zero rows instead
+    // of throwing, and the first batch WITH survivors trains.
+    val base = java.nio.file.Files.createTempDirectory("graft_eingest_w").toString
+    val root = s"$base/lake"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rejectAll: DataFrame => DataFrame =
+      d => d.select(col("vec_id"), lit("quarantine").as("reason"))
+    val halfA = all.filter(col("vec_id") < 250)
+    Ingest.ingestEmbBatch(halfA, root, "t", 0L, filter = Some(rejectAll))
+    assert(LakeTable.latestVersion(spark, Ingest.codebookRoot(root)).isEmpty,
+      "an all-filtered first batch committed a codebook")
+    assert(LakeTable.latestVersion(spark, Ingest.vecsRoot(root)) == Some(0L),
+      "the txn mark did not advance")
+    assert(LakeTable.read(spark, Ingest.vfilteredRoot(root)).count() ==
+             halfA.count(), "filter verdicts not audited")
+    val queries = all.limit(2).select(col("vec_id").as("qid"),
+                                      col("embedding"))
+    assert(Ingest.knnProbe(spark, root, queries, 5).count() == 0,
+      "probe over an empty corpus must answer empty, not throw")
+    // re-delivery of the all-filtered batch is still a no-op
+    Ingest.ingestEmbBatch(halfA, root, "t", 0L, filter = Some(rejectAll))
+    assert(LakeTable.read(spark, Ingest.vfilteredRoot(root)).count() ==
+             halfA.count(), "re-delivered all-filtered batch double-audited")
+    // the first batch with survivors trains and accepts
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") >= 250), root, "t", 1L)
+    assert(LakeTable.latestVersion(spark, Ingest.codebookRoot(root)).isDefined &&
+           LakeTable.read(spark, Ingest.vecsRoot(root)).count() > 0,
+      "ingest did not recover after the all-filtered batch")
+    assert(Ingest.knnProbe(spark, root, queries, 5).count() > 0)
   }
 
   test("knnProbe over the ingested corpus: all-cells probe equals exact brute force, tie rule included") {
