@@ -469,6 +469,92 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("property: planted near-duplicates never both survive, across random corpora and batch splits") {
+    // Synthetic corpora (so the dup structure is KNOWN, unlike the
+    // fixture): random word-soup documents plus planted near-copies
+    // (≤2 of ~40 words perturbed → Jaccard ≥ ~0.85, candidate
+    // probability ≈ 1 at 16 bands × 2 rows), ingested over random
+    // batch splits. Invariants per seed: the corpus partitions into
+    // accepted ∪ rejected; every audit pair really is ≥ threshold
+    // (plain-Scala recompute); no planted (original, copy) pair is
+    // ever BOTH accepted; the band index covers exactly the accepted
+    // set.
+    import spark.implicits._
+    val vocab = (0 until 50).map(i => s"w$i")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nBase = 40
+      val base = (0 until nBase).map { i =>
+        val len = 30 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // half the plants are EXACT copies (J = 1.0 — the strong branch
+      // is guaranteed to fire), half perturb one word (word-5-shingle
+      // Jaccard drops fast: these often land BELOW 0.8 and must then
+      // be allowed to survive — the guard below checks the true J)
+      val planted = (0 until 8).map { j =>
+        val (origId, text) = base(rnd.nextInt(nBase))
+        val perturbed =
+          if (j % 2 == 0) text
+          else {
+            val words = text.split(" ").clone()
+            words(rnd.nextInt(words.length)) =
+              vocab(rnd.nextInt(vocab.size))
+            words.mkString(" ")
+          }
+        (1000L + j, perturbed, origId)
+      }
+      val corpus = base ++ planted.map(p => (p._1, p._2))
+      val df = corpus.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_ingest_prop$seed").toString + "/lake"
+      // random split into 3 batches (shuffled, uneven)
+      val order = rnd.shuffle(corpus.map(_._1))
+      val cut1 = order.size / 3 + rnd.nextInt(5)
+      val cut2 = 2 * order.size / 3 + rnd.nextInt(5)
+      val parts = Seq(order.take(cut1), order.slice(cut1, cut2),
+                      order.drop(cut2)).filter(_.nonEmpty)
+      parts.zipWithIndex.foreach { case (ids, b) =>
+        Ingest.ingestBatch(df.filter(col("doc_id").isin(ids: _*)),
+          root, "t", b.toLong)
+      }
+      val acceptedIds = idsOf(LakeTable.read(spark, Ingest.docsRoot(root)))
+      // readOrEmpty: a clean-corpus seed may have zero rejects, which
+      // leaves the rejects table with only data-less commits
+      val rejects = Ingest.readOrEmpty(spark, Ingest.rejectsRoot(root),
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", "long").add("match_id", "long")
+            .add("match_src", "string").add("jaccard", "double"))
+        .collect()
+      val rejectedIds = rejects.map(_.getAs[Long]("doc_id")).toSet
+      val allIds = corpus.map(_._1).toSet
+      assert(acceptedIds ++ rejectedIds == allIds &&
+             (acceptedIds & rejectedIds).isEmpty,
+        s"seed=$seed partition broken")
+      assert(idsOf(LakeTable.read(spark, Ingest.bandsRoot(root)))
+               == acceptedIds, s"seed=$seed band index out of sync")
+      val textById = corpus.toMap
+      rejects.foreach { r =>
+        val j = jac(textById(r.getAs[Long]("doc_id")),
+                    textById(r.getAs[Long]("match_id")))
+        assert(j >= 0.8,
+          s"seed=$seed audit pair below threshold: $r -> $j")
+      }
+      val strong = planted.filter { case (_, t, o) =>
+        jac(t, textById(o)) >= 0.8 }
+      assert(strong.nonEmpty,
+        s"seed=$seed planted no true dups — the strong branch is idle")
+      strong.foreach { case (copyId, copyText, origId) =>
+        assert(!(acceptedIds.contains(copyId) &&
+                 acceptedIds.contains(origId)),
+          s"seed=$seed planted pair ($origId,$copyId) " +
+            s"J=${jac(copyText, textById(origId))} both survived")
+      }
+    }
+  }
+
   test("partial-commit re-delivery recomputes identical verdicts (docs+bands landed, rejects did not)") {
     // The nastiest crash window: batch 1's docs AND bands committed,
     // the rejects commit and Spark's own checkpoint both lost. The
