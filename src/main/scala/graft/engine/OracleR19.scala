@@ -1,0 +1,172 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-14 ingest-replay keys — the
+  * definitional replay of graft.engine.Ingest's deterministic
+  * 3-batch schedule (batch = id % 3, arriving in order), from first
+  * principles:
+  *
+  *  - docs: exact O(n²) 5-shingle Jaccard pairs (the LSH band index
+  *    is the candidate path only — recall must be total for the hash
+  *    to match), then the greedy accept chain as three nested CTEs:
+  *    batch b rejects a doc iff an exact pair ≥ 0.8 links it to an
+  *    EARLIER-id doc of its own batch (partner's own fate
+  *    irrelevant — the greedy-chain rule) or to an ACCEPTED doc of
+  *    an earlier batch.
+  *  - emb: the frozen codebook re-trained in SQL over the BATCH-0
+  *    quality-gate survivors (OracleKmeans.codebookCtesFrom — same
+  *    md5 seeding, 3 Lloyd iterations, 6dp grid), argmax cell
+  *    assignment for every survivor, then the same greedy chain over
+  *    same-cell pairs with 6dp cosine STRICTLY above 0.45.
+  *  - knn: brute-force cosine top-5 over the replayed accepted
+  *    corpus — Ingest.knnProbe at nprobe = all cells is contractually
+  *    exact, so brute force IS its oracle.
+  *
+  * Quality gates ride the floor-shift grid (`floor(x·10^6 + 0.5)`),
+  * never library round() — the r13 engine-tie rule.
+  */
+object OracleR19 {
+
+  private def cosPair(x: String, y: String): String =
+    s"""list_aggregate(list_transform(list_zip($x.embedding, $y.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum')
+       |      / (sqrt(list_aggregate(list_transform($x.embedding,
+       |           z -> CAST(z AS DOUBLE) * z), 'sum'))
+       |       * sqrt(list_aggregate(list_transform($y.embedding,
+       |           z -> CAST(z AS DOUBLE) * z), 'sum')))""".stripMargin
+
+  /** The shared embedding-replay WITH-list: quality gate → batch-0
+    * codebook → assignment → same-cell pairs → 3-batch accept chain.
+    * Ends at `acc(vec_id)`; `pp`, `filt`, `asg` stay referencable. */
+  private val embReplayCtes: String =
+    s"""eb AS (SELECT vec_id, embedding, vec_id % 3 AS b,
+       |        floor(sqrt(list_aggregate(list_transform(embedding[1:8],
+       |          x -> CAST(x AS DOUBLE) * x), 'sum')) * 1e6 + 0.5) AS m8
+       |      FROM embeddings),
+       |filt AS (SELECT vec_id FROM eb WHERE m8 < 200000),
+       |surv AS (SELECT vec_id, embedding, b FROM eb WHERE m8 >= 200000),
+       |b0 AS (SELECT vec_id, embedding FROM surv WHERE b = 0),
+       |${OracleKmeans.codebookCtesFrom("b0")},
+       |rnk AS (SELECT a.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY round(${OracleKmeans.cosFD("a", "c")}, 6) DESC,
+       |                    c.cid) AS rn
+       |       FROM surv a JOIN cent c ON true),
+       |asg AS (SELECT s.vec_id, s.embedding, s.b, r.cid
+       |        FROM surv s JOIN rnk r ON s.vec_id = r.vec_id AND r.rn = 1),
+       |pp AS (SELECT a.vec_id, a.b AS xb, b.vec_id AS dup_of, b.b AS yb,
+       |         round(${cosPair("a", "b")}, 6) AS cos
+       |       FROM asg a JOIN asg b
+       |         ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |       WHERE round(${cosPair("a", "b")}, 6) > 0.45),
+       |acc0 AS (SELECT vec_id FROM asg WHERE b = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM pp WHERE pp.vec_id = asg.vec_id
+       |      AND pp.yb = 0 AND pp.dup_of < asg.vec_id)),
+       |acc1 AS (SELECT vec_id FROM asg WHERE b = 1 AND NOT EXISTS (
+       |    SELECT 1 FROM pp WHERE pp.vec_id = asg.vec_id AND (
+       |      (pp.yb = 1 AND pp.dup_of < asg.vec_id) OR
+       |      (pp.yb = 0 AND pp.dup_of IN (SELECT vec_id FROM acc0))))),
+       |acc2 AS (SELECT vec_id FROM asg WHERE b = 2 AND NOT EXISTS (
+       |    SELECT 1 FROM pp WHERE pp.vec_id = asg.vec_id AND (
+       |      (pp.yb = 2 AND pp.dup_of < asg.vec_id) OR
+       |      (pp.yb = 0 AND pp.dup_of IN (SELECT vec_id FROM acc0)) OR
+       |      (pp.yb = 1 AND pp.dup_of IN (SELECT vec_id FROM acc1))))),
+       |acc AS (SELECT vec_id FROM acc0 UNION ALL SELECT vec_id FROM acc1
+       |        UNION ALL SELECT vec_id FROM acc2)""".stripMargin
+
+  val sql: ListMap[String, String] = ListMap(
+    "ingest_docs_replay" ->
+      """WITH ball AS (SELECT doc_id, text, n_chars, doc_id % 3 AS b
+        |              FROM documents),
+        |filt AS (SELECT doc_id FROM ball WHERE n_chars < 100),
+        |d AS (SELECT doc_id, text, b FROM ball WHERE n_chars >= 100),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM d),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, tokens,
+        |          unnest(range(1, len(tokens) - 3)) AS i FROM tok) t1) t2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pr AS (SELECT id1, id2,
+        |    round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sz s1 ON s1.doc_id = id1
+        |  JOIN sz s2 ON s2.doc_id = id2
+        |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.8),
+        |psym AS (SELECT id1 AS doc_id, id2 AS match_id, jaccard FROM pr
+        |         UNION ALL
+        |         SELECT id2 AS doc_id, id1 AS match_id, jaccard FROM pr),
+        |pb AS (SELECT p.doc_id, x.b AS xb, p.match_id, y.b AS yb, p.jaccard
+        |       FROM psym p JOIN d x ON x.doc_id = p.doc_id
+        |                   JOIN d y ON y.doc_id = p.match_id),
+        |acc0 AS (SELECT doc_id FROM d WHERE b = 0 AND NOT EXISTS (
+        |    SELECT 1 FROM pb WHERE pb.doc_id = d.doc_id
+        |      AND pb.yb = 0 AND pb.match_id < d.doc_id)),
+        |acc1 AS (SELECT doc_id FROM d WHERE b = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM pb WHERE pb.doc_id = d.doc_id AND (
+        |      (pb.yb = 1 AND pb.match_id < d.doc_id) OR
+        |      (pb.yb = 0 AND pb.match_id IN (SELECT doc_id FROM acc0))))),
+        |acc2 AS (SELECT doc_id FROM d WHERE b = 2 AND NOT EXISTS (
+        |    SELECT 1 FROM pb WHERE pb.doc_id = d.doc_id AND (
+        |      (pb.yb = 2 AND pb.match_id < d.doc_id) OR
+        |      (pb.yb = 0 AND pb.match_id IN (SELECT doc_id FROM acc0)) OR
+        |      (pb.yb = 1 AND pb.match_id IN (SELECT doc_id FROM acc1))))),
+        |acc AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+        |        UNION ALL SELECT doc_id FROM acc2)
+        |SELECT doc_id, match_id, match_src, jaccard FROM (
+        |  SELECT pb.doc_id, pb.match_id, 'delta' AS match_src, pb.jaccard
+        |  FROM pb WHERE pb.yb = pb.xb AND pb.match_id < pb.doc_id
+        |  UNION ALL
+        |  SELECT pb.doc_id, pb.match_id, 'base' AS match_src, pb.jaccard
+        |  FROM pb WHERE pb.yb < pb.xb
+        |    AND pb.match_id IN (SELECT doc_id FROM acc)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS BIGINT), 'accepted' AS match_src,
+        |         CAST(NULL AS DOUBLE)
+        |  FROM acc
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS BIGINT), 'filtered' AS match_src,
+        |         CAST(NULL AS DOUBLE)
+        |  FROM filt) t
+        |ORDER BY doc_id, match_src, match_id""".stripMargin,
+
+    "ingest_emb_replay" ->
+      s"""WITH $embReplayCtes
+        |SELECT vec_id, dup_of, match_src, cos FROM (
+        |  SELECT pp.vec_id, pp.dup_of, 'delta' AS match_src, pp.cos
+        |  FROM pp WHERE pp.yb = pp.xb AND pp.dup_of < pp.vec_id
+        |  UNION ALL
+        |  SELECT pp.vec_id, pp.dup_of, 'base' AS match_src, pp.cos
+        |  FROM pp WHERE pp.yb < pp.xb
+        |    AND pp.dup_of IN (SELECT vec_id FROM acc)
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 'accepted' AS match_src,
+        |         CAST(NULL AS DOUBLE)
+        |  FROM acc
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 'filtered' AS match_src,
+        |         CAST(NULL AS DOUBLE)
+        |  FROM filt) t
+        |ORDER BY vec_id, match_src, dup_of""".stripMargin,
+
+    "ingest_knn_probe" ->
+      s"""WITH $embReplayCtes,
+        |accv AS (SELECT s.vec_id, s.embedding
+        |         FROM surv s JOIN acc ON acc.vec_id = s.vec_id),
+        |qq AS (SELECT vec_id AS qid, embedding FROM embeddings
+        |       WHERE vec_id % 7 = 0),
+        |p AS (SELECT q.qid, a.vec_id AS neighbor_id,
+        |        round(${cosPair("q", "a")}, 6) AS cos_sim
+        |      FROM qq q JOIN accv a ON true),
+        |r AS (SELECT qid, neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |      FROM p)
+        |SELECT qid, neighbor_id, cos_sim, rk FROM r WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin
+  )
+}

@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-14 keys: the streaming ingest loop (graft.engine.Ingest)
+  * under the driver's CORRECTNESS/BENCH gates (VERDICT r14 #1 — the
+  * loop was scalatest-only; these keys replay a DETERMINISTIC
+  * multi-batch schedule over the sf documents/embeddings tables and
+  * emit oracle-expressible projections, so every round's DuckDB hash
+  * gate now covers the production ingest path end-to-end).
+  *
+  * The schedule: three microbatches, batch b = rows with id % 3 == b,
+  * arriving in b order — fixed, so the greedy streaming survivor set
+  * (base-wins across batches, earlier-id-wins within a batch) is a
+  * pure function of the corpus and the oracle can replay it exactly.
+  * Each ensure* runs the full Ingest loop ONCE per (JVM, sf dir) into
+  * a RunScratch root (P6-artifact style — the lake tables ARE the
+  * reusable artifact; a second invocation replays idempotently via
+  * the (appId, batchId) tokens and re-reads the same tables).
+  */
+object QueriesR19 {
+  import Tables._
+
+  /** Quality gate for the embedding leg, spelled on the IEEE
+    * floor-shift grid (the r13 quantization rule: `floor(x·10^6+0.5)`
+    * executes bit-identically in Spark and DuckDB, where library
+    * round()'s half-up ties differ per engine): first-8-dims L2 mass
+    * under 0.2 drops to the vfiltered audit table. */
+  private val lowMassGate: DataFrame => DataFrame =
+    d => d.filter(expr(
+        "floor(sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
+          " (a, x) -> a + CAST(x AS DOUBLE) * x)) * 1e6 + 0.5) < 200000"))
+      .select(col("vec_id"), lit("low_prefix_mass").as("reason"))
+
+  private val ensured =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** Replays the 3-batch document ingest once per (JVM, sf dir);
+    * returns the lake root. Deterministic: batch membership is
+    * id % 3, the quality gate is the drain's own tooShortRule(100)
+    * (n_chars is an integer — exact compare on both engines), and
+    * ingestBatch's verdicts are a pure function of (corpus, schedule).
+    * Re-invocations replay against the committed (appId, batchId)
+    * tokens — every appendTxn no-ops and the read-back is identical. */
+  private[graft] def ensureDocsIngest(s: SparkSession, d: String): String =
+    ensured.synchronized {
+      ensured.getOrElseUpdate(("docs", d), {
+        val root = RunScratch.dir("ingest_docs_replay")
+        val docs = documents(s, d)
+        for (b <- 0L to 2L)
+          Ingest.ingestBatch(docs.filter(col("doc_id") % 3 === b),
+            root, "docs_replay", b,
+            filter = Some(Ingest.tooShortRule(100)))
+        root
+      })
+    }
+
+  /** Replays the 3-batch embedding ingest once per (JVM, sf dir):
+    * frozen batch-0 codebook (k=16 — oracle-replicated by the
+    * OracleKmeans CTEs over the batch-0 survivors), cell-scoped
+    * SemDeDup at dupCos 0.45, low-mass quality gate. Shared by the
+    * replay key and the knnProbe key, so both oracles reference the
+    * SAME accepted corpus by construction. */
+  private[graft] def ensureEmbIngest(s: SparkSession, d: String): String =
+    ensured.synchronized {
+      ensured.getOrElseUpdate(("emb", d), {
+        val root = RunScratch.dir("ingest_emb_replay")
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        for (b <- 0L to 2L)
+          Ingest.ingestEmbBatch(emb.filter(col("vec_id") % 3 === b),
+            root, "emb_replay", b, dupCos = 0.45, k = 16,
+            filter = Some(lowMassGate))
+        root
+      })
+    }
+
+  /** One row per document with its ingest fate: every audit pair the
+    * rejects lake recorded ((doc_id, match_id, 'base'|'delta',
+    * exact Jaccard) — base = accepted earlier-batch partner, delta =
+    * earlier-id partner in the same batch regardless of that
+    * partner's own fate, the greedy-chain rule), plus one marker row
+    * per accepted ('accepted') and per quality-filtered ('filtered')
+    * document. The DuckDB oracle replays the whole schedule from
+    * first principles: exact O(n²) shingle-Jaccard pairs, then the
+    * three-batch greedy accept chain as nested CTEs — so a hash
+    * match proves the incremental LSH path (persisted band index,
+    * batch-only hashing, semi-join verify) reaches EXACTLY the
+    * verdicts the definitional replay does, batch by batch.
+    *
+    * Scale shape: the replay runs the production ingestBatch loop
+    * itself — per-batch cost ∝ batch (index probe + candidate
+    * verify), corpus never re-shingled; the emitted projection is
+    * O(corpus) marker rows + O(duplicates) audit rows. */
+  def ingestDocsReplay(s: SparkSession, d: String): DataFrame = {
+    val root = ensureDocsIngest(s, d)
+    val nullId = lit(null).cast(LongType)
+    val nullJc = lit(null).cast(DoubleType)
+    val acc = LakeTable.read(s, Ingest.docsRoot(root))
+      .select(col("doc_id"), nullId.as("match_id"),
+              lit("accepted").as("match_src"), nullJc.as("jaccard"))
+    val rej = Ingest.readOrEmpty(s, Ingest.rejectsRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("match_id", LongType),
+          org.apache.spark.sql.types.StructField("match_src",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("jaccard", DoubleType))))
+      .select("doc_id", "match_id", "match_src", "jaccard")
+    val fil = Ingest.readOrEmpty(s, Ingest.filteredRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType),
+          org.apache.spark.sql.types.StructField("reason",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("doc_id"), nullId.as("match_id"),
+              lit("filtered").as("match_src"), nullJc.as("jaccard"))
+    // ORDER BY never compares null vs non-null within a group:
+    // 'accepted'/'filtered' are singleton (doc_id, match_src) groups,
+    // 'base'/'delta' match_ids are non-null — so Spark's nulls-first
+    // vs DuckDB's nulls-last ASC defaults can't diverge.
+    acc.unionByName(rej).unionByName(fil)
+      .orderBy("doc_id", "match_src", "match_id")
+  }
+
+  /** The embedding leg's fate projection — same shape as
+    * [[ingestDocsReplay]]: every vrejects audit pair ((vec_id,
+    * dup_of, 'base'|'delta', 6dp-rounded cosine) under the frozen
+    * batch-0 codebook's cell-scoped candidate rule), plus
+    * 'accepted'/'filtered' marker rows. The oracle re-trains the
+    * identical codebook in SQL (OracleKmeans over the batch-0
+    * survivors — md5-seeded init, 3 Lloyd iterations, every step on
+    * the same 6dp grid), re-assigns every survivor to its argmax
+    * cell, and replays the three-batch greedy chain — a hash match
+    * pins codebook freezing, cell assignment, the strictly-above
+    * dupCos rule, and base-wins/earlier-id-wins all at once. */
+  def ingestEmbReplay(s: SparkSession, d: String): DataFrame = {
+    val root = ensureEmbIngest(s, d)
+    val nullId = lit(null).cast(LongType)
+    val nullCs = lit(null).cast(DoubleType)
+    val acc = LakeTable.read(s, Ingest.vecsRoot(root))
+      .select(col("vec_id"), nullId.as("dup_of"),
+              lit("accepted").as("match_src"), nullCs.as("cos"))
+    val rej = Ingest.readOrEmpty(s, Ingest.vrejectsRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("dup_of", LongType),
+          org.apache.spark.sql.types.StructField("cos", DoubleType),
+          org.apache.spark.sql.types.StructField("match_src",
+            org.apache.spark.sql.types.StringType))))
+      .select("vec_id", "dup_of", "match_src", "cos")
+    val fil = Ingest.readOrEmpty(s, Ingest.vfilteredRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("reason",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("vec_id"), nullId.as("dup_of"),
+              lit("filtered").as("match_src"), nullCs.as("cos"))
+    acc.unionByName(rej).unionByName(fil)
+      .orderBy("vec_id", "match_src", "dup_of")
+  }
+
+  /** kNN over the INGESTED corpus at the all-cells operating point:
+    * queries = vec_id % 7 == 0 rows of the raw embeddings table
+    * (filtered/rejected vectors still make legitimate queries),
+    * k=5, nprobe=16 = every codebook cell — where Ingest.knnProbe is
+    * CONTRACTUALLY exact, so the DuckDB oracle is brute-force cosine
+    * top-5 over the oracle-replayed accepted corpus. A hash match
+    * pins the stored cell assignment, the probed-cells candidate
+    * join, and the bounded TopKByScore heap against the definitional
+    * answer (the nprobe<k recall path is gated separately in
+    * RecallBoundSpec, where exactness is the wrong bar). */
+  def ingestKnnProbe(s: SparkSession, d: String): DataFrame = {
+    val root = ensureEmbIngest(s, d)
+    val q = embeddings(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Ingest.knnProbe(s, root, q, k = 5, nprobe = 16)
+      .orderBy("qid", "rk")
+  }
+}

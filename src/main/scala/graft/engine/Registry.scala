@@ -313,6 +313,12 @@ object Registry {
     "docs_html_extract"     -> QueriesR17.docsHtmlExtract _,
     // Round-13: the checkpointed commit-log read path, oracle-checked
     "lake_log_checkpoint"   -> QueriesR18.lakeLogCheckpoint _,
+    // Round-14: the streaming ingest loop (Ingest.ingestBatch /
+    // ingestEmbBatch / knnProbe) under the oracle gate via a
+    // deterministic 3-batch replay
+    "ingest_docs_replay"    -> QueriesR19.ingestDocsReplay _,
+    "ingest_emb_replay"     -> QueriesR19.ingestEmbReplay _,
+    "ingest_knn_probe"      -> QueriesR19.ingestKnnProbe _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -321,5 +327,6 @@ object Registry {
       OracleR3.sql ++ OracleR4.sql ++ OracleR5.sql ++ OracleR6.sql ++
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
-      OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql
+      OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
+      OracleR19.sql
 }
