@@ -44,6 +44,69 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
+  /** Periodic lake maintenance for the ingest tables — the policy
+    * that keeps a long-running ingest from dying of its own commit
+    * cadence: every microbatch appends one tiny commit (plus a
+    * commit JSON) per table, and at production batch counts that is
+    * the classic small-file / long-log killer. Every `everyBatches`
+    * batches, each table gets the documented maintenance
+    * composition, in the contract order:
+    *
+    *   1. compact (optional): one atomic [[LakeTable.rewrite]] folds
+    *      the accumulated per-batch directories into a single
+    *      directory (at 100 TB a deployment swaps this step for
+    *      [[LakeTable.rewriteClustered]] on its probe key — e.g.
+    *      (band, bh) for the band index — or a partial small-file
+    *      compaction; the policy object is where that plugs in);
+    *   2. checkpoint: fold the commit log into one snapshot —
+    *      the (appId, batchId) idempotence map folds WITH it, so
+    *      late re-deliveries still no-op after the JSONs are gone
+    *      (IngestSpec's maintenance case pins this);
+    *   3. vacuum at the latest version (reclaims the pre-compaction
+    *      data directories) — before pruneLog, per the
+    *      [[LakeTable.pruneLog]] ordering contract;
+    *   4. pruneLog: drop commit JSONs below the checkpoint;
+    *   5. pruneCheckpoints: keep the newest `keepCheckpoints`.
+    *
+    * Net effect: data directories, commit JSONs, and checkpoint
+    * files are all O(everyBatches) regardless of how many batches
+    * ever ran (IngestMaintenanceSpec measures it over 50 batches).
+    * Explicit trade: time travel below the newest maintenance point
+    * is gone (vacuum + pruneLog) — the ingest lake is an operational
+    * corpus, not an archive. Default OFF: pass a policy to opt in. */
+  case class IngestMaintenance(everyBatches: Int = 32,
+                               compact: Boolean = true,
+                               keepCheckpoints: Int = 2) {
+    require(everyBatches >= 1, s"everyBatches must be >= 1")
+    require(keepCheckpoints >= 1, s"keepCheckpoints must be >= 1")
+    private[engine] def due(batchId: Long): Boolean =
+      (batchId + 1) % everyBatches == 0
+  }
+
+  /** One maintenance pass over `roots` (see [[IngestMaintenance]]).
+    * Idempotent in content: a crash between steps leaves every table
+    * readable (each step is its own atomic commit or a pure file
+    * delete), and a re-delivered batch that re-triggers the pass
+    * just re-folds the same content. Tables that have no commits yet
+    * are skipped; the empty-content guard (a rejects table whose
+    * every commit was empty has versions but no data) skips the
+    * compaction step, never the log maintenance. */
+  private[graft] def maintain(spark: org.apache.spark.sql.SparkSession,
+                              roots: Seq[String],
+                              m: IngestMaintenance): Unit =
+    roots.foreach { root =>
+      if (LakeTable.latestVersion(spark, root).isDefined) {
+        if (m.compact && LakeTable.activeDirs(spark, root).size > 1)
+          LakeTable.rewrite(LakeTable.read(spark, root), root)
+        LakeTable.checkpoint(spark, root)
+        LakeTable.vacuum(spark, root,
+          LakeTable.latestVersion(spark, root).get)
+        LakeTable.pruneLog(spark, root)
+        LakeTable.pruneCheckpoints(spark, root, m.keepCheckpoints)
+        ()
+      }
+    }
+
   def docsRoot(root: String): String = s"$root/docs"
   def bandsRoot(root: String): String = s"$root/bands"
   def rejectsRoot(root: String): String = s"$root/rejects"
@@ -117,9 +180,15 @@ object Ingest {
                   batchId: Long, threshold: Double = 0.8,
                   shingleSize: Int = 5, numHashes: Int = 32,
                   rowsPerBand: Int = 2, maxBucket: Int = 256,
-                  filter: Option[DataFrame => DataFrame] = None)
+                  filter: Option[DataFrame => DataFrame] = None,
+                  maintenance: Option[IngestMaintenance] = None)
       : Unit = {
     val spark = batch.sparkSession
+    def maintainNow(): Unit = maintenance
+      .filter(_.due(batchId))
+      .foreach(m => maintain(spark,
+        Seq(docsRoot(root), bandsRoot(root), rejectsRoot(root),
+            filteredRoot(root)), m))
     // Land the batch to a staging parquet and reprocess FROM FILES.
     // Two reasons, both load-bearing: (1) a foreachBatch frame is
     // stream-internal (no inputFiles) — the candidate artifact cache
@@ -152,6 +221,7 @@ object Ingest {
       LakeTable.appendTxn(emptyFrame(spark, filteredSchema),
         filteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
+      maintainNow()
       return
     }
     val flagged = filter
@@ -188,7 +258,7 @@ object Ingest {
     LakeTable.appendTxn(rejects, rejectsRoot(root), appId, batchId)
     LakeTable.appendTxn(flagged, filteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
-    ()
+    maintainNow()
   }
 
   // ---------------------------------------------------------------
@@ -244,10 +314,18 @@ object Ingest {
   def ingestEmbBatch(batch: DataFrame, root: String, appId: String,
                      batchId: Long, dupCos: Double = 0.45,
                      k: Int = 16,
-                     filter: Option[DataFrame => DataFrame] = None)
+                     filter: Option[DataFrame => DataFrame] = None,
+                     maintenance: Option[IngestMaintenance] = None)
       : Unit = {
     val spark = batch.sparkSession
     Exprs.register(spark); TopK.register(spark)
+    def maintainNow(): Unit = maintenance
+      .filter(_.due(batchId))
+      .foreach(m => maintain(spark,
+        // codebook included for uniformity: one data commit forever,
+        // so beyond its first checkpoint the pass no-ops on it.
+        Seq(vecsRoot(root), vrejectsRoot(root), vfilteredRoot(root),
+            codebookRoot(root)), m))
     val stagingDir = s"$root/staging/emb-batch-$batchId"
     batch.write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
@@ -281,6 +359,7 @@ object Ingest {
         vrejectsRoot(root), appId, batchId)
       LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
+      maintainNow()
       return
     }
     if (LakeTable.latestVersion(spark, codebookRoot(root)).isEmpty)
@@ -324,7 +403,7 @@ object Ingest {
     LakeTable.appendTxn(rejects, vrejectsRoot(root), appId, batchId)
     LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
-    ()
+    maintainNow()
   }
 
   /** kNN probe over the INGESTED vector corpus — the read half of the
