@@ -63,14 +63,20 @@ object Stream {
     * before the signup. */
   private val stageRank = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
 
-  private[graft] def funnelStep(
-      uid: Long, rows: Iterator[(Long, String, Long, Long)],
-      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
-    var s = state.getOption.getOrElse(FunnelState(None, None, None))
+  /** The shared funnel fold kernel: rows (typ, us, event_id) already
+    * in (ts, stage-rank, event_id) order, stage stamps in, hits +
+    * updated stamps out — one place for the stage machine so the
+    * plain and the watermark-ordered steps cannot drift (the
+    * ewmaFold rule). Emits at most one hit per invocation: the
+    * first time the purchase stamp fills while it was empty on
+    * entry (the once-per-user contract — the caller's state carries
+    * the done flag as the filled stamp itself). */
+  private def funnelFold(uid: Long)(s0: FunnelState,
+      ordered: Seq[(String, Long, Long)])
+      : (Seq[FunnelHit], FunnelState) = {
+    var s = s0
     val done = s.tPurchase.isDefined
-    rows.toSeq
-      .sortBy(r => (r._3, stageRank.getOrElse(r._2, 3), r._4))
-      .foreach { case (_, typ, ts, _) =>
+    ordered.foreach { case (typ, ts, _) =>
       typ match {
         case "signup" if s.tSignup.isEmpty =>
           s = s.copy(tSignup = Some(ts))
@@ -81,10 +87,23 @@ object Stream {
         case _ => ()
       }
     }
+    val hits =
+      if (!done && s.tPurchase.isDefined)
+        Seq(FunnelHit(uid, s.tSignup.get, s.tClick.get, s.tPurchase.get))
+      else Seq.empty
+    (hits, s)
+  }
+
+  private[graft] def funnelStep(
+      uid: Long, rows: Iterator[(Long, String, Long, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    val (hits, s) = funnelFold(uid)(
+      state.getOption.getOrElse(FunnelState(None, None, None)),
+      rows.toSeq
+        .sortBy(r => (r._3, stageRank.getOrElse(r._2, 3), r._4))
+        .map(r => (r._2, r._3, r._4)))
     state.update(s)
-    if (!done && s.tPurchase.isDefined)
-      Iterator(FunnelHit(uid, s.tSignup.get, s.tClick.get, s.tPurchase.get))
-    else Iterator.empty
+    hits.iterator
   }
 
   /** Per-user CEP state: the most recent signup (stamp + id), whether
@@ -213,36 +232,55 @@ object Stream {
     * Note Spark's stateful operator already discards input rows older
     * than the batch watermark before they reach the step function
     * (verified empirically: a late row shows up as numRowsUpdated=0),
-    * and the fold frontier always equals the watermark of the last
-    * fold — so the frontier filter here is the operator-local
-    * statement of the same contract, kept as defense in depth and as
-    * the guard that stays correct if the upstream plan ever loses the
-    * watermark node. */
+    * and the fold frontier tracks the watermark of the last fold — so
+    * the frontier filter here is the operator-local statement of the
+    * same contract, kept as defense in depth and as the guard that
+    * stays correct if the upstream plan ever loses the watermark node.
+    *
+    * BOUNDARY (r14 ADVICE): release is STRICTLY below the watermark
+    * (us < wmUs) and the frontier advances to wmUs − 1, so the drop
+    * boundary (us > frontier ⇔ us ≥ wm) aligns exactly with Spark's
+    * own late-row filter, which ADMITS rows at the watermark. A row
+    * equal to the watermark is therefore held — never folded early in
+    * one schedule and dropped in another — and 'any
+    * watermark-admissible schedule equals batch' holds at the
+    * boundary too. */
   private def wmAdmit[R](pending: List[R], frontierUs: Long,
       incoming: Iterator[R], usOf: R => Long, wmUs: Long)
       : (List[R], List[R], Long) = {
     val inc = incoming.filter(r => usOf(r) > frontierUs).toList
-    val (ripe, hold) = (pending ++ inc).partition(r => usOf(r) <= wmUs)
-    (ripe, hold, math.max(frontierUs, wmUs))
+    val (ripe, hold) = (pending ++ inc).partition(r => usOf(r) < wmUs)
+    (ripe, hold, math.max(frontierUs, wmUs - 1))
   }
 
+  /** Seed frontier for a state seen for the FIRST time at watermark
+    * `wmUs` — one µs below the admit boundary, so a fresh (or freshly
+    * post-eviction) state drops exactly the rows Spark's own late
+    * filter would have dropped. Defense in depth for the
+    * eviction-then-straggler window (r14 ADVICE #3): without it a
+    * TTL-evicted user's next contact started at Long.MinValue and
+    * would re-admit below-watermark stragglers if the upstream late
+    * filter ever went missing. */
+  private def freshFrontier(wmUs: Long): Long = wmUs - 1
+
   /** Arms the buffer-flush timeout at the EARLIEST HELD ROW's event
-    * time (ms-floored minus one, so Spark's strict `timeout <
-    * watermark` fire rule triggers on the first batch whose watermark
-    * reaches the row) — not at watermark+1. The difference is pure
-    * state-store traffic at scale: with seconds-grain triggers and an
-    * hour lag, nearly every live user always holds rows, and a wm+1
-    * timeout would invoke every one of them on EVERY watermark
-    * advance to fold nothing and rewrite identical state; arming at
-    * the first releasable instant fires exactly when a row can
-    * ripen. Clamped above the current watermark (Spark rejects
+    * time (ms-floored, so with Spark's strict `timeout < watermark`
+    * fire rule the step fires on the first batch whose watermark
+    * strictly passes the row — the strict-release boundary's first
+    * releasable instant) — not at watermark+1. The difference is
+    * pure state-store traffic at scale: with seconds-grain triggers
+    * and an hour lag, nearly every live user always holds rows, and
+    * a wm+1 timeout would invoke every one of them on EVERY
+    * watermark advance to fold nothing and rewrite identical state;
+    * arming at the first releasable instant fires exactly when a row
+    * can ripen. Clamped above the current watermark (Spark rejects
     * already-passed timestamps; the clamp only binds when the
-    * earliest held row is inside the next millisecond). */
+    * earliest held row is inside the current millisecond). */
   private def armFlush[R](state: GroupState[_], hold: List[R],
                           usOf: R => Long): Unit =
     if (hold.nonEmpty)
       state.setTimeoutTimestamp(math.max(
-        Math.floorDiv(hold.map(usOf).min - 1L, 1000L),
+        Math.floorDiv(hold.map(usOf).min, 1000L),
         state.getCurrentWatermarkMs + 1))
 
   /** TTL-bounded CEP step for RESIDENT deployments — the eviction
@@ -295,11 +333,12 @@ object Stream {
   private[graft] def cepStepOrdered(spanMicros: Long)(
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[CepOrdState]): Iterator[CepHit] = {
-    val st = state.getOption.getOrElse(CepOrdState(Nil, None, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      CepOrdState(Nil, None, freshFrontier(wmUs)))
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
-      (r: (String, Long, Long)) => r._2,
-      state.getCurrentWatermarkMs * 1000L)
+      (r: (String, Long, Long)) => r._2, wmUs)
     val (out, machine) = cepFold(spanMicros, uid)(st.machine,
       ripe.sortBy(r => (r._2, r._3)))
     state.update(CepOrdState(hold, machine, frontier))
@@ -324,17 +363,20 @@ object Stream {
     * outranks evict); once the buffer is empty it sits at (newest
     * event + ttl) and a fire with nothing pending evicts the idle
     * user's state entirely. A post-eviction arrival starts a fresh
-    * frontier and re-enters the ordinary buffer-on-watermark cycle
-    * (it still waits for the watermark to pass it — eviction forgets
-    * the MACHINE, it does not change release timing; only its
-    * link to the pre-eviction past is gone, which is cep_ttl's
-    * post-eviction semantic too). */
+    * frontier SEEDED FROM THE CURRENT WATERMARK ([[freshFrontier]] —
+    * r14 ADVICE #3: eviction forgets the machine, not the late-row
+    * contract, so a straggler older than the watermark stays dropped
+    * even if the upstream late filter ever went missing) and
+    * re-enters the ordinary buffer-on-watermark cycle (it still
+    * waits for the watermark to pass it — eviction does not change
+    * release timing; only its link to the pre-eviction past is gone,
+    * which is cep_ttl's post-eviction semantic too). */
   private[graft] def cepStepOrderedTtl(spanMicros: Long, ttlMillis: Long)(
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[CepOrdTtlState]): Iterator[CepHit] = {
-    val st = state.getOption.getOrElse(
-      CepOrdTtlState(Nil, None, Long.MinValue, Long.MinValue))
     val wmMs = state.getCurrentWatermarkMs
+    val st = state.getOption.getOrElse(
+      CepOrdTtlState(Nil, None, freshFrontier(wmMs * 1000L), Long.MinValue))
     val inc = rows.map(r => (r._2, tsMicros(r._3), r._4)).toList
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       inc.iterator, (r: (String, Long, Long)) => r._2, wmMs * 1000L)
@@ -454,11 +496,12 @@ object Stream {
   private[graft] def ewmaStepOrdered(
       uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
       state: GroupState[EwmaOrdState]): Iterator[EwmaPoint] = {
-    val st = state.getOption.getOrElse(EwmaOrdState(Nil, Nil, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      EwmaOrdState(Nil, Nil, freshFrontier(wmUs)))
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       rows.map(r => (r._1, r._2, tsMicros(r._3), r._4)),
-      (r: (Long, Long, Long, Double)) => r._3,
-      state.getCurrentWatermarkMs * 1000L)
+      (r: (Long, Long, Long, Double)) => r._3, wmUs)
     val (out, buf) = ewmaFold(st.prev, ripe.sortBy(r => (r._3, r._1)))
     state.update(EwmaOrdState(hold, buf, frontier))
     armFlush(state, hold, (r: (Long, Long, Long, Double)) => r._3)
@@ -523,11 +566,12 @@ object Stream {
   private[graft] def transStepOrdered(
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[TransOrdState]): Iterator[TransRow] = {
-    val st = state.getOption.getOrElse(TransOrdState(Nil, None, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      TransOrdState(Nil, None, freshFrontier(wmUs)))
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
-      (r: (String, Long, Long)) => r._2,
-      state.getCurrentWatermarkMs * 1000L)
+      (r: (String, Long, Long)) => r._2, wmUs)
     val (out, prev) = transFold(uid)(st.last, ripe.sortBy(r => (r._2, r._3)))
     state.update(TransOrdState(hold, prev, frontier))
     armFlush(state, hold, (r: (String, Long, Long)) => r._2)
@@ -589,11 +633,12 @@ object Stream {
   private[graft] def spanStepOrdered(
       uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
       state: GroupState[SpanOrdState]): Iterator[SpanRow] = {
-    val st = state.getOption.getOrElse(SpanOrdState(Nil, None, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      SpanOrdState(Nil, None, freshFrontier(wmUs)))
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       rows.map(r => (r._2, tsMicros(r._3), r._4)), // (event_id, us, value)
-      (r: (Long, Long, Double)) => r._2,
-      state.getCurrentWatermarkMs * 1000L)
+      (r: (Long, Long, Double)) => r._2, wmUs)
     val (out, prev) = spanFold(uid)(st.last, ripe.sortBy(r => (r._2, r._1)))
     state.update(SpanOrdState(hold, prev, frontier))
     armFlush(state, hold, (r: (Long, Long, Double)) => r._2)
@@ -654,13 +699,50 @@ object Stream {
   private[graft] def pathStepOrdered(
       uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
       state: GroupState[PathOrdState]): Iterator[PathRow] = {
-    val st = state.getOption.getOrElse(PathOrdState(Nil, Nil, Long.MinValue))
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      PathOrdState(Nil, Nil, freshFrontier(wmUs)))
     val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
       rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
-      (r: (String, Long, Long)) => r._2,
-      state.getCurrentWatermarkMs * 1000L)
+      (r: (String, Long, Long)) => r._2, wmUs)
     val (out, prev) = pathFold(uid)(st.prev, ripe.sortBy(r => (r._2, r._3)))
     state.update(PathOrdState(hold, prev, frontier))
+    armFlush(state, hold, (r: (String, Long, Long)) => r._2)
+    out.iterator
+  }
+
+  /** Watermark-ordered funnel state: the stage stamps PLUS the
+    * not-yet-final rows and the fold frontier — the ewmaStepOrdered
+    * shape on the conversion machine (the 6th ordered machine,
+    * r14 verdict #5). */
+  case class FunnelOrdState(pending: List[(String, Long, Long)],
+                            machine: FunnelState, frontierUs: Long)
+
+  /** Buffer-on-watermark funnel (see ewmaStepOrdered for the
+    * contract): stages feed the machine only once the event-time
+    * watermark passes them, in (ts, stage-rank, event_id) order — so
+    * a signup arriving AFTER its click/purchase in processing order
+    * but BEFORE them in event time still completes the funnel, the
+    * case the plain funnel sink's cross-batch ordering invariant
+    * forbids. Frontier-late rows drop; the hit emits in the batch
+    * the purchase RELEASES (not the batch it arrives). Same
+    * once-per-user semantics as the plain machine: the filled
+    * purchase stamp is the done flag, state stays resident (a
+    * deployment bounding state composes the funnel_ttl arm exactly
+    * as cep_ordered_ttl does for cep). */
+  private[graft] def funnelStepOrdered(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[FunnelOrdState]): Iterator[FunnelHit] = {
+    val wmUs = state.getCurrentWatermarkMs * 1000L
+    val st = state.getOption.getOrElse(
+      FunnelOrdState(Nil, FunnelState(None, None, None),
+                     freshFrontier(wmUs)))
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      rows.map(r => (r._2, tsMicros(r._3), r._4)), // (type, us, event_id)
+      (r: (String, Long, Long)) => r._2, wmUs)
+    val (out, machine) = funnelFold(uid)(st.machine,
+      ripe.sortBy(r => (r._2, stageRank.getOrElse(r._1, 3), r._3)))
+    state.update(FunnelOrdState(hold, machine, frontier))
     armFlush(state, hold, (r: (String, Long, Long)) => r._2)
     out.iterator
   }
@@ -885,6 +967,27 @@ object Stream {
             OutputMode.Append,
             GroupStateTimeout.EventTimeTimeout)(
             funnelStepTtlTs(24L * 3600 * 1000))
+          .select(col("user_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_click")).as("t_click"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"))
+      },
+      // The RESIDENT-mode ordered funnel (funnelStepOrdered): the
+      // buffer-on-watermark recipe on the conversion machine — a
+      // signup arriving after its purchase in processing order but
+      // before it in event time still converts; hits emit when the
+      // purchase is watermark-released.
+      "funnel_ordered" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(funnelStepOrdered)
           .select(col("user_id"),
                   timestamp_micros(col("t_signup")).as("t_signup"),
                   timestamp_micros(col("t_click")).as("t_click"),

@@ -83,13 +83,16 @@ class OrderedRecipePropertySpec extends SparkTestBase {
   }
 
   /** The admission model: which events a real run would fold (rows
-    * newer than the frontier carried out of the previous batch). */
+    * newer than the frontier carried out of the previous batch).
+    * The frontier sits one µs below the watermark — Spark's late
+    * filter ADMITS rows at the watermark, and wmAdmit's strict
+    * release keeps exactly that boundary (r14 ADVICE #1). */
   private def admitted(s: Schedule): Seq[Ev] = {
     var frontierUs = Long.MinValue
     val kept = scala.collection.mutable.ArrayBuffer[Ev]()
     s.batches.zip(s.wms).foreach { case (rows, wm) =>
       kept ++= rows.filter(_.us > frontierUs)
-      frontierUs = math.max(frontierUs, wm * 1000L)
+      frontierUs = math.max(frontierUs, wm * 1000L - 1)
     }
     kept.toSeq
   }
@@ -186,6 +189,17 @@ class OrderedRecipePropertySpec extends SparkTestBase {
         (String, Long, Long), Stream.PathRow](
       kept.map(e => (e.typ, e.us, e.eid)), uid, Stream.pathStep)
     assert(asBag(pathGot) == asBag(pathWant), s"seed=$seed paths")
+
+    // funnel (stage machine with the (ts, stage-rank, event_id) sort)
+    val funGot = drive[Stream.FunnelOrdState,
+        (Long, String, Timestamp, Long), Stream.FunnelHit](
+      s, uid, e => (uid, e.typ, tsOf(e.us), e.eid),
+      h => Some(h.t_purchase), Stream.funnelStepOrdered)
+    val funWant = plainRun[Stream.FunnelState,
+        (Long, String, Long, Long), Stream.FunnelHit](
+      kept.map(e => (uid, e.typ, e.us, e.eid)), uid, Stream.funnelStep)
+    assert(asBag(funGot) == asBag(funWant), s"seed=$seed funnel: " +
+      s"got=$funGot want=$funWant")
 
     // TWAP spans (2-day span exercises the same-day-only rule)
     val spanGot = drive[Stream.SpanOrdState,

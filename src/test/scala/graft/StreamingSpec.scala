@@ -282,6 +282,57 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ocep_out")
   }
 
+  test("ordered funnel: a signup arriving after its purchase in processing order still completes the funnel") {
+    // funnelStepOrdered's reason to exist: the stage machine only
+    // advances signup → click → purchase in event-time order, so a
+    // funnel whose EARLIER stages arrive in LATER microbatches (but
+    // inside the watermark lag) must still convert — the plain
+    // funnel sink's cross-batch ordering invariant forbids exactly
+    // this arrival. User 1's stages arrive purchase+click first,
+    // signup second; user 2 has a stage-incomplete stream (no
+    // signup ever) and must not convert.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (user_id, event_type, ts, event_id)
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.funnelStepOrdered)
+    val q = out.writeStream.format("memory").queryName("ofun_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "purchase", ts("2024-01-01 10:04:00"), 3L),
+               (1L, "click", ts("2024-01-01 10:02:00"), 2L),
+               (2L, "purchase", ts("2024-01-01 10:05:00"), 5L))
+    q.processAllAvailable()
+    // the signup arrives a batch later but earlier in event time,
+    // inside the 10 min lag (watermark after batch 1 = 09:55)
+    in.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+               (2L, "click", ts("2024-01-01 10:01:00"), 4L))
+    q.processAllAvailable()
+    // bystander pushes the watermark past the stages, then fires the
+    // flush timeouts
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    in.addData((8L, "view", ts("2024-01-01 12:05:00"), 8L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ofun_out")
+      .select("user_id", "t_signup", "t_click", "t_purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val us = (s: String) => ts(s).getTime * 1000L
+    assert(got == Set((1L, us("2024-01-01 10:00:00"),
+                       us("2024-01-01 10:02:00"),
+                       us("2024-01-01 10:04:00"))),
+      s"ordered funnel wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS ofun_out")
+  }
+
   test("ordered+TTL CEP: disorder still matches in event-time order; idle state evicts; post-eviction purchase misses") {
     // The composed resident spelling (cepStepOrderedTtl): user 2's
     // purchase arrives BEFORE its signup (the disorder leg — fold
@@ -521,7 +572,7 @@ class StreamingSpec extends SparkTestBase {
     for (name <- Seq("ewma", "ewma_ordered", "transitions",
                      "transitions_ordered", "cep", "cep_ordered",
                      "paths", "paths_ordered", "twap_spans",
-                     "twap_spans_ordered", "funnel")) {
+                     "twap_spans_ordered", "funnel", "funnel_ordered")) {
       val rows = finalStateRows(name)
       assert(rows == nUsers,
         s"$name state holds $rows rows, want one per user ($nUsers)")
@@ -914,13 +965,13 @@ class StreamingSpec extends SparkTestBase {
     val counts = Stream.runAll(spark, sfDir, out)
     assert(counts.keySet ==
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
-          "attribution_outer", "funnel", "funnel_ttl", "ewma",
-          "ewma_ordered", "ohlc", "transitions", "transitions_ordered",
-          "cep", "cep_ttl", "cep_ordered", "cep_ordered_ttl",
-          "twap_spans", "twap_spans_ordered", "paths", "paths_ordered",
-          "lake_dedup", "ingest_docs", "ingest_rejects",
-          "ingest_filtered", "ingest_vecs", "ingest_vrejects",
-          "ingest_vfiltered"))
+          "attribution_outer", "funnel", "funnel_ttl", "funnel_ordered",
+          "ewma", "ewma_ordered", "ohlc", "transitions",
+          "transitions_ordered", "cep", "cep_ttl", "cep_ordered",
+          "cep_ordered_ttl", "twap_spans", "twap_spans_ordered",
+          "paths", "paths_ordered", "lake_dedup", "ingest_docs",
+          "ingest_rejects", "ingest_filtered", "ingest_vecs",
+          "ingest_vrejects", "ingest_vfiltered"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
     assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
@@ -1053,7 +1104,8 @@ class StreamingSpec extends SparkTestBase {
     // everything is watermark-released on the drain's flush batch)
     for ((ord, plain) <- Seq("cep_ordered" -> "cep",
                              "paths_ordered" -> "paths",
-                             "twap_spans_ordered" -> "twap_spans")) {
+                             "twap_spans_ordered" -> "twap_spans",
+                             "funnel_ordered" -> "funnel")) {
       val ordRows = spark.read.parquet(s"$out/$ord")
         .collect().map(_.toSeq).toSet
       val plainRows = spark.read.parquet(s"$out/$plain")
