@@ -102,6 +102,47 @@ class RecallBoundSpec extends SparkTestBase {
     ()
   }
 
+  test("knnProbe over an INGESTED clustered corpus: recall@5 >= 0.9 at the nprobe=4 operating point") {
+    // The ingest→serve loop's production operating point (VERDICT r14
+    // #4): the read path was pinned exact only at all-cells; here the
+    // clustered fixture flows through the REAL streaming ingest
+    // (Ingest.ingestEmbBatch, 3 batches, frozen batch-0 codebook at
+    // k=12) and Ingest.knnProbe answers at nprobe=4 — a codebook or
+    // probe regression in the INGEST path (not just Ops.annIvf)
+    // now drops a named floor. dupCos=1.0 keeps dedup out of the
+    // frame (6dp cosine can never sit strictly above 1.0): the gate
+    // under test is recall, and the corpus must stay complete for
+    // brute force to be the reference.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_recall_ingest").toString
+    val vecs = clustered
+      .select(col("id").as("vec_id"), col("emb").as("embedding"))
+    for (b <- 0L to 2L)
+      graft.engine.Ingest.ingestEmbBatch(
+        vecs.filter(col("vec_id") % 3 === b), root, "t", b,
+        dupCos = 1.0, k = nClusters)
+    assert(graft.engine.LakeTable
+        .read(spark, graft.engine.Ingest.vecsRoot(root)).count() ==
+      nClusters.toLong * perCluster,
+      "dupCos=1.0 ingest lost vectors — corpus incomplete, recall floor void")
+    val exact = Ops.knnBruteForce(clustered, "id", "emb", k).persist()
+    // knnProbe serves the query's own stored vector back at cos 1.0
+    // (correct for a served index); ask for k+1 and drop the self
+    // match so recall compares k true neighbors against brute force
+    // (which excludes self by construction).
+    val approx = graft.engine.Ingest.knnProbe(spark, root,
+        clustered.select(col("id").as("qid"), col("emb").as("embedding")),
+        k = k + 1, nprobe = 4)
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid").as("vec_id"), col("neighbor_id"))
+    val r = recallAtK(approx, exact)
+    assert(r >= 0.9,
+      f"ingested-corpus knnProbe recall@5 = $r%.3f at nprobe=4, floor " +
+        "0.9 — the ingest-path codebook or probe ranking regressed")
+    exact.unpersist()
+    ()
+  }
+
   test("clustered recall beats the random-vector worst case by a wide margin") {
     // The same pipeline on structureless vectors is the documented
     // worst case (~0.6 at nprobe=4 in emb_ivf_recall). Assert the
