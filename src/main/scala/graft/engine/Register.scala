@@ -11,19 +11,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * each name hundreds of times — and every re-register makes
   * `SimpleFunctionRegistry` WARN "The function X replaced a previously
   * registered function", flooding the exact stderr artifact the
-  * driver parses. The fix is a probe-first register: skip when the
-  * name already exists in THIS session's registry. Safe because every
-  * name's builder is a stable top-level function (same behavior on
-  * every call), and per-session because the registry itself is —
-  * a fresh session still registers cleanly.
+  * driver parses. The fix is a register-once guard keyed on a
+  * SESSION-CONF MARKER (r14 ADVICE #2): the first call per session
+  * registers through createOrReplaceTempFunction — so the ENGINE's
+  * builder wins even if a test mock, a user registration, or a future
+  * Spark built-in already occupies the name (the pre-r13 guarantee,
+  * which the earlier registry-probe spelling silently gave up) — and
+  * sets `graft.registered.<name>` in the session conf; later calls
+  * see the marker and skip, keeping stderr WARN-free. Per-session by
+  * construction (conf and registry share the session's lifetime); a
+  * user who deliberately replaces the function AFTER the engine
+  * registered keeps their replacement (we never re-clobber).
   */
 object Register {
   def once(s: SparkSession, name: String,
            builder: Seq[Expression] => Expression): Unit = {
-    val fr = s.sessionState.functionRegistry
+    val key = s"graft.registered.$name"
     // benign check-then-act: a concurrent first registration just
     // means one replaced-function WARN, never wrong behavior
-    if (!fr.functionExists(FunctionIdentifier(name)))
-      fr.createOrReplaceTempFunction(name, builder, "built-in")
+    if (!s.conf.getOption(key).contains("true")) {
+      s.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+      s.conf.set(key, "true")
+    }
   }
 }
