@@ -173,6 +173,17 @@ class PlanGateSpec extends SparkTestBase {
       "fact_broadcast_hint" ->
         ("the same ≤ #partitions-row slice-count frame broadcast back " +
          "to attach global offsets — O(cluster width) by construction")),
+    "ingest_knn_probe" -> Map(
+      "bnlj_unbounded_build" ->
+        ("the crossed build is the FROZEN ingest codebook read back " +
+         "from its lake table — ≤ k=16 rows by construction " +
+         "(kmeansCodebook caps cid < k), O(model) regardless of " +
+         "corpus; the emb_ann_ivf codebook case, which the " +
+         "structural rule cannot see through a scratch-root lake " +
+         "scan"),
+      "fact_broadcast_hint" ->
+        ("the same ≤16-row frozen codebook, broadcast for the " +
+         "query-to-cell ranking pass")),
     "fn_string_similarity" -> Map(
       "bnlj_unbounded_build" ->
         ("the p_partkey <= 60 key-range filter IS the blocking bound " +
