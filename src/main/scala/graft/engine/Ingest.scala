@@ -148,10 +148,11 @@ object Ingest {
     * versions but no data directories — LakeTable.read refuses those
     * by design). */
   private[graft] def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
-                                 root: String, schema: StructType): DataFrame =
+                                 root: String, schema: StructType,
+                                 asOf: Option[Long] = None): DataFrame =
     if (LakeTable.latestVersion(spark, root).isDefined &&
-        LakeTable.activeDirs(spark, root).nonEmpty)
-      LakeTable.read(spark, root)
+        LakeTable.activeDirs(spark, root, asOf).nonEmpty)
+      LakeTable.read(spark, root, asOf)
     else emptyFrame(spark, schema)
 
   /** Processes one microbatch: quality-filter (optional), dedup
@@ -341,42 +342,59 @@ object Ingest {
         .getOrElse(emptyFrame(spark, vfilteredSchema))
     val surviving = staged.select("vec_id", "embedding")
       .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+    // Degenerate vectors — null or zero-length embeddings — can
+    // neither shape a codebook nor score a cosine: they would
+    // otherwise land in the corpus with a null cell_id, unaudited
+    // and unprobeable junk. Route them to the vfiltered audit table
+    // with their own reason (a second post-assignment net below
+    // catches anything whose every cell cosine is null). Training
+    // and dedup see only `clean`.
+    val clean = surviving
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val preDegen = surviving
+      .join(clean.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("degenerate_embedding").as("reason"))
     val trainable =
       LakeTable.latestVersion(spark, codebookRoot(root)).isDefined ||
-      !surviving.isEmpty
+      !clean.isEmpty
     if (staged.isEmpty || !trainable) {
       // Advance the txn high-water mark without touching the corpus —
       // and never train (or commit) a codebook from nothing: an
-      // all-filtered (or empty) batch before any codebook exists
-      // audits its filter verdicts and leaves training to the first
-      // batch with survivors. (A committed EMPTY codebook would wedge
-      // the root forever: every later batch would skip retraining on
-      // latestVersion.isDefined and then crash reading a data-less
-      // table.)
+      // all-filtered/degenerate (or empty) batch before any codebook
+      // exists audits its verdicts and leaves training to the first
+      // batch with clean survivors. (A committed EMPTY codebook would
+      // wedge the root forever: every later batch would skip
+      // retraining on latestVersion.isDefined and then crash reading
+      // a data-less table.)
       LakeTable.appendTxn(emptyFrame(spark, vecsSchema),
         vecsRoot(root), appId, batchId)
       LakeTable.appendTxn(emptyFrame(spark, vrejectsSchema),
         vrejectsRoot(root), appId, batchId)
-      LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
+      LakeTable.appendTxn(flagged.unionByName(preDegen),
+        vfilteredRoot(root), appId, batchId)
       dropStaging(spark, stagingDir)
       maintainNow()
       return
     }
     if (LakeTable.latestVersion(spark, codebookRoot(root)).isEmpty)
       LakeTable.appendTxn(
-        Ops.kmeansCodebook(surviving, "vec_id", "embedding", k),
+        Ops.kmeansCodebook(clean, "vec_id", "embedding", k),
         codebookRoot(root), appId, batchId)
     val cent = LakeTable.read(spark, codebookRoot(root))
       .select("cid", "cemb")
     // argmax cell assignment — embSemdedup/annIvf's exact tie rule
-    val asg = surviving.crossJoin(broadcast(cent))
+    val asg = clean.crossJoin(broadcast(cent))
       .select(col("vec_id"),
               round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
               col("cid"))
       .groupBy("vec_id")
       .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
       .select(col("vec_id"), expr("t[0].id").as("cell_id"))
-    val cells = surviving.join(asg, "vec_id")
+    val cells0 = clean.join(asg, "vec_id")
+    val postDegen = cells0.filter(col("cell_id").isNull)
+      .select(col("vec_id"), lit("degenerate_embedding").as("reason"))
+    val degenerate = preDegen.unionByName(postDegen).localCheckpoint()
+    val cells = cells0.filter(col("cell_id").isNotNull)
     val batchIds = staged.select("vec_id")
     val baseVecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
       .join(batchIds, Seq("vec_id"), "left_anti")
@@ -401,7 +419,8 @@ object Ingest {
       .select("vec_id", "embedding", "cell_id")
     LakeTable.appendTxn(accepted, vecsRoot(root), appId, batchId)
     LakeTable.appendTxn(rejects, vrejectsRoot(root), appId, batchId)
-    LakeTable.appendTxn(flagged, vfilteredRoot(root), appId, batchId)
+    LakeTable.appendTxn(flagged.unionByName(degenerate),
+      vfilteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
     maintainNow()
   }
@@ -421,9 +440,18 @@ object Ingest {
     * table is written partitioned/bucketed by cell_id so that join
     * prunes to nprobe partitions per query batch, and the final
     * top-k is the bounded TopKByScore heap (n_queries × k rows out,
-    * map-side partials — no global sort). */
+    * map-side partials — no global sort).
+    *
+    * `asOf` pins the VECS snapshot (lake version) the probe serves
+    * from — the production read-while-ingesting contract: a serving
+    * fleet answers every query of a session from ONE consistent
+    * corpus version while the ingest keeps committing, and a pinned
+    * probe replays identically forever (until vacuum reclaims the
+    * version). The codebook needs no pin: it is frozen after its
+    * single training commit by contract. */
   def knnProbe(spark: org.apache.spark.sql.SparkSession, root: String,
-               queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+               queries: DataFrame, k: Int, nprobe: Int = 4,
+               asOf: Option[Long] = None): DataFrame = {
     Exprs.register(spark); TopK.register(spark)
     // readOrEmpty, not read: a root whose ingest has started but not
     // yet accepted a vector (all batches filtered/duplicate/empty)
@@ -432,7 +460,7 @@ object Ingest {
         StructField("cid", LongType),
         StructField("cemb", ArrayType(DoubleType)))))
       .select("cid", "cemb")
-    val vecs = readOrEmpty(spark, vecsRoot(root), vecsSchema)
+    val vecs = readOrEmpty(spark, vecsRoot(root), vecsSchema, asOf)
     val q = queries.select(col("qid"), col("embedding").as("qemb"))
     val qcells = q.crossJoin(broadcast(cent))
       .select(col("qid"), col("cid"),

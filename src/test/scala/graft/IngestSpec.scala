@@ -592,4 +592,110 @@ class IngestSpec extends SparkTestBase {
           s"ref-only=${(r -- c).take(3)}, crash-only=${(c -- r).take(3)}")
     }
   }
+
+  test("snapshot-pinned knnProbe: a probe asOf an earlier vecs version is immune to later ingest") {
+    // The read-while-ingesting contract: a serving fleet pins one
+    // lake version for a session and answers every query from that
+    // consistent corpus while ingest keeps committing. Batch 0 lands
+    // half the vectors; the pinned version's probe results must be
+    // byte-identical before and after batch 1 doubles the corpus,
+    // while the unpinned probe sees the new neighbors.
+    val base = java.nio.file.Files.createTempDirectory("graft_knn_asof").toString
+    val root = s"$base/lake"
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") < 250), root, "t", 0L)
+    val v0 = LakeTable.latestVersion(spark, Ingest.vecsRoot(root)).get
+    val q = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def rows(asOf: Option[Long]): Set[Seq[Any]] =
+      Ingest.knnProbe(spark, root, q, k = 5, nprobe = 16, asOf = asOf)
+        .collect().map(_.toSeq).toSet
+    val pinnedBefore = rows(Some(v0))
+    assert(pinnedBefore == rows(None),
+      "pinned-at-latest probe diverged from the unpinned probe")
+    Ingest.ingestEmbBatch(all.filter(col("vec_id") >= 250), root, "t", 1L)
+    assert(rows(Some(v0)) == pinnedBefore,
+      "a pinned probe changed after a later ingest commit — snapshot broken")
+    assert(rows(None) != pinnedBefore,
+      "the corpus doubled but the unpinned probe saw nothing new — " +
+        "fixture too weak or the probe ignores the new version")
+  }
+
+  test("degenerate documents (null/empty/short text) flow through ingest deterministically") {
+    // A crawl feed WILL contain null and near-empty text. Contract:
+    // no crash; a document with fewer than shingleSize words has no
+    // shingles, hence no near-dup definition — it is ACCEPTED and can
+    // never match or be matched (length/quality rules are the gate's
+    // job, not the dedup's); re-delivery replays identically.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_degen_docs").toString
+    val root = s"$base/lake"
+    val normal = docs().select("doc_id", "text").filter(col("doc_id") < 50)
+    val weird = Seq[(Long, Option[String])](
+        (90001L, None),                      // null text
+        (90002L, Some("")),                  // empty
+        (90003L, Some("just three words")),  // < shingleSize words
+        (90004L, Some("just three words"))   // identical twin, also short
+      ).toDF("doc_id", "text")
+    Ingest.ingestBatch(normal.unionByName(weird), root, "t", 0L)
+    val accepted = idsOf(LakeTable.read(spark, Ingest.docsRoot(root)))
+    assert(Set(90001L, 90002L, 90003L, 90004L).subsetOf(accepted),
+      s"degenerate docs were not accepted: ${accepted.filter(_ >= 90000L)}")
+    // no shingles → no band rows → the twins at 90003/90004 did NOT
+    // match each other (no near-dup definition below shingleSize)
+    val bandIds = idsOf(LakeTable.read(spark, Ingest.bandsRoot(root)))
+    assert(bandIds.forall(_ < 90000L),
+      s"degenerate docs grew band rows: ${bandIds.filter(_ >= 90000L)}")
+    // re-delivery: identical tables
+    val before = Seq(Ingest.docsRoot _, Ingest.bandsRoot _,
+                     Ingest.rejectsRoot _).map(s => rowsOf(spark, s(root)))
+    Ingest.ingestBatch(normal.unionByName(weird), root, "t", 0L)
+    assert(Seq(Ingest.docsRoot _, Ingest.bandsRoot _, Ingest.rejectsRoot _)
+             .map(s => rowsOf(spark, s(root))) == before,
+      "re-delivered degenerate batch changed table content")
+  }
+
+  test("degenerate embeddings (null/empty) audit to vfiltered and never enter the corpus or wedge the codebook") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_degen_emb").toString
+    val clean = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 100)
+    // Leg 1: an ALL-degenerate first batch must not train (or wedge)
+    // a codebook — the all-filtered guard extended to degenerates.
+    val root1 = s"$base/lake1"
+    val degen = Seq[(Long, Option[Array[Float]])](
+        (80001L, None),                      // null embedding
+        (80002L, Some(Array.empty[Float]))   // zero-length embedding
+      ).toDF("vec_id", "embedding")
+    Ingest.ingestEmbBatch(degen, root1, "t", 0L)
+    assert(LakeTable.latestVersion(spark, Ingest.codebookRoot(root1)).isEmpty,
+      "an all-degenerate first batch trained a codebook")
+    val aud1 = Ingest.readOrEmpty(spark, Ingest.vfilteredRoot(root1),
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long").add("reason", "string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(aud1 == Set(80001L -> "degenerate_embedding",
+                       80002L -> "degenerate_embedding"),
+      s"degenerate-only first batch misaudited: $aud1")
+    // and the next clean batch recovers: trains, accepts
+    Ingest.ingestEmbBatch(clean, root1, "t", 1L)
+    assert(LakeTable.read(spark, Ingest.vecsRoot(root1)).count() > 0)
+    // Leg 2: degenerates mixed into a LATER batch audit with their
+    // reason and never reach vecs.
+    val root2 = s"$base/lake2"
+    Ingest.ingestEmbBatch(clean, root2, "t", 0L)
+    Ingest.ingestEmbBatch(degen, root2, "t", 1L)
+    val vecIds = idsOf(LakeTable.read(spark, Ingest.vecsRoot(root2))
+      .withColumnRenamed("vec_id", "doc_id"))
+    assert(vecIds.forall(_ < 80000L),
+      s"degenerate vectors entered the corpus: ${vecIds.filter(_ >= 80000L)}")
+    val aud2 = Ingest.readOrEmpty(spark, Ingest.vfilteredRoot(root2),
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long").add("reason", "string"))
+      .filter(col("reason") === "degenerate_embedding")
+      .collect().map(_.getLong(0)).toSet
+    assert(aud2 == Set(80001L, 80002L),
+      s"degenerate vectors not audited: $aud2")
+  }
 }
