@@ -1457,13 +1457,28 @@ object Stream {
   private[graft] def runEmbIngest(spark: SparkSession, sfDir: String,
                                   outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
-    runIngestStream(spark, sfDir, outDir, "embeddings.parquet", "vec_id",
-      "emb_ingest",
+    val counts = runIngestStream(spark, sfDir, outDir,
+      "embeddings.parquet", "vec_id", "emb_ingest",
       (b, id) => engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id,
         filter = Some(engine.Ingest.lowPrefixMassRule(0.2))),
       Map("ingest_vecs" -> engine.Ingest.vecsRoot(root),
           "ingest_vrejects" -> engine.Ingest.vrejectsRoot(root),
           "ingest_vfiltered" -> engine.Ingest.vfilteredRoot(root)))
+    // The SERVE half of the loop, driven end-to-end against the
+    // corpus the drain just ingested: every 50th source vector
+    // queries the index at all cells; each must come back with
+    // exactly k neighbors (the corpus dwarfs k, and IngestSpec pins
+    // all-cells ≡ brute force — here the wiring is what's under
+    // test).
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val nq = q.count()
+    val probed = engine.Ingest.knnProbe(spark, root, q, k = 5,
+      nprobe = 16).count()
+    require(probed == nq * 5,
+      s"drain knnProbe returned $probed rows for $nq queries (want 5/query)")
+    counts + ("ingest_knn" -> probed)
   }
 
   /** Exactly-once transactional ingest — the Structured-Streaming →

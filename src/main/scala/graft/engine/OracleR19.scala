@@ -75,9 +75,8 @@ object OracleR19 {
        |acc AS (SELECT vec_id FROM acc0 UNION ALL SELECT vec_id FROM acc1
        |        UNION ALL SELECT vec_id FROM acc2)""".stripMargin
 
-  val sql: ListMap[String, String] = ListMap(
-    "ingest_docs_replay" ->
-      """WITH ball AS (SELECT doc_id, text, n_chars, doc_id % 3 AS b
+  private val docsReplaySql: String =
+    """WITH ball AS (SELECT doc_id, text, n_chars, doc_id % 3 AS b
         |              FROM documents),
         |filt AS (SELECT doc_id FROM ball WHERE n_chars < 100),
         |d AS (SELECT doc_id, text, b FROM ball WHERE n_chars >= 100),
@@ -132,7 +131,16 @@ object OracleR19 {
         |  SELECT doc_id, CAST(NULL AS BIGINT), 'filtered' AS match_src,
         |         CAST(NULL AS DOUBLE)
         |  FROM filt) t
-        |ORDER BY doc_id, match_src, match_id""".stripMargin,
+        |ORDER BY doc_id, match_src, match_id""".stripMargin
+
+  val sql: ListMap[String, String] = ListMap(
+    "ingest_docs_replay" -> docsReplaySql,
+
+    // Same SQL as ingest_docs_replay BY CONSTRUCTION: the maintained
+    // replay's contract is that compact/checkpoint/vacuum/prune
+    // change nothing a reader can observe, so the definitional
+    // replay (which knows nothing of maintenance) is its oracle too.
+    "ingest_docs_replay_maintained" -> docsReplaySql,
 
     "ingest_emb_replay" ->
       s"""WITH $embReplayCtes

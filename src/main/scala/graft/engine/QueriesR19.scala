@@ -93,8 +93,12 @@ object QueriesR19 {
     * itself — per-batch cost ∝ batch (index probe + candidate
     * verify), corpus never re-shingled; the emitted projection is
     * O(corpus) marker rows + O(duplicates) audit rows. */
-  def ingestDocsReplay(s: SparkSession, d: String): DataFrame = {
-    val root = ensureDocsIngest(s, d)
+  def ingestDocsReplay(s: SparkSession, d: String): DataFrame =
+    fateProjection(s, ensureDocsIngest(s, d))
+
+  /** The document-leg fate projection over an ingest root: audit
+    * pairs + accepted/filtered marker rows, in the oracle's order. */
+  private def fateProjection(s: SparkSession, root: String): DataFrame = {
     val nullId = lit(null).cast(LongType)
     val nullJc = lit(null).cast(DoubleType)
     val acc = LakeTable.read(s, Ingest.docsRoot(root))
@@ -158,6 +162,30 @@ object QueriesR19 {
               lit("filtered").as("match_src"), nullCs.as("cos"))
     acc.unionByName(rej).unionByName(fil)
       .orderBy("vec_id", "match_src", "dup_of")
+  }
+
+  /** [[ingestDocsReplay]] with the MAINTENANCE POLICY armed at its
+    * most aggressive setting (every batch: compact → checkpoint →
+    * vacuum → pruneLog → pruneCheckpoints) — and the SAME DuckDB
+    * oracle as the unmaintained key, so the driver's hash gate now
+    * proves round over round that maintenance never changes a single
+    * verdict, survivor, audit pair, or Jaccard digit. (The spec
+    * suite proves it on long schedules; this puts the claim under
+    * the cross-engine oracle.) */
+  def ingestDocsReplayMaintained(s: SparkSession, d: String): DataFrame = {
+    val root = ensured.synchronized {
+      ensured.getOrElseUpdate(("docs_mx", d), {
+        val r = RunScratch.dir("ingest_docs_replay_mx")
+        val docs = documents(s, d)
+        for (b <- 0L to 2L)
+          Ingest.ingestBatch(docs.filter(col("doc_id") % 3 === b),
+            r, "docs_replay_mx", b,
+            filter = Some(Ingest.tooShortRule(100)),
+            maintenance = Some(Ingest.IngestMaintenance(everyBatches = 1)))
+        r
+      })
+    }
+    fateProjection(s, root)
   }
 
   /** kNN over the INGESTED corpus at the all-cells operating point:

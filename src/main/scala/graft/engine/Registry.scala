@@ -319,6 +319,7 @@ object Registry {
     "ingest_docs_replay"    -> QueriesR19.ingestDocsReplay _,
     "ingest_emb_replay"     -> QueriesR19.ingestEmbReplay _,
     "ingest_knn_probe"      -> QueriesR19.ingestKnnProbe _,
+    "ingest_docs_replay_maintained" -> QueriesR19.ingestDocsReplayMaintained _,
   )
 
   val oracleSql: ListMap[String, String] =

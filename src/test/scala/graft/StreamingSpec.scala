@@ -971,7 +971,7 @@ class StreamingSpec extends SparkTestBase {
           "cep_ordered_ttl", "twap_spans", "twap_spans_ordered",
           "paths", "paths_ordered", "lake_dedup", "ingest_docs",
           "ingest_rejects", "ingest_filtered", "ingest_vecs",
-          "ingest_vrejects", "ingest_vfiltered"))
+          "ingest_vrejects", "ingest_vfiltered", "ingest_knn"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
     assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
