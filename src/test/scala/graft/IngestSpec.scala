@@ -517,8 +517,13 @@ class IngestSpec extends SparkTestBase {
       val parts = Seq(order.take(cut1), order.slice(cut1, cut2),
                       order.drop(cut2)).filter(_.nonEmpty)
       parts.zipWithIndex.foreach { case (ids, b) =>
+        // randomly interleave full maintenance passes (every-batch
+        // policy, randomly armed): all four invariants below must be
+        // blind to WHEN compaction/checkpoint/vacuum/prune ran
         Ingest.ingestBatch(df.filter(col("doc_id").isin(ids: _*)),
-          root, "t", b.toLong)
+          root, "t", b.toLong,
+          maintenance = if (rnd.nextBoolean())
+            Some(Ingest.IngestMaintenance(everyBatches = 1)) else None)
       }
       val acceptedIds = idsOf(LakeTable.read(spark, Ingest.docsRoot(root)))
       // readOrEmpty: a clean-corpus seed may have zero rejects, which
