@@ -161,6 +161,39 @@ object OracleR19 {
         |  FROM filt) t
         |ORDER BY vec_id, match_src, dup_of""".stripMargin,
 
+    // The landmark hashes restated from (doc_id, frame) arithmetic —
+    // valid because the two spectral lines provably dominate the
+    // integer-rounding leakage (see the key's Scaladoc), so the
+    // Spark side's REAL FFT peak extraction must recover exactly
+    // these bins; the join/threshold/resolve replays verbatim.
+    "multimodal_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf - 1)) AS f FROM d),
+        |fp AS (SELECT DISTINCT doc_id,
+        |         (((((doc_id*5 + f*3) % 13 + 2) * 31
+        |            + ((doc_id*11 + f*7) % 13 + 18)) * 31
+        |            + ((doc_id*5 + (f+1)*3) % 13 + 2)) * 31
+        |            + ((doc_id*11 + (f+1)*7) % 13 + 18)) AS h
+        |       FROM fr),
+        |nfp AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |                 count(*) AS n_common
+        |          FROM fp a JOIN fp b
+        |            ON a.h = b.h AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |m AS (SELECT p.id1, p.id2, p.n_common
+        |      FROM pairs p JOIN nfp n1 ON n1.doc_id = p.id1
+        |                   JOIN nfp n2 ON n2.doc_id = p.id2
+        |      WHERE p.n_common * 10 >= greatest(n1.n_fp, n2.n_fp) * 9),
+        |r AS (SELECT id2 AS doc_id, min(id1) AS dup_of,
+        |        (array_agg(n_common ORDER BY id1))[1] AS mc
+        |      FROM m GROUP BY id2)
+        |SELECT n.doc_id, n.n_fp, r.dup_of,
+        |       coalesce(r.mc, 0) AS n_common
+        |FROM nfp n LEFT JOIN r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
     "ingest_knn_probe" ->
       s"""WITH $embReplayCtes,
         |accv AS (SELECT s.vec_id, s.embedding

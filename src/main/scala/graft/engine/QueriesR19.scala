@@ -188,6 +188,97 @@ object QueriesR19 {
     fateProjection(s, root)
   }
 
+  /** Audio near-dup by spectral-landmark fingerprinting — the
+    * Shazam-style constellation recipe, the dedup a MULTIMODAL
+    * training pipeline needs for audio clips (re-encoded/re-sampled
+    * copies share landmarks even when bytes differ, so exact/hash
+    * dedup misses them): decode WAV → frame STFT (64-sample frames)
+    * → per-frame TOP-2 spectral peak bins (real peak extraction
+    * over the magnitude spectrum; mag-desc, bin-asc ties) →
+    * consecutive-frame landmark pairs packed into one integer hash
+    * → inverted-index self-join on the hash → docs whose shared
+    * landmark count clears 90% of the larger fingerprint set are
+    * duplicates, resolved earlier-id-wins (dup_of = least matching
+    * earlier doc, its shared count carried via struct-min).
+    *
+    * Fixture (the multimodal closed-form posture): each doc's PCM is
+    * 2–4 frames of a two-tone signal whose BINS walk deterministic
+    * residues — b1 = (id·5 + f·3) % 13 + 2, b2 = (id·11 + f·7) % 13
+    * + 18, amplitudes 1000/700 (integer-rounded cosines: line
+    * magnitudes ≥ 22400 vs ≤ 64 total rounding leakage, so top-2
+    * extraction provably recovers (b1, b2)) — and the oracle
+    * re-derives every hash from (doc_id, frame) arithmetic alone,
+    * then replays the same join/threshold/resolve in SQL. The
+    * residue construction makes cross-class partial collisions
+    * ALGEBRAICALLY impossible (Δ·5 ≡ 3δ ∧ Δ·11 ≡ 7δ (mod 13) forces
+    * Δ ≡ δ ≡ 0), so the oracle is exact, not probabilistic.
+    *
+    * Scale shape: fingerprints are O(frames) tiny ints; the match
+    * join is an equi-join on the hash (the LSH band-bucket posture —
+    * at 100 TB hot hashes get the maxBucket cap exactly like
+    * lshBandIndex); the resolve is one struct-min aggregate. No
+    * all-pairs stage exists anywhere. */
+  def multimodalAudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 64
+    val fps = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = (id % 3 + 2).toInt
+        def b1(f: Int): Int = (((id * 5 + f * 3) % 13) + 2).toInt
+        def b2(f: Int): Int = (((id * 11 + f * 7) % 13) + 18).toInt
+        val blob = Wav.encodePcm16(nFrames * frameLen, { i =>
+          val f = i / frameLen; val j = i % frameLen
+          math.round(1000.0 *
+            math.cos(2 * math.Pi * b1(f) * j / frameLen)).toInt +
+          math.round(700.0 *
+            math.cos(2 * math.Pi * b2(f) * j / frameLen)).toInt
+        })
+        (id, blob)
+      })
+      .flatMap { case (id, blob) =>
+        val samples = Wav.decodePcm16Samples(blob)
+        val nF = samples.length / frameLen
+        val peaks = (0 until nF).map { f =>
+          val frame = java.util.Arrays.copyOfRange(
+            samples, f * frameLen, (f + 1) * frameLen)
+          val mags = Fft.magnitudes(frame)
+          var p1 = 1; var p2 = -1             // skip DC; mag desc, bin asc
+          var k = 2
+          while (k < mags.length) {
+            if (mags(k) > mags(p1)) { p2 = p1; p1 = k }
+            else if (p2 < 0 || mags(k) > mags(p2)) p2 = k
+            k += 1
+          }
+          (math.min(p1, p2), math.max(p1, p2)) // normalize by bin order
+        }
+        (0 until nF - 1).map { f =>
+          val (a1, a2) = peaks(f); val (c1, c2) = peaks(f + 1)
+          (id, ((a1.toLong * 31 + a2) * 31 + c1) * 31 + c2)
+        }
+      }
+      .toDF("doc_id", "h").distinct()
+    val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = fps.as("a")
+      .join(fps.as("b"), col("a.h") === col("b.h") &&
+                         col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    val matches = pairs
+      .join(nfp.select(col("doc_id").as("id1"), col("n_fp").as("n1")),
+            "id1")
+      .join(nfp.select(col("doc_id").as("id2"), col("n_fp").as("n2")),
+            "id2")
+      .filter(col("n_common") * 10 >= greatest(col("n1"), col("n2")) * 9)
+    val resolved = matches.groupBy(col("id2").as("doc_id"))
+      .agg(min(struct(col("id1"), col("n_common"))).as("m"))
+      .select(col("doc_id"), col("m.id1").as("dup_of"),
+              col("m.n_common").as("mc"))
+    nfp.join(resolved, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fp"), col("dup_of"),
+              coalesce(col("mc"), lit(0L)).as("n_common"))
+      .orderBy("doc_id")
+  }
+
   /** kNN over the INGESTED corpus at the all-cells operating point:
     * queries = vec_id % 7 == 0 rows of the raw embeddings table
     * (filtered/rejected vectors still make legitimate queries),

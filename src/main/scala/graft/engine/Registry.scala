@@ -320,6 +320,8 @@ object Registry {
     "ingest_emb_replay"     -> QueriesR19.ingestEmbReplay _,
     "ingest_knn_probe"      -> QueriesR19.ingestKnnProbe _,
     "ingest_docs_replay_maintained" -> QueriesR19.ingestDocsReplayMaintained _,
+    // Round-15: audio near-dup by spectral-landmark fingerprinting
+    "multimodal_audio_fingerprint" -> QueriesR19.multimodalAudioFingerprint _,
   )
 
   val oracleSql: ListMap[String, String] =
