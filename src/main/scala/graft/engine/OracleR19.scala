@@ -194,6 +194,33 @@ object OracleR19 {
         |FROM nfp n LEFT JOIN r ON n.doc_id = r.doc_id
         |ORDER BY n.doc_id""".stripMargin,
 
+    // Every frame's pixel array restated from the closed-form paint
+    // rule (shot = running count of planted boundaries), diffs as
+    // exact integer list sums — so the Spark side's real PNG
+    // round-trip per frame must reproduce them bit-for-bit.
+    "multimodal_scene_change" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 3 AS INT) AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM d),
+        |sh AS (SELECT doc_id, f,
+        |         sum(CASE WHEN f >= 1 AND (doc_id*13 + f*17) % 5 = 0
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY f) AS shot
+        |       FROM fr),
+        |px AS (SELECT doc_id, f,
+        |         list_transform(range(0, 48),
+        |           i -> ((doc_id*31 + shot*97) % 251 + i + f) % 251) AS p
+        |       FROM sh),
+        |df AS (SELECT a.doc_id, a.f,
+        |         list_sum(list_transform(list_zip(a.p, b.p),
+        |           z -> abs(z[1] - z[2]))) AS sad
+        |       FROM px a JOIN px b
+        |         ON a.doc_id = b.doc_id AND b.f = a.f - 1)
+        |SELECT doc_id, CAST(f AS INT) AS frame,
+        |       CAST(sad AS BIGINT) AS sum_abs_diff,
+        |       sad > 480 AS is_cut
+        |FROM df ORDER BY doc_id, frame""".stripMargin,
+
     "ingest_knn_probe" ->
       s"""WITH $embReplayCtes,
         |accv AS (SELECT s.vec_id, s.embedding

@@ -279,6 +279,65 @@ object QueriesR19 {
       .orderBy("doc_id")
   }
 
+  /** Video shot-boundary (scene-change) detection — the frame-diff
+    * cut detector a video training pipeline runs BEFORE frame
+    * sampling (sampling uniformly across cuts oversamples long
+    * static shots and misses short ones; sampling per shot needs the
+    * cut list): each "video" is a sequence of real PNG-encoded
+    * grayscale frames; every frame round-trips the from-scratch
+    * codec (encode → full decode with CRC checks, inflate,
+    * unfilter), consecutive frames diff as Σ|p_f(i) − p_{f−1}(i)|
+    * (exact integers — no float in the pipeline), and a frame is a
+    * CUT when the sum clears 10·w·h.
+    *
+    * Fixture (closed-form): frame f of video id paints pixel i as
+    * (seed + i + f) % 251 with seed = (id·31 + shot·97) % 251, where
+    * shot increments exactly at frames with (id·13 + f·17) % 5 == 0
+    * — so within-shot diffs are ≤ 47·1 + 250 (the +f jitter plus at
+    * most one mod-wrap) = 297 < 480, and cut diffs are ≥ 48·98 =
+    * 4704 > 480 (consecutive seeds differ by 97±1 ⇒ 98 or 153 per
+    * pixel). The detector therefore provably recovers exactly the
+    * planted boundaries, and the oracle re-derives every sum from
+    * the pixel arithmetic alone — a one-bit codec error anywhere in
+    * the per-frame round-trip breaks the hash.
+    *
+    * Scale shape: frames never leave their video's row until the
+    * per-transition rows emit (mapPartitions); output is O(total
+    * frames); no shuffle beyond the final presentation sort. */
+  def multimodalSceneChange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 8; val h = 6
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = (id % 4 + 3).toInt
+        def seed(f: Int): Long = {
+          var shot = 0L
+          var g = 1
+          while (g <= f) {
+            if ((id * 13 + g * 17) % 5 == 0) shot += 1
+            g += 1
+          }
+          (id * 31 + shot * 97) % 251
+        }
+        (id, (0 until nFrames).map { f =>
+          Png.encodeGray8(w, h, i => ((seed(f) + i + f) % 251).toInt)
+        })
+      })
+      .flatMap { case (id, frames) =>
+        val px = frames.map(b =>
+          Png.decodeGray8Pixels(b).pixels.map(_ & 0xff))
+        (1 until px.length).map { f =>
+          var sum = 0L; var i = 0
+          while (i < px(f).length) {
+            sum += math.abs(px(f)(i) - px(f - 1)(i)); i += 1
+          }
+          (id, f, sum, sum > 10L * w * h)
+        }
+      }
+      .toDF("doc_id", "frame", "sum_abs_diff", "is_cut")
+      .orderBy("doc_id", "frame")
+  }
+
   /** kNN over the INGESTED corpus at the all-cells operating point:
     * queries = vec_id % 7 == 0 rows of the raw embeddings table
     * (filtered/rejected vectors still make legitimate queries),

@@ -320,8 +320,10 @@ object Registry {
     "ingest_emb_replay"     -> QueriesR19.ingestEmbReplay _,
     "ingest_knn_probe"      -> QueriesR19.ingestKnnProbe _,
     "ingest_docs_replay_maintained" -> QueriesR19.ingestDocsReplayMaintained _,
-    // Round-15: audio near-dup by spectral-landmark fingerprinting
+    // Round-15: audio near-dup by spectral-landmark fingerprinting,
+    // video shot-boundary detection over per-frame codec round-trips
     "multimodal_audio_fingerprint" -> QueriesR19.multimodalAudioFingerprint _,
+    "multimodal_scene_change" -> QueriesR19.multimodalSceneChange _,
   )
 
   val oracleSql: ListMap[String, String] =
