@@ -752,6 +752,84 @@ object Stream {
     out.iterator
   }
 
+  /** Watermark-ordered + idle-TTL funnel state: FunnelOrdState plus
+    * the newest event time ever admitted (µs) — the cepStepOrderedTtl
+    * shape on the conversion machine. */
+  case class FunnelOrdTtlState(pending: List[(String, Long, Long)],
+                               machine: FunnelState, frontierUs: Long,
+                               lastUs: Long)
+
+  /** EPISODIC funnel fold: like [[funnelFold]] but a completion
+    * EMITS AND RESETS the machine in place, so one fold can yield
+    * several hits and later stages feed the NEXT episode. This — not
+    * remove-on-emit — is the schedule-invariant spelling of
+    * funnel_ttl's users-can-convert-again reading for an ordered
+    * machine: remove-on-emit would swallow same-release-chunk rows
+    * that follow the purchase (they'd fold into the done machine
+    * before the removal), making output depend on where the
+    * watermark happened to chunk the release — the exact
+    * schedule-dependence the ordered recipe exists to remove. The
+    * episodic fold is a pure function of the admitted sequence. */
+  private[graft] def funnelFoldEpisodic(uid: Long)(s0: FunnelState,
+      ordered: Seq[(String, Long, Long)])
+      : (Seq[FunnelHit], FunnelState) = {
+    var s = s0
+    val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+    ordered.foreach { case (typ, ts, _) =>
+      typ match {
+        case "signup" if s.tSignup.isEmpty =>
+          s = s.copy(tSignup = Some(ts))
+        case "click" if s.tSignup.exists(ts >= _) && s.tClick.isEmpty =>
+          s = s.copy(tClick = Some(ts))
+        case "purchase" if s.tClick.exists(ts >= _) &&
+                           s.tPurchase.isEmpty =>
+          out += FunnelHit(uid, s.tSignup.get, s.tClick.get, ts)
+          s = FunnelState(None, None, None)    // next episode
+        case _ => ()
+      }
+    }
+    (out.toSeq, s)
+  }
+
+  /** The full RESIDENT funnel spelling — funnelStepOrdered's
+    * buffering COMPOSED with funnel_ttl's state economy, one
+    * min-combined event-time timeout (flush outranks evict while
+    * rows are held; a buffered user is never idle). The machine is
+    * the EPISODIC fold (see funnelFoldEpisodic): completion starts
+    * the next episode instead of tombstoning the user, so users can
+    * convert again (funnel_ttl's resident reading) and the output is
+    * a pure function of the admitted sequence; state leaves the
+    * store ONLY by idle eviction — a user whose newest event is TTL
+    * behind the watermark with nothing buffered (a completed user's
+    * empty machine rides the same eviction). Post-eviction contacts
+    * seed their frontier from the current watermark (freshFrontier),
+    * so the late-row contract survives eviction. */
+  private[graft] def funnelStepOrderedTtl(ttlMillis: Long)(
+      uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      state: GroupState[FunnelOrdTtlState]): Iterator[FunnelHit] = {
+    val wmMs = state.getCurrentWatermarkMs
+    val st = state.getOption.getOrElse(
+      FunnelOrdTtlState(Nil, FunnelState(None, None, None),
+                        freshFrontier(wmMs * 1000L), Long.MinValue))
+    val inc = rows.map(r => (r._2, tsMicros(r._3), r._4)).toList
+    val (ripe, hold, frontier) = wmAdmit(st.pending, st.frontierUs,
+      inc.iterator, (r: (String, Long, Long)) => r._2, wmMs * 1000L)
+    val lastUs = (st.lastUs :: inc.map(_._2)).max
+    val (out, machine) = funnelFoldEpisodic(uid)(st.machine,
+      ripe.sortBy(r => (r._2, stageRank.getOrElse(r._1, 3), r._3)))
+    if (hold.isEmpty && state.hasTimedOut && inc.isEmpty &&
+        lastUs / 1000L + ttlMillis < wmMs) {
+      state.remove()                            // idle past the TTL
+    } else {
+      state.update(FunnelOrdTtlState(hold, machine, frontier, lastUs))
+      if (hold.nonEmpty)
+        armFlush(state, hold, (r: (String, Long, Long)) => r._2)
+      else state.setTimeoutTimestamp(
+        math.max(lastUs / 1000L + ttlMillis, wmMs + 1))
+    }
+    out.iterator
+  }
+
   /** The deployed queries, keyed by sink name. `maxFilesPerTrigger`
     * (when set) makes each staged file its own microbatch — the
     * multi-batch execution the ordered sinks' buffering exists for;
@@ -984,6 +1062,34 @@ object Stream {
                   timestamp_micros(col("t_click")).as("t_click"),
                   timestamp_micros(col("t_purchase")).as("t_purchase"))
       },
+      // The full RESIDENT funnel deployment (funnelStepOrderedTtl):
+      // buffer-on-watermark ordering + the EPISODIC machine (a
+      // completion starts the next episode — users can convert
+      // again) + idle-TTL eviction, min-combined on one event-time
+      // timeout. On a bounded drain its released log is asserted
+      // EXACTLY equal to a plain-Scala episodic fold per user
+      // (runAll's expectedReleased) — a strict superset of
+      // funnel_ordered's once-per-user hits, since real users
+      // re-convert; any stage that could complete an evicted funnel
+      // is below the watermark and inadmissible regardless (the
+      // cep_ordered_ttl argument).
+      "funnel_ordered_ttl" -> {
+        val spark2 = ev.sparkSession
+        import spark2.implicits._
+        ev.withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("event_type"), col("ts"),
+                  col("event_id"))
+          .as[(Long, String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout)(
+            funnelStepOrderedTtl(24L * 3600 * 1000))
+          .select(col("user_id"),
+                  timestamp_micros(col("t_signup")).as("t_signup"),
+                  timestamp_micros(col("t_click")).as("t_click"),
+                  timestamp_micros(col("t_purchase")).as("t_purchase"))
+      },
       // The RESIDENT-mode ordered funnel (funnelStepOrdered): the
       // buffer-on-watermark recipe on the conversion machine — a
       // signup arriving after its purchase in processing order but
@@ -1211,7 +1317,7 @@ object Stream {
   private val orderedSinks: Set[String] = Set(
     "ewma_ordered", "transitions_ordered", "cep_ordered",
     "cep_ordered_ttl", "paths_ordered", "twap_spans_ordered",
-    "funnel_ordered")
+    "funnel_ordered", "funnel_ordered_ttl")
 
   /** Writes `df` as ONE parquet file `destDir/name.parquet` with an
     * explicit mtime — FileStreamSource processes files oldest-mtime-
@@ -1377,6 +1483,27 @@ object Stream {
       case "cep_ordered_ttl"     => sinkBelow("cep", "t_purchase")
       case "paths_ordered"       => sinkBelow("paths", "ts")
       case "funnel_ordered"      => sinkBelow("funnel", "t_purchase")
+      case "funnel_ordered_ttl"  =>
+        // The episodic machine has no plain single-batch twin (the
+        // fixture genuinely holds multi-conversion users the
+        // once-per-user funnel never shows): the reference is the
+        // greedy per-user episodic fold over the full event-time
+        // order, counting episodes whose purchase released. Driver-
+        // side collect is fine HERE: this is the drain's assertion
+        // harness at the test tier, not an operator.
+        engine.Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"), col("event_id"))
+          .collect()
+          .groupBy(_.getLong(0)).map { case (uid, evs) =>
+            val ordered = evs
+              .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+              .sortBy(r => (r._2, stageRank.getOrElse(r._1, 3), r._3))
+              .toSeq
+            funnelFoldEpisodic(uid)(FunnelState(None, None, None),
+                ordered)._1
+              .count(_.t_purchase < wmUs).toLong
+          }.sum
       case "twap_spans_ordered"  =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")

@@ -201,6 +201,26 @@ class OrderedRecipePropertySpec extends SparkTestBase {
     assert(asBag(funGot) == asBag(funWant), s"seed=$seed funnel: " +
       s"got=$funGot want=$funWant")
 
+    // funnel ordered+TTL with an effectively-infinite TTL ≡ the
+    // EPISODIC fold over the admitted sequence (multi-conversion
+    // semantics — a completion starts the next episode, so this is
+    // a superset of funnel_ordered's once-per-user hits and the
+    // chunking must not move, add, or drop an episode)
+    val funTtlGot = drive[Stream.FunnelOrdTtlState,
+        (Long, String, Timestamp, Long), Stream.FunnelHit](
+      s, uid, e => (uid, e.typ, tsOf(e.us), e.eid),
+      h => Some(h.t_purchase),
+      Stream.funnelStepOrderedTtl(Long.MaxValue / 4))
+    val funTtlWant = Stream.funnelFoldEpisodic(uid)(
+      Stream.FunnelState(None, None, None),
+      kept.map(e => (e.typ, e.us, e.eid))
+        .sortBy(r => (r._2, Seq("signup", "click", "purchase")
+          .indexOf(r._1) match { case -1 => 3; case i => i }, r._3)))._1
+    assert(asBag(funTtlGot) == asBag(funTtlWant),
+      s"seed=$seed funnel_ttl-episodic: got=$funTtlGot want=$funTtlWant")
+    assert(funWant.toSet.subsetOf(funTtlGot.toSet),
+      s"seed=$seed episodic lost the first conversion")
+
     // TWAP spans (2-day span exercises the same-day-only rule)
     val spanGot = drive[Stream.SpanOrdState,
         (Long, Long, Timestamp, Double), Stream.SpanRow](

@@ -333,6 +333,69 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ofun_out")
   }
 
+  test("ordered+TTL funnel: disorder completes in event-time order; eviction voids a stale signup; completion removal re-emits") {
+    // The composed resident funnel (funnelStepOrderedTtl), three legs:
+    // user 1's stages arrive purchase-first inside the lag (disorder —
+    // must still convert), then user 2's signup idles past the 30 min
+    // TTL and evicts, so the later click+purchase — in event time
+    // within a valid funnel — find no signup and must NOT convert;
+    // finally user 1 converts a SECOND time after their completion
+    // removed state (the funnel_ttl re-emission contract, now under
+    // ordering).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val out = in.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        Stream.funnelStepOrderedTtl(30L * 60000))
+    val q = out.writeStream.format("memory").queryName("oftl_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 purchase+click first, user 2's lone signup
+    in.addData((1L, "purchase", ts("2024-01-01 10:04:00"), 3L),
+               (1L, "click", ts("2024-01-01 10:02:00"), 2L),
+               (2L, "signup", ts("2024-01-01 10:00:00"), 10L))
+    q.processAllAvailable()
+    // batch 2: user 1's signup, late in processing but earliest in
+    // event time (inside the 10 min lag; wm after batch 1 = 09:54)
+    in.addData((1L, "signup", ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // batches 3+4: bystander pushes the watermark past the stages and
+    // past user 2's 30 min TTL, then fires the timeouts — user 1's
+    // funnel completes (state removes), user 2 evicts as idle
+    in.addData((9L, "view", ts("2024-01-01 12:00:00"), 90L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 12:05:00"), 91L))
+    q.processAllAvailable()
+    // batch 5: user 2's click+purchase — within a valid funnel of the
+    // EVICTED signup in event time, but the signup is gone: no hit.
+    // user 1 starts a fresh second funnel post-completion.
+    in.addData((2L, "click", ts("2024-01-01 12:30:00"), 11L),
+               (2L, "purchase", ts("2024-01-01 12:31:00"), 12L),
+               (1L, "signup", ts("2024-01-01 12:30:00"), 4L),
+               (1L, "click", ts("2024-01-01 12:32:00"), 5L),
+               (1L, "purchase", ts("2024-01-01 12:34:00"), 6L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 14:00:00"), 92L))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01 14:05:00"), 93L))
+    q.processAllAvailable()
+    q.stop()
+    val us = (s: String) => ts(s).getTime * 1000L
+    val got = spark.table("oftl_out")
+      .select("user_id", "t_signup", "t_purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:04:00")),
+        (1L, us("2024-01-01 12:30:00"), us("2024-01-01 12:34:00"))),
+      s"ordered+TTL funnel wrong: $got")
+    spark.sql("DROP TABLE IF EXISTS oftl_out")
+  }
+
   test("ordered+TTL CEP: disorder still matches in event-time order; idle state evicts; post-eviction purchase misses") {
     // The composed resident spelling (cepStepOrderedTtl): user 2's
     // purchase arrives BEFORE its signup (the disorder leg — fold
@@ -602,6 +665,14 @@ class StreamingSpec extends SparkTestBase {
     assert(ttlRows == wantFunnel,
       s"funnel_ttl state holds $ttlRows rows, want $wantFunnel " +
         s"(incomplete ∩ TTL-surviving of $nUsers users)")
+    // funnel_ordered_ttl: the EPISODIC machine leaves the store only
+    // by idle eviction (a completed user's reset machine rides the
+    // same TTL; a buffered user is never idle) — so the survivor set
+    // is exactly cep_ordered_ttl's.
+    val ordTtlFunRows = finalStateRows("funnel_ordered_ttl")
+    assert(ordTtlFunRows == ttlSurvivors.size,
+      s"funnel_ordered_ttl state holds $ordTtlFunRows rows, want " +
+        s"${ttlSurvivors.size} TTL survivors of $nUsers users")
   }
 
   test("TTL funnel re-emits on a fresh post-completion funnel; NoTimeout emits once") {
@@ -966,12 +1037,13 @@ class StreamingSpec extends SparkTestBase {
     assert(counts.keySet ==
       Set("tumbling", "sliding", "sessions", "dedup", "attribution",
           "attribution_outer", "funnel", "funnel_ttl", "funnel_ordered",
-          "ewma", "ewma_ordered", "ohlc", "transitions",
-          "transitions_ordered", "cep", "cep_ttl", "cep_ordered",
-          "cep_ordered_ttl", "twap_spans", "twap_spans_ordered",
-          "paths", "paths_ordered", "lake_dedup", "ingest_docs",
-          "ingest_rejects", "ingest_filtered", "ingest_vecs",
-          "ingest_vrejects", "ingest_vfiltered", "ingest_knn"))
+          "funnel_ordered_ttl", "ewma", "ewma_ordered", "ohlc",
+          "transitions", "transitions_ordered", "cep", "cep_ttl",
+          "cep_ordered", "cep_ordered_ttl", "twap_spans",
+          "twap_spans_ordered", "paths", "paths_ordered", "lake_dedup",
+          "ingest_docs", "ingest_rejects", "ingest_filtered",
+          "ingest_vecs", "ingest_vrejects", "ingest_vfiltered",
+          "ingest_knn"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
     assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
@@ -1125,6 +1197,22 @@ class StreamingSpec extends SparkTestBase {
       s"cep_ordered_ttl diverged from cep_ordered on a bounded drain: " +
         s"ttl-only=${(ordTtlCep -- ordCep).take(3)}, " +
         s"ord-only=${(ordCep -- ordTtlCep).take(3)}")
+    // the EPISODIC composition on the funnel: every once-per-user hit
+    // is an episodic FIRST episode (identical row — the two folds
+    // agree until the first completion), and the fixture genuinely
+    // holds re-converting users, so the episodic log is a strict
+    // superset (62 vs 15 at sf0.001; runAll pins the exact episodic
+    // count against a plain-Scala fold reference)
+    val ordTtlFun = spark.read.parquet(s"$out/funnel_ordered_ttl")
+      .collect().map(_.toSeq).toSet
+    val ordFun = spark.read.parquet(s"$out/funnel_ordered")
+      .collect().map(_.toSeq).toSet
+    assert(ordFun.subsetOf(ordTtlFun),
+      s"funnel_ordered hits missing from the episodic log: " +
+        s"${(ordFun -- ordTtlFun).take(3)}")
+    assert(ordTtlFun.size > ordFun.size,
+      s"episodic funnel found no re-conversions (${ordTtlFun.size}) — " +
+        "fixture regressed or episodes are being dropped")
     // the TWAP span log replays per-user events with one-pair state;
     // rolling its spans up with the batch key's own arithmetic must
     // reproduce events_twap_daily exactly
