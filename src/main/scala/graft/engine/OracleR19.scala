@@ -161,6 +161,52 @@ object OracleR19 {
         |  FROM filt) t
         |ORDER BY vec_id, match_src, dup_of""".stripMargin,
 
+    // The machine replayed as a recursive CTE: state after event rn
+    // derives from state after rn-1 under the same guard order the
+    // Scala fold applies (completion resets both stamps; a stage
+    // only fills an empty slot whose predecessor stamp allows it).
+    "events_funnel_episodes" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type AS typ, CAST(ts AS TIMESTAMP) AS ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, CASE event_type WHEN 'signup' THEN 0
+        |             WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+        |             ELSE 3 END, event_id) AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN typ = 'signup' THEN ts END AS t_s,
+        |    CAST(NULL AS TIMESTAMP) AS t_c,
+        |    CAST(NULL AS TIMESTAMP) AS emit_s,
+        |    CAST(NULL AS TIMESTAMP) AS emit_c,
+        |    CAST(NULL AS TIMESTAMP) AS emit_p
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN e.typ = 'purchase' AND s.t_c IS NOT NULL
+        |              AND e.ts >= s.t_c THEN NULL
+        |         WHEN e.typ = 'signup' AND s.t_s IS NULL THEN e.ts
+        |         ELSE s.t_s END,
+        |    CASE WHEN e.typ = 'purchase' AND s.t_c IS NOT NULL
+        |              AND e.ts >= s.t_c THEN NULL
+        |         WHEN e.typ = 'click' AND s.t_s IS NOT NULL
+        |              AND e.ts >= s.t_s AND s.t_c IS NULL THEN e.ts
+        |         ELSE s.t_c END,
+        |    CASE WHEN e.typ = 'purchase' AND s.t_c IS NOT NULL
+        |              AND e.ts >= s.t_c THEN s.t_s END,
+        |    CASE WHEN e.typ = 'purchase' AND s.t_c IS NOT NULL
+        |              AND e.ts >= s.t_c THEN s.t_c END,
+        |    CASE WHEN e.typ = 'purchase' AND s.t_c IS NOT NULL
+        |              AND e.ts >= s.t_c THEN e.ts END
+        |  FROM st s JOIN ev e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+        |       AS INT) AS episode,
+        |  emit_s AS t_signup, emit_c AS t_click, emit_p AS t_purchase
+        |FROM st WHERE emit_p IS NOT NULL
+        |ORDER BY user_id, episode""".stripMargin,
+
     // The landmark hashes restated from (doc_id, frame) arithmetic —
     // valid because the two spectral lines provably dominate the
     // integer-rounding leakage (see the key's Scaladoc), so the

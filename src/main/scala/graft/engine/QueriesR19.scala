@@ -188,6 +188,65 @@ object QueriesR19 {
     fateProjection(s, root)
   }
 
+  /** EPISODIC conversion funnel — the batch twin of the streaming
+    * funnel_ordered_ttl machine (graft.Stream.funnelFoldEpisodic):
+    * per user, walk events in (ts, stage-rank, event_id) order
+    * through the signup→click→purchase machine; a completion EMITS
+    * an episode and resets the machine, so re-converting users
+    * produce one row per conversion — the resident-funnel semantics
+    * every once-per-user batch funnel (events_funnel) is blind to
+    * (the sf fixture holds 4× more episodes than first conversions).
+    * Emits (user_id, episode, t_signup, t_click, t_purchase),
+    * episode 1-based per user in completion order.
+    *
+    * The fold is inherently sequential per user, so the Spark
+    * spelling is the honest one for that shape: sorted
+    * flatMapGroups over the user key (KeyValueGroupedDataset —
+    * §2.2-K's typed escape hatch, the same per-key imperative core
+    * the streaming machine runs), never a driver loop; the oracle
+    * replays the machine as a recursive CTE over per-user event
+    * ranks.
+    *
+    * Scale shape: one shuffle on user_id; per-group work is a sort +
+    * linear fold bounded by the hottest user (the H-family per-key
+    * contract); output is O(episodes). */
+  def eventsFunnelEpisodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stageRank = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        var tS: Option[Long] = None
+        var tC: Option[Long] = None
+        var ep = 0
+        it.toSeq
+          .sortBy(r => (r._3, stageRank.getOrElse(r._2, 3), r._4))
+          .flatMap { case (_, typ, ts, _) =>
+            typ match {
+              case "signup" if tS.isEmpty =>
+                tS = Some(ts); None
+              case "click" if tS.exists(ts >= _) && tC.isEmpty =>
+                tC = Some(ts); None
+              case "purchase" if tC.exists(ts >= _) =>
+                ep += 1
+                val row = (uid, ep, tS.get, tC.get, ts)
+                tS = None; tC = None           // next episode
+                Some(row)
+              case _ => None
+            }
+          }.iterator
+      }
+      .toDF("user_id", "episode", "t_signup", "t_click", "t_purchase")
+      .select(col("user_id"), col("episode"),
+              timestamp_micros(col("t_signup")).as("t_signup"),
+              timestamp_micros(col("t_click")).as("t_click"),
+              timestamp_micros(col("t_purchase")).as("t_purchase"))
+      .orderBy("user_id", "episode")
+  }
+
   /** Audio near-dup by spectral-landmark fingerprinting — the
     * Shazam-style constellation recipe, the dedup a MULTIMODAL
     * training pipeline needs for audio clips (re-encoded/re-sampled

@@ -324,6 +324,8 @@ object Registry {
     // video shot-boundary detection over per-frame codec round-trips
     "multimodal_audio_fingerprint" -> QueriesR19.multimodalAudioFingerprint _,
     "multimodal_scene_change" -> QueriesR19.multimodalSceneChange _,
+    // Round-15: episodic funnel — batch twin of funnel_ordered_ttl
+    "events_funnel_episodes" -> QueriesR19.eventsFunnelEpisodes _,
   )
 
   val oracleSql: ListMap[String, String] =
