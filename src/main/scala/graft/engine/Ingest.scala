@@ -76,9 +76,11 @@ object Ingest {
     * corpus, not an archive. Default OFF: pass a policy to opt in. */
   case class IngestMaintenance(everyBatches: Int = 32,
                                compact: Boolean = true,
-                               keepCheckpoints: Int = 2) {
+                               keepCheckpoints: Int = 2,
+                               clusterBuckets: Int = 8) {
     require(everyBatches >= 1, s"everyBatches must be >= 1")
     require(keepCheckpoints >= 1, s"keepCheckpoints must be >= 1")
+    require(clusterBuckets >= 1, s"clusterBuckets must be >= 1")
     private[engine] def due(batchId: Long): Boolean =
       (batchId + 1) % everyBatches == 0
   }
@@ -93,11 +95,25 @@ object Ingest {
     * compaction step, never the log maintenance. */
   private[graft] def maintain(spark: org.apache.spark.sql.SparkSession,
                               roots: Seq[String],
-                              m: IngestMaintenance): Unit =
+                              m: IngestMaintenance,
+                              cluster: Map[String, String] = Map.empty)
+      : Unit =
     roots.foreach { root =>
       if (LakeTable.latestVersion(spark, root).isDefined) {
         if (m.compact && LakeTable.activeDirs(spark, root).size > 1)
-          LakeTable.rewrite(LakeTable.read(spark, root), root)
+          cluster.get(root) match {
+            // CLUSTERED compaction: the table re-lands range-
+            // partitioned on its probe key with per-directory
+            // [min, max] stats in the commit log — so a stats-pruned
+            // read (LakeTable.readRange2) opens only the directories
+            // whose range intersects the probe, the serving-side IO
+            // contract (knnProbe's pruneByStats path).
+            case Some(colName) =>
+              LakeTable.rewriteClustered(LakeTable.read(spark, root),
+                root, colName, m.clusterBuckets)
+            case None =>
+              LakeTable.rewrite(LakeTable.read(spark, root), root)
+          }
         LakeTable.checkpoint(spark, root)
         LakeTable.vacuum(spark, root,
           LakeTable.latestVersion(spark, root).get)
@@ -326,7 +342,12 @@ object Ingest {
         // codebook included for uniformity: one data commit forever,
         // so beyond its first checkpoint the pass no-ops on it.
         Seq(vecsRoot(root), vrejectsRoot(root), vfilteredRoot(root),
-            codebookRoot(root)), m))
+            codebookRoot(root)), m,
+        // the vecs table compacts CLUSTERED on its probe key: the
+        // frozen codebook makes cell_id immutable, so the cluster
+        // never rots and every maintenance pass re-establishes the
+        // serving layout knnProbe's pruned path reads
+        cluster = Map(vecsRoot(root) -> "cell_id")))
     val stagingDir = s"$root/staging/emb-batch-$batchId"
     batch.write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
@@ -448,10 +469,22 @@ object Ingest {
     * corpus version while the ingest keeps committing, and a pinned
     * probe replays identically forever (until vacuum reclaims the
     * version). The codebook needs no pin: it is frozen after its
-    * single training commit by contract. */
+    * single training commit by contract.
+    *
+    * `pruneByStats` turns the corpus scan into the SERVING-layout
+    * read: the probed cell set (≤ codebook size — one bounded
+    * METADATA collect, never vector data) drives per-cell
+    * [[LakeTable.readRange2]] reads, so only the data directories
+    * whose logged cell_id range intersects a probed cell are opened
+    * — probe IO ∝ probed cells once maintenance has clustered the
+    * table (directories without stats are read conservatively, so
+    * not-yet-compacted trailing commits stay correct). Identical
+    * results either way (IngestMaintenanceSpec pins equality and the
+    * file-count reduction). */
   def knnProbe(spark: org.apache.spark.sql.SparkSession, root: String,
                queries: DataFrame, k: Int, nprobe: Int = 4,
-               asOf: Option[Long] = None): DataFrame = {
+               asOf: Option[Long] = None,
+               pruneByStats: Boolean = false): DataFrame = {
     Exprs.register(spark); TopK.register(spark)
     // readOrEmpty, not read: a root whose ingest has started but not
     // yet accepted a vector (all batches filtered/duplicate/empty)
@@ -460,7 +493,6 @@ object Ingest {
         StructField("cid", LongType),
         StructField("cemb", ArrayType(DoubleType)))))
       .select("cid", "cemb")
-    val vecs = readOrEmpty(spark, vecsRoot(root), vecsSchema, asOf)
     val q = queries.select(col("qid"), col("embedding").as("qemb"))
     val qcells = q.crossJoin(broadcast(cent))
       .select(col("qid"), col("cid"),
@@ -469,6 +501,20 @@ object Ingest {
       .agg(expr(s"topk_by_score(cs, cid, $nprobe)").as("t"))
       .select(col("qid"), explode(col("t")).as("p"))
       .select(col("qid"), col("p.id").as("cell_id"))
+    val hasData = LakeTable.latestVersion(spark, vecsRoot(root)).isDefined &&
+      LakeTable.activeDirs(spark, vecsRoot(root), asOf).nonEmpty
+    val vecs =
+      if (!pruneByStats || !hasData)
+        readOrEmpty(spark, vecsRoot(root), vecsSchema, asOf)
+      else {
+        val probed = qcells.select("cell_id").distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (probed.isEmpty) emptyFrame(spark, vecsSchema)
+        else probed.map(c => LakeTable.readRange2(spark, vecsRoot(root),
+            Seq(("cell_id", c.toString, c.toString)), asOf)
+            .select("vec_id", "embedding", "cell_id"))
+          .reduce(_ unionByName _)
+      }
     q.join(qcells, "qid")
       .join(vecs, "cell_id")
       .select(col("qid"), col("vec_id"),

@@ -975,9 +975,19 @@ object LakeTable {
       .map(r => s"$base/__bucket=${r.get(0)}" ->
         (r.getString(1), r.getString(2)))
       .toMap
+    val dirStats = leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap
+    // Record the SAME bounds in the kind-aware colStats/colKinds form
+    // too (the rewriteClusteredN posture), so readRange2/readRangeFiles
+    // can prune with the column's declared ordering — the legacy
+    // single-column `stats` map serves readRange's lexicographic
+    // contract only, which silently keeps-or-skips wrong for unpadded
+    // numeric strings (min="0", max="15" vs lo="7").
     writeCommit(spark, root,
-      Commit(next, leaves, prev, None,
-             leaves.flatMap(d => statRows.get(d).map(d -> _)).toMap))
+      Commit(next, leaves, prev, None, dirStats,
+             colStats = dirStats.map { case (d, mm) =>
+               d -> Map(clusterCol -> mm) },
+             colKinds = Map(clusterCol ->
+               statKind(df.schema(clusterCol).dataType))))
     next
   }
 

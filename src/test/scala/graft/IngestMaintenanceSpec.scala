@@ -116,10 +116,40 @@ class IngestMaintenanceSpec extends SparkTestBase {
         s"${sub(mx)}: $jsons commit JSONs — log not bounded")
       assert(cps <= policy.keepCheckpoints,
         s"${sub(mx)}: $cps checkpoints")
-      assert(dirs <= policy.everyBatches + 1,
-        s"${sub(mx)}: $dirs active data dirs")
+      // the vecs table compacts CLUSTERED into clusterBuckets range
+      // directories (the serving layout) — still O(policy), just a
+      // different constant than the single-dir plain compaction
+      val dirBound =
+        if (sub(mx) == Ingest.vecsRoot(mx))
+          policy.clusterBuckets + policy.everyBatches
+        else policy.everyBatches + 1
+      assert(dirs <= dirBound,
+        s"${sub(mx)}: $dirs active data dirs (bound $dirBound)")
       val (m, r) = (rowsOf(sub(mx)), rowsOf(sub(ref)))
       assert(m == r, s"maintained emb run diverged at ${sub(mx)}")
     }
+    // The compaction CLUSTERED the vecs table on cell_id with logged
+    // [min, max] stats — the serving layout: a single-cell
+    // stats-pruned read opens strictly fewer files than the full
+    // table, and the pruned probe path answers IDENTICALLY to the
+    // plain join path.
+    val vroot = Ingest.vecsRoot(mx)
+    val someCell = LakeTable.read(spark, vroot)
+      .select("cell_id").limit(1).collect()(0).getLong(0)
+    val prunedFiles = LakeTable.readRange2(spark, vroot,
+      Seq(("cell_id", someCell.toString, someCell.toString)))
+      .inputFiles.length
+    val allFiles = LakeTable.read(spark, vroot).inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"single-cell read opened $prunedFiles of $allFiles files — " +
+        "clustered compaction produced no stats pruning")
+    val q = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def probeRows(prune: Boolean): Set[Seq[Any]] =
+      Ingest.knnProbe(spark, mx, q, k = 3, nprobe = 2,
+          pruneByStats = prune)
+        .collect().map(_.toSeq).toSet
+    assert(probeRows(prune = true) == probeRows(prune = false),
+      "pruned probe diverged from the plain join path")
   }
 }
