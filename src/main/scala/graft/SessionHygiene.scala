@@ -35,8 +35,20 @@ object SessionHygiene {
     * on-disk artifact cache), and each key rebuilds its own frames. */
   def step(spark: SparkSession, keyIdx: Int): Unit = if (enabled) {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    // Unpersisting a locally-checkpointed RDD logs a scary-but-noise
+    // "lineage has been truncated" WARN per RDD (the whole point of
+    // the step is that nothing recomputes them). Mute the rdd loggers
+    // for JUST this loop so bench/verify tails keep real warnings
+    // visible instead of burying them under hygiene chatter.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val rddLogger = "org.apache.spark.rdd"
+    val prior = LogManager.getLogger(rddLogger).getLevel
+    Configurator.setLevel(rddLogger, Level.ERROR)
+    try
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    finally Configurator.setLevel(rddLogger, prior)
     if (keyIdx % 20 == 0) System.gc()
   }
 }

@@ -507,7 +507,12 @@ object Ingest {
       if (!pruneByStats || !hasData)
         readOrEmpty(spark, vecsRoot(root), vecsSchema, asOf)
       else {
-        val probed = qcells.select("cell_id").distinct()
+        // A degenerate/zero-norm query embedding yields null cosines
+        // and can surface a null cell id from topk_by_score; the
+        // unpruned path tolerates it (the join just matches nothing),
+        // so the pruned path must too — drop nulls before getLong.
+        val probed = qcells.select("cell_id")
+          .filter(col("cell_id").isNotNull).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
         if (probed.isEmpty) emptyFrame(spark, vecsSchema)
         else probed.map(c => LakeTable.readRange2(spark, vecsRoot(root),

@@ -44,8 +44,10 @@ object OracleR19 {
        |        floor(sqrt(list_aggregate(list_transform(embedding[1:8],
        |          x -> CAST(x AS DOUBLE) * x), 'sum')) * 1e6 + 0.5) AS m8
        |      FROM embeddings),
-       |filt AS (SELECT vec_id FROM eb WHERE m8 < 200000),
-       |surv AS (SELECT vec_id, embedding, b FROM eb WHERE m8 >= 200000),
+       |filt AS (SELECT vec_id FROM eb
+       |         WHERE m8 < 200000 OR m8 IS NULL),
+       |surv AS (SELECT vec_id, embedding, b FROM eb
+       |         WHERE m8 IS NOT NULL AND m8 >= 200000),
        |b0 AS (SELECT vec_id, embedding FROM surv WHERE b = 0),
        |${OracleKmeans.codebookCtesFrom("b0")},
        |rnk AS (SELECT a.vec_id, c.cid,
