@@ -1,0 +1,191 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-16 coverage wave: the five TPC-H members the registry still
+  * lacked — q2, q11, q12, q16, q20 — adapted to this corpus's schema
+  * (no partsupp table; the supplier↔part relation is DERIVED from
+  * lineitem as `ps(partkey, suppkey, qty|cost)`, the same contraction
+  * every earlier q*-shape key uses). Together they close the TPC-H
+  * deck at 22/22 and, more importantly, exercise the one Catalyst
+  * rewrite family the registry never forced end-to-end:
+  *
+  *  - q2: a correlated scalar MIN subquery whose body itself JOINS
+  *    (ps ⋈ supplier ⋈ nation ⋈ region) — decorrelated by
+  *    RewriteCorrelatedScalarSubquery into one grouped MIN plus a
+  *    join back on the correlation key, never a per-part rescan.
+  *  - q11: HAVING against an UNCORRELATED scalar aggregate over the
+  *    same derived relation (the global-fraction threshold).
+  *  - q12: the conditional-aggregation-by-derived-category shape
+  *    (this corpus has no l_shipmode; the category is the ship-delay
+  *    bucket datediff(l_shipdate, o_orderdate) lands in).
+  *  - q16: COUNT(DISTINCT) grouping behind a null-aware NOT IN
+  *    predicate subquery (RewritePredicateSubquery → null-aware
+  *    left-anti join).
+  *  - q20: doubly nested IN subqueries with a CORRELATED scalar SUM
+  *    in the innermost predicate — the full q20 decorrelation stack
+  *    (two left-semi joins + one decorrelated aggregate).
+  *
+  * All five run through `spark.sql` over temp views: the DSL cannot
+  * spell a correlated scalar subquery, and the POINT is that the
+  * optimizer — not hand-written joins — produces the decorrelated
+  * plan (PlanSpec family asserts no per-row subplan survives).
+  *
+  * Cross-engine exactness (§2.3): quantities are integral doubles
+  * (1..50), so SUM(CAST(l_quantity AS BIGINT)) is exact on both
+  * engines; `cost` is MIN over IEEE divisions of identical parquet
+  * doubles (min is order-independent, division bit-deterministic);
+  * no library round() anywhere. Every ORDER BY preceding a LIMIT is
+  * a total order on the result's candidate rows.
+  *
+  * Scale: `ps` is one map-side-combined aggregate over lineitem
+  * (shuffle on (l_partkey, l_suppkey) — at 100 TB this is the same
+  * single exchange a real partsupp scan would cost); the decorrelated
+  * subqueries each add one grouped aggregate + one shuffle join on
+  * the correlation key. Nothing is per-row, nothing collects.
+  */
+object QueriesR20 {
+  import Tables._
+
+  /** The derived supplier↔part relation registered once per call
+    * under a key-scoped view name. */
+  private def psView(s: SparkSession, d: String, prefix: String): Unit = {
+    lineitem(s, d).createOrReplaceTempView(s"${prefix}_lineitem")
+    s.sql(
+      s"""SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         |       SUM(CAST(l_quantity AS BIGINT)) AS qty,
+         |       MIN(l_extendedprice / l_quantity) AS cost
+         |FROM ${prefix}_lineitem GROUP BY l_partkey, l_suppkey""".stripMargin)
+      .createOrReplaceTempView(s"${prefix}_ps")
+  }
+
+  /** TPC-H Q2 shape — min-cost supplier: for small ECONOMY parts,
+    * the EUROPE supplier(s) whose derived unit cost equals the
+    * part's European minimum. The equality's right side is the
+    * correlated scalar subquery (with joins in its body) this key
+    * exists for. Double equality is safe: both sides are MIN over
+    * the same IEEE-divided values. */
+  def q2MinCostSupp(s: SparkSession, d: String): DataFrame = {
+    psView(s, d, "q2")
+    part(s, d).createOrReplaceTempView("q2_part")
+    supplier(s, d).createOrReplaceTempView("q2_supplier")
+    nation(s, d).createOrReplaceTempView("q2_nation")
+    region(s, d).createOrReplaceTempView("q2_region")
+    s.sql("""
+      WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                  FROM q2_supplier JOIN q2_nation ON s_nationkey = n_nationkey
+                  JOIN q2_region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE')
+      SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand,
+             ps.cost AS supply_cost
+      FROM q2_part p JOIN q2_ps ps ON ps.partkey = p.p_partkey
+      JOIN eu s ON s.s_suppkey = ps.suppkey
+      WHERE p.p_size <= 5 AND p.p_type = 'ECONOMY'
+        AND ps.cost = (SELECT MIN(ps2.cost)
+                       FROM q2_ps ps2 JOIN eu s2 ON s2.s_suppkey = ps2.suppkey
+                       WHERE ps2.partkey = p.p_partkey)
+      ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H Q11 shape — important stock: per-part derived stock held
+    * by one REGION's suppliers (the fixture guarantees every region
+    * suppliers at every SF; a single nation can be empty at
+    * sf0.001), kept only when it exceeds a fraction of the regional
+    * total (the uncorrelated scalar subquery in HAVING). All
+    * arithmetic is exact bigint until the single final fraction
+    * multiply. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    psView(s, d, "q11")
+    supplier(s, d).createOrReplaceTempView("q11_supplier")
+    nation(s, d).createOrReplaceTempView("q11_nation")
+    region(s, d).createOrReplaceTempView("q11_region")
+    s.sql("""
+      WITH gs AS (SELECT ps.partkey, ps.qty FROM q11_ps ps
+                  JOIN q11_supplier ON s_suppkey = ps.suppkey
+                  JOIN q11_nation ON s_nationkey = n_nationkey
+                  JOIN q11_region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE')
+      SELECT partkey AS p_partkey, CAST(SUM(qty) AS BIGINT) AS stock_qty
+      FROM gs GROUP BY partkey
+      HAVING SUM(qty) > (SELECT SUM(qty) FROM gs) * 0.001
+      ORDER BY stock_qty DESC, p_partkey""")
+  }
+
+  /** TPC-H Q12 shape — shipping-latency priority split: this corpus
+    * carries no l_shipmode, so the category is the DERIVED ship-delay
+    * bucket (days between order and ship date — integral at both
+    * engines since all stamps are midnight). High = URGENT/HIGH
+    * orders, the classic CASE-sum split. */
+  def q12LatencyPriority(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("q12_lineitem")
+    orders(s, d).createOrReplaceTempView("q12_orders")
+    s.sql("""
+      SELECT ship_bucket,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM (SELECT CASE WHEN datediff(l_shipdate, o_orderdate) >= 90
+                          THEN 'DELAYED'
+                        WHEN datediff(l_shipdate, o_orderdate) >= 30
+                          THEN 'SLOW'
+                        ELSE 'FAST' END AS ship_bucket, o_orderpriority
+            FROM q12_lineitem JOIN q12_orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
+      GROUP BY ship_bucket ORDER BY ship_bucket""")
+  }
+
+  /** TPC-H Q16 shape — supplier count per part class, excluding
+    * suppliers via a null-aware NOT IN predicate subquery (negative
+    * account balance standing in for the complaints filter). */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("q16_lineitem")
+    part(s, d).createOrReplaceTempView("q16_part")
+    supplier(s, d).createOrReplaceTempView("q16_supplier")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                  FROM q16_lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps JOIN q16_part ON p_partkey = partkey
+      WHERE p_brand <> 'Brand#17' AND p_type <> 'ECONOMY'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND ps.suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                               WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** TPC-H Q20 shape — suppliers holding excess of promo-candidate
+    * parts: s_suppkey IN (pairs whose all-time derived qty exceeds
+    * twice what that pair shipped in 1999) with the part filter a
+    * second nested IN, and the 1999 sum the innermost CORRELATED
+    * scalar subquery. A pair that shipped nothing in 1999 yields a
+    * NULL sum — the comparison is then NULL and the pair drops, on
+    * BOTH engines (the standard q20 null contract). */
+  def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
+    psView(s, d, "q20")
+    part(s, d).createOrReplaceTempView("q20_part")
+    supplier(s, d).createOrReplaceTempView("q20_supplier")
+    nation(s, d).createOrReplaceTempView("q20_nation")
+    region(s, d).createOrReplaceTempView("q20_region")
+    s.sql("""
+      SELECT s_name, s_acctbal
+      FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+      JOIN q20_region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND s_suppkey IN (
+          SELECT ps.suppkey FROM q20_ps ps
+          WHERE ps.partkey IN (SELECT p_partkey FROM q20_part
+                               WHERE p_name LIKE 'red%')
+            AND ps.qty > 2 * (SELECT SUM(CAST(l_quantity AS BIGINT))
+                              FROM q20_lineitem
+                              WHERE l_partkey = ps.partkey
+                                AND l_suppkey = ps.suppkey
+                                AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                                AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'))
+      ORDER BY s_name""")
+  }
+}

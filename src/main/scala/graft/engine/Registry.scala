@@ -326,6 +326,14 @@ object Registry {
     "multimodal_scene_change" -> QueriesR19.multimodalSceneChange _,
     // Round-15: episodic funnel — batch twin of funnel_ordered_ttl
     "events_funnel_episodes" -> QueriesR19.eventsFunnelEpisodes _,
+    // Round-16: TPC-H completion (22/22) — the correlated-subquery
+    // decorrelation surface (scalar MIN with joins, nested IN with a
+    // correlated scalar SUM, global-fraction HAVING, null-aware NOT IN)
+    "q2_min_cost_supp"      -> QueriesR20.q2MinCostSupp _,
+    "q11_important_stock"   -> QueriesR20.q11ImportantStock _,
+    "q12_latency_priority"  -> QueriesR20.q12LatencyPriority _,
+    "q16_supplier_cnt"      -> QueriesR20.q16SupplierCnt _,
+    "q20_excess_suppliers"  -> QueriesR20.q20ExcessSuppliers _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -335,5 +343,5 @@ object Registry {
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
-      OracleR19.sql
+      OracleR19.sql ++ OracleR20.sql
 }

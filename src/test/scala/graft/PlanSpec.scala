@@ -215,6 +215,43 @@ class PlanSpec extends SparkTestBase {
       s"q21 anti join lost its equi key (nested loop):\n$p")
   }
 
+  test("q2 correlated scalar MIN (with joins in its body) decorrelates") {
+    val p = plan("q2_min_cost_supp")
+    // RewriteCorrelatedScalarSubquery must fold the per-part European
+    // minimum into ONE grouped MIN joined back on (cost, partkey) —
+    // a surviving Subquery would rescan ps per outer part at 100 TB.
+    assert(!p.contains("Subquery"), s"q2 scalar not decorrelated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"no equi join carrying the decorrelated minimum:\n$p")
+    assert(!p.contains("NestedLoop"), s"q2 degraded to nested loop:\n$p")
+  }
+
+  test("q11 global-fraction HAVING keeps a one-shot uncorrelated subquery") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("Subquery"),
+      s"uncorrelated threshold lost its one-shot subquery plan:\n$p")
+    assert(!p.contains("NestedLoop"), s"q11 degraded to nested loop:\n$p")
+  }
+
+  test("q20 nested INs become semi joins; inner correlated SUM decorrelates") {
+    val p = plan("q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"IN not rewritten to semi join:\n$p")
+    assert(!p.contains("Subquery"),
+      s"inner correlated scalar not decorrelated:\n$p")
+    assert(!p.contains("NestedLoop"), s"q20 degraded to nested loop:\n$p")
+  }
+
+  test("q16 NOT IN is a null-aware anti join; q12 pushes the date range") {
+    val p16 = plan("q16_supplier_cnt")
+    assert(p16.contains("LeftAnti"), s"NOT IN not an anti join:\n$p16")
+    assert(!p16.contains("NestedLoop"), s"q16 degraded to nested loop:\n$p16")
+    val p12 = plan("q12_latency_priority")
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate") &&
+           p12.contains("LessThan(l_shipdate"),
+      s"q12 ship-date range not pushed to the lineitem scan:\n$p12")
+  }
+
   test("NOT IN plans the null-aware anti join (broadcast, single key)") {
     val p = plan("join_notin_nullaware")
     // BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true —
