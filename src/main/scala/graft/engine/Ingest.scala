@@ -77,10 +77,15 @@ object Ingest {
   case class IngestMaintenance(everyBatches: Int = 32,
                                compact: Boolean = true,
                                keepCheckpoints: Int = 2,
-                               clusterBuckets: Int = 8) {
+                               clusterBuckets: Int = 8,
+                               refreshCodebook: Boolean = false,
+                               refreshSkew: Double = 4.0,
+                               refreshMinFit: Double = 0.5) {
     require(everyBatches >= 1, s"everyBatches must be >= 1")
     require(keepCheckpoints >= 1, s"keepCheckpoints must be >= 1")
     require(clusterBuckets >= 1, s"clusterBuckets must be >= 1")
+    require(refreshSkew > 1.0, s"refreshSkew must be > 1.0")
+    require(refreshMinFit < 1.0, s"refreshMinFit must be < 1.0")
     private[engine] def due(batchId: Long): Boolean =
       (batchId + 1) % everyBatches == 0
   }
@@ -297,7 +302,8 @@ object Ingest {
   private def vecsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
-    StructField("cell_id", LongType)))
+    StructField("cell_id", LongType),
+    StructField("cb_ver", LongType)))
 
   private def dropStaging(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Unit = {
@@ -338,16 +344,27 @@ object Ingest {
     Exprs.register(spark); TopK.register(spark)
     def maintainNow(): Unit = maintenance
       .filter(_.due(batchId))
-      .foreach(m => maintain(spark,
-        // codebook included for uniformity: one data commit forever,
-        // so beyond its first checkpoint the pass no-ops on it.
-        Seq(vecsRoot(root), vrejectsRoot(root), vfilteredRoot(root),
-            codebookRoot(root)), m,
-        // the vecs table compacts CLUSTERED on its probe key: the
-        // frozen codebook makes cell_id immutable, so the cluster
-        // never rots and every maintenance pass re-establishes the
-        // serving layout knnProbe's pruned path reads
-        cluster = Map(vecsRoot(root) -> "cell_id")))
+      .foreach { m =>
+        // Codebook refresh runs FIRST (when armed and drifted), so
+        // the clustered compaction below lands on the NEW cell ids —
+        // the refreshed serving layout in one maintenance pass.
+        if (m.refreshCodebook &&
+            codebookDrifted(spark, root, m.refreshSkew, m.refreshMinFit))
+          refreshCodebook(spark, root, m.clusterBuckets)
+        maintain(spark,
+          // codebook included for uniformity: beyond its newest
+          // version's checkpoint the pass no-ops on it. NOTE vacuum
+          // reclaims pre-refresh codebook versions like any other
+          // pre-maintenance state — the documented time-travel trade.
+          Seq(vecsRoot(root), vrejectsRoot(root), vfilteredRoot(root),
+              codebookRoot(root)), m,
+          // the vecs table compacts CLUSTERED on its probe key:
+          // between refreshes cell_id is immutable (frozen codebook),
+          // so the cluster never rots and every maintenance pass
+          // re-establishes the serving layout knnProbe's pruned path
+          // reads
+          cluster = Map(vecsRoot(root) -> "cell_id"))
+      }
     val stagingDir = s"$root/staging/emb-batch-$batchId"
     batch.write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
@@ -401,7 +418,17 @@ object Ingest {
       LakeTable.appendTxn(
         Ops.kmeansCodebook(clean, "vec_id", "embedding", k),
         codebookRoot(root), appId, batchId)
-    val cent = LakeTable.read(spark, codebookRoot(root))
+    // PAIRED codebook read: the batch assigns with the codebook
+    // VERSION the current corpus's cells were assigned under (the
+    // uniform cb_ver every vecs row carries), NOT blindly with the
+    // latest codebook version — so a crash between a refresh's
+    // codebook rewrite and its vecs re-cluster leaves the next batch
+    // consistent with the corpus (old cells, old codebook) rather
+    // than mixing new-codebook cells into an old-cell index. An
+    // empty corpus pairs with the just-trained latest version.
+    val cbVer = currentCbVer(spark, root).getOrElse(
+      LakeTable.latestVersion(spark, codebookRoot(root)).get)
+    val cent = LakeTable.read(spark, codebookRoot(root), Some(cbVer))
       .select("cid", "cemb")
     // argmax cell assignment — embSemdedup/annIvf's exact tie rule
     val asg = clean.crossJoin(broadcast(cent))
@@ -438,12 +465,133 @@ object Ingest {
     val accepted = cells
       .join(rejects.select("vec_id"), Seq("vec_id"), "left_anti")
       .select("vec_id", "embedding", "cell_id")
+      .withColumn("cb_ver", lit(cbVer))
     LakeTable.appendTxn(accepted, vecsRoot(root), appId, batchId)
     LakeTable.appendTxn(rejects, vrejectsRoot(root), appId, batchId)
     LakeTable.appendTxn(flagged.unionByName(degenerate),
       vfilteredRoot(root), appId, batchId)
     dropStaging(spark, stagingDir)
     maintainNow()
+  }
+
+  /** The codebook VERSION the vecs snapshot's cells were assigned
+    * under. Every accepted row carries it (`cb_ver`) and it is
+    * uniform at any committed snapshot — appends always pair with the
+    * corpus's current version and a refresh rewrites every row in one
+    * atomic commit — so reading ONE row suffices (a single parquet
+    * footer + page, never a corpus scan). None when the corpus is
+    * empty (or the snapshot predates any accept). */
+  private[graft] def currentCbVer(spark: org.apache.spark.sql.SparkSession,
+                                  root: String,
+                                  asOf: Option[Long] = None): Option[Long] =
+    if (LakeTable.latestVersion(spark, vecsRoot(root)).isDefined &&
+        LakeTable.activeDirs(spark, vecsRoot(root), asOf).nonEmpty)
+      LakeTable.read(spark, vecsRoot(root), asOf).select("cb_ver")
+        .limit(1).collect().headOption.map(_.getLong(0))
+    else None
+
+  /** Drift trigger for the codebook refresh — drift rots the frozen
+    * codebook along TWO distinct axes, so the trigger watches both:
+    *
+    *  - PILE-UP (cell-size skew): a new concentrated mode lands
+    *    inside one frozen cell, which outgrows the rest; in-cell
+    *    exact scoring keeps recall, but probe IO stops being
+    *    ∝ probed cells (one cell ≈ the corpus) — the serving-layout
+    *    contract rots. Fires when max(cellCount) > skew × mean.
+    *  - SCATTER (assignment-fit decay): new modes ORTHOGONAL to every
+    *    frozen centroid spread across cells on noise argmax; a true
+    *    neighborhood splits over more cells than any nprobe covers
+    *    and recall itself rots, while cell sizes stay balanced (skew
+    *    is blind to it). Fires when the mean cosine of vectors to
+    *    their assigned centroid drops below `minFit`.
+    *
+    * Cost: one groupBy-count on (cell_id) plus one broadcast-join
+    * cosine pass over the corpus — O(corpus × dim) at maintenance
+    * cadence, no shuffle of vector data. Deterministic in the
+    * committed corpus (up to double-sum ordering noise at the
+    * thresholds themselves), so a re-delivered trigger recomputes
+    * the same verdict; the oracle-gated replay key uses a FORCED
+    * refresh precisely so no hash ever hangs on a threshold. */
+  private[graft] def codebookDrifted(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      skew: Double, minFit: Double = 0.0): Boolean = {
+    if (LakeTable.latestVersion(spark, vecsRoot(root)).isEmpty ||
+        LakeTable.activeDirs(spark, vecsRoot(root)).isEmpty) return false
+    val k = LakeTable.read(spark, codebookRoot(root)).count()
+    if (k <= 1) return false
+    val vecs = LakeTable.read(spark, vecsRoot(root))
+    val r = vecs.groupBy("cell_id").count()
+      .agg(max("count").as("mx"), sum("count").as("n")).collect()(0)
+    val skewed =
+      !r.isNullAt(0) && r.getLong(0) * k > skew * r.getLong(1)
+    lazy val fit = {
+      Exprs.register(spark); TopK.register(spark)
+      val cbVer = currentCbVer(spark, root)
+      val cent = LakeTable.read(spark, codebookRoot(root), cbVer)
+        .select(col("cid").as("cell_id"), col("cemb"))
+      vecs.join(broadcast(cent), Seq("cell_id"))
+        .agg(avg(round(expr("cosine_sim(embedding, cemb)"), 6)))
+        .collect()(0)
+    }
+    skewed || (minFit > 0.0 && !fit.isNullAt(0) &&
+               fit.getDouble(0) < minFit)
+  }
+
+  /** Codebook REFRESH — the maintenance step that keeps IVF recall
+    * from rotting under distribution drift (the frozen batch-0
+    * codebook is exactly right for determinism and exactly wrong
+    * forever): retrain k-means over the CURRENT accepted corpus (same
+    * deterministic kernel as batch-0 training, same k), then land the
+    * new serving state as two commits whose CONSISTENCY does not
+    * depend on their atomicity as a pair:
+    *
+    *   1. [[LakeTable.rewrite]] the codebook table with the new
+    *      centroids → version `cv`;
+    *   2. re-assign every corpus vector to its argmax new cell and
+    *      [[LakeTable.rewriteClustered]] the vecs table on the new
+    *      cell_id — ONE atomic commit carrying data, clustering, AND
+    *      the `cb_ver = cv` pairing column, so any reader of any vecs
+    *      snapshot (pinned or latest) always resolves the codebook
+    *      VERSION its cells were assigned under ([[currentCbVer]]).
+    *      A mixed index is unrepresentable: the pairing travels
+    *      INSIDE the atomically-swapped table rather than between
+    *      two tables' "latest" pointers.
+    *
+    * Crash between 1 and 2: vecs still carry the old cb_ver, probes
+    * and the next batch keep reading the old codebook version — the
+    * dangling new version is unreferenced junk until a re-triggered
+    * refresh (deterministic on the same corpus) supersedes it.
+    * Acceptance verdicts are NOT revisited: dedup history is an
+    * audit log of decisions taken under the codebook of their day.
+    * A reassigned vector whose every new-centroid cosine is null
+    * (cannot happen for vectors that earned a cell at accept time,
+    * kept total anyway) parks in sentinel cell -1, which no probe
+    * ranks. */
+  private[graft] def refreshCodebook(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      buckets: Int): Long = {
+    Exprs.register(spark); TopK.register(spark)
+    val vecs = LakeTable.read(spark, vecsRoot(root))
+      .select("vec_id", "embedding")
+    val k = LakeTable.read(spark, codebookRoot(root)).count().toInt
+    val cb = Ops.kmeansCodebook(vecs, "vec_id", "embedding", k)
+    val cv = LakeTable.rewrite(cb, codebookRoot(root))
+    val cent = LakeTable.read(spark, codebookRoot(root), Some(cv))
+      .select("cid", "cemb")
+    val asg = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+              round(expr("cosine_sim(embedding, cemb)"), 6).as("cs"),
+              col("cid"))
+      .groupBy("vec_id")
+      .agg(expr("topk_by_score(cs, cid, 1)").as("t"))
+      .select(col("vec_id"), expr("t[0].id").as("cell_id"))
+    val reassigned = vecs.join(asg, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+              coalesce(col("cell_id"), lit(-1L)).as("cell_id"),
+              lit(cv).as("cb_ver"))
+    LakeTable.rewriteClustered(reassigned, vecsRoot(root), "cell_id",
+      buckets)
+    cv
   }
 
   /** kNN probe over the INGESTED vector corpus — the read half of the
@@ -486,12 +634,20 @@ object Ingest {
                asOf: Option[Long] = None,
                pruneByStats: Boolean = false): DataFrame = {
     Exprs.register(spark); TopK.register(spark)
+    val hasData = LakeTable.latestVersion(spark, vecsRoot(root)).isDefined &&
+      LakeTable.activeDirs(spark, vecsRoot(root), asOf).nonEmpty
+    // PAIRED codebook read (the refresh-consistency contract): rank
+    // cells with the codebook VERSION the served vecs snapshot's
+    // cells were assigned under — cb_ver rides inside the vecs rows,
+    // so a probe racing a refresh sees (old codebook, old cells) or
+    // (new codebook, new cells), never a mix, pinned or not.
     // readOrEmpty, not read: a root whose ingest has started but not
     // yet accepted a vector (all batches filtered/duplicate/empty)
     // must answer with zero neighbors, not throw.
+    val cbVer = if (hasData) currentCbVer(spark, root, asOf) else None
     val cent = readOrEmpty(spark, codebookRoot(root), StructType(Seq(
         StructField("cid", LongType),
-        StructField("cemb", ArrayType(DoubleType)))))
+        StructField("cemb", ArrayType(DoubleType)))), asOf = cbVer)
       .select("cid", "cemb")
     val q = queries.select(col("qid"), col("embedding").as("qemb"))
     val qcells = q.crossJoin(broadcast(cent))
@@ -501,8 +657,6 @@ object Ingest {
       .agg(expr(s"topk_by_score(cs, cid, $nprobe)").as("t"))
       .select(col("qid"), explode(col("t")).as("p"))
       .select(col("qid"), col("p.id").as("cell_id"))
-    val hasData = LakeTable.latestVersion(spark, vecsRoot(root)).isDefined &&
-      LakeTable.activeDirs(spark, vecsRoot(root), asOf).nonEmpty
     val vecs =
       if (!pruneByStats || !hasData)
         readOrEmpty(spark, vecsRoot(root), vecsSchema, asOf)

@@ -19,39 +19,47 @@ object OracleKmeans {
        |       * sqrt(list_aggregate(list_transform($c.cemb,
        |           x -> x * x), 'sum')))""".stripMargin
 
-  private def iteration(i: Int, src: String): String =
-    s"""a$i AS (SELECT e.vec_id, e.embedding, c.cid,
+  private def iteration(i: Int, src: String, p: String): String =
+    s"""${p}a$i AS (SELECT e.vec_id, e.embedding, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY round(${cosFD("e", "c")}, 6) DESC, c.cid) AS rn
-       |       FROM $src e JOIN c${i - 1} c ON true),
-       |m$i AS (SELECT cid, j, round(avg(CAST(x AS DOUBLE)), 6) AS m
+       |       FROM $src e JOIN ${p}c${i - 1} c ON true),
+       |${p}m$i AS (SELECT cid, j, round(avg(CAST(x AS DOUBLE)), 6) AS m
        |       FROM (SELECT cid, unnest(embedding) AS x,
        |                    unnest(range(1, len(embedding) + 1)) AS j
-       |             FROM a$i WHERE rn = 1) t
+       |             FROM ${p}a$i WHERE rn = 1) t
        |       GROUP BY cid, j),
-       |n$i AS (SELECT cid, list(m ORDER BY j) AS cemb FROM m$i GROUP BY cid),
-       |c$i AS (SELECT c.cid, coalesce(n.cemb, c.cemb) AS cemb
-       |       FROM c${i - 1} c LEFT JOIN n$i n ON c.cid = n.cid)""".stripMargin
+       |${p}n$i AS (SELECT cid, list(m ORDER BY j) AS cemb
+       |       FROM ${p}m$i GROUP BY cid),
+       |${p}c$i AS MATERIALIZED (SELECT c.cid, coalesce(n.cemb, c.cemb)
+       |         AS cemb
+       |       FROM ${p}c${i - 1} c LEFT JOIN ${p}n$i n
+       |         ON c.cid = n.cid)""".stripMargin
 
-  /** WITH-list fragment ending in `cent(cid, cemb)`, parameterized on
-    * the (vec_id, embedding) source relation the codebook trains on —
-    * `embeddings` for the batch keys, a survivors CTE for the ingest
-    * replay (OracleR19, where training sees only the first batch's
-    * quality-gate survivors). Same structure either way: md5-seeded
-    * init capped at k=16, 3 unrolled Lloyd iterations on the 6dp
-    * grid. */
-  def codebookCtesFrom(src: String): String =
-    s"""seedord AS (SELECT vec_id, embedding,
+  /** WITH-list fragment ending in `{prefix}cent(cid, cemb)`,
+    * parameterized on the (vec_id, embedding) source relation the
+    * codebook trains on — `embeddings` for the batch keys, a
+    * survivors CTE for the ingest replay (OracleR19, where training
+    * sees only the first batch's quality-gate survivors), the
+    * accepted-corpus CTE for the refresh replay (OracleR20, which
+    * instantiates the machinery TWICE in one query — the prefix keeps
+    * the two trainings' CTE names apart). Same structure either way:
+    * md5-seeded init capped at k=16, 3 unrolled Lloyd iterations on
+    * the 6dp grid. */
+  def codebookCtesFrom(src: String, prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}seedord AS (SELECT vec_id, embedding,
        |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
        |                           vec_id) - 1 AS cid
        |      FROM $src),
-       |c0 AS (SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE))
-       |         AS cemb
-       |       FROM seedord WHERE cid < 16),
-       |${iteration(1, src)},
-       |${iteration(2, src)},
-       |${iteration(3, src)},
-       |cent AS (SELECT cid, cemb FROM c3)""".stripMargin
+       |${p}c0 AS MATERIALIZED (SELECT cid,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       |       FROM ${p}seedord WHERE cid < 16),
+       |${iteration(1, src, p)},
+       |${iteration(2, src, p)},
+       |${iteration(3, src, p)},
+       |${p}cent AS (SELECT cid, cemb FROM ${p}c3)""".stripMargin
+  }
 
   /** WITH-list fragment ending in `cent(cid, cemb)`. */
   val codebookCtes: String = codebookCtesFrom("embeddings")

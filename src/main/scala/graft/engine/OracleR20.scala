@@ -10,6 +10,109 @@ package graft.engine
   */
 object OracleR20 {
 
+  private def cosPair(x: String, y: String): String =
+    s"""list_aggregate(list_transform(list_zip($x.embedding, $y.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum')
+       |      / (sqrt(list_aggregate(list_transform($x.embedding,
+       |           z -> CAST(z AS DOUBLE) * z), 'sum'))
+       |       * sqrt(list_aggregate(list_transform($y.embedding,
+       |           z -> CAST(z AS DOUBLE) * z), 'sum')))""".stripMargin
+
+  /** The refresh replay from first principles: quality gate → batch-0
+    * codebook (OracleKmeans, unprefixed) → batches 0/1 accept chain
+    * under the original cells → RETRAIN over the accepted two-batch
+    * corpus (OracleKmeans again, `r_`-prefixed) → re-assign the
+    * corpus and assign batch-2 survivors under the NEW cells → batch-2
+    * accept chain. A hash match pins retraining determinism, the
+    * atomic re-assignment, and post-refresh ingest semantics at once. */
+  private val embRefreshSql: String =
+    s"""WITH eb AS MATERIALIZED (SELECT vec_id, embedding, vec_id % 3 AS b,
+       |        floor(sqrt(list_aggregate(list_transform(embedding[1:8],
+       |          x -> CAST(x AS DOUBLE) * x), 'sum')) * 1e6 + 0.5) AS m8
+       |      FROM embeddings),
+       |filt AS (SELECT vec_id FROM eb
+       |         WHERE m8 < 200000 OR m8 IS NULL),
+       |surv AS MATERIALIZED (SELECT vec_id, embedding, b FROM eb
+       |         WHERE m8 IS NOT NULL AND m8 >= 200000),
+       |b0 AS (SELECT vec_id, embedding FROM surv WHERE b = 0),
+       |${OracleKmeans.codebookCtesFrom("b0")},
+       |s01 AS MATERIALIZED (SELECT vec_id, embedding, b FROM surv WHERE b <= 1),
+       |rnk AS (SELECT a.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY round(${OracleKmeans.cosFD("a", "c")}, 6) DESC,
+       |                    c.cid) AS rn
+       |       FROM s01 a JOIN cent c ON true),
+       |asg AS (SELECT s.vec_id, s.embedding, s.b, r.cid
+       |        FROM s01 s JOIN rnk r ON s.vec_id = r.vec_id AND r.rn = 1),
+       |pp AS (SELECT a.vec_id, a.b AS xb, b.vec_id AS dup_of, b.b AS yb,
+       |         round(${cosPair("a", "b")}, 6) AS cos
+       |       FROM asg a JOIN asg b
+       |         ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |       WHERE round(${cosPair("a", "b")}, 6) > 0.45),
+       |acc0 AS (SELECT vec_id FROM asg WHERE b = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM pp WHERE pp.vec_id = asg.vec_id
+       |      AND pp.yb = 0 AND pp.dup_of < asg.vec_id)),
+       |acc1 AS (SELECT vec_id FROM asg WHERE b = 1 AND NOT EXISTS (
+       |    SELECT 1 FROM pp WHERE pp.vec_id = asg.vec_id AND (
+       |      (pp.yb = 1 AND pp.dup_of < asg.vec_id) OR
+       |      (pp.yb = 0 AND pp.dup_of IN (SELECT vec_id FROM acc0))))),
+       |acc01 AS (SELECT vec_id FROM acc0
+       |          UNION ALL SELECT vec_id FROM acc1),
+       |tr AS MATERIALIZED (SELECT s.vec_id, s.embedding FROM surv s
+       |       JOIN acc01 a ON s.vec_id = a.vec_id),
+       |${OracleKmeans.codebookCtesFrom("tr", "r_")},
+       |s2 AS (SELECT vec_id, embedding FROM surv WHERE b = 2),
+       |ru AS MATERIALIZED (SELECT vec_id, embedding FROM tr
+       |       UNION ALL SELECT vec_id, embedding FROM s2),
+       |rrnk AS (SELECT a.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY round(${OracleKmeans.cosFD("a", "c")}, 6) DESC,
+       |                    c.cid) AS rn
+       |       FROM ru a JOIN r_cent c ON true),
+       |rasg AS MATERIALIZED (SELECT u.vec_id, u.embedding, r.cid
+       |         FROM ru u JOIN rrnk r ON u.vec_id = r.vec_id AND r.rn = 1),
+       |base1 AS (SELECT ra.vec_id, ra.embedding, ra.cid FROM rasg ra
+       |          JOIN acc01 a ON ra.vec_id = a.vec_id),
+       |d2 AS (SELECT ra.vec_id, ra.embedding, ra.cid FROM rasg ra
+       |       JOIN s2 ON ra.vec_id = s2.vec_id),
+       |pp2 AS (SELECT a.vec_id, b.vec_id AS dup_of, 'base' AS match_src,
+       |          round(${cosPair("a", "b")}, 6) AS cos
+       |        FROM d2 a JOIN base1 b ON a.cid = b.cid
+       |        WHERE round(${cosPair("a", "b")}, 6) > 0.45
+       |        UNION ALL
+       |        SELECT a.vec_id, b.vec_id, 'delta',
+       |          round(${cosPair("a", "b")}, 6)
+       |        FROM d2 a JOIN d2 b
+       |          ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |        WHERE round(${cosPair("a", "b")}, 6) > 0.45),
+       |acc2 AS (SELECT vec_id FROM d2 WHERE NOT EXISTS (
+       |    SELECT 1 FROM pp2 WHERE pp2.vec_id = d2.vec_id))
+       |SELECT vec_id, dup_of, match_src, cos, cell_id FROM (
+       |  SELECT pp.vec_id, pp.dup_of, 'delta' AS match_src, pp.cos,
+       |         CAST(NULL AS BIGINT) AS cell_id
+       |  FROM pp WHERE pp.yb = pp.xb AND pp.dup_of < pp.vec_id
+       |  UNION ALL
+       |  SELECT pp.vec_id, pp.dup_of, 'base', pp.cos,
+       |         CAST(NULL AS BIGINT)
+       |  FROM pp WHERE pp.yb < pp.xb
+       |    AND pp.dup_of IN (SELECT vec_id FROM acc0)
+       |  UNION ALL
+       |  SELECT vec_id, dup_of, match_src, cos, CAST(NULL AS BIGINT)
+       |  FROM pp2
+       |  UNION ALL
+       |  SELECT b.vec_id, CAST(NULL AS BIGINT), 'accepted',
+       |         CAST(NULL AS DOUBLE), b.cid
+       |  FROM base1 b
+       |  UNION ALL
+       |  SELECT d.vec_id, CAST(NULL AS BIGINT), 'accepted',
+       |         CAST(NULL AS DOUBLE), d.cid
+       |  FROM d2 d JOIN acc2 a ON d.vec_id = a.vec_id
+       |  UNION ALL
+       |  SELECT vec_id, CAST(NULL AS BIGINT), 'filtered',
+       |         CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+       |  FROM filt) t
+       |ORDER BY vec_id, match_src, dup_of""".stripMargin
+
   private val psCte: String =
     """ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
       |             SUM(CAST(l_quantity AS BIGINT)) AS qty,
@@ -91,6 +194,8 @@ object OracleR20 {
         |                          AND l_suppkey = ps.suppkey
         |                          AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         |                          AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'))
-        |ORDER BY s_name""".stripMargin
+        |ORDER BY s_name""".stripMargin,
+
+    "ingest_emb_refresh" -> embRefreshSql
   )
 }

@@ -28,7 +28,7 @@ object QueriesR19 {
     * executes bit-identically in Spark and DuckDB, where library
     * round()'s half-up ties differ per engine): first-8-dims L2 mass
     * under 0.2 drops to the vfiltered audit table. */
-  private val lowMassGate: DataFrame => DataFrame =
+  private[engine] val lowMassGate: DataFrame => DataFrame =
     d => d.filter(expr(
         "floor(sqrt(aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE)," +
           " (a, x) -> a + CAST(x AS DOUBLE) * x)) * 1e6 + 0.5) < 200000"))

@@ -46,6 +46,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueriesR20 {
   import Tables._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.{DoubleType, LongType}
 
   /** The derived supplier↔part relation registered once per call
     * under a key-scoped view name. */
@@ -187,5 +189,79 @@ object QueriesR20 {
                                 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
                                 AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'))
       ORDER BY s_name""")
+  }
+
+  // ----------------------------------------------------------------
+  // Codebook-refresh replay (VERDICT r15 #1)
+  // ----------------------------------------------------------------
+
+  private val ensured =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** Replays the embedding ingest WITH a mid-stream codebook refresh,
+    * once per (JVM, sf dir): batches 0 and 1 ingest under the frozen
+    * batch-0 codebook (QueriesR19's exact parameters: k=16, dupCos
+    * 0.45, low-mass gate), then [[Ingest.refreshCodebook]] retrains
+    * k-means over the ACCEPTED two-batch corpus and atomically
+    * re-clusters the vecs table on the new cells (cb_ver pairing),
+    * then batch 2 ingests UNDER THE REFRESHED CODEBOOK — its dedup
+    * candidate surface, cell assignments, and audit pairs all ride
+    * the new cells. The refresh here is FORCED (the drift trigger is
+    * its own spec-gated predicate — IngestMaintenanceSpec; a replay
+    * key must be a pure function of the corpus, not of a skew
+    * statistic that could flip at another scale factor). */
+  private[graft] def ensureEmbRefreshIngest(s: SparkSession,
+                                            d: String): String =
+    ensured.synchronized {
+      ensured.getOrElseUpdate(("embrefresh", d), {
+        val root = RunScratch.dir("ingest_emb_refresh")
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        for (b <- 0L to 1L)
+          Ingest.ingestEmbBatch(emb.filter(col("vec_id") % 3 === b),
+            root, "emb_refresh", b, dupCos = 0.45, k = 16,
+            filter = Some(QueriesR19.lowMassGate))
+        Ingest.refreshCodebook(s, root, buckets = 8)
+        Ingest.ingestEmbBatch(emb.filter(col("vec_id") % 3 === 2),
+          root, "emb_refresh", 2, dupCos = 0.45, k = 16,
+          filter = Some(QueriesR19.lowMassGate))
+        root
+      })
+    }
+
+  /** Fate-and-layout projection over the refresh replay: every audit
+    * pair the vrejects lake recorded (batches 0/1 under the original
+    * cells, batch 2 under the REFRESHED cells), one marker row per
+    * quality-filtered vector, and one row per accepted vector
+    * carrying its POST-REFRESH cell_id — so the DuckDB oracle (which
+    * re-trains BOTH codebooks from first principles and replays the
+    * whole schedule) pins retraining, the atomic re-assignment, and
+    * post-refresh ingest semantics in one hash. */
+  def ingestEmbRefresh(s: SparkSession, d: String): DataFrame = {
+    val root = ensureEmbRefreshIngest(s, d)
+    val nullId = lit(null).cast(LongType)
+    val nullCs = lit(null).cast(DoubleType)
+    val acc = LakeTable.read(s, Ingest.vecsRoot(root))
+      .select(col("vec_id"), nullId.as("dup_of"),
+              lit("accepted").as("match_src"), nullCs.as("cos"),
+              col("cell_id"))
+    val rej = Ingest.readOrEmpty(s, Ingest.vrejectsRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("dup_of", LongType),
+          org.apache.spark.sql.types.StructField("cos", DoubleType),
+          org.apache.spark.sql.types.StructField("match_src",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("vec_id"), col("dup_of"), col("match_src"),
+              col("cos"), nullId.as("cell_id"))
+    val fil = Ingest.readOrEmpty(s, Ingest.vfilteredRoot(root),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", LongType),
+          org.apache.spark.sql.types.StructField("reason",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("vec_id"), nullId.as("dup_of"),
+              lit("filtered").as("match_src"), nullCs.as("cos"),
+              nullId.as("cell_id"))
+    acc.unionByName(rej).unionByName(fil)
+      .orderBy("vec_id", "match_src", "dup_of")
   }
 }

@@ -334,6 +334,10 @@ object Registry {
     "q12_latency_priority"  -> QueriesR20.q12LatencyPriority _,
     "q16_supplier_cnt"      -> QueriesR20.q16SupplierCnt _,
     "q20_excess_suppliers"  -> QueriesR20.q20ExcessSuppliers _,
+    // Round-16: codebook-refresh maintenance under the oracle gate —
+    // batches 0/1 under the frozen batch-0 codebook, a forced
+    // retrain + atomic re-cluster, batch 2 under the refreshed cells
+    "ingest_emb_refresh"    -> QueriesR20.ingestEmbRefresh _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -152,4 +152,56 @@ class IngestMaintenanceSpec extends SparkTestBase {
     assert(probeRows(prune = true) == probeRows(prune = false),
       "pruned probe diverged from the plain join path")
   }
+
+  test("codebook refresh: pinned probes never see a mixed index; pruned serving survives the refresh") {
+    // The refresh-consistency contract (VERDICT r15 #1): the
+    // codebook⇄cells pairing travels INSIDE the vecs rows (cb_ver),
+    // so a probe pinned to a pre-refresh vecs snapshot keeps
+    // resolving the pre-refresh codebook VERSION — byte-identical
+    // answers before and after the refresh commits — while an
+    // unpinned probe serves the refreshed index. No ordering of the
+    // two refresh commits can produce (new codebook, old cells) or
+    // (old codebook, new cells).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_refresh_pin").toString
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    for (b <- 0L to 2L)
+      Ingest.ingestEmbBatch(all.filter(col("vec_id") % 3 === b),
+        root, "t", b, dupCos = 1.0, k = 8)
+    val preVecsVer = LakeTable
+      .latestVersion(spark, Ingest.vecsRoot(root)).get
+    val preCbVer = LakeTable
+      .latestVersion(spark, Ingest.codebookRoot(root)).get
+    val q = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def probeRows(asOf: Option[Long], prune: Boolean = false)
+        : Set[Seq[Any]] =
+      Ingest.knnProbe(spark, root, q, k = 3, nprobe = 2, asOf = asOf,
+          pruneByStats = prune)
+        .collect().map(_.toSeq).toSet
+    val prePinned = probeRows(Some(preVecsVer))
+    val preLatest = probeRows(None)
+    assert(prePinned == preLatest,
+      "pinned == latest must hold before any refresh")
+    val cv = Ingest.refreshCodebook(spark, root, buckets = 4)
+    assert(cv > preCbVer, s"refresh did not advance the codebook: $cv")
+    // Pinned probe: identical answers across the refresh — it reads
+    // the OLD vecs snapshot AND (via its cb_ver) the OLD codebook.
+    assert(probeRows(Some(preVecsVer)) == prePinned,
+      "pre-refresh pinned probe changed across the refresh — " +
+        "mixed index (new codebook against old cells?)")
+    // Unpinned probe: serves the refreshed pairing, same corpus, and
+    // the re-clustered layout still answers pruned == plain.
+    val post = probeRows(None)
+    assert(post.map(_.head).map(_.asInstanceOf[Long]) ==
+           prePinned.map(_.head).map(_.asInstanceOf[Long]),
+      "refresh changed the query id set")
+    assert(probeRows(None, prune = true) == post,
+      "post-refresh pruned probe diverged from the plain join path")
+    // And the refreshed vecs rows all carry the new codebook version.
+    val vers = LakeTable.read(spark, Ingest.vecsRoot(root))
+      .select("cb_ver").distinct().collect().map(_.getLong(0)).toSeq
+    assert(vers == Seq(cv), s"cb_ver not uniformly $cv: $vers")
+  }
 }

@@ -143,6 +143,113 @@ class RecallBoundSpec extends SparkTestBase {
     ()
   }
 
+  test("codebook refresh repairs recall on a DRIFTED ingest (floor 0.9 across the refresh)") {
+    // VERDICT r15 #1: the frozen batch-0 codebook is the ANN story's
+    // last known limitation — under distribution drift recall rots
+    // and nothing repaired it. Drift schedule: batch 0 carries ONLY
+    // clusters 0..3, so the k=12 batch-0 codebook carves those four
+    // clusters into micro-cells; batches 1/2 bring the eight UNSEEN
+    // clusters, whose members (near-orthogonal to every frozen
+    // centroid) scatter across cells on noise argmax — the
+    // recall-rotting SCATTER drift the fit trigger exists for.
+    // The drift phase needs intra-cluster noise COMPARABLE to the
+    // centroid separation: at noise 0.05 a whole unseen cluster
+    // argmaxes into one frozen cell (pile-up — in-cell exact scoring
+    // keeps recall) and the floor asserts nothing. At noise 0.3 each
+    // member's frozen-centroid ranking is noise-dominated, the
+    // cluster SPLITS across cells, and nprobe=4 can no longer cover
+    // a true neighborhood — the recall-rotting regime. Same-cluster
+    // cosine stays ~0.85 vs cross ~0, so brute-force truth and the
+    // post-refresh k-means structure both survive.
+    val drifted = {
+      val rnd = new java.util.Random(1042)
+      def normalize(v: Array[Double]): Array[Float] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+      val centers = Array.fill(nClusters)(
+        normalize(Array.fill(dim)(rnd.nextGaussian())))
+      val rows = for {
+        c <- 0 until nClusters
+        i <- 0 until perCluster
+      } yield {
+        val noise = if (c < 4) 0.05 else 0.3
+        val emb = normalize(
+          centers(c).map(x => x + noise * rnd.nextGaussian()))
+        (c.toLong * perCluster + i, c, emb)
+      }
+      import spark.implicits._
+      rows.toDF("id", "label", "emb").repartition(4)
+    }
+    def driftIngest(maint: Option[graft.engine.Ingest.IngestMaintenance])
+        : String = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_recall_drift").toString
+      val vecs = drifted
+        .select(col("id").as("vec_id"), col("emb").as("embedding"),
+                col("label"))
+      for (b <- 0L to 2L) {
+        val lo = if (b == 0) 0 else (b * 4).toInt
+        graft.engine.Ingest.ingestEmbBatch(
+          vecs.filter(col("label") >= lo && col("label") < lo + 4)
+            .select("vec_id", "embedding"),
+          root, "t", b, dupCos = 1.0, k = nClusters,
+          maintenance = maint)
+      }
+      root
+    }
+    def probeRecall(root: String, exact: org.apache.spark.sql.DataFrame)
+        : Double = recallAtK(
+      graft.engine.Ingest.knnProbe(spark, root,
+          drifted.select(col("id").as("qid"),
+                         col("emb").as("embedding")),
+          k = k + 1, nprobe = 4)
+        .filter(col("neighbor_id") =!= col("qid"))
+        .select(col("qid").as("vec_id"), col("neighbor_id")), exact)
+    val exact = Ops.knnBruteForce(drifted, "id", "emb", k).persist()
+    // Control: the same drift schedule with NO refresh — the trigger
+    // must see the drift, and the frozen codebook's recall must
+    // actually be broken (else the floor below asserts nothing).
+    val frozen = driftIngest(None)
+    assert(graft.engine.Ingest.codebookDrifted(spark, frozen,
+        skew = 4.0, minFit = 0.7),
+      "drift trigger blind to the scattered fixture")
+    val rFrozen = probeRecall(frozen, exact)
+    assert(rFrozen < 0.9,
+      f"frozen-codebook recall $rFrozen%.3f not degraded — drift " +
+        "fixture lost its teeth, refresh floor is vacuous")
+    // Refresh path: maintenance armed with the fit trigger, due after
+    // batch 2 — the REAL production wiring end to end.
+    val refreshed = driftIngest(Some(graft.engine.Ingest.IngestMaintenance(
+      everyBatches = 3, refreshCodebook = true, refreshSkew = 4.0,
+      refreshMinFit = 0.7, clusterBuckets = 4)))
+    val cbv = graft.engine.LakeTable.latestVersion(spark,
+      graft.engine.Ingest.codebookRoot(refreshed))
+    assert(cbv.exists(_ >= 1), s"refresh never committed a codebook: $cbv")
+    // cb_ver pairing: the re-clustered corpus references the refreshed
+    // codebook version.
+    val paired = graft.engine.LakeTable.read(spark,
+        graft.engine.Ingest.vecsRoot(refreshed))
+      .agg(min("cb_ver"), max("cb_ver")).collect()(0)
+    assert(paired.getLong(0) == paired.getLong(1) &&
+           cbv.contains(paired.getLong(1)),
+      s"cb_ver pairing broken: $paired vs codebook $cbv")
+    assert(graft.engine.LakeTable.read(spark,
+        graft.engine.Ingest.vecsRoot(refreshed)).count() ==
+      nClusters.toLong * perCluster,
+      "refresh lost corpus vectors")
+    val rRefreshed = probeRecall(refreshed, exact)
+    assert(rRefreshed >= 0.9,
+      f"post-refresh recall@5 = $rRefreshed%.3f at nprobe=4, floor 0.9 " +
+        f"(frozen was $rFrozen%.3f) — retrain or re-cluster regressed")
+    // And the trigger disarms once the codebook fits again.
+    assert(!graft.engine.Ingest.codebookDrifted(spark, refreshed,
+        skew = 4.0, minFit = 0.7),
+      "drift trigger still firing after a successful refresh")
+    exact.unpersist()
+    ()
+  }
+
   test("clustered recall beats the random-vector worst case by a wide margin") {
     // The same pipeline on structureless vectors is the documented
     // worst case (~0.6 at nprobe=4 in emb_ivf_recall). Assert the
