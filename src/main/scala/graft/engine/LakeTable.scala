@@ -816,6 +816,13 @@ object LakeTable {
     * txn high-water mark advances exactly once per batch. */
   def appendTxn(df: DataFrame, root: String, appId: String,
                 batchId: Long): Option[Long] = {
+    // Chaos seam: fires BEFORE anything is written for this commit,
+    // so an injected abort leaves exactly the prefix of the batch's
+    // table commits on disk — the adversarial twin of the ingest
+    // legs' partial-commit enumeration (ChaosSpec kills here at
+    // seeded points, and once with a real System.exit in a forked
+    // JVM). A no-op in production.
+    CommitFault.hook(root, appId, batchId)
     val spark = df.sparkSession
     // The data directory is written ONCE and reused across commit
     // retries (its name embeds the version of the attempt that wrote
@@ -1162,6 +1169,16 @@ object LakeTable {
     doomed.foreach(d => f.delete(new Path(root, d), true))
     doomed
   }
+}
+
+/** Test-only commit-fault seam (see the call site in
+  * [[LakeTable.appendTxn]]): ChaosSpec points `hook` at a counting
+  * aborter to crash an ingest between table commits at seeded
+  * points. Production never touches it — the default is a no-op and
+  * nothing in the main tree assigns to it. */
+private[graft] object CommitFault {
+  @volatile var hook: (String, String, Long) => Unit = (_, _, _) => ()
+  def reset(): Unit = hook = (_, _, _) => ()
 }
 
 /** Content-addressed CACHED lake-table roots — P6 applied to the
