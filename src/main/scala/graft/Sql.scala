@@ -55,6 +55,45 @@ object Sql {
     Cms.register(spark)       // count-min family
   }
 
+  /** [[register]] plus the engine's MAJOR ARTIFACTS as views — the
+    * full SQL surface (r15 verdict #4: a user-facing engine is mostly
+    * typed at in SQL; today's views cover the raw corpus, these add
+    * what the engine COMPUTES). First call pays the artifact
+    * materializations (near-dup pair list; the deterministic 3-batch
+    * ingest replays — shared with the ingest_* keys, so within one
+    * session the work happens once); later calls re-register lazy
+    * plans over the same artifacts.
+    *
+    *   neardup_pairs(id1, id2, jaccard)   — MinHash-LSH pair list
+    *   ingested_docs / ingest_bands / ingest_rejects / ingest_filtered
+    *       — the document-ingest lake (accepted corpus, its LSH band
+    *         index, the audit log, the quality-gate log)
+    *   ingested_vecs / ingest_vrejects / ingest_vfiltered /
+    *   ingest_codebook — the embedding-ingest lake */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    register(spark, sfDir)
+    engine.Artifacts.nearDupPairs(spark, sfDir)
+      .createOrReplaceTempView("neardup_pairs")
+    val droot = engine.QueriesR19.ensureDocsIngest(spark, sfDir)
+    engine.LakeTable.read(spark, engine.Ingest.docsRoot(droot))
+      .createOrReplaceTempView("ingested_docs")
+    engine.LakeTable.read(spark, engine.Ingest.bandsRoot(droot))
+      .createOrReplaceTempView("ingest_bands")
+    engine.LakeTable.read(spark, engine.Ingest.rejectsRoot(droot))
+      .createOrReplaceTempView("ingest_rejects")
+    engine.LakeTable.read(spark, engine.Ingest.filteredRoot(droot))
+      .createOrReplaceTempView("ingest_filtered")
+    val eroot = engine.QueriesR19.ensureEmbIngest(spark, sfDir)
+    engine.LakeTable.read(spark, engine.Ingest.vecsRoot(eroot))
+      .createOrReplaceTempView("ingested_vecs")
+    engine.LakeTable.read(spark, engine.Ingest.vrejectsRoot(eroot))
+      .createOrReplaceTempView("ingest_vrejects")
+    engine.LakeTable.read(spark, engine.Ingest.vfilteredRoot(eroot))
+      .createOrReplaceTempView("ingest_vfiltered")
+    engine.LakeTable.read(spark, engine.Ingest.codebookRoot(eroot))
+      .createOrReplaceTempView("ingest_codebook")
+  }
+
   /** One SQL text over the registered corpus. */
   def run(spark: SparkSession, sfDir: String, sqlText: String): DataFrame = {
     register(spark, sfDir)

@@ -77,7 +77,7 @@ object OracleR19 {
        |acc AS (SELECT vec_id FROM acc0 UNION ALL SELECT vec_id FROM acc1
        |        UNION ALL SELECT vec_id FROM acc2)""".stripMargin
 
-  private val docsReplaySql: String =
+  private[engine] val docsReplaySql: String =
     """WITH ball AS (SELECT doc_id, text, n_chars, doc_id % 3 AS b
         |              FROM documents),
         |filt AS (SELECT doc_id FROM ball WHERE n_chars < 100),

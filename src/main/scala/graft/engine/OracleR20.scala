@@ -196,6 +196,63 @@ object OracleR20 {
         |                          AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'))
         |ORDER BY s_name""".stripMargin,
 
-    "ingest_emb_refresh" -> embRefreshSql
+    "ingest_emb_refresh" -> embRefreshSql,
+
+    // The multi-statement Spark session collapsed into one WITH: the
+    // two temp views become CTEs.
+    "sql_session_multi" ->
+      """WITH sm_rev AS (
+        |  SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS mth,
+        |         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_orderkey, month(o_orderdate)),
+        |sm_mtot AS (
+        |  SELECT mth,
+        |         CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS mrev,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM sm_rev GROUP BY mth)
+        |SELECT r.mth, r.o_orderkey, r.revenue, CAST(r.rk AS BIGINT) AS rk,
+        |       t.mrev, t.n_orders
+        |FROM (SELECT mth, o_orderkey, revenue,
+        |        row_number() OVER (PARTITION BY mth
+        |          ORDER BY revenue DESC, o_orderkey) AS rk
+        |      FROM sm_rev) r JOIN sm_mtot t ON r.mth = t.mth
+        |WHERE r.rk <= 5
+        |ORDER BY r.mth, r.rk""".stripMargin,
+
+    // The artifact view's content re-derived from first principles
+    // (exact shingle Jaccard — the docs_dedup_near oracle, nested).
+    "sql_neardup_audit" ->
+      s"""WITH np AS (
+        |${OracleDocs.sql("docs_dedup_near")}
+        |),
+        |best AS (
+        |  SELECT id1, id2, jaccard,
+        |         row_number() OVER (PARTITION BY id1
+        |           ORDER BY jaccard DESC, id2) AS rk
+        |  FROM np)
+        |SELECT b.id1, b.id2, b.jaccard,
+        |       d1.lang AS lang1, d2.lang AS lang2
+        |FROM best b JOIN documents d1 ON d1.doc_id = b.id1
+        |JOIN documents d2 ON d2.doc_id = b.id2
+        |WHERE b.rk = 1
+        |ORDER BY b.id1""".stripMargin,
+
+    // The accepted set re-derived by the full 3-batch replay chain.
+    "sql_ingested_stats" ->
+      s"""WITH fate AS (
+        |${OracleR19.docsReplaySql}
+        |),
+        |accd AS (SELECT DISTINCT doc_id FROM fate
+        |         WHERE match_src = 'accepted')
+        |SELECT d.lang, CAST(i.doc_id % 3 AS BIGINT) AS batch,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        |FROM accd i JOIN documents d ON d.doc_id = i.doc_id
+        |GROUP BY d.lang, i.doc_id % 3
+        |ORDER BY lang, batch""".stripMargin
   )
 }

@@ -338,6 +338,11 @@ object Registry {
     // batches 0/1 under the frozen batch-0 codebook, a forced
     // retrain + atomic re-cluster, batch 2 under the refreshed cells
     "ingest_emb_refresh"    -> QueriesR20.ingestEmbRefresh _,
+    // Round-16: SQL-first surface — a multi-statement session and SQL
+    // text over the engine's artifact views (Sql.registerAll)
+    "sql_session_multi"     -> QueriesR20.sqlSessionMulti _,
+    "sql_neardup_audit"     -> QueriesR20.sqlNeardupAudit _,
+    "sql_ingested_stats"    -> QueriesR20.sqlIngestedStats _,
   )
 
   val oracleSql: ListMap[String, String] =
