@@ -1459,9 +1459,86 @@ object Stream {
           s"(${wmUs}us) — the ordered recipe diverged from batch")
       name -> count
     }
-    plain ++ ordered ++ runLakeSink(spark, inDir, outDir) ++
+    plain ++ ordered ++ runProcessingTime(spark, sfDir, outDir) ++
+      runLakeSink(spark, inDir, outDir) ++
       runDocsIngest(spark, sfDir, outDir) ++
       runEmbIngest(spark, sfDir, outDir)
+  }
+
+  /** ARRIVAL-DURING-EXECUTION leg (r15 verdict #5): every other drain
+    * here is Trigger.AvailableNow over a static staged set —
+    * equivalence to a live deployment was argued from trigger
+    * semantics (the source's file log and the watermark machinery
+    * cannot see WHEN a file appeared, only in which batch), never
+    * executed. This leg runs one ordered sink (ewma_ordered) under
+    * Trigger.ProcessingTime with a writer thread dropping 3 of the 4
+    * event-time chunks into the watched directory WHILE the query
+    * runs, then asserts the exact same batch-exact released-prefix
+    * contract the AvailableNow drain is held to: released count ==
+    * the plain twin's rows strictly below the final watermark, with
+    * all 4 chunks as genuine data-bearing microbatches. */
+  private def runProcessingTime(spark: SparkSession, sfDir: String,
+                                outDir: String): Map[String, Long] = {
+    val stageDir = s"$outDir/input_pt_stage"
+    val inDir = s"$outDir/input_pt"
+    new java.io.File(inDir).mkdirs()
+    stageTimeChunks(spark, sfDir, stageDir, 4)
+    def arrive(i: Int): Unit = {
+      val n = f"events-chunk$i%02d.parquet"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(stageDir, n),
+        java.nio.file.Paths.get(inDir, n),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    arrive(0)                     // schema inference needs one file
+    val total = engine.Tables.events(spark, sfDir).count()
+    val df = queries(spark, inDir, maxFilesPerTrigger = Some(1))(
+      "ewma_ordered")
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/ewma_ordered_pt")
+      .option("checkpointLocation", s"$outDir/checkpoints/ewma_ordered_pt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    val writer = new Thread(() => {
+      for (i <- 1 to 3) { Thread.sleep(1500L); arrive(i) }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    def processed: Long =
+      q.recentProgress.map(_.numInputRows).sum
+    val deadline = System.currentTimeMillis() + 120000L
+    while (processed < total && System.currentTimeMillis() < deadline)
+      Thread.sleep(250L)
+    require(processed >= total,
+      s"ProcessingTime drain stalled: $processed of $total rows after 120s")
+    // one more trigger interval so the post-data no-data batch commits
+    // the advanced watermark and flushes the timers it arms
+    Thread.sleep(1500L)
+    writer.join(5000L)
+    q.stop()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 4,
+      s"ewma_ordered_pt saw $dataBatches data microbatches, expected " +
+        "4 (one per chunk, 3 of them arriving DURING execution)")
+    val wmUs = q.recentProgress.reverse
+      .flatMap(p => Option(p.eventTime.get("watermark"))).headOption
+      .map(w => java.time.Instant.parse(w).toEpochMilli * 1000L)
+      .getOrElse(throw new IllegalStateException(
+        "ewma_ordered_pt reported no watermark"))
+    val count = spark.read.schema(df.schema)
+      .parquet(s"$outDir/ewma_ordered_pt").count()
+    val (lo, hi) = expectedReleased(spark, sfDir, outDir,
+      "ewma_ordered", wmUs)
+    require(lo <= count && count <= hi,
+      s"ewma_ordered_pt released $count rows under ProcessingTime " +
+        s"arrival; the plain twin bounds it to [$lo, $hi] below the " +
+        s"final watermark (${wmUs}us) — live arrival diverged from " +
+        "the AvailableNow drain's contract")
+    Map("ewma_ordered_pt" -> count)
   }
 
   /** The batch-exact released-prefix size for an ordered sink: its
@@ -1520,7 +1597,8 @@ object Stream {
           .select(col("user_id"), col("event_type"),
                   unix_micros(col("ts")).as("us"), col("event_id"))
           .collect()
-          .groupBy(_.getLong(0)).map { case (uid, evs) =>
+          .groupBy(_.getLong(0))
+          .iterator.map { case (uid, evs) =>
             val ordered = evs
               .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
               .sortBy(r => (r._2, stageRank.getOrElse(r._1, 3), r._3))
@@ -1543,7 +1621,7 @@ object Stream {
               lastUs = math.max(lastUs, ev._2)
             }
             (lo, hi)
-          }
+          }.toSeq
         (perUser.map(_._1).sum, perUser.map(_._2).sum)
       case "twap_spans_ordered"  =>
         val w = org.apache.spark.sql.expressions.Window
