@@ -1040,7 +1040,8 @@ class StreamingSpec extends SparkTestBase {
           "funnel_ordered_ttl", "ewma", "ewma_ordered", "ohlc",
           "transitions", "transitions_ordered", "cep", "cep_ttl",
           "cep_ordered", "cep_ordered_ttl", "twap_spans",
-          "twap_spans_ordered", "paths", "paths_ordered", "lake_dedup",
+          "twap_spans_ordered", "paths", "paths_ordered",
+          "ewma_ordered_pt", "lake_dedup",
           "ingest_docs", "ingest_rejects", "ingest_filtered",
           "ingest_vecs", "ingest_vrejects", "ingest_vfiltered",
           "ingest_knn"))
