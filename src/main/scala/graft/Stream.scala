@@ -1704,13 +1704,28 @@ object Stream {
   private[graft] def runEmbIngest(spark: SparkSession, sfDir: String,
                                   outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
+    // Maintenance armed WITH the codebook-refresh trigger — the real
+    // production posture (skew axis only; the fit axis needs
+    // per-corpus calibration, see IngestMaintenance). On this
+    // stationary corpus (batches are an id-hash split of one
+    // distribution) the trigger must NOT fire: asserted below as the
+    // drift detector's negative control (the positive control — a
+    // genuinely drifted schedule where it fires and repairs recall —
+    // is RecallBoundSpec's refresh test).
+    val maint = engine.Ingest.IngestMaintenance(everyBatches = 2,
+      refreshCodebook = true, refreshSkew = 4.0)
     val counts = runIngestStream(spark, sfDir, outDir,
       "embeddings.parquet", "vec_id", "emb_ingest",
       (b, id) => engine.Ingest.ingestEmbBatch(b, root, "emb_ingest", id,
-        filter = Some(engine.Ingest.lowPrefixMassRule(0.2))),
+        filter = Some(engine.Ingest.lowPrefixMassRule(0.2)),
+        maintenance = Some(maint)),
       Map("ingest_vecs" -> engine.Ingest.vecsRoot(root),
           "ingest_vrejects" -> engine.Ingest.vrejectsRoot(root),
           "ingest_vfiltered" -> engine.Ingest.vfilteredRoot(root)))
+    require(engine.LakeTable.latestVersion(spark,
+        engine.Ingest.codebookRoot(root)).contains(0L),
+      "codebook refresh fired on a stationary corpus — the drift " +
+        "trigger is spuriously sensitive")
     // The SERVE half of the loop, driven end-to-end against the
     // corpus the drain just ingested: every 50th source vector
     // queries the index at all cells; each must come back with

@@ -80,7 +80,7 @@ object Ingest {
                                clusterBuckets: Int = 8,
                                refreshCodebook: Boolean = false,
                                refreshSkew: Double = 4.0,
-                               refreshMinFit: Double = 0.5) {
+                               refreshMinFit: Double = 0.0) {
     require(everyBatches >= 1, s"everyBatches must be >= 1")
     require(keepCheckpoints >= 1, s"keepCheckpoints must be >= 1")
     require(clusterBuckets >= 1, s"clusterBuckets must be >= 1")
@@ -503,7 +503,15 @@ object Ingest {
     *    neighborhood splits over more cells than any nprobe covers
     *    and recall itself rots, while cell sizes stay balanced (skew
     *    is blind to it). Fires when the mean cosine of vectors to
-    *    their assigned centroid drops below `minFit`.
+    *    their assigned centroid drops below `minFit`. OPT-IN
+    *    (default 0.0 = off): absolute fit is a property of the
+    *    embedding distribution — a genuinely unclustered corpus sits
+    *    low forever and a retrain cannot raise what the data lacks,
+    *    so an uncalibrated floor would refresh every maintenance
+    *    pass without converging. Calibrate minFit per corpus (e.g.
+    *    the post-initial-training fit minus a margin) before arming;
+    *    the skew axis needs no calibration and stays on whenever
+    *    refreshCodebook is.
     *
     * Cost: one groupBy-count on (cell_id) plus one broadcast-join
     * cosine pass over the corpus — O(corpus × dim) at maintenance
