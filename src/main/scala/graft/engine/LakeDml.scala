@@ -1,0 +1,483 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Surgical row-level DML over [[LakeTable]] — copy-on-write DELETE
+  * and MERGE at DIRECTORY granularity, the missing half of the
+  * lakehouse write path (`lake_merge_upsert` proved the
+  * whole-table-rewrite transaction; this module is what Delta's
+  * DELETE/MERGE and Iceberg's copy-on-write actually do at 100 TB,
+  * where rewriting the table to remove 0.001% of its rows is not an
+  * option):
+  *
+  *   1. PRUNE — select candidate directories from the commit log
+  *      alone: per-column [min, max] stats for range-shaped
+  *      predicates ([[LakeTable.rangeDirs2]]'s machinery), plus the
+  *      per-directory BLOOM sidecars this module adds for
+  *      key-membership shapes (a uniform id column spans the whole
+  *      [min, max] in EVERY directory, so range stats prune nothing
+  *      for a point delete — membership does, with no false
+  *      negatives).
+  *   2. TOUCH ONLY DIRTY — one distributed pass over the candidates
+  *      counts actual matches per directory (a grouped aggregate
+  *      keyed by input file); directories whose candidacy was a
+  *      stats/bloom false positive are left BY REFERENCE, never
+  *      rewritten.
+  *   3. ONE ATOMIC COMMIT — rewritten survivors (with their stats
+  *      and bloom sidecars recomputed) and the removals of the dirty
+  *      directories land in a single commit: a concurrent reader
+  *      replays the pre-DML or post-DML file set, never a mix, and
+  *      the pre-DML snapshot stays time-travelable until VACUUM.
+  *
+  * Cost shape: O(log) pruning + one scan over candidate directories
+  * + a rewrite of only the directories that actually contain
+  * affected rows. At 1000 executors and 10^5 directories, a pruned
+  * point delete reads a handful of directories and rewrites fewer.
+  *
+  * DELETE null semantics are SQL's: a row is deleted iff the
+  * predicate is TRUE; FALSE and NULL rows survive (`!(cond <=>
+  * true)` — LakeDmlSpec pins the NULL branch).
+  *
+  * Bloom sidecars are addressed BY CONVENTION, not recorded in the
+  * commit: directory `d`'s filter on column `c` lives at
+  * `_graft_log/blooms/d/c.bf`, immutable like `d` itself (data
+  * directories are never mutated, only added/removed), absent ⇒ the
+  * directory is kept (a bloom is an optimization, never a
+  * correctness filter — exactly the stats contract). This keeps the
+  * commit log tiny (a 32 KB blob per directory would dominate the
+  * JSON) and the read lazy: only a key-pruned operation consults
+  * sidecars, and only for directories that survived stat pruning.
+  * [[LakeTable.vacuum]] reclaims a deleted directory's sidecars with
+  * the directory.
+  *
+  * Concurrency: optimistic, the [[LakeTable]] contract — the commit
+  * is computed against snapshot V and written as V+1 with
+  * create-exclusive; a racing writer surfaces as
+  * [[LakeTable.CommitConflictException]] and the caller re-resolves.
+  * Idempotent re-delivery: pass `txn = Some((appId, batchId))` and a
+  * replayed batch no-ops exactly like [[LakeTable.appendTxn]]
+  * (the GDPR-forget path in [[Ingest]] rides this).
+  *
+  * Determinism (§2.3): every written row is a pure function of the
+  * snapshot content and the arguments; directory processing order is
+  * sorted; no timestamps, no randomness beyond the directory-name
+  * UUIDs (which never enter row data).
+  */
+object LakeDml {
+
+  /** What a DML call did — bounded metadata, returned for
+    * observability and spec assertions (the "did we REALLY not
+    * rewrite the clean directories" question must be answerable
+    * without grepping the log). */
+  case class DmlReport(version: Option[Long], activeDirs: Int,
+                       candidateDirs: Int, rewrittenDirs: Int,
+                       removedDirs: Int, rowsDeleted: Long,
+                       rowsInserted: Long) {
+    def prunedDirs: Int = activeDirs - candidateDirs
+  }
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------------
+  // Bloom sidecars
+  // ------------------------------------------------------------------
+
+  private[graft] def bloomPath(root: String, dir: String,
+                               col: String): Path =
+    new Path(root, s"_graft_log/blooms/$dir/$col.bf")
+
+  /** Build and persist the membership sidecar for `dir`'s column
+    * `keyCol`: one aggregate over the directory's rows, 32 KB out.
+    * Items enter the filter as `xxhash64(keyCol)` — the probe side
+    * must hash identically (see [[keyHashes]]). */
+  def writeBloom(spark: SparkSession, root: String, dir: String,
+                 keyCol: String): Unit = {
+    Bf.register(spark)
+    val blob = spark.read.parquet(s"$root/$dir")
+      .select(xxhash64(col(keyCol)).as("__h"))
+      .agg(expr("bf_sketch(__h)")).head().getAs[Array[Byte]](0)
+    val p = bloomPath(root, dir, keyCol)
+    val f = fs(spark, root)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(blob) finally out.close()
+  }
+
+  private def readBloom(spark: SparkSession, root: String, dir: String,
+                        keyCol: String): Option[Array[Byte]] = {
+    val p = bloomPath(root, dir, keyCol)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(in.readAllBytes()) finally in.close()
+    }
+  }
+
+  /** Append one batch WITH a membership sidecar on `keyCol` — the
+    * landing shape for tables that will take point deletes/merges on
+    * a high-cardinality key. The sidecar needs no commit of its own
+    * (it is addressed by the immutable directory name and is never a
+    * correctness filter), so the append stays one atomic commit. */
+  def appendWithBloom(df: DataFrame, root: String,
+                      keyCol: String): Long = {
+    val spark = df.sparkSession
+    val version = LakeTable.append(df, root)
+    // the append's single added directory is the newest active entry
+    val st = LakeTable.replayState(spark, root, Some(version))
+    writeBloom(spark, root, st.active.last, keyCol)
+    version
+  }
+
+  /** Backfill membership sidecars on `keyCol` for every active
+    * directory that lacks one — the OPTIMIZE-style maintenance step
+    * that makes an existing table point-prunable. Idempotent;
+    * O(active dirs) aggregates, each over one directory. */
+  def bloomAll(spark: SparkSession, root: String, keyCol: String): Int = {
+    val st = LakeTable.replayState(spark, root, None)
+    val f = fs(spark, root)
+    val missing = st.active.filterNot(d =>
+      f.exists(bloomPath(root, d, keyCol)))
+    missing.foreach(d => writeBloom(spark, root, d, keyCol))
+    missing.size
+  }
+
+  /** The xxhash64 image of literal `keys` under the table's own
+    * column type — computed IN Spark so probe and sidecar hash
+    * identically (a driver-side reimplementation of xxhash64's Spark
+    * seed/width handling is exactly the kind of silent skew this
+    * engine refuses). One tiny job; `keys` is bounded by contract. */
+  private def keyHashes(spark: SparkSession, root: String,
+                        st: LakeTable.LogState, keyCol: String,
+                        keys: Seq[Any]): Array[Long] = {
+    require(keys.nonEmpty, "deleteByKeys: empty key list")
+    require(keys.size <= 100000,
+      s"deleteByKeys is the BOUNDED-list path (${keys.size} keys > 100k); " +
+        "for unbounded key sets run mergeInto-style via an anti-join rewrite")
+    val dt = spark.read.parquet(s"$root/${st.active.head}")
+      .schema(keyCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, dt)))
+    val rows = new java.util.ArrayList[Row](keys.size)
+    keys.foreach(k => rows.add(Row(k)))
+    spark.createDataFrame(rows, schema)
+      .select(xxhash64(col(keyCol)).as("__h"))
+      .collect().map(_.getLong(0))
+  }
+
+  // ------------------------------------------------------------------
+  // DELETE
+  // ------------------------------------------------------------------
+
+  /** Copy-on-write DELETE: remove the rows where `cond` IS TRUE,
+    * rewriting only the directories that actually contain such rows.
+    *
+    * `prunePreds` are optional (col, lo, hi) range hints evaluated
+    * against the commit log's per-column stats — the caller states
+    * where the predicate CAN match and the log prunes the rest
+    * (hints are an optimization: a directory the hints exclude is
+    * excluded from the scan entirely, so hints must be implied by
+    * `cond`, the same contract as [[LakeTable.readRange2]]).
+    * `candidateFilter` is the bloom hook [[deleteByKeys]] installs.
+    */
+  def deleteWhere(spark: SparkSession, root: String, cond: Column,
+                  prunePreds: Seq[(String, String, String)] = Nil,
+                  candidateFilter: Seq[String] => Seq[String] = identity,
+                  txn: Option[(String, Long)] = None): DmlReport = {
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    val candidates =
+      candidateFilter(LakeTable.dirsMatching(st, prunePreds)).sorted
+    val next = st.version + 1
+    if (candidates.isEmpty) {
+      // nothing can match; advance the txn high-water mark if asked
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, 0, 0, 0, 0L, 0L)
+    }
+    // ONE distributed pass over the candidates: per-directory match
+    // counts, keyed by input file and folded to directories on the
+    // driver (directory names embed a UUID — `indexOf` is exact).
+    val hitRows = spark.read
+      .parquet(candidates.map(d => s"$root/$d"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(when(cond, 1)).as("__hits"))
+      .collect()
+    def dirOf(uri: String): String = {
+      val d = candidates.find(uri.contains)
+      require(d.isDefined, s"lake dml: scanned file $uri outside candidates")
+      d.get
+    }
+    val perDir = hitRows.groupBy(r => dirOf(r.getString(0))).map {
+      case (d, rs) => d -> rs.map(_.getLong(1)).sum
+    }
+    val dirty = perDir.filter(_._2 > 0).keys.toSeq.sorted
+    val deleted = perDir.valuesIterator.sum
+    if (dirty.isEmpty) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, candidates.size, 0, 0, 0L, 0L)
+    }
+    // rewrite each dirty directory's survivors; a directory whose
+    // every row matched is removed without a replacement
+    val (adds, colStats, kinds) =
+      rewriteSurvivors(spark, root, st, dirty, next,
+        df => df.filter(!(cond <=> lit(true))))
+    commitCow(spark, root, next, adds, dirty, txn, colStats, kinds, st)
+    DmlReport(Some(next), st.active.size, candidates.size, adds.size,
+              dirty.size, deleted, 0L)
+  }
+
+  /** Point DELETE by key list — the GDPR / right-to-be-forgotten
+    * shape: prune by the keys' [min, max] against the log stats AND
+    * by the per-directory bloom sidecars (no false negatives — a
+    * directory whose filter rejects every key provably holds none of
+    * them), then [[deleteWhere]] over the survivors.
+    * `keys` is bounded by contract (≤ 100k literals). */
+  def deleteByKeys(spark: SparkSession, root: String, keyCol: String,
+                   keys: Seq[Any],
+                   txn: Option[(String, Long)] = None): DmlReport = {
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    if (st.active.isEmpty)
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L)
+    val hashes = keyHashes(spark, root, st, keyCol, keys)
+    val bloomPrune: Seq[String] => Seq[String] = dirs => dirs.filter { d =>
+      readBloom(spark, root, d, keyCol) match {
+        case Some(blob) => hashes.exists(Bf.contains(blob, _))
+        case None => true // no sidecar: keep (never a correctness filter)
+      }
+    }
+    val ks = keys.map(_.toString)
+    val pruneRange =
+      if (st.colKinds.get(keyCol).contains("num") &&
+          ks.forall(s => scala.util.Try(BigDecimal(s)).isSuccess))
+        Seq((keyCol, ks.minBy(BigDecimal(_)), ks.maxBy(BigDecimal(_))))
+      else Seq((keyCol, ks.min, ks.max))
+    deleteWhere(spark, root, col(keyCol).isin(keys: _*),
+                pruneRange, bloomPrune, txn)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE
+  // ------------------------------------------------------------------
+
+  /** Copy-on-write MERGE (SCD-1 upsert): for each key in `updates`,
+    * overwrite the matching row's non-key columns; keys with no
+    * match land as inserts. Only directories that actually contain a
+    * matched key are rewritten; inserts land as ONE new directory
+    * (with a bloom sidecar when the table carries them); everything
+    * commits atomically.
+    *
+    * `updates` must carry the table's schema (key + payload
+    * columns). Pruning: the updates' key [min, max] (one aggregate)
+    * against the log stats, then bloom sidecars when the update key
+    * set is small enough to collect (`bloomProbeLimit`); a larger
+    * update set skips the bloom and relies on stats — the scan cost
+    * degrades gracefully, correctness never moves. */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                keyCol: String, txn: Option[(String, Long)] = None,
+                bloomProbeLimit: Int = 65536): DmlReport = {
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    val next = st.version + 1
+    val up = updates.localCheckpoint() // several consumers, one plan run
+    val payload = up.columns.filterNot(_ == keyCol)
+    // key bounds: one 1-row aggregate (numeric and string kinds both
+    // record their own ordering's extremes)
+    val b = up.agg(min(col(keyCol)).cast("string"),
+                   max(col(keyCol)).cast("string")).head()
+    val pruneRange =
+      if (b.isNullAt(0)) Seq.empty // empty updates
+      else Seq((keyCol, b.getString(0), b.getString(1)))
+    val statDirs = LakeTable.dirsMatching(st, pruneRange)
+    val nUpdates = up.count()
+    val candidates = (if (nUpdates > 0 && nUpdates <= bloomProbeLimit) {
+      val hashes = up.select(xxhash64(col(keyCol)).as("__h"))
+        .distinct().collect().map(_.getLong(0))
+      statDirs.filter { d =>
+        readBloom(spark, root, d, keyCol) match {
+          case Some(blob) => hashes.exists(Bf.contains(blob, _))
+          case None => true
+        }
+      }
+    } else statDirs).sorted
+    if (nUpdates == 0) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, 0, 0, 0, 0L, 0L)
+    }
+    val upKeys = up.select(col(keyCol)).distinct()
+    // dirty dirs: candidates whose rows hit an update key — one pass
+    val dirty: Seq[String] = if (candidates.isEmpty) Seq.empty else {
+      val hitRows = spark.read
+        .parquet(candidates.map(d => s"$root/$d"): _*)
+        .withColumn("__f", input_file_name())
+        .join(upKeys, Seq(keyCol), "left_semi")
+        .groupBy("__f").count().collect()
+      hitRows.map { r =>
+        val uri = r.getString(0)
+        val d = candidates.find(uri.contains)
+        require(d.isDefined, s"lake dml: scanned file $uri outside candidates")
+        d.get
+      }.distinct.sorted
+    }
+    // matched keys — exactly the keys present in the dirty dirs
+    val matchedKeys =
+      if (dirty.isEmpty) upKeys.limit(0)
+      else spark.read.parquet(dirty.map(d => s"$root/$d"): _*)
+        .select(col(keyCol)).join(upKeys, Seq(keyCol), "left_semi")
+        .distinct().localCheckpoint()
+    val inserts = up.join(matchedKeys, Seq(keyCol), "left_anti")
+      .select(up.columns.map(col): _*)
+    val nInserts = inserts.count()
+    // rewrite dirty dirs: SCD-1 coalesce against the updates
+    val (rewrites, colStats, kinds) =
+      rewriteSurvivors(spark, root, st, dirty, next, { df =>
+        val upAliased = up.select(
+          col(keyCol) +: payload.map(c => col(c).as(s"__u_$c")): _*)
+        df.join(upAliased, Seq(keyCol), "left")
+          .select(col(keyCol) +: payload.map(c =>
+            coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+          .select(df.columns.map(col): _*)
+      })
+    // inserts land as one appended directory (bloom sidecar iff the
+    // table already carries them on the key)
+    val tableHasBlooms = st.active.exists(d =>
+      fs(spark, root).exists(bloomPath(root, d, keyCol)))
+    val insertDir =
+      if (nInserts == 0) None
+      else {
+        val dir = f"data-v$next%010d-" +
+          java.util.UUID.randomUUID().toString.take(8) + "-ins"
+        inserts.write.mode("errorifexists").parquet(s"$root/$dir")
+        Some(dir)
+      }
+    val insertStats = insertDir.map { dir =>
+      val bnd = spark.read.parquet(s"$root/$dir")
+        .agg(min(col(keyCol)).cast("string"),
+             max(col(keyCol)).cast("string")).head()
+      dir -> Map(keyCol -> (bnd.getString(0), bnd.getString(1)))
+    }.toMap
+    val adds = rewrites ++ insertDir.toSeq
+    if (adds.isEmpty && dirty.isEmpty) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, candidates.size, 0, 0, 0L, 0L)
+    }
+    val keyKind = Map(keyCol -> st.colKinds.getOrElse(keyCol,
+      LakeTable.statKind(up.schema(keyCol).dataType)))
+    commitCow(spark, root, next, adds, dirty, txn,
+              colStats ++ insertStats, kinds ++ keyKind, st)
+    insertDir.filter(_ => tableHasBlooms)
+      .foreach(d => writeBloom(spark, root, d, keyCol))
+    DmlReport(Some(next), st.active.size, candidates.size, rewrites.size,
+              dirty.size, 0L, nInserts)
+  }
+
+  // ------------------------------------------------------------------
+  // shared copy-on-write internals
+  // ------------------------------------------------------------------
+
+  /** Rewrite each dirty directory through `transform`, preserving its
+    * logged stat columns (recomputed over the survivors) and its
+    * bloom sidecars (rebuilt over the survivors). Returns (added
+    * dirs, their colStats, their stat kinds). A directory whose
+    * survivors are empty adds nothing — its removal alone tells the
+    * story. */
+  private def rewriteSurvivors(spark: SparkSession, root: String,
+      st: LakeTable.LogState, dirty: Seq[String], next: Long,
+      transform: DataFrame => DataFrame)
+      : (Seq[String], Map[String, Map[String, (String, String)]],
+         Map[String, String]) = {
+    val f = fs(spark, root)
+    var adds = Seq.empty[String]
+    var colStats = Map.empty[String, Map[String, (String, String)]]
+    var kinds = Map.empty[String, String]
+    dirty.foreach { d =>
+      val src = spark.read.parquet(s"$root/$d")
+      val survivors = transform(src)
+      val newDir = f"data-v$next%010d-" +
+        java.util.UUID.randomUUID().toString.take(8) + "-cow"
+      survivors.write.mode("errorifexists").parquet(s"$root/$newDir")
+      val written = spark.read.parquet(s"$root/$newDir")
+      if (written.isEmpty) {
+        // fully-deleted directory: drop the empty replacement
+        f.delete(new Path(root, newDir), true)
+      } else {
+        adds :+= newDir
+        // stats: recompute every column the source directory logged
+        val statCols = st.colStats.getOrElse(d, Map.empty).keys.toSeq.sorted
+          .filter(written.columns.contains)
+        if (statCols.nonEmpty) {
+          val aggs = statCols.flatMap(c =>
+            Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+          val r = written.agg(aggs.head, aggs.tail: _*).head()
+          val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))) match {
+              case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+              case _ => None
+            }
+          }.toMap
+          if (cs.nonEmpty) colStats += newDir -> cs
+          kinds ++= statCols.map(c => c -> st.colKinds.getOrElse(c,
+            LakeTable.statKind(written.schema(c).dataType)))
+        }
+        // bloom sidecars: rebuild each one the source directory had
+        val bloomDir = new Path(root, s"_graft_log/blooms/$d")
+        if (f.exists(bloomDir)) {
+          f.listStatus(bloomDir).toSeq.map(_.getPath.getName)
+            .filter(_.endsWith(".bf")).map(_.stripSuffix(".bf"))
+            .filter(written.columns.contains)
+            .foreach(c => writeBloom(spark, root, newDir, c))
+        }
+      }
+    }
+    (adds, colStats, kinds)
+  }
+
+  /** The single copy-on-write commit: adds + removes + carried
+    * stats, with the txn token when re-deliverable. On a conflict
+    * the just-written directories are reclaimed before rethrowing
+    * (the appendTxn orphan discipline). */
+  private def commitCow(spark: SparkSession, root: String, next: Long,
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[(String, Long)],
+      colStats: Map[String, Map[String, (String, String)]],
+      kinds: Map[String, String], st: LakeTable.LogState): Unit = {
+    val f = fs(spark, root)
+    try {
+      LakeTable.writeCommit(spark, root,
+        LakeTable.Commit(next, adds, removes, txn,
+          Map.empty, colStats, kinds))
+    } catch {
+      case e: LakeTable.CommitConflictException =>
+        adds.foreach { d =>
+          f.delete(new Path(root, d), true)
+          f.delete(new Path(root, s"_graft_log/blooms/$d"), true)
+        }
+        throw e
+    }
+  }
+}

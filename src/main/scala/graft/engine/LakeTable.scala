@@ -661,7 +661,7 @@ object LakeTable {
   /** The one spelling of directory-grain stat pruning, shared by
     * [[rangeDirs2]] and [[rangeFiles]] so a future fix to
     * [[statIntersects]] handling cannot be applied to one site only. */
-  private def dirsMatching(st: LogState,
+  private[graft] def dirsMatching(st: LogState,
       preds: Seq[(String, String, String)]): Seq[String] =
     st.active.filter { d =>
       preds.forall { case (c, lo, hi) =>
@@ -1166,7 +1166,12 @@ object LakeTable {
     val everAdded = vs.flatMap(v => readCommit(spark, root, v).adds)
     val f = fs(spark, root)
     val doomed = everAdded.distinct.filterNot(retained)
-    doomed.foreach(d => f.delete(new Path(root, d), true))
+    doomed.foreach { d =>
+      f.delete(new Path(root, d), true)
+      // a reclaimed directory's bloom sidecars (LakeDml's convention-
+      // addressed membership filters) go with it
+      f.delete(new Path(root, s"_graft_log/blooms/$d"), true)
+    }
     doomed
   }
 }

@@ -1,0 +1,61 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-16 surgical-DML keys ([[QueriesR21]]).
+  * Each oracle computes the POST-DML end state of the lake fixture
+  * straight from the raw corpus — the engine's prune / copy-on-write
+  * / atomic-commit pipeline must land on exactly this content.
+  * `ingest_forget` wraps the full ingest-replay oracle
+  * ([[OracleR19.docsReplaySql]] — the definitional O(n²) Jaccard +
+  * three-batch greedy chain) and applies the same purge rule on top,
+  * so the two stay in lockstep by construction. */
+object OracleR21 {
+
+  val sql: ListMap[String, String] = ListMap(
+
+    "lake_delete_surgical" ->
+      """SELECT o_orderkey AS key, o_orderstatus AS status
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 8192)
+        |ORDER BY key""".stripMargin,
+
+    "lake_delete_bloom" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 97 = 13 ORDER BY doc_id LIMIT 5)
+        |ORDER BY doc_id""".stripMargin,
+
+    "lake_merge_surgical" ->
+      """WITH target AS (SELECT o_orderkey AS key,
+        |                  o_orderstatus AS status FROM orders),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R'
+        |          AND l_orderkey >= 16384 AND l_orderkey < 32768),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0)
+        |SELECT coalesce(t.key, u.key) AS key,
+        |       coalesce(u.status, t.status) AS status
+        |FROM target t FULL OUTER JOIN upd u ON t.key = u.key
+        |ORDER BY key""".stripMargin,
+
+    // The ingest fate projection after the forget purge: forgotten =
+    // accepted docs ≡ 7 (mod 10); their marker rows vanish (deleted
+    // from the docs lake) and every audit pair naming them vanishes
+    // (purged from the rejects lake). NOT IN is null-safe here: the
+    // forgotten CTE's ids are never NULL, and NULL match_ids are
+    // admitted explicitly.
+    "ingest_forget" ->
+      s"""WITH proj AS (${OracleR19.docsReplaySql}),
+         |forgotten AS (SELECT doc_id FROM proj
+         |              WHERE match_src = 'accepted' AND doc_id % 10 = 7)
+         |SELECT doc_id, match_id, match_src, jaccard FROM proj
+         |WHERE doc_id NOT IN (SELECT doc_id FROM forgotten)
+         |  AND (match_id IS NULL
+         |       OR match_id NOT IN (SELECT doc_id FROM forgotten))
+         |ORDER BY doc_id, match_src, match_id""".stripMargin,
+  )
+}

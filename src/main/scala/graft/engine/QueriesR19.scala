@@ -98,7 +98,8 @@ object QueriesR19 {
 
   /** The document-leg fate projection over an ingest root: audit
     * pairs + accepted/filtered marker rows, in the oracle's order. */
-  private def fateProjection(s: SparkSession, root: String): DataFrame = {
+  private[engine] def fateProjection(s: SparkSession,
+                                     root: String): DataFrame = {
     val nullId = lit(null).cast(LongType)
     val nullJc = lit(null).cast(DoubleType)
     val acc = LakeTable.read(s, Ingest.docsRoot(root))

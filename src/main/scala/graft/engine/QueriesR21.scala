@@ -1,0 +1,152 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 keys: surgical row-level DML on the lake
+  * ([[LakeDml]] — copy-on-write DELETE/MERGE at directory
+  * granularity, bloom-sidecar point pruning) plus the GDPR
+  * forget-propagation pass over the streaming-ingest tables.
+  *
+  * Why these exist: `lake_merge_upsert` proved the read-modify-write
+  * TRANSACTION, but its rewrite is O(table) — the 100 TB posture is
+  * O(affected directories). Each key here runs the real DML path
+  * against a lake fixture and emits the post-DML snapshot, so the
+  * DuckDB oracle (which computes the same end state from the raw
+  * corpus in one query) hash-gates the entire prune → touch-dirty →
+  * atomic-commit pipeline. The companion LakeDmlSpec asserts the
+  * SURGICAL half (clean directories survive BY REFERENCE, bloom
+  * pruning skips provably-clean directories) — the oracle proves
+  * WHAT was computed, the spec proves HOW MUCH was touched.
+  *
+  * Determinism (§2.3): integers and strings only; every fixture
+  * mutation is a pure function of the corpus; output ordered by a
+  * total key.
+  */
+object QueriesR21 {
+  import Tables._
+
+  /** DELETE WHERE over a clustered orders lake: status 'F' rows
+    * below key 8192. The fixture clusters on key (8 range buckets
+    * with logged [min, max]), so the range hint prunes the scan to
+    * the low-key directories and the rewrite touches only those that
+    * actually hold matches — the copy-on-write shape. Output: the
+    * post-delete snapshot. */
+  def lakeDeleteSurgical(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"))
+    val root = LakeFixtures.cached(s, "lake_del_cow",
+        ArtifactCache.artifactHash(base)) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.deleteWhere(s, r,
+        col("status") === "F" && col("key") < 8192,
+        prunePreds = Seq(("key", "0", "8191")))
+    }
+    LakeTable.read(s, root).orderBy("key")
+  }
+
+  /** Point DELETE through bloom sidecars: the documents table lands
+    * in four hash-scattered batches (every batch spans the whole
+    * doc_id range, so [min, max] stats prune NOTHING — the adversary
+    * case for range skipping), each with a membership sidecar; a
+    * bounded forget-list of specific doc_ids then deletes via
+    * [[LakeDml.deleteByKeys]], where only the sidecars can exclude
+    * directories. Output: the surviving snapshot. */
+  def lakeDeleteBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val root = LakeFixtures.cached(s, "lake_del_bloom",
+        ArtifactCache.artifactHash(docs)) { r =>
+      for (b <- 0 to 3)
+        LakeDml.appendWithBloom(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(4)) === b), r,
+          "doc_id")
+      // the forget list: a bounded, deterministic request set
+      val forgotten = docs.filter(col("doc_id") % 97 === 13)
+        .orderBy("doc_id").limit(5).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      if (forgotten.nonEmpty)
+        LakeDml.deleteByKeys(s, r, "doc_id", forgotten)
+    }
+    LakeTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** Copy-on-write MERGE (SCD-1 upsert) over the clustered orders
+    * lake: updates confined to keys [16384, 32768) — returned orders
+    * flip to status 'R', every 50th key in the range also inserts a
+    * +10^8 'N' row. The updates' key bounds prune the candidate set
+    * to the intersecting directories; only directories holding a
+    * matched key are rewritten; inserts land as one new directory;
+    * one atomic commit. Output: the post-merge snapshot. */
+  def lakeMergeSurgical(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"))
+    val ret = lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+              col("l_orderkey") >= 16384 && col("l_orderkey") < 32768)
+      .select(col("l_orderkey")).distinct()
+    val updates = ret
+      .select(col("l_orderkey").as("key"), lit("R").as("status"))
+      .union(ret.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("N").as("status")))
+    val hash = ArtifactCache.artifactHash(base).take(16) +
+      ArtifactCache.artifactHash(updates).take(16)
+    val root = LakeFixtures.cached(s, "lake_merge_cow", hash) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.mergeInto(s, r, updates, "key")
+    }
+    LakeTable.read(s, root).orderBy("key")
+  }
+
+  private val forgotten =
+    scala.collection.mutable.Map.empty[String, String]
+
+  /** GDPR forget-propagation over the streaming-ingest tables: the
+    * 3-batch document ingest replays into its own root, then a
+    * deterministic forget request (accepted doc_ids ≡ 7 mod 10)
+    * deletes the named documents from the docs lake, their rows from
+    * the LSH band index (so no future batch can match against a
+    * forgotten document), and every audit pair NAMING them from the
+    * rejects lake — each table's delete riding an idempotent
+    * ("forget", 0) txn token, so a re-delivered request no-ops
+    * exactly like a re-delivered ingest batch. Output: the fate
+    * projection over the post-forget tables; the oracle replays the
+    * full ingest from first principles and applies the same purge.
+    *
+    * Scale shape: the forget list is bounded metadata (a request,
+    * not a scan); each delete is copy-on-write over the directories
+    * that actually hold the named rows ([[LakeDml.bloomAll]]
+    * backfills membership sidecars first — the ingest's per-batch
+    * directories each span the whole id range, so only membership
+    * can prune them). */
+  def ingestForget(s: SparkSession, d: String): DataFrame = {
+    val root = forgotten.synchronized {
+      forgotten.getOrElseUpdate(d, {
+        val r = RunScratch.dir("ingest_forget")
+        val docs = documents(s, d)
+        for (b <- 0L to 2L)
+          Ingest.ingestBatch(docs.filter(col("doc_id") % 3 === b),
+            r, "forget_replay", b,
+            filter = Some(Ingest.tooShortRule(100)))
+        val ids = LakeTable.read(s, Ingest.docsRoot(r))
+          .filter(col("doc_id") % 10 === 7)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          LakeDml.bloomAll(s, Ingest.docsRoot(r), "doc_id")
+          LakeDml.bloomAll(s, Ingest.bandsRoot(r), "doc_id")
+          LakeDml.deleteByKeys(s, Ingest.docsRoot(r), "doc_id", ids,
+            txn = Some(("forget", 0L)))
+          LakeDml.deleteByKeys(s, Ingest.bandsRoot(r), "doc_id", ids,
+            txn = Some(("forget", 0L)))
+          LakeDml.deleteWhere(s, Ingest.rejectsRoot(r),
+            col("doc_id").isin(ids: _*) || col("match_id").isin(ids: _*),
+            txn = Some(("forget", 0L)))
+        }
+        r
+      })
+    }
+    QueriesR19.fateProjection(s, root)
+  }
+}

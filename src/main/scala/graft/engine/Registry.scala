@@ -343,6 +343,13 @@ object Registry {
     "sql_session_multi"     -> QueriesR20.sqlSessionMulti _,
     "sql_neardup_audit"     -> QueriesR20.sqlNeardupAudit _,
     "sql_ingested_stats"    -> QueriesR20.sqlIngestedStats _,
+    // Round-16: surgical row-level DML (LakeDml) — copy-on-write
+    // DELETE/MERGE at directory granularity, bloom-sidecar point
+    // pruning, and GDPR forget-propagation through the ingest tables
+    "lake_delete_surgical"  -> QueriesR21.lakeDeleteSurgical _,
+    "lake_delete_bloom"     -> QueriesR21.lakeDeleteBloom _,
+    "lake_merge_surgical"   -> QueriesR21.lakeMergeSurgical _,
+    "ingest_forget"         -> QueriesR21.ingestForget _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -352,5 +359,5 @@ object Registry {
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
-      OracleR19.sql ++ OracleR20.sql
+      OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql
 }

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{LakeDml, LakeTable}
+
+import org.apache.spark.sql.functions._
+
+/** Pins the SURGICAL half of the round-16 DML keys — the oracle
+  * proves the post-DML content; this suite proves how little was
+  * touched to get there, plus the contracts the content hash cannot
+  * see: clean directories survive BY REFERENCE (same directory
+  * names), bloom sidecars prune directories that provably lack the
+  * keys (and never prune ones that have them — no false negatives),
+  * SQL NULL delete semantics, pre-DML time travel, txn idempotence
+  * under re-delivery, and vacuum reclaiming sidecars with their
+  * directories.
+  */
+class LakeDmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_dml_$tag").toString
+
+  /** Two stats-carrying directories: keys [0,9] and [100,109]. */
+  private def twoDirTable(root: String): Unit = {
+    LakeTable.append(
+      (0L to 9L).map(k => (k, s"v$k")).toDF("k", "v") unionByName
+        (100L to 109L).map(k => (k, s"v$k")).toDF("k", "v"), root)
+    LakeTable.rewriteClustered(LakeTable.read(spark, root), root, "k", 2)
+  }
+
+  test("deleteWhere rewrites only dirty directories; clean ones survive by reference") {
+    val root = freshRoot("cow")
+    twoDirTable(root)
+    val before = LakeTable.activeDirs(spark, root)
+    assert(before.size == 2)
+    val rep = LakeDml.deleteWhere(spark, root,
+      col("k") % 2 === 0 && col("k") < 50,
+      prunePreds = Seq(("k", "0", "49")))
+    // the high directory was pruned from the scan entirely…
+    assert(rep.candidateDirs == 1 && rep.activeDirs == 2)
+    // …and the low one was rewritten; exactly 5 rows died
+    assert(rep.rewrittenDirs == 1 && rep.removedDirs == 1)
+    assert(rep.rowsDeleted == 5)
+    val after = LakeTable.activeDirs(spark, root)
+    // the untouched directory is the SAME directory, not a copy
+    assert(after.contains(before(1)))
+    assert(!after.contains(before(0)))
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq ==
+      (Seq(1L, 3L, 5L, 7L, 9L) ++ (100L to 109L)))
+    // pre-delete snapshot still time-travels
+    assert(LakeTable.read(spark, root, Some(rep.version.get - 1))
+      .count() == 20)
+  }
+
+  test("stats false positive: a candidate with no matching rows is NOT rewritten") {
+    val root = freshRoot("fp")
+    twoDirTable(root)
+    val before = LakeTable.activeDirs(spark, root)
+    // hint range covers the low dir, but the predicate matches nothing
+    val rep = LakeDml.deleteWhere(spark, root,
+      col("k") === 42L, prunePreds = Seq(("k", "0", "49")))
+    assert(rep.candidateDirs == 1 && rep.rewrittenDirs == 0 &&
+           rep.rowsDeleted == 0)
+    assert(rep.version.isEmpty, "a no-op delete must not commit")
+    assert(LakeTable.activeDirs(spark, root) == before)
+  }
+
+  test("DELETE null semantics: NULL-predicate rows survive (SQL WHERE, not !filter)") {
+    val root = freshRoot("nulls")
+    LakeTable.append(
+      Seq((1L, Some("a")), (2L, None), (3L, Some("x")))
+        .toDF("k", "v"), root)
+    val rep = LakeDml.deleteWhere(spark, root, col("v") === "a")
+    assert(rep.rowsDeleted == 1)
+    // row 2's predicate is NULL — deleted iff TRUE, so it survives
+    assert(LakeTable.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("a fully-deleted directory is removed without a replacement") {
+    val root = freshRoot("empty")
+    twoDirTable(root)
+    val rep = LakeDml.deleteWhere(spark, root, col("k") < 50,
+      prunePreds = Seq(("k", "0", "49")))
+    assert(rep.rowsDeleted == 10 && rep.removedDirs == 1 &&
+           rep.rewrittenDirs == 0)
+    assert(LakeTable.activeDirs(spark, root).size == 1)
+    assert(LakeTable.read(spark, root).count() == 10)
+  }
+
+  test("bloom sidecars prune clean directories and never prune dirty ones") {
+    val root = freshRoot("bloom")
+    // four hash-scattered batches: every directory spans the whole
+    // key range, so [min, max] stats are blind — only membership
+    // can tell the directories apart
+    val all = (0L until 400L).map(k => (k, s"v$k"))
+    for (b <- 0 until 4)
+      LakeDml.appendWithBloom(
+        all.filter(_._1 % 4 == b).toDF("k", "v"), root, "k")
+    assert(LakeTable.activeDirs(spark, root).size == 4)
+    // keys from batch 2 only (k % 4 == 2)
+    val rep = LakeDml.deleteByKeys(spark, root, "k",
+      Seq(2L, 102L, 202L, 302L))
+    assert(rep.rowsDeleted == 4, "no false negatives: every key found")
+    assert(rep.candidateDirs < rep.activeDirs,
+      s"bloom must prune some of the 4 directories " +
+        s"(candidates=${rep.candidateDirs})")
+    assert(rep.rewrittenDirs == 1,
+      "only the directory holding the keys is rewritten")
+    assert(LakeTable.read(spark, root).count() == 396)
+    // the rewritten directory got a fresh sidecar: a second delete
+    // against the new layout still prunes and still finds its keys
+    val rep2 = LakeDml.deleteByKeys(spark, root, "k", Seq(6L, 106L))
+    assert(rep2.rowsDeleted == 2 && rep2.candidateDirs < rep2.activeDirs)
+  }
+
+  test("merge rewrites only directories holding matched keys; inserts land as one new dir") {
+    val root = freshRoot("merge")
+    twoDirTable(root)
+    val before = LakeTable.activeDirs(spark, root)
+    val updates = Seq((3L, "UP"), (7L, "UP"), (500L, "NEW"))
+      .toDF("k", "v")
+    val rep = LakeDml.mergeInto(spark, root, updates, "k")
+    assert(rep.rewrittenDirs == 1 && rep.removedDirs == 1 &&
+           rep.rowsInserted == 1)
+    val after = LakeTable.activeDirs(spark, root)
+    assert(after.contains(before(1)), "the high dir survives by reference")
+    val rows = LakeTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(rows(3L) == "UP" && rows(7L) == "UP" && rows(500L) == "NEW")
+    assert(rows(1L) == "v1" && rows(100L) == "v100")
+    assert(rows.size == 21)
+  }
+
+  test("merge insert-only: no dirty directories, one insert directory, one commit") {
+    val root = freshRoot("insonly")
+    twoDirTable(root)
+    val rep = LakeDml.mergeInto(spark, root,
+      Seq((700L, "NEW")).toDF("k", "v"), "k")
+    assert(rep.rewrittenDirs == 0 && rep.removedDirs == 0 &&
+           rep.rowsInserted == 1)
+    assert(LakeTable.read(spark, root).count() == 21)
+  }
+
+  test("txn tokens make DML re-delivery a no-op") {
+    val root = freshRoot("txn")
+    twoDirTable(root)
+    val rep = LakeDml.deleteWhere(spark, root, col("k") === 3L,
+      txn = Some(("app", 7L)))
+    assert(rep.rowsDeleted == 1 && rep.version.nonEmpty)
+    val v = LakeTable.latestVersion(spark, root)
+    // re-delivery: same (appId, batchId) — nothing happens
+    val rep2 = LakeDml.deleteWhere(spark, root, col("k") === 5L,
+      txn = Some(("app", 7L)))
+    assert(rep2.version.isEmpty)
+    assert(LakeTable.latestVersion(spark, root) == v)
+    assert(LakeTable.read(spark, root).filter(col("k") === 5L).count() == 1)
+    // a LATER batch under the same app proceeds
+    val rep3 = LakeDml.mergeInto(spark, root,
+      Seq((5L, "UP")).toDF("k", "v"), "k", txn = Some(("app", 8L)))
+    assert(rep3.version.nonEmpty)
+  }
+
+  test("vacuum reclaims a removed directory's bloom sidecars") {
+    val root = freshRoot("vac")
+    LakeDml.appendWithBloom(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "k")
+    val dir0 = LakeTable.activeDirs(spark, root).head
+    val side0 = LakeDml.bloomPath(root, dir0, "k")
+    val fs = side0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(side0))
+    val rep = LakeDml.deleteByKeys(spark, root, "k", Seq(1L))
+    assert(rep.rowsDeleted == 1)
+    LakeTable.vacuum(spark, root, rep.version.get)
+    assert(!fs.exists(side0), "vacuumed directory's sidecar must go with it")
+    // the live replacement's sidecar survives and still prunes
+    val dir1 = LakeTable.activeDirs(spark, root).head
+    assert(fs.exists(LakeDml.bloomPath(root, dir1, "k")))
+  }
+
+  test("bloomAll backfills sidecars idempotently") {
+    val root = freshRoot("backfill")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(LakeDml.bloomAll(spark, root, "k") == 2)
+    assert(LakeDml.bloomAll(spark, root, "k") == 0, "second pass: nothing to do")
+  }
+}
