@@ -397,6 +397,168 @@ object LakeDml {
   }
 
   // ------------------------------------------------------------------
+  // MERGE-ON-READ deletes (equality-delete files)
+  // ------------------------------------------------------------------
+  //
+  // The OTHER half of lakehouse DML, complementing the copy-on-write
+  // path above — the Iceberg equality-delete / Delta deletion-vector
+  // posture: a delete WRITES a tiny tombstone file naming the doomed
+  // keys (one commit, ZERO data directories touched — O(delete list),
+  // not O(matching data)), readers subtract the live tombstones with
+  // one broadcast anti-join, and a later COMPACTION (applyDeletes)
+  // materializes them into the data and clears them in one atomic
+  // commit. Write-cheap now, read-rent until compaction — the right
+  // trade when deletes are frequent and small (a GDPR request stream)
+  // and full copy-on-write per request would churn the table.
+  //
+  // Tombstone semantics (deliberately simpler than Iceberg's
+  // sequence-number scoping): a key named by a LIVE equality-delete
+  // file is absent from every MOR read of that snapshot, regardless
+  // of when its rows landed — re-inserting a tombstoned key requires
+  // applying deletes first. That is exactly the right-to-be-forgotten
+  // contract (the ban outlives the row), and it keeps the read path
+  // one anti-join instead of a per-file sequence comparison.
+
+  /** Merge-on-read DELETE: write `keys` (any size — it is a DataFrame,
+    * never collected) as one equality-delete file and register it in
+    * one commit. No data directory is read or written. Readers must
+    * use [[readMor]]; [[LakeTable.read]] alone does not see
+    * tombstones. Returns the commit version (None = replayed txn). */
+  def deleteByKeysMor(spark: SparkSession, root: String, keyCol: String,
+                      keys: DataFrame,
+                      txn: Option[(String, Long)] = None): Option[Long] = {
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return None // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    val next = st.version + 1
+    val dir = f"eqdel-v$next%010d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    keys.select(col(keyCol)).distinct()
+      .write.mode("errorifexists").parquet(s"$root/$dir")
+    try {
+      LakeTable.writeCommit(spark, root,
+        LakeTable.Commit(next, Seq.empty, Seq.empty, txn,
+          eqdelAdds = Seq((dir, keyCol))))
+      Some(next)
+    } catch {
+      case e: LakeTable.CommitConflictException =>
+        fs(spark, root).delete(new Path(root, dir), true)
+        throw e
+    }
+  }
+
+  /** Snapshot read MINUS the live tombstones: the data directories'
+    * union anti-joined against each key column's equality-delete
+    * files (tombstones are tiny — the anti-join broadcasts). With no
+    * live tombstones this IS [[LakeTable.read]]. */
+  def readMor(spark: SparkSession, root: String,
+              asOf: Option[Long] = None): DataFrame = {
+    val st = LakeTable.replayState(spark, root, asOf)
+    val data = LakeTable.read(spark, root, asOf)
+    st.eqdels.groupBy(_._2).foldLeft(data) { case (df, (keyCol, files)) =>
+      val dels = spark.read
+        .parquet(files.map(_._1).map(d => s"$root/$d"): _*)
+        .select(col(keyCol)).distinct()
+      df.join(broadcast(dels), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Compaction: materialize every live tombstone into the data and
+    * clear them, in ONE atomic commit. Candidate directories prune by
+    * stats/bloom exactly like [[deleteByKeys]] (the tombstone keys
+    * are read back and, when small enough to collect, probed against
+    * the sidecars); only directories actually holding doomed rows are
+    * rewritten. After this commit [[readMor]] ≡ [[LakeTable.read]]
+    * until the next MOR delete; the cleared tombstone FILES remain on
+    * disk for time travel until [[LakeTable.vacuum]]. */
+  def applyDeletes(spark: SparkSession, root: String,
+                   txn: Option[(String, Long)] = None,
+                   bloomProbeLimit: Int = 65536): DmlReport = {
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    val next = st.version + 1
+    if (st.eqdels.isEmpty) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, 0, 0, 0, 0L, 0L)
+    }
+    val groups = st.eqdels.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (keyCol, files) =>
+        keyCol -> spark.read
+          .parquet(files.map(_._1).map(d => s"$root/$d"): _*)
+          .select(col(keyCol)).distinct().localCheckpoint()
+    }
+    // candidates: a directory survives if ANY key group may touch it
+    // (bloom-consulted per group when the group's keys are few)
+    val candidateSets = groups.map { case (keyCol, delKeys) =>
+      val n = delKeys.count()
+      if (n > 0 && n <= bloomProbeLimit) {
+        val hashes = delKeys.select(xxhash64(col(keyCol)).as("__h"))
+          .collect().map(_.getLong(0))
+        st.active.filter { d =>
+          readBloom(spark, root, d, keyCol) match {
+            case Some(blob) => hashes.exists(Bf.contains(blob, _))
+            case None => true
+          }
+        }.toSet
+      } else st.active.toSet
+    }
+    val candidates = st.active.filter(d =>
+      candidateSets.exists(_.contains(d))).sorted
+    // dirty: candidates whose rows hit any group's keys — one pass
+    // per group over that group's candidate subset
+    val perGroupHits = groups.zip(candidateSets).map {
+      case ((keyCol, delKeys), cset) =>
+        val cs = candidates.filter(cset.contains)
+        if (cs.isEmpty) Seq.empty[(String, Long)]
+        else spark.read.parquet(cs.map(d => s"$root/$d"): _*)
+          .withColumn("__f", input_file_name())
+          .join(broadcast(delKeys), Seq(keyCol), "left_semi")
+          .groupBy("__f").count().collect().map { r =>
+            val uri = r.getString(0)
+            val d = cs.find(uri.contains).getOrElse(
+              sys.error(s"lake dml: scanned file $uri outside candidates"))
+            (d, r.getLong(1))
+          }.toSeq
+    }
+    val dirty = perGroupHits.flatMap(_.map(_._1)).distinct.sorted
+    // rows doomed per group, summed (a row matched by several key
+    // groups counts once per group — exact when one key column is in
+    // play, which is the standing shape)
+    val doomed = perGroupHits.flatMap(_.map(_._2)).sum
+    val (adds, colStats, kinds) =
+      rewriteSurvivors(spark, root, st, dirty, next, { df =>
+        groups.foldLeft(df) { case (acc, (keyCol, delKeys)) =>
+          if (acc.columns.contains(keyCol))
+            acc.join(broadcast(delKeys), Seq(keyCol), "left_anti")
+          else acc
+        }
+      })
+    val f = fs(spark, root)
+    try {
+      LakeTable.writeCommit(spark, root,
+        LakeTable.Commit(next, adds, dirty, txn, Map.empty, colStats,
+          kinds, Map.empty, Seq.empty,
+          eqdelRemoves = st.eqdels.map(_._1)))
+    } catch {
+      case e: LakeTable.CommitConflictException =>
+        adds.foreach { d =>
+          f.delete(new Path(root, d), true)
+          f.delete(new Path(root, s"_graft_log/blooms/$d"), true)
+        }
+        throw e
+    }
+    DmlReport(Some(next), st.active.size, candidates.size, adds.size,
+              dirty.size, doomed, 0L)
+  }
+
+  // ------------------------------------------------------------------
   // shared copy-on-write internals
   // ------------------------------------------------------------------
 

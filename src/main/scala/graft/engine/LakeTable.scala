@@ -101,7 +101,8 @@ object LakeTable {
       colStats: Map[String, Map[String, (String, String)]],
       colKinds: Map[String, String],
       fileStats: Map[String, Seq[(String, Map[String, (String, String)])]],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      eqdels: Seq[(String, String)] = Seq.empty)
 
   private[graft] val emptyState =
     LogState(-1L, Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
@@ -111,6 +112,12 @@ object LakeTable {
     val act = scala.collection.mutable.LinkedHashSet[String](st.active: _*)
     c.removes.foreach(act.remove)
     act ++= c.adds
+    // equality-delete files fold exactly like data directories:
+    // removes (a compaction applying them) then adds, order preserved
+    val eq = scala.collection.mutable.LinkedHashMap[String, String](
+      st.eqdels: _*)
+    c.eqdelRemoves.foreach(eq.remove)
+    eq ++= c.eqdelAdds
     LogState(c.version, act.toSeq,
       st.stats ++ c.stats,
       st.colStats ++ c.colStats,
@@ -118,7 +125,8 @@ object LakeTable {
       st.fileStats ++ c.fileStats,
       c.txn.fold(st.txns) { case (app, b) =>
         st.txns + (app -> math.max(b, st.txns.getOrElse(app, Long.MinValue)))
-      })
+      },
+      eq.toSeq)
   }
 
   /** Test/diagnostic instrumentation: every log FILE the readers open
@@ -184,9 +192,12 @@ object LakeTable {
       .getOrElse(Map.empty[String, Seq[(String, Map[String, (String, String)])]])
     val txns = Option(node.get("txns")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    val eqdels = Option(node.get("eqdels")).map(_.elements().asScala
+      .map(e => (e.get("d").asText(), e.get("k").asText())).toSeq)
+      .getOrElse(Seq.empty)
     LogState(node.get("version").asLong(),
       node.get("active").elements().asScala.map(_.asText()).toSeq,
-      stats, colStats, strMap("colkinds"), fileStats, txns)
+      stats, colStats, strMap("colkinds"), fileStats, txns, eqdels)
   }
 
   private def writeCheckpoint(spark: SparkSession, root: String,
@@ -231,6 +242,12 @@ object LakeTable {
     if (st.txns.nonEmpty) {
       val o = json.putObject("txns")
       st.txns.foreach { case (app, b) => o.put(app, b) }
+    }
+    if (st.eqdels.nonEmpty) {
+      val a = json.putArray("eqdels")
+      st.eqdels.foreach { case (d, k) =>
+        val o = a.addObject(); o.put("d", d); o.put("k", k)
+      }
     }
     val f = fs(spark, root)
     val lp = checkpointPath(root, st.version)
@@ -388,7 +405,9 @@ object LakeTable {
                     colKinds: Map[String, String] = Map.empty,
                     fileStats: Map[String,
                       Seq[(String, Map[String, (String, String)])]] =
-                      Map.empty)
+                      Map.empty,
+                    eqdelAdds: Seq[(String, String)] = Seq.empty,
+                    eqdelRemoves: Seq[String] = Seq.empty)
 
   /** Stat-ordering tag for a column: "num" when the recorded min/max
     * were computed under NUMERIC ordering, "str" under string
@@ -461,8 +480,13 @@ object LakeTable {
       }.toMap
     }.getOrElse(
       Map.empty[String, Seq[(String, Map[String, (String, String)])]])
+    val eqAdds = Option(node.get("eqadd")).map(_.elements().asScala
+      .map(e => (e.get("d").asText(), e.get("k").asText())).toSeq)
+      .getOrElse(Seq.empty)
+    val eqRemoves = Option(node.get("eqremove"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
-           stats, colStats, colKinds, fileStats)
+           stats, colStats, colKinds, fileStats, eqAdds, eqRemoves)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -520,6 +544,16 @@ object LakeTable {
           }
         }
       }
+    }
+    if (commit.eqdelAdds.nonEmpty) {
+      val a = json.putArray("eqadd")
+      commit.eqdelAdds.foreach { case (d, k) =>
+        val o = a.addObject(); o.put("d", d); o.put("k", k)
+      }
+    }
+    if (commit.eqdelRemoves.nonEmpty) {
+      val a = json.putArray("eqremove")
+      commit.eqdelRemoves.foreach(a.add)
     }
     val bytes = mapper.writeValueAsBytes(json)
     val lp = logPath(root, commit.version)
@@ -1161,9 +1195,17 @@ object LakeTable {
     val vs = versions(spark, root)
     require(vs.contains(retainFrom),
       s"retainFrom=$retainFrom is not a committed version")
-    val retained = vs.filter(_ >= retainFrom)
-      .flatMap(v => activeDirs(spark, root, Some(v))).toSet
-    val everAdded = vs.flatMap(v => readCommit(spark, root, v).adds)
+    // a retained snapshot references its data directories AND its
+    // live equality-delete files (LakeDml's merge-on-read tombstones)
+    // — reclaiming a live delete file would silently RESURRECT rows
+    val retained = vs.filter(_ >= retainFrom).flatMap { v =>
+      val st = replayState(spark, root, Some(v))
+      st.active ++ st.eqdels.map(_._1)
+    }.toSet
+    val everAdded = vs.flatMap { v =>
+      val c = readCommit(spark, root, v)
+      c.adds ++ c.eqdelAdds.map(_._1)
+    }
     val f = fs(spark, root)
     val doomed = everAdded.distinct.filterNot(retained)
     doomed.foreach { d =>

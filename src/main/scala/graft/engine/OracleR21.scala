@@ -12,6 +12,15 @@ import scala.collection.immutable.ListMap
   * so the two stay in lockstep by construction. */
 object OracleR21 {
 
+  private val morDeleteSql: String =
+    """SELECT o_orderkey AS key, o_orderstatus AS status
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |  AND o_orderkey NOT IN (
+      |    SELECT DISTINCT l_orderkey FROM lineitem
+      |    WHERE l_returnflag = 'R')
+      |ORDER BY key""".stripMargin
+
   val sql: ListMap[String, String] = ListMap(
 
     "lake_delete_surgical" ->
@@ -41,6 +50,12 @@ object OracleR21 {
         |       coalesce(u.status, t.status) AS status
         |FROM target t FULL OUTER JOIN upd u ON t.key = u.key
         |ORDER BY key""".stripMargin,
+
+    // MOR view and post-compaction table are the SAME relation — the
+    // two keys share this text deliberately (the equivalence is the
+    // merge-on-read contract).
+    "lake_delete_mor" -> morDeleteSql,
+    "lake_delete_mor_compacted" -> morDeleteSql,
 
     // The ingest fate projection after the forget purge: forgotten =
     // accepted docs ≡ 7 (mod 10); their marker rows vanish (deleted

@@ -100,6 +100,51 @@ object QueriesR21 {
     LakeTable.read(s, root).orderBy("key")
   }
 
+  /** Merge-on-read DELETE: two tombstone batches land as equality-
+    * delete files — O(delete list) commits, ZERO data directories
+    * touched — and the output is the [[LakeDml.readMor]] view (data
+    * minus live tombstones, one broadcast anti-join per tombstone
+    * column). The deleted-key sets are full DataFrames (status 'P'
+    * orders; returned orderkeys), never collected — the scalable
+    * half of the DML pair. */
+  def lakeDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val root = morFixture(s, d, "lake_del_mor", applyThem = false)
+    LakeDml.readMor(s, root).orderBy("key")
+  }
+
+  /** The same tombstones COMPACTED: [[LakeDml.applyDeletes]]
+    * materializes them into the data (bloom/stats-pruned candidates,
+    * only dirty directories rewritten, tombstones cleared — one
+    * atomic commit) and the output is the PLAIN snapshot read. The
+    * oracle is byte-identical to lake_delete_mor's: the MOR view and
+    * the post-compaction table are the same relation, which is the
+    * whole contract. */
+  def lakeDeleteMorCompacted(s: SparkSession, d: String): DataFrame = {
+    val root = morFixture(s, d, "lake_del_morc", applyThem = true)
+    LakeTable.read(s, root).orderBy("key")
+  }
+
+  private def morFixture(s: SparkSession, d: String, name: String,
+                         applyThem: Boolean): String = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"))
+    val li = lineitem(s, d)
+    val hash = ArtifactCache.artifactHash(base).take(16) +
+      ArtifactCache.artifactHash(li).take(16)
+    LakeFixtures.cached(s, name, hash) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.bloomAll(s, r, "key")
+      LakeDml.deleteByKeysMor(s, r, "key",
+        LakeTable.read(s, r).filter(col("status") === "P")
+          .select(col("key")))
+      LakeDml.deleteByKeysMor(s, r, "key",
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("key")).distinct())
+      if (applyThem) LakeDml.applyDeletes(s, r)
+    }
+  }
+
   private val forgotten =
     scala.collection.mutable.Map.empty[String, String]
 

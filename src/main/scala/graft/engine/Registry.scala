@@ -350,6 +350,11 @@ object Registry {
     "lake_delete_bloom"     -> QueriesR21.lakeDeleteBloom _,
     "lake_merge_surgical"   -> QueriesR21.lakeMergeSurgical _,
     "ingest_forget"         -> QueriesR21.ingestForget _,
+    // Round-16: merge-on-read deletes — equality-delete tombstone
+    // files (O(delete list) writes), the readMor subtract view, and
+    // the compaction that materializes + clears them atomically
+    "lake_delete_mor"       -> QueriesR21.lakeDeleteMor _,
+    "lake_delete_mor_compacted" -> QueriesR21.lakeDeleteMorCompacted _,
   )
 
   val oracleSql: ListMap[String, String] =

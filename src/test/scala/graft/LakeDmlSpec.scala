@@ -180,6 +180,87 @@ class LakeDmlSpec extends SparkTestBase {
     assert(fs.exists(LakeDml.bloomPath(root, dir1, "k")))
   }
 
+  test("MOR delete: O(1) tombstone commit, no data directory touched; readMor subtracts") {
+    val root = freshRoot("mor")
+    twoDirTable(root)
+    val before = LakeTable.activeDirs(spark, root)
+    val v = LakeDml.deleteByKeysMor(spark, root, "k",
+      Seq(3L, 103L).toDF("k"))
+    assert(v.nonEmpty)
+    // data directories untouched — the tombstone is its own file
+    assert(LakeTable.activeDirs(spark, root) == before)
+    assert(LakeDml.readMor(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq ==
+      ((0L to 9L) ++ (100L to 109L)).filterNot(Set(3L, 103L)))
+    // the plain read deliberately does NOT see tombstones
+    assert(LakeTable.read(spark, root).count() == 20)
+    // time travel: the pre-delete MOR view still has the rows
+    assert(LakeDml.readMor(spark, root, Some(v.get - 1)).count() == 20)
+  }
+
+  test("MOR tombstones mask re-inserted keys until applied (forget outlives the row)") {
+    val root = freshRoot("mormask")
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(2L).toDF("k"))
+    LakeTable.append(Seq((2L, "b2")).toDF("k", "v"), root)
+    // the ban outlives the row: the re-inserted key stays invisible
+    assert(LakeDml.readMor(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(1L))
+    // applying deletes materializes the ban and lifts it
+    LakeDml.applyDeletes(spark, root)
+    assert(LakeDml.readMor(spark, root).count() == 1)
+    LakeTable.append(Seq((2L, "b3")).toDF("k", "v"), root)
+    assert(LakeDml.readMor(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("applyDeletes: bloom-pruned compaction; readMor == read after; vacuum reclaims applied tombstones") {
+    val root = freshRoot("morapply")
+    val all = (0L until 400L).map(k => (k, s"v$k"))
+    for (b <- 0 until 4)
+      LakeDml.appendWithBloom(
+        all.filter(_._1 % 4 == b).toDF("k", "v"), root, "k")
+    LakeDml.deleteByKeysMor(spark, root, "k",
+      Seq(2L, 102L, 202L).toDF("k"))
+    val rep = LakeDml.applyDeletes(spark, root)
+    assert(rep.rowsDeleted == 3)
+    assert(rep.candidateDirs < rep.activeDirs,
+      "bloom must prune directories without the doomed keys")
+    assert(rep.rewrittenDirs == 1)
+    assert(LakeDml.readMor(spark, root).count() == 397)
+    assert(LakeTable.read(spark, root).count() == 397,
+      "after apply, the plain read agrees — tombstones cleared")
+    // a second apply is a no-op (no live tombstones)
+    val rep2 = LakeDml.applyDeletes(spark, root)
+    assert(rep2.version.isEmpty && rep2.rewrittenDirs == 0)
+    // vacuum at the apply version reclaims the applied tombstone file
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reclaimed = LakeTable.vacuum(spark, root, rep.version.get)
+    assert(reclaimed.exists(_.startsWith("eqdel-")),
+      s"applied tombstone must be reclaimable, got $reclaimed")
+  }
+
+  test("vacuum never reclaims a LIVE tombstone (deleted rows must not resurrect)") {
+    val root = freshRoot("morvac")
+    twoDirTable(root)
+    val v = LakeDml.deleteByKeysMor(spark, root, "k", Seq(5L).toDF("k"))
+    val reclaimed = LakeTable.vacuum(spark, root, v.get)
+    assert(!reclaimed.exists(_.startsWith("eqdel-")),
+      "live tombstone reclaimed — rows would resurrect")
+    assert(LakeDml.readMor(spark, root).count() == 19)
+  }
+
+  test("MOR tombstone state survives a log checkpoint") {
+    val root = freshRoot("morckpt")
+    twoDirTable(root)
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(7L).toDF("k"))
+    LakeTable.checkpoint(spark, root)
+    LakeTable.pruneLog(spark, root)
+    // the folded checkpoint must carry the live tombstone
+    assert(LakeDml.readMor(spark, root).count() == 19)
+  }
+
   test("bloomAll backfills sidecars idempotently") {
     val root = freshRoot("backfill")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
