@@ -231,10 +231,11 @@ object LakeDml {
     }
     // rewrite each dirty directory's survivors; a directory whose
     // every row matched is removed without a replacement
-    val (adds, colStats, kinds) =
+    val (adds, colStats, kinds, fileStats) =
       rewriteSurvivors(spark, root, st, dirty, next,
         df => df.filter(!(cond <=> lit(true))))
-    commitCow(spark, root, next, adds, dirty, txn, colStats, kinds, st)
+    commitCow(spark, root, next, adds, dirty, txn, colStats, kinds,
+              fileStats, st)
     DmlReport(Some(next), st.active.size, candidates.size, adds.size,
               dirty.size, deleted, 0L)
   }
@@ -350,7 +351,7 @@ object LakeDml {
       .select(up.columns.map(col): _*)
     val nInserts = inserts.count()
     // rewrite dirty dirs: SCD-1 coalesce against the updates
-    val (rewrites, colStats, kinds) =
+    val (rewrites, colStats, kinds, fileStats) =
       rewriteSurvivors(spark, root, st, dirty, next, { df =>
         val upAliased = up.select(
           col(keyCol) +: payload.map(c => col(c).as(s"__u_$c")): _*)
@@ -389,7 +390,7 @@ object LakeDml {
     val keyKind = Map(keyCol -> st.colKinds.getOrElse(keyCol,
       LakeTable.statKind(up.schema(keyCol).dataType)))
     commitCow(spark, root, next, adds, dirty, txn,
-              colStats ++ insertStats, kinds ++ keyKind, st)
+              colStats ++ insertStats, kinds ++ keyKind, fileStats, st)
     insertDir.filter(_ => tableHasBlooms)
       .foreach(d => writeBloom(spark, root, d, keyCol))
     DmlReport(Some(next), st.active.size, candidates.size, rewrites.size,
@@ -532,7 +533,7 @@ object LakeDml {
     // groups counts once per group — exact when one key column is in
     // play, which is the standing shape)
     val doomed = perGroupHits.flatMap(_.map(_._2)).sum
-    val (adds, colStats, kinds) =
+    val (adds, colStats, kinds, fileStats) =
       rewriteSurvivors(spark, root, st, dirty, next, { df =>
         groups.foldLeft(df) { case (acc, (keyCol, delKeys)) =>
           if (acc.columns.contains(keyCol))
@@ -544,7 +545,7 @@ object LakeDml {
     try {
       LakeTable.writeCommit(spark, root,
         LakeTable.Commit(next, adds, dirty, txn, Map.empty, colStats,
-          kinds, Map.empty, Seq.empty,
+          kinds, fileStats, Seq.empty,
           eqdelRemoves = st.eqdels.map(_._1)))
     } catch {
       case e: LakeTable.CommitConflictException =>
@@ -563,20 +564,25 @@ object LakeDml {
   // ------------------------------------------------------------------
 
   /** Rewrite each dirty directory through `transform`, preserving its
-    * logged stat columns (recomputed over the survivors) and its
-    * bloom sidecars (rebuilt over the survivors). Returns (added
-    * dirs, their colStats, their stat kinds). A directory whose
-    * survivors are empty adds nothing — its removal alone tells the
-    * story. */
+    * logged stat columns (recomputed over the survivors), its
+    * per-FILE stats when the source directory carried them (a
+    * z-ordered table must not lose file-grain pruning to a delete),
+    * and its bloom sidecars (rebuilt over the survivors). Returns
+    * (added dirs, their colStats, their stat kinds, their
+    * fileStats). A directory whose survivors are empty adds
+    * nothing — its removal alone tells the story. */
   private def rewriteSurvivors(spark: SparkSession, root: String,
       st: LakeTable.LogState, dirty: Seq[String], next: Long,
       transform: DataFrame => DataFrame)
       : (Seq[String], Map[String, Map[String, (String, String)]],
-         Map[String, String]) = {
+         Map[String, String],
+         Map[String, Seq[(String, Map[String, (String, String)])]]) = {
     val f = fs(spark, root)
     var adds = Seq.empty[String]
     var colStats = Map.empty[String, Map[String, (String, String)]]
     var kinds = Map.empty[String, String]
+    var fileStats =
+      Map.empty[String, Seq[(String, Map[String, (String, String)])]]
     dirty.foreach { d =>
       val src = spark.read.parquet(s"$root/$d")
       val survivors = transform(src)
@@ -606,6 +612,37 @@ object LakeDml {
           kinds ++= statCols.map(c => c -> st.colKinds.getOrElse(c,
             LakeTable.statKind(written.schema(c).dataType)))
         }
+        // per-file stats: if the source directory recorded them, the
+        // replacement does too — same columns, one grouped aggregate
+        // over input_file_name (the rewriteClusteredN posture)
+        val fileCols = st.fileStats.get(d)
+          .map(_.flatMap(_._2.keys).distinct.sorted
+            .filter(written.columns.contains))
+          .getOrElse(Seq.empty)
+        if (fileCols.nonEmpty) {
+          val aggs = fileCols.flatMap(c =>
+            Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+          val perFile = written
+            .groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val uri = r.getString(0)
+              val idx = uri.indexOf(newDir)
+              require(idx >= 0, s"lake dml: stats file $uri outside $newDir")
+              val file = uri.substring(idx + newDir.length + 1)
+              val cs = fileCols.zipWithIndex.flatMap { case (c, i) =>
+                (Option(r.getString(1 + 2 * i)),
+                 Option(r.getString(2 + 2 * i))) match {
+                  case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+                  case _ => None
+                }
+              }.toMap
+              (file, cs)
+            }.sortBy(_._1).toSeq
+          fileStats += newDir -> perFile
+          kinds ++= fileCols.map(c => c -> st.colKinds.getOrElse(c,
+            LakeTable.statKind(written.schema(c).dataType)))
+        }
         // bloom sidecars: rebuild each one the source directory had
         val bloomDir = new Path(root, s"_graft_log/blooms/$d")
         if (f.exists(bloomDir)) {
@@ -616,7 +653,7 @@ object LakeDml {
         }
       }
     }
-    (adds, colStats, kinds)
+    (adds, colStats, kinds, fileStats)
   }
 
   /** The single copy-on-write commit: adds + removes + carried
@@ -627,12 +664,14 @@ object LakeDml {
       adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)],
       colStats: Map[String, Map[String, (String, String)]],
-      kinds: Map[String, String], st: LakeTable.LogState): Unit = {
+      kinds: Map[String, String],
+      fileStats: Map[String, Seq[(String, Map[String, (String, String)])]],
+      st: LakeTable.LogState): Unit = {
     val f = fs(spark, root)
     try {
       LakeTable.writeCommit(spark, root,
         LakeTable.Commit(next, adds, removes, txn,
-          Map.empty, colStats, kinds))
+          Map.empty, colStats, kinds, fileStats))
     } catch {
       case e: LakeTable.CommitConflictException =>
         adds.foreach { d =>

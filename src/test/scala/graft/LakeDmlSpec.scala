@@ -261,6 +261,62 @@ class LakeDmlSpec extends SparkTestBase {
     assert(LakeDml.readMor(spark, root).count() == 19)
   }
 
+  test("file-grain stats survive a copy-on-write delete (z-order pruning must not rot)") {
+    val root = freshRoot("fstats")
+    LakeTable.append(
+      (0L until 200L).map(k => (k, k % 37, s"v$k")).toDF("a", "b", "v"),
+      root)
+    LakeTable.rewriteClusteredN(LakeTable.read(spark, root), root,
+      Seq("a", "b"), buckets = 2, filesPerDir = 2)
+    def fileStatDirs = graft.engine.LakeTable
+      .replayState(spark, root, None).fileStats.keySet
+    val activeBefore = LakeTable.activeDirs(spark, root).toSet
+    assert(activeBefore.subsetOf(fileStatDirs),
+      "precondition: the clustered layout records per-file stats")
+    val rep = LakeDml.deleteWhere(spark, root, col("a") < 10,
+      prunePreds = Seq(("a", "0", "9")))
+    assert(rep.rowsDeleted == 10 && rep.rewrittenDirs >= 1)
+    // every rewritten directory carries per-file stats again
+    val activeAfter = LakeTable.activeDirs(spark, root).toSet
+    assert(activeAfter.subsetOf(fileStatDirs),
+      s"rewritten dirs lost file stats: ${activeAfter -- fileStatDirs}")
+    // and file-grain pruning still works through the new layout
+    val (whole, files) = LakeTable.rangeFiles(spark, root,
+      Seq(("a", "50", "60")))
+    assert(whole.isEmpty && files.nonEmpty,
+      "post-delete reads must still prune at file grain")
+  }
+
+  test("concurrent writers: conflict-retry converges with no lost deletes, no orphans") {
+    val root = freshRoot("race")
+    LakeTable.append(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"), root)
+    def retrying(cond: org.apache.spark.sql.Column): Unit = {
+      var done = false
+      while (!done) {
+        try { LakeDml.deleteWhere(spark, root, cond); done = true }
+        catch { case _: LakeTable.CommitConflictException => () }
+      }
+    }
+    val t1 = new Thread(() => retrying(col("k") === 11L))
+    val t2 = new Thread(() => retrying(col("k") === 77L))
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    val ks = LakeTable.read(spark, root).select("k").as[Long]
+      .collect().toSet
+    assert(!ks.contains(11L) && !ks.contains(77L) && ks.size == 98,
+      "both deletes must land under optimistic retry")
+    // no orphan data directories: everything on disk is referenced
+    // by some committed version (conflict losers must clean up)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("data-")).toSet
+    val referenced = LakeTable.versions(spark, root)
+      .flatMap(v => LakeTable.activeDirs(spark, root, Some(v))).toSet
+    assert(onDisk == referenced,
+      s"orphans on disk: ${onDisk -- referenced}")
+  }
+
   test("bloomAll backfills sidecars idempotently") {
     val root = freshRoot("backfill")
     LakeTable.append(Seq((1L, "a")).toDF("k", "v"), root)
