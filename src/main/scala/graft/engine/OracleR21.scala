@@ -72,5 +72,18 @@ object OracleR21 {
          |  AND (match_id IS NULL
          |       OR match_id NOT IN (SELECT doc_id FROM forgotten))
          |ORDER BY doc_id, match_src, match_id""".stripMargin,
+
+    // The embedding-leg twin: the full emb-replay oracle (OracleKmeans
+    // retrain + cell-scoped greedy chain) with the same purge rule on
+    // top — forgotten = accepted vec_ids ≡ 3 (mod 10).
+    "ingest_forget_emb" ->
+      s"""WITH proj AS (${OracleR19.sql("ingest_emb_replay")}),
+         |forgotten AS (SELECT vec_id FROM proj
+         |              WHERE match_src = 'accepted' AND vec_id % 10 = 3)
+         |SELECT vec_id, dup_of, match_src, cos FROM proj
+         |WHERE vec_id NOT IN (SELECT vec_id FROM forgotten)
+         |  AND (dup_of IS NULL
+         |       OR dup_of NOT IN (SELECT vec_id FROM forgotten))
+         |ORDER BY vec_id, match_src, dup_of""".stripMargin,
   )
 }

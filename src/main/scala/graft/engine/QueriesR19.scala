@@ -139,8 +139,14 @@ object QueriesR19 {
     * cell, and replays the three-batch greedy chain — a hash match
     * pins codebook freezing, cell assignment, the strictly-above
     * dupCos rule, and base-wins/earlier-id-wins all at once. */
-  def ingestEmbReplay(s: SparkSession, d: String): DataFrame = {
-    val root = ensureEmbIngest(s, d)
+  def ingestEmbReplay(s: SparkSession, d: String): DataFrame =
+    embFateProjection(s, ensureEmbIngest(s, d))
+
+  /** The embedding-leg fate projection over an ingest root — shared
+    * with the forget key (QueriesR21.ingestForgetEmb), which emits it
+    * over post-purge tables. */
+  private[engine] def embFateProjection(s: SparkSession,
+                                        root: String): DataFrame = {
     val nullId = lit(null).cast(LongType)
     val nullCs = lit(null).cast(DoubleType)
     val acc = LakeTable.read(s, Ingest.vecsRoot(root))

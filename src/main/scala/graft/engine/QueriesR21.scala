@@ -194,4 +194,40 @@ object QueriesR21 {
     }
     QueriesR19.fateProjection(s, root)
   }
+
+  /** The embedding-leg forget — same contract as [[ingestForget]]
+    * over the vector ingest: a request list (accepted vec_ids ≡ 3
+    * mod 10) deletes the named vectors from the vecs lake and every
+    * audit pair naming them from vrejects, each under an idempotent
+    * ("forget", 0) token. vec_ids are hash-uniform across the
+    * per-batch directories (and across cell-clustered ones after
+    * maintenance), so [[LakeDml.bloomAll]]-backfilled membership
+    * sidecars do the pruning. The CODEBOOK is untouched by design:
+    * it is a k-centroid aggregate, not personal rows — the standard
+    * model-artifact posture for right-to-be-forgotten. */
+  def ingestForgetEmb(s: SparkSession, d: String): DataFrame = {
+    val root = forgotten.synchronized {
+      forgotten.getOrElseUpdate(s"emb:$d", {
+        val r = RunScratch.dir("ingest_forget_emb")
+        val emb = embeddings(s, d).select("vec_id", "embedding")
+        for (b <- 0L to 2L)
+          Ingest.ingestEmbBatch(emb.filter(col("vec_id") % 3 === b),
+            r, "forget_emb_replay", b, dupCos = 0.45, k = 16,
+            filter = Some(QueriesR19.lowMassGate))
+        val ids = LakeTable.read(s, Ingest.vecsRoot(r))
+          .filter(col("vec_id") % 10 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          LakeDml.bloomAll(s, Ingest.vecsRoot(r), "vec_id")
+          LakeDml.deleteByKeys(s, Ingest.vecsRoot(r), "vec_id", ids,
+            txn = Some(("forget", 0L)))
+          LakeDml.deleteWhere(s, Ingest.vrejectsRoot(r),
+            col("vec_id").isin(ids: _*) || col("dup_of").isin(ids: _*),
+            txn = Some(("forget", 0L)))
+        }
+        r
+      })
+    }
+    QueriesR19.embFateProjection(s, root)
+  }
 }

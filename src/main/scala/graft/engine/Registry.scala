@@ -355,6 +355,7 @@ object Registry {
     // the compaction that materializes + clears them atomically
     "lake_delete_mor"       -> QueriesR21.lakeDeleteMor _,
     "lake_delete_mor_compacted" -> QueriesR21.lakeDeleteMorCompacted _,
+    "ingest_forget_emb"     -> QueriesR21.ingestForgetEmb _,
   )
 
   val oracleSql: ListMap[String, String] =
