@@ -1689,13 +1689,62 @@ object Stream {
   private[graft] def runDocsIngest(spark: SparkSession, sfDir: String,
                                    outDir: String): Map[String, Long] = {
     val root = s"$outDir/ingest"
-    runIngestStream(spark, sfDir, outDir, "documents.parquet", "doc_id",
+    val counts = runIngestStream(spark, sfDir, outDir,
+      "documents.parquet", "doc_id",
       "docs_ingest",
       (b, id) => engine.Ingest.ingestBatch(b, root, "docs_ingest", id,
         filter = Some(engine.Ingest.tooShortRule(100))),
       Map("ingest_docs" -> engine.Ingest.docsRoot(root),
           "ingest_rejects" -> engine.Ingest.rejectsRoot(root),
           "ingest_filtered" -> engine.Ingest.filteredRoot(root)))
+    counts ++ runDocsForget(spark, root)
+  }
+
+  /** The GDPR step against the LIVE tables the drain just produced —
+    * forget a deterministic request list (accepted doc_ids ≡ 7 mod
+    * 10) from the docs lake, the band index, and the rejects audit,
+    * then PROVE the index forgot them: re-delivery of the forget
+    * no-ops (txn token), no table names a forgotten id afterwards,
+    * and a follow-up ingest batch carrying the forgotten documents'
+    * EXACT texts under new ids cannot match them (their band rows
+    * are gone — any rejection it records names a surviving doc). */
+  private def runDocsForget(spark: SparkSession,
+                            root: String): Map[String, Long] = {
+    import engine.{Ingest, LakeTable}
+    val docsR = Ingest.docsRoot(root)
+    val preDocs = LakeTable.read(spark, docsR)
+    val idsDf = preDocs.filter(col("doc_id") % 10 === 7)
+    val ids = idsDf.select("doc_id").collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) return Map("ingest_forgotten" -> 0L)
+    // capture the doomed documents BEFORE the purge — they come back
+    // as the copycat batch below
+    val copycats = idsDf
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+      .localCheckpoint()
+    Ingest.forgetDocs(spark, root, ids)
+    // re-delivery is a no-op: same token, version must not move
+    val v = LakeTable.latestVersion(spark, docsR)
+    Ingest.forgetDocs(spark, root, ids)
+    require(LakeTable.latestVersion(spark, docsR) == v,
+      "forget re-delivery committed a second time")
+    // nothing names a forgotten id
+    def refs(df: org.apache.spark.sql.DataFrame, cols: String*): Long =
+      df.filter(cols.map(c => col(c).isin(ids: _*)).reduce(_ || _)).count()
+    require(refs(LakeTable.read(spark, docsR), "doc_id") == 0,
+      "forgotten docs survive in the docs lake")
+    require(refs(LakeTable.read(spark, Ingest.bandsRoot(root)),
+        "doc_id") == 0, "forgotten docs survive in the band index")
+    // the copycat batch: exact forgotten texts, fresh ids — the index
+    // must not match them against the forgotten docs
+    engine.Ingest.ingestBatch(copycats, root, "docs_ingest", 3L,
+      filter = Some(engine.Ingest.tooShortRule(100)))
+    val badRefs = LakeTable.read(spark, Ingest.rejectsRoot(root))
+      .filter(col("match_id").isin(ids: _*)).count()
+    require(badRefs == 0,
+      s"$badRefs rejections name forgotten docs — the index remembers")
+    Map("ingest_forgotten" -> ids.size.toLong,
+        "ingest_docs_postforget" ->
+          LakeTable.read(spark, docsR).count())
   }
 
   /** Streaming SemDeDup embedding ingest drain (graft.engine.Ingest

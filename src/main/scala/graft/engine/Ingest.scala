@@ -133,6 +133,50 @@ object Ingest {
   def rejectsRoot(root: String): String = s"$root/rejects"
   def filteredRoot(root: String): String = s"$root/filtered"
 
+  /** GDPR forget for the document leg: delete the named doc_ids from
+    * the docs lake, their rows from the LSH band index (so no future
+    * batch can match against a forgotten document), and every audit
+    * pair naming them from the rejects lake. Each table's delete is
+    * a [[LakeDml]] copy-on-write commit under the ("forget",
+    * `txnBatch`) idempotence token — a re-delivered request no-ops
+    * exactly like a re-delivered ingest batch. Membership sidecars
+    * are backfilled first ([[LakeDml.bloomAll]]): per-batch ingest
+    * directories each span the whole id range, so only membership
+    * can prune them (and a maintenance compaction drops sidecars
+    * with the directories it replaces — the backfill is the
+    * self-healing step). `ids` is a bounded request list, not a
+    * scan. */
+  def forgetDocs(spark: org.apache.spark.sql.SparkSession, root: String,
+                 ids: Seq[Long], txnBatch: Long = 0L): Unit = {
+    if (ids.isEmpty) return
+    val txn = Some(("forget", txnBatch))
+    LakeDml.bloomAll(spark, docsRoot(root), "doc_id")
+    LakeDml.bloomAll(spark, bandsRoot(root), "doc_id")
+    LakeDml.deleteByKeys(spark, docsRoot(root), "doc_id", ids, txn)
+    LakeDml.deleteByKeys(spark, bandsRoot(root), "doc_id", ids, txn)
+    LakeDml.deleteWhere(spark, rejectsRoot(root),
+      col("doc_id").isin(ids: _*) || col("match_id").isin(ids: _*),
+      txn = txn)
+    ()
+  }
+
+  /** GDPR forget for the vector leg: the named vec_ids leave the
+    * vecs lake and every vrejects audit pair naming them. The
+    * codebook is untouched by design — a k-centroid aggregate is a
+    * model artifact, not personal rows. Same token discipline as
+    * [[forgetDocs]]. */
+  def forgetVecs(spark: org.apache.spark.sql.SparkSession, root: String,
+                 ids: Seq[Long], txnBatch: Long = 0L): Unit = {
+    if (ids.isEmpty) return
+    val txn = Some(("forget", txnBatch))
+    LakeDml.bloomAll(spark, vecsRoot(root), "vec_id")
+    LakeDml.deleteByKeys(spark, vecsRoot(root), "vec_id", ids, txn)
+    LakeDml.deleteWhere(spark, vrejectsRoot(root),
+      col("vec_id").isin(ids: _*) || col("dup_of").isin(ids: _*),
+      txn = txn)
+    ()
+  }
+
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("bh", LongType)))

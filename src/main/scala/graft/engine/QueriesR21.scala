@@ -178,17 +178,7 @@ object QueriesR21 {
         val ids = LakeTable.read(s, Ingest.docsRoot(r))
           .filter(col("doc_id") % 10 === 7)
           .select("doc_id").collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) {
-          LakeDml.bloomAll(s, Ingest.docsRoot(r), "doc_id")
-          LakeDml.bloomAll(s, Ingest.bandsRoot(r), "doc_id")
-          LakeDml.deleteByKeys(s, Ingest.docsRoot(r), "doc_id", ids,
-            txn = Some(("forget", 0L)))
-          LakeDml.deleteByKeys(s, Ingest.bandsRoot(r), "doc_id", ids,
-            txn = Some(("forget", 0L)))
-          LakeDml.deleteWhere(s, Ingest.rejectsRoot(r),
-            col("doc_id").isin(ids: _*) || col("match_id").isin(ids: _*),
-            txn = Some(("forget", 0L)))
-        }
+        Ingest.forgetDocs(s, r, ids)
         r
       })
     }
@@ -217,14 +207,7 @@ object QueriesR21 {
         val ids = LakeTable.read(s, Ingest.vecsRoot(r))
           .filter(col("vec_id") % 10 === 3)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty) {
-          LakeDml.bloomAll(s, Ingest.vecsRoot(r), "vec_id")
-          LakeDml.deleteByKeys(s, Ingest.vecsRoot(r), "vec_id", ids,
-            txn = Some(("forget", 0L)))
-          LakeDml.deleteWhere(s, Ingest.vrejectsRoot(r),
-            col("vec_id").isin(ids: _*) || col("dup_of").isin(ids: _*),
-            txn = Some(("forget", 0L)))
-        }
+        Ingest.forgetVecs(s, r, ids)
         r
       })
     }

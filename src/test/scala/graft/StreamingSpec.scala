@@ -1044,13 +1044,24 @@ class StreamingSpec extends SparkTestBase {
           "ewma_ordered_pt", "lake_dedup",
           "ingest_docs", "ingest_rejects", "ingest_filtered",
           "ingest_vecs", "ingest_vrejects", "ingest_vfiltered",
-          "ingest_knn"))
+          "ingest_knn", "ingest_forgotten", "ingest_docs_postforget"))
     // the near-dup ingest partitions the staged corpus (IngestSpec
     // proves the semantics; here just that the drain wired it up)
     assert(counts("ingest_docs") > 0 && counts("ingest_filtered") > 0 &&
            counts("ingest_docs") + counts("ingest_rejects") +
              counts("ingest_filtered") >= 500,
       s"docs ingest lost documents: $counts")
+    // the GDPR step ran against the live tables: named ids purged
+    // (the sharp assertions — no-table-names-them, re-delivery no-op,
+    // copycat batch cannot match the forgotten — are requires inside
+    // the drain); the post-forget corpus = pre-forget − forgotten +
+    // whatever copycats the re-ingest accepted (≥ 0)
+    assert(counts("ingest_forgotten") > 0,
+      s"forget request list was empty at this sf: $counts")
+    assert(counts("ingest_docs_postforget") >=
+             counts("ingest_docs") - counts("ingest_forgotten") &&
+           counts("ingest_docs_postforget") <= counts("ingest_docs"),
+      s"post-forget corpus count out of band: $counts")
     assert(counts("ingest_vecs") > 0 && counts("ingest_vfiltered") > 0 &&
            counts("ingest_vecs") + counts("ingest_vrejects") +
              counts("ingest_vfiltered") >= 500,
