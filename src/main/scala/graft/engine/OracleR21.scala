@@ -57,6 +57,45 @@ object OracleR21 {
     "lake_delete_mor" -> morDeleteSql,
     "lake_delete_mor_compacted" -> morDeleteSql,
 
+    // CDC across the DML sequence: the feed between the clustered
+    // base and the post-merge+delete snapshot, classified
+    // Delta-CDF-style. Update and delete key ranges are disjoint, so
+    // every row lands in exactly one class.
+    "lake_change_feed_dml" ->
+      """WITH target AS (SELECT o_orderkey AS key,
+        |                  o_orderstatus AS status FROM orders),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |        WHERE l_returnflag = 'R'
+        |          AND l_orderkey >= 16384 AND l_orderkey < 32768),
+        |upd AS (SELECT l_orderkey AS key, 'R' AS status FROM ret
+        |        UNION ALL
+        |        SELECT l_orderkey + 100000000, 'N' FROM ret
+        |        WHERE l_orderkey % 50 = 0),
+        |merged AS (
+        |  SELECT coalesce(t.key, u.key) AS key,
+        |         coalesce(u.status, t.status) AS status
+        |  FROM target t FULL OUTER JOIN upd u ON t.key = u.key),
+        |final AS (SELECT key, status FROM merged
+        |          WHERE NOT (status = 'F' AND key < 8192)),
+        |feed AS (
+        |  SELECT f.key, f.status, 'insert' AS change_type
+        |  FROM final f LEFT JOIN target t ON f.key = t.key
+        |  WHERE t.key IS NULL
+        |  UNION ALL
+        |  SELECT t.key, t.status, 'update_preimage'
+        |  FROM target t JOIN final f ON t.key = f.key
+        |  WHERE t.status <> f.status
+        |  UNION ALL
+        |  SELECT f.key, f.status, 'update_postimage'
+        |  FROM target t JOIN final f ON t.key = f.key
+        |  WHERE t.status <> f.status
+        |  UNION ALL
+        |  SELECT t.key, t.status, 'delete'
+        |  FROM target t LEFT JOIN final f ON t.key = f.key
+        |  WHERE f.key IS NULL)
+        |SELECT key, status, change_type FROM feed
+        |ORDER BY key, change_type""".stripMargin,
+
     // The ingest fate projection after the forget purge: forgotten =
     // accepted docs ≡ 7 (mod 10); their marker rows vanish (deleted
     // from the docs lake) and every audit pair naming them vanishes

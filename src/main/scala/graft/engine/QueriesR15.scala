@@ -295,7 +295,7 @@ object QueriesR15 {
   /** The v0→v1 row delta classified Delta-CDF-style — shared by
     * lake_change_feed (which emits it) and lake_ivm_refresh (which
     * consumes it as the aggregate's incremental input). */
-  private def changeFeedFrame(s: SparkSession, root: String,
+  private[engine] def changeFeedFrame(s: SparkSession, root: String,
                               v0: Long, v1: Long): DataFrame = {
     val before = LakeTable.read(s, root, Some(v0))
       .select(col("key"), col("status").as("old_status"))

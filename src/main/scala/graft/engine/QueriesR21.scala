@@ -145,6 +145,44 @@ object QueriesR21 {
     }
   }
 
+  /** CDC over the surgical-DML path: a downstream incremental
+    * consumer reads the row-level delta across a MERGE + DELETE
+    * sequence exactly as it would across whole-table rewrites — the
+    * change feed is a pure function of two snapshots, so the
+    * commit's GRANULARITY (which directories were touched) is
+    * invisible to it, which is the composition this key pins. The
+    * feed spans v1 (the clustered base) → latest (after
+    * lake_merge_surgical's updates and lake_delete_surgical's
+    * predicate delete) and is O(churn): unchanged rows never
+    * appear. All three change classes are populated (the update and
+    * delete key ranges are disjoint by construction, so no row is
+    * both). */
+  def lakeChangeFeedDml(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"))
+    val ret = lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+              col("l_orderkey") >= 16384 && col("l_orderkey") < 32768)
+      .select(col("l_orderkey")).distinct()
+    val updates = ret
+      .select(col("l_orderkey").as("key"), lit("R").as("status"))
+      .union(ret.filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_orderkey") + 100000000L).as("key"),
+                lit("N").as("status")))
+    val hash = ArtifactCache.artifactHash(base).take(16) +
+      ArtifactCache.artifactHash(updates).take(16)
+    val root = LakeFixtures.cached(s, "lake_cdf_dml", hash) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.mergeInto(s, r, updates, "key")
+      LakeDml.deleteWhere(s, r,
+        col("status") === "F" && col("key") < 8192,
+        prunePreds = Seq(("key", "0", "8191")))
+    }
+    QueriesR15.changeFeedFrame(s, root, 1L,
+      LakeTable.latestVersion(s, root).get)
+  }
+
   private val forgotten =
     scala.collection.mutable.Map.empty[String, String]
 

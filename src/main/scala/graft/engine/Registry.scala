@@ -356,6 +356,7 @@ object Registry {
     "lake_delete_mor"       -> QueriesR21.lakeDeleteMor _,
     "lake_delete_mor_compacted" -> QueriesR21.lakeDeleteMorCompacted _,
     "ingest_forget_emb"     -> QueriesR21.ingestForgetEmb _,
+    "lake_change_feed_dml"  -> QueriesR21.lakeChangeFeedDml _,
   )
 
   val oracleSql: ListMap[String, String] =
