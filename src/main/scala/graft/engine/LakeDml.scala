@@ -74,7 +74,7 @@ object LakeDml {
   case class DmlReport(version: Option[Long], activeDirs: Int,
                        candidateDirs: Int, rewrittenDirs: Int,
                        removedDirs: Int, rowsDeleted: Long,
-                       rowsInserted: Long) {
+                       rowsInserted: Long, rowsUpdated: Long = 0L) {
     def prunedDirs: Int = activeDirs - candidateDirs
   }
 
@@ -206,7 +206,7 @@ object LakeDml {
     // ONE distributed pass over the candidates: per-directory match
     // counts, keyed by input file and folded to directories on the
     // driver (directory names embed a UUID — `indexOf` is exact).
-    val hitRows = spark.read
+    val hitRows = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(d => s"$root/$d"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(count(when(cond, 1)).as("__hits"))
@@ -273,6 +273,71 @@ object LakeDml {
   }
 
   // ------------------------------------------------------------------
+  // UPDATE
+  // ------------------------------------------------------------------
+
+  /** Copy-on-write UPDATE: for rows where `cond` IS TRUE, replace
+    * each column in `set` with its expression (evaluated against the
+    * row); every other row passes through byte-identical. Same
+    * prune → touch-dirty → one-commit shape as [[deleteWhere]]; the
+    * rewritten directories keep their row COUNT (updates never add
+    * or drop rows), with stats/sidecars recomputed because the
+    * updated values may move them. SQL NULL semantics: a NULL
+    * predicate row is NOT updated. */
+  def updateWhere(spark: SparkSession, root: String, cond: Column,
+                  set: Map[String, Column],
+                  prunePreds: Seq[(String, String, String)] = Nil,
+                  txn: Option[(String, Long)] = None): DmlReport = {
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
+      return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
+    val st = LakeTable.replayState(spark, root, None)
+    val candidates = LakeTable.dirsMatching(st, prunePreds).sorted
+    val next = st.version + 1
+    if (candidates.isEmpty) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, 0, 0, 0, 0L, 0L)
+    }
+    val hitRows = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(d => s"$root/$d"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(when(cond, 1)).as("__hits"))
+      .collect()
+    val perDir = hitRows.groupBy { r =>
+      val uri = r.getString(0)
+      candidates.find(uri.contains).getOrElse(
+        sys.error(s"lake dml: scanned file $uri outside candidates"))
+    }.map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }
+    val dirty = perDir.filter(_._2 > 0).keys.toSeq.sorted
+    val updated = perDir.valuesIterator.sum
+    if (dirty.isEmpty) {
+      val v = txn.map { t =>
+        LakeTable.writeCommit(spark, root,
+          LakeTable.Commit(next, Seq.empty, Seq.empty, Some(t)))
+        next
+      }
+      return DmlReport(v, st.active.size, candidates.size, 0, 0, 0L, 0L)
+    }
+    val (adds, colStats, kinds, fileStats) =
+      rewriteSurvivors(spark, root, st, dirty, next, { df =>
+        val hit = cond <=> lit(true)
+        df.select(df.columns.map { c =>
+          set.get(c).map(v => when(hit, v).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+      })
+    commitCow(spark, root, next, adds, dirty, txn, colStats, kinds,
+              fileStats, st)
+    DmlReport(Some(next), st.active.size, candidates.size, adds.size,
+              dirty.size, 0L, 0L, rowsUpdated = updated)
+  }
+
+  // ------------------------------------------------------------------
   // MERGE
   // ------------------------------------------------------------------
 
@@ -329,7 +394,7 @@ object LakeDml {
     val upKeys = up.select(col(keyCol)).distinct()
     // dirty dirs: candidates whose rows hit an update key — one pass
     val dirty: Seq[String] = if (candidates.isEmpty) Seq.empty else {
-      val hitRows = spark.read
+      val hitRows = spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(d => s"$root/$d"): _*)
         .withColumn("__f", input_file_name())
         .join(upKeys, Seq(keyCol), "left_semi")
@@ -344,7 +409,8 @@ object LakeDml {
     // matched keys — exactly the keys present in the dirty dirs
     val matchedKeys =
       if (dirty.isEmpty) upKeys.limit(0)
-      else spark.read.parquet(dirty.map(d => s"$root/$d"): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(dirty.map(d => s"$root/$d"): _*)
         .select(col(keyCol)).join(upKeys, Seq(keyCol), "left_semi")
         .distinct().localCheckpoint()
     val inserts = up.join(matchedKeys, Seq(keyCol), "left_anti")
@@ -518,7 +584,8 @@ object LakeDml {
       case ((keyCol, delKeys), cset) =>
         val cs = candidates.filter(cset.contains)
         if (cs.isEmpty) Seq.empty[(String, Long)]
-        else spark.read.parquet(cs.map(d => s"$root/$d"): _*)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(cs.map(d => s"$root/$d"): _*)
           .withColumn("__f", input_file_name())
           .join(broadcast(delKeys), Seq(keyCol), "left_semi")
           .groupBy("__f").count().collect().map { r =>

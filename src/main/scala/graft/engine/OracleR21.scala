@@ -57,6 +57,15 @@ object OracleR21 {
     "lake_delete_mor" -> morDeleteSql,
     "lake_delete_mor_compacted" -> morDeleteSql,
 
+    "lake_update_surgical" ->
+      """SELECT o_orderkey AS key,
+        |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < 8192
+        |       THEN 'X' ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < 8192
+        |       THEN o_custkey + 1000000 ELSE o_custkey END AS cust
+        |FROM orders
+        |ORDER BY key""".stripMargin,
+
     // CDC across the DML sequence: the feed between the clustered
     // base and the post-merge+delete snapshot, classified
     // Delta-CDF-style. Update and delete key ranges are disjoint, so

@@ -145,6 +145,28 @@ object QueriesR21 {
     }
   }
 
+  /** UPDATE WHERE over the clustered orders lake — the third DML
+    * verb: 'P'-status rows below key 8192 flip to 'X' and take a
+    * derived value column; every other row passes through
+    * byte-identical. Range-hint pruning and dirty-only rewrites, the
+    * deleteWhere shape. Output: the post-update snapshot. */
+  def lakeUpdateSurgical(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"),
+                                   col("o_custkey").as("cust"))
+    val root = LakeFixtures.cached(s, "lake_upd_cow",
+        ArtifactCache.artifactHash(base)) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.updateWhere(s, r,
+        col("status") === "P" && col("key") < 8192,
+        Map("status" -> lit("X"),
+            "cust" -> (col("cust") + 1000000L)),
+        prunePreds = Seq(("key", "0", "8191")))
+    }
+    LakeTable.read(s, root).orderBy("key")
+  }
+
   /** CDC over the surgical-DML path: a downstream incremental
     * consumer reads the row-level delta across a MERGE + DELETE
     * sequence exactly as it would across whole-table rewrites — the

@@ -357,6 +357,7 @@ object Registry {
     "lake_delete_mor_compacted" -> QueriesR21.lakeDeleteMorCompacted _,
     "ingest_forget_emb"     -> QueriesR21.ingestForgetEmb _,
     "lake_change_feed_dml"  -> QueriesR21.lakeChangeFeedDml _,
+    "lake_update_surgical"  -> QueriesR21.lakeUpdateSurgical _,
   )
 
   val oracleSql: ListMap[String, String] =

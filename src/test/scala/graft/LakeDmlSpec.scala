@@ -261,6 +261,59 @@ class LakeDmlSpec extends SparkTestBase {
     assert(LakeDml.readMor(spark, root).count() == 19)
   }
 
+  test("updateWhere: NULL rows untouched, row count preserved, only dirty dirs rewritten") {
+    val root = freshRoot("upd")
+    // low dir: k 0..9 (k=0 carries a NULL v; 1..4 'a'; 5..9 'b');
+    // high dir: k 100..109, all 'a' — outside the predicate's range
+    val low = (0L to 9L).map(k =>
+      (k, if (k == 0L) None
+          else if (k <= 4L) Some("a") else Some("b"), k * 10L))
+    val high = (100L to 109L).map(k => (k, Some("a"), k))
+    LakeTable.append((low ++ high).toDF("k", "v", "n"), root)
+    LakeTable.rewriteClustered(LakeTable.read(spark, root), root, "k", 2)
+    val before = LakeTable.activeDirs(spark, root)
+    // the hint is IMPLIED by the predicate (the rangeDirs2 contract)
+    val rep = LakeDml.updateWhere(spark, root,
+      col("v") === "a" && col("k") < 50,
+      Map("v" -> lit("Z"), "n" -> (col("n") * 2)),
+      prunePreds = Seq(("k", "0", "49")))
+    assert(rep.rowsUpdated == 4 && rep.rowsDeleted == 0)
+    assert(rep.candidateDirs == 1 && rep.rewrittenDirs == 1,
+      "the high directory must be pruned and untouched")
+    assert(LakeTable.activeDirs(spark, root).contains(before(1)))
+    val rows = LakeTable.read(spark, root)
+      .as[(Long, Option[String], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert((1L to 4L).forall(k => rows(k) == ((Some("Z"), k * 20L))),
+      s"updated rows wrong: $rows")
+    assert(rows(0L) == ((None, 0L)), "NULL-predicate row must not update")
+    assert(rows(5L) == ((Some("b"), 50L)), "non-matching row must not update")
+    assert(rows(100L) == ((Some("a"), 100L)), "pruned row must not update")
+    assert(rows.size == 20, "UPDATE must preserve row count")
+  }
+
+  test("DML on a schema-evolved table: per-directory schemas survive the rewrite") {
+    val root = freshRoot("evolve")
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // additive evolution: a later append carries an extra column
+    LakeTable.append(Seq((3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "v", "extra"), root)
+    assert(LakeTable.read(spark, root).columns.toSeq ==
+      Seq("k", "v", "extra"))
+    // delete one row from EACH schema generation
+    val rep = LakeDml.deleteWhere(spark, root,
+      col("k") === 1L || col("k") === 4L)
+    assert(rep.rowsDeleted == 2 && rep.rewrittenDirs == 2)
+    val out = LakeTable.read(spark, root).orderBy("k")
+    assert(out.columns.toSeq == Seq("k", "v", "extra"),
+      "the additive-union read must survive the rewrite")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+       if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq((2L, "b", None), (3L, "c", Some(30L))),
+      s"got ${rows.toSeq}")
+  }
+
   test("file-grain stats survive a copy-on-write delete (z-order pruning must not rot)") {
     val root = freshRoot("fstats")
     LakeTable.append(
