@@ -645,39 +645,79 @@ object LakeDml {
          Map[String, String],
          Map[String, Seq[(String, Map[String, (String, String)])]]) = {
     val f = fs(spark, root)
-    var adds = Seq.empty[String]
-    var colStats = Map.empty[String, Map[String, (String, String)]]
-    var kinds = Map.empty[String, String]
-    var fileStats =
-      Map.empty[String, Seq[(String, Map[String, (String, String)])]]
-    dirty.foreach { d =>
+    // Dirty directories rewrite CONCURRENTLY (bounded pool): each is
+    // an independent (read, transform, write, stat) pipeline over its
+    // own immutable input, so wall-clock tracks the LARGEST dirty
+    // directory, not the sum — the OPTIMIZE-style parallel-rewrite
+    // posture. Spark schedules the concurrent jobs fairly; the
+    // results fold on this thread, and adds sort for a deterministic
+    // commit order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, dirty.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    case class DirResult(
+        add: Option[String],
+        colStats: Map[String, Map[String, (String, String)]],
+        kinds: Map[String, String],
+        fileStats: Map[String, Seq[(String, Map[String, (String, String)])]])
+    def rewriteOne(d: String): DirResult = {
       val src = spark.read.parquet(s"$root/$d")
       val survivors = transform(src)
       val newDir = f"data-v$next%010d-" +
         java.util.UUID.randomUUID().toString.take(8) + "-cow"
       survivors.write.mode("errorifexists").parquet(s"$root/$newDir")
       val written = spark.read.parquet(s"$root/$newDir")
-      if (written.isEmpty) {
+      // ONE read-back aggregate per directory carries everything the
+      // replacement needs: emptiness, dir-grain [min,max] for every
+      // column the source logged, and the bloom sketch for every
+      // sidecar the source carried — per-directory job count is what
+      // dominates DML latency on many small directories (BenchDml),
+      // so the row-count probe, stats pass, and per-column bloom
+      // passes fold into this single job.
+      val statCols = st.colStats.getOrElse(d, Map.empty).keys.toSeq.sorted
+        .filter(written.columns.contains)
+      val bloomDirOld = new Path(root, s"_graft_log/blooms/$d")
+      val bloomCols =
+        if (!f.exists(bloomDirOld)) Seq.empty[String]
+        else f.listStatus(bloomDirOld).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".bf")).map(_.stripSuffix(".bf"))
+          .filter(written.columns.contains).sorted
+      if (bloomCols.nonEmpty) Bf.register(spark)
+      val aggList = count(lit(1)) +:
+        (statCols.flatMap(c =>
+           Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) ++
+         bloomCols.map(c =>
+           expr(s"bf_sketch(xxhash64(`$c`))")))
+      val r = written.agg(aggList.head, aggList.tail: _*).head()
+      var addOpt = Option.empty[String]
+      var colStatsL = Map.empty[String, Map[String, (String, String)]]
+      var kindsL = Map.empty[String, String]
+      var fileStatsL =
+        Map.empty[String, Seq[(String, Map[String, (String, String)])]]
+      if (r.getLong(0) == 0L) {
         // fully-deleted directory: drop the empty replacement
         f.delete(new Path(root, newDir), true)
       } else {
-        adds :+= newDir
-        // stats: recompute every column the source directory logged
-        val statCols = st.colStats.getOrElse(d, Map.empty).keys.toSeq.sorted
-          .filter(written.columns.contains)
+        addOpt = Some(newDir)
         if (statCols.nonEmpty) {
-          val aggs = statCols.flatMap(c =>
-            Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
-          val r = written.agg(aggs.head, aggs.tail: _*).head()
           val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
-            (Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))) match {
+            (Option(r.getString(1 + 2 * i)),
+             Option(r.getString(2 + 2 * i))) match {
               case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
               case _ => None
             }
           }.toMap
-          if (cs.nonEmpty) colStats += newDir -> cs
-          kinds ++= statCols.map(c => c -> st.colKinds.getOrElse(c,
+          if (cs.nonEmpty) colStatsL += newDir -> cs
+          kindsL ++= statCols.map(c => c -> st.colKinds.getOrElse(c,
             LakeTable.statKind(written.schema(c).dataType)))
+        }
+        bloomCols.zipWithIndex.foreach { case (c, i) =>
+          val blob = r.getAs[Array[Byte]](1 + 2 * statCols.size + i)
+          val p = bloomPath(root, newDir, c)
+          f.mkdirs(p.getParent)
+          val out = f.create(p, true)
+          try out.write(blob) finally out.close()
         }
         // per-file stats: if the source directory recorded them, the
         // replacement does too — same columns, one grouped aggregate
@@ -706,21 +746,25 @@ object LakeDml {
               }.toMap
               (file, cs)
             }.sortBy(_._1).toSeq
-          fileStats += newDir -> perFile
-          kinds ++= fileCols.map(c => c -> st.colKinds.getOrElse(c,
+          fileStatsL += newDir -> perFile
+          kindsL ++= fileCols.map(c => c -> st.colKinds.getOrElse(c,
             LakeTable.statKind(written.schema(c).dataType)))
         }
-        // bloom sidecars: rebuild each one the source directory had
-        val bloomDir = new Path(root, s"_graft_log/blooms/$d")
-        if (f.exists(bloomDir)) {
-          f.listStatus(bloomDir).toSeq.map(_.getPath.getName)
-            .filter(_.endsWith(".bf")).map(_.stripSuffix(".bf"))
-            .filter(written.columns.contains)
-            .foreach(c => writeBloom(spark, root, newDir, c))
-        }
       }
+      DirResult(addOpt, colStatsL, kindsL, fileStatsL)
     }
-    (adds, colStats, kinds, fileStats)
+    val results =
+      try {
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, Future}
+        Await.result(
+          Future.traverse(dirty)(d => Future(rewriteOne(d))),
+          Duration.Inf)
+      } finally pool.shutdown()
+    (results.flatMap(_.add).sorted,
+     results.map(_.colStats).fold(Map.empty)(_ ++ _),
+     results.map(_.kinds).fold(Map.empty)(_ ++ _),
+     results.map(_.fileStats).fold(Map.empty)(_ ++ _))
   }
 
   /** The single copy-on-write commit: adds + removes + carried
