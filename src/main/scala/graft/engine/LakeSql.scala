@@ -1,0 +1,368 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL text over LAKE TABLES — the write-side front door. [[graft.Sql]]
+  * answers "where do I type a SELECT"; this answers the other half a
+  * lakehouse user types all day: DDL and DML statements against
+  * versioned tables. A [[Session]] owns a name → lake-root mapping and
+  * routes each statement to the engine machinery that already carries
+  * the transactional contract:
+  *
+  *   CREATE TABLE t AS <select>            → [[LakeTable.append]] (CTAS)
+  *   INSERT INTO t <select>                → [[LakeTable.append]]
+  *   DELETE FROM t WHERE <cond>            → [[LakeDml.deleteWhere]]
+  *   UPDATE t SET c = e, ... [WHERE <cond>]→ [[LakeDml.updateWhere]]
+  *   MERGE INTO t [AS a] USING (<select>) [AS b]
+  *     ON a.k = b.k [WHEN MATCHED THEN UPDATE SET *
+  *                   WHEN NOT MATCHED THEN INSERT *]
+  *                                         → [[LakeDml.mergeInto]]
+  *   OPTIMIZE t CLUSTER BY (c[, ...]) [BUCKETS n]
+  *                                         → [[LakeTable.rewriteClustered]]
+  *   VACUUM t [RETAIN FROM <version>]      → [[LakeTable.vacuum]]
+  *   SELECT ... FROM t [VERSION AS OF v]   → snapshot views + `spark.sql`
+  *
+  * This is a STATEMENT ROUTER, not a SQL parser: only the statement
+  * skeleton is recognized here (verb, table name, clause boundaries);
+  * every expression — predicates, SET right-hand sides, subqueries —
+  * is handed verbatim to Spark's own parser via `expr()` / `spark.sql`,
+  * so the full Catalyst expression grammar comes for free and this file
+  * never re-implements one. Clause boundaries are found with a
+  * quote/paren-aware scanner, never a bare regex, so a WHERE inside a
+  * string literal or a comma inside `map('a', 1)` cannot split a
+  * clause (the failure class r12's staging advice taught).
+  *
+  * Semantics inherited from the routed machinery, not re-decided here:
+  * DELETE keeps NULL-condition rows (`!(cond <=> true)` survivors),
+  * UPDATE leaves NULL-condition rows untouched, MERGE is the SCD-1
+  * upsert-all (the only WHEN form accepted — anything else errors
+  * loudly rather than silently computing a different merge), and every
+  * write is one atomic commit with copy-on-write directory granularity.
+  * Reads see the CURRENT snapshot: views are re-registered from the
+  * commit log before every SELECT/subquery, so a session interleaving
+  * DML and SELECT always reads its own writes. `VERSION AS OF v`
+  * (the Delta/Iceberg time-travel spelling, which Spark's parser does
+  * not accept) is rewritten to a pinned snapshot view BEFORE the text
+  * reaches `spark.sql`; the rewrite consults the scanner's quote map so
+  * the phrase inside a string literal is left alone.
+  *
+  * At 100 TB nothing here adds cost over the Scala API: routing is
+  * driver-side string work on bounded statement text; the executed
+  * plans are the identical LakeDml/LakeTable plans the sql_* registry
+  * keys hash-gate against DuckDB.
+  */
+object LakeSql {
+
+  /** One-row execution report for write statements (SELECT returns its
+    * result instead). Mirrors [[LakeDml.DmlReport]] so a user — or
+    * SqlDmlSpec — can assert surgical behavior (pruned vs rewritten
+    * directories) without grepping the commit log. */
+  private def report(spark: SparkSession, verb: String, table: String,
+                     version: Long, r: LakeDml.DmlReport): DataFrame = {
+    import spark.implicits._
+    Seq((verb, table, version, r.activeDirs, r.candidateDirs,
+         r.rewrittenDirs, r.removedDirs, r.rowsDeleted, r.rowsInserted,
+         r.rowsUpdated))
+      .toDF("verb", "table_name", "version", "active_dirs",
+            "candidate_dirs", "rewritten_dirs", "removed_dirs",
+            "rows_deleted", "rows_inserted", "rows_updated")
+  }
+
+  private val emptyReport =
+    LakeDml.DmlReport(None, 0, 0, 0, 0, 0L, 0L)
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Per-character "inside a single-quoted SQL string" map ('' is the
+    * escape). Both the splitter and the time-travel rewrite consult
+    * this so literals are opaque to every structural decision. */
+  private def quoteMap(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var q = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) {
+        in(i) = true
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            in(i + 1) = true; i += 1
+          } else q = false
+        }
+      } else if (c == '\'') { in(i) = true; q = true }
+      i += 1
+    }
+    in
+  }
+
+  /** Split on `sep` at paren depth 0, outside string literals. */
+  private[engine] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val qm = quoteMap(s)
+    val out = mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!qm(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+      }
+      if (!qm(i) && depth == 0 && c == sep) {
+        out += cur.result(); cur.clear()
+      } else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  /** First index of whole-word keyword `kw` (case-insensitive) at
+    * paren depth 0 outside string literals, or -1. */
+  private[engine] def topLevelKeyword(s: String, kw: String,
+                                      from: Int = 0): Int = {
+    val qm = quoteMap(s)
+    var depth = 0
+    var i = 0
+    val n = kw.length
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!qm(i)) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && i >= from &&
+                 s.regionMatches(true, i, kw, 0, n) &&
+                 (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+                 (i + n >= s.length || !isWordChar(s.charAt(i + n))))
+          return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  final class Session(val spark: SparkSession, val scratchRoot: String) {
+    private val roots = mutable.LinkedHashMap[String, String]()
+
+    /** Attach an EXISTING lake table under `name`. */
+    def attach(name: String, root: String): this.type = {
+      roots(name.toLowerCase) = root; this
+    }
+
+    def tableRoot(name: String): String =
+      roots.getOrElse(name.toLowerCase,
+        sys.error(s"LakeSql: unknown lake table '$name' " +
+          s"(attached: ${roots.keys.mkString(", ")})"))
+
+    def tables: Seq[String] = roots.keys.toSeq
+
+    /** Re-register every attached table's CURRENT snapshot as a temp
+      * view — called before any statement that parses a subquery, so
+      * SQL text always reads the session's own committed writes. */
+    private def refreshViews(): Unit =
+      roots.foreach { case (n, r) =>
+        LakeTable.read(spark, r).createOrReplaceTempView(n)
+      }
+
+    /** Standard SQL write coercion: incoming rows CAST to the target
+      * table's column types by name (an INT literal inserts into a
+      * BIGINT column), target column order first; columns the target
+      * lacks ride along untouched (additive schema evolution, the
+      * lake read path's contract). Without this, `INSERT INTO t
+      * SELECT 2 AS k` against a BIGINT k would poison the table with
+      * an unmergeable INT directory — a parse-side footgun no SQL
+      * user expects. */
+    private def alignTo(df: DataFrame, root: String): DataFrame = {
+      val tgt = LakeTable.read(spark, root).schema
+      val have = df.columns.toSet
+      val casted = tgt.fields.filter(f => have.contains(f.name))
+        .map(f => col(f.name).cast(f.dataType))
+      val extras = df.columns.filterNot(tgt.fieldNames.contains(_))
+        .map(col)
+      df.select((casted ++ extras).toIndexedSeq: _*)
+    }
+
+    /** Rewrite every `t VERSION AS OF v` phrase to a pinned snapshot
+      * view. Phrases inside string literals are untouched; a phrase
+      * naming a non-attached table errors loudly (time travel only
+      * means something on a versioned table). */
+    private def rewriteTimeTravel(sql: String): String = {
+      val re = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+version\\s+as\\s+of\\s+(\\d+)\\b".r
+      val qm = quoteMap(sql)
+      re.replaceAllIn(sql, m => {
+        if (qm(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val name = m.group(1).toLowerCase
+          val v = m.group(2).toLong
+          val root = roots.getOrElse(name,
+            sys.error(s"LakeSql: VERSION AS OF on '$name', which is " +
+              "not an attached lake table"))
+          val view = s"${name}__asof_$v"
+          LakeTable.read(spark, root, Some(v)).createOrReplaceTempView(view)
+          view
+        }
+      })
+    }
+
+    private val CreateRe =
+      "(?is)^create\\s+table\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s+(.+)$".r
+    private val InsertRe =
+      "(?is)^insert\\s+into\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(.+)$".r
+    private val DeleteRe =
+      "(?is)^delete\\s+from\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+where\\s+(.+)$".r
+    private val UpdateRe =
+      "(?is)^update\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+set\\s+(.+)$".r
+    private val MergeRe =
+      "(?is)^merge\\s+into\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+as)?(?:\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s+using\\s*(.+)$".r
+    private val OptimizeRe =
+      "(?is)^optimize\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+cluster\\s+by\\s*\\(([^)]+)\\)(?:\\s+buckets\\s+(\\d+))?\\s*$".r
+    private val VacuumRe =
+      "(?is)^vacuum\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+retain\\s+from\\s+(\\d+))?\\s*$".r
+    private val SetItemRe =
+      "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+    private val OnEqRe =
+      "(?s)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    private val UpsertAllRe =
+      "(?is)^when\\s+matched\\s+then\\s+update\\s+set\\s+\\*\\s+when\\s+not\\s+matched\\s+then\\s+insert\\s+\\*$".r
+
+    /** Execute ONE statement. Write verbs return a one-row report;
+      * SELECT/WITH returns the query result. */
+    def exec(stmt0: String): DataFrame = {
+      val stmt = stmt0.trim
+      stmt match {
+        case CreateRe(name0, select) =>
+          val name = name0.toLowerCase
+          require(!roots.contains(name),
+            s"LakeSql: table '$name' already exists")
+          refreshViews()
+          val df = spark.sql(rewriteTimeTravel(select))
+          val root = s"$scratchRoot/$name"
+          val v = LakeTable.append(df, root)
+          roots(name) = root
+          report(spark, "create", name, v, emptyReport)
+
+        case InsertRe(name, select) =>
+          val root = tableRoot(name)
+          refreshViews()
+          val df = alignTo(spark.sql(rewriteTimeTravel(select)), root)
+          val v = LakeTable.append(df, root)
+          report(spark, "insert", name.toLowerCase, v, emptyReport)
+
+        case DeleteRe(name, cond) =>
+          val root = tableRoot(name)
+          val r = LakeDml.deleteWhere(spark, root, expr(cond))
+          report(spark, "delete", name.toLowerCase, r.version.getOrElse(-1L), r)
+
+        case UpdateRe(name, rest) =>
+          val root = tableRoot(name)
+          val wIdx = topLevelKeyword(rest, "where")
+          val (setPart, cond) =
+            if (wIdx < 0) (rest, lit(true))
+            else (rest.substring(0, wIdx),
+                  expr(rest.substring(wIdx + "where".length)))
+          val set = splitTopLevel(setPart, ',').map {
+            case SetItemRe(c, e) => c -> expr(e)
+            case bad => sys.error(s"LakeSql: cannot parse SET item '$bad'")
+          }
+          require(set.map(_._1).distinct.size == set.size,
+            "LakeSql: duplicate column in SET clause")
+          val r = LakeDml.updateWhere(spark, root, cond, set.toMap)
+          report(spark, "update", name.toLowerCase, r.version.getOrElse(-1L), r)
+
+        case MergeRe(name, _, rest0) =>
+          val root = tableRoot(name)
+          val rest = rest0.trim
+          require(rest.startsWith("("),
+            "LakeSql: MERGE source must be a parenthesized subquery")
+          // find the subquery's matching close paren via the scanner
+          val qm = quoteMap(rest)
+          var depth = 0; var end = -1; var i = 0
+          while (i < rest.length && end < 0) {
+            if (!qm(i)) {
+              if (rest.charAt(i) == '(') depth += 1
+              else if (rest.charAt(i) == ')') {
+                depth -= 1; if (depth == 0) end = i
+              }
+            }
+            i += 1
+          }
+          require(end > 0, "LakeSql: unbalanced parens in MERGE source")
+          val sub = rest.substring(1, end)
+          val tail = rest.substring(end + 1).trim
+          val onIdx = topLevelKeyword(tail, "on")
+          require(onIdx >= 0, "LakeSql: MERGE requires an ON clause")
+          val whenIdx = topLevelKeyword(tail, "when", onIdx)
+          val onCond =
+            if (whenIdx < 0) tail.substring(onIdx + 2)
+            else tail.substring(onIdx + 2, whenIdx)
+          if (whenIdx >= 0) {
+            val whenText = tail.substring(whenIdx).trim
+            require(UpsertAllRe.pattern.matcher(whenText).matches(),
+              "LakeSql: only the upsert-all MERGE form is supported " +
+                "(WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
+                s"INSERT *); got: $whenText")
+          }
+          val keyCol = onCond match {
+            case OnEqRe(_, l, _, r2) =>
+              require(l.equalsIgnoreCase(r2),
+                s"LakeSql: MERGE ON must equate the SAME key column " +
+                  s"on both sides; got $l = $r2")
+              l
+            case _ => sys.error(
+              s"LakeSql: cannot parse MERGE ON '$onCond' (want " +
+                "[alias.]key = [alias.]key)")
+          }
+          refreshViews()
+          val updates = alignTo(spark.sql(rewriteTimeTravel(sub)), root)
+          val r = LakeDml.mergeInto(spark, root, updates, keyCol)
+          report(spark, "merge", name.toLowerCase, r.version.getOrElse(-1L), r)
+
+        case OptimizeRe(name, colsRaw, bucketsRaw) =>
+          val root = tableRoot(name)
+          val cols = colsRaw.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val buckets =
+            if (bucketsRaw == null) 8 else bucketsRaw.toInt
+          val df = LakeTable.read(spark, root)
+          val v =
+            if (cols.size == 1)
+              LakeTable.rewriteClustered(df, root, cols.head, buckets)
+            else
+              LakeTable.rewriteClusteredN(df, root, cols, buckets)
+          report(spark, "optimize", name.toLowerCase, v, emptyReport)
+
+        case VacuumRe(name, fromRaw) =>
+          val root = tableRoot(name)
+          val from =
+            if (fromRaw != null) fromRaw.toLong
+            else LakeTable.latestVersion(spark, root).getOrElse(
+              sys.error(s"LakeSql: VACUUM on empty table '$name'"))
+          val doomed = LakeTable.vacuum(spark, root, from)
+          report(spark, "vacuum", name.toLowerCase, from,
+            emptyReport.copy(removedDirs = doomed.size))
+
+        case sel if sel.nonEmpty &&
+            ("(?is)^(select|with)\\b.*".r.pattern.matcher(sel).matches()) =>
+          refreshViews()
+          spark.sql(rewriteTimeTravel(sel))
+
+        case other => sys.error(
+          "LakeSql: unsupported statement (supported: CREATE TABLE AS, " +
+            "INSERT INTO, DELETE FROM .. WHERE, UPDATE .. SET, MERGE " +
+            "INTO, OPTIMIZE, VACUUM, SELECT/WITH): " +
+            other.linesIterator.take(1).mkString)
+      }
+    }
+
+    /** Execute a ';'-separated script; returns the LAST statement's
+      * result (a session's final SELECT, typically). */
+    def script(text: String): DataFrame = {
+      val stmts = splitTopLevel(text, ';').map(_.trim).filter(_.nonEmpty)
+      require(stmts.nonEmpty, "LakeSql: empty script")
+      stmts.map(exec).last
+    }
+  }
+}

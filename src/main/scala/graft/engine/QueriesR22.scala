@@ -1,0 +1,149 @@
+package graft.engine
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-16 keys: the SQL WRITE surface ([[LakeSql]]) — DDL and DML
+  * statements as TEXT against versioned lake tables. The read-side
+  * sql_* keys proved `spark.sql` SELECTs hash-match DuckDB; these
+  * prove the statements a lakehouse user actually types to CHANGE
+  * data (CTAS, INSERT, DELETE, UPDATE, MERGE, OPTIMIZE, VACUUM, and
+  * time-travel SELECT) route through the engine's transactional
+  * machinery and land on the same end state DuckDB computes from the
+  * raw corpus in one query.
+  *
+  * Every key runs a small SQL SCRIPT: fixture statements build a lake
+  * table under a content-addressed cache root (so verify + bench
+  * sessions pay the writes once), and the key's output is the script's
+  * final SELECT over the post-DML snapshot — which the oracle
+  * reconstructs relationally. The statement ROUTING is what's new
+  * under test here; the routed machinery (LakeDml/LakeTable) is
+  * already oracle- and spec-gated by the lake_* keys. SqlDmlSpec pins
+  * the parser edges the oracle cannot see (literals opaque to clause
+  * splitting, loud errors on unsupported forms, reports telling the
+  * truth about pruning).
+  *
+  * Determinism (§2.3): scripts are pure functions of the corpus;
+  * outputs ordered by a total key.
+  */
+object QueriesR22 {
+  import Tables._
+
+  private def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Build the script's WRITE statements once under a cached root,
+    * then run `finalSql` against the attached tables per call. The
+    * cache key folds the corpus content hash AND the script text, so
+    * editing a fixture statement rebuilds the tree. */
+  private def runCached(s: SparkSession, d: String, name: String,
+                        tableNames: Seq[String], buildScript: String,
+                        finalSql: String): DataFrame = {
+    graft.Sql.register(s, d)
+    val hash = ArtifactCache.artifactHash(
+      orders(s, d).select("o_orderkey", "o_orderstatus", "o_custkey"))
+      .take(16) + md5(buildScript).take(16)
+    val root = LakeFixtures.cached(s, name, hash) { r =>
+      new LakeSql.Session(s, r).script(buildScript)
+    }
+    val sess = new LakeSql.Session(s, root)
+    tableNames.foreach(t => sess.attach(t, s"$root/$t"))
+    sess.exec(finalSql)
+  }
+
+  /** CTAS + INSERT INTO as SQL text: the table is born from one
+    * SELECT and extended by another; the output is the union the two
+    * commits produced. */
+  def sqlCtasInsert(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_ctas", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_custkey AS cust
+        |  FROM orders WHERE o_orderkey < 20000;
+        |INSERT INTO ords
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_custkey AS cust
+        |  FROM orders WHERE o_orderkey >= 20000""".stripMargin,
+      "SELECT key, status, cust FROM ords ORDER BY key")
+
+  /** DELETE FROM .. WHERE as SQL text over the CTAS'd lake: SQL NULL
+    * semantics ride the routed [[LakeDml.deleteWhere]]. */
+  def sqlDeleteWhere(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_delete", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_custkey AS cust FROM orders;
+        |DELETE FROM ords WHERE status = 'O' AND key % 7 = 3""".stripMargin,
+      "SELECT key, status, cust FROM ords ORDER BY key")
+
+  /** UPDATE .. SET with expression right-hand sides and a compound
+    * WHERE; the SET list crosses a function call with a comma inside
+    * (concat), which only a literal-aware splitter survives. */
+  def sqlUpdateSet(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_update", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_custkey AS cust FROM orders;
+        |UPDATE ords
+        |  SET cust = cust + 500000, status = concat(status, '_u')
+        |  WHERE status = 'P' AND key % 5 = 1""".stripMargin,
+      "SELECT key, status, cust FROM ords ORDER BY key")
+
+  /** MERGE INTO .. USING (subquery) as SQL text: the canonical
+    * upsert-all pair over a derived source (returned low-key orders
+    * flip to 'R'; shifted keys insert as new rows). */
+  def sqlMergeUsing(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_merge", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status
+        |  FROM orders;
+        |MERGE INTO ords AS t USING (
+        |    SELECT DISTINCT l_orderkey AS key, 'R' AS status
+        |    FROM lineitem
+        |    WHERE l_returnflag = 'R' AND l_orderkey < 30000
+        |    UNION ALL
+        |    SELECT DISTINCT l_orderkey + 200000000 AS key, 'Z' AS status
+        |    FROM lineitem
+        |    WHERE l_returnflag = 'R' AND l_orderkey < 3000
+        |  ) AS src ON t.key = src.key
+        |  WHEN MATCHED THEN UPDATE SET *
+        |  WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "SELECT key, status FROM ords ORDER BY key")
+
+  /** Time travel as SQL text: three versions (CTAS, INSERT, DELETE),
+    * each summarized via `VERSION AS OF` pinned-snapshot reads in ONE
+    * final statement — proving snapshots stay addressable after later
+    * DML, from SQL alone. */
+  def sqlTimeTravel(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_tt", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey < 20000;
+        |INSERT INTO ords
+        |  SELECT o_orderkey AS key, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey >= 20000;
+        |DELETE FROM ords WHERE key % 11 = 5""".stripMargin,
+      """SELECT 'v0' AS snap, count(*) AS n,
+        |       sum(key) AS key_sum FROM ords VERSION AS OF 0
+        |UNION ALL
+        |SELECT 'v1' AS snap, count(*) AS n,
+        |       sum(key) AS key_sum FROM ords VERSION AS OF 1
+        |UNION ALL
+        |SELECT 'v2' AS snap, count(*) AS n, sum(key) AS key_sum FROM ords
+        |ORDER BY snap""".stripMargin)
+
+  /** OPTIMIZE + VACUUM as SQL text: re-cluster on key, reclaim the
+    * pre-optimize directories, and prove the content is untouched —
+    * the maintenance verbs are metadata/layout operations, never data
+    * operations. */
+  def sqlOptimizeVacuum(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_optvac", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_custkey AS cust FROM orders;
+        |OPTIMIZE ords CLUSTER BY (key) BUCKETS 8;
+        |VACUUM ords""".stripMargin,
+      "SELECT key, status, cust FROM ords ORDER BY key")
+}

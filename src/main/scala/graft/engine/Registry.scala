@@ -358,6 +358,14 @@ object Registry {
     "ingest_forget_emb"     -> QueriesR21.ingestForgetEmb _,
     "lake_change_feed_dml"  -> QueriesR21.lakeChangeFeedDml _,
     "lake_update_surgical"  -> QueriesR21.lakeUpdateSurgical _,
+    // Round-16: the SQL WRITE surface (LakeSql) — DDL/DML statements
+    // as text routed to the transactional lake machinery
+    "sql_ctas_insert"       -> QueriesR22.sqlCtasInsert _,
+    "sql_delete_where"      -> QueriesR22.sqlDeleteWhere _,
+    "sql_update_set"        -> QueriesR22.sqlUpdateSet _,
+    "sql_merge_using"       -> QueriesR22.sqlMergeUsing _,
+    "sql_time_travel"       -> QueriesR22.sqlTimeTravel _,
+    "sql_optimize_vacuum"   -> QueriesR22.sqlOptimizeVacuum _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -367,5 +375,5 @@ object Registry {
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
-      OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql
+      OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql ++ OracleR22.sql
 }

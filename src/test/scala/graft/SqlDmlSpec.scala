@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{LakeSql, LakeTable}
+
+/** Pins the [[LakeSql]] statement router — the parser-edge contracts
+  * the sql_* write keys' oracles cannot see: string literals are
+  * opaque to clause splitting and time-travel rewriting, unsupported
+  * forms error loudly instead of silently computing something else, a
+  * session reads its own writes, and the one-row reports tell the
+  * truth about what a statement touched.
+  */
+class SqlDmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sess(): LakeSql.Session =
+    new LakeSql.Session(spark,
+      Files.createTempDirectory("graft_lakesql").toString)
+
+  test("full verb walk: CTAS, INSERT, DELETE, UPDATE, MERGE, OPTIMIZE, VACUUM, SELECT") {
+    val s = sess()
+    Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("sqldml_src")
+    s.exec("CREATE TABLE t AS SELECT k, v FROM sqldml_src")
+    s.exec("INSERT INTO t SELECT k + 10 AS k, v FROM sqldml_src")
+    val del = s.exec("DELETE FROM t WHERE k = 11").head()
+    assert(del.getAs[String]("verb") == "delete")
+    assert(del.getAs[Long]("rows_deleted") == 1L)
+    val upd = s.exec("UPDATE t SET v = concat(v, '!') WHERE k >= 10").head()
+    assert(upd.getAs[Long]("rows_updated") == 2L)
+    s.exec("MERGE INTO t AS a USING (SELECT 2 AS k, 'Z' AS v " +
+      "UNION ALL SELECT 99 AS k, 'n' AS v) AS b ON a.k = b.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 2")
+    s.exec("VACUUM t")
+    val got = s.exec("SELECT k, v FROM t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(0L -> "a", 1L -> "b", 2L -> "Z",
+      10L -> "a!", 12L -> "c!", 99L -> "n"))
+  }
+
+  test("SET splitter survives function commas and literal separators") {
+    val s = sess()
+    s.exec("CREATE TABLE u AS SELECT 1 AS k, 'x' AS v, 0 AS n")
+    s.exec("UPDATE u SET v = concat(v, ', WHERE (a;b)'), n = n + 2 WHERE k = 1")
+    val r = s.exec("SELECT v, n FROM u").as[(String, Int)].head()
+    assert(r == ("x, WHERE (a;b)", 2))
+  }
+
+  test("script splitting keeps semicolons inside literals") {
+    val s = sess()
+    val out = s.script(
+      "CREATE TABLE w AS SELECT 'a;b' AS v; SELECT v FROM w")
+    assert(out.as[String].head() == "a;b")
+  }
+
+  test("time travel: VERSION AS OF pins snapshots; quoted phrase untouched") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT 1 AS k")
+    s.exec("INSERT INTO t SELECT 2 AS k")
+    s.exec("DELETE FROM t WHERE k = 1")
+    val counts = s.exec(
+      """SELECT 'v0' AS snap, count(*) AS n FROM t VERSION AS OF 0
+        |UNION ALL SELECT 'v1' AS snap, count(*) AS n FROM t VERSION AS OF 1
+        |UNION ALL SELECT 'v2' AS snap, count(*) AS n FROM t
+        |ORDER BY snap""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq("v0" -> 1L, "v1" -> 2L, "v2" -> 1L))
+    // inside a string literal the phrase is data, not syntax
+    val lit = s.exec("SELECT 't VERSION AS OF 0' AS phrase FROM t")
+      .as[String].head()
+    assert(lit == "t VERSION AS OF 0")
+  }
+
+  test("a session reads its own writes between statements") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT 5 AS k")
+    s.exec("INSERT INTO t SELECT k * 2 AS k FROM t") // reads post-CTAS
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 2L)
+  }
+
+  test("unsupported and malformed statements error loudly") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT 1 AS k, 'x' AS v")
+    intercept[RuntimeException](s.exec("DROP TABLE t"))
+    intercept[RuntimeException](s.exec("DELETE FROM nosuch WHERE k = 1"))
+    intercept[IllegalArgumentException](
+      s.exec("CREATE TABLE t AS SELECT 2 AS k")) // duplicate name
+    intercept[IllegalArgumentException](s.exec(
+      "MERGE INTO t USING (SELECT 1 AS k, 'y' AS v) s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")) // non-upsert-all WHEN form
+    intercept[IllegalArgumentException](s.exec(
+      "MERGE INTO t USING (SELECT 1 AS a, 'y' AS v) s ON t.k = s.a"))
+    intercept[IllegalArgumentException](
+      s.exec("UPDATE t SET v = 'a', v = 'b' WHERE k = 1"))
+    intercept[RuntimeException](
+      s.exec("SELECT * FROM nosuch VERSION AS OF 0"))
+  }
+
+  test("DELETE keeps NULL-condition rows through the SQL path") {
+    val s = sess()
+    Seq(Some("x"), None, Some("y")).toDF("v")
+      .selectExpr("monotonically_increasing_id() AS k", "v")
+      .createOrReplaceTempView("sqldml_nulls")
+    s.exec("CREATE TABLE t AS SELECT k, v FROM sqldml_nulls")
+    s.exec("DELETE FROM t WHERE v = 'x'")
+    // the NULL-v row survives: NULL predicate rows are not deleted
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 2L)
+  }
+
+  test("report: vacuum after optimize reclaims the superseded directories") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 4")
+    val vac = s.exec("VACUUM t").head()
+    assert(vac.getAs[Int]("removed_dirs") >= 1)
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 100L)
+    // the optimized layout carries stats: a range read prunes
+    val root = s.tableRoot("t")
+    val pruned = LakeTable.rangeDirs2(spark, root,
+      Seq(("k", "0", "10")))
+    val all = LakeTable.rangeDirs2(spark, root, Nil)
+    assert(pruned.size < all.size)
+  }
+}
