@@ -183,6 +183,130 @@ object LakeDml {
     * `cond`, the same contract as [[LakeTable.readRange2]]).
     * `candidateFilter` is the bloom hook [[deleteByKeys]] installs.
     */
+  // ------------------------------------------------------------------
+  // Predicate-derived pruning (the SQL path's stats pushdown)
+  // ------------------------------------------------------------------
+
+  /** A directory-pruning interval derived from ONE conjunct of a DML
+    * condition. `numeric` records the LITERAL's nature: a derived
+    * interval may only be compared against log stats whose declared
+    * ordering matches it (numeric literal ↔ "num" kind, string
+    * literal ↔ "str" kind). Comparing a numeric literal against
+    * lexicographic string stats silently prunes directories whose
+    * rows the row-level predicate would match — the r11 ADVICE trap,
+    * here made unrepresentable by the kind gate instead of by caller
+    * discipline. */
+  case class DerivedPred(col: String, lo: Option[String],
+                         hi: Option[String], numeric: Boolean)
+
+  /** Conservative prune intervals from an UNRESOLVED condition tree
+    * (what `expr(text)` parses): top-level AND conjuncts of the form
+    * `col op literal` (both operand orders), plus `col IN (literals)`.
+    * Anything else — disjunctions, computed left sides like
+    * `k % 7 = 3`, NULL literals — derives nothing for that conjunct,
+    * which is always safe: pruning is an optimization gated by
+    * [[pruneByDerived]], never a correctness filter. Strict and
+    * non-strict inequalities derive the same closed interval (a
+    * boundary-touching directory survives and the row-level predicate
+    * decides — conservative by construction). */
+  def derivePrunePreds(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[DerivedPred] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.NumericType
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def attrName(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[(String, Boolean)] = x match {
+      case Literal(v, t) if v != null =>
+        Some((v.toString, t.isInstanceOf[NumericType]))
+      case _ => None
+    }
+    conjuncts(e).flatMap {
+      case EqualTo(a, b) =>
+        (for (c <- attrName(a); (v, n) <- litVal(b))
+          yield DerivedPred(c, Some(v), Some(v), n)).orElse(
+         for (c <- attrName(b); (v, n) <- litVal(a))
+          yield DerivedPred(c, Some(v), Some(v), n))
+      case LessThan(a, b) => boundPred(attrName(a), litVal(b), hiSide = true)
+        .orElse(boundPred(attrName(b), litVal(a), hiSide = false))
+      case LessThanOrEqual(a, b) => boundPred(attrName(a), litVal(b), hiSide = true)
+        .orElse(boundPred(attrName(b), litVal(a), hiSide = false))
+      case GreaterThan(a, b) => boundPred(attrName(a), litVal(b), hiSide = false)
+        .orElse(boundPred(attrName(b), litVal(a), hiSide = true))
+      case GreaterThanOrEqual(a, b) => boundPred(attrName(a), litVal(b), hiSide = false)
+        .orElse(boundPred(attrName(b), litVal(a), hiSide = true))
+      case In(a, vs) if vs.nonEmpty =>
+        for {
+          c <- attrName(a)
+          lits <- {
+            val ls = vs.map(litVal)
+            if (ls.forall(_.isDefined)) Some(ls.flatten) else None
+          }
+          if lits.map(_._2).distinct.size == 1 // one literal family
+        } yield {
+          val numeric = lits.head._2
+          val ord: Ordering[String] =
+            if (numeric) Ordering.by((s: String) => BigDecimal(s))
+            else Ordering.String
+          DerivedPred(c, Some(lits.map(_._1).min(ord)),
+                      Some(lits.map(_._1).max(ord)), numeric)
+        }
+      case _ => None
+    }
+  }
+
+  private def boundPred(c: Option[String], v: Option[(String, Boolean)],
+                        hiSide: Boolean): Option[DerivedPred] =
+    for (cc <- c; (vv, n) <- v) yield
+      if (hiSide) DerivedPred(cc, None, Some(vv), n)
+      else DerivedPred(cc, Some(vv), None, n)
+
+  /** Keep only directories whose logged stats can intersect every
+    * derived interval — the candidateFilter [[deleteWhere]] /
+    * [[updateWhere]] accept, giving SQL-text DML the same commit-log
+    * pruning the Scala API gets from explicit prunePreds. A pred
+    * applies ONLY when the column's logged kind matches the literal's
+    * nature (see [[DerivedPred]]); missing stats, missing kinds,
+    * null bounds, or unparseable numerics all keep the directory. */
+  def pruneByDerived(spark: SparkSession, root: String,
+                     dirs: Seq[String],
+                     preds: Seq[DerivedPred]): Seq[String] = {
+    if (preds.isEmpty) return dirs
+    val st = LakeTable.replayState(spark, root, None)
+    def num(s: String): Option[BigDecimal] =
+      if (s == null) None
+      else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    dirs.filter { d =>
+      preds.forall { p =>
+        val kindOk = st.colKinds.get(p.col)
+          .contains(if (p.numeric) "num" else "str")
+        !kindOk || (st.colStats.get(d).flatMap(_.get(p.col)) match {
+          case Some((mn, mx)) if mn != null && mx != null =>
+            if (p.numeric) {
+              val loOk = p.lo.forall(l =>
+                (num(l), num(mx)) match {
+                  case (Some(a), Some(b)) => a <= b
+                  case _ => true
+                })
+              val hiOk = p.hi.forall(h =>
+                (num(mn), num(h)) match {
+                  case (Some(a), Some(b)) => a <= b
+                  case _ => true
+                })
+              loOk && hiOk
+            } else p.lo.forall(_ <= mx) && p.hi.forall(mn <= _)
+          case _ => true
+        })
+      }
+    }
+  }
+
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
                   prunePreds: Seq[(String, String, String)] = Nil,
                   candidateFilter: Seq[String] => Seq[String] = identity,
@@ -287,13 +411,15 @@ object LakeDml {
   def updateWhere(spark: SparkSession, root: String, cond: Column,
                   set: Map[String, Column],
                   prunePreds: Seq[(String, String, String)] = Nil,
+                  candidateFilter: Seq[String] => Seq[String] = identity,
                   txn: Option[(String, Long)] = None): DmlReport = {
     require(set.nonEmpty, "updateWhere: empty SET clause")
     if (txn.exists { case (app, b) =>
           LakeTable.lastTxn(spark, root, app).exists(_ >= b) })
       return DmlReport(None, 0, 0, 0, 0, 0L, 0L) // replayed delivery
     val st = LakeTable.replayState(spark, root, None)
-    val candidates = LakeTable.dirsMatching(st, prunePreds).sorted
+    val candidates =
+      candidateFilter(LakeTable.dirsMatching(st, prunePreds)).sorted
     val next = st.version + 1
     if (candidates.isEmpty) {
       val v = txn.map { t =>

@@ -160,12 +160,30 @@ object LakeSql {
 
     def tables: Seq[String] = roots.keys.toSeq
 
+    /** Current snapshot as a DataFrame, where a table whose rows were
+      * ALL deleted still reads as an empty relation (schema borrowed
+      * from the last data-bearing version) — `LakeTable.read`'s
+      * no-active-data refusal is right for the Scala API, but a SQL
+      * session that deletes every row must still be able to SELECT
+      * from (and INSERT back into) the table. */
+    private def snapshot(root: String): Option[DataFrame] = {
+      def tryRead(asOf: Option[Long]): Option[DataFrame] =
+        try Some(LakeTable.read(spark, root, asOf))
+        catch { case _: IllegalArgumentException => None }
+      tryRead(None).orElse {
+        val latest = LakeTable.latestVersion(spark, root).getOrElse(-1L)
+        (latest - 1 to 0L by -1).iterator
+          .flatMap(v => tryRead(Some(v))).take(1).toSeq.headOption
+          .map(_.limit(0))
+      }
+    }
+
     /** Re-register every attached table's CURRENT snapshot as a temp
       * view — called before any statement that parses a subquery, so
       * SQL text always reads the session's own committed writes. */
     private def refreshViews(): Unit =
       roots.foreach { case (n, r) =>
-        LakeTable.read(spark, r).createOrReplaceTempView(n)
+        snapshot(r).foreach(_.createOrReplaceTempView(n))
       }
 
     /** Standard SQL write coercion: incoming rows CAST to the target
@@ -177,7 +195,10 @@ object LakeSql {
       * an unmergeable INT directory — a parse-side footgun no SQL
       * user expects. */
     private def alignTo(df: DataFrame, root: String): DataFrame = {
-      val tgt = LakeTable.read(spark, root).schema
+      val tgt = snapshot(root) match {
+        case Some(snap) => snap.schema
+        case None => return df
+      }
       val have = df.columns.toSet
       val casted = tgt.fields.filter(f => have.contains(f.name))
         .map(f => col(f.name).cast(f.dataType))
@@ -254,23 +275,36 @@ object LakeSql {
 
         case DeleteRe(name, cond) =>
           val root = tableRoot(name)
-          val r = LakeDml.deleteWhere(spark, root, expr(cond))
+          // stats pushdown for free: prune intervals derived from the
+          // WHERE conjuncts, kind-gated against the commit log — the
+          // SQL path's equivalent of the Scala API's prunePreds hints
+          val derived = LakeDml.derivePrunePreds(
+            spark.sessionState.sqlParser.parseExpression(cond))
+          val r = LakeDml.deleteWhere(spark, root, expr(cond),
+            candidateFilter =
+              ds => LakeDml.pruneByDerived(spark, root, ds, derived))
           report(spark, "delete", name.toLowerCase, r.version.getOrElse(-1L), r)
 
         case UpdateRe(name, rest) =>
           val root = tableRoot(name)
           val wIdx = topLevelKeyword(rest, "where")
-          val (setPart, cond) =
-            if (wIdx < 0) (rest, lit(true))
+          val (setPart, condText) =
+            if (wIdx < 0) (rest, None)
             else (rest.substring(0, wIdx),
-                  expr(rest.substring(wIdx + "where".length)))
+                  Some(rest.substring(wIdx + "where".length)))
+          val cond = condText.map(expr).getOrElse(lit(true))
           val set = splitTopLevel(setPart, ',').map {
             case SetItemRe(c, e) => c -> expr(e)
             case bad => sys.error(s"LakeSql: cannot parse SET item '$bad'")
           }
           require(set.map(_._1).distinct.size == set.size,
             "LakeSql: duplicate column in SET clause")
-          val r = LakeDml.updateWhere(spark, root, cond, set.toMap)
+          val derived = condText.map(t => LakeDml.derivePrunePreds(
+            spark.sessionState.sqlParser.parseExpression(t)))
+            .getOrElse(Seq.empty)
+          val r = LakeDml.updateWhere(spark, root, cond, set.toMap,
+            candidateFilter =
+              ds => LakeDml.pruneByDerived(spark, root, ds, derived))
           report(spark, "update", name.toLowerCase, r.version.getOrElse(-1L), r)
 
         case MergeRe(name, _, rest0) =>

@@ -109,6 +109,47 @@ class SqlDmlSpec extends SparkTestBase {
     assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 2L)
   }
 
+  test("derived pruning: SQL DELETE/UPDATE prune clustered directories from WHERE alone") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 4")
+    val del = s.exec("DELETE FROM t WHERE k < 10").head()
+    assert(del.getAs[Int]("active_dirs") == 4)
+    assert(del.getAs[Int]("candidate_dirs") < 4) // pruned, no hint given
+    assert(del.getAs[Long]("rows_deleted") == 10L)
+    val upd = s.exec("UPDATE t SET k = k + 1000 WHERE k >= 90").head()
+    assert(upd.getAs[Int]("candidate_dirs") < upd.getAs[Int]("active_dirs"))
+    assert(s.exec("SELECT count(*) AS n FROM t WHERE k >= 1000")
+      .as[Long].head() == 10L)
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 90L)
+  }
+
+  test("derived pruning is kind-gated: numeric literal never prunes string stats") {
+    val s = sess()
+    // lexicographic stats on v: min '25', max '9' — comparing the
+    // numeric literal against them would wrongly prune; the kind gate
+    // must keep every directory and the delete must see all rows
+    s.exec("CREATE TABLE t AS SELECT explode(array('9', '25', '7', '31')) AS v")
+    s.exec("OPTIMIZE t CLUSTER BY (v) BUCKETS 2")
+    val del = s.exec("DELETE FROM t WHERE v < 100").head()
+    assert(del.getAs[Int]("candidate_dirs") ==
+      del.getAs[Int]("active_dirs")) // nothing pruned
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 0L)
+    // an emptied table is still a table: SELECT sees the empty
+    // relation and INSERT brings it back
+    s.exec("INSERT INTO t SELECT 'z' AS v")
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 1L)
+  }
+
+  test("derived pruning handles IN lists and string equality") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 4")
+    val del = s.exec("DELETE FROM t WHERE k IN (1, 3, 5)").head()
+    assert(del.getAs[Int]("candidate_dirs") < 4)
+    assert(del.getAs[Long]("rows_deleted") == 3L)
+  }
+
   test("report: vacuum after optimize reclaims the superseded directories") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
