@@ -67,6 +67,15 @@ object OracleR22 {
         |FROM base WHERE key % 11 <> 5
         |ORDER BY snap""".stripMargin,
 
+    // If the MV rollup rewrite mis-derives any partial, this direct
+    // recompute from raw orders hash-fails it.
+    "mv_rewrite_rollup" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       max(o_custkey) AS cust_max
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Layout maintenance is content-neutral: post OPTIMIZE + VACUUM
     // the table still reads as the raw relation.
     "sql_optimize_vacuum" ->

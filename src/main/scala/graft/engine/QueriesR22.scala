@@ -134,6 +134,34 @@ object QueriesR22 {
         |SELECT 'v2' AS snap, count(*) AS n, sum(key) AS key_sum FROM ords
         |ORDER BY snap""".stripMargin)
 
+  /** Materialized-view rollup rewrite ([[Mv]]): a per-(status,
+    * priority) summary with (cnt, sum/min/max of custkey) partials is
+    * registered over the raw orders scan, and the key's query — a
+    * plain DataFrame aggregate BY STATUS ONLY over the BASE table —
+    * is answered by the optimizer from the summary via partial
+    * rollup (COUNT→SUM(cnt), SUM→SUM(sum), MAX→MAX(max)). The oracle
+    * recomputes from raw orders, so a rewrite that altered ANY value
+    * hash-fails; MvRewriteSpec gates that the rewrite actually FIRES
+    * (the optimized plan scans the MV files, not the base) and
+    * declines non-derivable shapes. */
+  def mvRewriteRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = orders(s, d)
+    val hash = ArtifactCache.artifactHash(
+      base.select("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .take(16)
+    val gcols = Seq("o_orderstatus", "o_orderpriority")
+    val acols = Seq("o_custkey")
+    val root = LakeFixtures.cached(s, "mv_orders", hash) { r =>
+      Mv.register(s, "orders_mv", base, gcols, acols, r)
+    }
+    Mv.register(s, "orders_mv", base, gcols, acols, root)
+    base.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"),
+           max("o_custkey").as("cust_max"))
+      .orderBy("o_orderstatus")
+  }
+
   /** OPTIMIZE + VACUUM as SQL text: re-cluster on key, reclaim the
     * pre-optimize directories, and prove the content is untouched —
     * the maintenance verbs are metadata/layout operations, never data

@@ -366,6 +366,9 @@ object Registry {
     "sql_merge_using"       -> QueriesR22.sqlMergeUsing _,
     "sql_time_travel"       -> QueriesR22.sqlTimeTravel _,
     "sql_optimize_vacuum"   -> QueriesR22.sqlOptimizeVacuum _,
+    // Round-16: materialized-view rollup rewrite (Mv) — the optimizer
+    // answers base-table aggregates from a registered summary
+    "mv_rewrite_rollup"     -> QueriesR22.mvRewriteRollup _,
   )
 
   val oracleSql: ListMap[String, String] =

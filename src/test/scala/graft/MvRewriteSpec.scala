@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{LakeTable, Mv}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Gates the [[Mv]] rollup rewrite in BOTH directions — the half the
+  * mv_rewrite_rollup oracle cannot see: the rewrite must actually
+  * FIRE on derivable aggregates (the optimized plan scans the MV
+  * files, not the base), and must DECLINE every non-derivable shape
+  * (filters under the aggregate, DISTINCT, AVG, unregistered
+  * relations) by leaving the plan untouched.
+  */
+class MvRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val baseDir = Files.createTempDirectory("graft_mv_base").toString
+  private val mvRoot = Files.createTempDirectory("graft_mv_sum").toString + "/mv"
+
+  private lazy val base: DataFrame = {
+    Seq(("a", "p1", 10L), ("a", "p1", 20L), ("a", "p2", 5L),
+        ("b", "p1", 7L), ("b", "p2", 100L), ("b", "p2", 1L))
+      .toDF("g1", "g2", "x").write.mode("overwrite").parquet(baseDir)
+    val df = spark.read.parquet(baseDir)
+    Mv.register(spark, "spec_mv", df, Seq("g1", "g2"), Seq("x"), mvRoot)
+    df
+  }
+
+  override def afterAll(): Unit = {
+    Mv.clear() // keep later suites' plans rewrite-free
+    super.afterAll()
+  }
+
+  private def scannedPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString.stripPrefix("file:"))
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+
+  test("rollup rewrite fires: subset group-by over the base scans only the MV") {
+    val q = base.groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+           min("x").as("mn"), max("x").as("mx"))
+      .orderBy("g1")
+    val paths = scannedPaths(q)
+    assert(paths.nonEmpty && paths.forall(_.startsWith(mvRoot)),
+      s"expected MV-only scan, got $paths")
+    val got = q.as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 35L, 5L, 20L), ("b", 3L, 108L, 1L, 100L)))
+  }
+
+  test("full group-by and SQL-text count(*) rewrite too") {
+    base.createOrReplaceTempView("mv_base_v")
+    val q = spark.sql(
+      "SELECT g1, g2, count(*) AS n FROM mv_base_v GROUP BY g1, g2")
+    assert(scannedPaths(q).forall(_.startsWith(mvRoot)))
+    assert(q.orderBy("g1", "g2").as[(String, String, Long)].collect().toSeq ==
+      Seq(("a", "p1", 2L), ("a", "p2", 1L),
+          ("b", "p1", 1L), ("b", "p2", 2L)))
+  }
+
+  test("declines non-derivable shapes, leaving the base scan in place") {
+    // a filter under the aggregate
+    val f = base.filter($"x" > 1L).groupBy("g1").agg(sum("x").as("sx"))
+    assert(scannedPaths(f).exists(_.startsWith(baseDir)))
+    // DISTINCT aggregate
+    val d = base.groupBy("g1").agg(countDistinct("x").as("nd"))
+    assert(scannedPaths(d).exists(_.startsWith(baseDir)))
+    // AVG is not in the rollup algebra (users spell it sum/count)
+    val a = base.groupBy("g1").agg(avg("x").as("ax"))
+    assert(scannedPaths(a).exists(_.startsWith(baseDir)))
+    // grouping by a column the MV does not group by
+    val g = base.groupBy("x").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(g).exists(_.startsWith(baseDir)))
+    // sum over a column the MV carries no partials for: g2 is a
+    // string — use a derived column instead to stay type-valid
+    val e = base.groupBy("g1").agg(sum($"x" * 2).as("sx2"))
+    assert(scannedPaths(e).exists(_.startsWith(baseDir)))
+    // and the declined plans still compute correctly
+    assert(f.orderBy("g1").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 35L), ("b", 107L)))
+  }
+
+  test("values survive a rule-off comparison") {
+    val q = base.groupBy("g2")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("g2")
+    val rewritten = q.as[(String, Long, Long)].collect().toSeq
+    Mv.clear()
+    try {
+      val plain = base.groupBy("g2")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("g2")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rewritten == plain)
+    } finally Mv.register(spark, "spec_mv", base, Seq("g1", "g2"),
+      Seq("x"), mvRoot)
+  }
+
+  test("the registry key's own plan is answered from the MV artifact") {
+    val df = graft.engine.Registry.queries("mv_rewrite_rollup")(spark, sfDir)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains("mv_orders")),
+      s"mv_rewrite_rollup should scan only the mv_orders artifact, got $paths")
+  }
+
+  test("MV summary itself is sane") {
+    val mv = LakeTable.read(spark, mvRoot)
+    assert(mv.count() == 4)
+    assert(mv.columns.toSet ==
+      Set("g1", "g2", "cnt", "sum_x", "min_x", "max_x"))
+  }
+}
