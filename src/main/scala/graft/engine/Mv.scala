@@ -48,10 +48,14 @@ object Mv {
 
   /** A registered summary: `mvPlan` is the analyzed read of the MV
     * table; `mvAttrs` its output by name (cnt, sum_<c>, min_<c>,
-    * max_<c>, and the group columns under their base names). */
+    * max_<c>, hll_<c>, and the group columns under their base
+    * names). `root` is the MV's lake table (refresh rewrites it). */
   case class MvDef(name: String, basePaths: Set[String],
-                   groupCols: Set[String], aggCols: Set[String],
-                   mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute])
+                   groupCols: Seq[String], aggCols: Seq[String],
+                   hllCols: Seq[String], root: String,
+                   mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute]) {
+    def isGroupCol(n: String): Boolean = groupCols.contains(n)
+  }
 
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
@@ -68,18 +72,27 @@ object Mv {
     }
   }.flatten.toSet
 
+  private def partialCols(groupCols: Seq[String], aggCols: Seq[String],
+                          hllCols: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("cnt") +:
+      (aggCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+                                min(col(c)).as(s"min_$c"),
+                                max(col(c)).as(s"max_$c"))) ++
+       hllCols.map(c => expr(s"hll_sketch($c)").as(s"hll_$c")))
+
   /** Materialize (once, content-addressed by the caller's root) and
     * register the summary of `base` grouped by `groupCols` carrying
-    * rollup partials for each of `aggCols`, then arm the rewrite rule
-    * on this session. Idempotent per (session, name). */
+    * rollup partials for each of `aggCols` (and order-independent HLL
+    * sketch partials for each of `hllCols` — byte-identical under any
+    * re-grouping, so sketch rollup is EXACT over sketch values, the
+    * §2.3 dividend), then arm the rewrite rule on this session.
+    * Idempotent per (session, name). */
   def register(spark: SparkSession, name: String, base: DataFrame,
                groupCols: Seq[String], aggCols: Seq[String],
-               root: String): Unit = {
+               root: String, hllCols: Seq[String] = Nil): Unit = {
+    Hll.register(spark)
     if (LakeTable.latestVersion(spark, root).isEmpty) {
-      val partials = count(lit(1)).as("cnt") +:
-        aggCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
-                                 min(col(c)).as(s"min_$c"),
-                                 max(col(c)).as(s"max_$c")))
+      val partials = partialCols(groupCols, aggCols, hllCols)
       LakeTable.append(
         base.groupBy(groupCols.map(col): _*)
           .agg(partials.head, partials.tail: _*), root)
@@ -88,12 +101,43 @@ object Mv {
     val plan = mvDf.queryExecution.analyzed
     defs.put(name, MvDef(name,
       rootPathsOf(base.queryExecution.analyzed),
-      groupCols.toSet, aggCols.toSet, plan,
+      groupCols, aggCols, hllCols, root, plan,
       plan.output.map(a => a.name -> a).toMap))
     if (!spark.experimental.extraOptimizations.exists(
           _.isInstanceOf[MvRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new MvRewrite
+  }
+
+  /** Incremental refresh for an APPEND-ONLY base: fold `delta`'s
+    * partials into the summary (cnt/sum additive, min/max monotone
+    * under inserts, HLL unions — all exact for inserts; a base that
+    * deletes or updates rows needs a full re-register, which is why
+    * this takes the delta explicitly instead of diffing) and commit
+    * the folded summary as ONE new MV version, then re-register
+    * against `newBase` (whose file set has grown — the lake read's
+    * current snapshot). A query planned before the refresh keeps the
+    * old MV plan; one planned after sees the new version — the same
+    * snapshot semantics every lake read has. */
+  def refresh(spark: SparkSession, name: String, newBase: DataFrame,
+              delta: DataFrame): Unit = {
+    val d = Option(defs.get(name)).getOrElse(
+      sys.error(s"Mv.refresh: no registered MV named '$name'"))
+    Hll.register(spark)
+    val partials = partialCols(d.groupCols, d.aggCols, d.hllCols)
+    val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val folds = sum(col("cnt")).as("cnt") +:
+      (d.aggCols.flatMap(c => Seq(sum(col(s"sum_$c")).as(s"sum_$c"),
+                                  min(col(s"min_$c")).as(s"min_$c"),
+                                  max(col(s"max_$c")).as(s"max_$c"))) ++
+       d.hllCols.map(c => expr(s"hll_merge(hll_$c)").as(s"hll_$c")))
+    val folded = LakeTable.read(spark, d.root).unionByName(deltaSum)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(folds.head, folds.tail: _*)
+    LakeTable.rewrite(folded, d.root)
+    register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
+             d.hllCols)
   }
 
   /** Drop every registered MV (test isolation). */
@@ -111,42 +155,101 @@ object Mv {
           tryRewrite(ges, aes, child).getOrElse(agg)
       }
 
-    /** Unwrap attribute-only Projects down to the base relation,
-      * returning (matched MvDef, exprId → file-column name). A
-      * Project item that is anything but an AttributeReference or an
-      * Alias of one aborts the match. */
+    /** Unwrap attribute-only Projects and Filters down to the base
+      * relation, returning (matched MvDef, exprId → file-column name,
+      * collected filter conditions). A Project item that is anything
+      * but an AttributeReference or an Alias of one aborts the match;
+      * Filters pass through with their condition collected — whether
+      * the condition is SERVABLE (references only group columns) is
+      * [[tryRewrite]]'s decision, made against the final name map. */
     private def baseMatch(child: LogicalPlan)
-        : Option[(MvDef, Map[ExprId, String])] = child match {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          val paths = fs.location.rootPaths.map(_.toString).toSet
-          registered.find(_.basePaths == paths).map { d =>
-            (d, lr.output.map(a => a.exprId -> a.name).toMap)
+        : Option[(Seq[MvDef], Map[ExprId, String], Seq[Expression])] =
+      child match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.map(_.toString).toSet
+            val ds = registered.filter(_.basePaths == paths)
+            if (ds.isEmpty) None
+            else Some((ds, lr.output.map(a => a.exprId -> a.name).toMap,
+                       Seq.empty))
+          case _ => None
+        }
+        case Project(items, inner) =>
+          baseMatch(inner).flatMap { case (d, under, fs) =>
+            val mapped = items.map {
+              case a: AttributeReference =>
+                under.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                under.get(a.exprId).map(al.exprId -> _)
+              case _ => None
+            }
+            if (mapped.forall(_.isDefined))
+              // keep BOTH layers' ids live: a collected filter below
+              // this Project references the underlying ids
+              Some((d, under ++ mapped.flatten.toMap, fs))
+            else None
+          }
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, inner) =>
+          baseMatch(inner).map { case (d, under, fs) =>
+            (d, under, fs :+ cond)
           }
         case _ => None
       }
-      case Project(items, inner) =>
-        baseMatch(inner).flatMap { case (d, under) =>
-          val mapped = items.map {
-            case a: AttributeReference =>
-              under.get(a.exprId).map(a.exprId -> _)
-            case al @ Alias(a: AttributeReference, _) =>
-              under.get(a.exprId).map(al.exprId -> _)
-            case _ => None
-          }
-          if (mapped.forall(_.isDefined))
-            Some((d, mapped.flatten.toMap))
-          else None
-        }
-      case _ => None
-    }
 
+    /** Several MVs may summarize the same base (different partials) —
+      * the first candidate whose algebra covers the query wins. */
     private def tryRewrite(ges: Seq[Expression], aes: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-      val (mv, names) = baseMatch(child) match {
+      val (candidates, names, filters) = baseMatch(child) match {
         case Some(x) => x
         case None => return None
       }
+      candidates.iterator.flatMap(attempt(_, names, filters, ges, aes))
+        .buffered.headOption
+    }
+
+    /** Roll ONE aggregate call onto `mv`'s partials, or None if its
+      * algebra cannot (DISTINCT, FILTER clauses, non-column inputs,
+      * unregistered functions). */
+    private def rollup(mv: MvDef, names: Map[ExprId, String],
+                       ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      def mvAttr(n: String): Attribute = mv.mvAttrs(n)
+      def partial(child: Expression, cols: Seq[String],
+                  prefix: String): Option[Attribute] = child match {
+        case a: AttributeReference =>
+          names.get(a.exprId).filter(cols.contains)
+            .map(n => mvAttr(s"$prefix$n"))
+        case _ => None
+      }
+      ae.aggregateFunction match {
+        case c: Count if c.children == Seq(Literal(1)) =>
+          Some(Sum(mvAttr("cnt")).toAggregateExpression())
+        case s: Sum =>
+          partial(s.child, mv.aggCols, "sum_")
+            .map(Sum(_).toAggregateExpression())
+        case m: Min =>
+          partial(m.child, mv.aggCols, "min_")
+            .map(Min(_).toAggregateExpression())
+        case m: Max =>
+          partial(m.child, mv.aggCols, "max_")
+            .map(Max(_).toAggregateExpression())
+        // HLL sketch rollup: register-max union is associative and
+        // commutative, so merging per-group partials is BYTE-IDENTICAL
+        // to sketching the raw rows (the order-independence the sketch
+        // family is built on) — exact over sketch values, never a new
+        // approximation. NOTE: Spark 4's aggregate._ wildcard also
+        // exports a datasketches HllSketchAgg — qualify the engine's.
+        case h: graft.engine.HllSketchAgg =>
+          partial(h.child, mv.hllCols, "hll_")
+            .map(graft.engine.HllMergeAgg(_).toAggregateExpression())
+        case _ => None
+      }
+    }
+
+    private def attempt(mv: MvDef, names: Map[ExprId, String],
+                        filters: Seq[Expression], ges: Seq[Expression],
+                        aes: Seq[NamedExpression]): Option[LogicalPlan] = {
       // every grouping expression must be a base column the MV groups by
       val groupNames: Map[ExprId, String] = ges.map {
         case a: AttributeReference =>
@@ -157,45 +260,55 @@ object Mv {
         case _ => return None
       }.toMap
       def mvAttr(n: String): Attribute = mv.mvAttrs(n)
+      // filters are servable iff every referenced column is an MV
+      // group column — the partials already aggregate WITHIN a group,
+      // so a group-column predicate selects whole groups; a predicate
+      // on any other column would need pre-aggregation rows (decline)
+      val remappedFilter: Option[Expression] = {
+        val servable = filters.forall(_.references.forall(a =>
+          names.get(a.exprId).exists(mv.isGroupCol)))
+        if (!servable) return None
+        filters.reduceOption(And).map(_.transform {
+          case a: AttributeReference => mvAttr(names(a.exprId))
+        })
+      }
       val newAes: Seq[NamedExpression] = aes.map {
         case a: AttributeReference if groupNames.contains(a.exprId) =>
           Alias(mvAttr(groupNames(a.exprId)), a.name)(exprId = a.exprId)
-        case al @ Alias(ae: AggregateExpression, name)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          val rolled: Expression = ae.aggregateFunction match {
-            case c: Count if c.children == Seq(Literal(1)) =>
-              Sum(mvAttr("cnt")).toAggregateExpression()
-            case s: Sum => s.child match {
-              case a: AttributeReference
-                  if names.get(a.exprId).exists(mv.aggCols.contains) =>
-                Sum(mvAttr(s"sum_${names(a.exprId)}"))
-                  .toAggregateExpression()
-              case _ => return None
-            }
-            case m: Min => m.child match {
-              case a: AttributeReference
-                  if names.get(a.exprId).exists(mv.aggCols.contains) =>
-                Min(mvAttr(s"min_${names(a.exprId)}"))
-                  .toAggregateExpression()
-              case _ => return None
-            }
-            case m: Max => m.child match {
-              case a: AttributeReference
-                  if names.get(a.exprId).exists(mv.aggCols.contains) =>
-                Max(mvAttr(s"max_${names(a.exprId)}"))
-                  .toAggregateExpression()
-              case _ => return None
-            }
-            case _ => return None
+        case al @ Alias(body, name) =>
+          // roll every EMBEDDED aggregate call (hll_estimate(
+          // hll_sketch(x)), sum(x)/count(*) arithmetic, …) and keep
+          // the surrounding scalar expression; grouping-attr refs in
+          // the scalar part remap to MV group attrs
+          var ok = true
+          var sawRollable = false
+          val rolledBody = body.transformUp {
+            case ae: AggregateExpression =>
+              rollup(mv, names, ae) match {
+                case Some(x) => sawRollable = true; x
+                case None => ok = false; ae
+              }
+            case a: AttributeReference if groupNames.contains(a.exprId) =>
+              sawRollable = true; mvAttr(groupNames(a.exprId))
           }
+          if (!ok || !sawRollable) return None
+          // every surviving reference must resolve against the MV plan
+          // (a non-group, non-aggregated base attr would dangle)
+          if (!rolledBody.references.subsetOf(
+                AttributeSet(mv.mvPlan.output))) return None
           // types must agree exactly, or attribute binding above the
           // aggregate would silently change — decline instead
-          if (rolled.dataType != al.dataType) return None
-          Alias(rolled, name)(exprId = al.exprId)
+          if (rolledBody.dataType != al.dataType) return None
+          Alias(rolledBody, name)(exprId = al.exprId)
         case _ => return None
       }
       val newGes = groupNames.values.toSeq.distinct.map(mvAttr)
-      Some(Aggregate(newGes, newAes, mv.mvPlan))
+      val newChild = remappedFilter match {
+        case Some(f) =>
+          org.apache.spark.sql.catalyst.plans.logical.Filter(f, mv.mvPlan)
+        case None => mv.mvPlan
+      }
+      Some(Aggregate(newGes, newAes, newChild))
     }
   }
 }

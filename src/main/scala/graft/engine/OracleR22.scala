@@ -76,6 +76,15 @@ object OracleR22 {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // The refreshed MV must equal a from-scratch recompute over the
+    // full corpus — any lost/double-counted delta row hash-fails.
+    "mv_rewrite_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       min(o_custkey) AS cust_min
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // Layout maintenance is content-neutral: post OPTIMIZE + VACUUM
     // the table still reads as the raw relation.
     "sql_optimize_vacuum" ->

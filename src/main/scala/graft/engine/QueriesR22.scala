@@ -162,6 +162,41 @@ object QueriesR22 {
       .orderBy("o_orderstatus")
   }
 
+  /** The MV under INGEST: the base is a lake table that GROWS (batch
+    * 0 = low orderkeys, then the rest appends), and the summary is
+    * maintained by [[Mv.refresh]] — an O(groups) partial fold (cnt/sum
+    * additive, min/max monotone under inserts, HLL unions), never a
+    * base rescan. The key's aggregate over the CURRENT base snapshot
+    * is served from the refreshed MV (MvRewriteSpec gates the plan);
+    * the oracle recomputes from ALL raw orders, so a fold that lost
+    * or double-counted any delta row hash-fails. */
+  def mvRewriteIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    val gcols = Seq("o_orderpriority")
+    val acols = Seq("o_custkey")
+    def reg(r: String): Unit =
+      Mv.register(s, "orders_mv_inc", LakeTable.read(s, s"$r/base"),
+        gcols, acols, s"$r/mv", hllCols = acols)
+    val hash = ArtifactCache.artifactHash(all).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_inc", hash) { r =>
+      val delta = all.filter(col("o_orderkey") >= 20000)
+      LakeTable.append(all.filter(col("o_orderkey") < 20000), s"$r/base")
+      reg(r)
+      LakeTable.append(delta, s"$r/base")
+      Mv.refresh(s, "orders_mv_inc", LakeTable.read(s, s"$r/base"), delta)
+    }
+    // (re-)register against the cached tree's final paths — on a
+    // build, the in-flight registration pointed at the scratch dir
+    reg(root)
+    LakeTable.read(s, s"$root/base")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"),
+           min("o_custkey").as("cust_min"))
+      .orderBy("o_orderpriority")
+  }
+
   /** OPTIMIZE + VACUUM as SQL text: re-cluster on key, reclaim the
     * pre-optimize directories, and prove the content is untouched —
     * the maintenance verbs are metadata/layout operations, never data

@@ -369,6 +369,7 @@ object Registry {
     // Round-16: materialized-view rollup rewrite (Mv) — the optimizer
     // answers base-table aggregates from a registered summary
     "mv_rewrite_rollup"     -> QueriesR22.mvRewriteRollup _,
+    "mv_rewrite_incremental" -> QueriesR22.mvRewriteIncremental _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -102,11 +102,87 @@ class MvRewriteSpec extends SparkTestBase {
       Seq("x"), mvRoot)
   }
 
+  test("filter-aware: a predicate on group columns is served from the MV") {
+    val q = base.filter($"g1" === "a")
+      .groupBy("g2").agg(sum("x").as("sx")).orderBy("g2")
+    val paths = scannedPaths(q)
+    assert(paths.nonEmpty && paths.forall(_.startsWith(mvRoot)),
+      s"group-column filter should be servable, got $paths")
+    assert(q.as[(String, Long)].collect().toSeq ==
+      Seq(("p1", 30L), ("p2", 5L)))
+    // a predicate on the AGG column needs pre-aggregation rows: decline
+    val d = base.filter($"x" > 5L).groupBy("g1").agg(sum("x").as("sx"))
+    assert(scannedPaths(d).exists(_.startsWith(baseDir)))
+    assert(d.orderBy("g1").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 30L), ("b", 107L)))
+  }
+
+  test("HLL sketch rollup is byte-exact: merged partials equal the raw sketch") {
+    graft.engine.Hll.register(spark)
+    val hllRoot =
+      Files.createTempDirectory("graft_mv_hll").toString + "/mv"
+    Mv.register(spark, "spec_mv_hll", base, Seq("g1", "g2"), Seq("x"),
+      hllRoot, hllCols = Seq("x"))
+    val q = base.groupBy("g1")
+      .agg(expr("hll_estimate(hll_sketch(x))").as("nd"))
+      .orderBy("g1")
+    assert(scannedPaths(q).forall(_.startsWith(hllRoot)))
+    val got = q.as[(String, Long)].collect().toSeq
+    Mv.clear()
+    val plain = base.groupBy("g1")
+      .agg(expr("hll_estimate(hll_sketch(x))").as("nd"))
+      .orderBy("g1").as[(String, Long)].collect().toSeq
+    // byte-identical sketches → identical estimates, not just close
+    assert(got == plain)
+    Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
+  }
+
+  test("incremental refresh folds an append-only delta exactly") {
+    val dir2 = Files.createTempDirectory("graft_mv_base2").toString
+    val r2 = Files.createTempDirectory("graft_mv_sum2").toString + "/mv"
+    Seq(("a", "p1", 1L), ("b", "p1", 2L)).toDF("g1", "g2", "x")
+      .write.mode("overwrite").parquet(dir2)
+    val b0 = spark.read.parquet(dir2)
+    Mv.register(spark, "spec_mv_inc", b0, Seq("g1", "g2"), Seq("x"), r2,
+      hllCols = Seq("x"))
+    // the base grows: new files in the same root path set
+    val delta = Seq(("a", "p2", 10L), ("c", "p1", 7L), ("a", "p1", 1L))
+      .toDF("g1", "g2", "x")
+    delta.write.mode("append").parquet(dir2)
+    Mv.refresh(spark, "spec_mv_inc", spark.read.parquet(dir2), delta)
+    val q = spark.read.parquet(dir2).groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+           min("x").as("mn"), max("x").as("mx"),
+           expr("hll_estimate(hll_sketch(x))").as("nd"))
+      .orderBy("g1")
+    assert(scannedPaths(q).forall(_.startsWith(r2)))
+    val got = q.as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("a", 3L, 12L, 1L, 10L), ("b", 1L, 2L, 2L, 2L),
+          ("c", 1L, 7L, 7L, 7L)))
+    // the HLL leg: byte-exact vs a raw recompute with the rule off
+    Mv.clear()
+    val plain = spark.read.parquet(dir2).groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+           min("x").as("mn"), max("x").as("mx"),
+           expr("hll_estimate(hll_sketch(x))").as("nd"))
+      .orderBy("g1")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == plain)
+    Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
+  }
+
   test("the registry key's own plan is answered from the MV artifact") {
     val df = graft.engine.Registry.queries("mv_rewrite_rollup")(spark, sfDir)
     val paths = scannedPaths(df)
     assert(paths.nonEmpty && paths.forall(_.contains("mv_orders")),
       s"mv_rewrite_rollup should scan only the mv_orders artifact, got $paths")
+    val inc =
+      graft.engine.Registry.queries("mv_rewrite_incremental")(spark, sfDir)
+    val ipaths = scannedPaths(inc)
+    assert(ipaths.nonEmpty &&
+      ipaths.forall(p => p.contains("mv_orders_inc") && p.contains("/mv/")),
+      s"mv_rewrite_incremental should scan only the refreshed MV, got $ipaths")
   }
 
   test("MV summary itself is sane") {
