@@ -147,6 +147,66 @@ object LakeSql {
 
   final class Session(val spark: SparkSession, val scratchRoot: String) {
     private val roots = mutable.LinkedHashMap[String, String]()
+    private val mvBases = mutable.LinkedHashMap[String, String]()
+
+    /** Derive an [[Mv]] spec from `CREATE MATERIALIZED VIEW`'s SELECT:
+      * the statement must be a single-table rollup —
+      * `SELECT <group cols and partials> FROM <attached table> GROUP
+      * BY <cols>` where every aggregate is count(*) / sum / min /
+      * max / hll_sketch over a plain column. Anything else errors
+      * loudly: an MV whose shape the rewrite could never serve is a
+      * user mistake, not something to accept silently. Returns
+      * (base table, group cols, rollup cols, hll cols). */
+    private def parseMvSpec(select: String)
+        : (String, Seq[String], Seq[String], Seq[String]) = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
+        UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation,
+        UnresolvedStar}
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
+        Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      def attr(e: Expression): String = e match {
+        case u: UnresolvedAttribute => u.nameParts.last.toLowerCase
+        case o => sys.error(s"LakeSql MV: expected a plain column, got $o")
+      }
+      val acc = mutable.LinkedHashSet[String]()
+      val hll = mutable.LinkedHashSet[String]()
+      def handleFn(f: UnresolvedFunction): Unit =
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("count", Seq(_: UnresolvedStar)) => ()
+          case ("count", Seq(Literal(1, _))) => ()
+          case ("sum" | "min" | "max", Seq(a)) => acc += attr(a)
+          case ("hll_sketch", Seq(a)) => hll += attr(a)
+          case (n, _) => sys.error(
+            s"LakeSql MV: '$n' is not in the rollup algebra " +
+              "(count(*), sum, min, max, hll_sketch over a column)")
+        }
+      spark.sessionState.sqlParser.parsePlan(select) match {
+        case Aggregate(ges, aes, rel: UnresolvedRelation, _) =>
+          val g = ges.map(attr)
+          aes.foreach {
+            case ua: UnresolvedAlias => ua.child match {
+              case f: UnresolvedFunction => handleFn(f)
+              case a: UnresolvedAttribute => require(
+                g.contains(attr(a)),
+                s"LakeSql MV: non-grouped column ${attr(a)}")
+              case o => sys.error(s"LakeSql MV: unsupported select item $o")
+            }
+            case al: Alias => al.child match {
+              case f: UnresolvedFunction => handleFn(f)
+              case o => sys.error(s"LakeSql MV: unsupported select item $o")
+            }
+            case a: UnresolvedAttribute => require(g.contains(attr(a)),
+              s"LakeSql MV: non-grouped column ${attr(a)}")
+            case o => sys.error(s"LakeSql MV: unsupported select item $o")
+          }
+          (rel.multipartIdentifier.last.toLowerCase, g, acc.toSeq,
+           hll.toSeq)
+        case o => sys.error(
+          "LakeSql MV: the SELECT must be a single-table GROUP BY " +
+            s"rollup, got ${o.getClass.getSimpleName}")
+      }
+    }
 
     /** Attach an EXISTING lake table under `name`. */
     def attach(name: String, root: String): this.type = {
@@ -229,6 +289,10 @@ object LakeSql {
       })
     }
 
+    private val CreateMvRe =
+      "(?is)^create\\s+materialized\\s+view\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s+(.+)$".r
+    private val RefreshMvRe =
+      "(?is)^refresh\\s+materialized\\s+view\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     private val CreateRe =
       "(?is)^create\\s+table\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s+(.+)$".r
     private val InsertRe =
@@ -255,6 +319,27 @@ object LakeSql {
     def exec(stmt0: String): DataFrame = {
       val stmt = stmt0.trim
       stmt match {
+        case CreateMvRe(name0, select) =>
+          val name = name0.toLowerCase
+          val (baseName, gcols, acols, hcols) = parseMvSpec(select)
+          val broot = tableRoot(baseName)
+          refreshViews()
+          val baseDf = snapshot(broot).getOrElse(
+            sys.error(s"LakeSql: MV base '$baseName' has no data"))
+          Mv.register(spark, name, baseDf, gcols, acols,
+            s"$scratchRoot/__mv_$name", hcols)
+          mvBases(name) = baseName
+          report(spark, "create_mv", name, 0L, emptyReport)
+
+        case RefreshMvRe(name0) =>
+          val name = name0.toLowerCase
+          val baseName = mvBases.getOrElse(name,
+            sys.error(s"LakeSql: unknown materialized view '$name'"))
+          refreshViews()
+          Mv.rebuild(spark, name, snapshot(tableRoot(baseName)).getOrElse(
+            sys.error(s"LakeSql: MV base '$baseName' has no data")))
+          report(spark, "refresh_mv", name, 0L, emptyReport)
+
         case CreateRe(name0, select) =>
           val name = name0.toLowerCase
           require(!roots.contains(name),

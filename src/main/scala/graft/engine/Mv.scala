@@ -51,6 +51,7 @@ object Mv {
     * max_<c>, hll_<c>, and the group columns under their base
     * names). `root` is the MV's lake table (refresh rewrites it). */
   case class MvDef(name: String, basePaths: Set[String],
+                   baseFiles: Set[String],
                    groupCols: Seq[String], aggCols: Seq[String],
                    hllCols: Seq[String], root: String,
                    mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute]) {
@@ -68,6 +69,13 @@ object Mv {
   private def rootPathsOf(plan: LogicalPlan): Set[String] = plan.collect {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    }
+  }.flatten.toSet
+
+  private def inputFilesOf(plan: LogicalPlan): Set[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
       case _ => Seq.empty
     }
   }.flatten.toSet
@@ -99,8 +107,9 @@ object Mv {
     }
     val mvDf = LakeTable.read(spark, root)
     val plan = mvDf.queryExecution.analyzed
+    val analyzedBase = base.queryExecution.analyzed
     defs.put(name, MvDef(name,
-      rootPathsOf(base.queryExecution.analyzed),
+      rootPathsOf(analyzedBase), inputFilesOf(analyzedBase),
       groupCols, aggCols, hllCols, root, plan,
       plan.output.map(a => a.name -> a).toMap))
     if (!spark.experimental.extraOptimizations.exists(
@@ -140,6 +149,23 @@ object Mv {
              d.hllCols)
   }
 
+  /** Full recompute against the current base — the repair for any
+    * base change [[refresh]]'s inserts-only fold cannot express
+    * (deletes, updates, rewrites): re-aggregate from scratch, commit
+    * as one new MV version, re-register against the new file set. */
+  def rebuild(spark: SparkSession, name: String,
+              newBase: DataFrame): Unit = {
+    val d = Option(defs.get(name)).getOrElse(
+      sys.error(s"Mv.rebuild: no registered MV named '$name'"))
+    Hll.register(spark)
+    val partials = partialCols(d.groupCols, d.aggCols, d.hllCols)
+    LakeTable.rewrite(
+      newBase.groupBy(d.groupCols.map(col): _*)
+        .agg(partials.head, partials.tail: _*), d.root)
+    register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
+             d.hllCols)
+  }
+
   /** Drop every registered MV (test isolation). */
   def clear(): Unit = defs.clear()
 
@@ -168,7 +194,13 @@ object Mv {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
             val paths = fs.location.rootPaths.map(_.toString).toSet
-            val ds = registered.filter(_.basePaths == paths)
+            // staleness guard: the FILE SET must equal registration's,
+            // not just the root paths — files appended to the same
+            // directory after registration make the MV stale, and the
+            // correct failure mode is "no rewrite", never "old answer"
+            lazy val files = fs.location.inputFiles.toSet
+            val ds = registered.filter(d =>
+              d.basePaths == paths && d.baseFiles == files)
             if (ds.isEmpty) None
             else Some((ds, lr.output.map(a => a.exprId -> a.name).toMap,
                        Seq.empty))

@@ -85,6 +85,15 @@ object OracleR22 {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // CTAS(<20000) + INSERT(rest) = all orders; the final aggregate
+    // (post-REFRESH, served from the MV) must equal the raw recompute.
+    "sql_create_mv" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       max(o_custkey) AS cust_max
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY st""".stripMargin,
+
     // Layout maintenance is content-neutral: post OPTIMIZE + VACUUM
     // the table still reads as the raw relation.
     "sql_optimize_vacuum" ->

@@ -197,6 +197,39 @@ object QueriesR22 {
       .orderBy("o_orderpriority")
   }
 
+  /** The full SQL MV loop in one session: CTAS a lake table, CREATE
+    * MATERIALIZED VIEW (spec derived from the parsed SELECT), grow the
+    * base with INSERT — at which point the staleness guard stops the
+    * rewrite rather than serve the old summary — REFRESH, and run a
+    * final aggregate that is once again answered from the MV.
+    * Deliberately UNCACHED (fresh scratch per call): the statement
+    * flow IS what's under test, and a cache hit would skip the
+    * registration the rewrite needs. The oracle recomputes the final
+    * SELECT from raw orders; SqlDmlSpec gates the serve/decline/serve
+    * plan sequence. */
+  def sqlCreateMv(s: SparkSession, d: String): DataFrame = {
+    graft.Sql.register(s, d)
+    val sess = new LakeSql.Session(s,
+      java.nio.file.Files.createTempDirectory("graft_sqlmv").toString)
+    sess.script(
+      """CREATE TABLE ordsmv AS
+        |  SELECT o_orderkey AS key, o_orderstatus AS st,
+        |         o_custkey AS cust
+        |  FROM orders WHERE o_orderkey < 20000;
+        |CREATE MATERIALIZED VIEW ords_summary AS
+        |  SELECT st, count(*) AS cnt, sum(cust) AS sum_cust,
+        |         min(cust) AS min_cust, max(cust) AS max_cust
+        |  FROM ordsmv GROUP BY st;
+        |INSERT INTO ordsmv
+        |  SELECT o_orderkey AS key, o_orderstatus AS st,
+        |         o_custkey AS cust
+        |  FROM orders WHERE o_orderkey >= 20000;
+        |REFRESH MATERIALIZED VIEW ords_summary;
+        |SELECT st, count(*) AS n, sum(cust) AS cust_sum,
+        |       max(cust) AS cust_max
+        |FROM ordsmv GROUP BY st ORDER BY st""".stripMargin)
+  }
+
   /** OPTIMIZE + VACUUM as SQL text: re-cluster on key, reclaim the
     * pre-optimize directories, and prove the content is untouched —
     * the maintenance verbs are metadata/layout operations, never data

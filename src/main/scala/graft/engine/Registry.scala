@@ -370,6 +370,7 @@ object Registry {
     // answers base-table aggregates from a registered summary
     "mv_rewrite_rollup"     -> QueriesR22.mvRewriteRollup _,
     "mv_rewrite_incremental" -> QueriesR22.mvRewriteIncremental _,
+    "sql_create_mv"         -> QueriesR22.sqlCreateMv _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -172,6 +172,22 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
   }
 
+  test("staleness guard: files appended after registration stop the rewrite") {
+    val dir3 = Files.createTempDirectory("graft_mv_base3").toString
+    val r3 = Files.createTempDirectory("graft_mv_sum3").toString + "/mv"
+    Seq(("a", "p1", 1L)).toDF("g1", "g2", "x")
+      .write.mode("overwrite").parquet(dir3)
+    Mv.register(spark, "spec_mv_stale", spark.read.parquet(dir3),
+      Seq("g1", "g2"), Seq("x"), r3)
+    Seq(("a", "p1", 100L)).toDF("g1", "g2", "x")
+      .write.mode("append").parquet(dir3)
+    // the base grew without a refresh: the rewrite must DECLINE (fresh
+    // file listing ≠ registered file set) and the answer stays correct
+    val q = spark.read.parquet(dir3).groupBy("g1").agg(sum("x").as("sx"))
+    assert(scannedPaths(q).exists(_.startsWith(dir3)))
+    assert(q.as[(String, Long)].head() == ("a", 101L))
+  }
+
   test("the registry key's own plan is answered from the MV artifact") {
     val df = graft.engine.Registry.queries("mv_rewrite_rollup")(spark, sfDir)
     val paths = scannedPaths(df)

@@ -150,6 +150,45 @@ class SqlDmlSpec extends SparkTestBase {
     assert(del.getAs[Long]("rows_deleted") == 3L)
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW: serve, go stale on DML, serve again") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString.stripPrefix("file:"))
+          case _ => Seq.empty
+        }
+      }.flatten.toSet
+    val s = sess()
+    try {
+      s.exec("CREATE TABLE t AS SELECT id AS k, " +
+        "CAST(id % 4 AS STRING) AS grp FROM range(100)")
+      s.exec("CREATE MATERIALIZED VIEW t_sum AS SELECT grp, " +
+        "count(*) AS c, sum(k) AS s FROM t GROUP BY grp")
+      val q1 = s.exec("SELECT grp, sum(k) AS s FROM t GROUP BY grp ORDER BY grp")
+      assert(scanned(q1).forall(_.contains("__mv_t_sum")))
+      assert(q1.as[(String, Long)].collect().toSeq ==
+        Seq("0" -> 1200L, "1" -> 1225L, "2" -> 1250L, "3" -> 1275L))
+      // DML makes the MV stale: the rewrite must DECLINE, not serve old
+      s.exec("DELETE FROM t WHERE k >= 50")
+      val q2 = s.exec("SELECT grp, sum(k) AS s FROM t GROUP BY grp ORDER BY grp")
+      assert(!scanned(q2).exists(_.contains("__mv_t_sum")))
+      assert(q2.as[(String, Long)].collect().toSeq ==
+        Seq("0" -> 312L, "1" -> 325L, "2" -> 288L, "3" -> 300L))
+      // REFRESH rebuilds from the current snapshot: served again
+      s.exec("REFRESH MATERIALIZED VIEW t_sum")
+      val q3 = s.exec("SELECT grp, sum(k) AS s FROM t GROUP BY grp ORDER BY grp")
+      assert(scanned(q3).forall(_.contains("__mv_t_sum")))
+      assert(q3.as[(String, Long)].collect().toSeq ==
+        q2.as[(String, Long)].collect().toSeq)
+      // a malformed MV spec errors loudly
+      intercept[RuntimeException](s.exec(
+        "CREATE MATERIALIZED VIEW bad AS SELECT grp, avg(k) AS a " +
+          "FROM t GROUP BY grp"))
+    } finally graft.engine.Mv.clear()
+  }
+
   test("report: vacuum after optimize reclaims the superseded directories") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
