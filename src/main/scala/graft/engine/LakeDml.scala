@@ -653,7 +653,10 @@ object LakeDml {
       val dels = spark.read
         .parquet(files.map(_._1).map(d => s"$root/$d"): _*)
         .select(col(keyCol)).distinct()
-      df.join(broadcast(dels), Seq(keyCol), "left_anti")
+      // size-gated, not unconditional: the tombstone key set is
+      // O(delete list), usually tiny but not bounded by construction —
+      // past the gate the anti join is AQE's call (shuffle, no OOM)
+      df.join(Ops.broadcastIfSmall(dels, dels), Seq(keyCol), "left_anti")
     }
   }
 

@@ -175,7 +175,7 @@ object LakeSql {
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => ()
           case ("count", Seq(Literal(1, _))) => ()
-          case ("sum" | "min" | "max", Seq(a)) => acc += attr(a)
+          case ("sum" | "min" | "max" | "count", Seq(a)) => acc += attr(a)
           case ("hll_sketch", Seq(a)) => hll += attr(a)
           case (n, _) => sys.error(
             s"LakeSql MV: '$n' is not in the rollup algebra " +

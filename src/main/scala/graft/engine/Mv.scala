@@ -85,7 +85,8 @@ object Mv {
     count(lit(1)).as("cnt") +:
       (aggCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
                                 min(col(c)).as(s"min_$c"),
-                                max(col(c)).as(s"max_$c"))) ++
+                                max(col(c)).as(s"max_$c"),
+                                count(col(c)).as(s"cntn_$c"))) ++
        hllCols.map(c => expr(s"hll_sketch($c)").as(s"hll_$c")))
 
   /** Materialize (once, content-addressed by the caller's root) and
@@ -139,7 +140,8 @@ object Mv {
     val folds = sum(col("cnt")).as("cnt") +:
       (d.aggCols.flatMap(c => Seq(sum(col(s"sum_$c")).as(s"sum_$c"),
                                   min(col(s"min_$c")).as(s"min_$c"),
-                                  max(col(s"max_$c")).as(s"max_$c"))) ++
+                                  max(col(s"max_$c")).as(s"max_$c"),
+                                  sum(col(s"cntn_$c")).as(s"cntn_$c"))) ++
        d.hllCols.map(c => expr(s"hll_merge(hll_$c)").as(s"hll_$c")))
     val folded = LakeTable.read(spark, d.root).unionByName(deltaSum)
       .groupBy(d.groupCols.map(col): _*)
@@ -246,17 +248,25 @@ object Mv {
     private def rollup(mv: MvDef, names: Map[ExprId, String],
                        ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
-      def mvAttr(n: String): Attribute = mv.mvAttrs(n)
+      // .get, not .apply: an MV registered from a summary built before
+      // a partial-schema extension simply lacks the column — decline,
+      // never throw from inside the optimizer
       def partial(child: Expression, cols: Seq[String],
                   prefix: String): Option[Attribute] = child match {
         case a: AttributeReference =>
           names.get(a.exprId).filter(cols.contains)
-            .map(n => mvAttr(s"$prefix$n"))
+            .flatMap(n => mv.mvAttrs.get(s"$prefix$n"))
         case _ => None
       }
       ae.aggregateFunction match {
         case c: Count if c.children == Seq(Literal(1)) =>
-          Some(Sum(mvAttr("cnt")).toAggregateExpression())
+          mv.mvAttrs.get("cnt").map(Sum(_).toAggregateExpression())
+        // null-aware count(col): rolls on its own partial (count
+        // skips nulls, so SUM of per-group null-aware counts is the
+        // null-aware count of the union)
+        case c: Count if c.children.size == 1 =>
+          partial(c.children.head, mv.aggCols, "cntn_")
+            .map(Sum(_).toAggregateExpression())
         case s: Sum =>
           partial(s.child, mv.aggCols, "sum_")
             .map(Sum(_).toAggregateExpression())

@@ -172,6 +172,21 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
   }
 
+  test("null-aware count(col) rolls on its own partial") {
+    val dirN = Files.createTempDirectory("graft_mv_nulls").toString
+    val rN = Files.createTempDirectory("graft_mv_nsum").toString + "/mv"
+    Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)), ("b", None))
+      .toDF("g1", "x").write.mode("overwrite").parquet(dirN)
+    val b = spark.read.parquet(dirN)
+    Mv.register(spark, "spec_mv_nulls", b, Seq("g1"), Seq("x"), rN)
+    val q = b.groupBy("g1")
+      .agg(count(lit(1)).as("n"), count($"x").as("nx"))
+      .orderBy("g1")
+    assert(scannedPaths(q).forall(_.startsWith(rN)))
+    assert(q.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 2L), ("b", 1L, 0L)))
+  }
+
   test("staleness guard: files appended after registration stop the rewrite") {
     val dir3 = Files.createTempDirectory("graft_mv_base3").toString
     val r3 = Files.createTempDirectory("graft_mv_sum3").toString + "/mv"
@@ -205,6 +220,6 @@ class MvRewriteSpec extends SparkTestBase {
     val mv = LakeTable.read(spark, mvRoot)
     assert(mv.count() == 4)
     assert(mv.columns.toSet ==
-      Set("g1", "g2", "cnt", "sum_x", "min_x", "max_x"))
+      Set("g1", "g2", "cnt", "sum_x", "min_x", "max_x", "cntn_x"))
   }
 }

@@ -65,6 +65,11 @@ class PlanGateSpec extends SparkTestBase {
     "q19_disjunctive_pred" -> Map("fact_broadcast_hint" -> sizeGated),
     "join_nullsafe_eq"     -> Map("fact_broadcast_hint" -> sizeGated),
     "docs_dedup_weights"   -> Map("fact_broadcast_hint" -> sizeGated),
+    "lake_delete_mor"      -> Map("fact_broadcast_hint" ->
+      ("the broadcast side is the equality-delete tombstone key set — " +
+       "O(delete list), usually bytes; SIZE-GATED via " +
+       "Ops.broadcastIfSmall in LakeDml.readMor, so past 64 MB of " +
+       "tombstones the anti join falls back to AQE's shuffle choice")),
     "docs_bpe_encode" -> Map(
       "global_window" ->
         ("the ranked frame is the distinct token inventory — ≤ |alphabet| " +
