@@ -136,5 +136,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_count"),
       new ExpressionInfo(classOf[CmsCountExpr].getName, "cms_count"),
       (args: Seq[Expression]) => CmsCountExpr(args.head)))
+    // the MV rollup rewrite (Mv): injected as a proper optimizer rule
+    // here — the conf-driven deployment path; Mv.register's
+    // experimental.extraOptimizations arm covers sessions built
+    // without the extension. The rule is a no-op until an MV is
+    // registered (defs empty → identity).
+    ext.injectOptimizerRule(_ => new Mv.MvRewrite)
   }
 }

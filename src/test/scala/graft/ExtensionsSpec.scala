@@ -65,4 +65,46 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("the MV rewrite rides the extension as a true injected optimizer rule") {
+    val shared = SparkTestBase.session
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.engine.GraftExtensions())
+      .getOrCreate()
+    try {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ext_mv").toString
+      val mvRoot = s"$dir/mv"
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "x")
+        .write.parquet(s"$dir/base")
+      val base = s.read.parquet(s"$dir/base")
+      graft.engine.Mv.register(s, "ext_mv", base, Seq("g"), Seq("x"), mvRoot)
+      // strip the programmatic arm: the INJECTED rule must carry it alone
+      s.experimental.extraOptimizations = Seq.empty
+      val q = base.groupBy("g").agg(sum("x").as("sx")).orderBy("g")
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString.stripPrefix("file:"))
+            case _ => Seq.empty
+          }
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.startsWith(mvRoot)),
+        s"injected rule did not serve the MV: $scans")
+      assert(q.as[(String, Long)].collect().toSeq ==
+        Seq("a" -> 3L, "b" -> 3L))
+    } finally {
+      graft.engine.Mv.clear()
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
