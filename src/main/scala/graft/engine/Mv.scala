@@ -128,11 +128,28 @@ object Mv {
     * against `newBase` (whose file set has grown — the lake read's
     * current snapshot). A query planned before the refresh keeps the
     * old MV plan; one planned after sees the new version — the same
-    * snapshot semantics every lake read has. */
+    * snapshot semantics every lake read has.
+    *
+    * `txn`: (appId, batchId) for exactly-once maintenance from a
+    * streaming drain — a re-delivered microbatch's fold is a no-op
+    * (the MV commit carries the token, [[LakeTable.rewriteTxn]]),
+    * while the re-registration against `newBase` still happens so the
+    * serving file set tracks the base. Without the token, a replayed
+    * delta would double-count — exactly the foreachBatch failure
+    * mode txn tokens exist for. */
   def refresh(spark: SparkSession, name: String, newBase: DataFrame,
-              delta: DataFrame): Unit = {
+              delta: DataFrame,
+              txn: Option[(String, Long)] = None): Unit = {
     val d = Option(defs.get(name)).getOrElse(
       sys.error(s"Mv.refresh: no registered MV named '$name'"))
+    if (txn.exists { case (app, b) =>
+          LakeTable.lastTxn(spark, d.root, app).exists(_ >= b) }) {
+      // replayed delivery: the fold is already in the MV — only track
+      // the (possibly grown) base file set
+      register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
+               d.hllCols)
+      return
+    }
     Hll.register(spark)
     val partials = partialCols(d.groupCols, d.aggCols, d.hllCols)
     val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
@@ -146,7 +163,10 @@ object Mv {
     val folded = LakeTable.read(spark, d.root).unionByName(deltaSum)
       .groupBy(d.groupCols.map(col): _*)
       .agg(folds.head, folds.tail: _*)
-    LakeTable.rewrite(folded, d.root)
+    txn match {
+      case Some((app, b)) => LakeTable.rewriteTxn(folded, d.root, app, b)
+      case None => LakeTable.rewrite(folded, d.root)
+    }
     register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
              d.hllCols)
   }
