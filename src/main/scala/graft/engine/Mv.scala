@@ -53,9 +53,37 @@ object Mv {
   case class MvDef(name: String, basePaths: Set[String],
                    baseFiles: Set[String],
                    groupCols: Seq[String], aggCols: Seq[String],
-                   hllCols: Seq[String], root: String,
+                   hllCols: Seq[String],
+                   exprTexts: Seq[(String, String)],
+                   exprNorms: Seq[(String, Expression)],
+                   root: String,
                    mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute]) {
     def isGroupCol(n: String): Boolean = groupCols.contains(n)
+    /** Plain group cols + derived-expression aliases — the summary's
+      * group-key column names. */
+    def groupKeyNames: Seq[String] = groupCols ++ exprTexts.map(_._1)
+    def groupKeyCols: Seq[org.apache.spark.sql.Column] =
+      groupCols.map(col) ++
+        exprTexts.map { case (a, t) => expr(t).as(a) }
+  }
+
+  /** Structural identity of an expression over the base, independent
+    * of attribute exprIds: every column reference is renamed to a
+    * deterministic id derived from its FILE-COLUMN name, then the
+    * tree is canonicalized. Two expressions (the registered group
+    * expression and a query's grouping expression) normalize equal
+    * iff they are the same computation over the same base columns —
+    * spelling-exact for function/literal choices, which is the
+    * documented contract (register `date_trunc('DAY', ts)`, query
+    * `date_trunc('DAY', ts)`). None if any reference maps outside
+    * `names` (not derivable from this base). */
+  private[engine] def normalize(e: Expression,
+      names: Map[ExprId, String]): Option[Expression] = {
+    if (!e.references.forall(a => names.contains(a.exprId))) return None
+    Some(e.transformUp {
+      case a: AttributeReference =>
+        a.withExprId(ExprId(math.abs(names(a.exprId).hashCode.toLong)))
+    }.canonicalized)
   }
 
   private val defs =
@@ -98,20 +126,46 @@ object Mv {
     * Idempotent per (session, name). */
   def register(spark: SparkSession, name: String, base: DataFrame,
                groupCols: Seq[String], aggCols: Seq[String],
-               root: String, hllCols: Seq[String] = Nil): Unit = {
+               root: String, hllCols: Seq[String] = Nil,
+               groupExprs: Seq[(String, String)] = Nil): Unit = {
     Hll.register(spark)
+    val groupKeys = groupCols.map(col) ++
+      groupExprs.map { case (a, t) => expr(t).as(a) }
     if (LakeTable.latestVersion(spark, root).isEmpty) {
       val partials = partialCols(groupCols, aggCols, hllCols)
       LakeTable.append(
-        base.groupBy(groupCols.map(col): _*)
+        base.groupBy(groupKeys: _*)
           .agg(partials.head, partials.tail: _*), root)
     }
+    // normal forms of the derived group expressions, computed through
+    // the SAME analyze+optimize pipeline a query's grouping expression
+    // goes through, so the matcher compares like with like
+    val exprNorms: Seq[(String, Expression)] =
+      if (groupExprs.isEmpty) Nil
+      else {
+        val opt = base.select(
+            groupExprs.map { case (a, t) => expr(t).as(a) }: _*)
+          .queryExecution.optimizedPlan
+        val relNames = opt.collect { case lr: LogicalRelation =>
+          lr.output.map(a => a.exprId -> a.name) }.flatten.toMap
+        val norms = opt match {
+          case Project(items, _) => items.collect {
+            case al @ Alias(c, a) => normalize(c, relNames).map(a -> _)
+          }.flatten
+          case _ => Seq.empty
+        }
+        require(norms.size == groupExprs.size,
+          s"Mv.register: could not derive normal forms for all group " +
+            s"expressions of '$name' (got ${norms.size} of " +
+            s"${groupExprs.size})")
+        norms
+      }
     val mvDf = LakeTable.read(spark, root)
     val plan = mvDf.queryExecution.analyzed
     val analyzedBase = base.queryExecution.analyzed
     defs.put(name, MvDef(name,
       rootPathsOf(analyzedBase), inputFilesOf(analyzedBase),
-      groupCols, aggCols, hllCols, root, plan,
+      groupCols, aggCols, hllCols, groupExprs, exprNorms, root, plan,
       plan.output.map(a => a.name -> a).toMap))
     if (!spark.experimental.extraOptimizations.exists(
           _.isInstanceOf[MvRewrite]))
@@ -147,12 +201,12 @@ object Mv {
       // replayed delivery: the fold is already in the MV — only track
       // the (possibly grown) base file set
       register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
-               d.hllCols)
+               d.hllCols, d.exprTexts)
       return
     }
     Hll.register(spark)
     val partials = partialCols(d.groupCols, d.aggCols, d.hllCols)
-    val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
+    val deltaSum = delta.groupBy(d.groupKeyCols: _*)
       .agg(partials.head, partials.tail: _*)
     val folds = sum(col("cnt")).as("cnt") +:
       (d.aggCols.flatMap(c => Seq(sum(col(s"sum_$c")).as(s"sum_$c"),
@@ -161,14 +215,14 @@ object Mv {
                                   sum(col(s"cntn_$c")).as(s"cntn_$c"))) ++
        d.hllCols.map(c => expr(s"hll_merge(hll_$c)").as(s"hll_$c")))
     val folded = LakeTable.read(spark, d.root).unionByName(deltaSum)
-      .groupBy(d.groupCols.map(col): _*)
+      .groupBy(d.groupKeyNames.map(col): _*)
       .agg(folds.head, folds.tail: _*)
     txn match {
       case Some((app, b)) => LakeTable.rewriteTxn(folded, d.root, app, b)
       case None => LakeTable.rewrite(folded, d.root)
     }
     register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
-             d.hllCols)
+             d.hllCols, d.exprTexts)
   }
 
   /** Full recompute against the current base — the repair for any
@@ -182,10 +236,10 @@ object Mv {
     Hll.register(spark)
     val partials = partialCols(d.groupCols, d.aggCols, d.hllCols)
     LakeTable.rewrite(
-      newBase.groupBy(d.groupCols.map(col): _*)
+      newBase.groupBy(d.groupKeyCols: _*)
         .agg(partials.head, partials.tail: _*), d.root)
     register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
-             d.hllCols)
+             d.hllCols, d.exprTexts)
   }
 
   /** Drop every registered MV (test isolation). */
@@ -203,15 +257,21 @@ object Mv {
           tryRewrite(ges, aes, child).getOrElse(agg)
       }
 
-    /** Unwrap attribute-only Projects and Filters down to the base
-      * relation, returning (matched MvDef, exprId → file-column name,
-      * collected filter conditions). A Project item that is anything
-      * but an AttributeReference or an Alias of one aborts the match;
-      * Filters pass through with their condition collected — whether
-      * the condition is SERVABLE (references only group columns) is
-      * [[tryRewrite]]'s decision, made against the final name map. */
+    /** Unwrap Projects and Filters down to the base relation,
+      * returning (matched MvDefs, exprId → file-column name, exprId →
+      * aliased expression, collected filter conditions). Plain and
+      * renamed columns land in the name map; a Project item computing
+      * an EXPRESSION (the optimizer's PullOutGroupingExpressions
+      * hoists complex grouping keys into exactly such aliases) lands
+      * in the alias-definition map, for [[attempt]] to inline and
+      * normalize against registered group expressions. Nothing is
+      * rejected here — an unresolvable reference simply fails its
+      * lookup later, declining the rewrite. Filters pass through with
+      * their condition collected; servability is [[attempt]]'s
+      * decision. */
     private def baseMatch(child: LogicalPlan)
-        : Option[(Seq[MvDef], Map[ExprId, String], Seq[Expression])] =
+        : Option[(Seq[MvDef], Map[ExprId, String],
+                  Map[ExprId, Expression], Seq[Expression])] =
       child match {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
@@ -225,27 +285,29 @@ object Mv {
               d.basePaths == paths && d.baseFiles == files)
             if (ds.isEmpty) None
             else Some((ds, lr.output.map(a => a.exprId -> a.name).toMap,
-                       Seq.empty))
+                       Map.empty, Seq.empty))
           case _ => None
         }
         case Project(items, inner) =>
-          baseMatch(inner).flatMap { case (d, under, fs) =>
-            val mapped = items.map {
-              case a: AttributeReference =>
-                under.get(a.exprId).map(a.exprId -> _)
+          baseMatch(inner).map { case (d, under, adefs, fs) =>
+            var names2 = under
+            var adefs2 = adefs
+            items.foreach {
+              case _: AttributeReference => () // id already resolved below
               case al @ Alias(a: AttributeReference, _) =>
-                under.get(a.exprId).map(al.exprId -> _)
-              case _ => None
+                under.get(a.exprId) match {
+                  case Some(n) => names2 += al.exprId -> n
+                  case None => adefs.get(a.exprId)
+                    .foreach(e => adefs2 += al.exprId -> e)
+                }
+              case al @ Alias(c, _) => adefs2 += al.exprId -> c
+              case _ => ()
             }
-            if (mapped.forall(_.isDefined))
-              // keep BOTH layers' ids live: a collected filter below
-              // this Project references the underlying ids
-              Some((d, under ++ mapped.flatten.toMap, fs))
-            else None
+            (d, names2, adefs2, fs)
           }
         case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, inner) =>
-          baseMatch(inner).map { case (d, under, fs) =>
-            (d, under, fs :+ cond)
+          baseMatch(inner).map { case (d, under, adefs, fs) =>
+            (d, under, adefs, fs :+ cond)
           }
         case _ => None
       }
@@ -254,11 +316,12 @@ object Mv {
       * the first candidate whose algebra covers the query wins. */
     private def tryRewrite(ges: Seq[Expression], aes: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-      val (candidates, names, filters) = baseMatch(child) match {
+      val (candidates, names, adefs, filters) = baseMatch(child) match {
         case Some(x) => x
         case None => return None
       }
-      candidates.iterator.flatMap(attempt(_, names, filters, ges, aes))
+      candidates.iterator
+        .flatMap(attempt(_, names, adefs, filters, ges, aes))
         .buffered.headOption
     }
 
@@ -310,18 +373,35 @@ object Mv {
     }
 
     private def attempt(mv: MvDef, names: Map[ExprId, String],
+                        adefs: Map[ExprId, Expression],
                         filters: Seq[Expression], ges: Seq[Expression],
                         aes: Seq[NamedExpression]): Option[LogicalPlan] = {
-      // every grouping expression must be a base column the MV groups by
-      val groupNames: Map[ExprId, String] = ges.map {
-        case a: AttributeReference =>
-          names.get(a.exprId).filter(mv.groupCols.contains) match {
-            case Some(n) => a.exprId -> n
-            case None => return None
-          }
-        case _ => return None
-      }.toMap
       def mvAttr(n: String): Attribute = mv.mvAttrs(n)
+      // expand Project-aliased expressions (PullOutGroupingExpressions'
+      // _groupingexpression attrs and friends) back to base columns
+      def inline(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if adefs.contains(a.exprId) =>
+          inline(adefs(a.exprId))
+      }
+      // a registered DERIVED group expression matching `e` wholly
+      // (normal-form equality after inlining — same computation over
+      // the same base columns), or None
+      def exprGroupAttr(e: Expression): Option[Attribute] =
+        if (mv.exprNorms.isEmpty) None
+        else normalize(inline(e), names).flatMap { n =>
+          mv.exprNorms.collectFirst { case (a, ne) if ne == n => a }
+            .flatMap(mv.mvAttrs.get)
+        }
+      // a grouping reference — plain group column, or (possibly
+      // alias-hidden) derived group expression — as its MV attribute
+      def groupRef(e: Expression): Option[Attribute] = e match {
+        case a: AttributeReference
+            if names.get(a.exprId).exists(mv.groupCols.contains) =>
+          mv.mvAttrs.get(names(a.exprId))
+        case other => exprGroupAttr(other)
+      }
+      val groupAttrs: Seq[Attribute] =
+        ges.map(g => groupRef(g).getOrElse(return None))
       // filters are servable iff every referenced column is an MV
       // group column — the partials already aggregate WITHIN a group,
       // so a group-column predicate selects whole groups; a predicate
@@ -335,23 +415,26 @@ object Mv {
         })
       }
       val newAes: Seq[NamedExpression] = aes.map {
-        case a: AttributeReference if groupNames.contains(a.exprId) =>
-          Alias(mvAttr(groupNames(a.exprId)), a.name)(exprId = a.exprId)
+        case a: AttributeReference if groupRef(a).isDefined =>
+          Alias(groupRef(a).get, a.name)(exprId = a.exprId)
         case al @ Alias(body, name) =>
           // roll every EMBEDDED aggregate call (hll_estimate(
           // hll_sketch(x)), sum(x)/count(*) arithmetic, …) and keep
-          // the surrounding scalar expression; grouping-attr refs in
-          // the scalar part remap to MV group attrs
+          // the surrounding scalar expression; grouping refs — plain
+          // attrs AND whole derived group expressions — remap to MV
+          // group attrs. transformDown, so a derived expression is
+          // matched WHOLE before its internal column refs could be
+          // rewritten out from under it.
           var ok = true
           var sawRollable = false
-          val rolledBody = body.transformUp {
+          val rolledBody = body.transformDown {
             case ae: AggregateExpression =>
               rollup(mv, names, ae) match {
                 case Some(x) => sawRollable = true; x
                 case None => ok = false; ae
               }
-            case a: AttributeReference if groupNames.contains(a.exprId) =>
-              sawRollable = true; mvAttr(groupNames(a.exprId))
+            case e if groupRef(e).isDefined =>
+              sawRollable = true; groupRef(e).get
           }
           if (!ok || !sawRollable) return None
           // every surviving reference must resolve against the MV plan
@@ -364,7 +447,7 @@ object Mv {
           Alias(rolledBody, name)(exprId = al.exprId)
         case _ => return None
       }
-      val newGes = groupNames.values.toSeq.distinct.map(mvAttr)
+      val newGes: Seq[Expression] = groupAttrs.distinct
       val newChild = remappedFilter match {
         case Some(f) =>
           org.apache.spark.sql.catalyst.plans.logical.Filter(f, mv.mvPlan)

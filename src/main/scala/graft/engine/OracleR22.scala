@@ -94,6 +94,15 @@ object OracleR22 {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY st""".stripMargin,
 
+    // Month buckets recomputed from raw orders: a mis-matched or
+    // mis-folded derived-expression MV hash-fails.
+    "mv_rewrite_timebucket" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |       count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       max(o_custkey) AS cust_max
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Layout maintenance is content-neutral: post OPTIMIZE + VACUUM
     // the table still reads as the raw relation.
     "sql_optimize_vacuum" ->

@@ -197,6 +197,34 @@ object QueriesR22 {
       .orderBy("o_orderpriority")
   }
 
+  /** Time-bucket MV (the classic dashboard summary): the MV groups by
+    * a DERIVED expression — month buckets over the order date — and
+    * the rewrite matches the query's grouping expression by normal
+    * form (inlined through the optimizer's pulled-out grouping
+    * aliases, column refs renamed to file-column identity,
+    * canonicalized). The bucketing is spelling-exact by contract; a
+    * different granularity declines. Oracle recomputes the buckets
+    * from raw orders in DuckDB. */
+  def mvRewriteTimebucket(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = orders(s, d).select(col("o_orderdate").as("od"),
+                                  col("o_custkey").as("cust"))
+    val monExpr = "CAST(date_trunc('MONTH', od) AS DATE)"
+    val hash = ArtifactCache.artifactHash(all).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_month", hash) { r =>
+      LakeTable.append(all, s"$r/base")
+      Mv.register(s, "orders_mv_month", LakeTable.read(s, s"$r/base"),
+        Nil, Seq("cust"), s"$r/mv", groupExprs = Seq(("mon", monExpr)))
+    }
+    Mv.register(s, "orders_mv_month", LakeTable.read(s, s"$root/base"),
+      Nil, Seq("cust"), s"$root/mv", groupExprs = Seq(("mon", monExpr)))
+    LakeTable.read(s, s"$root/base")
+      .groupBy(expr(monExpr).as("mon"))
+      .agg(count(lit(1)).as("n"), sum("cust").as("cust_sum"),
+           max("cust").as("cust_max"))
+      .orderBy("mon")
+  }
+
   /** The full SQL MV loop in one session: CTAS a lake table, CREATE
     * MATERIALIZED VIEW (spec derived from the parsed SELECT), grow the
     * base with INSERT — at which point the staleness guard stops the

@@ -371,6 +371,7 @@ object Registry {
     "mv_rewrite_rollup"     -> QueriesR22.mvRewriteRollup _,
     "mv_rewrite_incremental" -> QueriesR22.mvRewriteIncremental _,
     "sql_create_mv"         -> QueriesR22.sqlCreateMv _,
+    "mv_rewrite_timebucket" -> QueriesR22.mvRewriteTimebucket _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -187,6 +187,39 @@ class MvRewriteSpec extends SparkTestBase {
       Seq(("a", 3L, 2L), ("b", 1L, 0L)))
   }
 
+  test("derived group expressions: a date-bucket MV serves date_trunc group-bys") {
+    val dirT = Files.createTempDirectory("graft_mv_time").toString
+    val rT = Files.createTempDirectory("graft_mv_tsum").toString + "/mv"
+    spark.sql(
+      """SELECT timestampadd(HOUR, CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts,
+        |       id AS x FROM range(100)""".stripMargin)
+      .write.mode("overwrite").parquet(dirT)
+    val b = spark.read.parquet(dirT)
+    Mv.register(spark, "spec_mv_time", b, Nil, Seq("x"), rT,
+      groupExprs = Seq(("day", "date_trunc('DAY', ts)")))
+    val q = b.groupBy(expr("date_trunc('DAY', ts)").as("day"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .orderBy("day")
+    assert(scannedPaths(q).forall(_.startsWith(rT)),
+      s"date-bucket group-by should serve from the MV, got ${scannedPaths(q)}")
+    val got = q.as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    Mv.clear()
+    val plain = b.groupBy(expr("date_trunc('DAY', ts)").as("day"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .orderBy("day").as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got == plain)
+    // 100 hourly rows = days of 24/24/24/24/4 — the bucketing really
+    // collapsed rows, and a DIFFERENT bucketing must decline
+    assert(got.map(_._2) == Seq(24L, 24L, 24L, 24L, 4L))
+    Mv.register(spark, "spec_mv_time", b, Nil, Seq("x"), rT,
+      groupExprs = Seq(("day", "date_trunc('DAY', ts)")))
+    val week = b.groupBy(expr("date_trunc('WEEK', ts)").as("w"))
+      .agg(sum("x").as("sx"))
+    assert(scannedPaths(week).exists(_.startsWith(dirT)),
+      "a different bucket granularity must not be served")
+    Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
+  }
+
   test("staleness guard: files appended after registration stop the rewrite") {
     val dir3 = Files.createTempDirectory("graft_mv_base3").toString
     val r3 = Files.createTempDirectory("graft_mv_sum3").toString + "/mv"
@@ -214,6 +247,12 @@ class MvRewriteSpec extends SparkTestBase {
     assert(ipaths.nonEmpty &&
       ipaths.forall(p => p.contains("mv_orders_inc") && p.contains("/mv/")),
       s"mv_rewrite_incremental should scan only the refreshed MV, got $ipaths")
+    val tb =
+      graft.engine.Registry.queries("mv_rewrite_timebucket")(spark, sfDir)
+    val tpaths = scannedPaths(tb)
+    assert(tpaths.nonEmpty &&
+      tpaths.forall(p => p.contains("mv_orders_month") && p.contains("/mv/")),
+      s"mv_rewrite_timebucket should scan only the month MV, got $tpaths")
   }
 
   test("MV summary itself is sane") {
