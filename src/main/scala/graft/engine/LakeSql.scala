@@ -151,14 +151,19 @@ object LakeSql {
 
     /** Derive an [[Mv]] spec from `CREATE MATERIALIZED VIEW`'s SELECT:
       * the statement must be a single-table rollup —
-      * `SELECT <group cols and partials> FROM <attached table> GROUP
-      * BY <cols>` where every aggregate is count(*) / sum / min /
-      * max / hll_sketch over a plain column. Anything else errors
-      * loudly: an MV whose shape the rewrite could never serve is a
-      * user mistake, not something to accept silently. Returns
-      * (base table, group cols, rollup cols, hll cols). */
+      * `SELECT <group keys and partials> FROM <attached table> GROUP
+      * BY <keys>` where every aggregate is count(*) / count / sum /
+      * min / max / hll_sketch over a plain column, and every group
+      * key is a plain column OR an expression ALIASED in the select
+      * list (`date_trunc('DAY', ts) AS day … GROUP BY
+      * date_trunc('DAY', ts)` or `GROUP BY day`). Anything else
+      * errors loudly: an MV whose shape the rewrite could never serve
+      * is a user mistake, not something to accept silently. Returns
+      * (base table, plain group cols, rollup cols, hll cols, derived
+      * group (alias, sql) pairs). */
     private def parseMvSpec(select: String)
-        : (String, Seq[String], Seq[String], Seq[String]) = {
+        : (String, Seq[String], Seq[String], Seq[String],
+           Seq[(String, String)]) = {
       import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
         UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation,
         UnresolvedStar}
@@ -169,8 +174,12 @@ object LakeSql {
         case u: UnresolvedAttribute => u.nameParts.last.toLowerCase
         case o => sys.error(s"LakeSql MV: expected a plain column, got $o")
       }
+      val aggFns = Set("count", "sum", "min", "max", "hll_sketch")
       val acc = mutable.LinkedHashSet[String]()
       val hll = mutable.LinkedHashSet[String]()
+      // alias -> unresolved non-aggregate expression (derived group
+      // key candidates, resolved against GROUP BY below)
+      val exprAliases = mutable.LinkedHashMap[String, Expression]()
       def handleFn(f: UnresolvedFunction): Unit =
         (f.nameParts.last.toLowerCase, f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) => ()
@@ -178,30 +187,60 @@ object LakeSql {
           case ("sum" | "min" | "max" | "count", Seq(a)) => acc += attr(a)
           case ("hll_sketch", Seq(a)) => hll += attr(a)
           case (n, _) => sys.error(
-            s"LakeSql MV: '$n' is not in the rollup algebra " +
-              "(count(*), sum, min, max, hll_sketch over a column)")
+            s"LakeSql MV: '$n' over these arguments is not in the " +
+              "rollup algebra (count(*), count/sum/min/max/hll_sketch " +
+              "over a column)")
         }
+      def isAggFn(e: Expression): Boolean = e match {
+        case f: UnresolvedFunction =>
+          aggFns.contains(f.nameParts.last.toLowerCase)
+        case _ => false
+      }
       spark.sessionState.sqlParser.parsePlan(select) match {
         case Aggregate(ges, aes, rel: UnresolvedRelation, _) =>
-          val g = ges.map(attr)
           aes.foreach {
             case ua: UnresolvedAlias => ua.child match {
-              case f: UnresolvedFunction => handleFn(f)
-              case a: UnresolvedAttribute => require(
-                g.contains(attr(a)),
-                s"LakeSql MV: non-grouped column ${attr(a)}")
-              case o => sys.error(s"LakeSql MV: unsupported select item $o")
+              case f: UnresolvedFunction if isAggFn(f) => handleFn(f)
+              case _: UnresolvedAttribute => () // validated via GROUP BY
+              case o => sys.error(
+                s"LakeSql MV: alias required for select expression $o")
             }
             case al: Alias => al.child match {
-              case f: UnresolvedFunction => handleFn(f)
-              case o => sys.error(s"LakeSql MV: unsupported select item $o")
+              case f: UnresolvedFunction if isAggFn(f) => handleFn(f)
+              case a: UnresolvedAttribute => require(
+                al.name.equalsIgnoreCase(attr(a)),
+                s"LakeSql MV: renaming column ${attr(a)} in an MV is " +
+                  "not supported")
+              case c => exprAliases(al.name.toLowerCase) = c
             }
-            case a: UnresolvedAttribute => require(g.contains(attr(a)),
-              s"LakeSql MV: non-grouped column ${attr(a)}")
+            case _: UnresolvedAttribute => ()
             case o => sys.error(s"LakeSql MV: unsupported select item $o")
           }
-          (rel.multipartIdentifier.last.toLowerCase, g, acc.toSeq,
-           hll.toSeq)
+          val gplain = mutable.LinkedHashSet[String]()
+          val gexprs = mutable.LinkedHashMap[String, String]()
+          ges.foreach {
+            case u: UnresolvedAttribute =>
+              val n = u.nameParts.last.toLowerCase
+              exprAliases.get(n) match {
+                case Some(e) => gexprs(n) = e.sql // GROUP BY <alias>
+                case None => gplain += n
+              }
+            case e =>
+              exprAliases.find(_._2.sql == e.sql) match {
+                case Some((a, _)) => gexprs(a) = e.sql
+                case None => sys.error(
+                  s"LakeSql MV: group expression ${e.sql} must appear " +
+                    "ALIASED in the select list")
+              }
+          }
+          // every non-group select alias must be a group key
+          exprAliases.keys.foreach { a =>
+            require(gexprs.contains(a),
+              s"LakeSql MV: select expression '$a' is neither an " +
+                "aggregate nor a GROUP BY key")
+          }
+          (rel.multipartIdentifier.last.toLowerCase, gplain.toSeq,
+           acc.toSeq, hll.toSeq, gexprs.toSeq)
         case o => sys.error(
           "LakeSql MV: the SELECT must be a single-table GROUP BY " +
             s"rollup, got ${o.getClass.getSimpleName}")
@@ -321,13 +360,13 @@ object LakeSql {
       stmt match {
         case CreateMvRe(name0, select) =>
           val name = name0.toLowerCase
-          val (baseName, gcols, acols, hcols) = parseMvSpec(select)
+          val (baseName, gcols, acols, hcols, gexprs) = parseMvSpec(select)
           val broot = tableRoot(baseName)
           refreshViews()
           val baseDf = snapshot(broot).getOrElse(
             sys.error(s"LakeSql: MV base '$baseName' has no data"))
           Mv.register(spark, name, baseDf, gcols, acols,
-            s"$scratchRoot/__mv_$name", hcols)
+            s"$scratchRoot/__mv_$name", hcols, gexprs)
           mvBases(name) = baseName
           report(spark, "create_mv", name, 0L, emptyReport)
 

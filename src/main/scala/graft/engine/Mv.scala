@@ -76,13 +76,27 @@ object Mv {
     * spelling-exact for function/literal choices, which is the
     * documented contract (register `date_trunc('DAY', ts)`, query
     * `date_trunc('DAY', ts)`). None if any reference maps outside
-    * `names` (not derivable from this base). */
+    * `names` (not derivable from this base). The deterministic id is
+    * a 64-bit FNV-1a of the column name — a 32-bit hashCode could
+    * collide two different columns into a FALSE match, and this
+    * comparison gates a rewrite that must never be wrong. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h & Long.MaxValue
+  }
+
   private[engine] def normalize(e: Expression,
       names: Map[ExprId, String]): Option[Expression] = {
     if (!e.references.forall(a => names.contains(a.exprId))) return None
     Some(e.transformUp {
       case a: AttributeReference =>
-        a.withExprId(ExprId(math.abs(names(a.exprId).hashCode.toLong)))
+        a.withExprId(ExprId(fnv64(names(a.exprId))))
     }.canonicalized)
   }
 

@@ -189,6 +189,39 @@ class SqlDmlSpec extends SparkTestBase {
     } finally graft.engine.Mv.clear()
   }
 
+  test("CREATE MATERIALIZED VIEW with a derived group key serves time buckets") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString.stripPrefix("file:"))
+          case _ => Seq.empty
+        }
+      }.flatten.toSet
+    val s = sess()
+    try {
+      s.exec("CREATE TABLE t AS SELECT timestampadd(HOUR, CAST(id AS INT), " +
+        "timestamp'2024-03-01 00:00:00') AS ts, id AS x FROM range(60)")
+      s.exec("CREATE MATERIALIZED VIEW t_day AS SELECT " +
+        "date_trunc('DAY', ts) AS day, count(*) AS c, sum(x) AS s " +
+        "FROM t GROUP BY date_trunc('DAY', ts)")
+      val q = s.exec("SELECT date_trunc('DAY', ts) AS day, sum(x) AS sx " +
+        "FROM t GROUP BY date_trunc('DAY', ts) ORDER BY day")
+      assert(scanned(q).forall(_.contains("__mv_t_day")),
+        s"time-bucket SQL should serve from the MV, got ${scanned(q)}")
+      assert(q.as[(java.sql.Timestamp, Long)].collect().toSeq.map(_._2) ==
+        Seq(276L, 852L, 642L))
+      // GROUP BY <alias> spelling registers the same spec
+      s.exec("CREATE MATERIALIZED VIEW t_day2 AS SELECT " +
+        "date_trunc('DAY', ts) AS day, sum(x) AS s FROM t GROUP BY day")
+      // a non-aliased group expression errors loudly
+      intercept[RuntimeException](s.exec(
+        "CREATE MATERIALIZED VIEW bad2 AS SELECT count(*) AS c FROM t " +
+          "GROUP BY date_trunc('WEEK', ts)"))
+    } finally graft.engine.Mv.clear()
+  }
+
   test("report: vacuum after optimize reclaims the superseded directories") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
