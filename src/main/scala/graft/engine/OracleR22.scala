@@ -103,6 +103,15 @@ object OracleR22 {
         |       max(o_custkey) AS cust_max
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Segment rollup recomputed from the raw join: a join-base MV
+    // that mis-matched or mis-aggregated hash-fails.
+    "mv_rewrite_starjoin" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(o_orderkey) AS key_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // Layout maintenance is content-neutral: post OPTIMIZE + VACUUM
     // the table still reads as the raw relation.
     "sql_optimize_vacuum" ->

@@ -225,6 +225,33 @@ object QueriesR22 {
       .orderBy("mon")
   }
 
+  /** Star-schema MV (v1): the base is orders ⋈ customer (inner equi
+    * join), summarized per market segment; the rewrite matches a
+    * query's aggregate child against the registered join by
+    * WHOLE-SUBTREE normal form (projects transparent, relations
+    * identified by input-file fingerprint, filters and join
+    * conditions as normalized canonical expressions) — so the classic
+    * "revenue by segment" dashboard aggregate over the raw join is
+    * answered from an O(segments) summary. Any structural difference
+    * (join key, join type, an extra filter) declines. */
+  def mvRewriteStarjoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def joined = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    val hash = ArtifactCache.artifactHash(
+      joined.select("c_mktsegment", "o_orderkey")).take(16)
+    val root = LakeFixtures.cached(s, "mv_star", hash) { r =>
+      Mv.register(s, "orders_mv_star", joined,
+        Seq("c_mktsegment"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_star", joined,
+      Seq("c_mktsegment"), Seq("o_orderkey"), root)
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("c_mktsegment")
+  }
+
   /** The full SQL MV loop in one session: CTAS a lake table, CREATE
     * MATERIALIZED VIEW (spec derived from the parsed SELECT), grow the
     * base with INSERT — at which point the staleness guard stops the

@@ -372,6 +372,7 @@ object Registry {
     "mv_rewrite_incremental" -> QueriesR22.mvRewriteIncremental _,
     "sql_create_mv"         -> QueriesR22.sqlCreateMv _,
     "mv_rewrite_timebucket" -> QueriesR22.mvRewriteTimebucket _,
+    "mv_rewrite_starjoin"   -> QueriesR22.mvRewriteStarjoin _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -253,6 +253,44 @@ class MvRewriteSpec extends SparkTestBase {
     assert(tpaths.nonEmpty &&
       tpaths.forall(p => p.contains("mv_orders_month") && p.contains("/mv/")),
       s"mv_rewrite_timebucket should scan only the month MV, got $tpaths")
+    val sj =
+      graft.engine.Registry.queries("mv_rewrite_starjoin")(spark, sfDir)
+    val spaths = scannedPaths(sj)
+    assert(spaths.nonEmpty && spaths.forall(_.contains("mv_star")),
+      s"mv_rewrite_starjoin should scan only the star MV, got $spaths")
+  }
+
+  test("star-schema v1: an inner-equi-join base matches by whole-subtree normal form") {
+    val fdir = Files.createTempDirectory("graft_mv_fact").toString
+    val ddir = Files.createTempDirectory("graft_mv_dim").toString
+    val rJ = Files.createTempDirectory("graft_mv_jsum").toString + "/mv"
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x")
+      .write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def fact = spark.read.parquet(fdir)
+    def dim = spark.read.parquet(ddir)
+    def joined = fact.join(dim, col("fk") === col("dk"))
+    Mv.register(spark, "spec_mv_join", joined, Seq("dname"), Seq("x"), rJ)
+    // a FRESH instance of the same join shape is served
+    val q = joined.groupBy("dname")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("dname")
+    assert(scannedPaths(q).nonEmpty && scannedPaths(q).forall(_.startsWith(rJ)),
+      s"join-base aggregate should serve from the MV, got ${scannedPaths(q)}")
+    assert(q.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 37L), ("b", 1L, 5L)))
+    // structural differences decline: join key, join type, filters
+    val otherKey = fact.join(dim, col("x") === col("dk"))
+      .groupBy("dname").agg(sum("x").as("sx"))
+    assert(scannedPaths(otherKey).exists(_.startsWith(fdir)))
+    val leftJoin = fact.join(dim, col("fk") === col("dk"), "left")
+      .groupBy("dname").agg(sum("x").as("sx"))
+    assert(scannedPaths(leftJoin).exists(_.startsWith(fdir)))
+    val filtered = joined.filter(col("x") > 5L)
+      .groupBy("dname").agg(sum("x").as("sx"))
+    assert(scannedPaths(filtered).exists(_.startsWith(fdir)))
+    assert(filtered.orderBy("dname").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 37L)))
   }
 
   test("MV summary itself is sane") {
