@@ -77,23 +77,57 @@ object LakeSql {
   private def isWordChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_'
 
-  /** Per-character "inside a single-quoted SQL string" map ('' is the
-    * escape). Both the splitter and the time-travel rewrite consult
-    * this so literals are opaque to every structural decision. */
+  /** Per-character "opaque to structural decisions" map: single- and
+    * double-quoted string literals (doubled-quote AND backslash
+    * escapes — Spark's default lexer accepts both), backticked
+    * identifiers (`` `` `` is the escape), `--` line comments, and
+    * `/* */` block comments. Both the splitter and the time-travel
+    * rewrite consult this, so a ';' in a comment or a WHERE inside
+    * any literal form cannot split a statement or clause. */
   private def quoteMap(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
-    var q = false
     var i = 0
+    var state = 0 // 0=code 1=' 2=" 3=` 4=-- 5=/* */
+    def quoted(i0: Int, quote: Char): Int = {
+      // returns the new index; doubled quote and backslash escapes
+      val c = s.charAt(i0)
+      in(i0) = true
+      if (c == '\\' && i0 + 1 < s.length) { in(i0 + 1) = true; i0 + 1 }
+      else if (c == quote) {
+        if (i0 + 1 < s.length && s.charAt(i0 + 1) == quote) {
+          in(i0 + 1) = true; i0 + 1
+        } else { state = 0; i0 }
+      } else i0
+    }
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q) {
-        in(i) = true
-        if (c == '\'') {
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
-            in(i + 1) = true; i += 1
-          } else q = false
-        }
-      } else if (c == '\'') { in(i) = true; q = true }
+      state match {
+        case 0 =>
+          if (c == '\'') { in(i) = true; state = 1 }
+          else if (c == '"') { in(i) = true; state = 2 }
+          else if (c == '`') { in(i) = true; state = 3 }
+          else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+            in(i) = true; in(i + 1) = true; i += 1; state = 4
+          } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            in(i) = true; in(i + 1) = true; i += 1; state = 5
+          }
+        case 1 => i = quoted(i, '\'')
+        case 2 => i = quoted(i, '"')
+        case 3 => // backtick identifiers have no backslash escape
+          in(i) = true
+          if (c == '`') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '`') {
+              in(i + 1) = true; i += 1
+            } else state = 0
+          }
+        case 4 =>
+          if (c == '\n') state = 0 else in(i) = true
+        case 5 =>
+          in(i) = true
+          if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            in(i + 1) = true; i += 1; state = 0
+          }
+      }
       i += 1
     }
     in
@@ -360,6 +394,14 @@ object LakeSql {
       stmt match {
         case CreateMvRe(name0, select) =>
           val name = name0.toLowerCase
+          // a duplicate CREATE around base DML would re-bind the MV to
+          // the CURRENT base while keeping the old summary — reject
+          // loudly (REFRESH is the verb for "bring it up to date");
+          // Mv.register's fingerprint guard additionally rebuilds if a
+          // stale root is ever re-registered by a fresh session
+          require(!mvBases.contains(name),
+            s"LakeSql: materialized view '$name' already exists " +
+              "(use REFRESH MATERIALIZED VIEW to update it)")
           val (baseName, gcols, acols, hcols, gexprs) = parseMvSpec(select)
           val broot = tableRoot(baseName)
           refreshViews()
