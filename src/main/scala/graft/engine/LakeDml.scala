@@ -234,14 +234,48 @@ object LakeDml {
         // ISO rendering — the same string `cast(date AS STRING)`
         // produced for the stats, so "str"-kind comparison is sound
         Some((java.time.LocalDate.ofEpochDay(v.toLong).toString, false))
-      case Literal(_, DateType) => None
       case Literal(v, t) if v != null =>
-        Some((v.toString, t.isInstanceOf[NumericType]))
+        // ALLOWLIST, not catch-all: a literal derives an interval only
+        // when its toString is comparable under a stat ordering the
+        // log could have recorded — numerics ("num") and strings
+        // ("str"). A TIMESTAMP literal's toString is raw micros,
+        // which compared lexicographically against "1995-01-01 …"
+        // stats would WRONGLY prune matching directories (caught by
+        // LakeDmlSpec); timestamps deliberately derive nothing.
+        t match {
+          case _: NumericType => Some((v.toString, true))
+          case org.apache.spark.sql.types.StringType =>
+            Some((v.toString, false))
+          case _ => None
+        }
       case _ => None
     }
     def strOrd(numeric: Boolean): Ordering[String] =
       if (numeric) Ordering.by((s: String) => BigDecimal(s))
       else Ordering.String
+    // Both the SQL parser and the Column DSL deliver comparison
+    // operators as UNRESOLVED FUNCTIONS ('between('k, 1, 3),
+    // '`<`('k, 50)) — the analyzer would resolve them, but derivation
+    // runs pre-analysis. Rewrite the known operator names to their
+    // catalyst nodes; anything unrecognized stays opaque (derives
+    // nothing — safe).
+    def unwrapOps(x: Expression): Expression = x.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.size == 1 && u.filter.isEmpty && !u.isDistinct =>
+        (u.nameParts.head.toLowerCase, u.arguments) match {
+          case ("and", Seq(l, r)) => And(l, r)
+          case ("or", Seq(l, r)) => Or(l, r)
+          case ("<", Seq(l, r)) => LessThan(l, r)
+          case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
+          case (">", Seq(l, r)) => GreaterThan(l, r)
+          case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
+          case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+          case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
+          case ("between", Seq(c, lo, hi)) =>
+            And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))
+          case _ => u
+        }
+    }
     // per-column INTERSECTION of one branch's derived preds (a branch
     // `a >= 1 AND a <= 5` folds to [1, 5]); None bounds stay open
     def perCol(ps: Seq[DerivedPred]): Map[String, DerivedPred] =
@@ -301,7 +335,7 @@ object LakeDml {
         }).toSeq
       case _ => Seq.empty
     }
-    derive(e)
+    derive(unwrapOps(e))
   }
 
   private def boundPred(c: Option[String], v: Option[(String, Boolean)],

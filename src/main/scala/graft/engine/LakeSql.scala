@@ -387,10 +387,26 @@ object LakeSql {
     private val UpsertAllRe =
       "(?is)^when\\s+matched\\s+then\\s+update\\s+set\\s+\\*\\s+when\\s+not\\s+matched\\s+then\\s+insert\\s+\\*$".r
 
+    /** Statement routing matches on the leading VERB, so comments in
+      * front of it (a script's `-- section header` glued to the next
+      * statement by the splitter) must be dropped first; the verb
+      * regexes then see the statement proper. The body's comments are
+      * left in place — Spark's own parser handles them. */
+    private val LeadCommentRe = "(?s)^\\s*(--[^\\n]*(\\n|$)|/\\*.*?\\*/)".r
+    private def stripLeadingComments(s: String): String = {
+      var t = s
+      var m = LeadCommentRe.findFirstMatchIn(t)
+      while (m.isDefined) {
+        t = t.substring(m.get.end)
+        m = LeadCommentRe.findFirstMatchIn(t)
+      }
+      t.trim
+    }
+
     /** Execute ONE statement. Write verbs return a one-row report;
       * SELECT/WITH returns the query result. */
     def exec(stmt0: String): DataFrame = {
-      val stmt = stmt0.trim
+      val stmt = stripLeadingComments(stmt0)
       stmt match {
         case CreateMvRe(name0, select) =>
           val name = name0.toLowerCase
@@ -560,7 +576,8 @@ object LakeSql {
     /** Execute a ';'-separated script; returns the LAST statement's
       * result (a session's final SELECT, typically). */
     def script(text: String): DataFrame = {
-      val stmts = splitTopLevel(text, ';').map(_.trim).filter(_.nonEmpty)
+      val stmts = splitTopLevel(text, ';')
+        .map(stripLeadingComments).filter(_.nonEmpty)
       require(stmts.nonEmpty, "LakeSql: empty script")
       stmts.map(exec).last
     }

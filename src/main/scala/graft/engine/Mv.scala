@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Materialized-view ROLLUP REWRITE — the optimizer half of the IVM
@@ -131,24 +131,36 @@ object Mv {
     case other => other
   }
 
-  private[engine] def normalize(e: Expression,
-      names: Map[ExprId, String]): Option[Expression] = {
-    if (!e.references.forall(a => names.contains(a.exprId))) return None
-    Some(e.transformUp {
-      case a: AttributeReference =>
-        a.withExprId(ExprId(fnv64(names(a.exprId))))
-      // semantic-equivalence classes (r16 verdict #3), applied to BOTH
-      // sides of every comparison: date_trunc field synonyms fold to
-      // one spelling, and truncate-to-day under a date cast is the
-      // date cast (the day bucket IS the date) — value-preserving by
-      // Spark's own semantics, so normalizing them equal can never
-      // serve a wrong answer
+  /** Semantic-equivalence classes (r16 verdict #3), applied to BOTH
+    * sides of every comparison — value-preserving by Spark's own
+    * semantics, so normalizing them equal can never serve a wrong
+    * answer: date_trunc field synonyms fold to one spelling;
+    * truncate-to-day under a date cast is the date cast (the day
+    * bucket IS the date); and the analyzer's ntz→timestamp widening
+    * under a date cast collapses (both casts carry the same session
+    * timezone, so the date of the wall time is the date either way).
+    * Recursive (not transformUp) because a collapse can EXPOSE the
+    * next one: Cast(trunc(DAY, Cast(ntz→ts)), date) needs two. */
+  private def canonTree(e: Expression): Expression =
+    e.mapChildren(canonTree) match {
       case TruncTimestamp(Literal(f: UTF8String, StringType), ts, tz) =>
         TruncTimestamp(Literal(canonField(f.toString)), ts, tz)
       case Cast(TruncTimestamp(Literal(f: UTF8String, StringType), ts, _),
                 DateType, tz, ev) if canonField(f.toString) == "DAY" =>
-        Cast(ts, DateType, tz, ev)
-    }.canonicalized)
+        canonTree(Cast(ts, DateType, tz, ev))
+      case Cast(Cast(x, TimestampType, _, _), DateType, tz, ev)
+          if x.dataType == TimestampNTZType =>
+        canonTree(Cast(x, DateType, tz, ev))
+      case other => other
+    }
+
+  private[engine] def normalize(e: Expression,
+      names: Map[ExprId, String]): Option[Expression] = {
+    if (!e.references.forall(a => names.contains(a.exprId))) return None
+    Some(canonTree(e.transformUp {
+      case a: AttributeReference =>
+        a.withExprId(ExprId(fnv64(names(a.exprId))))
+    }).canonicalized)
   }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
@@ -706,6 +718,14 @@ object Mv {
       }
       def bridge(ie: Expression): Option[Expression] = {
         val tz = Some(conf.sessionLocalTimeZone)
+        // the analyzer's spelling of date_trunc('DAY', c): over an
+        // ntz column it widens the child to session-zoned timestamp
+        def dayTruncOf(c: Expression): Expression = c.dataType match {
+          case TimestampType =>
+            TruncTimestamp(Literal("DAY"), c, tz)
+          case _ =>
+            TruncTimestamp(Literal("DAY"), Cast(c, TimestampType, tz), tz)
+        }
         ie match {
           // query in timestamp buckets; MV stored the date image
           case t if truncField(t).exists(dayAligned.contains) =>
@@ -716,11 +736,12 @@ object Mv {
           case Cast(c, DateType, _, _)
               if truncField(c).exists(dayAligned.contains) =>
             lookupNorm(c).map(a => Cast(a, DateType, tz))
-          // query takes the plain date of a timestamp; MV stored
-          // date_trunc('DAY') of it (same date per row)
-          case Cast(c, DateType, _, _) if c.dataType == TimestampType =>
-            lookupNorm(TruncTimestamp(Literal("DAY"), c, tz))
-              .map(a => Cast(a, DateType, tz))
+          // query takes the plain date of a timestamp (zoned or ntz);
+          // MV stored date_trunc('DAY') of it (same date per row)
+          case Cast(c, DateType, _, _)
+              if c.dataType == TimestampType ||
+                 c.dataType == TimestampNTZType =>
+            lookupNorm(dayTruncOf(c)).map(a => Cast(a, DateType, tz))
           case _ => None
         }
       }

@@ -124,7 +124,7 @@ object QueriesR21 {
     LakeTable.read(s, root).orderBy("key")
   }
 
-  private def morFixture(s: SparkSession, d: String, name: String,
+  private[engine] def morFixture(s: SparkSession, d: String, name: String,
                          applyThem: Boolean): String = {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"))

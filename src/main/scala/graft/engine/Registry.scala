@@ -373,6 +373,15 @@ object Registry {
     "sql_create_mv"         -> QueriesR22.sqlCreateMv _,
     "mv_rewrite_timebucket" -> QueriesR22.mvRewriteTimebucket _,
     "mv_rewrite_starjoin"   -> QueriesR22.mvRewriteStarjoin _,
+    // Round-17: the r16 verdict gaps — MV filter containment (extra
+    // group-column WHERE served from the summary), value-equal date
+    // spelling bridges, the predicate-carrying stats-pruned MOR read,
+    // and DATE-literal / OR-of-ranges prune derivation in SQL DML
+    "mv_rewrite_extra_where" -> QueriesR23.mvRewriteExtraWhere _,
+    "mv_rewrite_datebridge" -> QueriesR23.mvRewriteDatebridge _,
+    "lake_mor_pruned"       -> QueriesR23.lakeMorPruned _,
+    "sql_delete_dates"      -> QueriesR23.sqlDeleteDates _,
+    "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -382,5 +391,6 @@ object Registry {
       OracleR7.sql ++ OracleR8.sql ++ OracleR9.sql ++ OracleR10.sql ++
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
-      OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql ++ OracleR22.sql
+      OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql ++ OracleR22.sql ++
+      OracleR23.sql
 }

@@ -377,4 +377,59 @@ class LakeDmlSpec extends SparkTestBase {
     assert(LakeDml.bloomAll(spark, root, "k") == 2)
     assert(LakeDml.bloomAll(spark, root, "k") == 0, "second pass: nothing to do")
   }
+
+  test("readMorWhere prunes the data-side scan and still subtracts tombstones") {
+    val root = freshRoot("morwhere")
+    twoDirTable(root) // stats-carrying dirs: keys [0,9] and [100,109]
+    // tombstone keys in BOTH ranges — the subtraction must not be
+    // affected by data-side pruning
+    LakeDml.deleteByKeysMor(spark, root, "k",
+      Seq(3L, 103L).toDF("k"))
+    val pruned = LakeDml.readMorWhere(spark, root, col("k") < 50L)
+    val full = LakeDml.readMor(spark, root).where(col("k") < 50L)
+    assert(pruned.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (0L to 9L).filterNot(_ == 3L))
+    // the data-side scan read strictly fewer files (one directory of
+    // two; tombstone files ride along but the high-key dir is gone)
+    val scannedData = pruned.inputFiles.filterNot(_.contains("eqdel")).toSet
+    val fullData = full.inputFiles.filterNot(_.contains("eqdel")).toSet
+    assert(scannedData.subsetOf(fullData) && scannedData.size < fullData.size,
+      s"pruned scan should read fewer data files: ${scannedData.size} vs ${fullData.size}")
+    // a predicate that derives nothing still answers correctly
+    val nd = LakeDml.readMorWhere(spark, root, col("k") % 2L === 0L)
+    assert(nd.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L, 100L, 102L, 104L, 106L, 108L))
+  }
+
+  test("derivePrunePreds: DATE literals, OR-of-ranges, and the non-derivable shapes") {
+    def derive(cond: String): Seq[LakeDml.DerivedPred] =
+      LakeDml.derivePrunePreds(
+        spark.sessionState.sqlParser.parseExpression(cond))
+    // DATE literal → ISO string-kind interval
+    assert(derive("d < DATE '1996-01-01'") ==
+      Seq(LakeDml.DerivedPred("d", None, Some("1996-01-01"), numeric = false)))
+    assert(derive("d = DATE '2020-02-29'") ==
+      Seq(LakeDml.DerivedPred("d", Some("2020-02-29"), Some("2020-02-29"),
+        numeric = false)))
+    // OR of bounded ranges → the union interval
+    assert(derive("(k >= 10 AND k <= 20) OR (k >= 90 AND k <= 95)") ==
+      Seq(LakeDml.DerivedPred("k", Some("10"), Some("95"), numeric = true)))
+    // OR of equalities unions too; numeric ordering, not lexicographic
+    assert(derive("k = 9 OR k = 25") ==
+      Seq(LakeDml.DerivedPred("k", Some("9"), Some("25"), numeric = true)))
+    // one-sided OR branches derive nothing (the union is unbounded)
+    assert(derive("k < 5 OR k > 10").isEmpty)
+    // different columns per branch derive nothing
+    assert(derive("a = 1 OR b = 2").isEmpty)
+    // a derivable conjunct NEXT TO an OR still derives
+    assert(derive("s = 'x' AND (k BETWEEN 1 AND 3 OR k BETWEEN 7 AND 9)")
+      .toSet == Set(
+        LakeDml.DerivedPred("s", Some("x"), Some("x"), numeric = false),
+        LakeDml.DerivedPred("k", Some("1"), Some("9"), numeric = true)))
+    // timestamp literals deliberately derive nothing (their string
+    // rendering is not guaranteed to match the recorded stats)
+    assert(derive("ts < TIMESTAMP '1996-01-01 00:00:00'").isEmpty)
+  }
 }

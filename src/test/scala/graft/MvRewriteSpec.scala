@@ -293,6 +293,163 @@ class MvRewriteSpec extends SparkTestBase {
       Seq(("a", 37L)))
   }
 
+  test("filter containment on join bases: one extra group-column WHERE is served") {
+    val fdir = Files.createTempDirectory("graft_mv_factx").toString
+    val ddir = Files.createTempDirectory("graft_mv_dimx").toString
+    val rX = Files.createTempDirectory("graft_mv_xsum").toString + "/mv"
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x")
+      .write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def joined = spark.read.parquet(fdir)
+      .join(spark.read.parquet(ddir), col("fk") === col("dk"))
+    Mv.register(spark, "spec_mv_joinx", joined, Seq("dname"), Seq("x"), rX)
+    // the registered shape PLUS an extra predicate on the GROUP column
+    val q = joined.filter(col("dname") === "a")
+      .groupBy("dname").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .orderBy("dname")
+    assert(scannedPaths(q).nonEmpty && scannedPaths(q).forall(_.startsWith(rX)),
+      s"extra group-column WHERE should serve from the MV, got ${scannedPaths(q)}")
+    assert(q.as[(String, Long, Long)].collect().toSeq == Seq(("a", 3L, 37L)))
+    // an IN-list extra predicate serves too
+    val q2 = joined.filter(col("dname").isin("a", "zzz"))
+      .groupBy("dname").agg(sum("x").as("sx"))
+    assert(scannedPaths(q2).forall(_.startsWith(rX)))
+    assert(q2.orderBy("dname").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 37L)))
+    // an extra predicate on the AGGREGATED column still declines
+    val d = joined.filter(col("x") > 5L)
+      .groupBy("dname").agg(sum("x").as("sx"))
+    assert(scannedPaths(d).exists(_.startsWith(fdir)))
+    assert(d.orderBy("dname").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 37L)))
+  }
+
+  test("a FILTERED base registers its conjuncts; only containing queries serve") {
+    val dirF = Files.createTempDirectory("graft_mv_fbase").toString
+    val rF = Files.createTempDirectory("graft_mv_fsum").toString + "/mv"
+    Seq(("a", 1L), ("a", 2L), ("b", 30L), ("b", 4L), ("c", 500L))
+      .toDF("g1", "x").write.mode("overwrite").parquet(dirF)
+    val raw = spark.read.parquet(dirF)
+    // the MV summarizes ONLY x < 100 rows (a filter on the AGG column
+    // is fine on the BASE side — only EXTRA query conjuncts must sit
+    // on group columns)
+    Mv.register(spark, "spec_mv_fb", raw.filter($"x" < 100L),
+      Seq("g1"), Seq("x"), rF)
+    // an UNFILTERED query over the same relation must NOT be served
+    // (the summary is missing the x >= 100 rows)
+    val unf = raw.groupBy("g1").agg(sum("x").as("sx")).orderBy("g1")
+    assert(scannedPaths(unf).exists(_.startsWith(dirF)),
+      "a query missing the base's filter must decline")
+    assert(unf.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 34L), ("c", 500L)))
+    // the SAME filter serves; filter + an extra group-col conjunct too
+    val same = raw.filter($"x" < 100L)
+      .groupBy("g1").agg(sum("x").as("sx")).orderBy("g1")
+    assert(scannedPaths(same).nonEmpty &&
+      scannedPaths(same).forall(_.startsWith(rF)),
+      s"the base's own filter should serve, got ${scannedPaths(same)}")
+    assert(same.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 34L)))
+    val extra = raw.filter($"x" < 100L).filter($"g1" === "a")
+      .groupBy("g1").agg(sum("x").as("sx"))
+    assert(scannedPaths(extra).nonEmpty &&
+      scannedPaths(extra).forall(_.startsWith(rF)),
+      s"base filter + extra group-col conjunct should serve, got ${scannedPaths(extra)}")
+    assert(extra.as[(String, Long)].collect().toSeq == Seq(("a", 3L)))
+  }
+
+  test("spelling bridges: CAST-as-date MV serves date_trunc('DAY') and back") {
+    val dirB = Files.createTempDirectory("graft_mv_bridge").toString
+    val rB = Files.createTempDirectory("graft_mv_bsum").toString + "/mv"
+    val rB2 = Files.createTempDirectory("graft_mv_bsum2").toString + "/mv"
+    spark.sql(
+      """SELECT timestampadd(HOUR, CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts,
+        |       id AS x FROM range(100)""".stripMargin)
+      .write.mode("overwrite").parquet(dirB)
+    val b = spark.read.parquet(dirB)
+    // MV stores the DATE spelling; the query buckets in TIMESTAMP
+    Mv.register(spark, "spec_mv_bridge", b, Nil, Seq("x"), rB,
+      groupExprs = Seq(("d", "CAST(ts AS DATE)")))
+    val q = b.groupBy(expr("date_trunc('DAY', ts)").as("day"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("day")
+    assert(scannedPaths(q).nonEmpty && scannedPaths(q).forall(_.startsWith(rB)),
+      s"date_trunc('DAY') should bridge to the CAST-as-date MV, got ${scannedPaths(q)}")
+    val got = q.as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    Mv.clear()
+    val plain = b.groupBy(expr("date_trunc('DAY', ts)").as("day"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("day")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got == plain)
+    assert(got.map(_._2) == Seq(24L, 24L, 24L, 24L, 4L))
+    // the REVERSE direction: MV stores date_trunc('DAY'); the query
+    // takes CAST(ts AS DATE)
+    Mv.register(spark, "spec_mv_bridge2", b, Nil, Seq("x"), rB2,
+      groupExprs = Seq(("d", "date_trunc('DAY', ts)")))
+    val q2 = b.groupBy(expr("CAST(ts AS DATE)").as("d"))
+      .agg(sum("x").as("sx")).orderBy("d")
+    assert(scannedPaths(q2).nonEmpty && scannedPaths(q2).forall(_.startsWith(rB2)),
+      s"CAST-as-date should bridge to the date_trunc MV, got ${scannedPaths(q2)}")
+    val got2 = q2.as[(java.sql.Date, Long)].collect().toSeq
+    Mv.clear()
+    val plain2 = b.groupBy(expr("CAST(ts AS DATE)").as("d"))
+      .agg(sum("x").as("sx")).orderBy("d")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got2 == plain2)
+    // a NON-day-aligned spelling must not bridge: HOUR buckets are
+    // not 1:1 with dates
+    Mv.register(spark, "spec_mv_bridge", b, Nil, Seq("x"), rB,
+      groupExprs = Seq(("d", "CAST(ts AS DATE)")))
+    val hq = b.groupBy(expr("date_trunc('HOUR', ts)").as("h"))
+      .agg(sum("x").as("sx"))
+    assert(scannedPaths(hq).exists(_.startsWith(dirB)),
+      "HOUR buckets must not be served by a date-grain MV")
+    Mv.clear()
+    Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
+  }
+
+  test("fingerprint guard: re-registering after the base changed rebuilds the summary") {
+    val dirG = Files.createTempDirectory("graft_mv_fpbase").toString
+    val rG = Files.createTempDirectory("graft_mv_fpsum").toString + "/mv"
+    Seq(("a", 1L), ("b", 2L)).toDF("g1", "x")
+      .write.mode("overwrite").parquet(dirG)
+    Mv.register(spark, "spec_mv_fp", spark.read.parquet(dirG),
+      Seq("g1"), Seq("x"), rG)
+    val v0 = LakeTable.latestVersion(spark, rG).get
+    // the base GROWS, then a fresh session-equivalent re-registration
+    // happens (same args, same root) — the r16 ADVICE #1 trap: the old
+    // code would skip materialization and stamp the STALE summary
+    // fresh for the new file set
+    Seq(("a", 100L)).toDF("g1", "x").write.mode("append").parquet(dirG)
+    Mv.register(spark, "spec_mv_fp", spark.read.parquet(dirG),
+      Seq("g1"), Seq("x"), rG)
+    assert(LakeTable.latestVersion(spark, rG).get > v0,
+      "a changed base fingerprint must rebuild the summary")
+    val q = spark.read.parquet(dirG).groupBy("g1")
+      .agg(sum("x").as("sx")).orderBy("g1")
+    assert(scannedPaths(q).nonEmpty && scannedPaths(q).forall(_.startsWith(rG)))
+    assert(q.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 101L), ("b", 2L)))
+    // idempotent skip: re-registering the UNCHANGED base writes no
+    // new version
+    val v1 = LakeTable.latestVersion(spark, rG).get
+    Mv.register(spark, "spec_mv_fp", spark.read.parquet(dirG),
+      Seq("g1"), Seq("x"), rG)
+    assert(LakeTable.latestVersion(spark, rG).get == v1)
+  }
+
+  test("round-17 registry keys are answered from their MV artifacts") {
+    val xw = graft.engine.Registry.queries("mv_rewrite_extra_where")(spark, sfDir)
+    val xp = scannedPaths(xw)
+    assert(xp.nonEmpty && xp.forall(_.contains("mv_star")),
+      s"mv_rewrite_extra_where should scan only the star MV, got $xp")
+    val db = graft.engine.Registry.queries("mv_rewrite_datebridge")(spark, sfDir)
+    val dp = scannedPaths(db)
+    assert(dp.nonEmpty &&
+      dp.forall(p => p.contains("mv_orders_day") && p.contains("/mv/")),
+      s"mv_rewrite_datebridge should scan only the day MV, got $dp")
+  }
+
   test("MV summary itself is sane") {
     val mv = LakeTable.read(spark, mvRoot)
     assert(mv.count() == 4)

@@ -236,4 +236,71 @@ class SqlDmlSpec extends SparkTestBase {
     val all = LakeTable.rangeDirs2(spark, root, Nil)
     assert(pruned.size < all.size)
   }
+
+  test("derived pruning: DATE literals prune date-clustered directories") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT CAST(date_add(DATE '2020-01-01', " +
+      "CAST(id AS INT)) AS DATE) AS d, id AS x FROM range(400)")
+    s.exec("OPTIMIZE t CLUSTER BY (d) BUCKETS 4")
+    val del = s.exec("DELETE FROM t WHERE d < DATE '2020-02-01'").head()
+    assert(del.getAs[Int]("active_dirs") == 4)
+    assert(del.getAs[Int]("candidate_dirs") < 4,
+      "ISO string-kind interval from the DATE literal should prune")
+    assert(del.getAs[Long]("rows_deleted") == 31L)
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 369L)
+  }
+
+  test("derived pruning: OR-of-bounded-ranges prunes by the union interval") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 399)) AS k")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 8")
+    val del = s.exec(
+      "DELETE FROM t WHERE (k BETWEEN 10 AND 20) OR (k BETWEEN 90 AND 95)")
+      .head()
+    assert(del.getAs[Int]("active_dirs") == 8)
+    assert(del.getAs[Int]("candidate_dirs") < 8,
+      "the union interval [10, 95] should prune high-key buckets")
+    assert(del.getAs[Long]("rows_deleted") == 17L)
+    // the gap (21..89) SURVIVED — union interval is scan pruning only
+    assert(s.exec("SELECT count(*) AS n FROM t WHERE k BETWEEN 21 AND 89")
+      .as[Long].head() == 69L)
+    // one-sided OR branches derive nothing: every directory scans and
+    // the delete still lands exactly
+    val del2 = s.exec("DELETE FROM t WHERE k < 5 OR k >= 395").head()
+    assert(del2.getAs[Int]("candidate_dirs") ==
+      del2.getAs[Int]("active_dirs"))
+    assert(del2.getAs[Long]("rows_deleted") == 10L)
+  }
+
+  test("scanner: semicolons and keywords in comments and double-quoted literals are opaque") {
+    val s = sess()
+    Seq((0L, "x;y"), (1L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("sqldml_scan_src")
+    // double-quoted string with ';' and a line comment with ';' — one
+    // script, three real statements
+    val out = s.script(
+      """CREATE TABLE t AS SELECT k, v FROM sqldml_scan_src;
+        |-- a comment; DELETE FROM t WHERE k = 0; stays a comment
+        |DELETE FROM t WHERE v = "x;y";
+        |/* block; comment; too */
+        |SELECT k, v FROM t ORDER BY k""".stripMargin)
+    assert(out.as[(Long, String)].collect().toSeq == Seq(1L -> "b"))
+    // backslash escape inside a single-quoted literal stays opaque
+    s.exec("INSERT INTO t SELECT 7 AS k, 'it\\';s' AS v")
+    assert(s.exec("SELECT count(*) AS n FROM t WHERE k = 7")
+      .as[Long].head() == 1L)
+  }
+
+  test("duplicate CREATE MATERIALIZED VIEW is rejected loudly") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 9)) AS k")
+    s.exec("CREATE MATERIALIZED VIEW mv_dup AS " +
+      "SELECT k, count(*) AS cnt FROM t GROUP BY k")
+    val e = intercept[RuntimeException] {
+      s.exec("CREATE MATERIALIZED VIEW mv_dup AS " +
+        "SELECT k, count(*) AS cnt FROM t GROUP BY k")
+    }
+    assert(e.getMessage.contains("already exists"))
+    graft.engine.Mv.clear()
+  }
 }
