@@ -356,35 +356,63 @@ object LakeDml {
                      preds: Seq[DerivedPred]): Seq[String] =
     pruneWithState(LakeTable.replayState(spark, root, None), dirs, preds)
 
-  private def pruneWithState(st: LakeTable.LogState, dirs: Seq[String],
-                             preds: Seq[DerivedPred]): Seq[String] = {
-    if (preds.isEmpty) return dirs
+  /** Can `p` intersect the recorded [min, max]? Missing stats, null
+    * bounds, kind mismatch, or unparseable numerics all KEEP the data
+    * — stats are an optimization, never a correctness filter. */
+  private def predIntersects(st: LakeTable.LogState, p: DerivedPred,
+                             stats: Option[(String, String)]): Boolean = {
     def num(s: String): Option[BigDecimal] =
       if (s == null) None
       else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
-    dirs.filter { d =>
-      preds.forall { p =>
-        val kindOk = st.colKinds.get(p.col)
-          .contains(if (p.numeric) "num" else "str")
-        !kindOk || (st.colStats.get(d).flatMap(_.get(p.col)) match {
-          case Some((mn, mx)) if mn != null && mx != null =>
-            if (p.numeric) {
-              val loOk = p.lo.forall(l =>
-                (num(l), num(mx)) match {
-                  case (Some(a), Some(b)) => a <= b
-                  case _ => true
-                })
-              val hiOk = p.hi.forall(h =>
-                (num(mn), num(h)) match {
-                  case (Some(a), Some(b)) => a <= b
-                  case _ => true
-                })
-              loOk && hiOk
-            } else p.lo.forall(_ <= mx) && p.hi.forall(mn <= _)
-          case _ => true
-        })
+    val kindOk = st.colKinds.get(p.col)
+      .contains(if (p.numeric) "num" else "str")
+    !kindOk || (stats match {
+      case Some((mn, mx)) if mn != null && mx != null =>
+        if (p.numeric) {
+          val loOk = p.lo.forall(l =>
+            (num(l), num(mx)) match {
+              case (Some(a), Some(b)) => a <= b
+              case _ => true
+            })
+          val hiOk = p.hi.forall(h =>
+            (num(mn), num(h)) match {
+              case (Some(a), Some(b)) => a <= b
+              case _ => true
+            })
+          loOk && hiOk
+        } else p.lo.forall(_ <= mx) && p.hi.forall(mn <= _)
+      case _ => true
+    })
+  }
+
+  private def pruneWithState(st: LakeTable.LogState, dirs: Seq[String],
+                             preds: Seq[DerivedPred]): Seq[String] = {
+    if (preds.isEmpty) return dirs
+    dirs.filter(d => preds.forall(p =>
+      predIntersects(st, p, st.colStats.get(d).flatMap(_.get(p.col)))))
+  }
+
+  /** FILE-grain refinement of [[pruneWithState]]: directory-grain
+    * survivors split into (whole directories without per-file stats,
+    * individual surviving files inside stat'd directories) — the
+    * [[LakeTable.rangeFiles]] posture for derived preds, kind-gated
+    * per [[DerivedPred]]. At 100 TB the real I/O win is at file
+    * grain: a z-layout directory prunes most of its files for a
+    * tight box even when the directory itself must survive. */
+  private def pruneFilesWithState(st: LakeTable.LogState,
+                                  dirs: Seq[String],
+                                  preds: Seq[DerivedPred])
+      : (Seq[String], Seq[String]) = {
+    val kept = pruneWithState(st, dirs, preds)
+    if (preds.isEmpty) return (kept, Seq.empty)
+    val (withFiles, whole) = kept.partition(st.fileStats.contains)
+    val files = withFiles.flatMap { d =>
+      st.fileStats(d).collect {
+        case (f, cols) if preds.forall(p =>
+          predIntersects(st, p, cols.get(p.col))) => s"$d/$f"
       }
     }
+    (whole, files)
   }
 
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
@@ -747,11 +775,12 @@ object LakeDml {
     val preds = derivePrunePreds(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .expression(cond))
-    val dirs = pruneWithState(st, st.active, preds)
+    val (whole, files) = pruneFilesWithState(st, st.active, preds)
+    val paths = whole.map(d => s"$root/$d") ++ files.map(f => s"$root/$f")
     val data =
-      if (dirs.isEmpty) LakeTable.read(spark, root, asOf).limit(0)
+      if (paths.isEmpty) LakeTable.read(spark, root, asOf).limit(0)
       else spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$root/$d"): _*)
+        .parquet(paths: _*)
         .where(cond)
     subtractTombstones(spark, root, st, data)
   }

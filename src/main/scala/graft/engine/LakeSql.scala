@@ -298,10 +298,14 @@ object LakeSql {
       * from the last data-bearing version) — `LakeTable.read`'s
       * no-active-data refusal is right for the Scala API, but a SQL
       * session that deletes every row must still be able to SELECT
-      * from (and INSERT back into) the table. */
+      * from (and INSERT back into) the table. Reads go through
+      * [[LakeDml.readMor]] (identical to a plain read when no
+      * equality-delete tombstones are live), so attaching a table
+      * that took merge-on-read deletes through the Scala API cannot
+      * silently resurrect the doomed rows in SQL. */
     private def snapshot(root: String): Option[DataFrame] = {
       def tryRead(asOf: Option[Long]): Option[DataFrame] =
-        try Some(LakeTable.read(spark, root, asOf))
+        try Some(LakeDml.readMor(spark, root, asOf))
         catch { case _: IllegalArgumentException => None }
       tryRead(None).orElse {
         val latest = LakeTable.latestVersion(spark, root).getOrElse(-1L)
@@ -356,7 +360,7 @@ object LakeSql {
             sys.error(s"LakeSql: VERSION AS OF on '$name', which is " +
               "not an attached lake table"))
           val view = s"${name}__asof_$v"
-          LakeTable.read(spark, root, Some(v)).createOrReplaceTempView(view)
+          LakeDml.readMor(spark, root, Some(v)).createOrReplaceTempView(view)
           view
         }
       })

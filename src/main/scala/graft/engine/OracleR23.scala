@@ -32,13 +32,22 @@ object OracleR23 {
         |       max(o_custkey) AS cust_max
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The refreshed star summary must equal a from-scratch recompute
+    // over the full join — any lost/double-counted delta row fails.
+    "mv_rewrite_star_incremental" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(o_orderkey) AS key_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // The MOR subtract view (status 'P' and returned keys tombstoned)
     // restricted to the predicate range — a pruned directory that
     // actually held a surviving in-range row would hash-fail.
     "lake_mor_pruned" ->
       """SELECT o_orderkey AS key, o_orderstatus AS status
         |FROM orders
-        |WHERE o_orderkey >= 2048 AND o_orderkey < 8192
+        |WHERE o_orderkey >= 256 AND o_orderkey < 1024
         |  AND o_orderstatus <> 'P'
         |  AND o_orderkey NOT IN (
         |    SELECT DISTINCT l_orderkey FROM lineitem

@@ -117,9 +117,48 @@ object QueriesR23 {
   def lakeMorPruned(s: SparkSession, d: String): DataFrame = {
     val root = QueriesR21.morFixture(s, d, "lake_del_mor",
       applyThem = false)
+    // range chosen inside every tier's key domain (sf0.001 tops out
+    // near 1500) so the key returns rows at all scale factors
     LakeDml.readMorWhere(s, root,
-        col("key") >= 2048L && col("key") < 8192L)
+        col("key") >= 256L && col("key") < 1024L)
       .orderBy("key")
+  }
+
+  /** Incremental maintenance of a STAR-JOIN MV: the fact side is a
+    * lake table that GROWS (append-only), the dimension is static,
+    * and the summary is maintained by [[Mv.refresh]] with the delta
+    * JOIN (Δfact ⋈ dim = Δ(fact ⋈ dim) when the dim is unchanged —
+    * the classic delta-join identity) — an O(groups) partial fold,
+    * never a join recompute. The final per-segment aggregate over the
+    * CURRENT join is served from the refreshed summary by
+    * whole-subtree normal-form matching; the oracle recomputes from
+    * ALL raw rows, so a fold that lost or double-counted any delta
+    * row hash-fails. */
+  def mvRewriteStarIncremental(s: SparkSession, d: String): DataFrame = {
+    val fact = orders(s, d).select("o_orderkey", "o_custkey")
+    def joined(r: String) = LakeTable.read(s, s"$r/fact")
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+    val gcols = Seq("c_mktsegment")
+    val acols = Seq("o_orderkey")
+    def reg(r: String): Unit =
+      Mv.register(s, "orders_mv_star_inc", joined(r), gcols, acols,
+        s"$r/mv")
+    val hash = ArtifactCache.artifactHash(fact).take(16) +
+      ArtifactCache.artifactHash(
+        customer(s, d).select("c_custkey", "c_mktsegment")).take(16)
+    val root = LakeFixtures.cached(s, "mv_star_inc", hash) { r =>
+      val delta = fact.filter(col("o_orderkey") >= 7500)
+      LakeTable.append(fact.filter(col("o_orderkey") < 7500), s"$r/fact")
+      reg(r)
+      LakeTable.append(delta, s"$r/fact")
+      Mv.refresh(s, "orders_mv_star_inc", joined(r),
+        delta.join(customer(s, d), col("o_custkey") === col("c_custkey")))
+    }
+    reg(root)
+    joined(root).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("c_mktsegment")
   }
 
   /** DATE-literal prune derivation through the SQL DML path: the

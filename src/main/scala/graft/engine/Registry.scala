@@ -379,6 +379,7 @@ object Registry {
     // and DATE-literal / OR-of-ranges prune derivation in SQL DML
     "mv_rewrite_extra_where" -> QueriesR23.mvRewriteExtraWhere _,
     "mv_rewrite_datebridge" -> QueriesR23.mvRewriteDatebridge _,
+    "mv_rewrite_star_incremental" -> QueriesR23.mvRewriteStarIncremental _,
     "lake_mor_pruned"       -> QueriesR23.lakeMorPruned _,
     "sql_delete_dates"      -> QueriesR23.sqlDeleteDates _,
     "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,

@@ -403,6 +403,27 @@ class LakeDmlSpec extends SparkTestBase {
       Seq(0L, 2L, 4L, 6L, 8L, 100L, 102L, 104L, 106L, 108L))
   }
 
+  test("readMorWhere prunes at FILE grain inside z-layout directories") {
+    val root = freshRoot("morfiles")
+    // v tracks k, so the z-order on (k, v) is monotone in k and the
+    // per-file [min, max] ranges are contiguous — deterministic grain
+    LakeTable.append((0L to 199L).map(k => (k, k)).toDF("k", "v"), root)
+    // 2 directories × 4 files, per-file [min, max] on (k, v) in the log
+    LakeTable.rewriteClusteredN(LakeTable.read(spark, root), root,
+      Seq("k", "v"), 2, filesPerDir = 4)
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(10L, 150L).toDF("k"))
+    val tight = LakeDml.readMorWhere(spark, root,
+      col("k") >= 0L && col("k") < 20L)
+    assert(tight.as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((0L to 19L).filterNot(_ == 10L)))
+    val tightFiles = tight.inputFiles.filterNot(_.contains("eqdel")).toSet
+    val allFiles = LakeDml.readMor(spark, root)
+      .inputFiles.filterNot(_.contains("eqdel")).toSet
+    assert(tightFiles.size < allFiles.size / 2,
+      s"file-grain pruning should beat directory grain: " +
+        s"${tightFiles.size} of ${allFiles.size}")
+  }
+
   test("derivePrunePreds: DATE literals, OR-of-ranges, and the non-derivable shapes") {
     def derive(cond: String): Seq[LakeDml.DerivedPred] =
       LakeDml.derivePrunePreds(

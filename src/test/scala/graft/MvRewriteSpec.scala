@@ -448,6 +448,12 @@ class MvRewriteSpec extends SparkTestBase {
     assert(dp.nonEmpty &&
       dp.forall(p => p.contains("mv_orders_day") && p.contains("/mv/")),
       s"mv_rewrite_datebridge should scan only the day MV, got $dp")
+    val si = graft.engine.Registry
+      .queries("mv_rewrite_star_incremental")(spark, sfDir)
+    val sp = scannedPaths(si)
+    assert(sp.nonEmpty &&
+      sp.forall(p => p.contains("mv_star_inc") && p.contains("/mv/")),
+      s"mv_rewrite_star_incremental should scan only the refreshed MV, got $sp")
   }
 
   test("MV summary itself is sane") {

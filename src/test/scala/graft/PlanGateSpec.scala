@@ -70,6 +70,10 @@ class PlanGateSpec extends SparkTestBase {
        "O(delete list), usually bytes; SIZE-GATED via " +
        "Ops.broadcastIfSmall in LakeDml.readMor, so past 64 MB of " +
        "tombstones the anti join falls back to AQE's shuffle choice")),
+    "lake_mor_pruned"      -> Map("fact_broadcast_hint" ->
+      ("same tombstone anti-join as lake_delete_mor (readMorWhere " +
+       "shares subtractTombstones): O(delete list) keys, size-gated " +
+       "via Ops.broadcastIfSmall")),
     "docs_bpe_encode" -> Map(
       "global_window" ->
         ("the ranked frame is the distinct token inventory — ≤ |alphabet| " +

@@ -291,6 +291,22 @@ class SqlDmlSpec extends SparkTestBase {
       .as[Long].head() == 1L)
   }
 
+  test("attached tables with live MOR tombstones SELECT without resurrecting doomed rows") {
+    import graft.engine.LakeDml
+    val root = Files.createTempDirectory("graft_sql_mor").toString + "/t"
+    LakeTable.append(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"),
+      root)
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(1L).toDF("k"))
+    val s = sess()
+    s.attach("t", root)
+    assert(s.exec("SELECT k FROM t ORDER BY k").as[Long].collect().toSeq ==
+      Seq(0L, 2L), "SQL reads must subtract live equality-delete files")
+    // time travel BEFORE the tombstone still sees the row (the eqdel
+    // commit is not live at v0)
+    assert(s.exec("SELECT count(*) AS n FROM t VERSION AS OF 0")
+      .as[Long].head() == 3L)
+  }
+
   test("duplicate CREATE MATERIALIZED VIEW is rejected loudly") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 9)) AS k")
