@@ -90,7 +90,8 @@ object Mv {
                    root: String,
                    mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
                    baseNormal: Option[String] = None,
-                   baseFilterNorms: Set[String] = Set.empty) {
+                   baseFilterConjs: Seq[(String, Expression)] = Nil) {
+    def baseFilterNorms: Set[String] = baseFilterConjs.map(_._1).toSet
     def isGroupCol(n: String): Boolean = groupCols.contains(n)
     /** Plain group cols + derived-expression aliases — the summary's
       * group-key column names. */
@@ -168,6 +169,101 @@ object Mv {
     case o => Seq(o)
   }
 
+  /** Does normalized conjunct `qe` IMPLY normalized conjunct `be`, for
+    * the decidable single-column shape: both are comparisons of the
+    * SAME column (name-derived id) against a literal of the SAME
+    * type, and qe's interval is contained in be's. This is what lets
+    * an MV built over a filtered slice (x < 1000) serve a query over
+    * a sub-slice (x < 500): the base conjunct need not appear
+    * verbatim in the query if a stronger query conjunct covers it.
+    * Anything outside the shape answers false — the failure mode is
+    * "no speedup". */
+  private def implies(qe: Expression, be: Expression): Boolean = {
+    // (column id, type, lo bound, hi bound); bounds carry inclusivity
+    type Iv = (Long, org.apache.spark.sql.types.DataType,
+               Option[(Any, Boolean)], Option[(Any, Boolean)])
+    // `allowIn` is QUERY-side only: an IN's [min, max] HULL contains
+    // its true-set, so hull ⊆ base-interval proves implication — but
+    // the reverse (base = IN, query interval inside the hull) would
+    // ignore the hull's GAPS and serve rows the summary lacks
+    def iv0(e: Expression, allowIn: Boolean): Option[Iv] = e match {
+      case LessThan(a: AttributeReference, Literal(v, t)) if v != null =>
+        Some((a.exprId.id, t, None, Some((v, false))))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
+        Some((a.exprId.id, t, None, Some((v, true))))
+      case GreaterThan(a: AttributeReference, Literal(v, t)) if v != null =>
+        Some((a.exprId.id, t, Some((v, false)), None))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
+        Some((a.exprId.id, t, Some((v, true)), None))
+      case EqualTo(a: AttributeReference, Literal(v, t)) if v != null =>
+        Some((a.exprId.id, t, Some((v, true)), Some((v, true))))
+      // canonicalization may put the literal on the left
+      case LessThan(Literal(v, t), a: AttributeReference) if v != null =>
+        Some((a.exprId.id, t, Some((v, false)), None))
+      case LessThanOrEqual(Literal(v, t), a: AttributeReference) if v != null =>
+        Some((a.exprId.id, t, Some((v, true)), None))
+      case GreaterThan(Literal(v, t), a: AttributeReference) if v != null =>
+        Some((a.exprId.id, t, None, Some((v, false))))
+      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) if v != null =>
+        Some((a.exprId.id, t, None, Some((v, true))))
+      case EqualTo(Literal(v, t), a: AttributeReference) if v != null =>
+        Some((a.exprId.id, t, Some((v, true)), Some((v, true))))
+      case In(a: AttributeReference, lits)
+          if allowIn && lits.nonEmpty && lits.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } && lits.map(_.dataType).distinct.size == 1 =>
+        val t = lits.head.dataType
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(t).asInstanceOf[Ordering[Any]]
+        val vs = lits.map { case Literal(v, _) => v }
+        Some((a.exprId.id, t, Some((vs.min(ord), true)),
+              Some((vs.max(ord), true))))
+      case _ => None
+    }
+    // a base ISNOTNULL is implied by ANY null-rejecting comparison on
+    // the same column (every interval shape above evaluates to false
+    // on null input), covering the optimizer's inferred-isnotnull
+    // asymmetry between a range-filtered base and an IN-filtered query
+    be match {
+      case IsNotNull(a: AttributeReference) =>
+        return iv0(qe, allowIn = true).exists(_._1 == a.exprId.id)
+      case _ => ()
+    }
+    (iv0(qe, allowIn = true), iv0(be, allowIn = false)) match {
+      case (Some((qa, qt, qlo, qhi)), Some((ba, bt, blo, bhi)))
+          if qa == ba && qt == bt =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(qt).asInstanceOf[Ordering[Any]]
+        // every base bound must be covered by a query bound at least
+        // as tight (equal points need compatible inclusivity)
+        val loOk = blo.forall { case (bv, bIncl) =>
+          qlo.exists { case (qv, qIncl) =>
+            val c = ord.compare(qv, bv)
+            c > 0 || (c == 0 && (bIncl || !qIncl))
+          }
+        }
+        val hiOk = bhi.forall { case (bv, bIncl) =>
+          qhi.exists { case (qv, qIncl) =>
+            val c = ord.compare(qv, bv)
+            c < 0 || (c == 0 && (bIncl || !qIncl))
+          }
+        }
+        loOk && hiOk
+      case _ => false
+    }
+  }
+
+  /** Every base conjunct covered by the query's set — verbatim (normal
+    * form membership) or by single-column range implication. */
+  private def coveredBy(base: Seq[(String, Expression)],
+                        q: Seq[(String, Expression)]): Boolean = {
+    lazy val qn = q.map(_._1).toSet
+    base.forall { case (bs, be) =>
+      qn.contains(bs) || q.exists { case (_, qe) => implies(qe, be) }
+    }
+  }
+
   /** Deterministic rendering of a plan under an aggregate — the
     * star-schema matcher's SKELETON plus the plan's filter conjuncts.
     * Projects are TRANSPARENT (attribute/alias substitutions are
@@ -185,13 +281,20 @@ object Mv {
     * LogicalRelation}, or duplicate column names across the joined
     * relations (bare-name identity is what lets groupCols/aggCols
     * lookups stay unchanged). */
+  /** One filter conjunct of a rendered plan: canonical string, the
+    * normalized expression behind it (range implication compares
+    * these), and the ORIGINAL expression (extras re-apply this over
+    * the summary, remapped to MV attributes). */
+  private[engine] case class Conj(norm: String, normExpr: Expression,
+                                  orig: Expression)
+
   private[engine] def planNormal(p: LogicalPlan)
-      : Option[(String, Map[ExprId, String], Seq[(String, Expression)])] = {
+      : Option[(String, Map[ExprId, String], Seq[Conj])] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.InnerLike
     def render(p: LogicalPlan)
         : Option[(String, Map[ExprId, String], Map[ExprId, Expression],
-                  Seq[(String, Expression)])] =
+                  Seq[Conj])] =
       p match {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
@@ -222,7 +325,7 @@ object Mv {
         case Filter(cond, inner) =>
           render(inner).flatMap { case (f, names, ad, cs) =>
             val normed = splitConj(cond).map(c =>
-              exprNormal(c, names, ad).map(_ -> c))
+              exprNorm(c, names, ad).map(n => Conj(n.toString, n, c)))
             if (normed.exists(_.isEmpty)) None
             else Some((f, names, ad, cs ++ normed.flatten))
           }
@@ -245,16 +348,21 @@ object Mv {
     render(p).map { case (f, names, _, cs) => (f, names, cs) }
   }
 
-  /** Canonical string of `e` with Project aliases inlined and column
-    * refs renamed to name-derived identity. */
-  private def exprNormal(e: Expression, names: Map[ExprId, String],
-                         adefs: Map[ExprId, Expression]): Option[String] = {
+  /** Normal form of `e` with Project aliases inlined and column refs
+    * renamed to name-derived identity. */
+  private def exprNorm(e: Expression, names: Map[ExprId, String],
+                       adefs: Map[ExprId, Expression]): Option[Expression] = {
     def inline(x: Expression): Expression = x.transformUp {
       case a: AttributeReference if adefs.contains(a.exprId) =>
         inline(adefs(a.exprId))
     }
-    normalize(inline(e), names).map(_.toString)
+    normalize(inline(e), names)
   }
+
+  /** Canonical string of [[exprNorm]]. */
+  private def exprNormal(e: Expression, names: Map[ExprId, String],
+                         adefs: Map[ExprId, Expression]): Option[String] =
+    exprNorm(e, names, adefs).map(_.toString)
 
   // session-scoped registrations: a weak map keyed by the registering
   // SparkSession (entries die with the session), name-keyed within it
@@ -408,8 +516,8 @@ object Mv {
     val hasFilter = optBase.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
     }.isDefined
-    val (baseNormal, baseFilterNorms) =
-      if (!isJoin && !hasFilter) (None, Set.empty[String])
+    val (baseNormal, baseFilterConjs) =
+      if (!isJoin && !hasFilter) (None, Seq.empty[(String, Expression)])
       else {
         if (isJoin) require(groupExprs.isEmpty,
           "Mv.register: derived group expressions over a JOINED base " +
@@ -418,13 +526,14 @@ object Mv {
           s"Mv.register: the base of '$name' is outside the matchable " +
             "shape (inner equi joins / filters / projects over file " +
             "relations with globally unique column names)"))
-        (if (isJoin) Some(form) else None, conjs.map(_._1).toSet)
+        (if (isJoin) Some(form) else None,
+         conjs.map(c => (c.norm, c.normExpr)))
       }
     defsFor(spark).put(name, MvDef(name,
       rootPathsOf(analyzedBase), inputFilesOf(analyzedBase),
       groupCols, aggCols, hllCols, groupExprs, exprNorms, root, plan,
       plan.output.map(a => a.name -> a).toMap, baseNormal,
-      baseFilterNorms))
+      baseFilterConjs))
     if (!spark.experimental.extraOptimizations.exists(
           _.isInstanceOf[MvRewrite]))
       spark.experimental.extraOptimizations =
@@ -603,35 +712,36 @@ object Mv {
       baseMatch(ds, child) match {
         case Some((candidates, names, adefs, filters)) =>
           lazy val normed = filters.map(c =>
-            (exprNormal(c, names, adefs), c))
+            (exprNorm(c, names, adefs), c))
+          lazy val qPairs = normed.collect {
+            case (Some(n), _) => (n.toString, n) }
           candidates.iterator.flatMap { d =>
-            if (d.baseFilterNorms.isEmpty)
+            if (d.baseFilterConjs.isEmpty)
               attempt(d, names, adefs, filters, ges, aes)
-            else {
-              val qn = normed.flatMap(_._1).toSet
-              if (!d.baseFilterNorms.subsetOf(qn)) None
-              else attempt(d, names, adefs,
-                normed.filterNot(_._1.exists(d.baseFilterNorms.contains))
-                  .map(_._2),
-                ges, aes)
-            }
+            else if (!coveredBy(d.baseFilterConjs, qPairs)) None
+            else attempt(d, names, adefs,
+              normed.filterNot(_._1.exists(n =>
+                  d.baseFilterNorms.contains(n.toString)))
+                .map(_._2),
+              ges, aes)
           }.buffered.headOption
         case None =>
           // star-schema bases: the skeleton (joins + relations) must
           // BE the registered join shape (modulo pruning projects and
-          // filter placement); filter conjuncts match by containment,
-          // so the dashboard's "same rollup, one extra WHERE on a
-          // group column" is served (r16 verdict #1)
+          // filter placement); filter conjuncts match by containment —
+          // verbatim or range-implied — so the dashboard's "same
+          // rollup, one extra WHERE on a group column" is served
+          // (r16 verdict #1)
           val joined = ds.filter(_.baseNormal.isDefined)
           if (joined.isEmpty) None
           else planNormal(child).flatMap { case (form, names, qconjs) =>
-            val qn = qconjs.map(_._1).toSet
+            val qPairs = qconjs.map(c => (c.norm, c.normExpr))
             joined.filter(d => d.baseNormal.contains(form) &&
-                               d.baseFilterNorms.subsetOf(qn))
+                               coveredBy(d.baseFilterConjs, qPairs))
               .iterator.flatMap { d =>
                 val extras = qconjs
-                  .filterNot(c => d.baseFilterNorms.contains(c._1))
-                  .distinctBy(_._1).map(_._2)
+                  .filterNot(c => d.baseFilterNorms.contains(c.norm))
+                  .distinctBy(_.norm).map(_.orig)
                 attempt(d, names, Map.empty, extras, ges, aes)
               }.buffered.headOption
           }

@@ -32,6 +32,15 @@ object OracleR23 {
         |       max(o_custkey) AS cust_max
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The sub-range aggregate recomputed from raw orders: an
+    // implication match that mis-scoped the slice would hash-fail.
+    "mv_rewrite_implied_range" ->
+      """SELECT o_custkey, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(o_orderkey) AS key_max
+        |FROM orders WHERE o_custkey < 500
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     // The refreshed star summary must equal a from-scratch recompute
     // over the full join — any lost/double-counted delta row fails.
     "mv_rewrite_star_incremental" ->

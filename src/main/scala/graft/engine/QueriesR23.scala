@@ -124,6 +124,31 @@ object QueriesR23 {
       .orderBy("key")
   }
 
+  /** Range IMPLICATION containment: the MV summarizes the
+    * `o_custkey < 1000` slice of orders per customer; the query asks
+    * for `o_custkey < 500` — not a verbatim conjunct match, but the
+    * tighter range IMPLIES the slice (single-column interval
+    * containment over identical types), and the extra conjunct sits
+    * on the group column, so the summary serves with the sub-range
+    * re-applied over it. The partition-limited-MV dashboard case
+    * (summary over recent data, queries over a sub-window). */
+  def mvRewriteImpliedRange(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select("o_custkey", "o_orderkey")
+    def sliced = base.filter(col("o_custkey") < 1000L)
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_slice", hash) { r =>
+      Mv.register(s, "orders_mv_slice", sliced,
+        Seq("o_custkey"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_slice", sliced,
+      Seq("o_custkey"), Seq("o_orderkey"), root)
+    base.filter(col("o_custkey") < 500L)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("o_custkey")
+  }
+
   /** Incremental maintenance of a STAR-JOIN MV: the fact side is a
     * lake table that GROWS (append-only), the dimension is static,
     * and the summary is maintained by [[Mv.refresh]] with the delta

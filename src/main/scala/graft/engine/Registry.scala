@@ -380,6 +380,7 @@ object Registry {
     "mv_rewrite_extra_where" -> QueriesR23.mvRewriteExtraWhere _,
     "mv_rewrite_datebridge" -> QueriesR23.mvRewriteDatebridge _,
     "mv_rewrite_star_incremental" -> QueriesR23.mvRewriteStarIncremental _,
+    "mv_rewrite_implied_range" -> QueriesR23.mvRewriteImpliedRange _,
     "lake_mor_pruned"       -> QueriesR23.lakeMorPruned _,
     "sql_delete_dates"      -> QueriesR23.sqlDeleteDates _,
     "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,

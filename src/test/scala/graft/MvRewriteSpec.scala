@@ -359,6 +359,50 @@ class MvRewriteSpec extends SparkTestBase {
     assert(extra.as[(String, Long)].collect().toSeq == Seq(("a", 3L)))
   }
 
+  test("range implication: a filtered-slice MV serves sub-range queries") {
+    val dirI = Files.createTempDirectory("graft_mv_ibase").toString
+    val rI = Files.createTempDirectory("graft_mv_isum").toString + "/mv"
+    (0L to 99L).map(k => (k, k * 10))
+      .toDF("g", "x").write.mode("overwrite").parquet(dirI)
+    val raw = spark.read.parquet(dirI)
+    // the MV summarizes the g < 50 slice, grouped by g
+    Mv.register(spark, "spec_mv_impl", raw.filter($"g" < 50L),
+      Seq("g"), Seq("x"), rI)
+    // a STRICTLY TIGHTER query range is served: g < 20 implies g < 50,
+    // and the extra conjunct sits on the group column
+    val sub = raw.filter($"g" < 20L)
+      .groupBy("g").agg(sum("x").as("sx")).orderBy("g")
+    assert(scannedPaths(sub).nonEmpty &&
+      scannedPaths(sub).forall(_.startsWith(rI)),
+      s"sub-range should serve via implication, got ${scannedPaths(sub)}")
+    assert(sub.as[(Long, Long)].collect().toSeq ==
+      (0L to 19L).map(k => (k, k * 10)))
+    // bounded two-sided sub-range too
+    val mid = raw.filter($"g" >= 10L && $"g" < 30L)
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(mid).forall(_.startsWith(rI)))
+    assert(mid.orderBy("g").as[(Long, Long)].collect().toSeq ==
+      (10L to 29L).map(k => (k, k * 10)))
+    // an IN list inside the slice serves (hull ⊆ base interval)
+    val inq = raw.filter($"g".isin(3L, 7L, 49L))
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(inq).forall(_.startsWith(rI)))
+    assert(inq.orderBy("g").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 30L), (7L, 70L), (49L, 490L)))
+    // a WIDER range must decline (g < 80 does not imply g < 50)
+    val wide = raw.filter($"g" < 80L).groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(wide).exists(_.startsWith(dirI)),
+      "a range wider than the MV slice must not be served")
+    assert(wide.count() == 80)
+    // the boundary case: g <= 49 implies g < 50 (integer literals are
+    // compared as values, not spellings) — but g <= 50 must decline
+    val edge = raw.filter($"g" <= 49L).groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(edge).forall(_.startsWith(rI)))
+    val over = raw.filter($"g" <= 50L).groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(over).exists(_.startsWith(dirI)))
+    assert(over.count() == 51)
+  }
+
   test("spelling bridges: CAST-as-date MV serves date_trunc('DAY') and back") {
     val dirB = Files.createTempDirectory("graft_mv_bridge").toString
     val rB = Files.createTempDirectory("graft_mv_bsum").toString + "/mv"
@@ -454,6 +498,11 @@ class MvRewriteSpec extends SparkTestBase {
     assert(sp.nonEmpty &&
       sp.forall(p => p.contains("mv_star_inc") && p.contains("/mv/")),
       s"mv_rewrite_star_incremental should scan only the refreshed MV, got $sp")
+    val ir = graft.engine.Registry
+      .queries("mv_rewrite_implied_range")(spark, sfDir)
+    val ip = scannedPaths(ir)
+    assert(ip.nonEmpty && ip.forall(_.contains("mv_orders_slice")),
+      s"mv_rewrite_implied_range should scan only the slice MV, got $ip")
   }
 
   test("MV summary itself is sane") {
