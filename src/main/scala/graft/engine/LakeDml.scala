@@ -196,8 +196,17 @@ object LakeDml {
     * rows the row-level predicate would match — the r11 ADVICE trap,
     * here made unrepresentable by the kind gate instead of by caller
     * discipline. */
+  /** `tsGuard` marks a TEMPORAL-derived interval: its lexicographic
+    * soundness holds only for the standard 4-digit-year rendering
+    * ("1995-01-01 …"), so [[pruneByDerived]] additionally requires
+    * the directory's recorded stats to LOOK like that rendering —
+    * exotic years ("+10000-…") sort lexicographically out of
+    * chronological order and must keep the directory. */
   case class DerivedPred(col: String, lo: Option[String],
-                         hi: Option[String], numeric: Boolean)
+                         hi: Option[String], numeric: Boolean,
+                         tsGuard: Boolean = false)
+
+  private val FourDigitYear = "\\d{4}-.*"
 
   /** Conservative prune intervals from a condition tree (unresolved —
     * what `expr(text)` parses — or resolved): AND conjuncts of the
@@ -229,26 +238,40 @@ object LakeDml {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    def litVal(x: Expression): Option[(String, Boolean)] = x match {
-      case Literal(v: Int, DateType) =>
-        // ISO rendering — the same string `cast(date AS STRING)`
-        // produced for the stats, so "str"-kind comparison is sound
-        Some((java.time.LocalDate.ofEpochDay(v.toLong).toString, false))
-      case Literal(v, t) if v != null =>
-        // ALLOWLIST, not catch-all: a literal derives an interval only
-        // when its toString is comparable under a stat ordering the
-        // log could have recorded — numerics ("num") and strings
-        // ("str"). A TIMESTAMP literal's toString is raw micros,
-        // which compared lexicographically against "1995-01-01 …"
-        // stats would WRONGLY prune matching directories (caught by
-        // LakeDmlSpec); timestamps deliberately derive nothing.
-        t match {
-          case _: NumericType => Some((v.toString, true))
-          case org.apache.spark.sql.types.StringType =>
-            Some((v.toString, false))
-          case _ => None
-        }
-      case _ => None
+    // (rendered value, numeric kind, temporal guard). ALLOWLIST, not
+    // catch-all: a literal derives an interval only when its rendering
+    // is comparable under a stat ordering the log could have recorded.
+    // Temporal literals render through Spark's OWN Cast-to-string
+    // (driver-side eval of a literal cast — the IDENTICAL code path
+    // the stats writer used), so the strings match by construction;
+    // lexicographic order on that rendering is chronological only for
+    // 4-digit years, hence the guard on both the literal (here) and
+    // the stats (predIntersects).
+    def litVal(x: Expression): Option[(String, Boolean, Boolean)] = {
+      def rendered(v: Any, t: org.apache.spark.sql.types.DataType)
+          : Option[(String, Boolean, Boolean)] = {
+        val s = Cast(Literal(v, t),
+            org.apache.spark.sql.types.StringType,
+            Some(org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone))
+          .eval(null)
+        Option(s).map(_.toString).filter(_.matches(FourDigitYear))
+          .map((_, false, true))
+      }
+      x match {
+        case Literal(v, t @ DateType) if v != null => rendered(v, t)
+        case Literal(v, t @ (org.apache.spark.sql.types.TimestampType |
+                             org.apache.spark.sql.types.TimestampNTZType))
+            if v != null => rendered(v, t)
+        case Literal(v, t) if v != null =>
+          t match {
+            case _: NumericType => Some((v.toString, true, false))
+            case org.apache.spark.sql.types.StringType =>
+              Some((v.toString, false, false))
+            case _ => None
+          }
+        case _ => None
+      }
     }
     def strOrd(numeric: Boolean): Ordering[String] =
       if (numeric) Ordering.by((s: String) => BigDecimal(s))
@@ -277,7 +300,8 @@ object LakeDml {
         }
     }
     // per-column INTERSECTION of one branch's derived preds (a branch
-    // `a >= 1 AND a <= 5` folds to [1, 5]); None bounds stay open
+    // `a >= 1 AND a <= 5` folds to [1, 5]); None bounds stay open;
+    // the temporal guard is sticky (guarding more only keeps more)
     def perCol(ps: Seq[DerivedPred]): Map[String, DerivedPred] =
       ps.groupBy(p => (p.col, p.numeric)).flatMap {
         case ((c, n), group) =>
@@ -286,7 +310,8 @@ object LakeDml {
           val his = group.flatMap(_.hi)
           Some(c -> DerivedPred(c,
             if (los.isEmpty) None else Some(los.max(o)),
-            if (his.isEmpty) None else Some(his.min(o)), n))
+            if (his.isEmpty) None else Some(his.min(o)), n,
+            group.exists(_.tsGuard)))
       }
     def derive(x: Expression): Seq[DerivedPred] = conjuncts(x).flatMap {
       case Or(l, r) =>
@@ -303,14 +328,15 @@ object LakeDml {
             val lo = for (x1 <- a.lo; x2 <- b.lo) yield o.min(x1, x2)
             val hi = for (x1 <- a.hi; x2 <- b.hi) yield o.max(x1, x2)
             if (lo.isEmpty && hi.isEmpty) None
-            else Some(DerivedPred(c, lo, hi, a.numeric))
+            else Some(DerivedPred(c, lo, hi, a.numeric,
+                                  a.tsGuard || b.tsGuard))
           }
         }
       case EqualTo(a, b) =>
-        (for (c <- attrName(a); (v, n) <- litVal(b))
-          yield DerivedPred(c, Some(v), Some(v), n)).orElse(
-         for (c <- attrName(b); (v, n) <- litVal(a))
-          yield DerivedPred(c, Some(v), Some(v), n)).toSeq
+        (for (c <- attrName(a); (v, n, g) <- litVal(b))
+          yield DerivedPred(c, Some(v), Some(v), n, g)).orElse(
+         for (c <- attrName(b); (v, n, g) <- litVal(a))
+          yield DerivedPred(c, Some(v), Some(v), n, g)).toSeq
       case LessThan(a, b) => boundPred(attrName(a), litVal(b), hiSide = true)
         .orElse(boundPred(attrName(b), litVal(a), hiSide = false)).toSeq
       case LessThanOrEqual(a, b) => boundPred(attrName(a), litVal(b), hiSide = true)
@@ -331,18 +357,20 @@ object LakeDml {
           val numeric = lits.head._2
           val o = strOrd(numeric)
           DerivedPred(c, Some(lits.map(_._1).min(o)),
-                      Some(lits.map(_._1).max(o)), numeric)
+                      Some(lits.map(_._1).max(o)), numeric,
+                      lits.exists(_._3))
         }).toSeq
       case _ => Seq.empty
     }
     derive(unwrapOps(e))
   }
 
-  private def boundPred(c: Option[String], v: Option[(String, Boolean)],
+  private def boundPred(c: Option[String],
+                        v: Option[(String, Boolean, Boolean)],
                         hiSide: Boolean): Option[DerivedPred] =
-    for (cc <- c; (vv, n) <- v) yield
-      if (hiSide) DerivedPred(cc, None, Some(vv), n)
-      else DerivedPred(cc, Some(vv), None, n)
+    for (cc <- c; (vv, n, g) <- v) yield
+      if (hiSide) DerivedPred(cc, None, Some(vv), n, g)
+      else DerivedPred(cc, Some(vv), None, n, g)
 
   /** Keep only directories whose logged stats can intersect every
     * derived interval — the candidateFilter [[deleteWhere]] /
@@ -368,7 +396,12 @@ object LakeDml {
       .contains(if (p.numeric) "num" else "str")
     !kindOk || (stats match {
       case Some((mn, mx)) if mn != null && mx != null =>
-        if (p.numeric) {
+        // temporal intervals are lexicographically sound only against
+        // the standard 4-digit-year rendering: exotic-year stats
+        // ("+10000-…") sort out of chronological order — keep
+        if (p.tsGuard && !(mn.matches(FourDigitYear) &&
+                           mx.matches(FourDigitYear))) true
+        else if (p.numeric) {
           val loOk = p.lo.forall(l =>
             (num(l), num(mx)) match {
               case (Some(a), Some(b)) => a <= b

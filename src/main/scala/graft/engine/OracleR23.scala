@@ -71,6 +71,14 @@ object OracleR23 {
         |WHERE NOT (CAST(o_orderdate AS DATE) < DATE '1996-01-01')
         |ORDER BY key""".stripMargin,
 
+    // Post-DELETE end state under the timestamp bound.
+    "sql_delete_timestamps" ->
+      """SELECT o_orderkey AS key, o_orderdate AS ots,
+        |       o_orderstatus AS status
+        |FROM orders
+        |WHERE NOT (o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |ORDER BY key""".stripMargin,
+
     // Post-DELETE end state under the OR-of-ranges predicate: rows in
     // the [2001, 11999] gap must SURVIVE (the union interval is scan
     // pruning only, never the delete predicate).

@@ -201,6 +201,22 @@ object QueriesR23 {
         |DELETE FROM ords WHERE od < DATE '1996-01-01'""".stripMargin,
       "SELECT key, od, status FROM ords ORDER BY key")
 
+  /** TIMESTAMP-literal prune derivation: the literal renders through
+    * Spark's OWN cast-to-string (the identical code path the stats
+    * writer used), so the guarded lexicographic comparison is sound —
+    * the DELETE's bound prunes the low-date clustered directories.
+    * The column is TIMESTAMP_NTZ straight from parquet, the common
+    * lakehouse shape. */
+  def sqlDeleteTimestamps(s: SparkSession, d: String): DataFrame =
+    runCached(s, d, "sqlw_delts", Seq("ords"),
+      """CREATE TABLE ords AS
+        |  SELECT o_orderkey AS key, o_orderdate AS ots,
+        |         o_orderstatus AS status FROM orders;
+        |OPTIMIZE ords CLUSTER BY (ots) BUCKETS 8;
+        |DELETE FROM ords
+        |  WHERE ots >= TIMESTAMP_NTZ '1999-01-01 00:00:00'""".stripMargin,
+      "SELECT key, ots, status FROM ords ORDER BY key")
+
   /** OR-of-ranges prune derivation: two bounded key ranges under OR
     * derive the UNION interval [1000, 12500], pruning the clustered
     * directories outside it. Rows in the gap survive the row-level

@@ -383,6 +383,7 @@ object Registry {
     "mv_rewrite_implied_range" -> QueriesR23.mvRewriteImpliedRange _,
     "lake_mor_pruned"       -> QueriesR23.lakeMorPruned _,
     "sql_delete_dates"      -> QueriesR23.sqlDeleteDates _,
+    "sql_delete_timestamps" -> QueriesR23.sqlDeleteTimestamps _,
     "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,
   )
 

@@ -428,12 +428,30 @@ class LakeDmlSpec extends SparkTestBase {
     def derive(cond: String): Seq[LakeDml.DerivedPred] =
       LakeDml.derivePrunePreds(
         spark.sessionState.sqlParser.parseExpression(cond))
-    // DATE literal → ISO string-kind interval
+    // DATE literal → ISO string-kind interval, temporal-guarded
     assert(derive("d < DATE '1996-01-01'") ==
-      Seq(LakeDml.DerivedPred("d", None, Some("1996-01-01"), numeric = false)))
+      Seq(LakeDml.DerivedPred("d", None, Some("1996-01-01"),
+        numeric = false, tsGuard = true)))
     assert(derive("d = DATE '2020-02-29'") ==
       Seq(LakeDml.DerivedPred("d", Some("2020-02-29"), Some("2020-02-29"),
-        numeric = false)))
+        numeric = false, tsGuard = true)))
+    // TIMESTAMP literals render through Spark's own cast-to-string
+    // (identical to the stats writer's rendering), temporal-guarded
+    assert(derive("ts < TIMESTAMP '1996-01-01 00:00:00'") ==
+      Seq(LakeDml.DerivedPred("ts", None, Some("1996-01-01 00:00:00"),
+        numeric = false, tsGuard = true)))
+    assert(derive("ts >= TIMESTAMP_NTZ '1996-06-15 12:30:45.5'") ==
+      Seq(LakeDml.DerivedPred("ts", Some("1996-06-15 12:30:45.5"), None,
+        numeric = false, tsGuard = true)))
+    // exotic years render outside the 4-digit form — derive nothing
+    // (lexicographic order is not chronological there)
+    val y10kMicros = java.time.LocalDateTime.of(10000, 1, 1, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val exotic = org.apache.spark.sql.catalyst.expressions.LessThan(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("ts"),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        y10kMicros, org.apache.spark.sql.types.TimestampNTZType))
+    assert(LakeDml.derivePrunePreds(exotic).isEmpty)
     // OR of bounded ranges → the union interval
     assert(derive("(k >= 10 AND k <= 20) OR (k >= 90 AND k <= 95)") ==
       Seq(LakeDml.DerivedPred("k", Some("10"), Some("95"), numeric = true)))
@@ -449,8 +467,5 @@ class LakeDmlSpec extends SparkTestBase {
       .toSet == Set(
         LakeDml.DerivedPred("s", Some("x"), Some("x"), numeric = false),
         LakeDml.DerivedPred("k", Some("1"), Some("9"), numeric = true)))
-    // timestamp literals deliberately derive nothing (their string
-    // rendering is not guaranteed to match the recorded stats)
-    assert(derive("ts < TIMESTAMP '1996-01-01 00:00:00'").isEmpty)
   }
 }

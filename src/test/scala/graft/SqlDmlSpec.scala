@@ -250,6 +250,33 @@ class SqlDmlSpec extends SparkTestBase {
     assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 369L)
   }
 
+  test("derived pruning: TIMESTAMP literals prune; exotic-year stats keep") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT timestampadd(HOUR, CAST(id AS INT), " +
+      "timestamp'2024-01-01 00:00:00') AS ts, id AS x FROM range(400)")
+    s.exec("OPTIMIZE t CLUSTER BY (ts) BUCKETS 4")
+    val del = s.exec(
+      "DELETE FROM t WHERE ts < TIMESTAMP '2024-01-02 00:00:00'").head()
+    assert(del.getAs[Int]("active_dirs") == 4)
+    assert(del.getAs[Int]("candidate_dirs") < 4,
+      "the timestamp literal should derive a guarded string interval")
+    assert(del.getAs[Long]("rows_deleted") == 24L)
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 376L)
+    // a table whose stats carry EXOTIC years must not prune: the
+    // rendering sorts out of chronological order there
+    val s2 = sess()
+    s2.exec("CREATE TABLE w AS SELECT timestampadd(YEAR, " +
+      "CAST(id * 3000 AS INT), timestamp'2024-01-01 00:00:00') AS ts, " +
+      "id AS x FROM range(4)") // years 2024, 5024, 8024, 11024
+    s2.exec("OPTIMIZE w CLUSTER BY (ts) BUCKETS 2")
+    val del2 = s2.exec(
+      "DELETE FROM w WHERE ts < TIMESTAMP '5000-01-01 00:00:00'").head()
+    assert(del2.getAs[Int]("candidate_dirs") ==
+      del2.getAs[Int]("active_dirs"),
+      "exotic-year stats must keep every directory")
+    assert(del2.getAs[Long]("rows_deleted") == 1L)
+  }
+
   test("derived pruning: OR-of-bounded-ranges prunes by the union interval") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 399)) AS k")
