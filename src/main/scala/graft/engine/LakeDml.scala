@@ -265,7 +265,12 @@ object LakeDml {
             if v != null => rendered(v, t)
         case Literal(v, t) if v != null =>
           t match {
-            case _: NumericType => Some((v.toString, true, false))
+            case _: NumericType =>
+              // NaN/Infinity render unparseable — deriving them would
+              // crash the interval orderings downstream; derive
+              // nothing instead (safe, the documented contract)
+              try { BigDecimal(v.toString); Some((v.toString, true, false)) }
+              catch { case _: NumberFormatException => None }
             case org.apache.spark.sql.types.StringType =>
               Some((v.toString, false, false))
             case _ => None
@@ -392,8 +397,17 @@ object LakeDml {
     def num(s: String): Option[BigDecimal] =
       if (s == null) None
       else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
-    val kindOk = st.colKinds.get(p.col)
-      .contains(if (p.numeric) "num" else "str")
+    // a pred applies only under a MATCHING declared ordering: numeric
+    // literal ↔ "num"; temporal literal ↔ "ts" (or legacy "str" logs,
+    // still protected by the exotic-year stat guard below); plain
+    // string literal ↔ "str" ONLY — a string literal compared against
+    // a temporal column coerces to the temporal type row-level, where
+    // unguarded lexicographic pruning is the exotic-year trap
+    val kindOk = st.colKinds.get(p.col).exists { k =>
+      if (p.numeric) k == "num"
+      else if (p.tsGuard) k == "ts" || k == "str"
+      else k == "str"
+    }
     !kindOk || (stats match {
       case Some((mn, mx)) if mn != null && mx != null =>
         // temporal intervals are lexicographically sound only against

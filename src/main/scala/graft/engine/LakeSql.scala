@@ -88,6 +88,7 @@ object LakeSql {
     val in = new Array[Boolean](s.length)
     var i = 0
     var state = 0 // 0=code 1=' 2=" 3=` 4=-- 5=/* */
+    var depth = 0 // Spark supports NESTED bracketed comments
     def quoted(i0: Int, quote: Char): Int = {
       // returns the new index; doubled quote and backslash escapes
       val c = s.charAt(i0)
@@ -109,7 +110,7 @@ object LakeSql {
           else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
             in(i) = true; in(i + 1) = true; i += 1; state = 4
           } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-            in(i) = true; in(i + 1) = true; i += 1; state = 5
+            in(i) = true; in(i + 1) = true; i += 1; state = 5; depth = 1
           }
         case 1 => i = quoted(i, '\'')
         case 2 => i = quoted(i, '"')
@@ -125,7 +126,10 @@ object LakeSql {
         case 5 =>
           in(i) = true
           if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
-            in(i + 1) = true; i += 1; state = 0
+            in(i + 1) = true; i += 1; depth -= 1
+            if (depth == 0) state = 0
+          } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            in(i + 1) = true; i += 1; depth += 1
           }
       }
       i += 1
@@ -182,6 +186,11 @@ object LakeSql {
   final class Session(val spark: SparkSession, val scratchRoot: String) {
     private val roots = mutable.LinkedHashMap[String, String]()
     private val mvBases = mutable.LinkedHashMap[String, String]()
+    // MV name → the lake root THIS session materialized it at; REFRESH
+    // verifies it against the live registration, so a same-named MV
+    // created by another session on the same SparkSession cannot have
+    // its artifact rewritten from this session's (different) base
+    private val mvRoots = mutable.LinkedHashMap[String, String]()
 
     /** Derive an [[Mv]] spec from `CREATE MATERIALIZED VIEW`'s SELECT:
       * the statement must be a single-table rollup —
@@ -395,8 +404,11 @@ object LakeSql {
       * front of it (a script's `-- section header` glued to the next
       * statement by the splitter) must be dropped first; the verb
       * regexes then see the statement proper. The body's comments are
-      * left in place — Spark's own parser handles them. */
-    private val LeadCommentRe = "(?s)^\\s*(--[^\\n]*(\\n|$)|/\\*.*?\\*/)".r
+      * left in place — Spark's own parser handles them. Optimizer
+      * HINT blocks (bracketed comments whose opener is followed by a
+      * plus sign) carry semantics — never stripped. */
+    private val LeadCommentRe =
+      "(?s)^\\s*(--[^\\n]*(\\n|$)|/\\*(?!\\+).*?\\*/)".r
     private def stripLeadingComments(s: String): String = {
       var t = s
       var m = LeadCommentRe.findFirstMatchIn(t)
@@ -427,15 +439,25 @@ object LakeSql {
           refreshViews()
           val baseDf = snapshot(broot).getOrElse(
             sys.error(s"LakeSql: MV base '$baseName' has no data"))
+          val mvRoot = s"$scratchRoot/__mv_$name"
           Mv.register(spark, name, baseDf, gcols, acols,
-            s"$scratchRoot/__mv_$name", hcols, gexprs)
+            mvRoot, hcols, gexprs)
           mvBases(name) = baseName
+          mvRoots(name) = mvRoot
           report(spark, "create_mv", name, 0L, emptyReport)
 
         case RefreshMvRe(name0) =>
           val name = name0.toLowerCase
           val baseName = mvBases.getOrElse(name,
             sys.error(s"LakeSql: unknown materialized view '$name'"))
+          // ownership check: the live registration must still point at
+          // THIS session's artifact — if another session on the same
+          // SparkSession re-registered the name, rebuilding here would
+          // rewrite THEIR summary from OUR base
+          require(Mv.rootOf(spark, name).contains(mvRoots(name)),
+            s"LakeSql: materialized view '$name' was re-registered by " +
+              "another session on this SparkSession; refusing to " +
+              "rebuild its artifact from this session's base")
           refreshViews()
           Mv.rebuild(spark, name, snapshot(tableRoot(baseName)).getOrElse(
             sys.error(s"LakeSql: MV base '$baseName' has no data")))

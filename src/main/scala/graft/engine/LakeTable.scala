@@ -410,16 +410,26 @@ object LakeTable {
                     eqdelRemoves: Seq[String] = Seq.empty)
 
   /** Stat-ordering tag for a column: "num" when the recorded min/max
-    * were computed under NUMERIC ordering, "str" under string
-    * (lexicographic) ordering. Readers compare bounds numerically ONLY
-    * when the writer declared "num" — a STRING column of unpadded
-    * digit strings records lexicographic extremes (min="100",
-    * max="25" for {"25","100"}), and comparing those numerically
-    * falsely prunes directories (the r11 ADVICE silent-wrong-results
-    * trap). Stats with no recorded kind (legacy logs) never prune. */
+    * were computed under NUMERIC ordering, "ts" for DATE/TIMESTAMP
+    * columns (string-rendered stats whose lexicographic order is
+    * chronological ONLY in the standard 4-digit-year form — readers
+    * must apply that guard), "str" under plain string (lexicographic)
+    * ordering. Readers compare bounds numerically ONLY when the
+    * writer declared "num" — a STRING column of unpadded digit
+    * strings records lexicographic extremes (min="100", max="25" for
+    * {"25","100"}), and comparing those numerically falsely prunes
+    * directories (the r11 ADVICE silent-wrong-results trap). The
+    * "ts"/"str" split closes the symmetric temporal trap: a plain
+    * string literal must not prune a temporal column's stats (its
+    * row-level comparison coerces to the temporal type, where
+    * lexicographic reasoning needs the year guard). Stats with no
+    * recorded kind (legacy logs) never prune. */
   private[graft] def statKind(dt: org.apache.spark.sql.types.DataType): String =
     dt match {
       case _: org.apache.spark.sql.types.NumericType => "num"
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => "ts"
       case _ => "str"
     }
 
@@ -677,6 +687,12 @@ object LakeTable {
           case _ => true
         }
       case Some("str") => lo <= mx && mn <= hi
+      case Some("ts") =>
+        // temporal stats: lexicographic = chronological only in the
+        // standard 4-digit-year rendering — anything exotic keeps
+        if (Seq(lo, hi, mn, mx).forall(_.matches("\\d{4}-.*")))
+          lo <= mx && mn <= hi
+        else true
       case _ => true
     }
   private def toNum(s: String): Option[BigDecimal] =
@@ -1252,7 +1268,7 @@ object LakeFixtures {
     * #3: content hashes cannot see the producing code) — fmt2 added
     * colkinds + per-file stats + the filesPerDir z-layout, so trees
     * built under fmt1 would serve stale stats to the new read path. */
-  private val FormatVersion = "fmt2"
+  private val FormatVersion = "fmt3"
 
   /** Returns the root of the cached fixture named `name` for content
     * `hash`, building it via `build(root)` on a miss. */

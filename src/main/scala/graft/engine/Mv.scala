@@ -364,8 +364,13 @@ object Mv {
                          adefs: Map[ExprId, Expression]): Option[String] =
     exprNorm(e, names, adefs).map(_.toString)
 
-  // session-scoped registrations: a weak map keyed by the registering
-  // SparkSession (entries die with the session), name-keyed within it
+  // session-scoped registrations: keyed by the registering
+  // SparkSession, name-keyed within it. NOTE on lifetime: although the
+  // outer map is weak-keyed, an MvDef's analyzed plans reference their
+  // session, so a registration PINS its SparkSession until [[clear]] /
+  // [[clear(spark)]] — registering MVs from many short-lived sessions
+  // without clearing accumulates; an MV registration is an explicit,
+  // long-lived serving declaration, not per-query state.
   private val defsBySession =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, MvDef]]()
@@ -540,6 +545,14 @@ object Mv {
         spark.experimental.extraOptimizations :+ new MvRewrite
   }
 
+  /** The lake root the named MV currently serves from on this
+    * session, if registered — lets a caller detect that a LATER
+    * registration (e.g. another LakeSql session on the same
+    * SparkSession) took the name over before mutating it. */
+  private[engine] def rootOf(spark: SparkSession,
+                             name: String): Option[String] =
+    Option(defsFor(spark).get(name)).map(_.root)
+
   private def lookup(spark: SparkSession, name: String,
                      op: String): MvDef =
     Option(defsFor(spark).get(name)).getOrElse(
@@ -570,10 +583,13 @@ object Mv {
     val newFp = baseFp(newBase.queryExecution.analyzed)
     if (txn.exists { case (app, b) =>
           LakeTable.lastTxn(spark, d.root, app).exists(_ >= b) }) {
-      // replayed delivery: the fold is already in the MV — stamp the
-      // fingerprint it was folded FOR (the first delivery's newBase)
-      // and only track the (possibly grown) base file set
-      writeBaseFp(spark, d.root, newFp)
+      // replayed delivery: the fold is already in the MV and the FIRST
+      // delivery stamped the fingerprint it folded FOR. Deliberately
+      // do NOT re-stamp here: if the base has grown since (the replay
+      // arrives with a newer newBase), stamping would mark the old
+      // fold fresh for the grown file set — register()'s mismatch
+      // path must instead REBUILD. An identical-base replay matches
+      // the first delivery's stamp and skips, as intended.
       register(spark, name, newBase, d.groupCols, d.aggCols, d.root,
                d.hllCols, d.exprTexts)
       return
@@ -625,6 +641,11 @@ object Mv {
     import scala.jdk.CollectionConverters._
     defsBySession.values.asScala.foreach(_.clear())
   }
+
+  /** Drop ONE session's registrations (serving stops; the
+    * materialized artifacts stay on disk for re-registration) — the
+    * lifecycle call for drivers that create short-lived sessions. */
+  def clear(spark: SparkSession): Unit = defsFor(spark).clear()
 
   /** The rewrite rule. Runs in the user-provided optimizer batch —
     * after column pruning, so the plan under an aggregate is the file
@@ -867,13 +888,19 @@ object Mv {
       // a grouping reference — plain group column, or (possibly
       // alias-hidden) derived group expression — as its MV-plan
       // spelling; the result's type must equal the query's (a bridge
-      // that changed the type would corrupt binding above the agg)
-      def groupRef(e: Expression): Option[Expression] = (e match {
-        case a: AttributeReference
-            if names.get(a.exprId).exists(mv.groupCols.contains) =>
-          mv.mvAttrs.get(names(a.exprId))
-        case other => exprGroupRef(other)
-      }).filter(_.dataType == e.dataType)
+      // that changed the type would corrupt binding above the agg).
+      // Memoized: the guard-then-use call sites below would otherwise
+      // run inline+normalize+canonicalize twice per matched node on
+      // the optimizer hot path.
+      val grCache = scala.collection.mutable.HashMap[Expression,
+        Option[Expression]]()
+      def groupRef(e: Expression): Option[Expression] =
+        grCache.getOrElseUpdate(e, (e match {
+          case a: AttributeReference
+              if names.get(a.exprId).exists(mv.groupCols.contains) =>
+            mv.mvAttrs.get(names(a.exprId))
+          case other => exprGroupRef(other)
+        }).filter(_.dataType == e.dataType))
       val groupAttrs: Seq[Expression] =
         ges.map(g => groupRef(g).getOrElse(return None))
       // filters are servable iff every referenced column is an MV

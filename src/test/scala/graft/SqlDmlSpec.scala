@@ -248,6 +248,14 @@ class SqlDmlSpec extends SparkTestBase {
       "ISO string-kind interval from the DATE literal should prune")
     assert(del.getAs[Long]("rows_deleted") == 31L)
     assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 369L)
+    // a plain STRING literal against the DATE column coerces to DATE
+    // row-level; its unguarded lexicographic interval must NOT prune
+    // the temporal ("ts"-kind) stats — only delete correctly
+    val del2 = s.exec("DELETE FROM t WHERE d < '2020-03-01'").head()
+    assert(del2.getAs[Int]("candidate_dirs") ==
+      del2.getAs[Int]("active_dirs"),
+      "a string literal must not prune a temporal column's stats")
+    assert(del2.getAs[Long]("rows_deleted") == 29L) // Feb 2020
   }
 
   test("derived pruning: TIMESTAMP literals prune; exotic-year stats keep") {
