@@ -286,10 +286,30 @@ object LakeDml {
     // '`<`('k, 50)) — the analyzer would resolve them, but derivation
     // runs pre-analysis. Rewrite the known operator names to their
     // catalyst nodes; anything unrecognized stays opaque (derives
-    // nothing — safe).
+    // nothing — safe). A USER-registered function shadowing one of
+    // these names (`between`(c, a, b) via backticks resolves to the
+    // UDF, not the operator) must stay opaque too — unwrapping it
+    // would derive a prune interval from semantics the UDF does not
+    // have (r17 ADVICE): a name whose session registration differs
+    // from the builtin (or exists with no builtin at all, like
+    // "between") is treated as shadowed and derives nothing.
+    lazy val shadowedOps: Set[String] = {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+        Set("and", "or", "<", "<=", ">", ">=", "=", "==", "in",
+            "between").filter { n =>
+          val fi = FunctionIdentifier(n)
+          val cur = s.sessionState.functionRegistry.lookupFunction(fi)
+          val blt = FunctionRegistry.builtin.lookupFunction(fi)
+          cur.exists(c => !blt.map(_.getClassName).contains(c.getClassName))
+        }
+      }.getOrElse(Set.empty)
+    }
     def unwrapOps(x: Expression): Expression = x.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if u.nameParts.size == 1 && u.filter.isEmpty && !u.isDistinct =>
+          if u.nameParts.size == 1 && u.filter.isEmpty && !u.isDistinct &&
+             !shadowedOps.contains(u.nameParts.head.toLowerCase) =>
         (u.nameParts.head.toLowerCase, u.arguments) match {
           case ("and", Seq(l, r)) => And(l, r)
           case ("or", Seq(l, r)) => Or(l, r)
@@ -398,14 +418,18 @@ object LakeDml {
       if (s == null) None
       else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     // a pred applies only under a MATCHING declared ordering: numeric
-    // literal ↔ "num"; temporal literal ↔ "ts" (or legacy "str" logs,
-    // still protected by the exotic-year stat guard below); plain
-    // string literal ↔ "str" ONLY — a string literal compared against
-    // a temporal column coerces to the temporal type row-level, where
-    // unguarded lexicographic pruning is the exotic-year trap
+    // literal ↔ "num"; temporal literal ↔ "ts" ONLY (a legacy "str"
+    // log may hold a GENUINE string column whose non-canonical date
+    // spellings — '2020-1-2' passes the year guard — coerce to the
+    // temporal type row-level while the stats compare as raw strings,
+    // a false prune; legacy logs simply never prune, the documented
+    // posture — r17 ADVICE); plain string literal ↔ "str" ONLY — a
+    // string literal compared against a temporal column coerces to
+    // the temporal type row-level, where unguarded lexicographic
+    // pruning is the exotic-year trap
     val kindOk = st.colKinds.get(p.col).exists { k =>
       if (p.numeric) k == "num"
-      else if (p.tsGuard) k == "ts" || k == "str"
+      else if (p.tsGuard) k == "ts"
       else k == "str"
     }
     !kindOk || (stats match {
@@ -427,6 +451,14 @@ object LakeDml {
               case _ => true
             })
           loOk && hiOk
+        } else if (p.tsGuard) {
+          // cross-granularity rendering harmonized to midnight form:
+          // a DATE-rendered bound against a TIMESTAMP column's stats
+          // (and vice versa) compares at its coerced midnight instant,
+          // never at its bare 10-char prefix (LakeTable.tsMidnight)
+          import LakeTable.tsMidnight
+          p.lo.forall(l => tsMidnight(l) <= tsMidnight(mx)) &&
+            p.hi.forall(h => tsMidnight(mn) <= tsMidnight(h))
         } else p.lo.forall(_ <= mx) && p.hi.forall(mn <= _)
       case _ => true
     })

@@ -407,14 +407,33 @@ object LakeSql {
       * left in place — Spark's own parser handles them. Optimizer
       * HINT blocks (bracketed comments whose opener is followed by a
       * plus sign) carry semantics — never stripped. */
-    private val LeadCommentRe =
-      "(?s)^\\s*(--[^\\n]*(\\n|$)|/\\*(?!\\+).*?\\*/)".r
     private def stripLeadingComments(s: String): String = {
       var t = s
-      var m = LeadCommentRe.findFirstMatchIn(t)
-      while (m.isDefined) {
-        t = t.substring(m.get.end)
-        m = LeadCommentRe.findFirstMatchIn(t)
+      var changed = true
+      while (changed) {
+        changed = false
+        val u = t.dropWhile(_.isWhitespace)
+        if (u.startsWith("--")) {
+          val nl = u.indexOf('\n')
+          t = if (nl < 0) "" else u.substring(nl + 1)
+          changed = true
+        } else if (u.startsWith("/*") && !u.startsWith("/*+")) {
+          // depth-counting scanner, NOT a regex: Spark's lexer nests
+          // bracketed comments ('/* a /* b */ c */' is ONE comment),
+          // and the splitter's quoteMap already honors that — a
+          // non-nesting strip here would leave 'c */ …' residue and
+          // misroute the verb (r17 ADVICE). An unterminated comment
+          // is left in place for Spark's own parser to reject.
+          var i = 2
+          var depth = 1
+          while (depth > 0 && i < u.length - 1) {
+            if (u.startsWith("/*", i)) { depth += 1; i += 2 }
+            else if (u.startsWith("*/", i)) { depth -= 1; i += 2 }
+            else i += 1
+          }
+          if (depth == 0) { t = u.substring(i); changed = true }
+          else t = u
+        } else t = u
       }
       t.trim
     }

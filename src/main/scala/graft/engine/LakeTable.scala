@@ -690,11 +690,29 @@ object LakeTable {
       case Some("ts") =>
         // temporal stats: lexicographic = chronological only in the
         // standard 4-digit-year rendering — anything exotic keeps
-        if (Seq(lo, hi, mn, mx).forall(_.matches("\\d{4}-.*")))
-          lo <= mx && mn <= hi
-        else true
+        if (Seq(lo, hi, mn, mx).forall(_.matches("\\d{4}-.*"))) {
+          val (l, h) = (tsMidnight(lo), tsMidnight(hi))
+          val (a, b) = (tsMidnight(mn), tsMidnight(mx))
+          l <= b && a <= h
+        } else true
       case _ => true
     }
+
+  /** Harmonize temporal rendering GRANULARITY before a lexicographic
+    * stat comparison: a DATE renders as 'yyyy-MM-dd' while a
+    * TIMESTAMP renders as 'yyyy-MM-dd HH:mm:ss[.f]', and row-level
+    * cross-granularity comparison coerces the date side to its
+    * MIDNIGHT instant — so its rendering must compare as that
+    * midnight's rendering too. Without this, '2020-06-30' <
+    * '2020-06-30 00:00:00' lexicographically, and `ts <= DATE
+    * '2020-06-30'` falsely prunes a directory whose min is exactly
+    * midnight (the r17 ADVICE trap; midnight timestamps are the
+    * default for daily loads). Mapping every date-only rendering to
+    * its midnight form preserves order among dates and is exact
+    * against time-carrying renderings. */
+  private[graft] def tsMidnight(s: String): String =
+    if (s.matches("\\d{4}-\\d{2}-\\d{2}")) s + " 00:00:00" else s
+
   private def toNum(s: String): Option[BigDecimal] =
     try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
 

@@ -468,4 +468,30 @@ class LakeDmlSpec extends SparkTestBase {
         LakeDml.DerivedPred("s", Some("x"), Some("x"), numeric = false),
         LakeDml.DerivedPred("k", Some("1"), Some("9"), numeric = true)))
   }
+
+  test("derivePrunePreds: a user function SHADOWING an operator name derives nothing") {
+    def derive(cond: String): Seq[LakeDml.DerivedPred] =
+      LakeDml.derivePrunePreds(
+        spark.sessionState.sqlParser.parseExpression(cond))
+    // backtick-callable UDF named 'between' with NON-between semantics:
+    // unwrapping it to the operator would derive a prune interval the
+    // UDF does not honor (r17 ADVICE low) — it must stay opaque
+    spark.udf.register("between",
+      (k: Long, a: Long, b: Long) => k > a + b)
+    try {
+      assert(derive("`between`(k, 1, 3)").isEmpty,
+        "a shadowed operator name must not unwrap")
+      // unshadowed operators in the SAME condition still derive
+      assert(derive("`between`(k, 1, 3) AND j >= 5") ==
+        Seq(LakeDml.DerivedPred("j", Some("5"), None, numeric = true)))
+    } finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("between"))
+    }
+    // with the shadow dropped, the parser-emitted conjuncts derive
+    // again (BETWEEN splits to two one-sided bounds at the top level)
+    assert(derive("k BETWEEN 1 AND 3").toSet == Set(
+      LakeDml.DerivedPred("k", Some("1"), None, numeric = true),
+      LakeDml.DerivedPred("k", None, Some("3"), numeric = true)))
+  }
 }

@@ -342,6 +342,72 @@ class SqlDmlSpec extends SparkTestBase {
       .as[Long].head() == 3L)
   }
 
+  test("cross-granularity pruning: DATE literal vs TIMESTAMP stats keeps midnight rows") {
+    // Midnight timestamps are the daily-load default. 'ts <= DATE d'
+    // coerces d to midnight row-level, but d renders WITHOUT a time
+    // part — lexicographically '2024-01-03' < '2024-01-03 00:00:00',
+    // so an unharmonized compare would prune the directory holding
+    // exactly-midnight rows and those rows would silently survive the
+    // DELETE (r17 ADVICE high). The midnight normalization keeps it.
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT timestampadd(HOUR, " +
+      "CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts, " +
+      "id AS x FROM range(192)") // 8 days, hourly
+    s.exec("OPTIMIZE t CLUSTER BY (ts) BUCKETS 4")
+    val del = s.exec("DELETE FROM t WHERE ts <= DATE '2024-01-03'").head()
+    assert(del.getAs[Int]("active_dirs") == 4)
+    assert(del.getAs[Int]("candidate_dirs") < 4,
+      "the date bound should still prune the high-timestamp buckets")
+    // hours 0..48 inclusive — the exact-midnight row at id=48 must go
+    assert(del.getAs[Long]("rows_deleted") == 49L)
+    assert(s.exec("SELECT min(x) AS m FROM t").as[Long].head() == 49L)
+    // symmetric: a TIMESTAMP midnight literal against a DATE column's
+    // date-rendered stats must not false-prune the boundary day
+    val s2 = sess()
+    s2.exec("CREATE TABLE u AS SELECT CAST(date_add(DATE '2020-01-01', " +
+      "CAST(id AS INT)) AS DATE) AS d, id AS x FROM range(64)")
+    s2.exec("OPTIMIZE u CLUSTER BY (d) BUCKETS 4")
+    val del2 = s2.exec(
+      "DELETE FROM u WHERE d >= TIMESTAMP '2020-02-18 00:00:00'").head()
+    assert(del2.getAs[Int]("candidate_dirs") < 4,
+      "the timestamp bound should still prune the low-date buckets")
+    assert(del2.getAs[Long]("rows_deleted") == 16L) // days 48..63
+    assert(s2.exec("SELECT max(x) AS m FROM u").as[Long].head() == 47L)
+  }
+
+  test("temporal literals never prune legacy/plain STRING-kind stats") {
+    // A STRING column may hold NON-CANONICAL date spellings
+    // ('2020-1-2' passes a year guard but sorts lexicographically
+    // after '2020-01-02' while being chronologically equal); row-level
+    // the column coerces to the temporal type, so raw-string pruning
+    // would skip matching rows. tsGuard preds now apply to "ts" stats
+    // ONLY — string-kind stats keep every directory (r17 ADVICE med).
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT concat('2020-1-', " +
+      "CAST(id + 1 AS STRING)) AS ds, id AS x FROM range(20)")
+    s.exec("OPTIMIZE t CLUSTER BY (ds) BUCKETS 4")
+    val del = s.exec("DELETE FROM t WHERE ds <= DATE '2020-01-02'").head()
+    assert(del.getAs[Int]("candidate_dirs") ==
+      del.getAs[Int]("active_dirs"),
+      "a temporal literal must not prune string-kind stats")
+    assert(del.getAs[Long]("rows_deleted") == 2L) // 2020-1-1, 2020-1-2
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 18L)
+  }
+
+  test("scanner: NESTED leading block comments strip before verb routing") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 9)) AS k")
+    // depth-2 comment glued in front of the verb: the old non-nesting
+    // regex left 'c */ DELETE …' residue and misrouted the statement
+    val del = s.exec(
+      "/* a /* b */ c */ DELETE FROM t WHERE k >= 8").head()
+    assert(del.getAs[String]("verb") == "delete")
+    assert(del.getAs[Long]("rows_deleted") == 2L)
+    // hint blocks survive (never stripped), nested or not
+    assert(s.exec("/* note /* inner */ done */ SELECT /*+ COALESCE(1) */ " +
+      "count(*) AS n FROM t").as[Long].head() == 8L)
+  }
+
   test("duplicate CREATE MATERIALIZED VIEW is rejected loudly") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 9)) AS k")
