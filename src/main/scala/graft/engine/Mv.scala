@@ -90,7 +90,8 @@ object Mv {
                    root: String,
                    mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
                    baseNormal: Option[String] = None,
-                   baseFilterConjs: Seq[(String, Expression)] = Nil) {
+                   baseFilterConjs: Seq[(String, Expression)] = Nil,
+                   subsetForms: Map[String, Set[String]] = Map.empty) {
     def baseFilterNorms: Set[String] = baseFilterConjs.map(_._1).toSet
     def isGroupCol(n: String): Boolean = groupCols.contains(n)
     /** Plain group cols + derived-expression aliases — the summary's
@@ -364,6 +365,179 @@ object Mv {
                          adefs: Map[ExprId, Expression]): Option[String] =
     exprNorm(e, names, adefs).map(_.toString)
 
+  // ------------------------------------------------------------------
+  // Join-SUBSET serving (r17 verdict #1): a query that joins a STRICT
+  // SUBSET of a registered star MV's tables is still served when every
+  // dropped dimension is provably multiplicity-preserving — the inner
+  // equi join on it neither drops nor duplicates fact-side rows, so
+  // the summary's partials are partials of the reduced join too. The
+  // proof obligations, all decided at REGISTER time:
+  //
+  //   shape  — the dim side is a bare parquet leaf (attribute-only
+  //            Projects at most; the only filters tolerated anywhere
+  //            on the dim's columns are the optimizer's inferred
+  //            `isnotnull(join key)`, vacuous under an equi join),
+  //            the join condition is a conjunction of equalities
+  //            between dim and fact attributes, and the dim's columns
+  //            serve ONLY this join (no other Filter references them,
+  //            no OTHER join condition does — a snowflake arm hanging
+  //            off the dim pins it);
+  //   data   — the dim is UNIQUE on the join key tuple (each fact row
+  //            matches at most once) and every fact-side key tuple
+  //            MATCHES (no fact row is dropped; a NULL key fails the
+  //            anti-join too, since NULL never equi-matches). Checked
+  //            by two small Spark jobs against the UNFILTERED leaf
+  //            file sets (stricter than the joined sides — sound),
+  //            memoized per (files, keys): file sets are immutable,
+  //            and the forms that embed them decline automatically
+  //            when the files change.
+  //
+  // Dims whose columns feed the MV's group keys need no special case:
+  // the query (which lacks the dim) can never reference them, and the
+  // rollup algebra re-aggregates over the finer grouping exactly.
+  // Every verified subset of droppable legs contributes the normal
+  // form of the reduced plan, paired with the base filter conjuncts
+  // the drop makes VACUOUS — the inferred `isnotnull` on the join
+  // keys (the dim is gone; the fact keys are verified all-matching,
+  // hence non-null) — which coverage then does not require of the
+  // query. [[MvRewrite.tryRewrite]] matches a query's form against
+  // the full form OR any subset form. Failure mode throughout: "no
+  // speedup", never "wrong answer".
+  // ------------------------------------------------------------------
+
+  private val fkVerified =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def subsetFormsOf(spark: SparkSession,
+                            optBase: LogicalPlan)
+      : Map[String, Set[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.InnerLike
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+    // relation under attribute-only Projects and Filters, with the
+    // filters' conjuncts collected for the key-only-isnotnull guard
+    def leafAndFilters(p: LogicalPlan)
+        : Option[(LogicalRelation, Seq[Expression])] = p match {
+      case lr: LogicalRelation => Some((lr, Seq.empty))
+      case Project(items, inner) if items.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } => leafAndFilters(inner)
+      case Filter(c, inner) =>
+        leafAndFilters(inner).map { case (lr, fs) =>
+          (lr, fs ++ splitConj(c))
+        }
+      case _ => None
+    }
+    def parquetFiles(lr: LogicalRelation): Option[Seq[String]] =
+      lr.relation match {
+        case fsr: HadoopFsRelation
+            if fsr.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          Some(fsr.location.inputFiles.toSeq.sorted)
+        case _ => None
+      }
+    val joins = optBase.collect { case j: Join => j }
+    val filterConjs = optBase.collect { case f: Filter => f.condition }
+      .flatMap(splitConj)
+    val leafNames: Map[ExprId, String] = optBase.collect {
+      case lr: LogicalRelation => lr.output.map(a => a.exprId -> a.name)
+    }.flatten.toMap
+
+    case class Leg(join: Join, fact: LogicalPlan, dim: LogicalRelation,
+                   dimSide: LogicalPlan, pk: Seq[Attribute],
+                   fk: Seq[Attribute])
+
+    def sideLeg(j: Join, dimSide: LogicalPlan,
+                factSide: LogicalPlan): Option[Leg] =
+      for {
+        (dim, dimFilters) <-
+          if (j.joinType.isInstanceOf[InnerLike]) leafAndFilters(dimSide)
+          else None
+        cond <- j.condition
+        pairs <- {
+          val cs = splitConj(cond).map {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if dimSide.outputSet.contains(a) &&
+                   factSide.outputSet.contains(b) => Some((a, b))
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if dimSide.outputSet.contains(b) &&
+                   factSide.outputSet.contains(a) => Some((b, a))
+            case _ => None
+          }
+          if (cs.nonEmpty && cs.forall(_.isDefined)) Some(cs.flatten)
+          else None
+        }
+        pkSet = AttributeSet(pairs.map(_._1))
+        // every filter conjunct touching the dim — inside its subtree
+        // or anywhere else — must be an inferred isnotnull ON A JOIN
+        // KEY (vacuous under the equi join); anything else filters
+        // fact rows through the dim and blocks the drop
+        if (dimFilters ++ filterConjs).forall(c =>
+             c.references.intersect(dimSide.outputSet).isEmpty || (c match {
+               case IsNotNull(a: AttributeReference) => pkSet.contains(a)
+               case _ => false
+             }))
+        if joins.forall(j2 => (j2 eq j) || j2.condition.forall(
+             _.references.intersect(dimSide.outputSet).isEmpty))
+      } yield Leg(j, factSide, dim, dimSide,
+                  pairs.map(_._1), pairs.map(_._2))
+
+    def verified(leg: Leg): Boolean = {
+      val factLeaf = leg.fact.collectFirst {
+        case lr: LogicalRelation
+            if leg.fk.forall(lr.outputSet.contains) => lr
+      }
+      (for {
+        fl <- factLeaf
+        dimFiles <- parquetFiles(leg.dim)
+        factFiles <- parquetFiles(fl)
+      } yield {
+        val pkNames = leg.pk.map(_.name)
+        val fkNames = leg.fk.map(_.name)
+        val key = (dimFiles ++ pkNames ++ factFiles ++ fkNames)
+          .mkString(" ")
+        fkVerified.computeIfAbsent(key, _ => {
+          val dimKeys = spark.read.parquet(dimFiles: _*)
+            .select(pkNames.map(col): _*)
+          val factKeys = spark.read.parquet(factFiles: _*)
+            .select(fkNames.map(col): _*)
+          val unique = dimKeys.groupBy(pkNames.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+          unique && factKeys.join(dimKeys,
+            fkNames.zip(pkNames)
+              .map { case (f, p) => factKeys(f) === dimKeys(p) }
+              .reduce(_ && _),
+            "left_anti").isEmpty
+        }).booleanValue()
+      }).getOrElse(false)
+    }
+
+    val legs = joins.flatMap(j =>
+      sideLeg(j, j.right, j.left).orElse(sideLeg(j, j.left, j.right)))
+      .filter(verified)
+      .take(4) // ≤15 reduced forms; star schemas rarely run deeper
+    if (legs.isEmpty) return Map.empty
+    (1 until (1 << legs.size)).flatMap { mask =>
+      val drop = legs.zipWithIndex.collect {
+        case (l, i) if (mask & (1 << i)) != 0 => l
+      }
+      // transformDown so an outer drop exposes inner join nodes
+      // unchanged (reference identity preserved for their own drop)
+      val reduced = optBase.transformDown {
+        case j: Join if drop.exists(_.join eq j) =>
+          drop.find(_.join eq j).get.fact
+      }
+      // base conjuncts the drop makes vacuous: isnotnull on the dim's
+      // keys (gone) and on the fact keys (verified all-matching ⇒
+      // non-null) — coverage must not require them of the query
+      val excl = drop.flatMap(l => (l.pk ++ l.fk).flatMap(a =>
+        normalize(IsNotNull(a), leafNames).map(_.toString))).toSet
+      planNormal(reduced).map(_._1 -> excl)
+    }.toMap
+  }
+
   // session-scoped registrations: keyed by the registering
   // SparkSession, name-keyed within it. NOTE on lifetime: although the
   // outer map is weak-keyed, an MvDef's analyzed plans reference their
@@ -534,11 +708,14 @@ object Mv {
         (if (isJoin) Some(form) else None,
          conjs.map(c => (c.norm, c.normExpr)))
       }
+    val subsetForms =
+      if (isJoin) subsetFormsOf(spark, optBase)
+      else Map.empty[String, Set[String]]
     defsFor(spark).put(name, MvDef(name,
       rootPathsOf(analyzedBase), inputFilesOf(analyzedBase),
       groupCols, aggCols, hllCols, groupExprs, exprNorms, root, plan,
       plan.output.map(a => a.name -> a).toMap, baseNormal,
-      baseFilterConjs))
+      baseFilterConjs, subsetForms))
     if (!spark.experimental.extraOptimizations.exists(
           _.isInstanceOf[MvRewrite]))
       spark.experimental.extraOptimizations =
@@ -730,7 +907,7 @@ object Mv {
     private def tryRewrite(ds: Seq[MvDef], ges: Seq[Expression],
                            aes: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-      baseMatch(ds, child) match {
+      val direct = baseMatch(ds, child) match {
         case Some((candidates, names, adefs, filters)) =>
           lazy val normed = filters.map(c =>
             (exprNorm(c, names, adefs), c))
@@ -746,26 +923,38 @@ object Mv {
                 .map(_._2),
               ges, aes)
           }.buffered.headOption
-        case None =>
-          // star-schema bases: the skeleton (joins + relations) must
-          // BE the registered join shape (modulo pruning projects and
-          // filter placement); filter conjuncts match by containment —
-          // verbatim or range-implied — so the dashboard's "same
-          // rollup, one extra WHERE on a group column" is served
-          // (r16 verdict #1)
-          val joined = ds.filter(_.baseNormal.isDefined)
-          if (joined.isEmpty) None
-          else planNormal(child).flatMap { case (form, names, qconjs) =>
-            val qPairs = qconjs.map(c => (c.norm, c.normExpr))
-            joined.filter(d => d.baseNormal.contains(form) &&
-                               coveredBy(d.baseFilterConjs, qPairs))
-              .iterator.flatMap { d =>
-                val extras = qconjs
-                  .filterNot(c => d.baseFilterNorms.contains(c.norm))
-                  .distinctBy(_.norm).map(_.orig)
-                attempt(d, names, Map.empty, extras, ges, aes)
-              }.buffered.headOption
-          }
+        case None => None
+      }
+      // star-schema bases: the skeleton (joins + relations) must BE
+      // the registered join shape — or a verified SUBSET form of it
+      // (FK-non-filtering dims dropped, r17 verdict #1) — modulo
+      // pruning projects and filter placement; filter conjuncts match
+      // by containment (verbatim or range-implied), so the
+      // dashboard's "same rollup, one extra WHERE on a group column"
+      // is served (r16 verdict #1). A direct single-relation match
+      // that could not serve FALLS THROUGH here (an unrelated MV over
+      // the same base files must not shadow a subset serve).
+      direct.orElse {
+        val joined = ds.filter(_.baseNormal.isDefined)
+        if (joined.isEmpty) None
+        else planNormal(child).flatMap { case (form, names, qconjs) =>
+          val qPairs = qconjs.map(c => (c.norm, c.normExpr))
+          // full-form match requires every base conjunct; a subset
+          // form waives exactly the conjuncts its drop made vacuous
+          def servable(d: MvDef): Boolean =
+            if (d.baseNormal.contains(form))
+              coveredBy(d.baseFilterConjs, qPairs)
+            else d.subsetForms.get(form).exists(excl =>
+              coveredBy(d.baseFilterConjs.filterNot(c =>
+                excl.contains(c._1)), qPairs))
+          joined.filter(servable)
+            .iterator.flatMap { d =>
+              val extras = qconjs
+                .filterNot(c => d.baseFilterNorms.contains(c.norm))
+                .distinctBy(_.norm).map(_.orig)
+              attempt(d, names, Map.empty, extras, ges, aes)
+            }.buffered.headOption
+        }
       }
     }
 

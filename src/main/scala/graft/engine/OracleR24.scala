@@ -1,0 +1,25 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-18 keys ([[QueriesR24]]). Each text
+  * recomputes the key's answer straight from the raw corpus — a
+  * subset serve that lost or duplicated fact rows through the
+  * dropped dimension, a cast implication that mis-scoped the slice,
+  * or an AVG rollup that diverged from the direct aggregate would
+  * hash-fail here. */
+object OracleR24 {
+
+  val sql: ListMap[String, String] = ListMap(
+
+    // The SUBSET join recomputed raw: the MV summarized the 3-table
+    // star, the query joined only orders ⋈ customer — served exactly
+    // iff the dropped nation join was multiplicity-preserving.
+    "mv_rewrite_join_subset" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(o_orderkey) AS key_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

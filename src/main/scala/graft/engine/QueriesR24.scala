@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-18 keys: the r17 verdict's ranked serving gaps, closed under
+  * the oracle gate.
+  *
+  *   - Join-SUBSET MV matching (`mv_rewrite_join_subset`): a query
+  *     joining a STRICT SUBSET of a registered star MV's tables is
+  *     served when every dropped dimension is FK-non-filtering — a
+  *     bare leaf joined on equi keys that is UNIQUE on them and
+  *     MATCHES every fact-side key (both verified at register time,
+  *     memoized per file set), carries no filters, and feeds no other
+  *     join. The drop then preserves fact-row multiplicity exactly,
+  *     so the summary's partials serve the reduced join (r17 verdict
+  *     #1 — the last common dashboard shape that declined).
+  *   - Cross-spelling range implication (`mv_rewrite_implied_cast`):
+  *     a filtered-slice MV whose bound is spelled over the raw
+  *     TIMESTAMP column serves a query bounding `CAST(col AS DATE)` —
+  *     the cast comparison is normalized onto the column's own
+  *     domain at its midnight instants, where interval containment
+  *     is decidable (r17 verdict #4).
+  *   - Integral AVG rollup (`mv_rewrite_avg_int`): AVG over an
+  *     integral column is served as SUM(sum partials) / SUM(count
+  *     partials) — both legs exact longs, the division the only
+  *     floating step, so the rollup is exact wherever the direct
+  *     aggregate is. Fractional AVG still declines (addition order
+  *     matters there) — MvRewriteSpec pins the decline (r17 verdict
+  *     #7).
+  *
+  * The oracle proves WHAT each key computed; MvRewriteSpec proves HOW
+  * (the rewrite fired / declined). Determinism (§2.3): pure functions
+  * of the corpus, outputs ordered by a total key.
+  */
+object QueriesR24 {
+  import Tables._
+
+  /** The star MV joins orders ⋈ customer ⋈ nation; the QUERY joins
+    * only orders ⋈ customer. nation is a verified FK-non-filtering
+    * dimension (unique on n_nationkey, every c_nationkey matches,
+    * no filters, no other join uses its columns), so dropping it
+    * preserves row multiplicity and the summary serves the reduced
+    * join. The oracle recomputes from the raw SUBSET join — a drop
+    * that lost or duplicated any fact row would hash-fail. */
+  def mvRewriteJoinSubset(s: SparkSession, d: String): DataFrame = {
+    def full = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+    val hash = ArtifactCache.artifactHash(
+      full.select("c_mktsegment", "o_orderkey")).take(16)
+    val root = LakeFixtures.cached(s, "mv_star3", hash) { r =>
+      Mv.register(s, "orders_mv_star3", full,
+        Seq("c_mktsegment"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_star3", full,
+      Seq("c_mktsegment"), Seq("o_orderkey"), root)
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("c_mktsegment")
+  }
+}

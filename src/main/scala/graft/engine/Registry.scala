@@ -385,6 +385,9 @@ object Registry {
     "sql_delete_dates"      -> QueriesR23.sqlDeleteDates _,
     "sql_delete_timestamps" -> QueriesR23.sqlDeleteTimestamps _,
     "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,
+    // Round-18: the r17 verdict gaps — join-SUBSET MV matching
+    // (FK-non-filtering dims dropped, verified at register time)
+    "mv_rewrite_join_subset" -> QueriesR24.mvRewriteJoinSubset _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -395,5 +398,5 @@ object Registry {
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
       OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql ++ OracleR22.sql ++
-      OracleR23.sql
+      OracleR23.sql ++ OracleR24.sql
 }

@@ -505,6 +505,95 @@ class MvRewriteSpec extends SparkTestBase {
       s"mv_rewrite_implied_range should scan only the slice MV, got $ip")
   }
 
+  test("join-subset: dropping a verified FK-non-filtering dim serves; unsafe drops decline") {
+    val fdir = Files.createTempDirectory("graft_mv_ssf").toString
+    val ddir = Files.createTempDirectory("graft_mv_ssd").toString
+    val rS = Files.createTempDirectory("graft_mv_sssum").toString + "/mv"
+    Seq((1L, "r", 10L), (1L, "s", 20L), (2L, "r", 5L), (3L, "s", 7L))
+      .toDF("fk", "tag", "x").write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def fact = spark.read.parquet(fdir)
+    def dim = spark.read.parquet(ddir)
+    def joined = fact.join(dim, col("fk") === col("dk"))
+    // group col lives on the FACT side, so the dim is pure plumbing —
+    // unique on dk, every fk matches, no filters: droppable
+    Mv.register(spark, "spec_mv_sub", joined, Seq("tag"), Seq("x"), rS)
+    val q = fact.groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("tag")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(rS)),
+      s"fact-only aggregate should serve from the star MV, got $qp")
+    assert(q.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("r", 2L, 15L), ("s", 2L, 27L)))
+    Mv.clear(spark)
+
+    // MUST-DECLINE: the dim carries a filter — dropping it would
+    // resurrect the filtered-out fact rows
+    Mv.register(spark, "spec_mv_subf",
+      fact.join(dim.filter(col("dname") === "a"), col("fk") === col("dk")),
+      Seq("tag"), Seq("x"),
+      Files.createTempDirectory("graft_mv_ssfsum").toString + "/mv")
+    val qf = fact.groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(qf).exists(_.startsWith(fdir)),
+      "a filtered dim must not be dropped")
+    Mv.clear(spark)
+
+    // MUST-DECLINE: dim NOT unique on the join key (each fact row
+    // fans out — dropping the dim would halve the partials)
+    val ddup = Files.createTempDirectory("graft_mv_ssdup").toString
+    Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "a")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddup)
+    val rDup = Files.createTempDirectory("graft_mv_ssdupsum").toString + "/mv"
+    def joinedDup = fact.join(spark.read.parquet(ddup),
+      col("fk") === col("dk"))
+    Mv.register(spark, "spec_mv_subdup", joinedDup, Seq("tag"), Seq("x"), rDup)
+    val qd = fact.groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(qd).exists(_.startsWith(fdir)),
+      "a non-unique dim must not be dropped")
+    // the FULL shape still serves (fan-out is part of the summary)
+    val qdFull = joinedDup.groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(qdFull).forall(_.startsWith(rDup)))
+    assert(qdFull.orderBy("tag").as[(String, Long)].collect().toSeq ==
+      Seq(("r", 25L), ("s", 47L))) // fk=1 rows doubled by the dup dim
+    Mv.clear(spark)
+
+    // MUST-DECLINE: a fact key with NO match (the inner join drops
+    // that row; the bare fact keeps it)
+    val dmiss = Files.createTempDirectory("graft_mv_ssmiss").toString
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "dname") // fk=3 unmatched
+      .write.mode("overwrite").parquet(dmiss)
+    Mv.register(spark, "spec_mv_submiss",
+      fact.join(spark.read.parquet(dmiss), col("fk") === col("dk")),
+      Seq("tag"), Seq("x"),
+      Files.createTempDirectory("graft_mv_ssmisssum").toString + "/mv")
+    val qm = fact.groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(qm).exists(_.startsWith(fdir)),
+      "an unmatched fact key must block the drop")
+    Mv.clear(spark)
+  }
+
+  test("join-subset: a 3-table star serves the 2-table sub-join (registry key shape)") {
+    val sub = graft.engine.Registry
+      .queries("mv_rewrite_join_subset")(spark, sfDir)
+    val sp = scannedPaths(sub)
+    assert(sp.nonEmpty &&
+      sp.forall(p => p.contains("mv_star3")),
+      s"mv_rewrite_join_subset should scan only the star MV, got $sp")
+    // rule-off ground truth: identical values from the raw sub-join
+    val spark2 = spark
+    import graft.engine.Tables
+    val raw = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("c_mktsegment")
+    assert(sub.collect().toSeq == raw.collect().toSeq)
+    Mv.clear(spark)
+  }
+
   test("MV summary itself is sane") {
     val mv = LakeTable.read(spark, mvRoot)
     assert(mv.count() == 4)
