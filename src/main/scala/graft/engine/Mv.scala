@@ -183,32 +183,140 @@ object Mv {
     // (column id, type, lo bound, hi bound); bounds carry inclusivity
     type Iv = (Long, org.apache.spark.sql.types.DataType,
                Option[(Any, Boolean)], Option[(Any, Boolean)])
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    sealed trait Op
+    case object LT extends Op; case object LE extends Op
+    case object GT extends Op; case object GE extends Op
+    case object EQ extends Op
+    def flip(o: Op): Op = o match {
+      case LT => GT; case LE => GE; case GT => LT; case GE => LE
+      case EQ => EQ
+    }
+    def zid(tz: Option[String],
+            dt: org.apache.spark.sql.types.DataType): java.time.ZoneId =
+      // NTZ↔DATE conversion is zone-free: UTC makes daysToMicros the
+      // plain days*86400e6 wall-clock mapping NTZ values live in
+      if (dt == TimestampNTZType) java.time.ZoneOffset.UTC
+      else DateTimeUtils.getZoneId(tz.getOrElse(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    def mkIv(a: AttributeReference,
+             t: org.apache.spark.sql.types.DataType,
+             lo: Option[(Any, Boolean)],
+             hi: Option[(Any, Boolean)]): Iv = (a.exprId.id, t, lo, hi)
+    // one comparison `colSide op literal`, with colSide either the
+    // bare column (same-type interval) or a MONOTONE TEMPORAL CAST of
+    // it, which normalizes onto the column's NATIVE domain at the
+    // literal's midnight boundaries (r17 verdict #4 — the two
+    // cross-spelling pairs dashboards actually write; Spark's
+    // UnwrapCastInBinaryComparison usually pre-normalizes these to
+    // same-type comparisons before this code sees them — the cast
+    // arms below are the fallback for sessions that exclude that
+    // rule, and the DISCRETE closure in closeBounds is what makes the
+    // unwrapped strict spellings match):
+    //   CAST(ts AS DATE) cmp d   ⟺  ts  cmp' [midnight(d), midnight(d+1))
+    //   CAST(d AS TIMESTAMP) cmp T ⟺ d cmp' day-bucket of T (exactness
+    //   of T at a midnight decides the boundary's inclusivity)
+    // Both rest on daysToMicros/microsToDays being the exact day
+    // partition of the timeline in the cast's zone.
+    def cmpIv(colE: Expression, litE: Expression, op: Op): Option[Iv] =
+      (colE, litE) match {
+        case (a: AttributeReference, Literal(v, t)) if v != null =>
+          Some(op match {
+            case LT => mkIv(a, t, None, Some((v, false)))
+            case LE => mkIv(a, t, None, Some((v, true)))
+            case GT => mkIv(a, t, Some((v, false)), None)
+            case GE => mkIv(a, t, Some((v, true)), None)
+            case EQ => mkIv(a, t, Some((v, true)), Some((v, true)))
+          })
+        case (Cast(a: AttributeReference, DateType, tz, _),
+              Literal(d: Int, DateType))
+            if a.dataType == TimestampType ||
+               a.dataType == TimestampNTZType =>
+          val z = zid(tz, a.dataType)
+          val m0 = DateTimeUtils.daysToMicros(d, z)
+          val m1 = DateTimeUtils.daysToMicros(d + 1, z)
+          Some(op match {
+            case GE => mkIv(a, a.dataType, Some((m0, true)), None)
+            case GT => mkIv(a, a.dataType, Some((m1, true)), None)
+            case LE => mkIv(a, a.dataType, None, Some((m1, false)))
+            case LT => mkIv(a, a.dataType, None, Some((m0, false)))
+            case EQ => mkIv(a, a.dataType, Some((m0, true)),
+                            Some((m1, false)))
+          })
+        case (Cast(a: AttributeReference, ct, tz, _), Literal(m: Long, lt))
+            if a.dataType == DateType && ct == lt &&
+               (ct == TimestampType || ct == TimestampNTZType) =>
+          val z = zid(tz, ct)
+          val f = DateTimeUtils.microsToDays(m, z)
+          val exact = DateTimeUtils.daysToMicros(f, z) == m
+          op match {
+            case GE => Some(mkIv(a, DateType,
+                         Some((if (exact) f else f + 1, true)), None))
+            case GT => Some(mkIv(a, DateType, Some((f + 1, true)), None))
+            case LE => Some(mkIv(a, DateType, None, Some((f, true))))
+            case LT => Some(mkIv(a, DateType, None, Some((f, !exact))))
+            case EQ => if (exact) Some(mkIv(a, DateType,
+                         Some((f, true)), Some((f, true))))
+                       else None // no day's midnight equals m
+          }
+        case _ => None
+      }
+    // DISCRETE domains (integral values, date days, timestamp micros)
+    // admit the exact open→closed normalization x > v ⟺ x ≥ v+1,
+    // x < v ⟺ x ≤ v−1. Spark's own UnwrapCastInBinaryComparison
+    // rewrites `CAST(d AS TS) >= T` to the STRICT `d > floor(T)` —
+    // without this closure that spelling could never match a base
+    // slice spelled inclusively. Domain extremes stay strict (no
+    // successor), which is merely conservative.
+    def closeBounds(iv: Iv): Iv = {
+      val (id, t, lo, hi) = iv
+      import org.apache.spark.sql.types._
+      val discrete = t match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!discrete) iv
+      else {
+        def step(v: Any, up: Boolean): Option[Any] = v match {
+          case i: Int =>
+            if (up) { if (i != Int.MaxValue) Some(i + 1) else None }
+            else { if (i != Int.MinValue) Some(i - 1) else None }
+          case l: Long =>
+            if (up) { if (l != Long.MaxValue) Some(l + 1) else None }
+            else { if (l != Long.MinValue) Some(l - 1) else None }
+          case b: Byte =>
+            if (up) { if (b != Byte.MaxValue) Some((b + 1).toByte) else None }
+            else { if (b != Byte.MinValue) Some((b - 1).toByte) else None }
+          case s: Short =>
+            if (up) { if (s != Short.MaxValue) Some((s + 1).toShort) else None }
+            else { if (s != Short.MinValue) Some((s - 1).toShort) else None }
+          case _ => None
+        }
+        val lo2 = lo match {
+          case Some((v, false)) =>
+            step(v, up = true).map(w => (w, true)).orElse(lo)
+          case other => other
+        }
+        val hi2 = hi match {
+          case Some((v, false)) =>
+            step(v, up = false).map(w => (w, true)).orElse(hi)
+          case other => other
+        }
+        (id, t, lo2, hi2)
+      }
+    }
     // `allowIn` is QUERY-side only: an IN's [min, max] HULL contains
     // its true-set, so hull ⊆ base-interval proves implication — but
     // the reverse (base = IN, query interval inside the hull) would
     // ignore the hull's GAPS and serve rows the summary lacks
-    def iv0(e: Expression, allowIn: Boolean): Option[Iv] = e match {
-      case LessThan(a: AttributeReference, Literal(v, t)) if v != null =>
-        Some((a.exprId.id, t, None, Some((v, false))))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
-        Some((a.exprId.id, t, None, Some((v, true))))
-      case GreaterThan(a: AttributeReference, Literal(v, t)) if v != null =>
-        Some((a.exprId.id, t, Some((v, false)), None))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null =>
-        Some((a.exprId.id, t, Some((v, true)), None))
-      case EqualTo(a: AttributeReference, Literal(v, t)) if v != null =>
-        Some((a.exprId.id, t, Some((v, true)), Some((v, true))))
-      // canonicalization may put the literal on the left
-      case LessThan(Literal(v, t), a: AttributeReference) if v != null =>
-        Some((a.exprId.id, t, Some((v, false)), None))
-      case LessThanOrEqual(Literal(v, t), a: AttributeReference) if v != null =>
-        Some((a.exprId.id, t, Some((v, true)), None))
-      case GreaterThan(Literal(v, t), a: AttributeReference) if v != null =>
-        Some((a.exprId.id, t, None, Some((v, false))))
-      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) if v != null =>
-        Some((a.exprId.id, t, None, Some((v, true))))
-      case EqualTo(Literal(v, t), a: AttributeReference) if v != null =>
-        Some((a.exprId.id, t, Some((v, true)), Some((v, true))))
+    def iv0(e: Expression, allowIn: Boolean): Option[Iv] = (e match {
+      case LessThan(l, r) => cmpIv(l, r, LT).orElse(cmpIv(r, l, GT))
+      case LessThanOrEqual(l, r) => cmpIv(l, r, LE).orElse(cmpIv(r, l, GE))
+      case GreaterThan(l, r) => cmpIv(l, r, GT).orElse(cmpIv(r, l, LT))
+      case GreaterThanOrEqual(l, r) =>
+        cmpIv(l, r, GE).orElse(cmpIv(r, l, LE))
+      case EqualTo(l, r) => cmpIv(l, r, EQ).orElse(cmpIv(r, l, EQ))
       case In(a: AttributeReference, lits)
           if allowIn && lits.nonEmpty && lits.forall {
             case Literal(v, _) => v != null
@@ -221,7 +329,7 @@ object Mv {
         Some((a.exprId.id, t, Some((vs.min(ord), true)),
               Some((vs.max(ord), true))))
       case _ => None
-    }
+    }).map(closeBounds)
     // a base ISNOTNULL is implied by ANY null-rejecting comparison on
     // the same column (every interval shape above evaluates to false
     // on null input), covering the optimizer's inferred-isnotnull
@@ -963,6 +1071,14 @@ object Mv {
       * unregistered functions). */
     private def rollup(mv: MvDef, names: Map[ExprId, String],
                        ae: AggregateExpression): Option[Expression] = {
+      // a rollup PRODUCT from this same pass: Average expands to a
+      // Divide of two fresh aggregates whose children transformDown
+      // then revisits — already over MV attributes, pass through
+      // (query-side aggregates always reference BASE attrs, so this
+      // cannot misfire on user input)
+      if (ae.references.nonEmpty &&
+          ae.references.subsetOf(AttributeSet(mv.mvPlan.output)))
+        return Some(ae)
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       // .get, not .apply: an MV registered from a summary built before
       // a partial-schema extension simply lacks the column — decline,
@@ -992,6 +1108,31 @@ object Mv {
         case m: Max =>
           partial(m.child, mv.aggCols, "max_")
             .map(Max(_).toAggregateExpression())
+        // AVG over an INTEGRAL column (r17 verdict #7): served as the
+        // division of the two rolled legs — the per-group long sums
+        // (exact) summed as doubles, over the summed non-null counts —
+        // exact wherever the direct aggregate is (both spellings add
+        // exactly while every running sum stays under 2^53; integral
+        // inputs are exact doubles there). FRACTIONAL AVG still
+        // declines: double addition is order-sensitive and the
+        // partials' order differs from the raw rows'. The division
+        // replicates Average's legacy divide (NULL for an all-null
+        // group), so null semantics above the aggregate are unchanged.
+        case av: Average
+            if Seq(org.apache.spark.sql.types.ByteType,
+                   org.apache.spark.sql.types.ShortType,
+                   org.apache.spark.sql.types.IntegerType,
+                   org.apache.spark.sql.types.LongType)
+              .contains(av.child.dataType) =>
+          for {
+            s <- partial(av.child, mv.aggCols, "sum_")
+            c <- partial(av.child, mv.aggCols, "cntn_")
+          } yield Divide(
+            Sum(Cast(s, org.apache.spark.sql.types.DoubleType))
+              .toAggregateExpression(),
+            Cast(Sum(c).toAggregateExpression(),
+                 org.apache.spark.sql.types.DoubleType),
+            EvalMode.LEGACY)
         // HLL sketch rollup: register-max union is associative and
         // commutative, so merging per-group partials is BYTE-IDENTICAL
         // to sketching the raw rows (the order-independence the sketch

@@ -20,6 +20,27 @@ object OracleR24 {
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |       max(o_orderkey) AS key_max
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // The sub-bound recomputed raw in the QUERY's spelling (a DATE
+    // bound over the timestamp column): a cast implication that
+    // mis-placed the midnight boundary would hash-fail on the
+    // boundary day's rows.
+    "mv_rewrite_implied_cast" ->
+      """SELECT o_orderdate AS od, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       max(o_orderkey) AS key_max
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) <= DATE '1996-06-15'
+        |GROUP BY od ORDER BY od""".stripMargin,
+
+    // The averages recomputed raw: both engines divide exact integer
+    // sums by exact counts, so a rollup that summed the wrong partial
+    // (or dropped a group's rows) diverges bit-for-bit.
+    "mv_rewrite_avg_int" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       avg(o_orderkey) AS key_avg,
+        |       max(o_orderkey) AS key_max
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin
   )
 }

@@ -62,4 +62,55 @@ object QueriesR24 {
            max("o_orderkey").as("key_max"))
       .orderBy("c_mktsegment")
   }
+
+  /** Cross-spelling implication: the MV summarizes the slice bounded
+    * on the raw TIMESTAMP_NTZ column (`od < TIMESTAMP_NTZ
+    * '1997-01-01 00:00:00'`); the query bounds the column's DATE
+    * image (`CAST(od AS DATE) <= DATE '1996-06-15'`). The cast
+    * comparison normalizes onto od's own domain at the literal's
+    * midnight boundary (`od < '1996-06-16 00:00:00'`), where interval
+    * containment proves the implication; the sub-bound re-applies
+    * over the summary (od is the group key). The oracle recomputes
+    * from raw orders in the QUERY's spelling. */
+  def mvRewriteImpliedCast(s: SparkSession, d: String): DataFrame = {
+    // raw column names throughout: the matcher resolves aliases back
+    // to FILE columns, so registered groupCols must be file columns
+    val base = orders(s, d).select("o_orderdate", "o_orderkey")
+    def sliced = base.filter(
+      col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_castslice", hash) { r =>
+      Mv.register(s, "orders_mv_castslice", sliced,
+        Seq("o_orderdate"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_castslice", sliced,
+      Seq("o_orderdate"), Seq("o_orderkey"), root)
+    base.filter(expr("CAST(o_orderdate AS DATE) <= DATE '1996-06-15'"))
+      .groupBy(col("o_orderdate").as("od"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("od")
+  }
+
+  /** Integral AVG rollup: `avg(o_orderkey)` over the base is served
+    * from the summary as Σ(per-group exact long sums) / Σ(counts) —
+    * exact wherever the direct aggregate is (all running sums below
+    * 2^53). Fractional AVG still declines (order-sensitive addition);
+    * MvRewriteSpec pins the decline. The oracle recomputes the
+    * average raw — both engines divide exact integer sums, so the
+    * doubles hash bit-equal. */
+  def mvRewriteAvgInt(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select("o_orderstatus", "o_orderkey")
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_avg", hash) { r =>
+      Mv.register(s, "orders_mv_avg", base,
+        Seq("o_orderstatus"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_avg", base,
+      Seq("o_orderstatus"), Seq("o_orderkey"), root)
+    base.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), avg("o_orderkey").as("key_avg"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("status")
+  }
 }

@@ -386,8 +386,12 @@ object Registry {
     "sql_delete_timestamps" -> QueriesR23.sqlDeleteTimestamps _,
     "sql_delete_or_ranges"  -> QueriesR23.sqlDeleteOrRanges _,
     // Round-18: the r17 verdict gaps — join-SUBSET MV matching
-    // (FK-non-filtering dims dropped, verified at register time)
+    // (FK-non-filtering dims dropped, verified at register time) and
+    // cross-spelling range implication (CAST(col AS DATE) bounds
+    // normalized onto the column's domain at midnight boundaries)
     "mv_rewrite_join_subset" -> QueriesR24.mvRewriteJoinSubset _,
+    "mv_rewrite_implied_cast" -> QueriesR24.mvRewriteImpliedCast _,
+    "mv_rewrite_avg_int"    -> QueriesR24.mvRewriteAvgInt _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -73,9 +73,11 @@ class MvRewriteSpec extends SparkTestBase {
     // DISTINCT aggregate
     val d = base.groupBy("g1").agg(countDistinct("x").as("nd"))
     assert(scannedPaths(d).exists(_.startsWith(baseDir)))
-    // AVG is not in the rollup algebra (users spell it sum/count)
+    // integral AVG IS in the rollup algebra since r18 (exact from
+    // sum/cntn partials) — it must SERVE here; the fractional decline
+    // is pinned in the dedicated avg test below
     val a = base.groupBy("g1").agg(avg("x").as("ax"))
-    assert(scannedPaths(a).exists(_.startsWith(baseDir)))
+    assert(scannedPaths(a).forall(_.startsWith(mvRoot)))
     // grouping by a column the MV does not group by
     val g = base.groupBy("x").agg(count(lit(1)).as("n"))
     assert(scannedPaths(g).exists(_.startsWith(baseDir)))
@@ -591,6 +593,127 @@ class MvRewriteSpec extends SparkTestBase {
            max("o_orderkey").as("key_max"))
       .orderBy("c_mktsegment")
     assert(sub.collect().toSeq == raw.collect().toSeq)
+    // the cross-spelling key serves from its slice MV too
+    val ic = graft.engine.Registry
+      .queries("mv_rewrite_implied_cast")(spark, sfDir)
+    val icp = scannedPaths(ic)
+    assert(icp.nonEmpty && icp.forall(_.contains("mv_orders_castslice")),
+      s"mv_rewrite_implied_cast should scan only the slice MV, got $icp")
+    Mv.clear(spark)
+  }
+
+  test("cross-spelling implication: CAST(ts AS DATE) bounds serve a ts-sliced MV") {
+    val dir = Files.createTempDirectory("graft_mv_cast").toString
+    val rC = Files.createTempDirectory("graft_mv_castsum").toString + "/mv"
+    // hourly NTZ timestamps over four days starting 1996-06-28
+    spark.sql(
+      """SELECT timestampadd(HOUR, CAST(id AS INT),
+        |       TIMESTAMP_NTZ '1996-06-28 00:00:00') AS ts, id AS x
+        |FROM range(96)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    def base = spark.read.parquet(dir)
+    def sliced = base.filter(
+      col("ts") < expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+    Mv.register(spark, "spec_mv_cast", sliced, Seq("ts"), Seq("x"), rC)
+    // equal endpoint, compatible strictness: CAST(ts AS DATE) <=
+    // '1996-06-30' ⟺ ts < midnight(07-01) — exactly the slice bound
+    val q = base.filter(expr("CAST(ts AS DATE) <= DATE '1996-06-30'"))
+      .groupBy("ts").agg(sum("x").as("sx")).orderBy("ts")
+    assert(scannedPaths(q).nonEmpty &&
+           scannedPaths(q).forall(_.startsWith(rC)),
+      s"cast bound at the slice boundary should serve, got ${scannedPaths(q)}")
+    assert(q.count() == 72 &&
+      q.agg(sum("sx")).head.getLong(0) == (0L until 72L).sum)
+    // a tighter bound serves too
+    val q2 = base.filter(expr("CAST(ts AS DATE) < DATE '1996-06-29'"))
+      .groupBy("ts").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q2).forall(_.startsWith(rC)))
+    assert(q2.count() == 24)
+    // MUST-DECLINE: one day past the slice (midnight(07-02) ⊄ slice)
+    val d1 = base.filter(expr("CAST(ts AS DATE) <= DATE '1996-07-01'"))
+      .groupBy("ts").agg(sum("x").as("sx"))
+    assert(scannedPaths(d1).exists(_.startsWith(dir)),
+      "a bound past the slice must decline")
+    Mv.clear(spark)
+  }
+
+  test("cross-spelling implication: a ts literal over a DATE column rounds to its day bucket") {
+    val dir = Files.createTempDirectory("graft_mv_dcol").toString
+    val rD = Files.createTempDirectory("graft_mv_dcolsum").toString + "/mv"
+    spark.sql(
+      """SELECT date_add(DATE '1995-01-01', CAST(id AS INT)) AS d,
+        |       id AS x FROM range(60)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    def base = spark.read.parquet(dir)
+    def sliced = base.filter(col("d") >= expr("DATE '1995-01-01'"))
+    Mv.register(spark, "spec_mv_dcol", sliced, Seq("d"), Seq("x"), rD)
+    // the analyzer promotes d to TIMESTAMP against a ts literal; a
+    // NON-midnight bound rounds UP to the next day (no date's
+    // midnight sits at 18:00), landing inside the slice
+    val q = base.filter(col("d") >= expr("TIMESTAMP '1994-12-31 18:00:00'"))
+      .groupBy("d").agg(sum("x").as("sx")).orderBy("d")
+    assert(scannedPaths(q).nonEmpty &&
+           scannedPaths(q).forall(_.startsWith(rD)),
+      s"rounded-up ts bound should serve, got ${scannedPaths(q)}")
+    assert(q.count() == 60)
+    // exact midnight AT the slice bound serves (equal endpoints)
+    val q2 = base.filter(
+        col("d") >= expr("TIMESTAMP '1995-01-01 00:00:00'"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q2).forall(_.startsWith(rD)))
+    // MUST-DECLINE: a midnight strictly before the slice start
+    val d1 = base.filter(
+        col("d") >= expr("TIMESTAMP '1994-12-31 00:00:00'"))
+      .groupBy("d").agg(sum("x").as("sx"))
+    assert(scannedPaths(d1).exists(_.startsWith(dir)),
+      "a bound before the slice must decline")
+    Mv.clear(spark)
+  }
+
+  test("integral AVG rolls up exactly; fractional AVG still declines") {
+    // earlier tests Mv.clear()ed the session — re-arm the base MV
+    // (idempotent: the fingerprint matches, so no rebuild)
+    Mv.register(spark, "spec_mv", base, Seq("g1", "g2"), Seq("x"), mvRoot)
+    val q = base.groupBy("g1")
+      .agg(avg("x").as("ax"), count(lit(1)).as("n")).orderBy("g1")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(mvRoot)),
+      s"integral avg should serve from the MV, got $qp")
+    assert(q.as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 35.0 / 3, 3L), ("b", 36.0, 3L)))
+    // SQL-text spelling too, mixed with other rollables
+    base.createOrReplaceTempView("mv_avg_v")
+    val q2 = spark.sql(
+      "SELECT g1, avg(x) AS ax, sum(x) AS sx FROM mv_avg_v GROUP BY g1")
+    assert(scannedPaths(q2).forall(_.startsWith(mvRoot)))
+    // MUST-DECLINE: fractional AVG (order-sensitive addition)
+    val ddir = Files.createTempDirectory("graft_mv_davg").toString
+    val rA = Files.createTempDirectory("graft_mv_davgsum").toString + "/mv"
+    Seq(("a", 1.5), ("a", 2.5), ("b", 3.25)).toDF("g", "v")
+      .write.mode("overwrite").parquet(ddir)
+    val dbase = spark.read.parquet(ddir)
+    Mv.register(spark, "spec_mv_davg", dbase, Seq("g"), Seq("v"), rA)
+    val qd = dbase.groupBy("g").agg(avg("v").as("av"))
+    assert(scannedPaths(qd).exists(_.startsWith(ddir)),
+      "double avg must decline (sum/count partials still serve sum/count)")
+    // …while sum/count over the same double column DO serve
+    val qs = dbase.groupBy("g").agg(sum("v").as("sv"),
+      count(col("v")).as("nv"))
+    assert(scannedPaths(qs).forall(_.startsWith(rA)))
+  }
+
+  test("round-18 registry key mv_rewrite_avg_int is answered from its MV artifact") {
+    val q = graft.engine.Registry.queries("mv_rewrite_avg_int")(spark, sfDir)
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.contains("mv_orders_avg")),
+      s"mv_rewrite_avg_int should scan only the avg MV, got $qp")
+    // rule-off ground truth
+    val raw = graft.engine.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), avg("o_orderkey").as("key_avg"),
+           max("o_orderkey").as("key_max"))
+      .orderBy("status")
+    assert(q.collect().toSeq == raw.collect().toSeq)
     Mv.clear(spark)
   }
 
