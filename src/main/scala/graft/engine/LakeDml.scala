@@ -413,7 +413,14 @@ object LakeDml {
     * bounds, kind mismatch, or unparseable numerics all KEEP the data
     * — stats are an optimization, never a correctness filter. */
   private def predIntersects(st: LakeTable.LogState, p: DerivedPred,
-                             stats: Option[(String, String)]): Boolean = {
+                             stats: Option[(String, String)]): Boolean =
+    predIntersectsKind(p, st.colKinds.get(p.col), stats)
+
+  /** [[predIntersects]] with the stat kind supplied explicitly — the
+    * tombstone-file path carries its kind in the eqdel record itself
+    * rather than in the data table's colKinds. */
+  private def predIntersectsKind(p: DerivedPred, kindOpt: Option[String],
+                                 stats: Option[(String, String)]): Boolean = {
     def num(s: String): Option[BigDecimal] =
       if (s == null) None
       else try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
@@ -427,7 +434,7 @@ object LakeDml {
     // string literal compared against a temporal column coerces to
     // the temporal type row-level, where unguarded lexicographic
     // pruning is the exotic-year trap
-    val kindOk = st.colKinds.get(p.col).exists { k =>
+    val kindOk = kindOpt.exists { k =>
       if (p.numeric) k == "num"
       else if (p.tsGuard) k == "ts"
       else k == "str"
@@ -816,10 +823,23 @@ object LakeDml {
       java.util.UUID.randomUUID().toString.take(8)
     keys.select(col(keyCol)).distinct()
       .write.mode("errorifexists").parquet(s"$root/$dir")
+    // record the tombstone file's own key range (same rendering and
+    // kind discipline as data stats): a later predicate-carrying MOR
+    // read skips delete files wholly outside its key interval. An
+    // all-null or empty key set records nothing — the file is then
+    // always scanned, the safe posture (a NULL key masks no row
+    // anyway: it never equi-matches).
+    val bnd = spark.read.parquet(s"$root/$dir")
+      .agg(min(col(keyCol)).cast("string"),
+           max(col(keyCol)).cast("string")).head()
+    val eqStats =
+      if (bnd.isNullAt(0) || bnd.isNullAt(1)) Map.empty[String, (String, String, String)]
+      else Map(dir -> (bnd.getString(0), bnd.getString(1),
+        LakeTable.statKind(keys.schema(keyCol).dataType)))
     try {
       LakeTable.writeCommit(spark, root,
         LakeTable.Commit(next, Seq.empty, Seq.empty, txn,
-          eqdelAdds = Seq((dir, keyCol))))
+          eqdelAdds = Seq((dir, keyCol)), eqdelStats = eqStats))
       Some(next)
     } catch {
       case e: LakeTable.CommitConflictException =>
@@ -844,10 +864,13 @@ object LakeDml {
     * intervals derived from `cond` — the same derivation SQL DML uses
     * — then `cond` applies row-level (and pushes to parquet), and the
     * live tombstones are subtracted as in [[readMor]]. Tombstone
-    * files are NOT pruned (a key outside `cond`'s range still must
-    * not resurrect rows inside it — and they are O(delete list) small
-    * anyway). Equivalent to `readMor(...).where(cond)` with strictly
-    * less I/O; a condition that derives nothing scans like readMor. */
+    * files whose OWN recorded key range cannot intersect the derived
+    * interval on their key column are skipped (r17 verdict #5): every
+    * returned row's key lies inside that interval, so a wholly-
+    * outside tombstone masks nothing the read returns. All other
+    * tombstones subtract in full. Equivalent to
+    * `readMor(...).where(cond)` with strictly less I/O; a condition
+    * that derives nothing scans like readMor. */
   def readMorWhere(spark: SparkSession, root: String, cond: Column,
                    asOf: Option[Long] = None): DataFrame = {
     val st = LakeTable.replayState(spark, root, asOf)
@@ -861,20 +884,40 @@ object LakeDml {
       else spark.read.option("mergeSchema", "true")
         .parquet(paths: _*)
         .where(cond)
-    subtractTombstones(spark, root, st, data)
+    subtractTombstones(spark, root, st, data, preds)
   }
 
+  /** `preds` (derived from the read predicate — empty for plain
+    * [[readMor]]) additionally PRUNE the delete-file scan by each
+    * tombstone file's own recorded key range: every returned row
+    * satisfies the predicate, so its key lies inside the derived
+    * interval on the key column — a tombstone file whose [min, max]
+    * cannot intersect that interval names no returned row and is
+    * safely skipped (r17 verdict #5). Files without recorded stats
+    * (pre-r18 logs, all-null key sets) always scan; a fully-pruned
+    * key group skips its anti-join entirely. */
   private def subtractTombstones(spark: SparkSession, root: String,
                                  st: LakeTable.LogState,
-                                 data: DataFrame): DataFrame =
-    st.eqdels.groupBy(_._2).foldLeft(data) { case (df, (keyCol, files)) =>
-      val dels = spark.read
-        .parquet(files.map(_._1).map(d => s"$root/$d"): _*)
-        .select(col(keyCol)).distinct()
-      // size-gated, not unconditional: the tombstone key set is
-      // O(delete list), usually tiny but not bounded by construction —
-      // past the gate the anti join is AQE's call (shuffle, no OOM)
-      df.join(Ops.broadcastIfSmall(dels, dels), Seq(keyCol), "left_anti")
+                                 data: DataFrame,
+                                 preds: Seq[DerivedPred] = Nil): DataFrame =
+    st.eqdels.groupBy(_._2).toSeq.sortBy(_._1)
+      .foldLeft(data) { case (df, (keyCol, files)) =>
+      val keyPreds = preds.filter(_.col == keyCol)
+      val kept = files.map(_._1).filter(d => st.eqdelStats.get(d) match {
+        case Some((mn, mx, kd)) => keyPreds.forall(p =>
+          predIntersectsKind(p, Some(kd), Some((mn, mx))))
+        case None => true
+      })
+      if (kept.isEmpty) df
+      else {
+        val dels = spark.read
+          .parquet(kept.map(d => s"$root/$d"): _*)
+          .select(col(keyCol)).distinct()
+        // size-gated, not unconditional: the tombstone key set is
+        // O(delete list), usually tiny but not bounded by construction —
+        // past the gate the anti join is AQE's call (shuffle, no OOM)
+        df.join(Ops.broadcastIfSmall(dels, dels), Seq(keyCol), "left_anti")
+      }
     }
 
   /** Compaction: materialize every live tombstone into the data and

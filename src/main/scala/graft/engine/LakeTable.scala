@@ -102,7 +102,12 @@ object LakeTable {
       colKinds: Map[String, String],
       fileStats: Map[String, Seq[(String, Map[String, (String, String)])]],
       txns: Map[String, Long],
-      eqdels: Seq[(String, String)] = Seq.empty)
+      eqdels: Seq[(String, String)] = Seq.empty,
+      // tombstone-file key ranges: eqdel dir → (min, max, stat kind)
+      // over its key column — lets a MOR read with a key predicate
+      // skip delete files wholly outside it (absent for pre-r18 logs
+      // and all-null key files → always scanned, the safe posture)
+      eqdelStats: Map[String, (String, String, String)] = Map.empty)
 
   private[graft] val emptyState =
     LogState(-1L, Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
@@ -126,7 +131,8 @@ object LakeTable {
       c.txn.fold(st.txns) { case (app, b) =>
         st.txns + (app -> math.max(b, st.txns.getOrElse(app, Long.MinValue)))
       },
-      eq.toSeq)
+      eq.toSeq,
+      (st.eqdelStats ++ c.eqdelStats) -- c.eqdelRemoves)
   }
 
   /** Test/diagnostic instrumentation: every log FILE the readers open
@@ -195,9 +201,16 @@ object LakeTable {
     val eqdels = Option(node.get("eqdels")).map(_.elements().asScala
       .map(e => (e.get("d").asText(), e.get("k").asText())).toSeq)
       .getOrElse(Seq.empty)
+    val eqdelStats = Option(node.get("eqstats")).map(_.properties().asScala
+      .map { e =>
+        e.getKey -> (e.getValue.get("min").asText(),
+                     e.getValue.get("max").asText(),
+                     e.getValue.get("kd").asText())
+      }.toMap).getOrElse(Map.empty[String, (String, String, String)])
     LogState(node.get("version").asLong(),
       node.get("active").elements().asScala.map(_.asText()).toSeq,
-      stats, colStats, strMap("colkinds"), fileStats, txns, eqdels)
+      stats, colStats, strMap("colkinds"), fileStats, txns, eqdels,
+      eqdelStats)
   }
 
   private def writeCheckpoint(spark: SparkSession, root: String,
@@ -247,6 +260,13 @@ object LakeTable {
       val a = json.putArray("eqdels")
       st.eqdels.foreach { case (d, k) =>
         val o = a.addObject(); o.put("d", d); o.put("k", k)
+      }
+    }
+    if (st.eqdelStats.nonEmpty) {
+      val o = json.putObject("eqstats")
+      st.eqdelStats.foreach { case (d, (mn, mx, kd)) =>
+        val b = o.putObject(d)
+        b.put("min", mn); b.put("max", mx); b.put("kd", kd)
       }
     }
     val f = fs(spark, root)
@@ -407,7 +427,9 @@ object LakeTable {
                       Seq[(String, Map[String, (String, String)])]] =
                       Map.empty,
                     eqdelAdds: Seq[(String, String)] = Seq.empty,
-                    eqdelRemoves: Seq[String] = Seq.empty)
+                    eqdelRemoves: Seq[String] = Seq.empty,
+                    eqdelStats: Map[String, (String, String, String)] =
+                      Map.empty)
 
   /** Stat-ordering tag for a column: "num" when the recorded min/max
     * were computed under NUMERIC ordering, "ts" for DATE/TIMESTAMP
@@ -495,8 +517,15 @@ object LakeTable {
       .getOrElse(Seq.empty)
     val eqRemoves = Option(node.get("eqremove"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val eqStats = Option(node.get("eqstats")).map(_.properties().asScala
+      .map { e =>
+        e.getKey -> (e.getValue.get("min").asText(),
+                     e.getValue.get("max").asText(),
+                     e.getValue.get("kd").asText())
+      }.toMap).getOrElse(Map.empty[String, (String, String, String)])
     Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
-           stats, colStats, colKinds, fileStats, eqAdds, eqRemoves)
+           stats, colStats, colKinds, fileStats, eqAdds, eqRemoves,
+           eqStats)
   }
 
   /** Write commit `version` with create-exclusive semantics — the
@@ -564,6 +593,13 @@ object LakeTable {
     if (commit.eqdelRemoves.nonEmpty) {
       val a = json.putArray("eqremove")
       commit.eqdelRemoves.foreach(a.add)
+    }
+    if (commit.eqdelStats.nonEmpty) {
+      val o = json.putObject("eqstats")
+      commit.eqdelStats.foreach { case (d, (mn, mx, kd)) =>
+        val b = o.putObject(d)
+        b.put("min", mn); b.put("max", mx); b.put("kd", kd)
+      }
     }
     val bytes = mapper.writeValueAsBytes(json)
     val lp = logPath(root, commit.version)

@@ -41,6 +41,17 @@ object OracleR24 {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       avg(o_orderkey) AS key_avg,
         |       max(o_orderkey) AS key_max
-        |FROM orders GROUP BY status ORDER BY status""".stripMargin
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    // The subtract view under the read predicate: keys below 256 are
+    // tombstoned (the [768, 1024) tombstone lies wholly outside the
+    // predicate and must change nothing whether scanned or skipped) —
+    // a skip that dropped a masking tombstone, or a prune that
+    // skipped a masking one, would hash-fail.
+    "lake_mor_tombstone_pruned" ->
+      """SELECT o_orderkey AS key, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey < 512 AND o_orderkey >= 256
+        |ORDER BY key""".stripMargin
   )
 }

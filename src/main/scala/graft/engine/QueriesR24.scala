@@ -113,4 +113,29 @@ object QueriesR24 {
            max("o_orderkey").as("key_max"))
       .orderBy("status")
   }
+
+  /** Tombstone-KEY-pruned MOR read (r17 verdict #5): two equality-
+    * delete files cover disjoint key ranges ([1, 256) and [768,
+    * 1024) — inside every tier's key domain); the read's `key < 512`
+    * derives an interval that skips the high tombstone file entirely
+    * (its recorded [min, max] cannot intersect), while the low one
+    * subtracts in full. LakeDmlSpec asserts the delete-file scan is
+    * a strict subset AND that the result equals the unpruned
+    * `readMor(...).where(...)`; this key gates the END STATE against
+    * DuckDB. */
+  def lakeMorTombstonePruned(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey").as("key"),
+                                   col("o_orderstatus").as("status"))
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "lake_mor_keyprune", hash) { r =>
+      LakeTable.append(base, r)
+      LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
+      LakeDml.deleteByKeysMor(s, r, "key",
+        LakeTable.read(s, r).filter(col("key") < 256L).select("key"))
+      LakeDml.deleteByKeysMor(s, r, "key",
+        LakeTable.read(s, r)
+          .filter(col("key") >= 768L && col("key") < 1024L).select("key"))
+    }
+    LakeDml.readMorWhere(s, root, col("key") < 512L).orderBy("key")
+  }
 }

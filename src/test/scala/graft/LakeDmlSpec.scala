@@ -403,6 +403,46 @@ class LakeDmlSpec extends SparkTestBase {
       Seq(0L, 2L, 4L, 6L, 8L, 100L, 102L, 104L, 106L, 108L))
   }
 
+  test("readMorWhere skips tombstone files wholly outside the key interval") {
+    val root = freshRoot("morkeyprune")
+    twoDirTable(root) // keys [0,9] and [100,109]
+    // two tombstone files with DISJOINT recorded key ranges
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(3L, 5L).toDF("k"))
+    LakeDml.deleteByKeysMor(spark, root, "k", Seq(103L, 105L).toDF("k"))
+    val pruned = LakeDml.readMorWhere(spark, root, col("k") < 50L)
+    // full-subtraction correctness control: identical rows either way
+    val full = LakeDml.readMor(spark, root).where(col("k") < 50L)
+    assert(pruned.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (0L to 9L).filterNot(Seq(3L, 5L).contains))
+    // delete-file scan is a STRICT subset of the live tombstones: the
+    // [103, 105] file cannot intersect k < 50 and is skipped
+    val delScanned = pruned.inputFiles.filter(_.contains("eqdel")).toSet
+    val delFull = full.inputFiles.filter(_.contains("eqdel")).toSet
+    assert(delFull.size == 2 || delFull.size > delScanned.size)
+    assert(delScanned.nonEmpty && delScanned.size < delFull.size,
+      s"expected fewer delete files scanned: ${delScanned.size} vs ${delFull.size}")
+    // masking tombstones inside the interval are NEVER skipped, and a
+    // read whose interval covers both ranges scans both
+    val wide = LakeDml.readMorWhere(spark, root, col("k") >= 0L)
+    assert(wide.inputFiles.count(_.contains("eqdel")) >= delFull.size)
+    assert(wide.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      ((0L to 9L) ++ (100L to 109L)).filterNot(
+        Seq(3L, 5L, 103L, 105L).contains))
+    // a fully-pruned key group drops its anti-join: only data files
+    val none = LakeDml.readMorWhere(spark, root,
+      col("k") >= 20L && col("k") < 90L)
+    assert(none.inputFiles.forall(!_.contains("eqdel")))
+    assert(none.count() == 0L)
+    // tombstone ranges survive a checkpoint round-trip
+    LakeTable.checkpoint(spark, root)
+    val cp = LakeDml.readMorWhere(spark, root, col("k") < 50L)
+    assert(cp.inputFiles.count(_.contains("eqdel")) == delScanned.size)
+    assert(cp.orderBy("k").collect().toSeq ==
+      pruned.orderBy("k").collect().toSeq)
+  }
+
   test("readMorWhere prunes at FILE grain inside z-layout directories") {
     val root = freshRoot("morfiles")
     // v tracks k, so the z-order on (k, v) is monotone in k and the
