@@ -142,5 +142,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // without the extension. The rule is a no-op until an MV is
     // registered (defs empty → identity).
     ext.injectOptimizerRule(_ => new Mv.MvRewrite)
+    // commit-log row counts → Catalyst statistics on lake relations:
+    // runs in the operator-optimization batch, BEFORE Join Reorder,
+    // so CBO (cbo.enabled + joinReorder.enabled) orders lake joins
+    // cost-informed instead of as-written. No-op on non-lake scans.
+    ext.injectOptimizerRule(_ => new LakeStats.LakeRelationStats)
   }
 }

@@ -107,7 +107,12 @@ object LakeTable {
       // over its key column — lets a MOR read with a key predicate
       // skip delete files wholly outside it (absent for pre-r18 logs
       // and all-null key files → always scanned, the safe posture)
-      eqdelStats: Map[String, (String, String, String)] = Map.empty)
+      eqdelStats: Map[String, (String, String, String)] = Map.empty,
+      // per-directory row counts (summed from parquet footers at
+      // commit time) — the table-level statistic [[LakeStats]] feeds
+      // Catalyst so join ORDER on lake tables is cost-informed before
+      // AQE ever runs; absent for pre-r18 logs (no stats reported)
+      rowCounts: Map[String, Long] = Map.empty)
 
   private[graft] val emptyState =
     LogState(-1L, Seq.empty, Map.empty, Map.empty, Map.empty, Map.empty,
@@ -132,7 +137,8 @@ object LakeTable {
         st.txns + (app -> math.max(b, st.txns.getOrElse(app, Long.MinValue)))
       },
       eq.toSeq,
-      (st.eqdelStats ++ c.eqdelStats) -- c.eqdelRemoves)
+      (st.eqdelStats ++ c.eqdelStats) -- c.eqdelRemoves,
+      st.rowCounts ++ c.rowCounts)
   }
 
   /** Test/diagnostic instrumentation: every log FILE the readers open
@@ -207,10 +213,13 @@ object LakeTable {
                      e.getValue.get("max").asText(),
                      e.getValue.get("kd").asText())
       }.toMap).getOrElse(Map.empty[String, (String, String, String)])
+    val rowCounts = Option(node.get("rowcounts")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[String, Long])
     LogState(node.get("version").asLong(),
       node.get("active").elements().asScala.map(_.asText()).toSeq,
       stats, colStats, strMap("colkinds"), fileStats, txns, eqdels,
-      eqdelStats)
+      eqdelStats, rowCounts)
   }
 
   private def writeCheckpoint(spark: SparkSession, root: String,
@@ -268,6 +277,10 @@ object LakeTable {
         val b = o.putObject(d)
         b.put("min", mn); b.put("max", mx); b.put("kd", kd)
       }
+    }
+    if (st.rowCounts.nonEmpty) {
+      val o = json.putObject("rowcounts")
+      st.rowCounts.foreach { case (d, n) => o.put(d, n) }
     }
     val f = fs(spark, root)
     val lp = checkpointPath(root, st.version)
@@ -429,7 +442,8 @@ object LakeTable {
                     eqdelAdds: Seq[(String, String)] = Seq.empty,
                     eqdelRemoves: Seq[String] = Seq.empty,
                     eqdelStats: Map[String, (String, String, String)] =
-                      Map.empty)
+                      Map.empty,
+                    rowCounts: Map[String, Long] = Map.empty)
 
   /** Stat-ordering tag for a column: "num" when the recorded min/max
     * were computed under NUMERIC ordering, "ts" for DATE/TIMESTAMP
@@ -523,16 +537,49 @@ object LakeTable {
                      e.getValue.get("max").asText(),
                      e.getValue.get("kd").asText())
       }.toMap).getOrElse(Map.empty[String, (String, String, String)])
+    val rowCounts = Option(node.get("rowcounts")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[String, Long])
     Commit(node.get("version").asLong(), arr("add"), arr("remove"), txn,
            stats, colStats, colKinds, fileStats, eqAdds, eqRemoves,
-           eqStats)
+           eqStats, rowCounts)
+  }
+
+  /** Sum of parquet-footer row counts for each added directory — one
+    * driver-side footer read per new file, the same metadata Delta
+    * writers record as numRecords. Any failure (missing dir, foreign
+    * format) skips that directory: row counts are an optimizer
+    * statistic, never required for correctness. */
+  private def footerRowCounts(spark: SparkSession, root: String,
+                              adds: Seq[String]): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, root)
+    adds.flatMap { d =>
+      try {
+        val files = f.listStatus(new Path(root, d)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (files.isEmpty) None
+        else Some(d -> files.map { st =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try in.getRecordCount finally in.close()
+        }.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
   }
 
   /** Write commit `version` with create-exclusive semantics — the
     * optimistic-concurrency linchpin: exactly one writer of any
-    * given version succeeds. */
+    * given version succeeds. Data-directory adds are enriched with
+    * footer row counts (see [[footerRowCounts]]) unless the caller
+    * supplied its own. */
   private[graft] def writeCommit(spark: SparkSession, root: String,
-                          commit: Commit): Unit = {
+                          commit0: Commit): Unit = {
+    val commit =
+      if (commit0.rowCounts.nonEmpty || commit0.adds.isEmpty) commit0
+      else commit0.copy(rowCounts =
+        footerRowCounts(spark, root, commit0.adds))
     val f = fs(spark, root)
     f.mkdirs(logDir(root))
     val json = mapper.createObjectNode()
@@ -600,6 +647,10 @@ object LakeTable {
         val b = o.putObject(d)
         b.put("min", mn); b.put("max", mx); b.put("kd", kd)
       }
+    }
+    if (commit.rowCounts.nonEmpty) {
+      val o = json.putObject("rowcounts")
+      commit.rowCounts.foreach { case (d, n) => o.put(d, n) }
     }
     val bytes = mapper.writeValueAsBytes(json)
     val lp = logPath(root, commit.version)
