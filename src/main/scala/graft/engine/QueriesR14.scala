@@ -88,9 +88,10 @@ object QueriesR14 {
     // HashPartitioning(sup) satisfies the distinct's ClusteredDistribution
     // on (sup, cust) — equal pairs share a sup — and the window's
     // partitioning on sup. (At 100 TB a pathological hub supplier would
-    // skew this single-key exchange; the topk cap downstream bounds the
-    // damage to one straggler task, and the distinct-by-both-keys
-    // spelling remains the salted fallback.)
+    // skew this single-key exchange; [[jaccardCappedEdgesDegAuto]]
+    // detects that hub with a skew-free probe and switches to the
+    // byte-equal [[jaccardCappedEdgesDegSalted]] spelling — r16
+    // verdict #5, closed r18.)
     pairs.repartition(col("sup")).distinct()
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy("sup")))
@@ -107,6 +108,56 @@ object QueriesR14 {
                                         cap: Int): DataFrame =
     jaccardCappedEdgesDeg(pairs, cap).drop("deg")
 
+  /** SKEW-SAFE spelling of [[jaccardCappedEdgesDeg]] — the fallback
+    * for a hub supplier whose single sup-keyed exchange would
+    * straggle one task at 100 TB (the residual the window spelling
+    * documents). Three differences, all shuffle-local:
+    *
+    *   - dedup shuffles on BOTH keys: hash(sup, cust) spreads a hub
+    *     supplier's rows across the cluster — the pair hash IS the
+    *     salt, no synthetic salt column needed;
+    *   - degrees come from a two-phase map-side-combined aggregate
+    *     (per-partition partial counts, ≤ #partitions rows per sup,
+    *     merged on a tiny exchange) instead of a per-sup window;
+    *   - the O(|suppliers|) degree frame joins back size-gated.
+    *
+    * Same (cust, sup, deg) multiset feeds the same topk aggregator,
+    * so the output is byte-equal to the window spelling —
+    * JaccardBoundSpec pins it on a synthetic-hub fixture. Costs one
+    * extra small exchange; the trade a hub makes worth it. */
+  private[graft] def jaccardCappedEdgesDegSalted(pairs: DataFrame,
+                                                 cap: Int): DataFrame = {
+    TopK.register(pairs.sparkSession)
+    val supType = pairs.schema("sup").dataType
+    val deduped = pairs.repartition(col("sup"), col("cust")).distinct()
+    val degs = deduped.groupBy("sup").agg(count(lit(1)).as("deg"))
+    deduped.join(Ops.broadcastIfSmall(degs, degs), Seq("sup"))
+      .groupBy("cust")
+      .agg(expr(s"topk_by_score(-CAST(deg AS DOUBLE), sup, $cap)").as("t"))
+      .select(col("cust"), explode(col("t")).as("p"))
+      .select(col("cust"), col("p.id").cast(supType).as("sup"),
+        (-col("p.score")).cast("long").as("deg"))
+  }
+
+  /** Degree-threshold trigger (r16 verdict #5): a map-side-combined
+    * probe over the RAW pairs bounds any supplier's post-dedup degree
+    * from above; past `hubThreshold` rows for one supplier the single
+    * sup-keyed exchange of the window spelling concentrates on one
+    * task, so the salted spelling takes over. The probe is itself
+    * skew-free (two-phase count) and costs one pass — paid once per
+    * artifact build, not per query. */
+  private[graft] def jaccardCappedEdgesDegAuto(
+      pairs: DataFrame, cap: Int,
+      hubThreshold: Long = 8L * 1000 * 1000): DataFrame = {
+    val maxRaw = pairs.groupBy("sup").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("m")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (maxRaw <= hubThreshold) jaccardCappedEdgesDeg(pairs, cap)
+    else jaccardCappedEdgesDegSalted(pairs, cap)
+  }
+
   private[graft] def graphJaccardNeighborsCapped(
       s: SparkSession, d: String, cap: Int): DataFrame = {
     // ONE artifact, ONE build pass (r11 verdict #2): the capped edge
@@ -115,8 +166,12 @@ object QueriesR14 {
     // this single write job (Catalyst's ReuseExchange dedupes the
     // shared distinct below the degree agg and the topk agg), and on
     // a warm cache the key is three scans of one tiny parquet.
+    // the auto trigger picks the window spelling below the hub
+    // threshold (every test/bench SF) and the salted spelling above
+    // it — both produce byte-equal edges, so the artifact content is
+    // independent of the choice
     val capped = ArtifactCache.materialize(
-      jaccardCappedEdgesDeg(jaccardRawPairs(s, d), cap),
+      jaccardCappedEdgesDegAuto(jaccardRawPairs(s, d), cap),
       Artifacts.cacheRoot, s"jaccard_capped_edges_v2_cap$cap")
     // The probe side explodes ~deg(cust)× in the join, so its task
     // count must not be input-size-bound: the tiny artifact scan

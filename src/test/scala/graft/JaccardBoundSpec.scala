@@ -85,4 +85,46 @@ class JaccardBoundSpec extends SparkTestBase {
            uncapped.exceptAll(capped).isEmpty,
       "capped result differs from uncapped at test SF")
   }
+
+  test("salted fallback: byte-equal to the window spelling on a synthetic hub") {
+    import spark.implicits._
+    val cap = 3
+    // one hub supplier (deg 40) + long-tail suppliers, with overlap
+    // so degrees, dedup, and tie-breaks are all exercised; duplicate
+    // raw rows exercise the dedup phase
+    val raw = (
+      (1L to 40L).map(c => (999L, c)) ++            // hub sup
+      (1L to 40L).map(c => (999L, c)) ++            // dup rows
+      (1L to 10L).map(c => (7L, c)) ++
+      (5L to 14L).map(c => (8L, c)) ++
+      (1L to 4L).map(c => (9L, c)) ++
+      Seq((10L, 1L), (11L, 1L), (12L, 1L))          // degree ties at 1
+    ).toDF("sup", "cust")
+    val windowed = QueriesR14.jaccardCappedEdgesDeg(raw, cap)
+      .orderBy("cust", "sup").collect().toSeq
+    val salted = QueriesR14.jaccardCappedEdgesDegSalted(raw, cap)
+      .orderBy("cust", "sup").collect().toSeq
+    assert(windowed == salted,
+      "salted spelling must be byte-equal to the window spelling")
+    // the auto trigger: a hub past the threshold selects the salted
+    // spelling (same rows); below it, the window spelling
+    val auto = QueriesR14.jaccardCappedEdgesDegAuto(raw, cap,
+      hubThreshold = 10L).orderBy("cust", "sup").collect().toSeq
+    assert(auto == windowed)
+    // plan shapes: the salted dedup exchanges on BOTH keys (the pair
+    // hash is the salt), never on sup alone before the degree agg,
+    // and the degree aggregate is two-phase (a partial_count exists)
+    val saltedPlan = QueriesR14.jaccardCappedEdgesDegSalted(raw, cap)
+      .queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("hashpartitioning(sup") &&
+           saltedPlan.contains("cust"),
+      s"salted dedup should partition on (sup, cust):\n$saltedPlan")
+    assert(saltedPlan.contains("partial_count"),
+      "salted degree aggregate should be two-phase (map-side combine)")
+    // the window spelling keeps its documented single-exchange shape
+    val windowPlan = QueriesR14.jaccardCappedEdgesDeg(raw, cap)
+      .queryExecution.executedPlan.toString
+    assert(windowPlan.contains("Window"),
+      "window spelling unexpectedly changed shape")
+  }
 }

@@ -74,6 +74,11 @@ class PlanGateSpec extends SparkTestBase {
       ("same tombstone anti-join as lake_delete_mor (readMorWhere " +
        "shares subtractTombstones): O(delete list) keys, size-gated " +
        "via Ops.broadcastIfSmall")),
+    "lake_mor_tombstone_pruned" -> Map("fact_broadcast_hint" ->
+      ("same tombstone anti-join as lake_delete_mor (readMorWhere " +
+       "shares subtractTombstones; this key additionally SKIPS " +
+       "delete files outside the key interval): O(delete list) keys, " +
+       "size-gated via Ops.broadcastIfSmall")),
     "docs_bpe_encode" -> Map(
       "global_window" ->
         ("the ranked frame is the distinct token inventory — ≤ |alphabet| " +
