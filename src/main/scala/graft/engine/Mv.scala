@@ -379,17 +379,18 @@ object Mv {
     * inlined into every enclosing expression), so the form is
     * invariant under column pruning; relations render as the FNV of
     * their sorted input-file list (staleness guard included by
-    * construction); join conditions render as normalized canonical
-    * expressions INSIDE the skeleton, while Filter nodes are
-    * transparent and their conjuncts are returned SEPARATELY as
-    * (normal form, original expression) pairs — over inner joins a
-    * conjunct commutes to the top of the tree, so containment is
-    * decided on the SET of conjuncts, not their position. Declines
-    * (None) on: non-inner joins, subqueries, a filter conjunct that
-    * will not normalize, any node outside {Project, Filter, Join,
-    * LogicalRelation}, or duplicate column names across the joined
-    * relations (bare-name identity is what lets groupCols/aggCols
-    * lookups stay unchanged). */
+    * construction); an inner-join TREE renders FLAT — sorted leaf
+    * forms + sorted join-condition norms — so the form is invariant
+    * under join ORDER and ASSOCIATION too (inner joins commute);
+    * Filter nodes are transparent and their conjuncts are returned
+    * SEPARATELY as (normal form, original expression) pairs — over
+    * inner joins a conjunct commutes to the top of the tree, so
+    * containment is decided on the SET of conjuncts, not their
+    * position. Declines (None) on: non-inner joins, subqueries, a
+    * filter conjunct that will not normalize, any node outside
+    * {Project, Filter, Join, LogicalRelation}, or duplicate column
+    * names across the joined relations (bare-name identity is what
+    * lets groupCols/aggCols lookups stay unchanged). */
   /** One filter conjunct of a rendered plan: canonical string, the
     * normalized expression behind it (range implication compares
     * these), and the ORIGINAL expression (extras re-apply this over
@@ -401,15 +402,31 @@ object Mv {
       : Option[(String, Map[ExprId, String], Seq[Conj])] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.InnerLike
+    // A join subtree renders FLAT — the sorted multiset of its leaf
+    // forms plus the sorted set of its join-condition norms — because
+    // inner joins commute and associate: leaf multiset + conjunction
+    // of conditions fully determine the result, so `customer ⋈
+    // orders` matches an MV registered as `orders ⋈ customer`, and a
+    // reduced subset form matches however the query re-associates
+    // what remains (r18 join-order canonicalization).
+    sealed trait Form
+    case class Leaf(s: String) extends Form
+    case class Flat(legs: Seq[String], conds: Seq[String]) extends Form
+    def show(f: Form): String = f match {
+      case Leaf(s) => s
+      case Flat(legs, conds) =>
+        s"J(inner,[${conds.sorted.mkString(";")}]," +
+          s"[${legs.sorted.mkString(",")}])"
+    }
     def render(p: LogicalPlan)
-        : Option[(String, Map[ExprId, String], Map[ExprId, Expression],
+        : Option[(Form, Map[ExprId, String], Map[ExprId, Expression],
                   Seq[Conj])] =
       p match {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
             val fileFnv =
               fnv64(fs.location.inputFiles.sorted.mkString("\u0000"))
-            Some((s"R($fileFnv)",
+            Some((Leaf(s"R($fileFnv)"),
                   lr.output.map(a => a.exprId -> a.name).toMap,
                   Map.empty, Seq.empty))
           case _ => None
@@ -446,15 +463,26 @@ object Mv {
             if ln.values.toSet.intersect(rn.values.toSet).isEmpty
             names = ln ++ rn
             ad = lad ++ rad
-            cn <- j.condition match {
-              case Some(c) => exprNormal(c, names, ad).map(Some(_))
-              case None => Some(None)
+            cns <- j.condition match {
+              case Some(c) => exprNormal(c, names, ad).map(Seq(_))
+              case None => Some(Seq.empty[String])
             }
-          } yield (s"J(inner,${cn.getOrElse("true")},$lf,$rf)", names, ad,
-                   lcs ++ rcs)
+          } yield {
+            def legsOf(f: Form): Seq[String] = f match {
+              case Leaf(s) => Seq(s)
+              case Flat(legs, _) => legs
+            }
+            def condsOf(f: Form): Seq[String] = f match {
+              case Leaf(_) => Seq.empty
+              case Flat(_, conds) => conds
+            }
+            (Flat(legsOf(lf) ++ legsOf(rf),
+                  condsOf(lf) ++ condsOf(rf) ++ cns),
+             names, ad, lcs ++ rcs)
+          }
         case _ => None
       }
-    render(p).map { case (f, names, _, cs) => (f, names, cs) }
+    render(p).map { case (f, names, _, cs) => (show(f), names, cs) }
   }
 
   /** Normal form of `e` with Project aliases inlined and column refs
@@ -605,7 +633,7 @@ object Mv {
         val pkNames = leg.pk.map(_.name)
         val fkNames = leg.fk.map(_.name)
         val key = (dimFiles ++ pkNames ++ factFiles ++ fkNames)
-          .mkString(" ")
+          .mkString("\u0000")
         fkVerified.computeIfAbsent(key, _ => {
           val dimKeys = spark.read.parquet(dimFiles: _*)
             .select(pkNames.map(col): _*)

@@ -575,6 +575,31 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("join-order canonicalization: a reversed join spelling still serves") {
+    val fdir = Files.createTempDirectory("graft_mv_jof").toString
+    val ddir = Files.createTempDirectory("graft_mv_jod").toString
+    val rJ = Files.createTempDirectory("graft_mv_josum").toString + "/mv"
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x")
+      .write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def fact = spark.read.parquet(fdir)
+    def dim = spark.read.parquet(ddir)
+    Mv.register(spark, "spec_mv_joinorder",
+      fact.join(dim, col("fk") === col("dk")),
+      Seq("dname"), Seq("x"), rJ)
+    // the REVERSED spelling (dim ⋈ fact) renders to the same flat
+    // form — legs and conditions are order-canonical
+    val q = dim.join(fact, col("dk") === col("fk"))
+      .groupBy("dname").agg(sum("x").as("sx")).orderBy("dname")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(rJ)),
+      s"reversed join spelling should serve from the MV, got $qp")
+    assert(q.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 37L), ("b", 5L)))
+    Mv.clear(spark)
+  }
+
   test("join-subset: a 3-table star serves the 2-table sub-join (registry key shape)") {
     val sub = graft.engine.Registry
       .queries("mv_rewrite_join_subset")(spark, sfDir)
