@@ -169,10 +169,15 @@ object QueriesR14 {
     // the auto trigger picks the window spelling below the hub
     // threshold (every test/bench SF) and the salted spelling above
     // it — both produce byte-equal edges, so the artifact content is
-    // independent of the choice
-    val capped = ArtifactCache.materialize(
-      jaccardCappedEdgesDegAuto(jaccardRawPairs(s, d), cap),
-      Artifacts.cacheRoot, s"jaccard_capped_edges_v2_cap$cap")
+    // independent of the choice. Keyed by the WINDOW spelling's plan
+    // hash (stable regardless of the trigger's pick) with the probe
+    // inside the lazy compute: the max-degree pass runs ONLY on a
+    // cold build, never on a warm-cache read.
+    val pairsDf = jaccardRawPairs(s, d)
+    val capped = ArtifactCache.materializeKeyed(s, Artifacts.cacheRoot,
+      s"jaccard_capped_edges_v2_cap$cap",
+      ArtifactCache.artifactHash(jaccardCappedEdgesDeg(pairsDf, cap)))(
+      jaccardCappedEdgesDegAuto(pairsDf, cap))
     // The probe side explodes ~deg(cust)× in the join, so its task
     // count must not be input-size-bound: the tiny artifact scan
     // arrives as ONE file-bin (4.7 s single-task probe at sf0.1);
