@@ -632,8 +632,11 @@ object Mv {
       } yield {
         val pkNames = leg.pk.map(_.name)
         val fkNames = leg.fk.map(_.name)
-        val key = (dimFiles ++ pkNames ++ factFiles ++ fkNames)
-          .mkString("\u0000")
+        // fingerprint, not the raw file lists: a 100k-file fact
+        // table would otherwise pin megabyte keys in the memo
+        val key = fnv64(dimFiles.mkString(",")) + ":" +
+          fnv64(factFiles.mkString(",")) + ":" +
+          pkNames.mkString(",") + ":" + fkNames.mkString(",")
         fkVerified.computeIfAbsent(key, _ => {
           val dimKeys = spark.read.parquet(dimFiles: _*)
             .select(pkNames.map(col): _*)
