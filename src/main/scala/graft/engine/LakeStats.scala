@@ -30,10 +30,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * plan-stats is enabled. Per-directory counts are immutable once
   * committed (directories are UUID-named and never rewritten in
   * place), so they are cached process-wide; a directory the log
-  * never counted (pre-r18 commits) declines the whole relation —
-  * partial statistics would MISLEAD the reorder rather than inform
-  * it. Failure mode throughout: no statistics, Spark behaves exactly
-  * as before.
+  * never counted (pre-r18 commits) declines the lake path — partial
+  * statistics would MISLEAD the reorder rather than inform it.
+  *
+  * RAW parquet relations (and legacy lake logs) fall back to direct
+  * footer counting when the file set is small (≤ [[rawFooterCap]]
+  * files — plan-time driver IO must stay bounded; lake tables carry
+  * counts in the log precisely so scale never hits this path),
+  * cached by a (path, length, mtime) fingerprint: this is what lets
+  * a MIXED join (lake table ⋈ ad-hoc parquet directory) reorder —
+  * CBO needs rowCount on every joined item. Failure mode throughout:
+  * no statistics, Spark behaves exactly as before.
   *
   * Deployment: rides [[GraftExtensions]] (the conf-driven path); a
   * session also needs `spark.sql.cbo.enabled=true` and
@@ -49,9 +56,22 @@ object LakeStats {
   // root → does it carry a commit log at all (one FS probe per root)
   private val lakeRoot =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // (path, length, mtime)-fingerprint of a RAW parquet file set →
+  // footer row count; the fingerprint sees in-place overwrites, so a
+  // stale entry can only describe a file set that no longer exists
+  private val rawRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  /** Raw (non-lake) parquet relations above this many files never get
+    * footer-counted: plan-time driver IO must stay bounded. Lake
+    * tables carry their counts in the commit log precisely so scale
+    * does not hit this path. */
+  private val rawFooterCap = 1024
 
   /** Test hook: drop the process-wide caches. */
-  private[graft] def clearCache(): Unit = { dirRows.clear(); lakeRoot.clear() }
+  private[graft] def clearCache(): Unit = {
+    dirRows.clear(); lakeRoot.clear(); rawRows.clear()
+  }
 
   private def isLakeRoot(spark: SparkSession, root: Path): Boolean =
     lakeRoot.computeIfAbsent(root.toString, _ => {
@@ -73,6 +93,40 @@ object LakeStats {
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** Row count for a RAW parquet relation — the mixed-join fallback
+    * (a lake ⋈ raw-directory join needs counts on BOTH sides before
+    * CBO will reorder it). Footer reads, driver-side, at most
+    * [[rawFooterCap]] files; cached by a (path, length, mtime)
+    * fingerprint so an in-place overwrite invalidates naturally. A
+    * stale hit could anyway only mis-ESTIMATE — statistics never
+    * decide correctness. */
+  private def rawRowsFor(spark: SparkSession,
+                         fs: HadoopFsRelation): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
+    if (!fs.fileFormat.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      return None
+    val files = fs.location match {
+      case pa: PartitioningAwareFileIndex => pa.allFiles()
+      case _ => return None
+    }
+    if (files.isEmpty || files.size > rawFooterCap) return None
+    val key = files.map(f =>
+        s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    Option(rawRows.computeIfAbsent(key, _ => {
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        Some(files.map { f =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf))
+          try in.getRecordCount finally in.close()
+        }.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })).flatten
+  }
+
   private[engine] def statsFor(spark: SparkSession,
                                lr: LogicalRelation): Option[CatalogTable] =
     lr.relation match {
@@ -80,20 +134,23 @@ object LakeStats {
         val roots = fs.location.rootPaths
         if (roots.isEmpty) return None
         val parents = roots.map(_.getParent).distinct
-        if (parents.size != 1 || parents.head == null) return None
-        val root = parents.head
-        if (!isLakeRoot(spark, root)) return None
-        rowsFor(spark, root, roots.map(_.getName)).map { rows =>
+        val lakeRows =
+          if (parents.size == 1 && parents.head != null &&
+              isLakeRoot(spark, parents.head))
+            rowsFor(spark, parents.head, roots.map(_.getName))
+          else None
+        val rows = lakeRows.orElse(rawRowsFor(spark, fs))
+        rows.map { n =>
           CatalogTable(
             identifier = TableIdentifier(
               "graft_lake_" + java.lang.Long.toHexString(
-                root.toString.hashCode.toLong & 0xffffffffL)),
+                roots.head.toString.hashCode.toLong & 0xffffffffL)),
             tableType = CatalogTableType.EXTERNAL,
             storage = CatalogStorageFormat.empty,
             schema = lr.schema,
             stats = Some(CatalogStatistics(
               sizeInBytes = BigInt(fs.sizeInBytes),
-              rowCount = Some(BigInt(rows)))))
+              rowCount = Some(BigInt(n)))))
         }
       case _ => None
     }
@@ -103,7 +160,11 @@ object LakeStats {
     * a real one — is left alone), active-session-scoped, and a no-op
     * for every non-lake relation. */
   final class LakeRelationStats extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // rowCount only reaches plan statistics under CBO/plan-stats
+      // (CatalogStatistics.toPlanStats gates on them) — skip all work
+      // otherwise, so non-CBO sessions never pay a probe or footer
+      if (!(conf.cboEnabled || conf.planStatsEnabled)) return plan
       SparkSession.getActiveSession match {
         case None => plan
         case Some(spark) => plan.transformUp {
@@ -114,5 +175,6 @@ object LakeStats {
             }
         }
       }
+    }
   }
 }

@@ -81,7 +81,7 @@ class LakeStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("legacy logs without row counts decline: no stats, stock planning") {
+  test("legacy lake logs fall back to footer counts; non-parquet declines") {
     withCboSession { s =>
       import s.implicits._
       val dir = Files.createTempDirectory("graft_cbo_legacy").toString
@@ -98,9 +98,55 @@ class LakeStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
         .queryExecution.optimizedPlan.collect {
           case lr: LogicalRelation => lr
         }
-      assert(lrs.nonEmpty && lrs.forall(_.stats.rowCount.isEmpty),
-        "a legacy log must not invent a row count")
+      // the log never counted the dir, but the file set is small and
+      // parquet — the raw footer fallback supplies the TRUE count
+      assert(lrs.nonEmpty &&
+             lrs.forall(_.stats.rowCount.contains(BigInt(50))),
+        s"legacy lake table should footer-count, got " +
+          s"${lrs.map(_.stats.rowCount)}")
       assert(t.count() == 50L)
+      // a non-parquet relation has no footers to count — no stats
+      (0L until 20L).map(k => (k, s"j$k")).toDF("k", "v")
+        .write.json(s"$dir/j")
+      val j = s.read.json(s"$dir/j")
+      val jlrs = j.groupBy("k").agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr
+        }
+      assert(jlrs.nonEmpty && jlrs.forall(_.stats.rowCount.isEmpty),
+        "a non-parquet relation must decline")
+    }
+  }
+
+  test("mixed join: a raw parquet dim reorders against lake tables via footer counts") {
+    withCboSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_cbo_mixed").toString
+      LakeTable.append((0L until 50000L).map(k => (k, k % 7))
+        .toDF("b_k", "b_f"), s"$dir/big")
+      LakeTable.append((0L until 400L).map(k => (k, k % 7))
+        .toDF("m_k", "m_f"), s"$dir/mid")
+      // the small dim is a RAW parquet directory, not a lake table
+      (0L until 7L).map(k => (k, s"s$k")).toDF("s_k", "s_v")
+        .write.parquet(s"$dir/rawsmall")
+      val big = LakeTable.read(s, s"$dir/big")
+      val mid = LakeTable.read(s, s"$dir/mid")
+      val small = s.read.parquet(s"$dir/rawsmall")
+      val q = big.join(mid, col("b_f") === col("m_f"))
+        .join(small, col("b_f") === col("s_k"))
+        .groupBy("s_v").agg(count(lit(1)).as("n"))
+      val rowCounts = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.stats.rowCount.map(_.toLong)
+      }
+      assert(rowCounts.flatten.sorted == Seq(7L, 400L, 50000L),
+        s"all three relations need counts for CBO, got $rowCounts")
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2)
+      val innerCols = joins.last.output.map(_.name).toSet
+      assert(innerCols.contains("s_k") && !innerCols.contains("m_k"),
+        s"expected the raw 7-row dim joined first, got $innerCols")
     }
   }
 
