@@ -544,8 +544,77 @@ object Mv {
   private val fkVerified =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Count of FK-verification JOB PAIRS actually run (test hook: the
+    * sidecar-skip assertion watches this not move). */
+  private[graft] val fkVerifyRuns =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Test hook: drop the in-process FK memo (the sidecar persists). */
+  private[graft] def clearFkMemo(): Unit = fkVerified.clear()
+
+  // ------------------------------------------------------------------
+  // FK-verification sidecar: verdicts persist beside the MV's commit
+  // log (`_graft_log/mv_fkverified`, one "fingerprint<TAB>0|1" line
+  // per verified leg — the name pattern LakeTable.versions ignores),
+  // so a FRESH session re-registering an unchanged MV skips the
+  // verification jobs entirely. Sound because a verdict is a pure
+  // function of its fingerprint (immutable file sets + key names);
+  // last-writer-wins on the file is fine — any two writers of the
+  // same key wrote the same verdict.
+  // ------------------------------------------------------------------
+
+  private def fkSidecarPath(root: String): Path =
+    new Path(root, "_graft_log/mv_fkverified")
+
+  private def loadFkSidecar(spark: SparkSession, root: String): Unit = {
+    val f = hfs(spark, root)
+    val p = fkSidecarPath(root)
+    try {
+      if (f.exists(p)) {
+        val in = f.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+                   finally in.close()
+        text.linesIterator.foreach { line =>
+          line.split('\t') match {
+            case Array(k, v) =>
+              fkVerified.putIfAbsent(k, java.lang.Boolean.valueOf(v == "1"))
+            case _ => ()
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // cache only
+  }
+
+  private def saveFkSidecar(spark: SparkSession, root: String,
+                            fresh: Map[String, Boolean]): Unit = {
+    if (fresh.isEmpty) return
+    try {
+      val f = hfs(spark, root)
+      val p = fkSidecarPath(root)
+      val existing =
+        if (!f.exists(p)) ""
+        else {
+          val in = f.open(p)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+      val have = existing.linesIterator
+        .flatMap(_.split('\t').headOption).toSet
+      val add = fresh.filterNot { case (k, _) => have(k) }
+      if (add.nonEmpty) {
+        f.mkdirs(p.getParent)
+        val out = f.create(p, true)
+        try out.write((existing +
+          add.toSeq.sorted.map { case (k, v) =>
+            s"$k\t${if (v) "1" else "0"}\n" }.mkString).getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // cache only
+  }
+
   private def subsetFormsOf(spark: SparkSession,
-                            optBase: LogicalPlan)
+                            optBase: LogicalPlan,
+                            freshVerdicts:
+                              scala.collection.mutable.Map[String, Boolean])
       : Map[String, Set[String]] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.InnerLike
@@ -637,19 +706,23 @@ object Mv {
         val key = fnv64(dimFiles.mkString(",")) + ":" +
           fnv64(factFiles.mkString(",")) + ":" +
           pkNames.mkString(",") + ":" + fkNames.mkString(",")
-        fkVerified.computeIfAbsent(key, _ => {
+        Option(fkVerified.get(key)).map(_.booleanValue()).getOrElse {
+          fkVerifyRuns.incrementAndGet()
           val dimKeys = spark.read.parquet(dimFiles: _*)
             .select(pkNames.map(col): _*)
           val factKeys = spark.read.parquet(factFiles: _*)
             .select(fkNames.map(col): _*)
           val unique = dimKeys.groupBy(pkNames.map(col): _*)
             .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-          unique && factKeys.join(dimKeys,
+          val ok = unique && factKeys.join(dimKeys,
             fkNames.zip(pkNames)
               .map { case (f, p) => factKeys(f) === dimKeys(p) }
               .reduce(_ && _),
             "left_anti").isEmpty
-        }).booleanValue()
+          fkVerified.put(key, ok)
+          freshVerdicts(key) = ok
+          ok
+        }
       }).getOrElse(false)
     }
 
@@ -848,8 +921,15 @@ object Mv {
          conjs.map(c => (c.norm, c.normExpr)))
       }
     val subsetForms =
-      if (isJoin) subsetFormsOf(spark, optBase)
-      else Map.empty[String, Set[String]]
+      if (!isJoin) Map.empty[String, Set[String]]
+      else {
+        // persisted verdicts let a fresh session skip the jobs
+        loadFkSidecar(spark, root)
+        val fresh = scala.collection.mutable.Map[String, Boolean]()
+        val forms = subsetFormsOf(spark, optBase, fresh)
+        saveFkSidecar(spark, root, fresh.toMap)
+        forms
+      }
     defsFor(spark).put(name, MvDef(name,
       rootPathsOf(analyzedBase), inputFilesOf(analyzedBase),
       groupCols, aggCols, hllCols, groupExprs, exprNorms, root, plan,

@@ -575,6 +575,35 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("FK verdicts persist: a fresh session re-registering skips the verification jobs") {
+    val fdir = Files.createTempDirectory("graft_mv_fkp").toString
+    val ddir = Files.createTempDirectory("graft_mv_fkpd").toString
+    val rP = Files.createTempDirectory("graft_mv_fkpsum").toString + "/mv"
+    Seq((1L, "r", 10L), (2L, "s", 20L)).toDF("fk", "tag", "x")
+      .write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def joined = spark.read.parquet(fdir)
+      .join(spark.read.parquet(ddir), col("fk") === col("dk"))
+    Mv.clearFkMemo()
+    val before = Mv.fkVerifyRuns.get()
+    Mv.register(spark, "spec_mv_fkp", joined, Seq("tag"), Seq("x"), rP)
+    assert(Mv.fkVerifyRuns.get() > before,
+      "first registration must actually verify")
+    // simulate a fresh session: drop the in-process memo only — the
+    // sidecar under the MV root must carry the verdicts
+    Mv.clearFkMemo()
+    val mid = Mv.fkVerifyRuns.get()
+    Mv.register(spark, "spec_mv_fkp", joined, Seq("tag"), Seq("x"), rP)
+    assert(Mv.fkVerifyRuns.get() == mid,
+      "re-registration must load the persisted verdict, not re-run jobs")
+    // …and the subset serve still works off the loaded verdict
+    val q = spark.read.parquet(fdir).groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(q).forall(_.startsWith(rP)),
+      "subset serve should work from the persisted verdict")
+    Mv.clear(spark)
+  }
+
   test("join-order canonicalization: a reversed join spelling still serves") {
     val fdir = Files.createTempDirectory("graft_mv_jof").toString
     val ddir = Files.createTempDirectory("graft_mv_jod").toString
