@@ -87,7 +87,15 @@ object LakeStats {
     val missing = dirs.filter(d => !dirRows.containsKey(s"$root/$d"))
     if (missing.nonEmpty) {
       val st = LakeTable.replayState(spark, root.toString, None)
-      missing.foreach(d => dirRows.put(s"$root/$d", st.rowCounts.get(d)))
+      // cache a verdict ONLY for directories the replayed log KNOWS:
+      // a dir probed before its commit is visible (in-flight writer)
+      // must not be negative-cached forever — its count arrives with
+      // the very commit that adds it. A known dir without a count is
+      // a legacy commit: that None is permanent and safely cached.
+      missing.foreach { d =>
+        if (st.rowCounts.contains(d) || st.active.contains(d))
+          dirRows.put(s"$root/$d", st.rowCounts.get(d))
+      }
     }
     val counts = dirs.map(d => Option(dirRows.get(s"$root/$d")).flatten)
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)

@@ -550,6 +550,13 @@ object LakeTable {
     * writers record as numRecords. Any failure (missing dir, foreign
     * format) skips that directory: row counts are an optimizer
     * statistic, never required for correctness. */
+  /** Directories above this many files are not footer-counted at
+    * commit time: the reads are serial driver IO INSIDE the
+    * optimistic-concurrency window, so they must stay bounded (and a
+    * conflict retry pays them again). A skipped directory simply
+    * never reports statistics — perf-only. */
+  private val footerCountCap = 4096
+
   private def footerRowCounts(spark: SparkSession, root: String,
                               adds: Seq[String]): Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -558,7 +565,7 @@ object LakeTable {
       try {
         val files = f.listStatus(new Path(root, d)).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-        if (files.isEmpty) None
+        if (files.isEmpty || files.size > footerCountCap) None
         else Some(d -> files.map { st =>
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile

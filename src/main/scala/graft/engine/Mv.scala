@@ -636,11 +636,24 @@ object Mv {
         }
       case _ => None
     }
-    def parquetFiles(lr: LogicalRelation): Option[Seq[String]] =
+    // (paths for reading, identity fingerprint): the fingerprint
+    // folds in LENGTH and MTIME — an in-place overwrite at the same
+    // paths must invalidate persisted verdicts (the sidecar outlives
+    // the files' contents; paths alone would trust a stale verdict)
+    def parquetFiles(lr: LogicalRelation): Option[(Seq[String], Long)] =
       lr.relation match {
         case fsr: HadoopFsRelation
             if fsr.fileFormat.isInstanceOf[ParquetFileFormat] =>
-          Some(fsr.location.inputFiles.toSeq.sorted)
+          fsr.location match {
+            case pa: org.apache.spark.sql.execution.datasources
+                       .PartitioningAwareFileIndex =>
+              val ids = pa.allFiles().map(f =>
+                s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+                .sorted
+              Some((fsr.location.inputFiles.toSeq.sorted,
+                    fnv64(ids.mkString(","))))
+            case _ => None // no per-file identity → no verdict to trust
+          }
         case _ => None
       }
     val joins = optBase.collect { case j: Join => j }
@@ -675,17 +688,24 @@ object Mv {
           else None
         }
         pkSet = AttributeSet(pairs.map(_._1))
+        // the join keys must be the LEAF's own attributes (a
+        // rename-Project between leaf and join would make the
+        // verification jobs select a name the files do not have —
+        // decline the leg instead of crashing out of register)
+        if pairs.forall { case (pk, _) => dim.outputSet.contains(pk) }
         // every filter conjunct touching the dim — inside its subtree
-        // or anywhere else — must be an inferred isnotnull ON A JOIN
-        // KEY (vacuous under the equi join); anything else filters
-        // fact rows through the dim and blocks the drop
+        // or anywhere else, against the LEAF's attrs as well as the
+        // post-Project ones (a filter on a projected-away dim column
+        // still drops fact rows) — must be an inferred isnotnull ON A
+        // JOIN KEY (vacuous under the equi join)
+        dimAttrs = dim.outputSet ++ dimSide.outputSet
         if (dimFilters ++ filterConjs).forall(c =>
-             c.references.intersect(dimSide.outputSet).isEmpty || (c match {
+             c.references.intersect(dimAttrs).isEmpty || (c match {
                case IsNotNull(a: AttributeReference) => pkSet.contains(a)
                case _ => false
              }))
         if joins.forall(j2 => (j2 eq j) || j2.condition.forall(
-             _.references.intersect(dimSide.outputSet).isEmpty))
+             _.references.intersect(dimAttrs).isEmpty))
       } yield Leg(j, factSide, dim, dimSide,
                   pairs.map(_._1), pairs.map(_._2))
 
@@ -696,40 +716,44 @@ object Mv {
       }
       (for {
         fl <- factLeaf
-        dimFiles <- parquetFiles(leg.dim)
-        factFiles <- parquetFiles(fl)
+        (dimFiles, dimFp) <- parquetFiles(leg.dim)
+        (factFiles, factFp) <- parquetFiles(fl)
       } yield {
         val pkNames = leg.pk.map(_.name)
         val fkNames = leg.fk.map(_.name)
-        // fingerprint, not the raw file lists: a 100k-file fact
-        // table would otherwise pin megabyte keys in the memo
-        val key = fnv64(dimFiles.mkString(",")) + ":" +
-          fnv64(factFiles.mkString(",")) + ":" +
+        // identity fingerprints (path+len+mtime), never raw lists
+        val key = dimFp + ":" + factFp + ":" +
           pkNames.mkString(",") + ":" + fkNames.mkString(",")
         Option(fkVerified.get(key)).map(_.booleanValue()).getOrElse {
-          fkVerifyRuns.incrementAndGet()
-          val dimKeys = spark.read.parquet(dimFiles: _*)
-            .select(pkNames.map(col): _*)
-          val factKeys = spark.read.parquet(factFiles: _*)
-            .select(fkNames.map(col): _*)
-          val unique = dimKeys.groupBy(pkNames.map(col): _*)
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-          val ok = unique && factKeys.join(dimKeys,
-            fkNames.zip(pkNames)
-              .map { case (f, p) => factKeys(f) === dimKeys(p) }
-              .reduce(_ && _),
-            "left_anti").isEmpty
-          fkVerified.put(key, ok)
-          freshVerdicts(key) = ok
-          ok
+          // any failure (transient job error, foreign schema) means
+          // "not verified NOW": decline the leg without recording a
+          // verdict anywhere — a false from an outage must not stick
+          try {
+            fkVerifyRuns.incrementAndGet()
+            val dimKeys = spark.read.parquet(dimFiles: _*)
+              .select(pkNames.map(col): _*)
+            val factKeys = spark.read.parquet(factFiles: _*)
+              .select(fkNames.map(col): _*)
+            val unique = dimKeys.groupBy(pkNames.map(col): _*)
+              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+            val ok = unique && factKeys.join(dimKeys,
+              fkNames.zip(pkNames)
+                .map { case (f, p) => factKeys(f) === dimKeys(p) }
+                .reduce(_ && _),
+              "left_anti").isEmpty
+            fkVerified.put(key, ok)
+            freshVerdicts(key) = ok
+            ok
+          } catch { case scala.util.control.NonFatal(_) => false }
         }
       }).getOrElse(false)
     }
 
     val legs = joins.flatMap(j =>
       sideLeg(j, j.right, j.left).orElse(sideLeg(j, j.left, j.right)))
+      .take(4) // cap BEFORE verification: register-time work is at
+               // most 4 job pairs, and ≤15 reduced forms downstream
       .filter(verified)
-      .take(4) // ≤15 reduced forms; star schemas rarely run deeper
     if (legs.isEmpty) return Map.empty
     (1 until (1 << legs.size)).flatMap { mask =>
       val drop = legs.zipWithIndex.collect {
@@ -1221,14 +1245,18 @@ object Mv {
             .map(Max(_).toAggregateExpression())
         // AVG over an INTEGRAL column (r17 verdict #7): served as the
         // division of the two rolled legs — the per-group long sums
-        // (exact) summed as doubles, over the summed non-null counts —
-        // exact wherever the direct aggregate is (both spellings add
-        // exactly while every running sum stays under 2^53; integral
-        // inputs are exact doubles there). FRACTIONAL AVG still
-        // declines: double addition is order-sensitive and the
-        // partials' order differs from the raw rows'. The division
-        // replicates Average's legacy divide (NULL for an all-null
-        // group), so null semantics above the aggregate are unchanged.
+        // (exact) summed as doubles, over the summed non-null counts.
+        // EXACT — bit-equal to the direct aggregate — while every
+        // running sum stays under 2^53 (integral values are exact
+        // doubles there, and exact additions commute); beyond that
+        // BOTH spellings are approximations and may round differently
+        // (the rollup's, summing fewer larger exact terms, is at
+        // least as accurate) — the documented edge of the serving
+        // contract, same reason FRACTIONAL AVG declines outright:
+        // double addition is order-sensitive and the partials' order
+        // differs from the raw rows'. The division replicates
+        // Average's legacy divide (NULL for an all-null group), so
+        // null semantics above the aggregate are unchanged.
         case av: Average
             if Seq(org.apache.spark.sql.types.ByteType,
                    org.apache.spark.sql.types.ShortType,

@@ -575,6 +575,27 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("a renamed dim join key declines the drop instead of crashing register") {
+    val fdir = Files.createTempDirectory("graft_mv_rnf").toString
+    val ddir = Files.createTempDirectory("graft_mv_rnd").toString
+    val rR = Files.createTempDirectory("graft_mv_rnsum").toString + "/mv"
+    Seq((1L, "r", 10L), (2L, "s", 20L)).toDF("fk", "tag", "x")
+      .write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    // the join key is an ALIAS of the leaf column — the verification
+    // jobs would select a name the files don't have; the leg must
+    // decline (register itself must not throw)
+    val joined = spark.read.parquet(fdir)
+      .join(spark.read.parquet(ddir).withColumnRenamed("dk", "ck"),
+        col("fk") === col("ck"))
+    Mv.register(spark, "spec_mv_rename", joined, Seq("tag"), Seq("x"), rR)
+    val q = spark.read.parquet(fdir).groupBy("tag").agg(sum("x").as("sx"))
+    assert(scannedPaths(q).exists(_.startsWith(fdir)),
+      "a renamed-key dim must not be droppable")
+    Mv.clear(spark)
+  }
+
   test("FK verdicts persist: a fresh session re-registering skips the verification jobs") {
     val fdir = Files.createTempDirectory("graft_mv_fkp").toString
     val ddir = Files.createTempDirectory("graft_mv_fkpd").toString
