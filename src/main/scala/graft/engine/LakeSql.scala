@@ -393,6 +393,10 @@ object LakeSql {
       "(?is)^optimize\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+cluster\\s+by\\s*\\(([^)]+)\\)(?:\\s+buckets\\s+(\\d+))?\\s*$".r
     private val VacuumRe =
       "(?is)^vacuum\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+retain\\s+from\\s+(\\d+))?\\s*$".r
+    private val HistoryRe =
+      "(?is)^describe\\s+history\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    private val AnalyzeRe =
+      "(?is)^analyze\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     private val SetItemRe =
       "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
     private val OnEqRe =
@@ -594,6 +598,39 @@ object LakeSql {
             else
               LakeTable.rewriteClusteredN(df, root, cols, buckets)
           report(spark, "optimize", name.toLowerCase, v, emptyReport)
+
+        case HistoryRe(name0) =>
+          // the Delta DESCRIBE HISTORY shape: one row per retained
+          // commit, straight off the log (metadata plane — O(retained
+          // versions) driver IO, no data files touched)
+          import spark.implicits._
+          val name = name0.toLowerCase
+          LakeTable.history(spark, tableRoot(name))
+            .map { case (v, a, r, ea, er, app, rows) =>
+              (name, v, a, r, ea, er, app.orNull, rows.map(Long.box).orNull)
+            }
+            .toDF("table_name", "version", "dirs_added", "dirs_removed",
+                  "tombstones_added", "tombstones_cleared", "txn_app",
+                  "rows_added")
+            .withColumn("rows_added", col("rows_added").cast("long"))
+
+        case AnalyzeRe(name0) =>
+          // table-level statistics from the log alone: the row count
+          // is the sum of the active directories' logged counts and
+          // is NULL when any is uncounted (partial statistics would
+          // lie) — the same completeness rule LakeStats feeds CBO by
+          import spark.implicits._
+          val name = name0.toLowerCase
+          val st = LakeTable.replayState(spark, tableRoot(name), None)
+          val rows =
+            if (st.active.forall(st.rowCounts.contains))
+              Some(st.active.map(st.rowCounts).sum)
+            else None
+          Seq((name, st.version, st.active.size, st.eqdels.size,
+               rows.map(Long.box).orNull))
+            .toDF("table_name", "version", "active_dirs",
+                  "live_tombstones", "row_count")
+            .withColumn("row_count", col("row_count").cast("long"))
 
         case VacuumRe(name, fromRaw) =>
           val root = tableRoot(name)

@@ -701,6 +701,22 @@ object LakeTable {
                  asOf: Option[Long] = None): Seq[String] =
     replayState(spark, root, asOf).active
 
+  /** Commit-by-commit audit of the table's log (the Delta DESCRIBE
+    * HISTORY shape): one row per retained version — data dirs added/
+    * removed, tombstone files added/cleared, the exactly-once txn
+    * app if any, and the row count the version's adds carried.
+    * Driver-side over the commit JSONs: O(retained versions) metadata
+    * IO, bounded by pruneLog retention (pruned versions simply do
+    * not appear). */
+  def history(spark: SparkSession, root: String)
+      : Seq[(Long, Int, Int, Int, Int, Option[String], Option[Long])] =
+    versions(spark, root).map { v =>
+      val c = readCommit(spark, root, v)
+      (v, c.adds.size, c.removes.size, c.eqdelAdds.size,
+       c.eqdelRemoves.size, c.txn.map(_._1),
+       if (c.rowCounts.isEmpty) None else Some(c.rowCounts.values.sum))
+    }
+
   /** Snapshot read at `asOf` (default: latest committed version).
     * mergeSchema unions the active directories' schemas — ADDITIVE
     * schema evolution for free: a column introduced by a later

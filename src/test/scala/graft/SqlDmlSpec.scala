@@ -408,6 +408,29 @@ class SqlDmlSpec extends SparkTestBase {
       "count(*) AS n FROM t").as[Long].head() == 8L)
   }
 
+  test("DESCRIBE HISTORY and ANALYZE read the commit log") {
+    val s = sess()
+    s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 99)) AS k")
+    s.exec("INSERT INTO t SELECT explode(sequence(100, 149)) AS k")
+    s.exec("DELETE FROM t WHERE k >= 140")
+    s.exec("OPTIMIZE t CLUSTER BY (k) BUCKETS 2")
+    val h = s.exec("DESCRIBE HISTORY t").orderBy("version").collect()
+    assert(h.length == 4, s"expected 4 commits, got ${h.length}")
+    // the CTAS and INSERT versions carry their footer row counts
+    assert(h(0).getAs[Long]("rows_added") == 100L)
+    assert(h(1).getAs[Long]("rows_added") == 50L)
+    // the OPTIMIZE rewrite both adds and removes directories
+    assert(h(3).getAs[Int]("dirs_added") == 2 &&
+           h(3).getAs[Int]("dirs_removed") >= 1)
+    // ANALYZE: the logged table-level count equals the actual count
+    val a = s.exec("ANALYZE t").head()
+    assert(a.getAs[Int]("active_dirs") == 2)
+    assert(a.getAs[Long]("row_count") == 140L,
+      "logged row count must track CTAS + INSERT - DELETE through OPTIMIZE")
+    assert(s.exec("SELECT count(*) AS n FROM t").as[Long].head() == 140L)
+    assert(a.getAs[Int]("live_tombstones") == 0)
+  }
+
   test("duplicate CREATE MATERIALIZED VIEW is rejected loudly") {
     val s = sess()
     s.exec("CREATE TABLE t AS SELECT explode(sequence(0, 9)) AS k")
