@@ -43,6 +43,18 @@ object OracleR24 {
         |       max(o_orderkey) AS key_max
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
 
+    // All five aggregates recomputed raw: a distinct count that
+    // re-counted duplicated combinations, a mis-weighted null-aware
+    // count, or a key min/max off the summary would hash-fail.
+    "mv_rewrite_count_distinct" ->
+      """SELECT o_orderstatus AS status,
+        |       count(DISTINCT o_custkey) AS custs,
+        |       count(o_custkey) AS n_cust,
+        |       min(o_custkey) AS cust_min,
+        |       max(o_custkey) AS cust_max,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
     // The subtract view under the read predicate: keys below 256 are
     // tombstoned (the [768, 1024) tombstone lies wholly outside the
     // predicate and must change nothing whether scanned or skipped) —

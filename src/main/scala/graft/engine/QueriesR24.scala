@@ -114,6 +114,33 @@ object QueriesR24 {
       .orderBy("status")
   }
 
+  /** Aggregates over GROUP columns served from the summary — the
+    * flagship dashboard DISTINCT: the summary holds exactly one row
+    * per (status, custkey) combination, so `count(DISTINCT
+    * o_custkey)` per status re-counts summary rows EXACTLY (no
+    * sketch), min/max of the customer key read the summary keys, the
+    * null-aware count weighs each combination by its cnt partial,
+    * and the plain rollup algebra serves the order-key sum beside
+    * them. Oracle recomputes everything raw. */
+  def mvRewriteCountDistinct(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select("o_orderstatus", "o_custkey", "o_orderkey")
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_cd", hash) { r =>
+      Mv.register(s, "orders_mv_cd", base,
+        Seq("o_orderstatus", "o_custkey"), Seq("o_orderkey"), r)
+    }
+    Mv.register(s, "orders_mv_cd", base,
+      Seq("o_orderstatus", "o_custkey"), Seq("o_orderkey"), root)
+    base.groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct("o_custkey").as("custs"),
+           count(col("o_custkey")).as("n_cust"),
+           min("o_custkey").as("cust_min"),
+           max("o_custkey").as("cust_max"),
+           sum("o_orderkey").as("key_sum"))
+      .orderBy("status")
+  }
+
   /** Tombstone-KEY-pruned MOR read (r17 verdict #5): two equality-
     * delete files cover disjoint key ranges ([1, 256) and [768,
     * 1024) — inside every tier's key domain); the read's `key < 512`

@@ -392,6 +392,7 @@ object Registry {
     "mv_rewrite_join_subset" -> QueriesR24.mvRewriteJoinSubset _,
     "mv_rewrite_implied_cast" -> QueriesR24.mvRewriteImpliedCast _,
     "mv_rewrite_avg_int"    -> QueriesR24.mvRewriteAvgInt _,
+    "mv_rewrite_count_distinct" -> QueriesR24.mvRewriteCountDistinct _,
     "lake_mor_tombstone_pruned" -> QueriesR24.lakeMorTombstonePruned _,
   )
 

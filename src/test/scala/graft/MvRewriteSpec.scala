@@ -792,6 +792,36 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("aggregates over GROUP columns serve: distinct count, min/max, null-aware count") {
+    val gdir = Files.createTempDirectory("graft_mv_gagg").toString
+    val rG = Files.createTempDirectory("graft_mv_gaggsum").toString + "/mv"
+    Seq(("a", java.lang.Long.valueOf(1L), 10L),
+        ("a", java.lang.Long.valueOf(1L), 20L),
+        ("a", java.lang.Long.valueOf(2L), 5L),
+        ("a", null.asInstanceOf[java.lang.Long], 9L),
+        ("b", java.lang.Long.valueOf(2L), 7L),
+        ("b", java.lang.Long.valueOf(3L), 1L))
+      .toDF("g1", "g2", "x").write.mode("overwrite").parquet(gdir)
+    val gbase = spark.read.parquet(gdir)
+    Mv.register(spark, "spec_mv_gagg", gbase, Seq("g1", "g2"), Seq("x"), rG)
+    val q = gbase.groupBy("g1").agg(
+      countDistinct("g2").as("nd"), count(col("g2")).as("nn"),
+      min("g2").as("mn"), max("g2").as("mx"), sum("x").as("sx"))
+      .orderBy("g1")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(rG)),
+      s"group-column aggregates should serve from the MV, got $qp")
+    // nd: distinct non-null g2 per g1; nn: null-aware count weighs by
+    // the cnt partial (the 'a'/null combination contributes 0, the
+    // 'a'/1 combination contributes its TWO raw rows)
+    assert(q.as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L, 1L, 2L, 44L), ("b", 2L, 2L, 2L, 3L, 8L)))
+    // count(DISTINCT agg-column) still declines — not derivable
+    val d = gbase.groupBy("g1").agg(countDistinct("x").as("ndx"))
+    assert(scannedPaths(d).exists(_.startsWith(gdir)))
+    Mv.clear(spark)
+  }
+
   test("MV summary itself is sane") {
     val mv = LakeTable.read(spark, mvRoot)
     assert(mv.count() == 4)
