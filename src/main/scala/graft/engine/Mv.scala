@@ -1269,6 +1269,30 @@ object Mv {
         case s: Sum =>
           partial(s.child, mv.aggCols, "sum_")
             .map(Sum(_).toAggregateExpression())
+            // SUM of an INTEGRAL group column: each summary row's key
+            // value, weighted by its cnt partial — g*cnt ≡ adding g
+            // cnt times even under non-ANSI wraparound (both reduce
+            // mod 2^64), and a NULL key contributes NULL so an
+            // all-null group sums to NULL exactly like the direct
+            // aggregate (0-substitution would return 0 there)
+            .orElse {
+              val integral = s.child.dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.LongType => true
+                case _ => false
+              }
+              if (!integral) None
+              else for {
+                g <- groupAttr(s.child)
+                cnt <- mv.mvAttrs.get("cnt")
+              } yield Sum(If(IsNull(g),
+                  Literal(null, org.apache.spark.sql.types.LongType),
+                  Multiply(Cast(g, org.apache.spark.sql.types.LongType),
+                           cnt)))
+                .toAggregateExpression()
+            }
         case m: Min =>
           partial(m.child, mv.aggCols, "min_")
             .map(Min(_).toAggregateExpression())

@@ -52,6 +52,7 @@ object OracleR24 {
         |       count(o_custkey) AS n_cust,
         |       min(o_custkey) AS cust_min,
         |       max(o_custkey) AS cust_max,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
 

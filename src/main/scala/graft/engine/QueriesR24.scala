@@ -137,6 +137,7 @@ object QueriesR24 {
            count(col("o_custkey")).as("n_cust"),
            min("o_custkey").as("cust_min"),
            max("o_custkey").as("cust_max"),
+           sum("o_custkey").as("cust_sum"),
            sum("o_orderkey").as("key_sum"))
       .orderBy("status")
   }

@@ -816,6 +816,12 @@ class MvRewriteSpec extends SparkTestBase {
     // 'a'/1 combination contributes its TWO raw rows)
     assert(q.as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
       Seq(("a", 2L, 3L, 1L, 2L, 44L), ("b", 2L, 2L, 2L, 3L, 8L)))
+    // SUM of the integral group column: cnt-weighted, null-skipping
+    val qs = gbase.groupBy("g1").agg(sum("g2").as("sg"))
+    assert(scannedPaths(qs).forall(_.startsWith(rG)))
+    // a: 1+1+2 (null skipped) = 4; b: 2+3 = 5
+    assert(qs.orderBy("g1").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 4L), ("b", 5L)))
     // count(DISTINCT agg-column) still declines — not derivable
     val d = gbase.groupBy("g1").agg(countDistinct("x").as("ndx"))
     assert(scannedPaths(d).exists(_.startsWith(gdir)))
