@@ -128,17 +128,23 @@ object LakeTable {
       st.eqdels: _*)
     c.eqdelRemoves.foreach(eq.remove)
     eq ++= c.eqdelAdds
+    // per-DIRECTORY maps drop entries for the dirs this commit removes
+    // (remove-then-add order; dir names are UUID-unique, never reused):
+    // without the prune, checkpoints and replay state grow monotonically
+    // on long-lived tables — removed dirs' stats are dead weight no
+    // reader consults (readers filter on `active` throughout), and
+    // eqdelStats was already pruned this way via eqdelRemoves
     LogState(c.version, act.toSeq,
-      st.stats ++ c.stats,
-      st.colStats ++ c.colStats,
+      (st.stats -- c.removes) ++ c.stats,
+      (st.colStats -- c.removes) ++ c.colStats,
       st.colKinds ++ c.colKinds,
-      st.fileStats ++ c.fileStats,
+      (st.fileStats -- c.removes) ++ c.fileStats,
       c.txn.fold(st.txns) { case (app, b) =>
         st.txns + (app -> math.max(b, st.txns.getOrElse(app, Long.MinValue)))
       },
       eq.toSeq,
       (st.eqdelStats ++ c.eqdelStats) -- c.eqdelRemoves,
-      st.rowCounts ++ c.rowCounts)
+      (st.rowCounts -- c.removes) ++ c.rowCounts)
   }
 
   /** Test/diagnostic instrumentation: every log FILE the readers open

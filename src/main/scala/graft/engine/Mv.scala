@@ -113,7 +113,7 @@ object Mv {
     * column name — a 32-bit hashCode could collide two different
     * columns into a FALSE match, and this comparison gates a rewrite
     * that must never be wrong. */
-  private def fnv64(s: String): Long = {
+  private[engine] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -188,10 +188,6 @@ object Mv {
     case object LT extends Op; case object LE extends Op
     case object GT extends Op; case object GE extends Op
     case object EQ extends Op
-    def flip(o: Op): Op = o match {
-      case LT => GT; case LE => GE; case GT => LT; case GE => LE
-      case EQ => EQ
-    }
     def zid(tz: Option[String],
             dt: org.apache.spark.sql.types.DataType): java.time.ZoneId =
       // NTZ↔DATE conversion is zone-free: UTC makes daysToMicros the
@@ -602,11 +598,23 @@ object Mv {
       val add = fresh.filterNot { case (k, _) => have(k) }
       if (add.nonEmpty) {
         f.mkdirs(p.getParent)
-        val out = f.create(p, true)
+        // write-to-temp + rename: two sessions registering different
+        // star MVs on the same root race this read-modify-write, and a
+        // plain overwrite could interleave a PARTIAL file under the
+        // loser's read — last-writer-wins on whole files is the worst
+        // case now (the loser's verdicts are re-derived next register;
+        // a cache may lose entries, never serve torn ones)
+        val tmp = new Path(p.getParent,
+          s"${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, true)
         try out.write((existing +
           add.toSeq.sorted.map { case (k, v) =>
             s"$k\t${if (v) "1" else "0"}\n" }.mkString).getBytes("UTF-8"))
         finally out.close()
+        if (!f.rename(tmp, p)) { // HDFS rename won't replace: delete+retry
+          f.delete(p, false)
+          if (!f.rename(tmp, p)) f.delete(tmp, false)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () } // cache only
   }
@@ -1283,6 +1291,19 @@ object Mv {
                      org.apache.spark.sql.types.LongType => true
                 case _ => false
               }
+              // ANSI note (r18 ADVICE #5, resolved by contract pin
+              // rather than a gate): Multiply/Sum below are built with
+              // the SESSION's eval mode, so under ansi.enabled the
+              // served spelling RAISES on any product/sum overflow —
+              // every case where the direct sum is GUARANTEED to raise
+              // (same-sign total past 2^63) overflows here too, so no
+              // silent-wrong value exists in either mode (legacy: both
+              // wrap mod 2^64; ANSI: both raise). Mixed-sign
+              // intermediate overflow raising is order-dependent in
+              // the direct spelling ITSELF (partial sums follow
+              // partitioning), and the served spelling sits inside
+              // that same nondeterminism envelope. MvRewriteSpec pins
+              // the both-raise contract.
               if (!integral) None
               else for {
                 g <- groupAttr(s.child)
@@ -1316,6 +1337,12 @@ object Mv {
         // differs from the raw rows'. The division replicates
         // Average's legacy divide (NULL for an all-null group), so
         // null semantics above the aggregate are unchanged.
+        // ANSI note (r18 ADVICE #5): no error-contract divergence
+        // exists here — Spark's Average over integral inputs sums as
+        // DOUBLE (verified: avg of two Long.MaxValue rows under
+        // ansi.enabled returns 6.1e18, no raise), so the direct
+        // spelling never raises either; the only edge is the >2^53
+        // rounding one documented below, shared by both spellings.
         case av: Average
             if Seq(org.apache.spark.sql.types.ByteType,
                    org.apache.spark.sql.types.ShortType,

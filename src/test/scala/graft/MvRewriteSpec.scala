@@ -828,6 +828,38 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("ANSI serving contract: overflowing group-column SUM raises from BOTH spellings") {
+    // r18 ADVICE #5, resolved as a contract PIN rather than a gate:
+    // the served g×cnt spelling is built with the session's eval mode,
+    // so under ansi.enabled (Spark 4's default) a guaranteed overflow
+    // (same-sign total past 2^63) raises from the rollup exactly as it
+    // does from the direct aggregate — no silent wrapped value exists
+    // in either mode. (Integral AVG needs no pin: Spark's Average
+    // sums as DOUBLE, so neither spelling can raise.)
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val odir = Files.createTempDirectory("graft_mv_ovf").toString
+    val rO = Files.createTempDirectory("graft_mv_ovfsum").toString + "/mv"
+    Seq(("a", Long.MaxValue, 1L), ("a", Long.MaxValue, 2L),
+        ("b", 5L, 3L))
+      .toDF("g1", "g2", "x").write.mode("overwrite").parquet(odir)
+    val obase = spark.read.parquet(odir)
+    Mv.register(spark, "spec_mv_ovf", obase, Seq("g1", "g2"), Seq("x"), rO)
+    val q = obase.groupBy("g1").agg(sum("g2").as("sg"))
+    // the serve FIRES (the error contract is what's under test, not a
+    // decline) …
+    assert(scannedPaths(q).forall(_.startsWith(rO)))
+    // … and raises on overflow exactly like the direct spelling
+    val served = intercept[Exception](q.collect())
+    assert(served.toString.contains("ARITHMETIC_OVERFLOW") ||
+           Option(served.getMessage).exists(_.contains("overflow")),
+      s"served overflow should raise ARITHMETIC_OVERFLOW, got $served")
+    Mv.clear(spark)
+    val direct = intercept[Exception](
+      obase.groupBy("g1").agg(sum("g2").as("sg")).collect())
+    assert(direct.toString.contains("ARITHMETIC_OVERFLOW") ||
+           Option(direct.getMessage).exists(_.contains("overflow")))
+  }
+
   test("MV summary itself is sane") {
     val mv = LakeTable.read(spark, mvRoot)
     assert(mv.count() == 4)
