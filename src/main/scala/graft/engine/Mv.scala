@@ -1276,7 +1276,20 @@ object Mv {
               .toAggregateExpression())
         case s: Sum =>
           partial(s.child, mv.aggCols, "sum_")
-            .map(Sum(_).toAggregateExpression())
+            .map { p =>
+              val rolled = Sum(p).toAggregateExpression()
+              // DECIMAL sums are exact and order-free, but re-summing
+              // the (p+10, s) partials widens the type to (p+20, s) —
+              // cast back onto the direct aggregate's own type (value-
+              // identity whenever the direct sum doesn't overflow, and
+              // the cast restores its session-mode overflow contract).
+              // Without this the type-equality guard in attempt()
+              // declined every decimal-sum query (r19).
+              if (s.child.dataType
+                    .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+                Cast(rolled, s.dataType)
+              else rolled
+            }
             // SUM of an INTEGRAL group column: each summary row's key
             // value, weighted by its cnt partial — g*cnt ≡ adding g
             // cnt times even under non-ANSI wraparound (both reduce
@@ -1358,6 +1371,46 @@ object Mv {
             Cast(Sum(c).toAggregateExpression(),
                  org.apache.spark.sql.types.DoubleType),
             EvalMode.LEGACY)
+        // AVG over a DECIMAL column (r18 verdict #3): decimal addition
+        // is EXACT and order-free (Spark sums decimals exactly, ANSI
+        // or not), so Σ(per-group decimal sum partials) equals the
+        // direct sum bit-for-bit — unlike the fractional-double
+        // decline, there is no rounding order to preserve. The
+        // evaluation replicates Average's own: re-cast the rolled
+        // total onto Average's internal sum type Decimal(p+10, s)
+        // (identity on the value — the partials' values all fit it by
+        // the same bound the direct sum honors; the cast also restores
+        // the direct spelling's overflow CONTRACT, session-mode null/
+        // raise, which the wider rolled type would otherwise defer),
+        // then the same legacy Divide by the count at LongDecimal
+        // (legacy: an all-null group must yield NULL, not a
+        // divide-by-zero error), cast to the query aggregate's OWN
+        // result type. Dividing from the (p+10, s) operand — not the
+        // rolled (p+20, s) — matters: the division's intermediate
+        // scale derives from operand precision, and a wider operand
+        // would round the quotient at a different digit before the
+        // final cast (a double-rounding divergence at the 10^-scale
+        // boundary). MvRewriteSpec pins byte-equality on boundary
+        // quotients.
+        case av: Average
+            if av.child.dataType
+              .isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          val dt = av.child.dataType
+            .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+          // DecimalType.bounded(p+10, s) spelled inline (bounded is
+          // private[sql]); scale never exceeds 38 here since dt is a
+          // valid decimal type
+          val sumT = org.apache.spark.sql.types.DecimalType(
+            math.min(dt.precision + 10, 38), dt.scale)
+          for {
+            s <- partial(av.child, mv.aggCols, "sum_")
+            c <- partial(av.child, mv.aggCols, "cntn_")
+          } yield Cast(
+            Divide(Cast(Sum(s).toAggregateExpression(), sumT),
+                   Cast(Sum(c).toAggregateExpression(),
+                        org.apache.spark.sql.types.DecimalType(20, 0)),
+                   EvalMode.LEGACY),
+            av.dataType)
         // HLL sketch rollup: register-max union is associative and
         // commutative, so merging per-group partials is BYTE-IDENTICAL
         // to sketching the raw rows (the order-independence the sketch

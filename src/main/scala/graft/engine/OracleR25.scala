@@ -1,0 +1,33 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracles for the round-19 keys ([[QueriesR25]]). Each text
+  * recomputes the key's answer straight from the raw corpus. */
+object OracleR25 {
+
+  val sql: ListMap[String, String] = ListMap(
+
+    // The decimal average recomputed via EXACT integer arithmetic:
+    // sum as integer cents (decimal sums are exact in both engines),
+    // then half-up rounding of the exact rational mean at micro
+    // grain — (2·num + den) // (2·den) for the positive numerator —
+    // which is precisely the rounding Spark's decimal AVG applies at
+    // scale 6. A rollup that divided from a wider operand (rounding
+    // the quotient at a different digit) would miss by one micro.
+    "mv_rewrite_avg_decimal" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(CAST(o_orderkey % 1000 AS VARCHAR) || '.' ||
+        |              lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+        |              AS DECIMAL(12,2)) AS v
+        |  FROM orders)
+        |SELECT status, count(*) AS n,
+        |       CAST((2 * CAST(sum(v) * 100 AS HUGEINT) * 10000
+        |             + count(v)) // (2 * count(v)) AS BIGINT)
+        |         AS avg_micros,
+        |       CAST(sum(v) * 100 AS BIGINT) AS sum_cents,
+        |       CAST(max(v) * 100 AS BIGINT) AS max_cents
+        |FROM t GROUP BY status ORDER BY status""".stripMargin
+  )
+}

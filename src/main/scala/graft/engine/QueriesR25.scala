@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-19 keys: the r18 verdict's ranked serving/statistics gaps,
+  * closed under the oracle gate.
+  *
+  *   - DECIMAL AVG rollup (`mv_rewrite_avg_decimal`): AVG over a
+  *     decimal column is served exactly from the summary's decimal
+  *     sum leg and count leg — decimal addition is exact and
+  *     order-free, so unlike fractional doubles there is no rounding
+  *     order to preserve; the division replicates Average's own
+  *     (sum at Decimal(p+10, s), legacy divide, cast to the result
+  *     type). The oracle avoids cross-engine decimal-arithmetic
+  *     differences by comparing integer MICROS/CENTS derived from
+  *     exact integer arithmetic on both sides.
+  *
+  * The oracle proves WHAT each key computed; MvRewriteSpec proves HOW
+  * (the rewrite fired / declined). Determinism (§2.3): pure functions
+  * of the corpus, outputs ordered by a total key.
+  */
+object QueriesR25 {
+  import Tables._
+
+  /** Decimal AVG rollup: a price column built EXACTLY from integer
+    * parts of o_orderkey (string-assembled, so both engines derive
+    * bit-identical DECIMAL(12,2) values with no double rounding),
+    * staged once as a lake table; the MV summarizes per status. The
+    * query's avg/sum/max are exposed as integer micros/cents (exact
+    * casts of integer-valued decimals), so the DuckDB compare is
+    * integer-exact — a rollup whose division rounded at a different
+    * digit than the direct aggregate would miss by one micro. */
+  def mvRewriteAvgDecimal(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      col("o_orderstatus").as("status"),
+      expr("CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.', " +
+           "LPAD(CAST(o_orderkey % 100 AS STRING), 2, '0')) " +
+           "AS DECIMAL(12,2))").as("v"))
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_decavg", hash) { r =>
+      LakeTable.append(base, s"$r/base")
+      Mv.register(s, "orders_mv_decavg", LakeTable.read(s, s"$r/base"),
+        Seq("status"), Seq("v"), s"$r/mv")
+    }
+    Mv.register(s, "orders_mv_decavg", LakeTable.read(s, s"$root/base"),
+      Seq("status"), Seq("v"), s"$root/mv")
+    LakeTable.read(s, s"$root/base")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+           (avg("v") * lit(1000000)).cast("long").as("avg_micros"),
+           (sum("v") * lit(100)).cast("long").as("sum_cents"),
+           (max("v") * lit(100)).cast("long").as("max_cents"))
+      .orderBy("status")
+  }
+}

@@ -394,6 +394,10 @@ object Registry {
     "mv_rewrite_avg_int"    -> QueriesR24.mvRewriteAvgInt _,
     "mv_rewrite_count_distinct" -> QueriesR24.mvRewriteCountDistinct _,
     "lake_mor_tombstone_pruned" -> QueriesR24.lakeMorTombstonePruned _,
+    // Round-19: the r18 verdict gaps — DECIMAL AVG rollup (exact
+    // decimal sums make the average servable, unlike fractional
+    // doubles)
+    "mv_rewrite_avg_decimal" -> QueriesR25.mvRewriteAvgDecimal _,
   )
 
   val oracleSql: ListMap[String, String] =
@@ -404,5 +408,5 @@ object Registry {
       OracleR11.sql ++ OracleR12.sql ++ OracleR13.sql ++ OracleR14.sql ++
       OracleR15.sql ++ OracleR16.sql ++ OracleR17.sql ++ OracleR18.sql ++
       OracleR19.sql ++ OracleR20.sql ++ OracleR21.sql ++ OracleR22.sql ++
-      OracleR23.sql ++ OracleR24.sql
+      OracleR23.sql ++ OracleR24.sql ++ OracleR25.sql
 }

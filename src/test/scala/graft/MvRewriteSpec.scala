@@ -777,6 +777,57 @@ class MvRewriteSpec extends SparkTestBase {
     assert(scannedPaths(qs).forall(_.startsWith(rA)))
   }
 
+  test("DECIMAL AVG rolls up bit-exactly, including boundary quotients and capped precision") {
+    val ddir = Files.createTempDirectory("graft_mv_decavg").toString
+    val rD = Files.createTempDirectory("graft_mv_decavgsum").toString + "/mv"
+    // quotients chosen non-terminating (30.02/3) and half-way-ish
+    // (0.125/2 = 0.0625) so the scale-6 rounding path is exercised;
+    // plus a NULL for the cntn leg and a negative value
+    Seq(("a", "10.00"), ("a", "10.01"), ("a", "10.01"),
+        ("b", "0.12"), ("b", "0.01"), ("b", null),
+        ("c", "-7.77"))
+      .toDF("g", "raw")
+      .select($"g", $"raw".cast("decimal(12,2)").as("v"))
+      .write.mode("overwrite").parquet(ddir)
+    val dbase = spark.read.parquet(ddir)
+    Mv.register(spark, "spec_mv_decavg", dbase, Seq("g"), Seq("v"), rD)
+    val q = dbase.groupBy("g").agg(avg("v").as("av"), sum("v").as("sv"))
+      .orderBy("g")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(rD)),
+      s"decimal avg should serve from the MV, got $qp")
+    val served = q.collect().toSeq
+    Mv.clear(spark)
+    val direct = dbase.groupBy("g").agg(avg("v").as("av"), sum("v").as("sv"))
+      .orderBy("g").collect().toSeq
+    assert(served == direct,
+      s"served decimal avg must be BIT-equal to direct: $served vs $direct")
+    // result type is Average's own (p+4, s+4)
+    assert(q.schema("av").dataType.toString == "DecimalType(16,6)")
+    // precision-capped edge: a DECIMAL(38,10) column (sum partial and
+    // Average's internal sum both cap at precision 38) still serves
+    // and still matches the direct aggregate exactly
+    val hdir = Files.createTempDirectory("graft_mv_decavg38").toString
+    val rH = Files.createTempDirectory("graft_mv_decavg38sum").toString + "/mv"
+    // integer part stays ≤24 digits so the (38,14) AVG result type
+    // can represent the mean — larger and the DIRECT aggregate itself
+    // raises NUMERIC_VALUE_OUT_OF_RANGE under ANSI
+    Seq(("a", "123456789012345678901234.0123456789"),
+        ("a", "1.0000000001"), ("b", "3.33"))
+      .toDF("g", "raw")
+      .select($"g", $"raw".cast("decimal(38,10)").as("v"))
+      .write.mode("overwrite").parquet(hdir)
+    val hbase = spark.read.parquet(hdir)
+    Mv.register(spark, "spec_mv_decavg38", hbase, Seq("g"), Seq("v"), rH)
+    val qh = hbase.groupBy("g").agg(avg("v").as("av")).orderBy("g")
+    assert(scannedPaths(qh).forall(_.startsWith(rH)))
+    val servedH = qh.collect().toSeq
+    Mv.clear(spark)
+    val directH = hbase.groupBy("g").agg(avg("v").as("av"))
+      .orderBy("g").collect().toSeq
+    assert(servedH == directH)
+  }
+
   test("round-18 registry key mv_rewrite_avg_int is answered from its MV artifact") {
     val q = graft.engine.Registry.queries("mv_rewrite_avg_int")(spark, sfDir)
     val qp = scannedPaths(q)
@@ -790,6 +841,30 @@ class MvRewriteSpec extends SparkTestBase {
       .orderBy("status")
     assert(q.collect().toSeq == raw.collect().toSeq)
     Mv.clear(spark)
+  }
+
+  test("round-19 registry key mv_rewrite_avg_decimal is answered from its MV artifact") {
+    val q = graft.engine.Registry.queries("mv_rewrite_avg_decimal")(spark, sfDir)
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(p =>
+        p.contains("mv_orders_decavg") && p.contains("/mv") &&
+        !p.contains("/base")),
+      s"mv_rewrite_avg_decimal should scan only the SUMMARY, got $qp")
+    val served = q.collect().toSeq
+    // rule-off ground truth: same derivation recomputed raw
+    Mv.clear(spark)
+    val raw = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("status"),
+        expr("CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.', " +
+             "LPAD(CAST(o_orderkey % 100 AS STRING), 2, '0')) " +
+             "AS DECIMAL(12,2))").as("v"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+           (avg("v") * lit(1000000)).cast("long").as("avg_micros"),
+           (sum("v") * lit(100)).cast("long").as("sum_cents"),
+           (max("v") * lit(100)).cast("long").as("max_cents"))
+      .orderBy("status").collect().toSeq
+    assert(served == raw)
   }
 
   test("aggregates over GROUP columns serve: distinct count, min/max, null-aware count") {
