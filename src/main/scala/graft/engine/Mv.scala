@@ -170,16 +170,66 @@ object Mv {
     case o => Seq(o)
   }
 
-  /** Does normalized conjunct `qe` IMPLY normalized conjunct `be`, for
-    * the decidable single-column shape: both are comparisons of the
-    * SAME column (name-derived id) against a literal of the SAME
-    * type, and qe's interval is contained in be's. This is what lets
-    * an MV built over a filtered slice (x < 1000) serve a query over
-    * a sub-slice (x < 500): the base conjunct need not appear
-    * verbatim in the query if a stronger query conjunct covers it.
-    * Anything outside the shape answers false — the failure mode is
-    * "no speedup". */
-  private def implies(qe: Expression, be: Expression): Boolean = {
+  private def splitDisj(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisj(l) ++ splitDisj(r)
+    case o => Seq(o)
+  }
+
+  /** Does normalized query conjunct `qe` IMPLY normalized base
+    * conjunct `be`? Dispatches on qe's shape:
+    *
+    *   - DISJUNCTION (r18 verdict #2 — dashboards emit ORs and
+    *     IN-lists constantly): (b1 OR b2 OR …) ⇒ be iff EVERY branch
+    *     implies be — sound by plain logic, no interval reasoning
+    *     needed. A branch is itself a conjunction; it implies be if
+    *     ANY of its conjuncts does (a conjunction is an intersection,
+    *     so one implying conjunct suffices), or contains be verbatim.
+    *     Recursion handles nested shapes like ((p OR q) AND r) OR s
+    *     and terminates because every step strictly shrinks the tree.
+    *   - everything else: the single-conjunct [[impliesAtom]] below.
+    *
+    * Anything outside the decidable shapes answers false — the
+    * failure mode is "no speedup". */
+  private def implies(qe: Expression, be: Expression): Boolean = qe match {
+    case Or(_, _) => splitDisj(qe).forall(b =>
+      splitConj(b).exists(c => c == be || implies(c, be)))
+    case _ => impliesAtom(qe, be)
+  }
+
+  /** Single-conjunct implication, two decidable shapes: (1) both are
+    * comparisons of the SAME column (name-derived id) against a
+    * literal of the SAME type and qe's interval is contained in be's
+    * — what lets an MV built over a filtered slice (x < 1000) serve a
+    * query over a sub-slice (x < 500); (2) be is an IN-list on the
+    * column and qe pins the column to a SUBSET of it by exact SET
+    * membership (= or a narrower IN) — hull reasoning is wrong there
+    * (an interval inside the hull can cross the IN's gaps), set
+    * containment is exact. */
+  private def impliesAtom(qe: Expression, be: Expression): Boolean = {
+    // base IN-list: exact set containment (never intervals — gaps)
+    be match {
+      case In(a: AttributeReference, blits)
+          if blits.nonEmpty && blits.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
+        val bset = blits.collect { case Literal(v, t) => (v, t) }.toSet
+        return qe match {
+          case EqualTo(x: AttributeReference, Literal(v, t))
+              if x.exprId == a.exprId => bset.contains((v, t))
+          case EqualTo(Literal(v, t), x: AttributeReference)
+              if x.exprId == a.exprId => bset.contains((v, t))
+          case In(x: AttributeReference, qlits)
+              if x.exprId == a.exprId && qlits.forall {
+                case Literal(v, _) => v != null
+                case _ => false
+              } =>
+            qlits.collect { case Literal(v, t) => (v, t) }
+              .forall(bset.contains)
+          case _ => false
+        }
+      case _ => ()
+    }
     // (column id, type, lo bound, hi bound); bounds carry inclusivity
     type Iv = (Long, org.apache.spark.sql.types.DataType,
                Option[(Any, Boolean)], Option[(Any, Boolean)])

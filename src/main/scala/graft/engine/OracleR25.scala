@@ -15,6 +15,18 @@ object OracleR25 {
     // which is precisely the rounding Spark's decimal AVG applies at
     // scale 6. A rollup that divided from a wider operand (rounding
     // the quotient at a different digit) would miss by one micro.
+    // The OR recomputed raw in the query's own spelling: a
+    // containment decision that let a branch outside the IN-slice
+    // serve (or dropped a branch's rows) would hash-fail.
+    "mv_rewrite_or_filters" ->
+      """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |       count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       max(o_custkey) AS cust_max
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |GROUP BY prio, status ORDER BY prio, status""".stripMargin,
+
     "mv_rewrite_avg_decimal" ->
       """WITH t AS (
         |  SELECT o_orderstatus AS status,

@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
 object QueriesR25 {
   import Tables._
 
+  /** Disjunctive filter containment (r18 verdict #2): the MV
+    * summarizes the priority slice IN ('1-URGENT','2-HIGH',
+    * '3-MEDIUM'); the query's `priority = '1-URGENT' OR priority =
+    * '2-HIGH'` is not a verbatim conjunct match, but every OR branch
+    * pins the column inside the base IN-set (exact SET containment —
+    * never interval hulls, whose gaps would serve missing rows), so
+    * the summary serves with the OR re-applied over the group column.
+    * The oracle recomputes raw in the query's own OR spelling. */
+  def mvRewriteOrFilters(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select("o_orderpriority", "o_orderstatus",
+                                   "o_custkey")
+    def sliced = base.filter(col("o_orderpriority").isin(
+      "1-URGENT", "2-HIGH", "3-MEDIUM"))
+    val hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_prio", hash) { r =>
+      Mv.register(s, "orders_mv_prio", sliced,
+        Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey"), r)
+    }
+    Mv.register(s, "orders_mv_prio", sliced,
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey"), root)
+    base.filter(col("o_orderpriority") === "1-URGENT" ||
+                col("o_orderpriority") === "2-HIGH")
+      .groupBy(col("o_orderpriority").as("prio"),
+               col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"),
+           max("o_custkey").as("cust_max"))
+      .orderBy("prio", "status")
+  }
+
   /** Decimal AVG rollup: a price column built EXACTLY from integer
     * parts of o_orderkey (string-assembled, so both engines derive
     * bit-identical DECIMAL(12,2) values with no double rounding),

@@ -398,6 +398,8 @@ object Registry {
     // decimal sums make the average servable, unlike fractional
     // doubles)
     "mv_rewrite_avg_decimal" -> QueriesR25.mvRewriteAvgDecimal _,
+    // OR / IN-list filter containment against sliced MV bases
+    "mv_rewrite_or_filters" -> QueriesR25.mvRewriteOrFilters _,
   )
 
   val oracleSql: ListMap[String, String] =

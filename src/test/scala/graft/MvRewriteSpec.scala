@@ -777,6 +777,65 @@ class MvRewriteSpec extends SparkTestBase {
     assert(scannedPaths(qs).forall(_.startsWith(rA)))
   }
 
+  test("disjunctive containment: OR / IN query filters serve against sliced bases") {
+    val odir = Files.createTempDirectory("graft_mv_or").toString
+    val rO = Files.createTempDirectory("graft_mv_orsum").toString + "/mv"
+    Seq(("a", 10L, 1L), ("a", 110L, 2L), ("b", 20L, 3L), ("b", 220L, 4L),
+        ("c", 30L, 5L), ("d", 999L, 6L), ("d", 40L, 7L))
+      .toDF("g", "k", "x").write.mode("overwrite").parquet(odir)
+    val base = spark.read.parquet(odir)
+    // base sliced by an IN-list on the group column
+    def sliced = base.filter($"g".isin("a", "b", "c"))
+    Mv.register(spark, "spec_mv_or", sliced, Seq("g", "k"), Seq("x"), rO)
+    // OR of equalities: each branch ∈ the base IN-set → serve, the OR
+    // re-applied over the summary
+    val q = base.filter($"g" === "a" || $"g" === "b")
+      .groupBy("g").agg(sum("x").as("sx")).orderBy("g")
+    assert(scannedPaths(q).nonEmpty &&
+           scannedPaths(q).forall(_.startsWith(rO)),
+      s"OR-of-equalities inside the base IN should serve, got ${scannedPaths(q)}")
+    assert(q.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 7L)))
+    // a narrower IN serves too
+    val q2 = base.filter($"g".isin("b", "c"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q2).forall(_.startsWith(rO)))
+    assert(q2.orderBy("g").as[(String, Long)].collect().toSeq ==
+      Seq(("b", 2L), ("c", 1L)))
+    // MUST-DECLINE: a branch OUTSIDE the base IN-set ('d' rows are
+    // not in the summary — serving would silently drop them)
+    val d1 = base.filter($"g" === "a" || $"g" === "d")
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(d1).exists(_.startsWith(odir)),
+      "an OR branch outside the slice must decline")
+    Mv.clear(spark)
+
+    // range-sliced base, OR of sub-ranges on another group column
+    val rR = Files.createTempDirectory("graft_mv_orrange").toString + "/mv"
+    def rsliced = base.filter($"k" < 500L)
+    Mv.register(spark, "spec_mv_orrange", rsliced, Seq("g", "k"),
+      Seq("x"), rR)
+    val q3 = base.filter($"k" < 50L || ($"k" >= 100L && $"k" < 300L))
+      .groupBy("g").agg(sum("x").as("sx")).orderBy("g")
+    assert(scannedPaths(q3).nonEmpty &&
+           scannedPaths(q3).forall(_.startsWith(rR)),
+      s"OR of sub-ranges inside the slice should serve, got ${scannedPaths(q3)}")
+    assert(q3.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("b", 7L), ("c", 5L), ("d", 7L)))
+    // MUST-DECLINE: one branch exceeds the slice
+    val d2 = base.filter($"k" < 50L || $"k" >= 400L)
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(d2).exists(_.startsWith(odir)),
+      "an OR branch past the slice must decline")
+    // MUST-DECLINE: an OR branch on an AGG column can never re-apply
+    // over the summary (x is aggregated away)
+    val d3 = base.filter($"g" === "a" || $"x" > 3L)
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(d3).exists(_.startsWith(odir)),
+      "an OR branch on an agg column must decline")
+    Mv.clear(spark)
+  }
+
   test("DECIMAL AVG rolls up bit-exactly, including boundary quotients and capped precision") {
     val ddir = Files.createTempDirectory("graft_mv_decavg").toString
     val rD = Files.createTempDirectory("graft_mv_decavgsum").toString + "/mv"
@@ -841,6 +900,24 @@ class MvRewriteSpec extends SparkTestBase {
       .orderBy("status")
     assert(q.collect().toSeq == raw.collect().toSeq)
     Mv.clear(spark)
+  }
+
+  test("round-19 registry key mv_rewrite_or_filters is answered from its MV artifact") {
+    val q = graft.engine.Registry.queries("mv_rewrite_or_filters")(spark, sfDir)
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.contains("mv_orders_prio")),
+      s"mv_rewrite_or_filters should scan only its MV artifact, got $qp")
+    val served = q.collect().toSeq
+    Mv.clear(spark)
+    val raw = graft.engine.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH")
+      .groupBy(col("o_orderpriority").as("prio"),
+               col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("cust_sum"),
+           max("o_custkey").as("cust_max"))
+      .orderBy("prio", "status").collect().toSeq
+    assert(served == raw)
   }
 
   test("round-19 registry key mv_rewrite_avg_decimal is answered from its MV artifact") {
