@@ -291,8 +291,10 @@ object LakeDml {
     // UDF, not the operator) must stay opaque too — unwrapping it
     // would derive a prune interval from semantics the UDF does not
     // have (r17 ADVICE): a name whose session registration differs
-    // from the builtin (or exists with no builtin at all, like
-    // "between") is treated as shadowed and derives nothing.
+    // from the builtin (or exists with no builtin at all) is treated
+    // as shadowed and derives nothing. NOTE: "between" IS a Spark 4
+    // builtin — the session registry clones the builtin layer, so an
+    // unshadowed lookup matches the builtin class and derives.
     lazy val shadowedOps: Set[String] = {
       import org.apache.spark.sql.catalyst.FunctionIdentifier
       import org.apache.spark.sql.catalyst.analysis.FunctionRegistry

@@ -397,6 +397,8 @@ object LakeSql {
       "(?is)^describe\\s+history\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
     private val AnalyzeRe =
       "(?is)^analyze\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    private val AnalyzeComputeRe =
+      "(?is)^analyze\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+compute\\s+statistics\\s*$".r
     private val SetItemRe =
       "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
     private val OnEqRe =
@@ -613,6 +615,20 @@ object LakeSql {
                   "tombstones_added", "tombstones_cleared", "txn_app",
                   "rows_added")
             .withColumn("rows_added", col("rows_added").cast("long"))
+
+        case AnalyzeComputeRe(name0) =>
+          // the WRITE verb: compute column statistics (min/max, HLL
+          // NDV sketch, null count) for every not-yet-analyzed active
+          // directory in one distributed job and commit them; CBO
+          // sessions then estimate filter selectivity on this table.
+          // Incremental per directory — re-running after appends
+          // analyzes only the new directories.
+          val name = name0.toLowerCase
+          val root = tableRoot(name)
+          val analyzed = LakeStats.analyze(spark, root)
+          report(spark, "analyze", name,
+            LakeTable.latestVersion(spark, root).getOrElse(-1L),
+            emptyReport.copy(rewrittenDirs = analyzed))
 
         case AnalyzeRe(name0) =>
           // table-level statistics from the log alone: the row count

@@ -8,6 +8,16 @@ object OracleR25 {
 
   val sql: ListMap[String, String] = ListMap(
 
+    // The filtered join recomputed raw: statistics may only change
+    // the PLAN — any row lost or duplicated by the cost-informed
+    // physical choice would hash-fail here.
+    "lake_cbo_filtered_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+
     // The decimal average recomputed via EXACT integer arithmetic:
     // sum as integer cents (decimal sums are exact in both engines),
     // then half-up rounding of the exact rational mean at micro

@@ -52,6 +52,49 @@ object QueriesR25 {
       .orderBy("prio", "status")
   }
 
+  /** Cost-informed filtered join (r18 verdict #1): two lake tables
+    * carrying ANALYZEd column statistics (min/max + HLL NDV + null
+    * counts in the commit log), queried under CBO with a selective
+    * filter on the fact side. The statistics let FilterEstimation
+    * shrink the fact's cardinality BEFORE planning — at 100 TB this
+    * is what turns "shuffle both sides, let AQE repair it" into a
+    * planned broadcast of the filtered side (LakeStatsSpec pins the
+    * SMJ→BHJ plan flip with AQE off; this key gates the END STATE
+    * against DuckDB — statistics must change the plan, never the
+    * answer). The plan materializes inside the conf window (a
+    * Dataset's query execution is lazy; touching executedPlan pins
+    * the CBO-planned physical plan before the confs restore). */
+  def lakeCboFilteredJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = orders(s, d).select("o_orderkey", "o_custkey",
+                                   "o_orderpriority")
+    val dim = customer(s, d).select("c_custkey", "c_mktsegment")
+    val hash = ArtifactCache.artifactHash(fact).take(16)
+    val root = LakeFixtures.cached(s, "lake_cbo_join", hash) { r =>
+      LakeTable.append(fact, s"$r/fact")
+      LakeTable.append(dim, s"$r/dim")
+      LakeStats.analyze(s, s"$r/fact")
+      LakeStats.analyze(s, s"$r/dim")
+    }
+    val saved = Seq("spark.sql.cbo.enabled",
+                    "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val q = LakeTable.read(s, s"$root/fact")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(LakeTable.read(s, s"$root/dim"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("segment")
+      q.queryExecution.executedPlan // plan under CBO, now
+      q
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** Decimal AVG rollup: a price column built EXACTLY from integer
     * parts of o_orderkey (string-assembled, so both engines derive
     * bit-identical DECIMAL(12,2) values with no double rounding),

@@ -400,6 +400,8 @@ object Registry {
     "mv_rewrite_avg_decimal" -> QueriesR25.mvRewriteAvgDecimal _,
     // OR / IN-list filter containment against sliced MV bases
     "mv_rewrite_or_filters" -> QueriesR25.mvRewriteOrFilters _,
+    // ANALYZEd lake column statistics feeding CBO filter selectivity
+    "lake_cbo_filtered_join" -> QueriesR25.lakeCboFilteredJoin _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -525,8 +525,22 @@ class LakeDmlSpec extends SparkTestBase {
       assert(derive("`between`(k, 1, 3) AND j >= 5") ==
         Seq(LakeDml.DerivedPred("j", Some("5"), None, numeric = true)))
     } finally {
-      spark.sessionState.functionRegistry.dropFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("between"))
+      // RESTORE the builtin binding rather than drop the name:
+      // `between` IS a Spark 4 builtin, the session registry is a
+      // clone of the builtin layer, and udf.register overrode the
+      // clone's entry — dropFunction would remove the name from the
+      // session entirely (no fallback to system.builtin), so every
+      // later real BETWEEN in this shared session failed to resolve
+      // (bit SqlDmlSpec whenever this suite ran first in the JVM)
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      val fi = FunctionIdentifier("between")
+      spark.sessionState.functionRegistry.dropFunction(fi)
+      for {
+        info <- FunctionRegistry.builtin.lookupFunction(fi)
+        builder <- FunctionRegistry.builtin.lookupFunctionBuilder(fi)
+      } spark.sessionState.functionRegistry.registerFunction(
+        fi, info, builder)
     }
     // with the shadow dropped, the parser-emitted conjuncts derive
     // again (BETWEEN splits to two one-sided bounds at the top level)

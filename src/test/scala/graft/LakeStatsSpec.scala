@@ -150,6 +150,123 @@ class LakeStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("column stats: a selective filter on the BIG table flips the plan to broadcast (AQE off)") {
+    withCboSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_cbo_cols").toString
+      // big: 200k rows, `cat` has 100 distinct values → `cat = 7`
+      // keeps ~1%; mid: 30k rows, comfortably OVER the broadcast
+      // threshold below
+      LakeTable.append((0L until 200000L).map(k => (k % 30000L, k % 100L))
+        .toDF("b_k", "b_cat"), s"$dir/big")
+      LakeTable.append((0L until 30000L).map(k => (k, s"name_$k"))
+        .toDF("m_k", "m_v"), s"$dir/mid")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      def q = LakeTable.read(s, s"$dir/big").filter(col("b_cat") === 7L)
+        .join(LakeTable.read(s, s"$dir/mid"), col("b_k") === col("m_k"))
+        .groupBy("m_v").agg(count(lit(1)).as("n"))
+      // BEFORE analyze: row counts exist but no column stats — the
+      // filter's selectivity defaults to 1, both sides estimate over
+      // the threshold, and the join sort-merges
+      LakeStats.clearCache()
+      val before = q.queryExecution.executedPlan
+      assert(before.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isDefined,
+        s"without column stats the join should sort-merge:\n$before")
+      // analyze both tables → NDV reaches the estimator → the filtered
+      // big side estimates ~1% and BROADCASTS
+      assert(LakeStats.analyze(s, s"$dir/big") == 1)
+      assert(LakeStats.analyze(s, s"$dir/mid") == 1)
+      LakeStats.clearCache()
+      val filterRows = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.rowCount.map(_.toLong)
+      }.flatten
+      // two Filters exist (the inferred isnotnull on mid keeps its
+      // full 30000) — the selective one must estimate ~1% of 200000
+      assert(filterRows.exists(n => n > 500 && n < 8000),
+        s"FilterEstimation should see ~2000 of 200000 rows, got $filterRows")
+      val after = q.queryExecution.executedPlan
+      assert(after.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.isDefined,
+        s"with column stats the filtered big side should broadcast:\n$after")
+      // the estimator changed the PLAN, never the ANSWER
+      assert(q.agg(sum("n")).head.getLong(0) == 2000L)
+      // merged column stats surfaced on the relation: NDV ≈ 100 for
+      // cat (HLL p=12 is ~1.6% stderr), exact null count 0, min/max
+      val cs = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation
+            if lr.schema.fieldNames.contains("b_cat") =>
+          lr.catalogTable.flatMap(_.stats).map(_.colStats)
+      }.flatten.headOption.getOrElse(Map.empty)
+      val cat = cs.get("b_cat")
+      assert(cat.exists(_.distinctCount.exists(n => n >= 95 && n <= 105)),
+        s"b_cat NDV should be ~100, got ${cat.map(_.distinctCount)}")
+      assert(cat.exists(_.nullCount.contains(BigInt(0))))
+      assert(cat.exists(c => c.min.contains("0") && c.max.contains("99")))
+    }
+  }
+
+  test("analyze is incremental per directory and its stats fold through checkpoints") {
+    val s = SparkTestBase.session
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_cbo_an").toString
+    LakeTable.append((0L until 1000L).map(k => (k, k % 10L)).toDF("k", "g"),
+      root)
+    assert(LakeStats.analyze(s, root) == 1)
+    assert(LakeStats.analyze(s, root) == 0) // idempotent: nothing new
+    // an append creates ONE unanalyzed dir; re-analyze touches only it
+    LakeTable.append((1000L until 1500L).map(k => (k, k % 10L))
+      .toDF("k", "g"), root)
+    assert(LakeStats.analyze(s, root) == 1)
+    LakeTable.checkpoint(s, root)
+    LakeTable.append((1500L until 1600L).map(k => (k, 77L)).toDF("k", "g"),
+      root)
+    assert(LakeStats.analyze(s, root) == 1)
+    val st = LakeTable.replayState(s, root, None)
+    assert(st.active.forall(st.colMeta.contains),
+      "colMeta must fold across the checkpoint for every active dir")
+    // merged NDV over all three dirs: k is unique (≈1600), g has 11
+    // distinct values (10 + the 77 wave)
+    LakeStats.clearCache()
+    val df = LakeTable.read(s, root)
+    // drive statsFor directly (the shared session has CBO off)
+    val lr = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l }.head
+    val ct = LakeStats.statsFor(s, lr)
+    assert(ct.exists(_.stats.exists(_.rowCount.contains(BigInt(1600)))))
+    val cs = ct.flatMap(_.stats).map(_.colStats).getOrElse(Map.empty)
+    assert(cs.get("k").exists(_.distinctCount.exists(n =>
+      n >= 1550 && n <= 1650)), s"k NDV ≈ 1600, got ${cs.get("k")}")
+    assert(cs.get("g").exists(_.distinctCount.exists(n =>
+      n >= 10 && n <= 12)), s"g NDV ≈ 11, got ${cs.get("g")}")
+    assert(cs.get("g").exists(c => c.min.contains("0") &&
+      c.max.contains("77")))
+  }
+
+  test("ANALYZE t COMPUTE STATISTICS writes column stats through the SQL front door") {
+    val s = SparkTestBase.session
+    import s.implicits._
+    val sql = new graft.engine.LakeSql.Session(s,
+      Files.createTempDirectory("graft_lakesql_an").toString)
+    (0L until 500L).map(k => (k, k % 5L)).toDF("k", "g")
+      .createOrReplaceTempView("lakestats_src")
+    sql.exec("CREATE TABLE st AS SELECT k, g FROM lakestats_src")
+    val rep = sql.exec("ANALYZE st COMPUTE STATISTICS").head()
+    assert(rep.getAs[String]("verb") == "analyze")
+    assert(rep.getAs[Int]("rewritten_dirs") == 1) // one dir analyzed
+    // idempotent: nothing new to analyze
+    assert(sql.exec("ANALYZE st COMPUTE STATISTICS").head()
+      .getAs[Int]("rewritten_dirs") == 0)
+    // the read-verb ANALYZE still reports, and the log now carries meta
+    val st = LakeTable.replayState(s,
+      s"${sql.scratchRoot}/st", None)
+    assert(st.active.forall(st.colMeta.contains))
+    assert(st.colMeta.values.head.keySet == Set("k", "g"))
+  }
+
   test("row counts fold through commits and checkpoints") {
     val s = SparkTestBase.session
     import s.implicits._
