@@ -34,10 +34,11 @@ import org.apache.spark.sql.types._
   * never counted (pre-r18 commits) declines the lake path — partial
   * statistics would MISLEAD the reorder rather than inform it.
   *
-  * RAW parquet relations (and legacy lake logs) fall back to direct
-  * footer counting when the file set is small (≤ [[rawFooterCap]]
-  * files — plan-time driver IO must stay bounded; lake tables carry
-  * counts in the log precisely so scale never hits this path),
+  * RAW parquet relations (and legacy lake logs) fall back to footer
+  * counting — driver-side up to [[rawFooterDriverCap]] files, ONE
+  * distributed job above it (plan-time driver IO stays bounded
+  * either way; lake tables carry counts in the log so scale rarely
+  * hits this path at all),
   * cached by a (path, length, mtime) fingerprint: this is what lets
   * a MIXED join (lake table ⋈ ad-hoc parquet directory) reorder —
   * CBO needs rowCount on every joined item. Failure mode throughout:
@@ -63,11 +64,19 @@ object LakeStats {
   private val rawRows =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
 
-  /** Raw (non-lake) parquet relations above this many files never get
-    * footer-counted: plan-time driver IO must stay bounded. Lake
-    * tables carry their counts in the commit log precisely so scale
-    * does not hit this path. */
-  private val rawFooterCap = 1024
+  /** Raw (non-lake) parquet relations up to this many files are
+    * footer-counted on the DRIVER (serial, no job — cheap at plan
+    * time); above it the count runs as ONE distributed job, a task
+    * per bin of files (r18 verdict #4 — the former hard cliff
+    * declined big raw tables entirely, and one uncounted join item
+    * disables the whole CBO reorder). Var, not val: the threshold is
+    * a test seam (LakeStatsSpec drives the distributed path with a
+    * small cap). */
+  private[graft] var rawFooterDriverCap = 1024
+
+  /** Test hook: distributed footer-count jobs actually launched. */
+  private[graft] val rawDistributedJobs =
+    new java.util.concurrent.atomic.AtomicLong()
 
   // ------------------------------------------------------------------
   // Column-level statistics (r18 verdict #1): per-directory per-column
@@ -308,8 +317,10 @@ object LakeStats {
 
   /** Row count for a RAW parquet relation — the mixed-join fallback
     * (a lake ⋈ raw-directory join needs counts on BOTH sides before
-    * CBO will reorder it). Footer reads, driver-side, at most
-    * [[rawFooterCap]] files; cached by a (path, length, mtime)
+    * CBO will reorder it). Small file sets read footers on the
+    * driver; big ones run ONE distributed job (a task per bin of
+    * files, so driver memory holds only the path list it already had
+    * from the file index). Cached by a (path, length, mtime)
     * fingerprint so an in-place overwrite invalidates naturally. A
     * stale hit could anyway only mis-ESTIMATE — statistics never
     * decide correctness. */
@@ -323,19 +334,46 @@ object LakeStats {
       case pa: PartitioningAwareFileIndex => pa.allFiles()
       case _ => return None
     }
-    if (files.isEmpty || files.size > rawFooterCap) return None
+    if (files.isEmpty) return None
     val key = files.map(f =>
         s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString("|")
     Option(rawRows.computeIfAbsent(key, _ => {
       try {
         val conf = spark.sparkContext.hadoopConfiguration
-        Some(files.map { f =>
-          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(f.getPath, conf))
-          try in.getRecordCount finally in.close()
-        }.sum)
+        if (files.size <= rawFooterDriverCap)
+          Some(files.map { f =>
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(f.getPath, conf))
+            try in.getRecordCount finally in.close()
+          }.sum)
+        else {
+          // distributed: ship the hadoop conf as its property list
+          // (SerializableConfiguration is private[spark]) and bin
+          // ~64 files per task; the driver reduces partial sums only
+          rawDistributedJobs.incrementAndGet()
+          import scala.jdk.CollectionConverters._
+          val props = conf.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray
+          val paths = files.map(_.getPath.toString).toArray
+          val bins = math.max(1, math.min(512, paths.length / 64))
+          val total = spark.sparkContext
+            .parallelize(paths.toIndexedSeq, bins)
+            .mapPartitions { it =>
+              val c = new org.apache.hadoop.conf.Configuration()
+              props.foreach { case (k, v) => c.set(k, v) }
+              var sum = 0L
+              it.foreach { p =>
+                val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(new Path(p), c))
+                try sum += in.getRecordCount finally in.close()
+              }
+              Iterator.single(sum)
+            }.reduce(_ + _)
+          Some(total)
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     })).flatten
   }

@@ -246,6 +246,40 @@ class LakeStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
       c.max.contains("77")))
   }
 
+  test("raw parquet above the driver cap footer-counts in ONE distributed job") {
+    withCboSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_cbo_bigraw").toString
+      // 40 files ≫ a test-shrunk driver cap of 8 → the distributed
+      // path must engage (one job, partial sums reduced on the
+      // driver — the driver never holds more than the path list)
+      (0L until 4000L).map(k => (k, k % 7L)).toDF("k", "f")
+        .repartition(40).write.parquet(s"$dir/bigraw")
+      LakeTable.append((0L until 7L).map(k => (k, s"v$k"))
+        .toDF("d_k", "d_v"), s"$dir/dim")
+      val saved = LakeStats.rawFooterDriverCap
+      LakeStats.rawFooterDriverCap = 8
+      LakeStats.clearCache()
+      val jobs0 = LakeStats.rawDistributedJobs.get()
+      try {
+        val q = s.read.parquet(s"$dir/bigraw")
+          .join(LakeTable.read(s, s"$dir/dim"), col("f") === col("d_k"))
+          .groupBy("d_v").agg(count(lit(1)).as("n"))
+        val rowCounts = q.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.stats.rowCount.map(_.toLong)
+        }
+        assert(rowCounts.flatten.sorted == Seq(7L, 4000L),
+          s"the >cap raw table must still report its count, got $rowCounts")
+        assert(LakeStats.rawDistributedJobs.get() == jobs0 + 1,
+          "the distributed footer-count path must have run exactly once")
+        // second plan hits the fingerprint cache — no second job
+        q.queryExecution.optimizedPlan
+        assert(LakeStats.rawDistributedJobs.get() == jobs0 + 1)
+        assert(q.agg(sum("n")).head.getLong(0) == 4000L)
+      } finally LakeStats.rawFooterDriverCap = saved
+    }
+  }
+
   test("ANALYZE t COMPUTE STATISTICS writes column stats through the SQL front door") {
     val s = SparkTestBase.session
     import s.implicits._
