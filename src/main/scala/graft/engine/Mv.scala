@@ -526,6 +526,43 @@ object Mv {
                   condsOf(lf) ++ condsOf(rf) ++ cns),
              names, ad, lcs ++ rcs)
           }
+        // LEFT OUTER joins render NESTED, never flat (r18 verdict #7):
+        // outer joins neither commute nor associate with the inner
+        // legs around them, so the LJ node is an opaque LEAF — an
+        // exact-structure match is required wherever it appears (an
+        // inner flat above treats the whole LJ string as one leg
+        // identity, which IS sound: inner joins over the LJ's result
+        // commute fine). Conjunct POSITION matters across an outer
+        // join: a filter on right-side columns below the join decides
+        // null-extension, the same filter above decides row survival —
+        // so right-subtree conjuncts are BAKED into the leg's form
+        // (exact-match only, v1) while left-side conjuncts, which
+        // commute through a left join (σ_L(A ⟕ B) = σ_L(A) ⟕ B),
+        // continue into the global containment set. Both register and
+        // query plans pass the same optimizer (EliminateOuterJoin
+        // turns null-rejecting-above filters into inner joins before
+        // this code sees either), so placements compare like with
+        // like. Subset-drop serving never crosses an outer leg:
+        // sideLeg admits InnerLike joins only.
+        case j: Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          for {
+            (lf, ln, lad, lcs) <- render(j.left)
+            (rf, rn, rad, rcs) <- render(j.right)
+            if ln.values.toSet.intersect(rn.values.toSet).isEmpty
+            names = ln ++ rn
+            ad = lad ++ rad
+            cns <- j.condition match {
+              case Some(c) => exprNormal(c, names, ad).map(Seq(_))
+              case None => Some(Seq.empty[String])
+            }
+          } yield {
+            val rShown =
+              s"F([${rcs.map(_.norm).sorted.mkString(";")}],${show(rf)})"
+            (Leaf(s"LJ([${cns.sorted.mkString(";")}]," +
+                  s"${show(lf)},$rShown)"),
+             names, ad, lcs)
+          }
         case _ => None
       }
     render(p).map { case (f, names, _, cs) => (show(f), names, cs) }

@@ -8,6 +8,20 @@ object OracleR25 {
 
   val sql: ListMap[String, String] = ListMap(
 
+    // The LEFT join recomputed raw (the even-key dim re-derived in
+    // SQL): a serve that dropped the null-extended rows — i.e.
+    // treated the outer join as inner — would lose every odd-key
+    // order and hash-fail.
+    "mv_rewrite_left_star" ->
+      """SELECT o_orderstatus AS status, c_mktsegment AS segment,
+        |       count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders LEFT JOIN
+        |     (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_custkey % 2 = 0) d
+        |  ON o_custkey = c_custkey
+        |GROUP BY status, segment ORDER BY status, segment""".stripMargin,
+
     // The filtered join recomputed raw: statistics may only change
     // the PLAN — any row lost or duplicated by the cost-informed
     // physical choice would hash-fail here.

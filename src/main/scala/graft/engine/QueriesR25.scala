@@ -52,6 +52,38 @@ object QueriesR25 {
       .orderBy("prio", "status")
   }
 
+  /** LEFT-join star MV (r18 verdict #7): the MV summarizes orders
+    * LEFT-joined to a dimension covering only EVEN customer keys, so
+    * unmatched orders survive with a NULL segment — the outer-join
+    * shape inner-star serving could not express. The form renders
+    * NESTED (outer joins don't commute with inner legs), matching is
+    * exact-structure, and subset drops never cross the outer leg.
+    * The oracle recomputes the left join raw, null-extension
+    * included. */
+  def mvRewriteLeftStar(s: SparkSession, d: String): DataFrame = {
+    val fact = orders(s, d).select("o_orderkey", "o_custkey",
+                                   "o_orderstatus")
+    val hash = ArtifactCache.artifactHash(fact).take(16)
+    val root = LakeFixtures.cached(s, "mv_orders_leftstar", hash) { r =>
+      customer(s, d).select("c_custkey", "c_mktsegment")
+        .filter(col("c_custkey") % 2 === 0)
+        .write.parquet(s"$r/dim")
+      val dim = s.read.parquet(s"$r/dim")
+      Mv.register(s, "orders_mv_leftstar",
+        fact.join(dim, col("o_custkey") === col("c_custkey"), "left"),
+        Seq("o_orderstatus", "c_mktsegment"), Seq("o_orderkey"), s"$r/mv")
+    }
+    val dim = s.read.parquet(s"$root/dim")
+    def base =
+      fact.join(dim, col("o_custkey") === col("c_custkey"), "left")
+    Mv.register(s, "orders_mv_leftstar", base,
+      Seq("o_orderstatus", "c_mktsegment"), Seq("o_orderkey"), s"$root/mv")
+    base.groupBy(col("o_orderstatus").as("status"),
+                 col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      .orderBy("status", "segment")
+  }
+
   /** Cost-informed filtered join (r18 verdict #1): two lake tables
     * carrying ANALYZEd column statistics (min/max + HLL NDV + null
     * counts in the commit log), queried under CBO with a selective

@@ -402,6 +402,8 @@ object Registry {
     "mv_rewrite_or_filters" -> QueriesR25.mvRewriteOrFilters _,
     // ANALYZEd lake column statistics feeding CBO filter selectivity
     "lake_cbo_filtered_join" -> QueriesR25.lakeCboFilteredJoin _,
+    // LEFT-joined dimension star MVs (nested-form exact matching)
+    "mv_rewrite_left_star" -> QueriesR25.mvRewriteLeftStar _,
   )
 
   val oracleSql: ListMap[String, String] =

@@ -980,6 +980,74 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("LEFT-join star MV serves on exact form; outer legs never subset-drop") {
+    val fdir = Files.createTempDirectory("graft_mv_ljf").toString
+    val ddir = Files.createTempDirectory("graft_mv_ljd").toString
+    val rL = Files.createTempDirectory("graft_mv_ljsum").toString + "/mv"
+    Seq(("a", 0L, 1L), ("a", 1L, 2L), ("b", 2L, 3L), ("b", 3L, 4L),
+        ("c", 9L, 5L))
+      .toDF("g", "k", "x").write.mode("overwrite").parquet(fdir)
+    // dim misses the odd keys — the left join's null-extension is
+    // what distinguishes it from inner (rows k=1,3,9 survive with dv
+    // NULL)
+    Seq((0L, "even0"), (2L, "even2"))
+      .toDF("k2", "dv").write.mode("overwrite").parquet(ddir)
+    val fact = spark.read.parquet(fdir)
+    val dim = spark.read.parquet(ddir)
+    def base = fact.join(dim, col("k") === col("k2"), "left")
+    Mv.register(spark, "spec_mv_lj", base, Seq("g", "dv"), Seq("x"), rL)
+    val q = base.groupBy("g", "dv")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("g", "dv")
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(_.startsWith(rL)),
+      s"the LEFT-join query should serve from the MV, got $qp")
+    val served = q.collect().toSeq
+    // rule-off ground truth (null-extended rows included)
+    Mv.clear(spark)
+    val direct = fact.join(dim, col("k") === col("k2"), "left")
+      .groupBy("g", "dv")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")).orderBy("g", "dv")
+      .collect().toSeq
+    assert(served == direct, s"$served vs $direct")
+    assert(served.exists(_.isNullAt(1)),
+      "the fixture must exercise null-extension or the test proves nothing")
+    Mv.register(spark, "spec_mv_lj", base, Seq("g", "dv"), Seq("x"), rL)
+    // MUST-DECLINE: the INNER spelling of the same join is a
+    // different form (it drops the null-extended rows)
+    val d1 = fact.join(dim, col("k") === col("k2"))
+      .groupBy("g", "dv").agg(sum("x").as("sx"))
+    assert(scannedPaths(d1).exists(_.startsWith(fdir)),
+      "an inner spelling must decline against a left-join MV")
+    // MUST-DECLINE: dropping the LEFT-joined dim is never a valid
+    // subset serve (outer legs are excluded from subset proofs)
+    val d2 = fact.groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(d2).exists(_.startsWith(fdir)),
+      "dropping an outer dim must decline")
+    // a null-rejecting filter on the dim side above the join becomes
+    // an INNER join in the optimizer — also a different form, declines
+    val d3 = base.filter(col("dv") === "even0")
+      .groupBy("g").agg(sum("x").as("sx"))
+    assert(scannedPaths(d3).exists(_.startsWith(fdir)))
+    Mv.clear(spark)
+  }
+
+  test("round-19 registry key mv_rewrite_left_star is answered from its MV artifact") {
+    val q = graft.engine.Registry.queries("mv_rewrite_left_star")(spark, sfDir)
+    val qp = scannedPaths(q)
+    assert(qp.nonEmpty && qp.forall(p =>
+        p.contains("mv_orders_leftstar") && p.contains("/mv")),
+      s"mv_rewrite_left_star should scan only the SUMMARY, got $qp")
+    val served = q.collect().toSeq
+    Mv.clear(spark)
+    val raw = graft.engine.Registry.queries("mv_rewrite_left_star")(
+      spark, sfDir)
+    Mv.clear(spark) // rule-off for the ground-truth collect
+    assert(served == raw.collect().toSeq)
+    // the fixture exercises null-extension (odd custkeys unmatched)
+    assert(served.exists(_.isNullAt(1)))
+    Mv.clear(spark)
+  }
+
   test("ANSI serving contract: overflowing group-column SUM raises from BOTH spellings") {
     // r18 ADVICE #5, resolved as a contract PIN rather than a gate:
     // the served g×cnt spelling is built with the session's eval mode,
