@@ -626,14 +626,41 @@ object Mv {
 
   private val fkVerified =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // dim-uniqueness verdicts: "dimFp:pkNames" → unique-on-key
+  private val fkUniq =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // coverage verdicts at FILE grain (r18 verdict #8): "dimFp:pkNames:
+  // fkNames" → the set of fact-file identity hashes whose every fk
+  // tuple is verified to match dim(dimFp). "All keys in file F match
+  // this frozen dim" is a PER-FILE fact, so any relation whose file
+  // set ⊆ the verified set passes coverage with zero scanning, and a
+  // grown fact re-verifies only its NEW files — file removal can only
+  // shrink coverage obligations, never break them.
+  private val fkFiles = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[String]]()
 
-  /** Count of FK-verification JOB PAIRS actually run (test hook: the
-    * sidecar-skip assertion watches this not move). */
+  /** Count of FK-verification LEGS that ran ≥1 Spark job (test hook:
+    * the sidecar-skip assertion watches this not move). */
   private[graft] val fkVerifyRuns =
     new java.util.concurrent.atomic.AtomicLong()
 
+  /** Cumulative count of fact FILES scanned by coverage jobs (test
+    * hook: the incremental case asserts an append re-verification
+    * scans only the delta). */
+  private[graft] val fkVerifyFactFiles =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** Test hook: drop the in-process FK memo (the sidecar persists). */
-  private[graft] def clearFkMemo(): Unit = fkVerified.clear()
+  private[graft] def clearFkMemo(): Unit = {
+    fkVerified.clear(); fkUniq.clear(); fkFiles.clear()
+  }
+
+  // two independent 64-bit FNVs (salted second pass) — per-file
+  // verdicts must never alias across files, and 128 bits puts a
+  // collision beyond reach where 64 alone would merely make it rare
+  private def fileHash128(id: String): String =
+    java.lang.Long.toHexString(fnv64(id)) + "-" +
+      java.lang.Long.toHexString(fnv64("graft-fk#" + id))
 
   // ------------------------------------------------------------------
   // FK-verification sidecar: verdicts persist beside the MV's commit
@@ -649,6 +676,11 @@ object Mv {
   private def fkSidecarPath(root: String): Path =
     new Path(root, "_graft_log/mv_fkverified")
 
+  /** Sidecar line grammar (append-only, order-free):
+    *   `<fingerprint>\t<0|1>`            — exact (dim, fact) verdict
+    *   `u\t<dimFp:pk>\t<0|1>`            — dim uniqueness on key
+    *   `f\t<dimFp:pk:fk>\t<fileHash128>` — one verified fact FILE
+    * Unknown shapes are skipped (forward compatibility both ways). */
   private def loadFkSidecar(spark: SparkSession, root: String): Unit = {
     val f = hfs(spark, root)
     val p = fkSidecarPath(root)
@@ -659,6 +691,12 @@ object Mv {
                    finally in.close()
         text.linesIterator.foreach { line =>
           line.split('\t') match {
+            case Array("u", k, v) =>
+              fkUniq.putIfAbsent(k, java.lang.Boolean.valueOf(v == "1"))
+            case Array("f", k, h) =>
+              fkFiles.computeIfAbsent(k, _ =>
+                java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+                .add(h)
             case Array(k, v) =>
               fkVerified.putIfAbsent(k, java.lang.Boolean.valueOf(v == "1"))
             case _ => ()
@@ -669,7 +707,7 @@ object Mv {
   }
 
   private def saveFkSidecar(spark: SparkSession, root: String,
-                            fresh: Map[String, Boolean]): Unit = {
+                            fresh: Seq[String]): Unit = {
     if (fresh.isEmpty) return
     try {
       val f = hfs(spark, root)
@@ -680,9 +718,8 @@ object Mv {
           val in = f.open(p)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
         }
-      val have = existing.linesIterator
-        .flatMap(_.split('\t').headOption).toSet
-      val add = fresh.filterNot { case (k, _) => have(k) }
+      val have = existing.linesIterator.toSet
+      val add = fresh.distinct.filterNot(have)
       if (add.nonEmpty) {
         f.mkdirs(p.getParent)
         // write-to-temp + rename: two sessions registering different
@@ -694,9 +731,8 @@ object Mv {
         val tmp = new Path(p.getParent,
           s"${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         val out = f.create(tmp, true)
-        try out.write((existing +
-          add.toSeq.sorted.map { case (k, v) =>
-            s"$k\t${if (v) "1" else "0"}\n" }.mkString).getBytes("UTF-8"))
+        try out.write((existing + add.sorted.map(_ + "\n").mkString)
+          .getBytes("UTF-8"))
         finally out.close()
         if (!f.rename(tmp, p)) { // HDFS rename won't replace: delete+retry
           f.delete(p, false)
@@ -708,8 +744,7 @@ object Mv {
 
   private def subsetFormsOf(spark: SparkSession,
                             optBase: LogicalPlan,
-                            freshVerdicts:
-                              scala.collection.mutable.Map[String, Boolean])
+                            fresh: scala.collection.mutable.Buffer[String])
       : Map[String, Set[String]] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.InnerLike
@@ -731,22 +766,28 @@ object Mv {
         }
       case _ => None
     }
-    // (paths for reading, identity fingerprint): the fingerprint
-    // folds in LENGTH and MTIME — an in-place overwrite at the same
-    // paths must invalidate persisted verdicts (the sidecar outlives
-    // the files' contents; paths alone would trust a stale verdict)
-    def parquetFiles(lr: LogicalRelation): Option[(Seq[String], Long)] =
+    // (paths for reading, PER-FILE identity strings, set fingerprint):
+    // identities fold in LENGTH and MTIME — an in-place overwrite at
+    // the same paths must invalidate persisted verdicts (the sidecar
+    // outlives the files' contents; paths alone would trust a stale
+    // verdict). Per-file identities are what the incremental coverage
+    // path keys its verified-file set by.
+    def parquetFiles(lr: LogicalRelation)
+        : Option[(Seq[(String, String)], Long)] =
       lr.relation match {
         case fsr: HadoopFsRelation
             if fsr.fileFormat.isInstanceOf[ParquetFileFormat] =>
           fsr.location match {
             case pa: org.apache.spark.sql.execution.datasources
                        .PartitioningAwareFileIndex =>
-              val ids = pa.allFiles().map(f =>
-                s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-                .sorted
-              Some((fsr.location.inputFiles.toSeq.sorted,
-                    fnv64(ids.mkString(","))))
+              // (path, identity) pairs — identity strings sorted
+              // exactly as before so set fingerprints stay stable
+              // against sidecars written by earlier rounds
+              val pairs = pa.allFiles().map { f =>
+                (f.getPath.toString,
+                 s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              }.sortBy(_._2)
+              Some((pairs.toSeq, fnv64(pairs.map(_._2).mkString(","))))
             case _ => None // no per-file identity → no verdict to trust
           }
         case _ => None
@@ -811,8 +852,8 @@ object Mv {
       }
       (for {
         fl <- factLeaf
-        (dimFiles, dimFp) <- parquetFiles(leg.dim)
-        (factFiles, factFp) <- parquetFiles(fl)
+        (dimPairs, dimFp) <- parquetFiles(leg.dim)
+        (factPairs, factFp) <- parquetFiles(fl)
       } yield {
         val pkNames = leg.pk.map(_.name)
         val fkNames = leg.fk.map(_.name)
@@ -824,20 +865,52 @@ object Mv {
           // "not verified NOW": decline the leg without recording a
           // verdict anywhere — a false from an outage must not stick
           try {
-            fkVerifyRuns.incrementAndGet()
-            val dimKeys = spark.read.parquet(dimFiles: _*)
+            // INCREMENTAL verification (r18 verdict #8): uniqueness is
+            // a pure function of the frozen dim file set, and coverage
+            // decomposes per fact FILE — so an APPEND-grown fact
+            // re-verifies only its new files against an unchanged dim,
+            // and a shrunk one re-verifies nothing at all
+            val uniqKey = s"$dimFp:${pkNames.mkString(",")}"
+            val fileKey = s"$uniqKey:${fkNames.mkString(",")}"
+            val known = Option(fkFiles.get(fileKey))
+            val delta = factPairs.map { case (p, id) =>
+              (p, fileHash128(id))
+            }.filterNot { case (_, h) => known.exists(_.contains(h)) }
+            if (!fkUniq.containsKey(uniqKey) || delta.nonEmpty)
+              fkVerifyRuns.incrementAndGet()
+            lazy val dimKeys = spark.read
+              .parquet(dimPairs.map(_._1): _*)
               .select(pkNames.map(col): _*)
-            val factKeys = spark.read.parquet(factFiles: _*)
-              .select(fkNames.map(col): _*)
-            val unique = dimKeys.groupBy(pkNames.map(col): _*)
-              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-            val ok = unique && factKeys.join(dimKeys,
-              fkNames.zip(pkNames)
-                .map { case (f, p) => factKeys(f) === dimKeys(p) }
-                .reduce(_ && _),
-              "left_anti").isEmpty
+            val unique =
+              Option(fkUniq.get(uniqKey)).map(_.booleanValue()).getOrElse {
+                val u = dimKeys.groupBy(pkNames.map(col): _*)
+                  .agg(count(lit(1)).as("__n"))
+                  .filter(col("__n") > 1).isEmpty
+                fkUniq.put(uniqKey, u)
+                fresh += s"u\t$uniqKey\t${if (u) "1" else "0"}"
+                u
+              }
+            val ok = unique && (delta.isEmpty || {
+              fkVerifyFactFiles.addAndGet(delta.size)
+              val factKeys = spark.read.parquet(delta.map(_._1): _*)
+                .select(fkNames.map(col): _*)
+              val covered = factKeys.join(dimKeys,
+                fkNames.zip(pkNames)
+                  .map { case (f, p) => factKeys(f) === dimKeys(p) }
+                  .reduce(_ && _),
+                "left_anti").isEmpty
+              if (covered) {
+                val set = fkFiles.computeIfAbsent(fileKey, _ =>
+                  java.util.concurrent.ConcurrentHashMap
+                    .newKeySet[String]())
+                delta.foreach { case (_, h) =>
+                  set.add(h); fresh += s"f\t$fileKey\t$h"
+                }
+              }
+              covered
+            })
             fkVerified.put(key, ok)
-            freshVerdicts(key) = ok
+            fresh += s"$key\t${if (ok) "1" else "0"}"
             ok
           } catch { case scala.util.control.NonFatal(_) => false }
         }
@@ -1044,9 +1117,9 @@ object Mv {
       else {
         // persisted verdicts let a fresh session skip the jobs
         loadFkSidecar(spark, root)
-        val fresh = scala.collection.mutable.Map[String, Boolean]()
+        val fresh = scala.collection.mutable.Buffer[String]()
         val forms = subsetFormsOf(spark, optBase, fresh)
-        saveFkSidecar(spark, root, fresh.toMap)
+        saveFkSidecar(spark, root, fresh.toSeq)
         forms
       }
     defsFor(spark).put(name, MvDef(name,

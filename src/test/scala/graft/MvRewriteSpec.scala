@@ -625,6 +625,51 @@ class MvRewriteSpec extends SparkTestBase {
     Mv.clear(spark)
   }
 
+  test("incremental FK verification: a fact append re-verifies only the delta files") {
+    val fdir = Files.createTempDirectory("graft_mv_fki").toString
+    val ddir = Files.createTempDirectory("graft_mv_fkid").toString
+    val rI = Files.createTempDirectory("graft_mv_fkisum").toString + "/mv"
+    Seq((1L, "r", 10L), (2L, "s", 20L)).toDF("fk", "tag", "x")
+      .repartition(1).write.mode("overwrite").parquet(fdir)
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    def joined = spark.read.parquet(fdir)
+      .join(spark.read.parquet(ddir), col("fk") === col("dk"))
+    Mv.clearFkMemo()
+    val files0 = Mv.fkVerifyFactFiles.get()
+    Mv.register(spark, "spec_mv_fki", joined, Seq("tag"), Seq("x"), rI)
+    val firstScan = Mv.fkVerifyFactFiles.get() - files0
+    assert(firstScan == 1L,
+      s"initial verification scans the single fact file, got $firstScan")
+    // the fact GROWS by one appended file (keys still all matching);
+    // the whole (dim, fact) fingerprint changes, but coverage is a
+    // per-FILE fact — re-verification must scan ONLY the new file
+    Seq((1L, "r", 100L), (2L, "s", 200L)).toDF("fk", "tag", "x")
+      .repartition(1).write.mode("append").parquet(fdir)
+    val mid = Mv.fkVerifyFactFiles.get()
+    Mv.register(spark, "spec_mv_fki", joined, Seq("tag"), Seq("x"), rI)
+    assert(Mv.fkVerifyFactFiles.get() == mid + 1,
+      s"append re-verification must scan only the delta file, " +
+        s"scanned ${Mv.fkVerifyFactFiles.get() - mid}")
+    // …and the subset serve reflects the grown base exactly
+    val q = spark.read.parquet(fdir).groupBy("tag")
+      .agg(sum("x").as("sx")).orderBy("tag")
+    assert(scannedPaths(q).forall(_.startsWith(rI)),
+      "subset serve should fire on the re-registered grown base")
+    assert(q.as[(String, Long)].collect().toSeq ==
+      Seq(("r", 110L), ("s", 220L)))
+    // a FRESH session reloads the per-file verdicts from the sidecar:
+    // zero files scanned, zero jobs run
+    Mv.clearFkMemo()
+    val runs = Mv.fkVerifyRuns.get()
+    val files = Mv.fkVerifyFactFiles.get()
+    Mv.register(spark, "spec_mv_fki", joined, Seq("tag"), Seq("x"), rI)
+    assert(Mv.fkVerifyRuns.get() == runs &&
+           Mv.fkVerifyFactFiles.get() == files,
+      "sidecar-loaded per-file verdicts must skip all verification work")
+    Mv.clear(spark)
+  }
+
   test("join-order canonicalization: a reversed join spelling still serves") {
     val fdir = Files.createTempDirectory("graft_mv_jof").toString
     val ddir = Files.createTempDirectory("graft_mv_jod").toString
