@@ -59,6 +59,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // "Broadcasting large task binary" (DAGScheduler WARN, 1 MiB
+    // threshold): the r19 inventory attributed ALL 32 occurrences to
+    // three embeddings-ingest keys (ingest_emb_replay / _refresh /
+    // ingest_forget_emb), stable at 1.1–2.1 MiB — the serialized DAG
+    // of the multi-batch exactly-once replay pipelines, not literal
+    // blowup (the kmeans codebook localCheckpoints per iteration
+    // precisely to keep plans constant-size, and centroids ride
+    // broadcast() joins). 2 MiB per stage broadcast is noise on a
+    // real cluster; the tail was burying real warnings in the bench
+    // record (r18 verdict #6). Muted HERE only — a production session
+    // keeps the signal.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR)
     // SPARK_GRAFT_BENCH_COLD=1 is the mechanical cold-kernel probe:
     // it skips warmup, forces a SINGLE timed run (a second run of the
     // same key would be warm, defeating the probe), and gives every
