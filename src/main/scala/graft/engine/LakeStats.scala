@@ -152,8 +152,17 @@ object LakeStats {
               expr(s"hll_sketch(CASE WHEN $q IS NULL THEN NULL " +
                    s"ELSE xxhash64($q) END)").as(s"nv_$i"))
       }
+    // root-RELATIVE directory of each file (clustered rewrites nest
+    // bucket leaves like "data-vN-x/__bucket=3", so a fixed
+    // one-segment parent is wrong): strip everything through the
+    // root's absolute path — input_file_name's scheme prefix varies
+    // ("file:/", "file:///"), the absolute path part does not
+    val rootAbs = new Path(root).toUri.getPath
+    val dirPattern =
+      java.util.regex.Pattern.quote(rootAbs) + "/(.+)/[^/]+$"
     val rows = df
-      .withColumn("__dir", element_at(split(input_file_name(), "/"), -2))
+      .withColumn("__dir",
+        regexp_extract(input_file_name(), dirPattern, 1))
       .groupBy("__dir").agg(aggs.head, aggs.tail: _*)
       .collect()
     val b64 = java.util.Base64.getEncoder

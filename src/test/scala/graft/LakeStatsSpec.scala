@@ -244,6 +244,43 @@ class LakeStatsSpec extends org.scalatest.funsuite.AnyFunSuite {
       n >= 10 && n <= 12)), s"g NDV ≈ 11, got ${cs.get("g")}")
     assert(cs.get("g").exists(c => c.min.contains("0") &&
       c.max.contains("77")))
+    // OPTIMIZE rewrites directories → the new dirs carry row counts
+    // (writeCommit footers) but no column meta until re-ANALYZE;
+    // serving declines cleanly in between, and the re-analyze is
+    // again incremental (only the rewritten dirs scan)
+    LakeTable.rewriteClustered(LakeTable.read(s, root), root, "k", 2)
+    val st2 = LakeTable.replayState(s, root, None)
+    assert(st2.active.forall(d => !st2.colMeta.contains(d)),
+      "rewritten dirs must start without column meta")
+    assert(LakeStats.analyze(s, root) == st2.active.size)
+    val st3 = LakeTable.replayState(s, root, None)
+    assert(st3.active.forall(st3.colMeta.contains))
+  }
+
+  test("join-key NDV reaches JoinEstimation: the joined output cardinality is key-bounded") {
+    withCboSession { s =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft_cbo_jndv").toString
+      // fact: 50k rows over 50 distinct join keys; dim: 50 rows keyed
+      // uniquely — with NDV on both key columns, JoinEstimation bounds
+      // the join output near the fact size instead of a naive product
+      LakeTable.append((0L until 50000L).map(k => (k % 50L, k))
+        .toDF("j_k", "payload"), s"$dir/fact")
+      LakeTable.append((0L until 50L).map(k => (k, s"d$k"))
+        .toDF("d_k", "d_v"), s"$dir/dim")
+      LakeStats.analyze(s, s"$dir/fact")
+      LakeStats.analyze(s, s"$dir/dim")
+      LakeStats.clearCache()
+      val q = LakeTable.read(s, s"$dir/fact")
+        .join(LakeTable.read(s, s"$dir/dim"), col("j_k") === col("d_k"))
+      val joinRows = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.stats.rowCount.map(_.toLong)
+      }.flatten
+      assert(joinRows.nonEmpty &&
+             joinRows.forall(n => n >= 40000 && n <= 70000),
+        s"join estimate should land near the 50000-row fact, got $joinRows")
+    }
   }
 
   test("raw parquet above the driver cap footer-counts in ONE distributed job") {
