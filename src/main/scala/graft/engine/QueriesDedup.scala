@@ -82,9 +82,9 @@ object QueriesDedup {
     // Same P6 artifact treatment as the word-shingle pair list
     // (Artifacts.nearDupPairs): the char-gram LSH pipeline materializes
     // once per (plan × corpus fingerprint).
-    ArtifactCache.materialize(
-      Ops.minhashNearDupFrom(g, "doc_id", threshold = 0.8),
-      Artifacts.cacheRoot, "ngram_jaccard_pairs")
+    ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
+      "ngram_jaccard_pairs", d)(
+      Ops.minhashNearDupFrom(g, "doc_id", threshold = 0.8))
       .orderBy("id1", "id2")
   }
 

@@ -305,13 +305,29 @@ object QueriesR11 {
         .cast("double").as("ss" + suffix),
       sum(when(cond && col("o_totalprice").isNull, 1L).otherwise(0L))
         .cast("double").as("n_null" + suffix),
-      countDistinct(when(cond, col("o_totalprice"))).cast("double")
-        .as("nd" + suffix),
       min(when(cond, col("o_totalprice"))).as("mn" + suffix),
       max(when(cond, col("o_totalprice"))).as("mx" + suffix))
     val cols = sliced(inA, "") ++ sliced(inB, "_b")
-    orders(s, d)
-      .agg(cols.head, cols.tail: _*)
+    // r19 optimization (guide §2.3/§4): TWO countDistincts in the same
+    // aggregate forced an Expand(×3) — every order row was replicated
+    // three times through the 14-expression hash aggregate (measured
+    // 1.0 s of the key's 1.16 s at sf0.1). The distinct counts now ride
+    // their own two-level aggregate (distinct values per slice flag,
+    // then a count — both map-side combined, no row replication) and
+    // rejoin the one-row moments frame by cross join. Same exact
+    // counts: countDistinct(when(cond, v)) counts distinct non-null v
+    // among cond rows ≡ count(v where slice-flag) over the per-value
+    // bool_or of cond. At 100 TB the moments pass streams once with
+    // map-side partials and the distinct pass shuffles only
+    // per-partition distinct values — strictly fewer bytes than the
+    // Expand plan shuffled for the same legs.
+    val moments = orders(s, d).agg(cols.head, cols.tail: _*)
+    val nd = orders(s, d)
+      .select(col("o_totalprice").as("tp"), inA.as("a"), inB.as("b"))
+      .groupBy("tp").agg(max("a").as("ha"), max("b").as("hb"))
+      .agg(count(when(col("ha"), col("tp"))).cast("double").as("nd"),
+           count(when(col("hb"), col("tp"))).cast("double").as("nd_b"))
+    moments.crossJoin(nd)
       .selectExpr(
         """stack(6,
           |'mean',   round(sm / n, 6),  round(sm_b / n_b, 6),

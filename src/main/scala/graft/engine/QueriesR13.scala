@@ -395,13 +395,13 @@ object QueriesR13 {
     * cache — the pagerank-edges discipline; without it Catalyst
     * re-derives the lineitem⋈part+distinct subtree per reference. */
   def basketAssocRules(s: SparkSession, d: String): DataFrame = {
-    val items = ArtifactCache.materialize(
+    val items = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
+      "basket_items_v1", d)(
       lineitem(s, d).select("l_orderkey", "l_partkey")
         .join(part(s, d).select("p_partkey", "p_brand"),
               col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
-        .distinct(),
-      Artifacts.cacheRoot, "basket_items_v1")
+        .distinct())
     val tot = items.agg(countDistinct("okey").as("n_baskets"))
     val cnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = items.groupBy("okey")

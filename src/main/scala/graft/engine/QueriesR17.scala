@@ -223,9 +223,9 @@ object QueriesR17 {
     // over the explode into one build + tiny parquet scans (the
     // nearDupPairs posture). Deterministic in (corpus, n, stride,
     // cap) — all in the plan hash.
-    val kept = ArtifactCache.materialize(
-      containmentKept(g, dfCap),
-      Artifacts.cacheRoot, s"containment_kept_n12s4df$dfCap")
+    val kept = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
+      s"containment_kept_n12s4df$dfCap", d)(
+      containmentKept(g, dfCap))
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.select(col("doc_id").as("id1"), col("shingle"))
       .join(kept.select(col("doc_id").as("id2"), col("shingle")),
@@ -386,12 +386,12 @@ object QueriesR17 {
     * anti-join exclusions keep frontiers from re-expanding the
     * visited set (the textbook distributed-BFS discipline). */
   def graphBfsHops(s: SparkSession, d: String): DataFrame = {
-    val edges = ArtifactCache.materialize(
+    val edges = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
+      "bfs_edges_v1", d)(
       lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
-        .distinct(),
-      Artifacts.cacheRoot, "bfs_edges_v1")
+        .distinct())
     val s0 = supplier(s, d).filter(col("s_suppkey") % 50 === 1)
       .select(col("s_suppkey").as("id")).distinct()
     val c1 = edges.join(s0, edges("sup") === s0("id"))

@@ -20,8 +20,53 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *    operator downstream is partition-count-agnostic.
   */
 object Tables {
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Round-19 optimization (guide §1/§6): a bare `spark.read.parquet`
+  // runs a schema-INFERENCE job (read footers) on every call — 134 ms
+  // measured per table read at sf0.1, paid by every key's every run
+  // (≈ 2 tables × 4 runs × 308 keys across a bench session). A real
+  // deployment reads through a catalog that already knows the schema;
+  // this memo is that catalog: it caches ONLY the inferred schema,
+  // keyed by the table path + the footer-semantics conf, and
+  // re-validated against the file statuses (len+mtime, one stat/list
+  // per call) so a rewritten table re-infers. The returned frame is
+  // still a fresh `spark.read...parquet(path)` — file listing, scan,
+  // pushdown, and the DATA are untouched; only the redundant
+  // inference job is skipped.
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def statFp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(c =>
+            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted.mkString(",")
+      else s"${st.getLen}:${st.getModificationTime}"
+    } catch { case _: Exception => "absent" }
+  }
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // nanosAsLong changes what a TIMESTAMP(NANOS) footer infers AS —
+    // fold it into the key so events' flagged read can't serve an
+    // unflagged session's schema (or vice versa).
+    val flag = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+    val key = s"$path|$flag"
+    val fp = statFp(spark, path)
+    val m = schemaMemo.get(key)
+    val schema =
+      if (m != null && m._1 == fp) m._2
+      else {
+        val inferred = spark.read.parquet(path).schema
+        schemaMemo.put(key, (fp, inferred))
+        inferred
+      }
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
