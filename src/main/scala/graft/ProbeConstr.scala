@@ -39,6 +39,13 @@ object ProbeConstr {
     time("LakeTable.read + count") {
       LakeTable.read(spark, Ingest.docsRoot(droot)).count()
     }
+    time("artifactHash(simple orders frame)") {
+      ArtifactCache.artifactHash(
+        Tables.orders(spark, d).select("o_orderkey", "o_orderstatus"))
+    }
+    time("inputFiles(simple orders frame)") {
+      Tables.orders(spark, d).select("o_orderkey").inputFiles.length
+    }
     spark.stop()
   }
 }

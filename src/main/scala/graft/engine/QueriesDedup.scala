@@ -43,24 +43,33 @@ object QueriesDedup {
           |  CAST(conv(substring(md5(t), 13, 4), 16, 10) AS INT))""".stripMargin))
       .groupBy("doc_id")
       .agg(expr("simhash_bands(bands, cnt)").as("sig"))
-    val bv = sig.select(col("doc_id"), posexplode(col("sig")))
-      .select(col("doc_id"), col("pos").as("j"), col("col").as("bv"))
-    val cand = bv.as("a")
-      .join(bv.as("b"),
-        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    // r19 optimization (guide §2.4): the band rows CARRY the full
+    // signature through the self-join, so the verification needs no
+    // sig re-joins — the signature aggregate used to feed THREE
+    // consumers (band explode + both verification join sides), and
+    // the per-token ObjectHashAggregate above the reused token
+    // exchange re-ran per consumer. Two consumers (the self-join's
+    // two sides) remain; the extra join payload is 4 longs/row on a
+    // banded candidate sliver. Dedup moves AFTER the hamming filter
+    // (collapsing only survivors): a pair sharing k bands appears k
+    // times with identical signatures, so the hamming value is
+    // identical per copy and DISTINCT on the final projection yields
+    // exactly the old result.
+    val bv = sig.select(col("doc_id"), col("sig"), posexplode(col("sig")))
+      .select(col("doc_id"), col("sig"), col("pos").as("j"),
+              col("col").as("bv"))
     // hamming_dist: codegen'd primitive long loop over the signature
     // arrays (Exprs.HammingDistExpr) — one expression node per pair
     // instead of four element_at + xor + bit_count chains.
     Exprs.register(s)
-    cand
-      .join(sig.as("sa"), col("id1") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("id2") === col("sb.doc_id"))
-      .withColumn("hamming", expr("hamming_dist(sa.sig, sb.sig)"))
+    bv.as("a")
+      .join(bv.as("b"),
+        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("hamming_dist(a.sig, b.sig)").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select("id1", "id2", "hamming")
+      .distinct()
       .orderBy("id1", "id2")
   }
 
