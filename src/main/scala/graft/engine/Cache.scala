@@ -150,20 +150,36 @@ object ArtifactCache {
       .map(_.toString).distinct.sorted
   }
 
-  /** One FS listing per watched directory: dir mtime + every child's
-    * (name, length, mtime, isDir). Missing dir renders as "absent" —
-    * compares unequal to any live listing, forcing the full path. */
+  /** One FS listing per watched directory: every child's (name,
+    * length, mtime, isDir). Missing dir renders as "absent" —
+    * compares unequal to any live listing, forcing the full path.
+    *
+    * Two deliberate exclusions, both LRU-clock artifacts of this very
+    * cache (an artifact dir is often the INPUT of another artifact —
+    * phash pairs read the phash table; incremental-dedup candidates
+    * read the band index — and a fingerprint that sees the upstream
+    * read's own bookkeeping would self-invalidate every call):
+    *  - `_SUCCESS` fingerprints by PRESENCE only: it is a zero-length
+    *    commit marker whose mtime [[materializeKeyed]] repurposes as
+    *    the LRU touch; its existence matters (half-written artifact
+    *    detection), its mtime is cache metadata, and the data content
+    *    it guards is covered by the sibling part-files' entries.
+    *  - the directory's own mtime is folded in only via the child
+    *    list: posix updates it on entry create/delete, which the
+    *    sorted child list already captures, while `setTimes` on a
+    *    child does not touch it. */
   private def listingFp(spark: SparkSession, dirs: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     dirs.map { ds =>
       val p = new Path(ds)
       val fs = p.getFileSystem(conf)
       try {
-        val self = fs.getFileStatus(p)
-        val kids = fs.listStatus(p).map(st =>
-            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:${st.isDirectory}")
-          .sorted.mkString(",")
-        s"$ds@${self.getModificationTime}[$kids]"
+        val kids = fs.listStatus(p).map { st =>
+          val n = st.getPath.getName
+          if (n == "_SUCCESS" || n == "._SUCCESS.crc") s"$n:present"
+          else s"$n:${st.getLen}:${st.getModificationTime}:${st.isDirectory}"
+        }.sorted.mkString(",")
+        s"$ds[$kids]"
       } catch { case _: Exception => s"$ds@absent" }
     }.mkString("\n")
   }

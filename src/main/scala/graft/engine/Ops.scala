@@ -208,14 +208,15 @@ object Ops {
                                 textCol: String, shingleSize: Int = 5,
                                 numHashes: Int = 32, rowsPerBand: Int = 2,
                                 threshold: Double = 0.8,
-                                maxBucket: Int = 256): DataFrame = {
-    val deltaSh = shingles(deltaDocs, idCol, textCol, shingleSize)
-    val db = lshBandIndex(deltaSh, idCol, numHashes, rowsPerBand, maxBucket)
-    val candBase = db.as("a").join(baseBands.as("b"),
+                                maxBucket: Int = 256,
+                                memoKey: Option[String] = None): DataFrame = {
+    lazy val deltaSh = shingles(deltaDocs, idCol, textCol, shingleSize)
+    lazy val db = lshBandIndex(deltaSh, idCol, numHashes, rowsPerBand, maxBucket)
+    lazy val candBase = db.as("a").join(baseBands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col(s"a.$idCol").as("doc_id"), col(s"b.$idCol").as("match_id"),
               lit("base").as("match_src"))
-    val candDelta = db.as("a").join(db.as("b"),
+    lazy val candDelta = db.as("a").join(db.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col(s"a.$idCol") > col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id"), col(s"b.$idCol").as("match_id"),
@@ -236,9 +237,22 @@ object Ops {
     // makes REPEATED sessions over an unchanged batch (the r9-verdict
     // #6 steady state) skip straight to verification instead of
     // re-hashing the delta every run.
-    val cand = ArtifactCache.materialize(
-      candBase.unionByName(candDelta).distinct(),
-      Artifacts.cacheRoot, "neardup_incr_cand_v1")
+    // memoKey (r19 optimization): callers whose (base index × delta)
+    // is identified by a stable key (the batch-query keys pass the
+    // data dir) ride the materializeLazy hit path — the wide
+    // delta-minhash plan (lazy vals above) is never even ANALYZED on
+    // a fresh hit; the streaming ingest passes None (its base frames
+    // carry checkpoint-backed exclusion joins with no stable plan
+    // hash) and keeps the per-call derivation.
+    val cand = memoKey match {
+      case Some(k) => ArtifactCache.materializeLazy(
+        baseDocs.sparkSession, Artifacts.cacheRoot,
+        "neardup_incr_cand_v1", k)(
+        candBase.unionByName(candDelta).distinct())
+      case None => ArtifactCache.materialize(
+        candBase.unionByName(candDelta).distinct(),
+        Artifacts.cacheRoot, "neardup_incr_cand_v1")
+    }
     // Verification shingles come from DOCS pruned to candidate ids
     // BEFORE the explode — the semi join sits on the raw (id, text)
     // rows, so the base corpus is never re-shingled wholesale; only
@@ -862,11 +876,13 @@ object Ops {
     var labels = edges.groupBy(col("u"))
       .agg(min("v").as("mv"))
       .select(col("u").as("n"), least(col("u"), col("mv")).as("label"))
-      .observe(seedObs, sum("label").as("s"))
+      .observe(seedObs, sum("label").as("s"), count(lit(1)).as("c"))
       .localCheckpoint(true)
-    // Empty graph: no rounds to run, and the Σ-label probe below would
-    // read a null sum — return the (empty) identity labeling directly.
-    if (labels.isEmpty) return labels
+    // Empty graph: no rounds to run, and the Σ-label probe would read
+    // a null sum — return the (empty) identity labeling directly. The
+    // node count rides the same Observation as the sum (fired by the
+    // checkpoint action), so the probe costs no extra job.
+    if (seedObs.get("c").asInstanceOf[Long] == 0L) return labels
     var prevSum = seedObs.get("s").asInstanceOf[Long]
     var i = 0
     var converged = false

@@ -69,7 +69,8 @@ object QueriesR12 {
     val isDelta = col("doc_id") % 3 === 0
     Ops.minhashNearDupIncremental(
         Artifacts.baseBandIndex(s, d),
-        docs.filter(!isDelta), docs.filter(isDelta), "doc_id", "text")
+        docs.filter(!isDelta), docs.filter(isDelta), "doc_id", "text",
+        memoKey = Some(d))
       .orderBy("doc_id", "match_src", "match_id")
   }
 

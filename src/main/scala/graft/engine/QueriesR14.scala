@@ -270,14 +270,37 @@ object QueriesR14 {
            sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
              .cast("double").as("monetary"))
       .localCheckpoint(true)
-    def tiled(df: DataFrame, metric: String, outCol: String) =
-      Ops.exactNtile(
-        Ops.exactGlobalRank(df, Seq(col(metric), col("c_custkey"))),
-        tiles = 3, outCol)
-    val t = tiled(tiled(tiled(m, "recency", "r_tile"),
-                        "frequency", "f_tile"),
-                  "monetary", "m_tile")
-    t.withColumn("segment",
+    // r19 optimization (guide §2.4 "remove shuffles outright"): the
+    // three metric ntiles ran as three SEQUENTIAL global-rank passes —
+    // each a range-SAMPLING job + range exchange + window + metadata
+    // join over the whole (widening) frame: 3 samplings, 3 sorts,
+    // ~35 Exchange nodes. The metrics rank independently, so one TALL
+    // frame (customer × metric, the value cast order-preservingly to
+    // double) ranks all three in ONE grouped pass: one sampling, one
+    // range exchange on (metric, value, custkey), one window, then a
+    // pivot back to columns. Order equivalence: frequency is a row
+    // count < 2^53 (exact in double), recency compares identically as
+    // epoch micros, monetary is already the double the original pass
+    // ranked; ties carry the same c_custkey tiebreak, and each
+    // metric's group has the same n_total — so every tile boundary
+    // lands on the same customer and the result is byte-identical
+    // (oracle-verified).
+    val tall = m.select(col("c_custkey"), explode(array(
+        struct(lit(0).as("mid"),
+               unix_micros(col("recency").cast("timestamp"))
+                 .cast("double").as("mv")),
+        struct(lit(1).as("mid"), col("frequency").cast("double").as("mv")),
+        struct(lit(2).as("mid"), col("monetary").as("mv")))).as("e"))
+      .select(col("c_custkey"), col("e.mid").as("mid"), col("e.mv").as("mv"))
+    val tiledAll = Ops.exactNtile(
+      Ops.exactGroupRank(tall, Seq("mid"), Seq(col("mv"), col("c_custkey"))),
+      tiles = 3, "tile")
+    val tiles = tiledAll.groupBy("c_custkey").agg(
+      max(when(col("mid") === 0, col("tile"))).as("r_tile"),
+      max(when(col("mid") === 1, col("tile"))).as("f_tile"),
+      max(when(col("mid") === 2, col("tile"))).as("m_tile"))
+    m.join(tiles, "c_custkey")
+      .withColumn("segment",
         (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
           .cast("int"))
       .orderBy("c_custkey")
