@@ -196,7 +196,26 @@ object ArtifactCache {
     * different plans would already be a name-collision hazard in the
     * slow path's artifact naming discipline. */
   def materializeLazy(spark: SparkSession, cacheRoot: String, name: String,
-                      inputsKey: String)(produce: => DataFrame): DataFrame = {
+                      inputsKey: String)(produce: => DataFrame): DataFrame =
+    materializeLazyCore(spark, cacheRoot, name, inputsKey,
+                        artifactHash, produce)
+
+  /** [[materializeLazy]] for producing frames whose PLAN hash is not
+    * stable or not sufficient — typed mapPartitions pipelines embed
+    * JVM-specific lambda identities (the [[materializeKeyed]] caveat),
+    * so callers supply the hash themselves (input-frame hash + a
+    * driver-side LOGIC TAG probing the closure's code path, the
+    * doc_phashes posture). `hash` is only evaluated on a memo miss. */
+  def materializeLazyKeyed(spark: SparkSession, cacheRoot: String,
+                           name: String, inputsKey: String)(hash: => String)(
+                           produce: => DataFrame): DataFrame =
+    materializeLazyCore(spark, cacheRoot, name, inputsKey,
+                        _ => hash, produce)
+
+  private def materializeLazyCore(spark: SparkSession, cacheRoot: String,
+                                  name: String, inputsKey: String,
+                                  hashOf: DataFrame => String,
+                                  produce: => DataFrame): DataFrame = {
     val key = s"$cacheRoot|$name|$inputsKey"
     val cf = confFp(spark)
     val m = hitMemo.get(key)
@@ -213,7 +232,7 @@ object ArtifactCache {
       }
     }
     val df = produce
-    val hash = artifactHash(df)
+    val hash = hashOf(df)
     // Fingerprint the inputs BEFORE serving/computing: if a writer
     // lands between this snapshot and a later hit check, the compare
     // fails and the full path re-runs — stale-open races only ever
@@ -223,6 +242,21 @@ object ArtifactCache {
     val out = materializeKeyed(spark, cacheRoot, name, hash)(df)
     hitMemo.put(key, HitMemo(dirs, fp, cf, s"$cacheRoot/$name-$hash"))
     out
+  }
+
+  /** Test seam: drops every memoized hit so a suite can simulate a
+    * fresh JVM (the memo is in-process state; producing CODE cannot
+    * change under a live memo, so only tests need this). */
+  private[graft] def clearHitMemo(): Unit = hitMemo.clear()
+
+  /** Hex digest of raw bytes — the public face of [[md5hex]] for
+    * logic-tag probes (a fixture encoder's output on a fixed probe
+    * image, folded into a keyed artifact's hash so editing the codec
+    * regenerates the artifact instead of serving stale blobs). */
+  def bytesTag(bs: Array[Byte]*): String = {
+    val md = MessageDigest.getInstance("MD5")
+    bs.foreach(md.update)
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** `materialize` with a caller-supplied content hash, for artifacts

@@ -267,7 +267,26 @@ object QueriesExtra {
     * in-sandbox stand-in for blobs arriving from storage. All three
     * keys' oracles restate THIS generator's arithmetic; change it
     * only in lockstep with them. */
-  private[engine] def docPngBlobs(s: SparkSession, d: String): DataFrame = {
+  private[engine] def docPngBlobs(s: SparkSession, d: String): DataFrame =
+    // P6 artifact (r19 optimization): five keys (decode_png, resize,
+    // pixel_stats, patchify, phash via doc_phashes) re-ran this encode
+    // per call for blobs fully determined by the corpus — in
+    // production the blobs ARE the stored input; the synthetic encode
+    // is the in-sandbox stand-in for reading them from storage. Keyed
+    // on the input frame's content hash + a logic tag (one probe image
+    // through the SAME filtered encoder, covering the id%4 filter-
+    // cycling arm), so editing the pixel model or the PNG writer
+    // regenerates the artifact. The DECODE side of every consumer
+    // stays live per-call compute.
+    ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      "doc_png_blobs_v1", d)(
+      ArtifactCache.artifactHash(
+        documents(s, d).select(col("doc_id"), col("n_chars"))) + "-L" +
+        ArtifactCache.bytesTag(
+          Png.encodeGray8Filtered(7, 5, i => ((11 + i) % 251).toInt,
+                                  y => (y + 1) % 5),
+          Png.encodeGray8Filtered(6, 4, i => ((29 + i) % 251).toInt,
+                                  _ => 0))) {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"), col("n_chars"))

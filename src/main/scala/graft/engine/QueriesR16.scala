@@ -343,7 +343,25 @@ object QueriesR16 {
     * plane and the oracle restates every statistic in closed form.
     * Change this arithmetic only in lockstep with the oracle. */
   private[engine] def docJpegColorBlobs(s: SparkSession,
-                                        d: String): DataFrame = {
+                                        d: String): DataFrame =
+    // P6 artifact (r19 optimization, the docPngBlobs posture): the
+    // 4:2:0 color encode was the single heaviest per-call fixture
+    // synthesis in the registry (3-component Huffman over 16×16 MCUs);
+    // blobs are fully determined by the corpus and in production
+    // arrive from storage. Logic tag probes both restart arms through
+    // the SAME color encoder. Decode stays live per call.
+    ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      "doc_jpeg_color_blobs_v1", d)(
+      ArtifactCache.artifactHash(documents(s, d).select(col("doc_id"))) +
+        "-L" + ArtifactCache.bytesTag(
+          Jpeg.encodeColor420(16, 16, (x, y) => 2 * ((x + y) % 128),
+            (cx, cy) => 128 + 17 * ((cx + cy) % 15 - 7),
+            (cx, cy) => 128 + 17 * ((cx * 3 + cy) % 15 - 7),
+            restartInterval = 1),
+          Jpeg.encodeColor420(32, 16, (x, y) => 2 * ((x * 3 + y) % 128),
+            (cx, cy) => 128 + 17 * ((cx + cy * 5) % 15 - 7),
+            (cx, cy) => 128 + 17 * ((cx + cy) % 15 - 7),
+            restartInterval = 0))) {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"))

@@ -80,7 +80,21 @@ object QueriesR17 {
     * model in closed form. JpegSpec's parity tests cover nonzero-AC
     * refinement on general content. */
   private[engine] def docJpegProgressiveBlobs(s: SparkSession,
-                                              d: String): DataFrame = {
+                                              d: String): DataFrame =
+    // P6 artifact (r19 optimization, the docPngBlobs posture): blobs
+    // are fully determined by the corpus; the six-scan progressive
+    // encode re-ran per call. Logic tag probes both restart arms
+    // through the SAME progressive encoder. Decode stays live.
+    ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      "doc_jpeg_prog_blobs_v1", d)(
+      ArtifactCache.artifactHash(documents(s, d).select(col("doc_id"))) +
+        "-L" + ArtifactCache.bytesTag(
+          Jpeg.encodeGray8Progressive(16, 8,
+            (x, y) => 2 * ((x / 8 + y / 8 * 2) * 7 % 128),
+            restartInterval = 1),
+          Jpeg.encodeGray8Progressive(8, 24,
+            (x, y) => 2 * ((x / 8 + y / 8) * 13 % 128),
+            restartInterval = 0))) {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"))
@@ -429,7 +443,21 @@ object QueriesR17 {
     *
     * Scale shape: mapPartitions over binary blobs (the sanctioned
     * codec exception), one row out per image. */
-  def multimodalDecodeGif(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic per-document GIF encode feeding
+    * multimodal_decode_gif — a P6 artifact (r19 optimization, the
+    * docPngBlobs posture): blobs are fully determined by the corpus;
+    * the LZW encode re-ran per call. Logic tag probes both interlace
+    * arms through the SAME encoder. */
+  private[engine] def docGifBlobs(s: SparkSession, d: String): DataFrame =
+    ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      "doc_gif_blobs_v1", d)(
+      ArtifactCache.artifactHash(
+        documents(s, d).select(col("doc_id"), col("n_chars"))) + "-L" +
+        ArtifactCache.bytesTag(
+          Gif.encodeGray8(7, 9, (x, y) => (x * 11 + y * 3) % 251,
+                          interlaced = true),
+          Gif.encodeGray8(5, 4, (x, y) => (x + y * 7) % 251,
+                          interlaced = false))) {
     import s.implicits._
     documents(s, d)
       .select(col("doc_id"), col("n_chars"))
@@ -446,6 +474,13 @@ object QueriesR17 {
           (x, y) => ((3 * id + y.toLong * w + x) % 251).toInt,
           interlaced = id % 3 == 0))
       })
+      .toDF("doc_id", "blob")
+  }
+
+  def multimodalDecodeGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docGifBlobs(s, d)
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
         val dec = Gif.decodeGray8(blob)
         val px = dec.pixels.map(b => (b & 0xff).toLong)

@@ -78,6 +78,35 @@ class CacheMemoSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("materializeLazyKeyed: hit skips produce AND hash; logic-tag change regenerates") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_memo_rootk").toString
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_memo_ink").toString + "/t.parquet"
+    writeTable(in, 10)
+    var built = 0
+    var hashed = 0
+    var tag = "L1"
+    def call() = ArtifactCache.materializeLazyKeyed(
+      spark, root, "memo_probek", in)({ hashed += 1; s"h-$tag" }) {
+      built += 1
+      spark.read.parquet(in).groupBy().agg(sum("v").as("sv"))
+    }
+    assert(call().head().getLong(0) == 90L && built == 1 && hashed == 1)
+    // hit: neither the hash thunk nor the producing frame evaluates
+    assert(call().head().getLong(0) == 90L)
+    assert(built == 1 && hashed == 1, "hit path re-derived hash or frame")
+    // a changed logic tag (codec edit) regenerates even though the
+    // memo'd input listing is unchanged — the memo only short-circuits
+    // when the caller-visible world is unchanged, so flush it the way
+    // a new JVM would arrive: with no memo but a live artifact dir.
+    tag = "L2"
+    ArtifactCache.clearHitMemo()
+    assert(call().head().getLong(0) == 90L)
+    assert(hashed == 2, "fresh JVM path did not re-evaluate the hash")
+    assert(built == 2, "changed logic tag served the stale artifact")
+  }
+
   test("Tables schema memo: a rewritten table re-infers its schema") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tmemo").toString
