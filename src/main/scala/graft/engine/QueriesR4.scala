@@ -61,25 +61,64 @@ object QueriesR4 {
     * qualify in both engines; (numwait DESC, s_name) is a total order
     * because s_name is unique. */
   def q21LastShipper(s: SparkSession, d: String): DataFrame = {
-    lineitem(s, d).createOrReplaceTempView("q21_lineitem")
-    orders(s, d).createOrReplaceTempView("q21_orders")
-    supplier(s, d).createOrReplaceTempView("q21_supplier")
-    s.sql("""
-      SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-      FROM q21_supplier s
-      JOIN q21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
-      JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-        AND EXISTS (SELECT 1 FROM q21_lineitem l2
-                    WHERE l2.l_orderkey = l1.l_orderkey
-                      AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
-                        WHERE l3.l_orderkey = l1.l_orderkey
-                          AND l3.l_suppkey <> l1.l_suppkey
-                          AND l3.l_shipdate > l1.l_shipdate)
-      GROUP BY s.s_name
-      ORDER BY numwait DESC, s.s_name
-      LIMIT 25""")
+    import org.apache.spark.sql.expressions.Window
+    // r19 optimization (guide §2.4 "remove shuffles outright", §3):
+    // the EXISTS/NOT EXISTS spelling decorrelated into a LeftSemi +
+    // LeftAnti pair that scanned lineitem THREE times and built two
+    // broadcasts of the FULL table keyed on l_orderkey (at 100 TB an
+    // order-keyed lineitem broadcast is impossible; here it was 60% of
+    // the key). Both subqueries only ask per-order questions, so ONE
+    // exchange of (orderkey, suppkey, shipdate) answers everything:
+    //   EXISTS(other supplier)      ⇔ nsupp(order) ≥ 2
+    //   NOT EXISTS(other supplier shipped LATER than l1)
+    //                               ⇔ othermax(order, supp) ≤ l1.date
+    // where othermax = max shipdate over the order's OTHER suppliers,
+    // derived from per-(order, supplier) maxima: m1 = top supplier-max
+    // in the order, cnt1 = suppliers achieving m1, m2 = next distinct
+    // supplier-max; othermax = m1 unless THIS supplier is the unique
+    // m1-holder (then m2). NULL care mirrors SQL exactly even though
+    // the fixture's shipdate is non-null: a NULL l1.date qualifies
+    // (l3.date > NULL is never true), a NULL othermax qualifies, and
+    // all-NULL supplier maxima leave smax NULL (treated as < m1 —
+    // correct, since that supplier can't be the unique m1 holder).
+    // Everything downstream of the single repartition(l_orderkey)
+    // stays in that partitioning: the (o,s,date)-grain collapse, the
+    // (o,s) maxima, the order-window, and the (o,s) join back are all
+    // clustered by a superset-key of l_orderkey. Oracle-verified
+    // byte-identical (sf0.01 + sf0.1 + 7-partition probe).
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+                   col("l_orderkey"))
+    val lc = l.groupBy("l_orderkey", "l_suppkey", "l_shipdate")
+      .agg(count(lit(1)).as("c"))
+    val g = lc.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("smax"))
+    val w = Window.partitionBy("l_orderkey")
+    val g2 = g
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("m1", max(col("smax")).over(w))
+    val g3 = g2
+      .withColumn("cnt1",
+        sum(when(col("smax") === col("m1"), 1).otherwise(0)).over(w))
+      .withColumn("m2", max(when(col("smax") < col("m1"), col("smax"))).over(w))
+      .withColumn("othermax",
+        when(col("smax").isNull || col("smax") < col("m1") ||
+             col("cnt1") >= 2, col("m1"))
+          .otherwise(col("m2")))
+      .select("l_orderkey", "l_suppkey", "nsupp", "othermax")
+    val qual = lc.join(g3, Seq("l_orderkey", "l_suppkey"))
+      .filter(col("nsupp") >= 2 &&
+        (col("l_shipdate").isNull || col("othermax").isNull ||
+         col("othermax") <= col("l_shipdate")))
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val sup = supplier(s, d).select("s_suppkey", "s_name")
+    qual.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(sum("c").cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
   }
 
   /** TPC-H Q22 shape — "idle rich customers": positive-balance
