@@ -137,14 +137,14 @@ object ArtifactCache {
   private val hitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, HitMemo]()
 
-  private def confFp(spark: SparkSession): String =
+  private[engine] def confFp(spark: SparkSession): String =
     Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
       .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
       .mkString("\n")
 
   /** Distinct parent + grandparent directories of the given leaf
     * files — the watch set whose listings fingerprint the inputs. */
-  private def watchDirs(files: Seq[String]): Seq[String] = {
+  private[engine] def watchDirs(files: Seq[String]): Seq[String] = {
     val parents = files.map(f => new Path(f).getParent).filter(_ != null)
     (parents ++ parents.map(_.getParent).filter(_ != null))
       .map(_.toString).distinct.sorted
@@ -168,7 +168,7 @@ object ArtifactCache {
     *    list: posix updates it on entry create/delete, which the
     *    sorted child list already captures, while `setTimes` on a
     *    child does not touch it. */
-  private def listingFp(spark: SparkSession, dirs: Seq[String]): String = {
+  private[engine] def listingFp(spark: SparkSession, dirs: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     dirs.map { ds =>
       val p = new Path(ds)

@@ -1508,4 +1508,50 @@ object LakeFixtures {
     }
     dir.toString
   }
+
+  // ------------------------------------------------------------------
+  // Fast HIT path (r19 optimization, the ArtifactCache.materializeLazy
+  // discipline applied to fixture ROOTS): ~34 lake/MV keys re-derived
+  // their fixture content hash per call — each an analyzed-plan render
+  // + an inputFiles stat walk (0.1–0.4 s of driver time) — only to
+  // find the same ready tree. The memo stores METADATA ONLY (watched
+  // source-dir listing fingerprint, conf fingerprint, resolved root);
+  // every call re-lists the SOURCE TABLE directories and falls back to
+  // the full hash derivation on any change, vanished ready marker, or
+  // semantics-bearing conf change. A false miss only costs speed.
+  // ------------------------------------------------------------------
+  private case class RootMemo(dirs: Seq[String], fp: String,
+                              cf: String, root: String)
+  private val rootMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, RootMemo]()
+
+  /** Test seam, mirroring ArtifactCache.clearHitMemo. */
+  private[graft] def clearRootMemo(): Unit = rootMemo.clear()
+
+  /** [[cached]] with the hash passed BY NAME and an in-JVM memoized
+    * hit path. `watch` supplies the source frames whose input files
+    * fingerprint freshness (evaluated only on a miss — later calls
+    * re-LIST the recorded directories, never rebuild the frames);
+    * `hash` is the same content hash callers passed to [[cached]]. */
+  def cachedLazy(spark: SparkSession, name: String, inputsKey: String)(
+      watch: => Seq[DataFrame])(hash: => String)(
+      build: String => Unit): String = {
+    val key = s"$name|$inputsKey"
+    val cf = ArtifactCache.confFp(spark)
+    val m = rootMemo.get(key)
+    if (m != null && m.cf == cf &&
+        ArtifactCache.listingFp(spark, m.dirs) == m.fp) {
+      val ready = new Path(m.root, ReadyMarker)
+      val f = ready.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(ready)) return m.root
+    }
+    val dirs = ArtifactCache.watchDirs(watch.flatMap(_.inputFiles.toSeq))
+    // snapshot the listing BEFORE deriving/building: a writer landing
+    // in between fails the next hit compare and re-derives — stale
+    // races only ever cause recomputation, never a stale root
+    val fp = ArtifactCache.listingFp(spark, dirs)
+    val root = cached(spark, name, hash)(build)
+    rootMemo.put(key, RootMemo(dirs, fp, cf, root))
+    root
+  }
 }

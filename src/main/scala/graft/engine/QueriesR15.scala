@@ -225,7 +225,7 @@ object QueriesR15 {
     // then every invocation times the log-replay READ path — and /tmp
     // no longer accretes a table copy per run. Build versions are
     // deterministic: 0, 1 = the two appends, 2 = the compaction.
-    val root = LakeFixtures.cached(s, "lake_tt_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_tt_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       LakeTable.append(base.filter(col("key") % 3 === 0), r)
       LakeTable.append(base.filter(col("key") % 3 === 1), r)
@@ -293,9 +293,10 @@ object QueriesR15 {
                 lit("N").as("new_status")))
     // content hash covers BOTH inputs (orders base + lineitem-derived
     // updates) — either table changing rebuilds the fixture
-    val hash = ArtifactCache.artifactHash(base).take(16) +
+    def hash = ArtifactCache.artifactHash(base).take(16) +
       ArtifactCache.artifactHash(updates).take(16)
-    val root = LakeFixtures.cached(s, "lake_merge_v1", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "lake_merge_v1", d)(
+      Seq(base, updates))(hash) { r =>
       LakeTable.append(base, r)
       val merged = LakeTable.read(s, r)
         .join(updates, Seq("key"), "full_outer")
@@ -399,7 +400,7 @@ object QueriesR15 {
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
       .withColumn("yr", substring(col("odate"), 1, 4))
-    val root = LakeFixtures.cached(s, "lake_skip_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_skip_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       LakeTable.appendPartitioned(base, r, "yr", "odate")
     }
@@ -429,7 +430,7 @@ object QueriesR15 {
       .select(col("o_orderkey").as("key"),
               col("o_orderstatus").as("status"),
               col("o_orderpriority").as("priority"))
-    val root = LakeFixtures.cached(s, "lake_evo_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_evo_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       LakeTable.append(base.filter(col("key") % 2 === 0)
         .drop("priority"), r)
@@ -501,7 +502,7 @@ object QueriesR15 {
               col("o_orderdate").cast("date").cast("string").as("odate"),
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
-    val root = LakeFixtures.cached(s, "lake_clu_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_clu_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       (0 until 4).foreach(p =>
         LakeTable.append(base.filter(col("key") % 4 === p), r))

@@ -46,7 +46,7 @@ object QueriesR16 {
               col("o_custkey").as("custkey"),
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
-    val root = LakeFixtures.cached(s, "lake_z2d_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_z2d_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       (0 until 4).foreach(p =>
         LakeTable.append(base.filter(col("key") % 4 === p), r))
@@ -120,18 +120,21 @@ object QueriesR16 {
     * needs data) are re-scanned, and the re-scan is FILTERED to those
     * groups. The touched-group set is O(|groups|) driver-side
     * metadata (the same posture as the lake log's stats collects).
-    * Returns (per-group min frame, the re-scanned group set — NULL
-    * group key as None) so tests — and an operator's monitoring — can
-    * assert the re-scan really was skipped. */
+    * Returns (per-group min frame, a LAZY readout of the re-scanned
+    * group set — NULL group key as None) so tests — and an operator's
+    * monitoring — can assert the re-scan really was skipped without
+    * the refresh path paying the readout job (r19: the eager collect
+    * + checkpoint ran one full feed computation per CALL at frame
+    * CONSTRUCTION time, even for callers that discard the set). */
   private[graft] def ivmMinMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame): (DataFrame, Set[Option[String]]) =
+      feed: DataFrame): (DataFrame, () => Set[Option[String]]) =
     ivmExtremumMaintain(before, after, feed, isMin = true)
 
   /** The same maintenance for MAX (a removal at price ≥ the current
     * maximum is what destroys information); both directions share one
     * implementation with the comparison and combiner flipped. */
   private[graft] def ivmMaxMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame): (DataFrame, Set[Option[String]]) =
+      feed: DataFrame): (DataFrame, () => Set[Option[String]]) =
     ivmExtremumMaintain(before, after, feed, isMin = false)
 
   /** NULL group keys are first-class throughout (the r12 advice, made
@@ -142,7 +145,7 @@ object QueriesR16 {
     * a stale extremum after a null-group delete). `touched` carries
     * the null group as None. */
   private def ivmExtremumMaintain(before: DataFrame, after: DataFrame,
-      feed: DataFrame, isMin: Boolean): (DataFrame, Set[Option[String]]) = {
+      feed: DataFrame, isMin: Boolean): (DataFrame, () => Set[Option[String]]) = {
     val aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (isMin) min else max
     val outCol = if (isMin) "min_price" else "max_price"
@@ -158,15 +161,17 @@ object QueriesR16 {
       .filter(if (isMin) col("price") <= col("ext0")
               else col("price") >= col("ext0"))
       .select("status").distinct()
-      .localCheckpoint(true) // tiny; 3 consumers (collect + 2 joins)
     // Driver-side ONLY as the monitoring/test return value (bounded
     // by |groups| — and a 100 TB deployment with pathological group
-    // cardinality would swap this readout for a count). The PLAN
-    // below never embeds the set: filtering is a null-safe anti/semi
-    // join against touchedDf (the r13-verdict anti-join spelling, now
-    // the only spelling), so group cardinality can never inflate the
-    // plan into a giant literal isin list.
-    val touched: Set[Option[String]] = touchedDf
+    // cardinality would swap this readout for a count), and LAZY
+    // (r19): the eager collect forced one full feed computation per
+    // call at construction time; callers that discard the set (the
+    // refresh path) now pay nothing. The PLAN below never embeds the
+    // set: filtering is a null-safe anti/semi join against touchedDf
+    // (the r13-verdict anti-join spelling, now the only spelling), so
+    // group cardinality can never inflate the plan into a giant
+    // literal isin list.
+    val touched: () => Set[Option[String]] = () => touchedDf
       .collect().map(r => Option(r.getString(0))).toSet
     val insExt = feed
       .filter(col("change_type").isin("insert", "update_postimage"))
@@ -182,13 +187,16 @@ object QueriesR16 {
         (if (isMin) least(col("ext0"), col("ext_new"))
          else greatest(col("ext0"), col("ext_new"))).as(outCol))
       .join(tJoin, col("status") <=> col("t_status"), "left_anti")
-    if (touched.isEmpty) (incremental, touched)
-    else {
-      val rescan = after
-        .join(tJoin, col("status") <=> col("t_status"), "left_semi")
-        .groupBy("status").agg(aggFn(col("price")).as(outCol))
-      (incremental.unionByName(rescan), touched)
-    }
+    // The rescan leg rides the plan UNCONDITIONALLY (r19): when no
+    // removal hit an extremum, touchedDf is empty and the semi join
+    // yields zero groups — AQE's empty-relation propagation collapses
+    // the leg at runtime, so the untouched case still never re-scans
+    // `after`; the old driver-side `if (touched.isEmpty)` bought the
+    // same skip at the price of an eager job per call.
+    val rescan = after
+      .join(tJoin, col("status") <=> col("t_status"), "left_semi")
+      .groupBy("status").agg(aggFn(col("price")).as(outCol))
+    (incremental.unionByName(rescan), touched)
   }
 
   /** SUM/AVG-maintaining IVM refresh from the feed (r10 verdict #4):
@@ -264,16 +272,19 @@ object QueriesR16 {
     * fixture lake_ivm_sumavg and lake_change_feed_deletes share.
     * Returns its root; versions are deterministically 0 and 1. */
   private def deletingMergeLakeTable(s: SparkSession, d: String): String = {
-    val base = orders(s, d)
+    lazy val base = orders(s, d)
       .select(col("o_orderkey").as("key"),
               col("o_orderstatus").as("status"),
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
-    val returned = lineitem(s, d).filter(col("l_returnflag") === "R")
+    lazy val returned = lineitem(s, d).filter(col("l_returnflag") === "R")
       .select(col("l_orderkey")).distinct()
-    val hash = ArtifactCache.artifactHash(base).take(16) +
-      ArtifactCache.artifactHash(returned).take(16)
-    LakeFixtures.cached(s, "lake_ivmsum_v1", hash) { r =>
+    // r19: cachedLazy memoizes the resolved root per (name, data dir) —
+    // the per-call hash derivation (two analyzed-plan renders + stat
+    // walks) only runs when the source tables' listings change
+    LakeFixtures.cachedLazy(s, "lake_ivmsum_v1", d)(Seq(base, returned))(
+      ArtifactCache.artifactHash(base).take(16) +
+        ArtifactCache.artifactHash(returned).take(16)) { r =>
       LakeTable.append(base, r)
       val upd = returned.select(col("l_orderkey").as("key"),
                                 lit(true).as("is_ret"))

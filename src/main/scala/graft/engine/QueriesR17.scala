@@ -659,7 +659,7 @@ object QueriesR17 {
               col("o_custkey").as("custkey"),
               round(col("o_totalprice"), 2)
                 .cast(DecimalType(18, 2)).as("price"))
-    val root = LakeFixtures.cached(s, "lake_zfiles_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_zfiles_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       (0 until 4).foreach(p =>
         LakeTable.append(base.filter(col("key") % 4 === p), r))

@@ -29,7 +29,7 @@ object QueriesR18 {
   def lakeLogCheckpoint(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"))
-    val root = LakeFixtures.cached(s, "lake_ckpt_v1",
+    val root = LakeFixtures.cachedLazy(s, "lake_ckpt_v1", d)(Seq(base))(
       ArtifactCache.artifactHash(base)) { r =>
       (0 until 12).foreach { i =>
         LakeTable.append(base.filter(col("key") % 14 === i), r)

@@ -35,7 +35,7 @@ object QueriesR21 {
   def lakeDeleteSurgical(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"))
-    val root = LakeFixtures.cached(s, "lake_del_cow",
+    val root = LakeFixtures.cachedLazy(s, "lake_del_cow", d)(Seq(base))(
         ArtifactCache.artifactHash(base)) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
@@ -55,7 +55,7 @@ object QueriesR21 {
     * directories. Output: the surviving snapshot. */
   def lakeDeleteBloom(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
-    val root = LakeFixtures.cached(s, "lake_del_bloom",
+    val root = LakeFixtures.cachedLazy(s, "lake_del_bloom", d)(Seq(docs))(
         ArtifactCache.artifactHash(docs)) { r =>
       for (b <- 0 to 3)
         LakeDml.appendWithBloom(
@@ -90,9 +90,10 @@ object QueriesR21 {
       .union(ret.filter(col("l_orderkey") % 50 === 0)
         .select((col("l_orderkey") + 100000000L).as("key"),
                 lit("N").as("status")))
-    val hash = ArtifactCache.artifactHash(base).take(16) +
+    def hash = ArtifactCache.artifactHash(base).take(16) +
       ArtifactCache.artifactHash(updates).take(16)
-    val root = LakeFixtures.cached(s, "lake_merge_cow", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "lake_merge_cow", d)(
+      Seq(base, updates))(hash) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
       LakeDml.mergeInto(s, r, updates, "key")
@@ -129,9 +130,9 @@ object QueriesR21 {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"))
     val li = lineitem(s, d)
-    val hash = ArtifactCache.artifactHash(base).take(16) +
+    def hash = ArtifactCache.artifactHash(base).take(16) +
       ArtifactCache.artifactHash(li).take(16)
-    LakeFixtures.cached(s, name, hash) { r =>
+    LakeFixtures.cachedLazy(s, name, d)(Seq(base, li))(hash) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
       LakeDml.bloomAll(s, r, "key")
@@ -154,7 +155,7 @@ object QueriesR21 {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"),
                                    col("o_custkey").as("cust"))
-    val root = LakeFixtures.cached(s, "lake_upd_cow",
+    val root = LakeFixtures.cachedLazy(s, "lake_upd_cow", d)(Seq(base))(
         ArtifactCache.artifactHash(base)) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
@@ -191,9 +192,10 @@ object QueriesR21 {
       .union(ret.filter(col("l_orderkey") % 50 === 0)
         .select((col("l_orderkey") + 100000000L).as("key"),
                 lit("N").as("status")))
-    val hash = ArtifactCache.artifactHash(base).take(16) +
+    def hash = ArtifactCache.artifactHash(base).take(16) +
       ArtifactCache.artifactHash(updates).take(16)
-    val root = LakeFixtures.cached(s, "lake_cdf_dml", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "lake_cdf_dml", d)(
+      Seq(base, updates))(hash) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
       LakeDml.mergeInto(s, r, updates, "key")

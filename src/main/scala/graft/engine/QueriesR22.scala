@@ -42,10 +42,12 @@ object QueriesR22 {
                         tableNames: Seq[String], buildScript: String,
                         finalSql: String): DataFrame = {
     graft.Sql.register(s, d)
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       orders(s, d).select("o_orderkey", "o_orderstatus", "o_custkey"))
       .take(16) + md5(buildScript).take(16)
-    val root = LakeFixtures.cached(s, name, hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, name, d)(
+      Seq(orders(s, d).select("o_orderkey", "o_orderstatus",
+                              "o_custkey")))(hash) { r =>
       new LakeSql.Session(s, r).script(buildScript)
     }
     val sess = new LakeSql.Session(s, root)
@@ -147,12 +149,13 @@ object QueriesR22 {
   def mvRewriteRollup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = orders(s, d)
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       base.select("o_orderstatus", "o_orderpriority", "o_custkey"))
       .take(16)
     val gcols = Seq("o_orderstatus", "o_orderpriority")
     val acols = Seq("o_custkey")
-    val root = LakeFixtures.cached(s, "mv_orders", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "mv_orders", d)(Seq(base))(
+      hash) { r =>
       Mv.register(s, "orders_mv", base, gcols, acols, r)
     }
     Mv.register(s, "orders_mv", base, gcols, acols, root)
@@ -179,8 +182,9 @@ object QueriesR22 {
     def reg(r: String): Unit =
       Mv.register(s, "orders_mv_inc", LakeTable.read(s, s"$r/base"),
         gcols, acols, s"$r/mv", hllCols = acols)
-    val hash = ArtifactCache.artifactHash(all).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_inc", hash) { r =>
+    def hash = ArtifactCache.artifactHash(all).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_inc", d)(Seq(all))(
+      hash) { r =>
       val delta = all.filter(col("o_orderkey") >= 20000)
       LakeTable.append(all.filter(col("o_orderkey") < 20000), s"$r/base")
       reg(r)
@@ -210,8 +214,9 @@ object QueriesR22 {
     val all = orders(s, d).select(col("o_orderdate").as("od"),
                                   col("o_custkey").as("cust"))
     val monExpr = "CAST(date_trunc('MONTH', od) AS DATE)"
-    val hash = ArtifactCache.artifactHash(all).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_month", hash) { r =>
+    def hash = ArtifactCache.artifactHash(all).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_month", d)(Seq(all))(
+      hash) { r =>
       LakeTable.append(all, s"$r/base")
       Mv.register(s, "orders_mv_month", LakeTable.read(s, s"$r/base"),
         Nil, Seq("cust"), s"$r/mv", groupExprs = Seq(("mon", monExpr)))
@@ -238,9 +243,10 @@ object QueriesR22 {
     import org.apache.spark.sql.functions._
     def joined = orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       joined.select("c_mktsegment", "o_orderkey")).take(16)
-    val root = LakeFixtures.cached(s, "mv_star", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "mv_star", d)(Seq(joined))(
+      hash) { r =>
       Mv.register(s, "orders_mv_star", joined,
         Seq("c_mktsegment"), Seq("o_orderkey"), r)
     }

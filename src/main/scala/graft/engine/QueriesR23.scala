@@ -45,10 +45,12 @@ object QueriesR23 {
                         tableNames: Seq[String], buildScript: String,
                         finalSql: String): DataFrame = {
     graft.Sql.register(s, d)
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       orders(s, d).select("o_orderkey", "o_orderstatus", "o_custkey"))
       .take(16) + md5(buildScript).take(16)
-    val root = LakeFixtures.cached(s, name, hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, name, d)(
+      Seq(orders(s, d).select("o_orderkey", "o_orderstatus",
+                              "o_custkey")))(hash) { r =>
       new LakeSql.Session(s, r).script(buildScript)
     }
     val sess = new LakeSql.Session(s, root)
@@ -67,9 +69,10 @@ object QueriesR23 {
   def mvRewriteExtraWhere(s: SparkSession, d: String): DataFrame = {
     def joined = orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       joined.select("c_mktsegment", "o_orderkey")).take(16)
-    val root = LakeFixtures.cached(s, "mv_star", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "mv_star", d)(Seq(joined))(
+      hash) { r =>
       Mv.register(s, "orders_mv_star", joined,
         Seq("c_mktsegment"), Seq("o_orderkey"), r)
     }
@@ -91,8 +94,9 @@ object QueriesR23 {
   def mvRewriteDatebridge(s: SparkSession, d: String): DataFrame = {
     val all = orders(s, d).select(col("o_orderdate").as("od"),
                                   col("o_custkey").as("cust"))
-    val hash = ArtifactCache.artifactHash(all).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_day", hash) { r =>
+    def hash = ArtifactCache.artifactHash(all).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_day", d)(Seq(all))(
+      hash) { r =>
       LakeTable.append(all, s"$r/base")
       Mv.register(s, "orders_mv_day", LakeTable.read(s, s"$r/base"),
         Nil, Seq("cust"), s"$r/mv",
@@ -135,8 +139,9 @@ object QueriesR23 {
   def mvRewriteImpliedRange(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d).select("o_custkey", "o_orderkey")
     def sliced = base.filter(col("o_custkey") < 1000L)
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_slice", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_slice", d)(Seq(base))(
+      hash) { r =>
       Mv.register(s, "orders_mv_slice", sliced,
         Seq("o_custkey"), Seq("o_orderkey"), r)
     }
@@ -168,10 +173,11 @@ object QueriesR23 {
     def reg(r: String): Unit =
       Mv.register(s, "orders_mv_star_inc", joined(r), gcols, acols,
         s"$r/mv")
-    val hash = ArtifactCache.artifactHash(fact).take(16) +
+    def hash = ArtifactCache.artifactHash(fact).take(16) +
       ArtifactCache.artifactHash(
         customer(s, d).select("c_custkey", "c_mktsegment")).take(16)
-    val root = LakeFixtures.cached(s, "mv_star_inc", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "mv_star_inc", d)(
+      Seq(fact, customer(s, d)))(hash) { r =>
       val delta = fact.filter(col("o_orderkey") >= 7500)
       LakeTable.append(fact.filter(col("o_orderkey") < 7500), s"$r/fact")
       reg(r)

@@ -47,9 +47,10 @@ object QueriesR24 {
     def full = orders(s, d)
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
-    val hash = ArtifactCache.artifactHash(
+    def hash = ArtifactCache.artifactHash(
       full.select("c_mktsegment", "o_orderkey")).take(16)
-    val root = LakeFixtures.cached(s, "mv_star3", hash) { r =>
+    val root = LakeFixtures.cachedLazy(s, "mv_star3", d)(Seq(full))(
+      hash) { r =>
       Mv.register(s, "orders_mv_star3", full,
         Seq("c_mktsegment"), Seq("o_orderkey"), r)
     }
@@ -78,8 +79,9 @@ object QueriesR24 {
     val base = orders(s, d).select("o_orderdate", "o_orderkey")
     def sliced = base.filter(
       col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_castslice", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_castslice", d)(
+      Seq(base))(hash) { r =>
       Mv.register(s, "orders_mv_castslice", sliced,
         Seq("o_orderdate"), Seq("o_orderkey"), r)
     }
@@ -101,8 +103,9 @@ object QueriesR24 {
     * doubles hash bit-equal. */
   def mvRewriteAvgInt(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d).select("o_orderstatus", "o_orderkey")
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_avg", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_avg", d)(Seq(base))(
+      hash) { r =>
       Mv.register(s, "orders_mv_avg", base,
         Seq("o_orderstatus"), Seq("o_orderkey"), r)
     }
@@ -125,8 +128,9 @@ object QueriesR24 {
   def mvRewriteCountDistinct(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
       .select("o_orderstatus", "o_custkey", "o_orderkey")
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_cd", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_cd", d)(Seq(base))(
+      hash) { r =>
       Mv.register(s, "orders_mv_cd", base,
         Seq("o_orderstatus", "o_custkey"), Seq("o_orderkey"), r)
     }
@@ -154,8 +158,9 @@ object QueriesR24 {
   def lakeMorTombstonePruned(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d).select(col("o_orderkey").as("key"),
                                    col("o_orderstatus").as("status"))
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "lake_mor_keyprune", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "lake_mor_keyprune", d)(
+      Seq(base))(hash) { r =>
       LakeTable.append(base, r)
       LakeTable.rewriteClustered(LakeTable.read(s, r), r, "key", 8)
       LakeDml.deleteByKeysMor(s, r, "key",

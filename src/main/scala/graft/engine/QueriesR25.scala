@@ -36,8 +36,9 @@ object QueriesR25 {
                                    "o_custkey")
     def sliced = base.filter(col("o_orderpriority").isin(
       "1-URGENT", "2-HIGH", "3-MEDIUM"))
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_prio", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_prio", d)(Seq(base))(
+      hash) { r =>
       Mv.register(s, "orders_mv_prio", sliced,
         Seq("o_orderpriority", "o_orderstatus"), Seq("o_custkey"), r)
     }
@@ -63,8 +64,9 @@ object QueriesR25 {
   def mvRewriteLeftStar(s: SparkSession, d: String): DataFrame = {
     val fact = orders(s, d).select("o_orderkey", "o_custkey",
                                    "o_orderstatus")
-    val hash = ArtifactCache.artifactHash(fact).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_leftstar", hash) { r =>
+    def hash = ArtifactCache.artifactHash(fact).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_leftstar", d)(
+      Seq(fact))(hash) { r =>
       customer(s, d).select("c_custkey", "c_mktsegment")
         .filter(col("c_custkey") % 2 === 0)
         .write.parquet(s"$r/dim")
@@ -100,8 +102,9 @@ object QueriesR25 {
     val fact = orders(s, d).select("o_orderkey", "o_custkey",
                                    "o_orderpriority")
     val dim = customer(s, d).select("c_custkey", "c_mktsegment")
-    val hash = ArtifactCache.artifactHash(fact).take(16)
-    val root = LakeFixtures.cached(s, "lake_cbo_join", hash) { r =>
+    def hash = ArtifactCache.artifactHash(fact).take(16)
+    val root = LakeFixtures.cachedLazy(s, "lake_cbo_join", d)(Seq(fact))(
+      hash) { r =>
       LakeTable.append(fact, s"$r/fact")
       LakeTable.append(dim, s"$r/dim")
       LakeStats.analyze(s, s"$r/fact")
@@ -141,8 +144,9 @@ object QueriesR25 {
       expr("CAST(CONCAT(CAST(o_orderkey % 1000 AS STRING), '.', " +
            "LPAD(CAST(o_orderkey % 100 AS STRING), 2, '0')) " +
            "AS DECIMAL(12,2))").as("v"))
-    val hash = ArtifactCache.artifactHash(base).take(16)
-    val root = LakeFixtures.cached(s, "mv_orders_decavg", hash) { r =>
+    def hash = ArtifactCache.artifactHash(base).take(16)
+    val root = LakeFixtures.cachedLazy(s, "mv_orders_decavg", d)(Seq(base))(
+      hash) { r =>
       LakeTable.append(base, s"$r/base")
       Mv.register(s, "orders_mv_decavg", LakeTable.read(s, s"$r/base"),
         Seq("status"), Seq("v"), s"$r/mv")

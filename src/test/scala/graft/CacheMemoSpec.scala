@@ -107,6 +107,35 @@ class CacheMemoSpec extends SparkTestBase {
     assert(built == 2, "changed logic tag served the stale artifact")
   }
 
+  test("LakeFixtures.cachedLazy: hit skips hash+build; source rewrite re-derives") {
+    import graft.engine.LakeFixtures
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_fix_in").toString + "/t.parquet"
+    writeTable(in, 10)
+    var hashed = 0
+    var built = 0
+    def src() = spark.read.parquet(in)
+    def call() = LakeFixtures.cachedLazy(spark, "memo_fixture_probe", in)(
+      Seq(src()))({ hashed += 1
+        graft.engine.ArtifactCache.artifactHash(src()) }) { r =>
+      built += 1
+      LakeTable.append(src().selectExpr("id AS k", "v"), r)
+    }
+    val r1 = call()
+    assert(hashed == 1 && built == 1)
+    assert(LakeTable.read(spark, r1).count() == 10)
+    // hit: neither the hash nor the build evaluates, same root returns
+    assert(call() == r1)
+    assert(hashed == 1 && built == 1, "hit path re-derived or re-built")
+    // source rewrite: listing changes → full derivation → NEW tree
+    writeTable(in, 12)
+    val r2 = call()
+    assert(hashed == 2, "source rewrite did not re-derive the hash")
+    assert(built == 2 && r2 != r1,
+      "source rewrite served the stale fixture tree")
+    assert(LakeTable.read(spark, r2).count() == 12)
+  }
+
   test("Tables schema memo: a rewritten table re-infers its schema") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tmemo").toString

@@ -501,7 +501,7 @@ class LakeTableSpec extends SparkTestBase {
     assert(feedRows == Seq((2L, "delete")),
       s"spurious feed entries for unchanged null-status rows: $feedRows")
     val (minV, scanned) = QueriesR16.ivmMinMaintain(before, after, feed)
-    assert(scanned == Set(Some("x")), s"got $scanned")
+    assert(scanned() == Set(Some("x")), s"got ${scanned()}")
     val got = minV.orderBy($"status".asc_nulls_first).collect()
       .map(r => (Option(r.getString(0)),
                  r.getDecimal(1).doubleValue())).toSeq
@@ -515,7 +515,7 @@ class LakeTableSpec extends SparkTestBase {
     val feedNull = QueriesR16.ivmSumFeed(before, afterNullHit)
     val (minNull, scannedNull) =
       QueriesR16.ivmMinMaintain(before, afterNullHit, feedNull)
-    assert(scannedNull == Set(None), s"got $scannedNull")
+    assert(scannedNull() == Set(None), s"got ${scannedNull()}")
     val gotNull = minNull.orderBy($"status".asc_nulls_first).collect()
       .map(r => (Option(r.getString(0)),
                  r.getDecimal(1).doubleValue())).toSeq
@@ -546,8 +546,8 @@ class LakeTableSpec extends SparkTestBase {
                             (4L, "y", 1.00), (5L, "x", 6.00)))
     val (minSafe, scannedSafe) = QueriesR16.ivmMinMaintain(
       before, afterSafe, QueriesR16.ivmSumFeed(before, afterSafe))
-    assert(scannedSafe.isEmpty,
-      s"non-extremal delete re-scanned groups $scannedSafe")
+    assert(scannedSafe().isEmpty,
+      s"non-extremal delete re-scanned groups ${scannedSafe()}")
     val gotSafe = minSafe.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotSafe == Seq(("x", 5.00), ("y", 1.00)), s"got $gotSafe")
@@ -558,8 +558,8 @@ class LakeTableSpec extends SparkTestBase {
                            (4L, "y", 1.00), (5L, "x", 2.50)))
     val (minHit, scannedHit) = QueriesR16.ivmMinMaintain(
       before, afterHit, QueriesR16.ivmSumFeed(before, afterHit))
-    assert(scannedHit == Set(Some("x")),
-      s"extremal delete should re-scan exactly x, got $scannedHit")
+    assert(scannedHit() == Set(Some("x")),
+      s"extremal delete should re-scan exactly x, got ${scannedHit()}")
     val gotHit = minHit.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotHit == Seq(("x", 2.50), ("y", 1.00)), s"got $gotHit")
@@ -569,7 +569,7 @@ class LakeTableSpec extends SparkTestBase {
                            (3L, "x", 7.00), (4L, "y", 1.00)))
     val (minUpd, scannedUpd) = QueriesR16.ivmMinMaintain(
       before, afterUpd, QueriesR16.ivmSumFeed(before, afterUpd))
-    assert(scannedUpd == Set(Some("x")), s"got $scannedUpd")
+    assert(scannedUpd() == Set(Some("x")), s"got ${scannedUpd()}")
     val gotUpd = minUpd.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotUpd == Seq(("x", 7.00), ("y", 1.00)), s"got $gotUpd")
@@ -580,7 +580,7 @@ class LakeTableSpec extends SparkTestBase {
                               (4L, "y", 1.00)))
     val (maxHit, scannedMaxHit) = QueriesR16.ivmMaxMaintain(
       before, afterMaxHit, QueriesR16.ivmSumFeed(before, afterMaxHit))
-    assert(scannedMaxHit == Set(Some("x")), s"got $scannedMaxHit")
+    assert(scannedMaxHit() == Set(Some("x")), s"got ${scannedMaxHit()}")
     val gotMaxHit = maxHit.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotMaxHit == Seq(("x", 7.00), ("y", 1.00)), s"got $gotMaxHit")
@@ -590,7 +590,7 @@ class LakeTableSpec extends SparkTestBase {
                                (4L, "y", 1.00), (5L, "x", 12.00)))
     val (maxSafe, scannedMaxSafe) = QueriesR16.ivmMaxMaintain(
       before, afterMaxSafe, QueriesR16.ivmSumFeed(before, afterMaxSafe))
-    assert(scannedMaxSafe.isEmpty, s"got $scannedMaxSafe")
+    assert(scannedMaxSafe().isEmpty, s"got ${scannedMaxSafe()}")
     val gotMaxSafe = maxSafe.orderBy("status").collect()
       .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toSeq
     assert(gotMaxSafe == Seq(("x", 12.00), ("y", 1.00)), s"got $gotMaxSafe")
