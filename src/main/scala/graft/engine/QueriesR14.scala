@@ -567,11 +567,20 @@ object QueriesR14 {
       .filter(col("is_stop") === 0)
     val phraseLen = Window.partitionBy("doc_id", "grp")
     val tok2 = runs.withColumn("plen", count(lit(1)).over(phraseLen))
-    val wordScore = tok2.groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
-      .select(col("doc_id"), col("t"),
-        round(col("deg").cast("double") / col("freq"), 9).as("ws"))
-    val phrases = tok2.join(wordScore, Seq("doc_id", "t"))
+    // r19 (guide §2.4): word scores used to be a groupBy(doc, t) +
+    // join back onto tok2 — the whole explode→window chain computed
+    // TWICE (probe + broadcast build, two sort+window passes over the
+    // reused exchange). A window over (doc_id, t) attaches the same
+    // freq/deg to every occurrence row in the one pipeline: no join,
+    // no duplicate chain, identical ws per occurrence (deg/freq is a
+    // per-(doc, t) constant either way).
+    val wordW = Window.partitionBy("doc_id", "t")
+    val scored = tok2
+      .withColumn("freq", count(lit(1)).over(wordW))
+      .withColumn("deg", sum("plen").over(wordW))
+      .withColumn("ws",
+        round(col("deg").cast("double") / col("freq"), 9))
+    val phrases = scored
       .groupBy("doc_id", "grp")
       .agg(
         expr("array_join(transform(array_sort(" +

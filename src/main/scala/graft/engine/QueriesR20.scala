@@ -50,15 +50,29 @@ object QueriesR20 {
   import org.apache.spark.sql.types.{DoubleType, LongType}
 
   /** The derived supplier↔part relation registered once per call
-    * under a key-scoped view name. */
+    * under a key-scoped view name.
+    *
+    * A P6 artifact since r19: this is the corpus's PARTSUPP stand-in —
+    * a real TPC-H deployment reads partsupp from storage, it doesn't
+    * re-derive it per query — and q2/q11/q20 each reference the view
+    * TWICE (outer + decorrelated subquery), so the lineitem aggregate
+    * ran up to twice per call. Consumers now scan ~1 narrow parquet
+    * row per (part, supplier) pair; the aggregate runs once per corpus
+    * fingerprint. */
   private def psView(s: SparkSession, d: String, prefix: String): Unit = {
+    // some consumers (q20's availability subquery) also reference the
+    // raw lineitem under the key-scoped name — keep registering it
     lineitem(s, d).createOrReplaceTempView(s"${prefix}_lineitem")
-    s.sql(
-      s"""SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         |       SUM(CAST(l_quantity AS BIGINT)) AS qty,
-         |       MIN(l_extendedprice / l_quantity) AS cost
-         |FROM ${prefix}_lineitem GROUP BY l_partkey, l_suppkey""".stripMargin)
-      .createOrReplaceTempView(s"${prefix}_ps")
+    val ps = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
+      "tpch_ps_v1", d) {
+      lineitem(s, d).createOrReplaceTempView("ps_build_lineitem")
+      s.sql(
+        """SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          |       SUM(CAST(l_quantity AS BIGINT)) AS qty,
+          |       MIN(l_extendedprice / l_quantity) AS cost
+          |FROM ps_build_lineitem GROUP BY l_partkey, l_suppkey""".stripMargin)
+    }
+    ps.createOrReplaceTempView(s"${prefix}_ps")
   }
 
   /** TPC-H Q2 shape — min-cost supplier: for small ECONOMY parts,

@@ -226,12 +226,22 @@ object QueriesR6 {
     // (ReuseExchange) and the corpus is split+exploded once, not four
     // times (4.4 s → ~1.5 s at sf0.1 in the full-session bench).
     val dt = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_doc"))
-    val biModel = dt.groupBy("w1", "w2").agg(sum("c_doc").as("c12"))
-    val uniModel = biModel.groupBy("w1").agg(sum("c12").as("c1"))
-    val v = uniModel.agg(count(lit(1)).cast("double").as("v_vocab"))
-    dt
-      .join(biModel, Seq("w1", "w2"))
-      .join(uniModel, Seq("w1"))
+    // r19 (guide §2.4): biModel/uniModel were re-AGGREGATIONS of dt
+    // joined back — reuse only deduped the first exchange, and per-
+    // branch column pruning made the explode subtree recompute for
+    // each model join. The model counts are per-(w1, w2) / per-(w1)
+    // constants, so WINDOWS over one w1 exchange attach them to every
+    // dt row in a single pipeline: c12 = Σ c_doc over (w1, w2), c1 =
+    // Σ c_doc over (w1) (≡ Σ c12 — same rows, same exact longs). Only
+    // the 1-row vocab count still re-derives the bigram chain (a
+    // global countDistinct can't ride a partitioned window).
+    import org.apache.spark.sql.expressions.Window
+    val scoredDt = dt
+      .withColumn("c12", sum("c_doc").over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum("c_doc").over(Window.partitionBy("w1")))
+    val v = dt.select("w1").distinct()
+      .agg(count(lit(1)).cast("double").as("v_vocab"))
+    scoredDt
       .crossJoin(broadcast(v))
       .withColumn("term",
         expr("CAST(round(-c_doc * ln((c12 + 1) / (c1 + v_vocab)), 9) " +
