@@ -240,7 +240,12 @@ object ArtifactCache {
     val dirs = watchDirs(df.inputFiles.toSeq)
     val fp = listingFp(spark, dirs)
     val out = materializeKeyed(spark, cacheRoot, name, hash)(df)
-    hitMemo.put(key, HitMemo(dirs, fp, cf, s"$cacheRoot/$name-$hash"))
+    // A frame with NO file inputs (checkpoint-backed training loops,
+    // LocalRelations) has an empty watch set — a memo would then hit
+    // forever with no freshness check. Such callers keep the full
+    // per-call derivation.
+    if (dirs.nonEmpty)
+      hitMemo.put(key, HitMemo(dirs, fp, cf, s"$cacheRoot/$name-$hash"))
     out
   }
 

@@ -1551,7 +1551,9 @@ object LakeFixtures {
     // races only ever cause recomputation, never a stale root
     val fp = ArtifactCache.listingFp(spark, dirs)
     val root = cached(spark, name, hash)(build)
-    rootMemo.put(key, RootMemo(dirs, fp, cf, root))
+    // empty watch set = no freshness check — never memoize it (the
+    // ArtifactCache.materializeLazyCore guard)
+    if (dirs.nonEmpty) rootMemo.put(key, RootMemo(dirs, fp, cf, root))
     root
   }
 }

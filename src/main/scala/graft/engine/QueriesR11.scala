@@ -460,6 +460,10 @@ object QueriesR11 {
     val tok = documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "w")
+    // (r19 note: a row-local flatten spelling — nested
+    // transform/slice over the token array, no self-join — was
+    // measured and REJECTED: nested higher-order string lambdas ran
+    // 2× slower than this join at sf0.1; see OPTIMIZATION_r19.md)
     val pairs = tok.as("a").join(tok.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
         col("b.pos") > col("a.pos") &&
@@ -468,8 +472,11 @@ object QueriesR11 {
               greatest(col("a.w"), col("b.w")).as("w2"))
     val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val cx = tok.groupBy("w").agg(count(lit(1)).as("c_x"))
+    // n_pair = Σ c_xy — derived from the aggregated frame, so the pair
+    // explode runs once behind cxy's reused exchange instead of twice
+    // (counting the raw pair stream re-ran the whole flatten)
     val totals = tok.agg(count(lit(1)).as("n_tok"))
-      .crossJoin(pairs.agg(count(lit(1)).as("n_pair")))
+      .crossJoin(cxy.agg(sum("c_xy").as("n_pair")))
     cxy
       .join(cx.select(col("w").as("w1"), col("c_x").as("c1")), "w1")
       .join(cx.select(col("w").as("w2"), col("c_x").as("c2")), "w2")
