@@ -207,15 +207,21 @@ object ArtifactCache {
     * driver-side LOGIC TAG probing the closure's code path, the
     * doc_phashes posture). `hash` is only evaluated on a memo miss. */
   def materializeLazyKeyed(spark: SparkSession, cacheRoot: String,
-                           name: String, inputsKey: String)(hash: => String)(
+                           name: String, inputsKey: String,
+                           partitionBy: Seq[String] = Nil,
+                           writerOptions: Map[String, String] = Map.empty)(
+                           hash: => String)(
                            produce: => DataFrame): DataFrame =
     materializeLazyCore(spark, cacheRoot, name, inputsKey,
-                        _ => hash, produce)
+                        _ => hash, produce, partitionBy, writerOptions)
 
   private def materializeLazyCore(spark: SparkSession, cacheRoot: String,
                                   name: String, inputsKey: String,
                                   hashOf: DataFrame => String,
-                                  produce: => DataFrame): DataFrame = {
+                                  produce: => DataFrame,
+                                  partitionBy: Seq[String] = Nil,
+                                  writerOptions: Map[String, String] =
+                                    Map.empty): DataFrame = {
     val key = s"$cacheRoot|$name|$inputsKey"
     val cf = confFp(spark)
     val m = hitMemo.get(key)
@@ -239,7 +245,8 @@ object ArtifactCache {
     // cause recomputation, never a stale serve.
     val dirs = watchDirs(df.inputFiles.toSeq)
     val fp = listingFp(spark, dirs)
-    val out = materializeKeyed(spark, cacheRoot, name, hash)(df)
+    val out = materializeKeyed(spark, cacheRoot, name, hash,
+                               partitionBy, writerOptions)(df)
     // A frame with NO file inputs (checkpoint-backed training loops,
     // LocalRelations) has an empty watch set — a memo would then hit
     // forever with no freshness check. Such callers keep the full

@@ -100,8 +100,8 @@ object QueriesR10 {
   def embRecallMatrix(s: SparkSession, d: String): DataFrame = {
     Exprs.register(s); TopK.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    ArtifactCache.materializeKeyed(
-      s, Artifacts.cacheRoot, "ann_recall_matrix_v1_top3_q10",
+    ArtifactCache.materializeLazyKeyed(
+      s, Artifacts.cacheRoot, "ann_recall_matrix_v1_top3_q10", d)(
       ArtifactCache.artifactHash(emb)) {
       val exact = Artifacts.knnTop5(s, d)
         .filter(col("rk") <= 3 && col("vec_id") % 10 === 0)
@@ -220,14 +220,14 @@ object QueriesR10 {
         "zorder2(greatest(0L, least(4095L, " +
           "CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT))), " +
           "l_partkey & 4095)"))
-    ArtifactCache.materializeKeyed(
-      s, Artifacts.cacheRoot, "zdpp_lineitem_v1",
-      ArtifactCache.artifactHash(src),
+    ArtifactCache.materializeLazyKeyed(
+      s, Artifacts.cacheRoot, "zdpp_lineitem_v1", d,
       partitionBy = Seq("l_year"),
       writerOptions = Map(
         "parquet.block.size" -> "65536",
         "parquet.page.size" -> "4096",
         "parquet.enable.dictionary" -> "false"))(
+      ArtifactCache.artifactHash(src))(
       src.repartitionByRange(8, col("l_year"), col("z"))
         .sortWithinPartitions("l_year", "z"))
   }

@@ -176,8 +176,8 @@ object QueriesR13 {
       val dec = Png.decodeGray8Pixels(blob)
       Png.dhash64(dec.pixels, dec.width, dec.height)
     }
-    ArtifactCache.materializeKeyed(s, Artifacts.cacheRoot,
-      "doc_phashes_v1",
+    ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      "doc_phashes_v1", d)(
       ArtifactCache.artifactHash(docs) + "-L" + logicTag) {
       QueriesExtra.docPngBlobs(s, d)
         .as[(Long, Array[Byte])]

@@ -173,9 +173,13 @@ object QueriesR14 {
     // hash (stable regardless of the trigger's pick) with the probe
     // inside the lazy compute: the max-degree pass runs ONLY on a
     // cold build, never on a warm-cache read.
-    val pairsDf = jaccardRawPairs(s, d)
-    val capped = ArtifactCache.materializeKeyed(s, Artifacts.cacheRoot,
-      s"jaccard_capped_edges_v2_cap$cap",
+    // r19: the lazy memo skips the per-call hash derivation (the
+    // WINDOW-spelling plan render — the heaviest analyzed-plan string
+    // in the registry) on warm calls; freshness rides the lineitem/
+    // orders listing fingerprint like every other lazy artifact.
+    lazy val pairsDf = jaccardRawPairs(s, d)
+    val capped = ArtifactCache.materializeLazyKeyed(s, Artifacts.cacheRoot,
+      s"jaccard_capped_edges_v2_cap$cap", d)(
       ArtifactCache.artifactHash(jaccardCappedEdgesDeg(pairsDf, cap)))(
       jaccardCappedEdgesDegAuto(pairsDf, cap))
     // The probe side explodes ~deg(cust)× in the join, so its task

@@ -61,9 +61,8 @@ object QueriesR9 {
     val src = lineitem(s, d)
       .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
               col("l_extendedprice"), col("l_discount"))
-    ArtifactCache.materializeKeyed(
-      s, Artifacts.cacheRoot, "sorted_lineitem_v3",
-      ArtifactCache.artifactHash(src),
+    ArtifactCache.materializeLazyKeyed(
+      s, Artifacts.cacheRoot, "sorted_lineitem_v3", d,
       // tiny row groups need a tiny page size too: parquet-mr only
       // size-checks BUFFERED bytes, and the 1 MB default page plus
       // dictionary encoding keeps a small SF's whole file under one
@@ -74,6 +73,7 @@ object QueriesR9 {
         "parquet.block.size" -> "65536",
         "parquet.page.size" -> "4096",
         "parquet.enable.dictionary" -> "false"))(
+      ArtifactCache.artifactHash(src))(
       src.repartitionByRange(4, col("l_shipdate"))
         .sortWithinPartitions("l_shipdate"))
   }
@@ -129,13 +129,13 @@ object QueriesR9 {
         "zorder2(greatest(0L, least(4095L, " +
           "CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT))), " +
           "l_partkey & 4095)"))
-    ArtifactCache.materializeKeyed(
-      s, Artifacts.cacheRoot, "zorder_lineitem_v1",
-      ArtifactCache.artifactHash(src),
+    ArtifactCache.materializeLazyKeyed(
+      s, Artifacts.cacheRoot, "zorder_lineitem_v1", d,
       writerOptions = Map(
         "parquet.block.size" -> "65536",
         "parquet.page.size" -> "4096",
         "parquet.enable.dictionary" -> "false"))(
+      ArtifactCache.artifactHash(src))(
       src.repartitionByRange(8, col("z")).sortWithinPartitions("z"))
   }
 
