@@ -508,19 +508,25 @@ object QueriesR13 {
       count(lit(1)).as("n"),
       min(struct(col("t_ts"), col("t_id"), col("channel"))).as("ft"),
       max(struct(col("t_ts"), col("t_id"), col("channel"))).as("lt"))
-    def touchModel(side: String, model: String) =
-      perP.groupBy(col(s"$side.channel").as("channel"))
-        .agg(sum(round(col("value"), 6).cast(dec)).as("rev"))
-        .select(lit(model).as("model"), col("channel"),
-                col("rev").cast("double").as("revenue"))
+    // r19 (guide §2.4): first- and last-touch were two separate
+    // aggregations of perP union'd — the purchase-pair chain computed
+    // once per model. One explode tags each perP row with both models
+    // and aggregates them in a single pass; groups and decimal sums
+    // are identical per (model, channel).
+    val tm = perP.select(col("value"), explode(array(
+        struct(lit("first_touch").as("model"), col("ft.channel").as("channel")),
+        struct(lit("last_touch").as("model"), col("lt.channel").as("channel"))))
+        .as("e"))
+      .groupBy(col("e.model").as("model"), col("e.channel").as("channel"))
+      .agg(sum(round(col("value"), 6).cast(dec)).as("rev"))
+      .select(col("model"), col("channel"),
+              col("rev").cast("double").as("revenue"))
     val lin = pairs.join(perP.select("p_id", "n"), "p_id")
       .groupBy("channel")
       .agg(sum(round(col("value") / col("n"), 6).cast(dec)).as("rev"))
       .select(lit("linear").as("model"), col("channel"),
               col("rev").cast("double").as("revenue"))
-    touchModel("ft", "first_touch")
-      .union(touchModel("lt", "last_touch"))
-      .union(lin)
+    tm.union(lin)
       .orderBy("model", "channel")
   }
 

@@ -181,12 +181,19 @@ object QueriesR3 {
     * is why production tables pin schemas in a catalog — the scaladoc
     * trade-off the operator demonstrates. */
   def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val tmp = RunScratch.dir("schema_evo")
-    val o = orders(s, d)
-    o.select("o_orderkey", "o_orderstatus")
-      .write.mode("overwrite").parquet(s"$tmp/batch=1")
-    o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    // r19: the two-batch fixture re-WROTE two orders projections per
+    // call (0.40 s of the key) for a layout fully determined by the
+    // corpus — it joins the P6 fixture family (cachedLazy root memo);
+    // the mergeSchema READ under test stays live per call.
+    lazy val o = orders(s, d)
+    val tmp = LakeFixtures.cachedLazy(s, "schema_evo_batches_v1", d)(
+      Seq(o))(ArtifactCache.artifactHash(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"))) { r =>
+      o.select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$r/batch=1")
+      o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$r/batch=2")
+    }
     // DECIMAL accumulator: this sum is ~2.5e10 over 30k doubles, where
     // round(sum_double, 4) sits in addition-order ulp noise (the
     // repo's decimal-sum rule; measured unstable across orders).
