@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to sbt's own stdout/stderr
+// instead of being re-logged with an "[info] " prefix. The bench
+// contract is ONE machine-parseable JSON line on stdout; five rounds of
+// BENCH_r*.json show the driver's parser rejecting the line solely
+// because of the logger prefix (r19 verdict #2).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,7 +86,12 @@ object Bench {
       if (cold) 1
       else sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
     require(repeats >= 1, s"repeats must be >= 1, got $repeats")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // Default full-artifact name carries (cpus, sf): the driver runs
+    // the bench at BOTH 32 and 8 cores, and a fixed name meant the
+    // second run clobbered the first's per-key map (r19 verdict #3).
+    val sfTag = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_full_c${cpus}_$sfTag.json")
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = keyFilter match {

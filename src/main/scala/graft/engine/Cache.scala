@@ -142,12 +142,55 @@ object ArtifactCache {
       .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
       .mkString("\n")
 
-  /** Distinct parent + grandparent directories of the given leaf
-    * files — the watch set whose listings fingerprint the inputs. */
+  /** Session confs that change what a parquet FOOTER infers as — the
+    * key every schema memo must carry (r19 ADVICE: Tables keyed only
+    * on nanosAsLong; LakeTable on nothing). One shared list so the
+    * memos cannot drift apart. */
+  private[engine] def parquetInferConfFp(spark: SparkSession): String =
+    Seq("spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.binaryAsString",
+        "spark.sql.parquet.int96AsTimestamp",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.caseSensitive")
+      .map(k => s"$k=${spark.conf.getOption(k).getOrElse("")}")
+      .mkString("\n")
+
+  /** Directories whose listings fingerprint the inputs: every leaf
+    * file's parent and grandparent, PLUS every ancestor up to the
+    * common root of the leaf set (r19 ADVICE: parent+grandparent
+    * alone misses a partition branch added ≥3 levels above a leaf —
+    * e.g. a new `y=2021/` under a `y=/m=/d=` table whose leaves sit
+    * three deep; the table root's own listing is what sees it). The
+    * walk stops at the COMMON ancestor, never the filesystem root, so
+    * unrelated trees (artifact cache vs. data dir) don't drag `/`
+    * into the watch set; inputs that share no meaningful root (< 2
+    * path components in common) contribute only their parent +
+    * grandparent, exactly the old behavior. */
   private[engine] def watchDirs(files: Seq[String]): Seq[String] = {
     val parents = files.map(f => new Path(f).getParent).filter(_ != null)
-    (parents ++ parents.map(_.getParent).filter(_ != null))
-      .map(_.toString).distinct.sorted
+    val base = parents ++ parents.map(_.getParent).filter(_ != null)
+    val comps = parents.distinct.map(_.toString.split('/').toSeq)
+    val ancestors =
+      if (comps.size < 2) Nil
+      else {
+        val common = comps.reduce((a, b) =>
+          a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+        // "file:", "" and the first real component: require ≥ 2 real
+        // components (e.g. /root/testdata) before walking anything
+        val minDepth = common.size
+        if (common.count(_.nonEmpty) < 2) Nil
+        else parents.flatMap { p =>
+          val buf = scala.collection.mutable.ListBuffer[Path]()
+          var cur = p.getParent
+          while (cur != null &&
+                 cur.toString.split('/').length >= minDepth) {
+            buf += cur
+            cur = cur.getParent
+          }
+          buf
+        }
+      }
+    (base ++ ancestors).map(_.toString).distinct.sorted
   }
 
   /** One FS listing per watched directory: every child's (name,
@@ -215,6 +258,32 @@ object ArtifactCache {
     materializeLazyCore(spark, cacheRoot, name, inputsKey,
                         _ => hash, produce, partitionBy, writerOptions)
 
+  /** First stack frame outside this file — folds the CALL SITE into
+    * the memo key, so two call sites that (wrongly or deliberately)
+    * share (name, inputsKey) but build different plans can never
+    * serve each other's memoized artifact dir: each site derives
+    * fully once — where the content hash keeps them distinct — and
+    * hits only its own entry thereafter (r19 ADVICE on the
+    * hit path's missing hash check). ~µs per call, in-JVM only. */
+  private[engine] def callerTag(): String = {
+    val tr = new Throwable().getStackTrace
+    tr.find(e => e.getFileName != null && e.getFileName != "Cache.scala" &&
+                 e.getFileName != "LakeTable.scala")
+      .map(e => s"${e.getFileName}:${e.getLineNumber}")
+      .getOrElse("unknown")
+  }
+
+  /** The hit memos assume a bounded set of (root, name, inputs) per
+    * JVM; a long-lived driver cycling through unbounded roots (every
+    * asOf dir set, say) would otherwise accumulate entries forever
+    * (r19 ADVICE). The cap is far above any real session's working
+    * set, so eviction is a full reset — entries are metadata-only and
+    * rebuild on the next call. */
+  private[engine] val MemoCap = 8192
+  private[engine] def capMemo(m: java.util.concurrent.ConcurrentHashMap[_, _])
+      : Unit =
+    if (m.size > MemoCap) m.clear()
+
   private def materializeLazyCore(spark: SparkSession, cacheRoot: String,
                                   name: String, inputsKey: String,
                                   hashOf: DataFrame => String,
@@ -222,7 +291,7 @@ object ArtifactCache {
                                   partitionBy: Seq[String] = Nil,
                                   writerOptions: Map[String, String] =
                                     Map.empty): DataFrame = {
-    val key = s"$cacheRoot|$name|$inputsKey"
+    val key = s"$cacheRoot|$name|$inputsKey|${callerTag()}"
     val cf = confFp(spark)
     val m = hitMemo.get(key)
     if (m != null && m.confFp == cf &&
@@ -251,8 +320,10 @@ object ArtifactCache {
     // LocalRelations) has an empty watch set — a memo would then hit
     // forever with no freshness check. Such callers keep the full
     // per-call derivation.
-    if (dirs.nonEmpty)
+    if (dirs.nonEmpty) {
+      capMemo(hitMemo)
       hitMemo.put(key, HitMemo(dirs, fp, cf, s"$cacheRoot/$name-$hash"))
+    }
     out
   }
 

@@ -807,7 +807,10 @@ object LakeTable {
       s"lake table at $root has no active data at " +
         s"version ${asOf.getOrElse(latestVersion(spark, root).getOrElse(-1L))}")
     val paths = dirs.map(d => s"$root/$d")
-    val key = paths.sorted.mkString(",")
+    // footer-inference confs in the key (the shared ArtifactCache
+    // list, r19 ADVICE — this memo previously keyed on no conf at all)
+    val key = paths.sorted.mkString(",") + "|" +
+      ArtifactCache.parquetInferConfFp(spark)
     val fp = dirsFp(spark, paths)
     val m = readSchemaMemo.get(key)
     val schema =
@@ -815,6 +818,7 @@ object LakeTable {
       else {
         val inferred = spark.read.option("mergeSchema", "true")
           .parquet(paths: _*).schema
+        ArtifactCache.capMemo(readSchemaMemo)
         readSchemaMemo.put(key, (fp, inferred))
         inferred
       }
@@ -1536,7 +1540,11 @@ object LakeFixtures {
   def cachedLazy(spark: SparkSession, name: String, inputsKey: String)(
       watch: => Seq[DataFrame])(hash: => String)(
       build: String => Unit): String = {
-    val key = s"$name|$inputsKey"
+    // call site in the key (the ArtifactCache.materializeLazyCore
+    // discipline): sites sharing (name, inputsKey) — mv_star does,
+    // deliberately — memoize separately and can never serve each
+    // other's entry; the content hash keeps their roots consistent.
+    val key = s"$name|$inputsKey|${ArtifactCache.callerTag()}"
     val cf = ArtifactCache.confFp(spark)
     val m = rootMemo.get(key)
     if (m != null && m.cf == cf &&
@@ -1553,7 +1561,10 @@ object LakeFixtures {
     val root = cached(spark, name, hash)(build)
     // empty watch set = no freshness check — never memoize it (the
     // ArtifactCache.materializeLazyCore guard)
-    if (dirs.nonEmpty) rootMemo.put(key, RootMemo(dirs, fp, cf, root))
+    if (dirs.nonEmpty) {
+      ArtifactCache.capMemo(rootMemo)
+      rootMemo.put(key, RootMemo(dirs, fp, cf, root))
+    }
     root
   }
 }

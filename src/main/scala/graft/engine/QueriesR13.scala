@@ -277,11 +277,20 @@ object QueriesR13 {
         Seq(col("a.rep").as("rep1"), col("b.rep").as("rep2")) ++
           (0 to 3).flatMap(b => Seq(col(s"a.b$b").as(s"ab$b"),
                                     col(s"b.b$b").as(s"bb$b"))): _*)
-      .distinct()
+    // r20 (guide §2.3 "shuffle fewer bytes"): verify BEFORE deduping.
+    // The popcount is codegen'd integer work per candidate row (no
+    // exchange), while the dedup is a shuffle — running it on the
+    // verified sliver (2 longs/row) instead of the raw candidate
+    // stream (10 columns/row, up to 4 duplicates per pair from the 4
+    // bands) shrinks the distinct's exchange by orders of magnitude.
+    // Equivalent: the band columns are functions of rep, so distinct
+    // on (rep1, rep2) ≡ the old 10-column distinct, and filter
+    // commutes with distinct (per-row predicate).
     cand
       .filter(expr((0 to 3).map(b => s"bit_count(ab$b ^ bb$b)")
         .mkString(" + ")) <= 3)
       .select("rep1", "rep2")
+      .distinct()
   }
 
   def multimodalPhashNear(s: SparkSession, d: String): DataFrame = {
@@ -289,16 +298,13 @@ object QueriesR13 {
     // reps + map-back: both consumers scan the materialized parquet
     val hashed = docPhashes(s, d)
     val reps = hashed.groupBy("phash").agg(min("doc_id").as("rep"))
-    // r19 optimization: the verified ≤3-hamming pair list is the P6
-    // artifact the dedup family already persists for word shingles
-    // (Artifacts.nearDupPairs) and char grams (ngram_jaccard_pairs) —
-    // the banded self-join + popcount verify re-ran per call (≈0.5 s
-    // at sf0.1) for a pair list that changes only with the corpus or
-    // the pipeline (both in the content hash via the docPhashes
-    // artifact files + this plan's canonical string). CC and the
-    // cluster map-backs remain live per-run compute.
-    val pairs = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
-      "phash_near_pairs_v1", d)(phashNearPairs(reps))
+    // r20: the verified pair list is LIVE compute again — the r19
+    // `phash_near_pairs_v1` artifact persisted this key's own
+    // banded-join+verify output across runs, so the bench timed a
+    // warm parquet scan instead of the kernel (r19 verdict "What's
+    // wrong" #1). The legitimate optimization moved into
+    // phashNearPairs itself (verify-then-distinct, §2.3).
+    val pairs = phashNearPairs(reps)
     val cc = Ops.connectedComponents(pairs, "rep1", "rep2")
       .select(col("n").as("rep"), col("label"))
     val repCluster = reps.join(cc, Seq("rep"), "left")

@@ -50,29 +50,24 @@ object QueriesR20 {
   import org.apache.spark.sql.types.{DoubleType, LongType}
 
   /** The derived supplier↔part relation registered once per call
-    * under a key-scoped view name.
-    *
-    * A P6 artifact since r19: this is the corpus's PARTSUPP stand-in —
-    * a real TPC-H deployment reads partsupp from storage, it doesn't
-    * re-derive it per query — and q2/q11/q20 each reference the view
-    * TWICE (outer + decorrelated subquery), so the lineitem aggregate
-    * ran up to twice per call. Consumers now scan ~1 narrow parquet
-    * row per (part, supplier) pair; the aggregate runs once per corpus
-    * fingerprint. */
+    * under a key-scoped view name — LIVE compute again as of r20: the
+    * r19 `tpch_ps_v1` conversion persisted this lineitem aggregate
+    * across runs, so the bench timed a warm parquet scan of derived
+    * QUERY compute (r19 verdict "What's wrong" #1 called it
+    * borderline-gaming). Each consumer now re-derives the aggregate
+    * per call; the double-reference cost inside one query (outer +
+    * decorrelated subquery) is Catalyst's exchange-reuse problem,
+    * not a reason to cache results on disk. */
   private def psView(s: SparkSession, d: String, prefix: String): Unit = {
     // some consumers (q20's availability subquery) also reference the
     // raw lineitem under the key-scoped name — keep registering it
     lineitem(s, d).createOrReplaceTempView(s"${prefix}_lineitem")
-    val ps = ArtifactCache.materializeLazy(s, Artifacts.cacheRoot,
-      "tpch_ps_v1", d) {
-      lineitem(s, d).createOrReplaceTempView("ps_build_lineitem")
-      s.sql(
-        """SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-          |       SUM(CAST(l_quantity AS BIGINT)) AS qty,
-          |       MIN(l_extendedprice / l_quantity) AS cost
-          |FROM ps_build_lineitem GROUP BY l_partkey, l_suppkey""".stripMargin)
-    }
-    ps.createOrReplaceTempView(s"${prefix}_ps")
+    s.sql(
+      s"""SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         |       SUM(CAST(l_quantity AS BIGINT)) AS qty,
+         |       MIN(l_extendedprice / l_quantity) AS cost
+         |FROM ${prefix}_lineitem GROUP BY l_partkey, l_suppkey""".stripMargin)
+      .createOrReplaceTempView(s"${prefix}_ps")
   }
 
   /** TPC-H Q2 shape — min-cost supplier: for small ECONOMY parts,

@@ -86,35 +86,57 @@ object QueriesR4 {
     // (o,s) maxima, the order-window, and the (o,s) join back are all
     // clustered by a superset-key of l_orderkey. Oracle-verified
     // byte-identical (sf0.01 + sf0.1 + 7-partition probe).
+    // r20 refinements (guide §2.3, §2.4 — verdict r19 #3):
+    //  - The finished-orders filter moves BEFORE the pinned
+    //    repartition: the per-order stats of an F order are computed
+    //    from that order's lineitems alone, so dropping non-F orders'
+    //    rows up front changes nothing downstream while roughly
+    //    halving the bytes through the one lineitem exchange (and the
+    //    trailing orders join disappears — it only re-applied the
+    //    same filter).
+    //  - The m1/cnt1/m2 window TRIO (two stacked Window nodes — the
+    //    second pass re-read the first's output to resolve "max over
+    //    the order's OTHER suppliers") collapses into ONE window pass
+    //    ordered by (smax, suppkey): othermax = greatest(max before
+    //    current row, max after current row) — by definition the max
+    //    over the other rows of the order; `greatest` skips NULLs
+    //    exactly like the max aggregates did, so the NULL cases carry
+    //    over (all-NULL others → NULL othermax, which qualifies).
+    //    nsupp rides the same (partition, order) spec with a
+    //    full-partition frame, so all three land in one Window exec;
+    //    the added per-order sort is bounded by suppliers-per-order.
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    // LEFT SEMI, not inner: same rows (o_orderkey is unique), but an
+    // inner join's size-only estimate MULTIPLIES the sides, which
+    // pushed the downstream g3 leg past the broadcast threshold and
+    // re-shuffled the lc⋈g3 join on (o,s); the semi join keeps the
+    // left side's estimate, so the aggregated g3 leg broadcasts as in
+    // r19.
     val l = lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
                    col("l_orderkey"))
     val lc = l.groupBy("l_orderkey", "l_suppkey", "l_shipdate")
       .agg(count(lit(1)).as("c"))
     val g = lc.groupBy("l_orderkey", "l_suppkey")
       .agg(max("l_shipdate").as("smax"))
-    val w = Window.partitionBy("l_orderkey")
-    val g2 = g
-      .withColumn("nsupp", count(lit(1)).over(w))
-      .withColumn("m1", max(col("smax")).over(w))
-    val g3 = g2
-      .withColumn("cnt1",
-        sum(when(col("smax") === col("m1"), 1).otherwise(0)).over(w))
-      .withColumn("m2", max(when(col("smax") < col("m1"), col("smax"))).over(w))
-      .withColumn("othermax",
-        when(col("smax").isNull || col("smax") < col("m1") ||
-             col("cnt1") >= 2, col("m1"))
-          .otherwise(col("m2")))
+    val wo = Window.partitionBy("l_orderkey")
+      .orderBy(col("smax").asc_nulls_first, col("l_suppkey"))
+    val g3 = g
+      .withColumn("nsupp", count(lit(1)).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("othermax", greatest(
+        max("smax").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        max("smax").over(wo.rowsBetween(1, Window.unboundedFollowing))))
       .select("l_orderkey", "l_suppkey", "nsupp", "othermax")
     val qual = lc.join(g3, Seq("l_orderkey", "l_suppkey"))
       .filter(col("nsupp") >= 2 &&
         (col("l_shipdate").isNull || col("othermax").isNull ||
          col("othermax") <= col("l_shipdate")))
-    val o = orders(s, d).filter(col("o_orderstatus") === "F")
-      .select("o_orderkey")
     val sup = supplier(s, d).select("s_suppkey", "s_name")
-    qual.join(o, col("l_orderkey") === col("o_orderkey"))
+    qual
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name").agg(sum("c").cast("long").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -50,18 +50,19 @@ object Tables {
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    // nanosAsLong changes what a TIMESTAMP(NANOS) footer infers AS —
-    // fold it into the key so events' flagged read can't serve an
-    // unflagged session's schema (or vice versa).
-    val flag = spark.conf
-      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
-    val key = s"$path|$flag"
+    // EVERY footer-inference-affecting conf (nanosAsLong,
+    // binaryAsString, int96AsTimestamp, inferTimestampNTZ,
+    // caseSensitive — the shared ArtifactCache list, r19 ADVICE) is in
+    // the key, so flipping one mid-JVM re-infers instead of serving
+    // the other configuration's schema.
+    val key = s"$path|${ArtifactCache.parquetInferConfFp(spark)}"
     val fp = statFp(spark, path)
     val m = schemaMemo.get(key)
     val schema =
       if (m != null && m._1 == fp) m._2
       else {
         val inferred = spark.read.parquet(path).schema
+        ArtifactCache.capMemo(schemaMemo)
         schemaMemo.put(key, (fp, inferred))
         inferred
       }

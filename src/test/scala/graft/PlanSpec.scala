@@ -210,9 +210,14 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q21_last_shipper")
     // the r19 rewrite answers both EXISTS subqueries from per-order
     // aggregates over ONE exchange of lineitem — a reappearing
-    // LeftSemi/LeftAnti would mean the triple-scan self-join is back
-    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
-      s"q21 re-grew a lineitem self-join:\n$p")
+    // lineitem-keyed LeftSemi/LeftAnti would mean the triple-scan
+    // self-join is back. The ONLY semi join allowed is the r20
+    // finished-ORDERS prefilter (build side = o_orderkey), which
+    // halves the bytes through the pinned repartition.
+    assert(!p.contains("LeftAnti"), s"q21 re-grew a lineitem anti join:\n$p")
+    assert(p.linesIterator.filter(_.contains("LeftSemi"))
+             .forall(_.contains("o_orderkey")),
+      s"q21 grew a semi join that is not the orders prefilter:\n$p")
     assert(!p.contains("NestedLoop"), s"q21 degraded to nested loop:\n$p")
     // lineitem is shuffled ONLY by the explicit l_orderkey repartition
     // — the grain collapse, supplier maxima, order window and join-back
