@@ -326,10 +326,27 @@ object LakeSql {
 
     /** Re-register every attached table's CURRENT snapshot as a temp
       * view — called before any statement that parses a subquery, so
-      * SQL text always reads the session's own committed writes. */
+      * SQL text always reads the session's own committed writes.
+      *
+      * r20 (§5 driver rent): re-building a snapshot is a full log
+      * replay + MOR plan construction per table per STATEMENT, paid
+      * even when nothing changed since the last statement. The view is
+      * re-registered only when the table's latest committed version
+      * differs from the one the live view was built from (one log
+      * listing instead of a replay; any write — append, delete,
+      * optimize — bumps the version by the commit contract). */
+    private val viewVersions =
+      scala.collection.mutable.Map.empty[String, Long]
+
     private def refreshViews(): Unit =
       roots.foreach { case (n, r) =>
-        snapshot(r).foreach(_.createOrReplaceTempView(n))
+        val v = LakeTable.latestVersion(spark, r).getOrElse(-1L)
+        if (!viewVersions.get(n).contains(v)) {
+          snapshot(r).foreach { df =>
+            df.createOrReplaceTempView(n)
+            viewVersions(n) = v
+          }
+        }
       }
 
     /** Standard SQL write coercion: incoming rows CAST to the target
@@ -677,7 +694,21 @@ object LakeSql {
       val stmts = splitTopLevel(text, ';')
         .map(stripLeadingComments).filter(_.nonEmpty)
       require(stmts.nonEmpty, "LakeSql: empty script")
-      stmts.map(exec).last
+      // SPARK_GRAFT_SQL_TIMING=1: per-statement wall time to stderr —
+      // the §1 measure-first hook for statement-flow keys (which
+      // statement of a script dominates is invisible to BenchSplit,
+      // whose construction phase swallows the whole flow).
+      if (!sys.env.get("SPARK_GRAFT_SQL_TIMING").contains("1"))
+        stmts.map(exec).last
+      else
+        stmts.map { st =>
+          val t0 = System.nanoTime()
+          val r = exec(st)
+          System.err.println(
+            f"[lakesql] ${(System.nanoTime() - t0) / 1e9}%7.3f  " +
+              st.linesIterator.next().take(70))
+          r
+        }.last
     }
   }
 }

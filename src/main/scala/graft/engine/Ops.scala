@@ -45,15 +45,23 @@ object Ops {
     df.groupBy(md5(col(payloadCol)).as("h"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-shingle set per row: (id, shingle) pairs, deduped. */
-  def shingles(df: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame =
+  /** Word-shingle stream per row: (id, shingle) pairs, WITH
+    * duplicates (a shingle repeated inside one document appears once
+    * per occurrence). Consumers that need the SET semantics either
+    * call [[shingles]] or aggregate with set-valued functions
+    * (collect_set / min), both of which are duplicate-proof. */
+  private[engine] def shinglesRaw(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("tokens"))
       .filter(size(col("tokens")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(tokens) - ${n - 1}), i -> array_join(slice(tokens, i, $n), ' '))"))
         .as("shingle"))
-      .distinct()
+
+  /** Word-shingle set per row: (id, shingle) pairs, deduped. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n).distinct()
 
   /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
     *
@@ -154,10 +162,15 @@ object Ops {
     val candIds = cand.select(col(leftId).as(idCol))
       .union(cand.select(col(rightId).as(idCol)))
       .distinct()
+    // collect_set, not collect_list (r20, §2.4): the SET semantics
+    // make verification duplicate-proof, so callers may feed the raw
+    // shingle stream and skip its standalone distinct exchange — one
+    // exchange (set-agg) instead of two (distinct, then list-agg).
+    // For already-distinct inputs this is the identical sorted array.
     val shArr = sh.join(candIds, Seq(idCol), "left_semi")
       .groupBy(idCol)
-      .agg(array_sort(collect_list("shingle")).as("shs"),
-           count(lit(1)).as("sz"))
+      .agg(array_sort(collect_set("shingle")).as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
     cand.as("c")
       .join(shArr.as("s1"), col(s"c.$leftId") === col(s"s1.$idCol"))
       .join(shArr.as("s2"), col(s"c.$rightId") === col(s"s2.$idCol"))
@@ -261,7 +274,11 @@ object Ops {
     val candIds = cand.select(col("doc_id").as(idCol))
       .union(cand.select(col("match_id").as(idCol)))
       .distinct()
-    val verifySh = shingles(
+    // RAW shingle stream (r20): jaccardVerify's set-aggregation is
+    // duplicate-proof, so the per-(id, shingle) distinct exchange the
+    // `shingles` spelling paid here is pure overhead — one fewer
+    // exchange in the verification leg.
+    val verifySh = shinglesRaw(
       baseDocs.unionByName(deltaDocs).join(candIds, Seq(idCol), "left_semi"),
       idCol, textCol, shingleSize)
     jaccardVerify(cand, verifySh, idCol, "doc_id", "match_id", threshold)

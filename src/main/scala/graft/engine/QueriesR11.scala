@@ -198,29 +198,40 @@ object QueriesR11 {
     * Values are nonnegative (fixture min 0.0), so floor(x+0.5) is
     * exactly half-away-from-zero.
     *
-    * Scale shape: one map-side explode (bounded ×32 amplification —
-    * a constant, not a function of history length), one shuffle on
-    * (user, target index), one join back. State per key is zero;
-    * skew = hottest user × 32. */
+    * Scale shape (r20 respelling — guide §2.4, verdict r19 #7): ONE
+    * user-partitioned sliding window (rows [-31, 0]) collects each
+    * event's ≤32 predecessors; the 1e-9-grid terms are computed
+    * ROW-LOCALLY over that bounded array and folded as exact
+    * integers. The previous explode(sequence(0,31)) spelling shipped
+    * 32× the event stream through a second (user, target-index)
+    * exchange and joined it back — 3 exchanges and a join for what is
+    * a 32-wide sliding window; now: 1 exchange, 0 joins. Per-term
+    * arithmetic is UNCHANGED (k = size(vals)-1-j is the same lag the
+    * exploded spelling computed as ti − i; terms are integers, so the
+    * fold order cannot show — the frame-accumulation-FP-order hazard
+    * the note above bans does not apply to an integer fold), the term
+    * sum mirrors SUM's null semantics (null skipped, all-null →
+    * null), and m = window size ≡ the old per-ti count. State per key
+    * is the 32-value frame; skew = hottest user. */
   def eventsEwma(s: SparkSession, d: String): DataFrame = {
-    val o = events(s, d).select("event_id", "user_id", "ts", "value")
-      .withColumn("i", row_number().over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")))
-    val contrib = o
-      .select(col("user_id"), col("i"), col("value"),
-              explode(expr("sequence(0, 31)")).as("k"))
-      .select(col("user_id"), (col("i") + col("k")).as("ti"),
-        // exact 1e-9-unit integer: floor of the IEEE-scaled double
-        expr("FLOOR(value * pow(2.0, -k) * 1000000000.0 + 0.5)")
-          .as("term_u"))
-    val agg = contrib.groupBy("user_id", "ti")
-      .agg(sum("term_u").as("num_u"), count(lit(1)).as("m"))
-    o.as("o").join(agg.as("g"),
-        col("o.user_id") === col("g.user_id") && col("o.i") === col("g.ti"))
-      .select(col("o.event_id"), col("o.user_id"), col("o.ts"),
-        col("o.value"), col("g.m"),
-        (floor((col("g.num_u").cast("double") / lit(1e9) /
-            (lit(2.0) - pow(lit(2.0), lit(1.0) - col("g.m")))) *
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-31, Window.currentRow)
+    events(s, d).select("event_id", "user_id", "ts", "value")
+      .withColumn("vals", collect_list("value").over(w))
+      .withColumn("num_u", expr(
+        "aggregate(" +
+          "transform(vals, (v, j) -> " +
+          // exact 1e-9-unit integer: floor of the IEEE-scaled double
+          "FLOOR(v * pow(2.0, -(size(vals) - 1 - j)) * 1000000000.0 " +
+          "+ 0.5)), " +
+          "CAST(NULL AS BIGINT), " +
+          "(acc, x) -> CASE WHEN x IS NULL THEN acc " +
+          "WHEN acc IS NULL THEN x ELSE acc + x END)"))
+      .withColumn("m", size(col("vals")).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value"), col("m"),
+        (floor((col("num_u").cast("double") / lit(1e9) /
+            (lit(2.0) - pow(lit(2.0), lit(1.0) - col("m")))) *
           lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"))
       .orderBy("event_id")
   }
@@ -731,6 +742,16 @@ object QueriesR11 {
     * doc_id; ranking is one range exchange + one bounded-group local
     * sort; no single task ever holds a whole language. */
   def docsPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    // r20 measured-and-rejected (guide §1.1, verdict r19 #7): two
+    // attempts to make the unigram-model branch share the scoring
+    // branch's explode both LOST to this spelling at sf0.1 —
+    // (a) model = re-agg of the (doc, t) frame: Catalyst planned the
+    // docTok subtree twice without exchange reuse (per-branch pruning)
+    // and the extra aggregation level cost +0.13 s (0.77 → 0.90);
+    // (b) model count attached as a t-partitioned window over docTok:
+    // the per-term sort/buffer cost +0.9 s (0.77 → 1.68) and a bare-t
+    // window partition is stopword-sized at scale where the SMJ
+    // streams. The two-aggregation original stands.
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val model = tok.groupBy("t").agg(count(lit(1)).as("c"))

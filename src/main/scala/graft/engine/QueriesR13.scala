@@ -419,14 +419,29 @@ object QueriesR13 {
         .distinct())
     val tot = items.agg(countDistinct("okey").as("n_baskets"))
     val cnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pairs = items.groupBy("okey")
+    // r20 (guide §2.3 "shuffle fewer bytes" — verdict r19 #4): count
+    // UNORDERED pairs (x < y) — half the row-local emissions and half
+    // the rows into the pair aggregation — and mirror both directions
+    // row-locally AFTER the aggregate (a 2-row explode on the
+    // ≤ brands²/2-row counted frame). Equivalent because directed
+    // pair counts are symmetric: pair_n(a,b) = #baskets containing
+    // both = pair_n(b,a), and every directed pair with pair_n ≥ 1
+    // appears in exactly one unordered orientation.
+    val pairsU = items.groupBy("okey")
       .agg(collect_set(col("item")).as("its"))
       .select(explode(expr(
-        "flatten(transform(its, x -> " +
-        "transform(its, y -> struct(x AS ante, y AS cons))))")).as("p"))
-      .filter(col("p.ante") =!= col("p.cons"))
+        "flatten(transform(its, x -> transform(" +
+        "filter(its, y -> x < y), y -> struct(x AS ante, y AS cons))))"))
+        .as("p"))
       .groupBy(col("p.ante").as("ante"), col("p.cons").as("cons"))
       .agg(count(lit(1)).as("pair_n"))
+    val pairs = pairsU
+      .select(explode(array(
+        struct(col("ante"), col("cons"), col("pair_n")),
+        struct(col("cons").as("ante"), col("ante").as("cons"),
+               col("pair_n")))).as("q"))
+      .select(col("q.ante").as("ante"), col("q.cons").as("cons"),
+              col("q.pair_n").as("pair_n"))
     pairs
       .join(cnt.select(col("item").as("ante"), col("n_item").as("ante_n")),
             "ante")

@@ -339,6 +339,14 @@ class PlanGateSpec extends SparkTestBase {
             violations += s"$key: $kind at $node"
         }
       }
+      // the loop above ran every registry key, including the
+      // mv_rewrite_* family whose construction REGISTERS materialized
+      // views on the shared session (arming the rewrite rule
+      // session-wide — by design for the keys, poison for any later
+      // suite asserting un-rewritten plan shapes). Disarm before the
+      // assertions so a failure here or in a later suite is about the
+      // plans, not about leaked registrations.
+      graft.engine.Mv.clear(spark)
       assert(violations.isEmpty,
         "scale-killer plan shapes outside the allowlist:\n" +
           violations.mkString("\n"))

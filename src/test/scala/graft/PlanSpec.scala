@@ -7,6 +7,17 @@ package graft
   */
 class PlanSpec extends SparkTestBase {
 
+  // Every assertion here pins an UN-rewritten plan shape; a leaked MV
+  // registration from a suite that ran registry keys earlier in the
+  // session (PlanGateSpec/ExplainSpec run ALL keys, arming the
+  // session-wide rewrite rule) would legitimately serve e.g. the
+  // pivot's inner count from the mv_orders artifact and flip the
+  // shape. Pin a rewrite-free session up front.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.engine.Mv.clear(spark)
+  }
+
   private def plan(key: String): String =
     SparkEntry.queries(key)(spark, sfDir)
       .queryExecution.executedPlan.toString
