@@ -225,6 +225,17 @@ object QueriesExtra {
     val tmp = RunScratch.dir("partitioned_orders")
     orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
+      // r20 (guide §6 layout): unshuffled, the write inherits the scan
+      // parallelism — one task for the single sf0.1 orders file
+      // (measured: the whole write serialized through it, 1.05 s vs
+      // 0.70 s), and at scale EVERY scan task writes into EVERY year
+      // directory (tasks × years small files). REBALANCE on the
+      // partition column clusters each year into whole output files
+      // at adaptive parallelism: AQE coalesces small years and SPLITS
+      // an oversized one across tasks — the straggler guard a plain
+      // repartition(o_year) lacks at 100 TB, where one year can be
+      // most of the table.
+      .hint("rebalance", col("o_year"))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
     s.read.parquet(tmp)
       .filter(col("o_year") === 1997)

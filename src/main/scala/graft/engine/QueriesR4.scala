@@ -246,8 +246,16 @@ object QueriesR4 {
         .groupBy(col("dst").as("node_id"))
         .agg(round(lit(0.15) + lit(0.85) * sum(col("rank") / col("outdeg")), 6)
           .as("rank"))
-    val r0 = nodes.select(col("node_id"), lit(1.0).as("rank"))
-    val r3 = step(step(step(r0)))
+    // Iteration 1 folds the constant r0 = 1.0 (r20, guide §2.4): the
+    // join with the all-ones rank frame attaches a literal to every
+    // edge (every src IS a node by the bidirectional union), so r1
+    // aggregates straight off the edge artifact — same float math
+    // (sum(1.0/outdeg) ≡ sum(rank/outdeg) with rank = 1.0), one join
+    // and one artifact scan fewer in the plan.
+    val r1 = edgesW.groupBy(col("dst").as("node_id"))
+      .agg(round(lit(0.15) + lit(0.85) * sum(lit(1.0) / col("outdeg")), 6)
+        .as("rank"))
+    val r3 = step(step(r1))
     nodes.join(r3, "node_id")
       .select(col("node_id"), col("outdeg").as("degree"), col("rank"))
       .orderBy("node_id")
