@@ -679,10 +679,16 @@ object QueriesR14 {
            max(unix_micros(col("ts"))).as("e_us"))
       .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
               col("s_us"), col("e_us"))
-    val ep = sess.select(col("sid"), col("s_us").as("us"),
-                         lit(1L).as("delta"))
-      .union(sess.select(col("sid"), col("e_us").as("us"),
-                         lit(-1L).as("delta")))
+    // r20 (guide §2.4): the UNION spelling re-ran the sessionize
+    // window chain + the (user, session) aggregate once per endpoint
+    // branch (only the bottom scan exchange was reused — plan showed
+    // the Window/Sort pair twice). Both endpoints of a session live
+    // on ONE aggregated row, so they explode row-locally: same
+    // (sid, us, delta) multiset, one sessionize pass.
+    val ep = sess.select(col("sid"), explode(array(
+        struct(col("s_us").as("us"), lit(1L).as("delta")),
+        struct(col("e_us").as("us"), lit(-1L).as("delta")))).as("q"))
+      .select(col("sid"), col("q.us").as("us"), col("q.delta").as("delta"))
     Ops.exactPrefixSum(ep, Nil,
         Seq(col("us"), col("delta").desc, col("sid")), "delta")
       .select(timestamp_micros(col("us")).cast("date").as("day"),
